@@ -1,0 +1,322 @@
+package graft.decode
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** ADT for the pgoutput logical-replication message family.
+  *
+  * Message grammar follows the public Postgres protocol docs
+  * (protocol-logicalrep-message-formats) as exercised by the reference
+  * implementation (see /root/reference/src/pypgcdc/decoders.py:86-455).
+  * All multi-byte integers are big-endian signed; timestamps are int64
+  * microseconds since 2000-01-01T00:00:00Z (decoders.py:39-45).
+  *
+  * Two reference bugs are fixed here (SURVEY.md §7):
+  *  - `Begin.xid` is read as Int32 per the wire format (the reference reads
+  *    int64 and only survives because the buffer ends, decoders.py:183);
+  *  - `Truncate` is decoded as a plain value (the reference's generator-based
+  *    truncate path never worked end-to-end, reader.py:386-398).
+  */
+sealed trait PgOutputMessage { def msgType: Char }
+
+/** One column value inside a TupleData.
+  * category 't' = text value present, 'n' = SQL NULL, 'u' = unchanged TOAST
+  * datum (value NOT sent — must not be conflated with NULL; the reference
+  * conflates them, reader.py:52-58, which is lossy — SURVEY.md §7.2). */
+final case class ColumnData(category: Char, data: Option[String]) {
+  def isNull: Boolean = category == 'n'
+  def isUnchangedToast: Boolean = category == 'u'
+}
+
+final case class TupleData(columns: Vector[ColumnData])
+
+final case class Begin(finalLsn: Long, commitTs: Long, xid: Int)
+    extends PgOutputMessage { def msgType = 'B' }
+
+final case class Commit(flags: Byte, commitLsn: Long, endLsn: Long, commitTs: Long)
+    extends PgOutputMessage { def msgType = 'C' }
+
+/** Decoded 'O' message — a stub in the reference (decoders.py:222-229). */
+final case class Origin(commitLsn: Long, name: String)
+    extends PgOutputMessage { def msgType = 'O' }
+
+final case class RelationColumn(partOfKey: Boolean, name: String, typeOid: Int, typeMod: Int)
+
+final case class Relation(
+    relationId: Int,
+    namespace: String,
+    name: String,
+    replicaIdentity: Char,
+    columns: Vector[RelationColumn])
+    extends PgOutputMessage {
+  def msgType = 'R'
+  def keyColumnNames: Vector[String] = columns.filter(_.partOfKey).map(_.name)
+}
+
+/** Decoded 'Y' message — a stub in the reference (decoders.py:293-303). */
+final case class PgType(typeOid: Int, namespace: String, name: String)
+    extends PgOutputMessage { def msgType = 'Y' }
+
+final case class Insert(relationId: Int, newTuple: TupleData)
+    extends PgOutputMessage { def msgType = 'I' }
+
+/** oldKind: Some('K') key-only old image, Some('O') full old row
+  * (REPLICA IDENTITY FULL), None = old image not sent (key unchanged). */
+final case class Update(
+    relationId: Int,
+    oldKind: Option[Char],
+    oldTuple: Option[TupleData],
+    newTuple: TupleData)
+    extends PgOutputMessage { def msgType = 'U' }
+
+final case class Delete(relationId: Int, oldKind: Char, oldTuple: TupleData)
+    extends PgOutputMessage { def msgType = 'D' }
+
+final case class Truncate(optionBits: Byte, relationIds: Vector[Int])
+    extends PgOutputMessage {
+  def msgType = 'T'
+  def cascade: Boolean = (optionBits & 1) != 0
+  def restartIdentity: Boolean = (optionBits & 2) != 0
+}
+
+final class PgOutputDecodeException(msg: String) extends RuntimeException(msg)
+
+/** Binary decoder for pgoutput frames (reference: decoders.py:86-455).
+  * Pure JVM code — safe to call from executor-side `map`/`mapPartitions`
+  * or from a DataSource V2 PartitionReader without any UDF registration. */
+object PgOutputDecoder {
+
+  /** Microseconds between the unix epoch and the Postgres epoch 2000-01-01Z. */
+  val PostgresEpochMicros: Long = 946684800000000L
+
+  /** pgoutput int64 µs-since-2000 → unix µs (decoders.py:39-41). */
+  def pgMicrosToUnixMicros(pgUs: Long): Long = pgUs + PostgresEpochMicros
+  def unixMicrosToPgMicros(unixUs: Long): Long = unixUs - PostgresEpochMicros
+
+  def decode(payload: Array[Byte]): PgOutputMessage = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    val tag = buf.get().toChar
+    tag match {
+      case 'B' => decodeBegin(buf)
+      case 'C' => decodeCommit(buf)
+      case 'O' => decodeOrigin(buf)
+      case 'R' => decodeRelation(buf)
+      case 'Y' => decodePgType(buf)
+      case 'I' => decodeInsert(buf)
+      case 'U' => decodeUpdate(buf)
+      case 'D' => decodeDelete(buf)
+      case 'T' => decodeTruncate(buf)
+      case other =>
+        throw new PgOutputDecodeException(s"unknown pgoutput message type '$other'")
+    }
+  }
+
+  /** Decode insisting on one expected type (the reference ctors raise
+    * ValueError on a wrong first byte — test_decoders.py negative cases). */
+  def decodeAs[T <: PgOutputMessage](payload: Array[Byte], expected: Char): T = {
+    if (payload.isEmpty || payload(0).toChar != expected)
+      throw new PgOutputDecodeException(
+        s"first byte is not '$expected': ${if (payload.isEmpty) "<empty>" else payload(0).toChar}")
+    decode(payload).asInstanceOf[T]
+  }
+
+  private def readString(buf: ByteBuffer): String = {
+    val bytes = new java.io.ByteArrayOutputStream(16)
+    var b = buf.get()
+    while (b != 0) { bytes.write(b.toInt); b = buf.get() }
+    new String(bytes.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  /** TupleData: int16 n_columns, then per column a category byte:
+    * 'n' NULL, 'u' unchanged TOAST, 't' int32 length + that many bytes
+    * (decoders.py:125-158). */
+  def readTupleData(buf: ByteBuffer): TupleData = {
+    val n = buf.getShort()
+    val cols = Vector.newBuilder[ColumnData]
+    var i = 0
+    while (i < n) {
+      val cat = buf.get().toChar
+      cat match {
+        case 'n' | 'u' => cols += ColumnData(cat, None)
+        case 't' =>
+          val len = buf.getInt()
+          val bytes = new Array[Byte](len)
+          buf.get(bytes)
+          cols += ColumnData('t', Some(new String(bytes, StandardCharsets.UTF_8)))
+        case other =>
+          throw new PgOutputDecodeException(s"unknown tuple column category '$other'")
+      }
+      i += 1
+    }
+    TupleData(cols.result())
+  }
+
+  private def decodeBegin(buf: ByteBuffer): Begin = {
+    val lsn = buf.getLong()
+    val ts = buf.getLong()
+    val xid = buf.getInt() // Int32 per wire format (reference bug fixed)
+    Begin(lsn, ts, xid)
+  }
+
+  private def decodeCommit(buf: ByteBuffer): Commit = {
+    val flags = buf.get()
+    val commitLsn = buf.getLong()
+    val endLsn = buf.getLong()
+    val ts = buf.getLong()
+    Commit(flags, commitLsn, endLsn, ts)
+  }
+
+  private def decodeOrigin(buf: ByteBuffer): Origin = {
+    val lsn = buf.getLong()
+    Origin(lsn, readString(buf))
+  }
+
+  private def decodeRelation(buf: ByteBuffer): Relation = {
+    val relationId = buf.getInt()
+    val namespace = readString(buf)
+    val name = readString(buf)
+    val replicaIdentity = buf.get().toChar
+    val nCols = buf.getShort()
+    val cols = Vector.newBuilder[RelationColumn]
+    var i = 0
+    while (i < nCols) {
+      val pk = buf.get() == 1
+      val colName = readString(buf)
+      val oid = buf.getInt()
+      val typeMod = buf.getInt()
+      cols += RelationColumn(pk, colName, oid, typeMod)
+      i += 1
+    }
+    Relation(relationId, namespace, name, replicaIdentity, cols.result())
+  }
+
+  private def decodePgType(buf: ByteBuffer): PgType = {
+    val oid = buf.getInt()
+    PgType(oid, readString(buf), readString(buf))
+  }
+
+  private def decodeInsert(buf: ByteBuffer): Insert = {
+    val relationId = buf.getInt()
+    val kind = buf.get().toChar
+    if (kind != 'N')
+      throw new PgOutputDecodeException(s"Insert: expected 'N' tuple marker, got '$kind'")
+    Insert(relationId, readTupleData(buf))
+  }
+
+  private def decodeUpdate(buf: ByteBuffer): Update = {
+    val relationId = buf.getInt()
+    val marker = buf.get().toChar
+    marker match {
+      case 'K' | 'O' =>
+        val old = readTupleData(buf)
+        val newMarker = buf.get().toChar
+        if (newMarker != 'N')
+          throw new PgOutputDecodeException(
+            s"Update: expected 'N' after old tuple, got '$newMarker'")
+        Update(relationId, Some(marker), Some(old), readTupleData(buf))
+      case 'N' =>
+        Update(relationId, None, None, readTupleData(buf))
+      case other =>
+        throw new PgOutputDecodeException(s"Update: unexpected tuple marker '$other'")
+    }
+  }
+
+  private def decodeDelete(buf: ByteBuffer): Delete = {
+    val relationId = buf.getInt()
+    val kind = buf.get().toChar
+    if (kind != 'K' && kind != 'O')
+      throw new PgOutputDecodeException(s"Delete: expected 'K' or 'O', got '$kind'")
+    Delete(relationId, kind, readTupleData(buf))
+  }
+
+  private def decodeTruncate(buf: ByteBuffer): Truncate = {
+    val nRelations = buf.getInt()
+    val optionBits = buf.get()
+    val ids = Vector.newBuilder[Int]
+    var i = 0
+    while (i < nRelations) { ids += buf.getInt(); i += 1 }
+    Truncate(optionBits, ids.result())
+  }
+}
+
+/** Wire-format encoder — the inverse of [[PgOutputDecoder]]. Used by tests
+  * (round-trip properties) and by the frame-replay source fixtures that
+  * simulate a Postgres walsender without a live database (SURVEY.md §5). */
+object PgOutputEncoder {
+
+  private def buf(cap: Int): ByteBuffer =
+    ByteBuffer.allocate(cap).order(ByteOrder.BIG_ENDIAN)
+
+  private def cstr(s: String): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    val out = new Array[Byte](b.length + 1)
+    System.arraycopy(b, 0, out, 0, b.length)
+    out
+  }
+
+  private def tupleBytes(t: TupleData): Array[Byte] = {
+    var size = 2
+    t.columns.foreach { c =>
+      size += 1
+      if (c.category == 't') size += 4 + c.data.get.getBytes(StandardCharsets.UTF_8).length
+    }
+    val b = buf(size)
+    b.putShort(t.columns.size.toShort)
+    t.columns.foreach { c =>
+      b.put(c.category.toByte)
+      if (c.category == 't') {
+        val d = c.data.get.getBytes(StandardCharsets.UTF_8)
+        b.putInt(d.length)
+        b.put(d)
+      }
+    }
+    b.array()
+  }
+
+  def encode(msg: PgOutputMessage): Array[Byte] = msg match {
+    case Begin(lsn, ts, xid) =>
+      val b = buf(21); b.put('B'.toByte); b.putLong(lsn); b.putLong(ts); b.putInt(xid); b.array()
+    case Commit(flags, commitLsn, endLsn, ts) =>
+      val b = buf(26); b.put('C'.toByte); b.put(flags)
+      b.putLong(commitLsn); b.putLong(endLsn); b.putLong(ts); b.array()
+    case Origin(lsn, name) =>
+      val n = cstr(name)
+      val b = buf(9 + n.length); b.put('O'.toByte); b.putLong(lsn); b.put(n); b.array()
+    case Relation(relId, ns, name, ri, cols) =>
+      val nsB = cstr(ns); val nameB = cstr(name)
+      val colBytes = cols.map { c =>
+        val cn = cstr(c.name)
+        val b = buf(1 + cn.length + 8)
+        b.put(if (c.partOfKey) 1.toByte else 0.toByte); b.put(cn)
+        b.putInt(c.typeOid); b.putInt(c.typeMod); b.array()
+      }
+      val b = buf(5 + nsB.length + nameB.length + 1 + 2 + colBytes.map(_.length).sum)
+      b.put('R'.toByte); b.putInt(relId); b.put(nsB); b.put(nameB)
+      b.put(ri.toByte); b.putShort(cols.size.toShort)
+      colBytes.foreach(b.put); b.array()
+    case PgType(oid, ns, name) =>
+      val nsB = cstr(ns); val nameB = cstr(name)
+      val b = buf(5 + nsB.length + nameB.length)
+      b.put('Y'.toByte); b.putInt(oid); b.put(nsB); b.put(nameB); b.array()
+    case Insert(relId, tuple) =>
+      val t = tupleBytes(tuple)
+      val b = buf(6 + t.length)
+      b.put('I'.toByte); b.putInt(relId); b.put('N'.toByte); b.put(t); b.array()
+    case Update(relId, oldKind, oldTuple, newTuple) =>
+      val oldB = oldTuple.map(tupleBytes)
+      val newB = tupleBytes(newTuple)
+      val size = 5 + oldKind.map(_ => 1 + oldB.get.length).getOrElse(0) + 1 + newB.length
+      val b = buf(size)
+      b.put('U'.toByte); b.putInt(relId)
+      oldKind.foreach { k => b.put(k.toByte); b.put(oldB.get) }
+      b.put('N'.toByte); b.put(newB); b.array()
+    case Delete(relId, kind, tuple) =>
+      val t = tupleBytes(tuple)
+      val b = buf(6 + t.length)
+      b.put('D'.toByte); b.putInt(relId); b.put(kind.toByte); b.put(t); b.array()
+    case Truncate(optionBits, relIds) =>
+      val b = buf(6 + 4 * relIds.size)
+      b.put('T'.toByte); b.putInt(relIds.size); b.put(optionBits)
+      relIds.foreach(b.putInt); b.array()
+  }
+}
