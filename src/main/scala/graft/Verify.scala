@@ -16,9 +16,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Write TIMESTAMP columns as NTZ: under the UTC session this is the
+        // same wall-clock instant, and DuckDB then reads them as naive
+        // timestamps — directly comparable with the oracle's naive values
+        // (LTZ parquet would surface as TIMESTAMPTZ on the DuckDB side).
+        val ntz = df.schema.fields.foldLeft(df) { (acc, f) =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            acc.withColumn(f.name,
+              acc(f.name).cast(org.apache.spark.sql.types.TimestampNTZType))
+          else acc
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

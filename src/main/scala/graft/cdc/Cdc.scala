@@ -1,0 +1,110 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC materialization: collapse a change-event stream into current table
+  * state ("last-LSN-wins upsert", SURVEY.md §2.2 Sinks). The reference
+  * delegates this to consumers (stores.py:43-118 just logs); here it is a
+  * first-class distributed operator.
+  *
+  * Scale design: one shuffle, keyed by primary key — the minimum possible
+  * for global last-wins semantics. The ranking uses `row_number` over
+  * (lsn, seq) descending, which AQE can skew-split; no driver-side state.
+  * Truncate events are folded in as a per-table high-water mark (a tiny
+  * aggregate, broadcast by Catalyst) rather than a second shuffle of data.
+  */
+object Cdc {
+
+  /** Envelope events of ONE relation → surviving latest `after` images.
+    *
+    * Semantics (matches reference T5/T6/T8 with the truncate fix):
+    *  - order events by (lsn, seq); the latest event per key wins;
+    *  - a key whose latest event is a Delete disappears;
+    *  - a Truncate ('T') removes every row whose latest event precedes it.
+    */
+  def compact(events: DataFrame, keyColumns: Seq[String]): DataFrame = {
+    val keyExprs = keyColumns.map(k => element_at(col("key"), k).as(s"__k_$k"))
+    val truncLsn = events.filter(col("op") === "T")
+      .agg(max(struct(col("lsn"), col("seq"))).as("t"))
+      .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
+              coalesce(col("t.seq"), lit(Long.MinValue)).as("__trunc_seq"))
+
+    val w = Window.partitionBy(keyColumns.map(k => col(s"__k_$k")): _*)
+      .orderBy(col("lsn").desc, col("seq").desc)
+
+    events.filter(col("op") =!= "T")
+      .select(col("*") +: keyExprs: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .crossJoin(broadcast(truncLsn))
+      .filter(struct(col("lsn"), col("seq")) >
+        struct(col("__trunc_lsn"), col("__trunc_seq")))
+      .drop((keyColumns.map(k => s"__k_$k") :+ "__rn" :+ "__trunc_lsn" :+ "__trunc_seq"): _*)
+  }
+
+  /** Compaction that also repairs unchanged-TOAST columns (SURVEY.md §7.2):
+    * an Update whose `after` image omits a TOASTed column takes that
+    * column's value from the latest earlier event of the same key.
+    *
+    * Implemented as one aggregation over per-key event lists ordered by
+    * (lsn, seq): a fold applying each image over the accumulated row — the
+    * relational form of Postgres's own heap-update semantics. Per-key lists
+    * are bounded by update frequency per key within the batch, not by table
+    * size, so this holds at scale; the shuffle key is the pk, same as
+    * [[compact]].
+    */
+  def compactFillingToast(events: DataFrame, keyColumns: Seq[String]): DataFrame = {
+    val keyExprs = keyColumns.map(k => element_at(col("key"), k).as(s"__k_$k"))
+    val withKeys = events.filter(col("op") =!= "T").select(col("*") +: keyExprs: _*)
+
+    // Per key: sort events by (lsn, seq), fold images left-to-right.
+    //   I/U: new state = after ∪ (previous state restricted to TOASTed cols)
+    //   D:   state cleared (a later re-insert starts fresh)
+    val folded = withKeys
+      .groupBy(keyColumns.map(k => col(s"__k_$k")): _*)
+      .agg(
+        collect_list(struct(
+          col("lsn"), col("seq"), col("op"), col("after"), col("afterToasted")
+        )).as("evs0"),
+        max(struct(col("lsn"), col("seq"))).as("last"))
+      // sort_array can't order structs containing maps; compare (lsn, seq)
+      // explicitly instead.
+      .withColumn("evs", array_sort(col("evs0"), (l, r) =>
+        when(l("lsn") < r("lsn"), -1).when(l("lsn") > r("lsn"), 1)
+          .when(l("seq") < r("seq"), -1).when(l("seq") > r("seq"), 1)
+          .otherwise(0)))
+      .withColumn("state",
+        aggregate(
+          col("evs"),
+          lit(null).cast(org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+          (acc, ev) =>
+            when(ev("op") === "D", lit(null))
+              .when(size(ev("afterToasted")) > 0 && acc.isNotNull,
+                map_concat(
+                  map_filter(acc, (k, _) => array_contains(ev("afterToasted"), k)),
+                  ev("after")))
+              .otherwise(ev("after"))))
+      .filter(col("state").isNotNull)
+
+    folded.select(
+      col("last.lsn").as("lsn"), col("last.seq").as("seq"),
+      col("state").as("after"))
+  }
+
+  /** Typed current-state view: compact then project through the relation
+    * schema from the registry. */
+  def materialize(
+      events: DataFrame,
+      rel: graft.decode.Relation,
+      fillToast: Boolean = false): DataFrame = {
+    val keys = rel.keyColumnNames
+    require(keys.nonEmpty, s"relation ${rel.name} has no replica-identity key")
+    val compacted =
+      if (fillToast) compactFillingToast(events, keys) else compact(events, keys)
+    graft.decode.TypedView.ofAfter(compacted, rel)
+  }
+}

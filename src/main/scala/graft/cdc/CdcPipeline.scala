@@ -1,0 +1,138 @@
+package graft.cdc
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.decode._
+
+/** End-to-end CDC pipeline over *generated* pgoutput wire frames — the
+  * SURVEY.md §7 "minimum end-to-end slice", driven at scale.
+  *
+  * `ordersToFrames` renders each `orders` row as real pgoutput binary frames
+  * (Begin/Insert/…/Commit transactions, key-only Delete images, optional
+  * unchanged-TOAST columns), `decodeFrames` replays them through the binary
+  * decoder + ChangeEventBuilder into envelope rows, and `Cdc.compact`
+  * materializes final table state. Because the DML pattern is a pure
+  * function of the primary key, the expected final state is expressible in
+  * ANSI SQL — giving the whole wire path a DuckDB oracle.
+  *
+  * Scale design: frame generation and decode are narrow per-partition maps
+  * (no shuffle); the only shuffle is the pk-keyed compaction. The wire bytes
+  * for a row never leave the executor that generated them.
+  */
+object CdcPipeline {
+
+  val OrdersRelId = 50001
+
+  /** Wire-style schema for the orders relation (what a Relation message
+    * would carry; oids are public pg_type constants). */
+  val ordersRelation: Relation = Relation(
+    OrdersRelId, "public", "orders", 'd',
+    Vector(
+      RelationColumn(partOfKey = true, "o_orderkey", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "o_custkey", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "o_orderstatus", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "o_totalprice", TypedView.Oid.Float8, -1),
+      RelationColumn(partOfKey = false, "o_orderdate", TypedView.Oid.Timestamptz, -1),
+      RelationColumn(partOfKey = false, "o_orderpriority", TypedView.Oid.Text, -1)))
+
+  private val TsFmt =
+    DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
+
+  /** Postgres-style timestamptz text ("2021-04-20 20:13:16.867121+00"). */
+  private def pgTimestampText(unixMicros: Long): String = {
+    val inst = Instant.ofEpochSecond(
+      Math.floorDiv(unixMicros, 1000000L), Math.floorMod(unixMicros, 1000000L) * 1000L)
+    TsFmt.format(inst) + "+00"
+  }
+
+  /** DML pattern applied per order key k (mirrored exactly by the SQL
+    * oracle):
+    *  - every key: INSERT of the row;
+    *  - k % 10 == 0 and updates on: UPDATE totalprice += 1 (key unchanged →
+    *    no old image on the wire), optionally TOASTing o_orderpriority;
+    *  - k % 7 == 0 and deletes on: DELETE with key-only 'K' old image;
+    *  - truncateAtLsn: one Truncate frame at that WAL position.
+    */
+  final case class DmlPattern(
+      updates: Boolean = false,
+      deletes: Boolean = false,
+      toastPriorityOnUpdate: Boolean = false,
+      truncateAtLsn: Option[Long] = None)
+
+  /** orders parquet → Dataset[(lsn, frameBytes)] of pgoutput frames. */
+  def ordersToFrames(spark: SparkSession, sfDir: String, pattern: DmlPattern): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    val truncOpt = pattern.truncateAtLsn
+
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val trunc = truncOpt.iterator.map(lsn =>
+        lsn -> PgOutputEncoder.encode(Truncate(0, Vector(OrdersRelId))))
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val commitTs = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        def fullTuple(p: Double, toastPrio: Boolean) = TupleData(Vector(
+          t(k.toString), t(cust.toString), t(status), t(p.toString),
+          t(pgTimestampText(dateUs)),
+          if (toastPrio) ColumnData('u', None) else t(prio)))
+
+        val insertTxn = Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, fullTuple(price, toastPrio = false))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, commitTs)))
+
+        val updateTxn = if (pattern.updates && k % 10 == 0) Seq(
+          (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, commitTs, k.toInt)),
+          (base + 4) -> PgOutputEncoder.encode(Update(OrdersRelId, None, None,
+            fullTuple(price + 1.0, pattern.toastPriorityOnUpdate))),
+          (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, commitTs)))
+        else Nil
+
+        val deleteTxn = if (pattern.deletes && k % 7 == 0) Seq(
+          (base + 6) -> PgOutputEncoder.encode(Begin(base + 7, commitTs, k.toInt)),
+          (base + 7) -> PgOutputEncoder.encode(Delete(OrdersRelId, 'K',
+            TupleData(Vector(t(k.toString), ColumnData('n', None), ColumnData('n', None),
+              ColumnData('n', None), ColumnData('n', None), ColumnData('n', None))))),
+          (base + 8) -> PgOutputEncoder.encode(Commit(0, base + 8, base + 8, commitTs)))
+        else Nil
+
+        insertTxn ++ updateTxn ++ deleteTxn
+      }
+      rel ++ trunc ++ dml
+    }
+  }
+
+  /** Binary frames → envelope rows. Pure per-partition decode: each
+    * partition carries its own leading Relation frame, so no cross-partition
+    * schema dependency exists (the streaming source does the same per
+    * micro-batch). */
+  def decodeFrames(frames: Dataset[(Long, Array[Byte])]): Dataset[ChangeEvent] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { iter =>
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      iter.flatMap { case (lsn, payload) =>
+        builder.process(lsn, PgOutputDecoder.decode(payload))
+      }
+    }
+  }
+
+  /** Full slice: generate frames → decode → compact → typed current state. */
+  def materializedOrders(spark: SparkSession, sfDir: String, pattern: DmlPattern): DataFrame = {
+    val events = decodeFrames(ordersToFrames(spark, sfDir, pattern)).toDF()
+    val fillToast = pattern.toastPriorityOnUpdate
+    Cdc.materialize(events, ordersRelation, fillToast)
+  }
+}

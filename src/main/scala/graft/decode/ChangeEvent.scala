@@ -1,0 +1,164 @@
+package graft.decode
+
+/** Transaction metadata carried on every event, stashed from `Begin` and
+  * cleared on `Commit` (reference: reader.py:203-228 "T7"). */
+final case class TxnMeta(txId: Int, beginLsn: Long, commitTsUs: Long)
+
+/** The engine's envelope row — the Spark realization of the reference's
+  * `ChangeEvent` (models.py:64-76, SURVEY.md §1.1).
+  *
+  * Dynamic table shapes ride in `Map[colName -> textValue]` images (pgoutput
+  * sends all values as text); per-table *typed* views are derived later from
+  * the schema registry (SURVEY.md §1.3) — never by changing the stream's own
+  * schema mid-query.
+  *
+  * NULL vs unchanged-TOAST (SURVEY.md §7.2): a NULL column is present in the
+  * image map with a null value; an unchanged-TOAST column is *absent* from
+  * the map and listed in `afterToasted`/`beforeToasted`. The reference
+  * conflates the two (reader.py:52-58) and silently corrupts wide rows; we
+  * keep the distinction so materialization can coalesce with prior state.
+  *
+  * `seq` is a per-partition monotonic sequence for deterministic ordering of
+  * events sharing an LSN (the reference relies on single-threaded callback
+  * order, reader.py:178-201).
+  */
+final case class ChangeEvent(
+    op: String,
+    lsn: Long,
+    seq: Long,
+    txId: Int,
+    beginLsn: Long,
+    commitTsUs: Long,
+    namespace: String,
+    table: String,
+    relationId: Int,
+    key: Map[String, String],
+    before: Map[String, String],
+    after: Map[String, String],
+    beforeToasted: Seq[String],
+    afterToasted: Seq[String])
+
+/** Registry of wire-discovered relation schemas, keyed by relation id
+  * (reference `MetadataStore`, stores.py:121-156). Used driver-side by the
+  * streaming source and executor-side (one instance per partition) by batch
+  * decode pipelines. */
+final class SchemaRegistry extends Serializable {
+  private val relations = scala.collection.concurrent.TrieMap.empty[Int, Relation]
+  def update(r: Relation): Unit = relations.put(r.relationId, r)
+  def get(relationId: Int): Option[Relation] = relations.get(relationId)
+  def getOrThrow(relationId: Int): Relation =
+    relations.getOrElse(relationId,
+      throw new PgOutputDecodeException(
+        s"no Relation message seen for relation id $relationId"))
+  def all: Map[Int, Relation] = relations.toMap
+}
+
+/** Stateful fold turning a partition-ordered pgoutput message sequence into
+  * envelope rows. Implements the reference's transform semantics:
+  *  - T1 dispatch (reader.py:203-228), T3 tuple→named projection
+  *    (reader.py:52-58), T5 before/after image rules (reader.py:323-384),
+  *  - T6 key extraction: `key` = before image if present, else pk-projection
+  *    of after (reader.py:230-241),
+  *  - T7 txn assembly: Begin metadata carried on each I/U/D until Commit,
+  *  - T8 truncate fan-out: one event per truncated relation (the reference's
+  *    generator-based truncate never worked, reader.py:386-398 — fixed).
+  */
+final class ChangeEventBuilder(
+    registry: SchemaRegistry,
+    namespaceDefault: String = "public") {
+
+  private var txn: Option[TxnMeta] = None
+  private var seq: Long = 0L
+
+  private def nextSeq(): Long = { seq += 1; seq }
+
+  /** Zip positional tuple data with schema column names (T3). Returns the
+    * text image map (NULL ⇒ present with null value; unchanged-TOAST ⇒
+    * absent) and the list of TOASTed column names. */
+  private def imageOf(tuple: TupleData, rel: Relation): (Map[String, String], Seq[String]) = {
+    val img = Map.newBuilder[String, String]
+    val toasted = Seq.newBuilder[String]
+    rel.columns.iterator.zip(tuple.columns.iterator).foreach { case (col, cd) =>
+      cd.category match {
+        case 't' => img += col.name -> cd.data.get
+        case 'n' => img += col.name -> null
+        case 'u' => toasted += col.name
+        case _ =>
+      }
+    }
+    (img.result(), toasted.result())
+  }
+
+  /** Key-only tuples ('K') carry values only for key columns; non-key
+    * positions arrive as NULL category. Project just the pk columns. */
+  private def keyImage(tuple: TupleData, rel: Relation): Map[String, String] = {
+    val keys = rel.columns.filter(_.partOfKey).map(_.name).toSet
+    val (img, _) = imageOf(tuple, rel)
+    img.filter { case (k, _) => keys.contains(k) }
+  }
+
+  private def pkProjection(image: Map[String, String], rel: Relation): Map[String, String] =
+    rel.keyColumnNames.iterator.collect {
+      case k if image.contains(k) => k -> image(k)
+    }.toMap
+
+  private def meta: TxnMeta = txn.getOrElse(TxnMeta(-1, -1L, -1L))
+
+  private def event(
+      op: String, lsn: Long, rel: Relation,
+      key: Map[String, String],
+      before: Map[String, String], after: Map[String, String],
+      beforeToasted: Seq[String], afterToasted: Seq[String]): ChangeEvent = {
+    val m = meta
+    ChangeEvent(op, lsn, nextSeq(), m.txId, m.beginLsn, m.commitTsUs,
+      rel.namespace, rel.name, rel.relationId, key, before, after,
+      beforeToasted, afterToasted)
+  }
+
+  /** Process one message at the given WAL position; emits zero or more
+    * envelope rows (Begin/Commit/Relation/PgType/Origin emit none — their
+    * content rides on subsequent events or updates the registry). */
+  def process(lsn: Long, msg: PgOutputMessage): Seq[ChangeEvent] = msg match {
+    case b: Begin =>
+      txn = Some(TxnMeta(b.xid, b.finalLsn, b.commitTs)); Nil
+    case _: Commit =>
+      txn = None; Nil
+    case r: Relation =>
+      registry.update(r); Nil
+    case _: PgType | _: Origin => Nil
+
+    case Insert(relId, newTuple) =>
+      val rel = registry.getOrThrow(relId)
+      val (after, afterToasted) = imageOf(newTuple, rel)
+      // T5: INSERT has no before image; T6: key = pk projection of after.
+      Seq(event("I", lsn, rel, pkProjection(after, rel), null, after, Nil, afterToasted))
+
+    case Update(relId, oldKind, oldTuple, newTuple) =>
+      val rel = registry.getOrThrow(relId)
+      val (after, afterToasted) = imageOf(newTuple, rel)
+      val (before, beforeToasted) = oldKind match {
+        case Some('O') => imageOf(oldTuple.get, rel) // REPLICA IDENTITY FULL
+        case Some('K') => (keyImage(oldTuple.get, rel), Nil) // key-only old image
+        case _ => (null, Nil) // key unchanged; old image not sent
+      }
+      val key = if (before != null) before else pkProjection(after, rel)
+      Seq(event("U", lsn, rel, key, before, after, beforeToasted, afterToasted))
+
+    case Delete(relId, kind, oldTuple) =>
+      val rel = registry.getOrThrow(relId)
+      val before = kind match {
+        case 'O' => imageOf(oldTuple, rel)._1
+        case _ => keyImage(oldTuple, rel)
+      }
+      // T5: DELETE has no after image; T6: key = copy of before.
+      Seq(event("D", lsn, rel, before, before, null, Nil, Nil))
+
+    case Truncate(_, relIds) =>
+      // T8: fan out one event per truncated relation.
+      relIds.flatMap { relId =>
+        registry.get(relId).map { rel =>
+          event("T", lsn, rel, Map.empty, null, null, Nil, Nil)
+        }
+      }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.decode
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Derives per-table *typed* DataFrames from the string-map envelope using
+  * the wire-discovered relation schema (SURVEY.md §1.3 "typed view", the
+  * Spark realization of the reference's dynamic pydantic models,
+  * reader.py:274-292).
+  *
+  * The coercion table widens the reference's lossy 5-way map
+  * (reader.py:61-72) to a faithful pg-oid → Catalyst mapping (SURVEY.md
+  * §1.2): numerics keep precision/scale from atttypmod instead of
+  * collapsing to float; bool/uuid/bytea stay faithful instead of `str`.
+  * Everything stays a built-in `cast`/`to_timestamp` expression so the
+  * projection is codegen'd by Catalyst — no UDFs.
+  */
+object TypedView {
+
+  /** Common pg type oids (pg_catalog.pg_type — stable public constants). */
+  object Oid {
+    val Bool = 16; val Bytea = 17; val Int8 = 20; val Int2 = 21; val Int4 = 23
+    val Text = 25; val Json = 114; val Float4 = 700; val Float8 = 701
+    val Varchar = 1043; val Date = 1082; val Timestamp = 1114
+    val Timestamptz = 1184; val Numeric = 1700; val Uuid = 2950; val Jsonb = 3802
+  }
+
+  /** pg oid + atttypmod → Catalyst type. Unknown oids fall through to
+    * StringType exactly like the reference's catch-all (reader.py:71-72). */
+  def sparkType(typeOid: Int, typeMod: Int): DataType = typeOid match {
+    case Oid.Bool => BooleanType
+    case Oid.Int2 => ShortType
+    case Oid.Int4 => IntegerType
+    case Oid.Int8 => LongType
+    case Oid.Float4 => FloatType
+    case Oid.Float8 => DoubleType
+    case Oid.Numeric =>
+      if (typeMod >= 4) {
+        // atttypmod for numeric(p,s) = (p << 16 | s) + 4 (public pg headers)
+        val m = typeMod - 4
+        DecimalType(math.min((m >> 16) & 0xffff, 38), m & 0xffff)
+      } else DecimalType(38, 18)
+    case Oid.Date => DateType
+    case Oid.Timestamp | Oid.Timestamptz => TimestampType
+    case Oid.Bytea => BinaryType
+    case _ => StringType // text, varchar, json(b), uuid, enums, arrays, …
+  }
+
+  /** Text-format value → typed Column for one relation column. */
+  def typedColumn(imageCol: Column, rc: RelationColumn): Column = {
+    val raw = element_at(imageCol, rc.name)
+    val t = sparkType(rc.typeOid, rc.typeMod)
+    val typed = t match {
+      case BinaryType => unbase64(raw) // bytea carried base64 in our envelope
+      case TimestampType =>
+        // pgoutput text like "2021-04-20 20:13:16.867121+00" — normalize the
+        // abbreviated "+00" offset so Spark's cast accepts it.
+        regexp_replace(raw, "([+-]\\d{2})$", "$100").cast(TimestampType)
+      case other => raw.cast(other)
+    }
+    typed.as(rc.name)
+  }
+
+  /** Project the `after` image of `envelope` into a typed DataFrame with one
+    * column per relation column (the read-side of the reference's
+    * `table_model(**after)`, reader.py:327-336). */
+  def ofAfter(envelope: DataFrame, rel: Relation): DataFrame =
+    envelope.select(rel.columns.map(rc => typedColumn(col("after"), rc)): _*)
+
+  /** Typed projection keeping envelope metadata columns alongside. */
+  def withTyped(envelope: DataFrame, rel: Relation, image: String = "after"): DataFrame =
+    envelope.select(
+      (envelope.columns.map(col) ++
+        rel.columns.map(rc => typedColumn(col(image), rc))): _*)
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcPipeline
+import graft.cdc.CdcPipeline.DmlPattern
+
+/** End-to-end CDC wire-path queries: real pgoutput binary frames are
+  * generated from the orders table, replayed through the decoder +
+  * ChangeEventBuilder, compacted, and projected through the typed view.
+  * Because the DML pattern is a pure function of the primary key, the final
+  * state has an exact ANSI-SQL oracle over the original table — the whole
+  * decode→envelope→materialize path is hash-checked against DuckDB
+  * (SURVEY.md §7 "minimum end-to-end slice").
+  */
+object CdcQueries {
+
+  private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def finish(df: DataFrame): DataFrame =
+    df.select(cols.map(col): _*).orderBy(col("o_orderkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inserts only: decoded + compacted state must equal the source table.
+    "cdc_insert_roundtrip" -> ((s, d) =>
+      finish(CdcPipeline.materializedOrders(s, d, DmlPattern()))),
+
+    // Inserts + updates (key%10==0: totalprice+1, no old image on the wire)
+    // + key-only deletes (key%7==0): last-LSN-wins upsert semantics.
+    "cdc_upsert_delete" -> ((s, d) =>
+      finish(CdcPipeline.materializedOrders(s, d,
+        DmlPattern(updates = true, deletes = true)))),
+
+    // Updates whose new image TOASTs o_orderpriority ('u' category — value
+    // not on the wire): compaction must repair it from the prior image
+    // instead of conflating with NULL (SURVEY.md §7.2, the reference's bug).
+    "cdc_toast_fill" -> ((s, d) =>
+      finish(CdcPipeline.materializedOrders(s, d,
+        DmlPattern(updates = true, toastPriorityOnUpdate = true)))),
+
+    // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
+    // wipes all rows whose insert precedes it.
+    "cdc_truncate" -> ((s, d) => {
+      val maxKey = graft.Tables.orders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      finish(CdcPipeline.materializedOrders(s, d,
+        DmlPattern(truncateAtLsn = Some(maxKey * 4))))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "cdc_insert_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+
+    "cdc_upsert_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""",
+
+    "cdc_toast_fill" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+
+    "cdc_truncate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey * 8 + 1 > (SELECT MAX(o_orderkey) * 4 FROM orders)
+         ORDER BY o_orderkey""")
+}

@@ -1,0 +1,440 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The relational capability surface (SURVEY.md §2.2): scans, joins of all
+  * shapes, aggregations, window functions, sorts/limits, set ops, scalar
+  * functions — each as a DataFrame query with a matching DuckDB oracle.
+  *
+  * Float determinism: double SUMs are order-dependent, and Spark's partial
+  * aggregation order differs from DuckDB's. Every summed double is cast to
+  * DECIMAL per row first (exact, order-independent), then the final result
+  * back to double — both engines produce bit-identical values.
+  */
+object RelationalQueries {
+
+  /** Order-independent exact sum of a double column. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: wide hash agg with partial+final,
+    // decimal-exact sums, avg as exact-sum / count.
+    "q01_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1997-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Selective filter + narrow projection: predicate and column pruning
+    // must reach the parquet scan (verified in PlanSpec).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Dimension joins: region/nation are tiny → explicit broadcast, no
+    // shuffle on the probe side.
+    "q03_broadcast_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Fact-fact equi-join: shuffles on the join key, then reaggregates —
+    // the canonical large-join shape (sort-merge/shuffled-hash under AQE).
+    "q04_join_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // EXISTS → left-semi join (no row multiplication, build side pruned to
+    // the join key).
+    "q05_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // NOT EXISTS → left-anti join (order side filtered so the result is
+    // non-trivial — every customer has *some* order).
+    "q06_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left outer join preserving customers with zero orders, then
+    // per-customer aggregate.
+    "q07_outer_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Ranking window: top-3 orders per customer (dedup-by-key shape — the
+    // CDC compaction primitive, SURVEY.md §2.2 Window functions).
+    "q08_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Frame window: running per-customer spend (ROWS BETWEEN UNBOUNDED
+    // PRECEDING AND CURRENT ROW), decimal-exact.
+    "q09_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Analytic lag/lead: before/after reconstruction over an event stream
+    // (the reference's before/after images as a window computation).
+    "q10_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_value"), col("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Global top-k: ORDER BY … LIMIT k plans TakeOrderedAndProject — no
+    // global sort materialization.
+    "q11_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+        .orderBy(col("spend").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // ROLLUP hierarchy totals.
+    "q12_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // CUBE over two dims.
+    "q13_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // Exact count-distinct alongside plain counts (expands to two-phase
+    // distinct aggregation).
+    "q14_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Set operations: union / intersect / except between two derived key
+    // sets, tagged into one result.
+    "q15_setops" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("k")).distinct()
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k")).distinct()
+      big.intersect(rich).withColumn("tag", lit("both"))
+        .union(big.except(rich).withColumn("tag", lit("only_big_orders")))
+        .union(rich.except(big).withColumn("tag", lit("only_rich")))
+        .orderBy(col("tag"), col("k"))
+    }),
+
+    // Scalar string functions over part.
+    "q16_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+          split(col("p_type"), " ").getItem(0).as("type_head"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time functions over orders.
+    "q17_datetime" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("month"))
+    }),
+
+    // The decoder's timestamp conversion as SQL: unix µs ↔ the Postgres
+    // epoch 2000-01-01 (PgOutputDecoder.pgMicrosToUnixMicros).
+    "q18_pg_epoch" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          (unix_micros(col("ts")) - lit(946684800000000L)).as("pg_epoch_us"),
+          timestamp_micros(unix_micros(col("ts"))).as("ts_roundtrip"))
+        .orderBy(col("event_id"))
+    }),
+
+    // JSON access on events.props (the reference's jsonb columns surface as
+    // JSON text — SURVEY.md §1.2).
+    "q19_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // Conditional dispatch (the reference's per-op routing, reader.py:188-197,
+    // as a CASE expression).
+    "q20_case_dispatch" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("bucket",
+          when(col("event_type") === "click", "interaction")
+            .when(col("event_type") === "view", "interaction")
+            .when(col("event_type") === "error", "problem")
+            .otherwise("other"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Tumbling event-time window as a batch query (streaming variant in
+    // StreamingSpec uses the identical expression).
+    "q21_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // As-of join, Spark-scale formulation: one sort-shuffle, last-value
+    // window — no per-row range scan (SURVEY.md §2.2 Joins "as-of").
+    "q22_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .withColumn("last_click_value",
+          last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"), col("last_click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // CDC compaction as pure SQL: latest event per key via max_by ordering
+    // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
+    "q23_latest_by_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${DSUM.format("l_quantity")} AS sum_qty,
+         ${DSUM.format("l_extendedprice")} AS sum_base_price,
+         ${DSUM.format("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         ${DSUM.format("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         ${DSUM.format("l_quantity")} / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_broadcast_join" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+         ${DSUM.format("c_acctbal")} AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q04_join_agg" ->
+      s"""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+         ${DSUM.format("l_extendedprice * (1 - l_discount)")} AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+         ORDER BY c_custkey""",
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+         ORDER BY c_custkey""",
+
+    "q07_outer_join_agg" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         ${DSUM.format("COALESCE(o_totalprice, 0.0)")} AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q08_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q09_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q10_lag_lead" ->
+      """SELECT user_id, event_id, value,
+           LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events ORDER BY user_id, event_id""",
+
+    "q11_topk" ->
+      s"""SELECT o_custkey, ${DSUM.format("o_totalprice")} AS spend, COUNT(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY spend DESC, o_custkey LIMIT 10""",
+
+    "q12_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ${DSUM.format("o_totalprice")} AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q13_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q14_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q15_setops" ->
+      """WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+            rich AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+         SELECT k, 'both' AS tag FROM (SELECT k FROM big INTERSECT SELECT k FROM rich)
+         UNION ALL SELECT k, 'only_big_orders' FROM (SELECT k FROM big EXCEPT SELECT k FROM rich)
+         UNION ALL SELECT k, 'only_rich' FROM (SELECT k FROM rich EXCEPT SELECT k FROM big)
+         ORDER BY tag, k""",
+
+    "q16_string_funcs" ->
+      """SELECT p_partkey, LOWER(p_name) AS name_lower,
+           regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+           split_part(p_type, ' ', 1) AS type_head,
+           concat_ws('/', p_brand, p_type) AS brand_type,
+           LENGTH(p_name) AS name_len
+         FROM part ORDER BY p_partkey""",
+
+    "q17_datetime" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS n,
+         ${DSUM.format("o_totalprice")} AS total
+         FROM orders GROUP BY 1 ORDER BY month""",
+
+    "q18_pg_epoch" ->
+      """SELECT event_id, epoch_us(ts) - 946684800000000 AS pg_epoch_us,
+           make_timestamp(epoch_us(ts)) AS ts_roundtrip
+         FROM events ORDER BY event_id""",
+
+    "q19_json" ->
+      s"""SELECT CAST(props->>'$$.k' AS INTEGER) % 10 AS k_mod, COUNT(*) AS n,
+         ${DSUM.format("value")} AS sum_value
+         FROM events GROUP BY 1 ORDER BY k_mod""",
+
+    "q20_case_dispatch" ->
+      s"""SELECT CASE WHEN event_type = 'click' THEN 'interaction'
+                     WHEN event_type = 'view' THEN 'interaction'
+                     WHEN event_type = 'error' THEN 'problem'
+                     ELSE 'other' END AS bucket,
+           COUNT(*) AS n, ${DSUM.format("value")} AS total_value
+         FROM events GROUP BY 1 ORDER BY bucket""",
+
+    "q21_tumbling_window" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+         ${DSUM.format("value")} AS total
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "q22_asof_join" ->
+      """SELECT event_id, user_id, ts, last_click_ts, last_click_value FROM (
+           SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER w AS last_click_ts,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER w AS last_click_value
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+         WHERE event_type = 'error' ORDER BY event_id""",
+
+    "q23_latest_by_key" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""")
+}
