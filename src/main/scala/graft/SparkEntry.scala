@@ -14,9 +14,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.CdcQueries.queries
+      graft.queries.CdcQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.CdcQueries.oracleSql
+      graft.queries.CdcQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star surface): media rides as an
+  * opaque `binary` column with typed metadata; decode / feature-extract /
+  * frame-sample run as per-partition batch functions over the binary
+  * payloads — the Scala analog of `mapInPandas` (iterator-of-batches in,
+  * iterator-of-batches out, no per-row driver involvement).
+  *
+  * The actual codec is STUBBED with a deterministic fake (this container
+  * ships no image/audio libraries): `FakeCodec.decode` derives metadata
+  * purely from the byte payload, so tests and oracles are exact. The
+  * Spark-side shape — schema, partitioning, batch iteration, exploded
+  * frame output — is real and is what would carry a true JNI/FFmpeg codec
+  * at scale.
+  */
+object Multimodal {
+
+  /** Decoded media metadata (what a real image/video probe would return). */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Int, magic: Int,
+      width: Int, height: Int, n_frames: Int)
+
+  /** One sampled frame reference. */
+  final case class FrameRef(doc_id: Long, frame_idx: Int, frame_byte: Int)
+
+  /** Deterministic stand-in for the real decoder (??? in production terms:
+    * swap for libjpeg/ffmpeg behind the same signature). Reads only the
+    * payload bytes, so the SQL oracle can reproduce it exactly. */
+  object FakeCodec {
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      val magic = if (n > 0) payload(0) & 0xff else 0
+      MediaMeta(docId, n, magic, n % 640, (n / 640) % 480 + 1, n % 16 + 1)
+    }
+
+    /** Every 4th frame, with a deterministic per-frame byte probe. */
+    def sampleFrames(m: MediaMeta, payload: Array[Byte]): Iterator[FrameRef] =
+      Iterator.range(0, m.n_frames, 4).map { idx =>
+        val b = if (payload.length > 0) payload(idx % payload.length) & 0xff else 0
+        FrameRef(m.doc_id, idx, b)
+      }
+  }
+
+  /** documents → (doc_id, payload binary): the text bytes stand in for an
+    * encoded media blob. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Batch decode: one codec invocation pipeline per partition (the real
+    * pattern: codec init amortized across the partition, vectorized I/O). */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, p) => FakeCodec.decode(id, p) } }
+  }
+
+  /** Frame sampling: decode then explode sampled frames — output cardinality
+    * is data-dependent per row, the flatMap shape of video pipelines. */
+  def sampleFrames(media: DataFrame): Dataset[FrameRef] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) => FakeCodec.sampleFrames(FakeCodec.decode(id, p), p) }
+      }
+  }
+}

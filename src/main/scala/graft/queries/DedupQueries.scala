@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (north-star
+  * surface): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+  * near-dup. Every variant is pure DataFrame ops with a DuckDB oracle —
+  * hash functions are md5-based so both engines compute identical values.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup: one hash-keyed shuffle on a 16-byte digest, not the text;
+  *  - n-gram Jaccard: inverted-index join on shingles (shuffle bounded by
+  *    posting-list sizes), never an all-pairs cross product;
+  *  - MinHash LSH: signatures are one agg; candidate pairs join on band
+  *    buckets — the classic sub-quadratic near-dup pipeline;
+  *  - SimHash: Hamming-≤3 pairs found by pigeonhole nibble-block join (a
+  *    16-bit key split into 4 nibbles: ≤3 differing bits ⇒ ≥1 identical
+  *    nibble), so candidates are bucket-joined, then verified exactly;
+  *  - embedding near-dup: block off the label column (coarse quantizer
+  *    stand-in), pairwise cosine only within blocks.
+  */
+object DedupQueries {
+
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+
+  private def withShingles(df: DataFrame): DataFrame =
+    withWords(df).withColumn("shingles",
+      when(size(col("ws")) < 3, array().cast(ArrayType(StringType)))
+        .otherwise(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index base. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .distinct()
+
+  /** 12 min-wise hashes per doc: minhash_i = min over shingles of
+    * md5(i || ':' || shingle) (lexicographic min of hex — a valid min-wise
+    * family, identical across engines). */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingleIndex(s, d)
+      .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("i"), col("sh"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast(StringType), lit(":"), col("sh")))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, mh))), x -> x.mh)").as("sig"))
+
+  /** 32-bit SimHash per doc from token md5 nibbles: bit j = sign of the
+    * weighted sum over tokens (with multiplicity) of ±1 by the top bit of
+    * hex digit j. (16 bits is too coarse on a shared-vocabulary corpus —
+    * ~28% of random pairs land within Hamming 3.) */
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    withWords(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .withColumn("h", md5(col("w").cast(BinaryType)))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+      .withColumn("nib", conv(substring(col("h"), col("j") + 1, lit(1)), 16, 10).cast(IntegerType))
+      .withColumn("pm", when(col("nib") >= 8, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("pm")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+
+  /** Left-fold double dot product (identical fold order to the DuckDB
+    * oracle's list_reduce, so results are bit-identical). */
+  private[queries] def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private[queries] def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: shuffle on the digest, keep the smallest doc_id.
+    "dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // n-gram Jaccard near-dup via inverted-index join (no cross product).
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val idx = shingleIndex(s, d)
+      val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = idx.as("a"); val b = idx.as("b")
+      val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sz_a"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sz_b"), "b_id")
+        .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= 0.25)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // MinHash signatures (checks the min-wise hashing itself, every doc).
+    "dedup_minhash_sig" -> ((s, d) => {
+      minhashSignatures(s, d)
+        .select(col("doc_id"), concat_ws("|", col("sig")).as("signature"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash LSH candidate pairs: 4 bands × 3 rows; pairs sharing any
+    // band bucket.
+    "dedup_minhash_pairs" -> ((s, d) => {
+      val banded = minhashSignatures(s, d)
+        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
+        .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
+          expr("sig[3*b]"), expr("sig[3*b+1]"), expr("sig[3*b+2]")))
+        .select(col("doc_id"), col("bucket"))
+      banded.as("x").join(banded.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash values (checks the bit math, every doc).
+    "dedup_simhash" -> ((s, d) => {
+      simhashes(s, d).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole byte blocking +
+    // exact verify — no cross product (≤3 differing bits over 4 bytes ⇒ at
+    // least one byte identical).
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sh = simhashes(s, d)
+      val blocked = sh.select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("p"))
+        .withColumn("blk", expr("(simhash >> (8*p)) & 255"))
+      blocked.as("x").join(blocked.as("y"),
+          col("x.p") === col("y.p") && col("x.blk") === col("y.blk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Embedding-cosine near-dup, blocked by the label column (coarse
+    // quantizer stand-in: at scale the blocker is a learned/HASHED coarse
+    // cell, here the provided label).
+    "dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") > 0.3)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }))
+
+  private val WsSql = "string_split(text, ' ')"
+  private val ShIdxSql =
+    s"""SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM (SELECT doc_id, $WsSql AS ws FROM documents) t"""
+  private val MinhashSql =
+    s"""SELECT doc_id, list(mh ORDER BY i) AS sig FROM (
+          SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+          FROM ($ShIdxSql) s CROSS JOIN (SELECT unnest(range(12)) AS i) ii
+          GROUP BY doc_id, i) m GROUP BY doc_id"""
+  private val SimhashSql =
+    s"""SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash FROM (
+          SELECT doc_id, j, SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(w), j+1, 1)) - 1 >= 8
+                                     THEN 1 ELSE -1 END) AS s
+          FROM (SELECT doc_id, unnest($WsSql) AS w FROM documents) tw
+          CROSS JOIN (SELECT unnest(range(32)) AS j) jj
+          GROUP BY doc_id, j) b GROUP BY doc_id"""
+  private val DotSql = // left-fold double dot product, same order as Spark's aggregate()
+    "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
+  private def cosSql(a: String, b: String) =
+    s"${DotSql.format(a, b)} / (sqrt(${DotSql.format(a, a)}) * sqrt(${DotSql.format(b, b)}))"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH idx AS ($ShIdxSql),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+         SELECT a_id, b_id, inter / (sa.sz + sb.sz - inter) AS jaccard
+         FROM common JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         WHERE inter / (sa.sz + sb.sz - inter) >= 0.25
+         ORDER BY a_id, b_id""",
+
+    "dedup_minhash_sig" ->
+      s"""SELECT doc_id, list_aggregate(sig, 'string_agg', '|') AS signature
+         FROM ($MinhashSql) t ORDER BY doc_id""",
+
+    "dedup_minhash_pairs" ->
+      s"""WITH sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb)
+         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         ORDER BY a_id, b_id""",
+
+    "dedup_simhash" ->
+      s"""SELECT doc_id, simhash FROM ($SimhashSql) t ORDER BY doc_id""",
+
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS ($SimhashSql)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)::BIGINT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)::BIGINT) <= 3
+         ORDER BY a_id, b_id""",
+
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
+         ORDER BY a_id, b_id""")
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal queries: binary-column decode + frame sampling through the
+  * per-partition codec plumbing (graft.operators.Multimodal). The fake
+  * codec is a pure function of the payload bytes, so DuckDB reproduces it
+  * arithmetically — the *plumbing* (binary schema, mapPartitions batches,
+  * flatMap frame explosion) is the thing under test. */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, d) => {
+      Multimodal.decodeMeta(Multimodal.mediaTable(s, d))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    "mm_frame_sample" -> ((s, d) => {
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Modality-aware aggregate over decoded metadata: joins the decoded
+    // stream back to document labels — the "unified wide view" shape.
+    "mm_meta_stats" -> ((s, d) => {
+      val meta = Multimodal.decodeMeta(Multimodal.mediaTable(s, d)).toDF()
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      meta.join(docs, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("n_frames")).as("total_frames"),
+          max(col("width")).as("max_width"))
+        .orderBy(col("lang"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      """SELECT doc_id, CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+           CAST(ord(substr(text, 1, 1)) AS INTEGER) AS magic,
+           CAST(octet_length(text::BLOB) % 640 AS INTEGER) AS width,
+           CAST((octet_length(text::BLOB) // 640) % 480 + 1 AS INTEGER) AS height,
+           CAST(octet_length(text::BLOB) % 16 + 1 AS INTEGER) AS n_frames
+         FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(ord(substr(text, CAST(frame_idx % octet_length(text::BLOB) AS INTEGER) + 1, 1)) AS INTEGER) AS frame_byte
+         FROM documents
+         CROSS JOIN (SELECT unnest(range(0, 16, 4)) AS frame_idx) f
+         WHERE frame_idx < octet_length(text::BLOB) % 16 + 1
+         ORDER BY doc_id, frame_idx""",
+
+    "mm_meta_stats" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+           CAST(SUM(octet_length(text::BLOB) % 16 + 1) AS BIGINT) AS total_frames,
+           CAST(MAX(octet_length(text::BLOB) % 640) AS INTEGER) AS max_width
+         FROM documents GROUP BY lang ORDER BY lang""")
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import DedupQueries.{cosine, dotD}
+
+/** Approximate-nearest-neighbor similarity search over the embedding column
+  * (north-star surface): brute-force cosine top-k as the exactness baseline,
+  * and a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Determinism: hyperplanes are the embeddings of vec_id 0..7 (data-derived,
+  * no RNG), so the DuckDB oracle reproduces the exact same buckets. Dot
+  * products fold left-to-right in double on both engines → bit-identical.
+  *
+  * Scale: brute force is queries × corpus — a broadcast of the (small) query
+  * set against a full scan, the right plan when queries ≪ corpus. The LSH
+  * variant buckets the corpus once (one narrow map + one shuffle on the
+  * 8-bit signature) and probes only matching buckets — the sub-linear path;
+  * recall/latency trade via band count.
+  */
+object SimilarityQueries {
+
+  private def queriesSet(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** 8-bit signature from sign of dot with the 8 seed vectors. */
+  private def withSignature(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val planes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    e.crossJoin(broadcast(planes))
+      .withColumn("bit", when(dotD(col("embedding"), col("p_emb")) > 0,
+        expr("shiftleft(1L, cast(p_id as int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("bit")).as("sig"), first(col("embedding")).as("embedding"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact top-10 cosine neighbors for 5 query vectors:
+    // broadcast the queries, scan the corpus once, TakeOrdered per query.
+    "sim_topk_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(queriesSet(e)))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // LSH bucket histogram (checks the hyperplane/signature math over the
+    // whole corpus — always non-empty).
+    "sim_lsh_buckets" -> ((s, d) => {
+      withSignature(s, d)
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+        .orderBy(col("sig"))
+    }),
+
+    // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
+    // cosine re-rank within the bucket, top-3.
+    "sim_lsh_ann" -> ((s, d) => {
+      val sigs = withSignature(s, d).select(col("vec_id"), col("sig"), col("embedding"))
+      val qs = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      sigs.join(broadcast(qs), col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }))
+
+  private val DotSql =
+    "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
+  private def cosSql(a: String, b: String) =
+    s"${DotSql.format(a, b)} / (sqrt(${DotSql.format(a, a)}) * sqrt(${DotSql.format(b, b)}))"
+  private val SigSql =
+    s"""SELECT e.vec_id, e.label, e.embedding,
+          SUM(CASE WHEN ${DotSql.format("e.embedding", "p.embedding")} > 0
+                   THEN 1 << p.vec_id ELSE 0 END) AS sig
+        FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) p
+        GROUP BY e.vec_id, e.label, e.embedding"""
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rank
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE e.vec_id <> q.vec_id) t
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "sim_lsh_buckets" ->
+      s"""SELECT sig, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+         FROM ($SigSql) t GROUP BY sig ORDER BY sig""",
+
+    "sim_lsh_ann" ->
+      s"""WITH sigs AS ($SigSql)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rank
+           FROM sigs e JOIN (SELECT * FROM sigs WHERE vec_id < 5) q
+             ON e.sig = q.sig AND e.vec_id <> q.vec_id) t
+         WHERE rank <= 3 ORDER BY q_id, rank""")
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` (north-star surface): token
+  * counting, quality scoring, n-gram/stopword language ID, fingerprinting,
+  * corpus term frequency. All pure built-in expressions (codegen'd; no
+  * UDFs), each with a DuckDB oracle.
+  *
+  * Scale: every per-document query is a narrow map over the scan (no
+  * shuffle); term frequency is one partial+final hash agg. At 100 TB these
+  * all stream — the only wide op is the term-freq groupBy.
+  */
+object TextQueries {
+
+  /** Words by single-space split (the corpus is single-spaced). */
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+
+  /** Word 3-gram shingles; empty below 3 tokens (guards Spark's
+    * descending-sequence pitfall). */
+  private def withShingles(df: DataFrame): DataFrame =
+    withWords(df).withColumn("shingles",
+      when(size(col("ws")) < 3, array().cast(ArrayType(StringType)))
+        .otherwise(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+
+  private val Stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  private def hits(lang: String) = {
+    val set = Stop(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(ws, w -> w IN ($set)))")
+  }
+  private def hitsSql(lang: String) = {
+    val set = Stop(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(ws, w -> w IN ($set)))"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, alpha tokens, BPE-ish subword
+    // chunks (greedy ≤4-char pieces — same greedy semantics both engines).
+    "text_tokens" -> ((s, d) => {
+      withWords(Tables.documents(s, d))
+        .select(
+          col("doc_id"),
+          size(col("ws")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).as("n_alpha_tokens"),
+          regexp_count(col("text"), lit("[a-z]{1,4}")).as("n_subword_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword ratio, punctuation ratio, length prior —
+    // the standard pretraining-corpus heuristics.
+    "text_quality" -> ((s, d) => {
+      withWords(Tables.documents(s, d))
+        .withColumn("n_tokens", size(col("ws")))
+        .withColumn("stop_hits", hits("en"))
+        .withColumn("punct", regexp_count(col("text"), lit("[.,;:!?]")))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("stop_hits") / col("n_tokens"), 6).as("stopword_ratio"),
+          round(col("punct") / length(col("text")), 6).as("punct_ratio"),
+          round(
+            col("stop_hits") / col("n_tokens") * 0.5 +
+              (lit(1.0) - col("punct") / length(col("text"))) * 0.3 +
+              least(col("n_tokens") / 100.0, lit(1.0)) * 0.2, 6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-profile language ID (n-gram heuristic family); emits the
+    // guess and whether it matches the labeled lang.
+    "text_langid" -> ((s, d) => {
+      withWords(Tables.documents(s, d))
+        .withColumn("en", hits("en")).withColumn("es", hits("es"))
+        .withColumn("de", hits("de")).withColumn("fr", hits("fr"))
+        .withColumn("lang_guess",
+          when(col("en") > 0 && col("en") >= col("es") && col("en") >= col("de") && col("en") >= col("fr"), "en")
+            .when(col("es") > 0 && col("es") >= col("de") && col("es") >= col("fr"), "es")
+            .when(col("de") > 0 && col("de") >= col("fr"), "de")
+            .when(col("fr") > 0, "fr")
+            .otherwise("und"))
+        .select(col("doc_id"), col("lang"), col("en"), col("es"), col("de"), col("fr"),
+          col("lang_guess"), (col("lang_guess") === col("lang")).as("agrees"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: full-content hash + minimal shingle hash
+    // (the 1-hash degenerate of winnowing — SURVEY.md §2.2 text analysis).
+    "text_fingerprint" -> ((s, d) => {
+      withShingles(Tables.documents(s, d))
+        .select(
+          col("doc_id"),
+          md5(col("text").cast(BinaryType)).as("content_hash"),
+          coalesce(array_min(transform(col("shingles"), sh => md5(sh.cast(BinaryType)))), lit(""))
+            .as("min_shingle_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus term frequency: tokenize → explode → hash agg; top 20 terms.
+    "text_termfreq" -> ((s, d) => {
+      withWords(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)
+    }))
+
+  private val WsSql = "string_split(text, ' ')"
+  private val ShinglesSql =
+    "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, len(ws) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+           len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subword_chunks
+         FROM (SELECT doc_id, text, $WsSql AS ws FROM documents) t ORDER BY doc_id""",
+
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens,
+           round(stop_hits / n_tokens, 6) AS stopword_ratio,
+           round(punct / length(text), 6) AS punct_ratio,
+           round(stop_hits / n_tokens * 0.5 + (1.0 - punct / length(text)) * 0.3
+                 + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality_score
+         FROM (SELECT doc_id, text, len(ws) AS n_tokens, ${hitsSql("en")} AS stop_hits,
+                 len(regexp_extract_all(text, '[.,;:!?]')) AS punct
+               FROM (SELECT doc_id, text, $WsSql AS ws FROM documents) t) t2
+         ORDER BY doc_id""",
+
+    "text_langid" ->
+      s"""SELECT doc_id, lang, en, es, de, fr,
+           CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess,
+           (CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr' ELSE 'und' END = lang) AS agrees
+         FROM (SELECT doc_id, lang, ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
+                 ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr
+               FROM (SELECT doc_id, lang, $WsSql AS ws FROM documents) t) t2
+         ORDER BY doc_id""",
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS content_hash,
+           COALESCE(list_aggregate(list_transform(shingles, s -> md5(s)), 'min'), '') AS min_shingle_hash
+         FROM (SELECT doc_id, text, $ShinglesSql AS shingles
+               FROM (SELECT doc_id, text, $WsSql AS ws FROM documents) t) t2
+         ORDER BY doc_id""",
+
+    "text_termfreq" ->
+      s"""SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest($WsSql) AS term FROM documents) t
+         WHERE length(term) > 0
+         GROUP BY term ORDER BY n DESC, term LIMIT 20""")
+}

@@ -1,0 +1,97 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.decode._
+
+/** Compaction semantics over hand-built envelope events: last-LSN-wins,
+  * delete removal, truncate high-water mark, TOAST repair, delete-then-
+  * reinsert. */
+class CdcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rel = Relation(1, "public", "t", 'd', Vector(
+    RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+    RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+
+  private def ev(op: String, lsn: Long, seq: Long, id: String,
+      after: Map[String, String], toasted: Seq[String] = Nil): ChangeEvent =
+    ChangeEvent(op, lsn, seq, 1, lsn, 0L, "public", "t", 1,
+      Map("id" -> id), null, after, Nil, toasted)
+
+  private def compactIds(events: Seq[ChangeEvent], fillToast: Boolean = false): Map[String, String] = {
+    import spark.implicits._
+    val df = spark.createDataset(events).toDF()
+    val out = if (fillToast) Cdc.compactFillingToast(df, Seq("id"))
+              else Cdc.compact(df, Seq("id"))
+    out.collect().map { r =>
+      val m = r.getMap[String, String](r.fieldIndex("after"))
+      m("id") -> m.getOrElse("v", null)
+    }.toMap
+  }
+
+  test("last-LSN-wins upsert; deleted keys disappear") {
+    val out = compactIds(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "a")),
+      ev("U", 20, 2, "1", Map("id" -> "1", "v" -> "b")),
+      ev("I", 11, 3, "2", Map("id" -> "2", "v" -> "x")),
+      ev("D", 30, 4, "2", null)))
+    assert(out === Map("1" -> "b"))
+  }
+
+  test("same-LSN events tie-break on seq") {
+    val out = compactIds(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "first")),
+      ev("U", 10, 2, "1", Map("id" -> "1", "v" -> "second"))))
+    assert(out === Map("1" -> "second"))
+  }
+
+  test("delete then re-insert at higher LSN resurrects the key") {
+    val out = compactIds(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "a")),
+      ev("D", 20, 2, "1", null),
+      ev("I", 30, 3, "1", Map("id" -> "1", "v" -> "re"))))
+    assert(out === Map("1" -> "re"))
+  }
+
+  test("truncate removes rows whose latest event precedes it, keeps later ones") {
+    val events = Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "old")),
+      ev("T", 20, 2, null, null).copy(key = Map.empty),
+      ev("I", 30, 3, "2", Map("id" -> "2", "v" -> "new")))
+    import spark.implicits._
+    val df = spark.createDataset(events).toDF()
+    val out = Cdc.compact(df, Seq("id")).collect()
+    assert(out.length === 1)
+    assert(out.head.getMap[String, String](out.head.fieldIndex("after"))("id") === "2")
+  }
+
+  test("TOAST repair: unchanged column takes the previous image's value") {
+    val out = compactIds(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "fat-value")),
+      ev("U", 20, 2, "1", Map("id" -> "1"), toasted = Seq("v"))), fillToast = true)
+    assert(out === Map("1" -> "fat-value"))
+  }
+
+  test("TOAST repair across delete: re-insert does NOT inherit pre-delete value") {
+    val out = compactIds(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "gone")),
+      ev("D", 20, 2, "1", null),
+      ev("I", 30, 3, "1", Map("id" -> "1"), toasted = Seq("v"))), fillToast = true)
+    // after a delete the slate is clean: toasted column has no prior value
+    assert(out === Map("1" -> null))
+  }
+
+  test("plain compact ignores TOAST (documented contrast with compactFillingToast)") {
+    val out = compactIds(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "fat-value")),
+      ev("U", 20, 2, "1", Map("id" -> "1"), toasted = Seq("v"))))
+    assert(out === Map("1" -> null)) // toasted column absent → null in typed view
+  }
+}

@@ -1,0 +1,122 @@
+package graft.decode
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Envelope semantics: the reference's transform rules T1/T3/T5/T6/T7/T8
+  * (reader.py:203-398) against hand-built message sequences. */
+class ChangeEventBuilderSpec extends AnyFunSuite {
+
+  private val rel = Relation(99, "public", "acct", 'd', Vector(
+    RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+    RelationColumn(partOfKey = false, "name", TypedView.Oid.Text, -1),
+    RelationColumn(partOfKey = false, "payload", TypedView.Oid.Text, -1)))
+
+  private def t(v: String) = ColumnData('t', Some(v))
+  private def n = ColumnData('n', None)
+  private def u = ColumnData('u', None)
+
+  private def fresh(): (ChangeEventBuilder, SchemaRegistry) = {
+    val reg = new SchemaRegistry
+    val b = new ChangeEventBuilder(reg)
+    b.process(1L, rel)
+    (b, reg)
+  }
+
+  test("insert: no before image, key = pk projection of after, txn carried (T5/T6/T7)") {
+    val (b, _) = fresh()
+    assert(b.process(10L, Begin(100L, 5000L, 42)) === Nil)
+    val ev = b.process(11L, Insert(99, TupleData(Vector(t("7"), t("alice"), n)))).head
+    assert(ev.op === "I")
+    assert(ev.txId === 42 && ev.beginLsn === 100L && ev.commitTsUs === 5000L)
+    assert(ev.before === null)
+    assert(ev.after === Map("id" -> "7", "name" -> "alice", "payload" -> null))
+    assert(ev.key === Map("id" -> "7"))
+    assert(b.process(12L, Commit(0, 100L, 101L, 5000L)) === Nil)
+  }
+
+  test("update with key-only old image: key from before, not after (T6)") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val ev = b.process(11L, Update(99, Some('K'),
+      Some(TupleData(Vector(t("7"), n, n))),
+      TupleData(Vector(t("8"), t("bob"), t("x"))))).head
+    assert(ev.op === "U")
+    assert(ev.before === Map("id" -> "7"))
+    assert(ev.key === Map("id" -> "7")) // pk *changed*: key must be the OLD pk
+    assert(ev.after("id") === "8")
+  }
+
+  test("update with REPLICA IDENTITY FULL old image keeps all old columns") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val ev = b.process(11L, Update(99, Some('O'),
+      Some(TupleData(Vector(t("7"), t("old"), t("big")))),
+      TupleData(Vector(t("7"), t("new"), t("big"))))).head
+    assert(ev.before === Map("id" -> "7", "name" -> "old", "payload" -> "big"))
+    assert(ev.key === ev.before)
+  }
+
+  test("update without old image: key from after's pk") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val ev = b.process(11L, Update(99, None, None,
+      TupleData(Vector(t("7"), t("new"), t("p"))))).head
+    assert(ev.before === null)
+    assert(ev.key === Map("id" -> "7"))
+  }
+
+  test("unchanged-TOAST column is absent from after and listed in afterToasted (§7.2)") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val ev = b.process(11L, Update(99, None, None,
+      TupleData(Vector(t("7"), t("new"), u)))).head
+    assert(ev.after === Map("id" -> "7", "name" -> "new"))
+    assert(!ev.after.contains("payload"))
+    assert(ev.afterToasted === Seq("payload"))
+  }
+
+  test("delete: after is null, key = before (T5/T6); 'O' kind keeps full row") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val evK = b.process(11L, Delete(99, 'K', TupleData(Vector(t("7"), n, n)))).head
+    assert(evK.op === "D" && evK.after === null)
+    assert(evK.key === Map("id" -> "7"))
+    val evO = b.process(12L, Delete(99, 'O', TupleData(Vector(t("8"), t("x"), t("y"))))).head
+    assert(evO.before === Map("id" -> "8", "name" -> "x", "payload" -> "y"))
+  }
+
+  test("truncate fans out one event per relation (T8, reference bug fixed)") {
+    val reg = new SchemaRegistry
+    val b = new ChangeEventBuilder(reg)
+    val rel2 = rel.copy(relationId = 100, name = "acct2")
+    b.process(1L, rel); b.process(2L, rel2)
+    b.process(10L, Begin(100L, 5000L, 1))
+    val evs = b.process(11L, Truncate(0, Vector(99, 100)))
+    assert(evs.map(_.table) === Seq("acct", "acct2"))
+    assert(evs.forall(_.op === "T"))
+  }
+
+  test("commit clears txn metadata; events outside txn get sentinel values") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 7))
+    b.process(12L, Commit(0, 100L, 101L, 5000L))
+    val ev = b.process(13L, Insert(99, TupleData(Vector(t("1"), t("z"), n)))).head
+    assert(ev.txId === -1 && ev.beginLsn === -1L)
+  }
+
+  test("events for an unseen relation id raise a typed error") {
+    val reg = new SchemaRegistry
+    val b = new ChangeEventBuilder(reg)
+    intercept[PgOutputDecodeException] {
+      b.process(1L, Insert(12345, TupleData(Vector(t("1")))))
+    }
+  }
+
+  test("seq is strictly monotonic within a builder (LSN tie-break)") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val e1 = b.process(11L, Insert(99, TupleData(Vector(t("1"), n, n)))).head
+    val e2 = b.process(11L, Insert(99, TupleData(Vector(t("2"), n, n)))).head
+    assert(e1.seq < e2.seq)
+  }
+}
