@@ -65,7 +65,7 @@ final class SchemaRegistry extends Serializable {
   */
 final class ChangeEventBuilder(
     registry: SchemaRegistry,
-    namespaceDefault: String = "public") {
+    emitTxnMarkers: Boolean = false) {
 
   private var txn: Option[TxnMeta] = None
   private var seq: Long = 0L
@@ -120,9 +120,22 @@ final class ChangeEventBuilder(
     * content rides on subsequent events or updates the registry). */
   def process(lsn: Long, msg: PgOutputMessage): Seq[ChangeEvent] = msg match {
     case b: Begin =>
-      txn = Some(TxnMeta(b.xid, b.finalLsn, b.commitTs)); Nil
-    case _: Commit =>
-      txn = None; Nil
+      txn = Some(TxnMeta(b.xid, b.finalLsn, b.commitTs))
+      // Optional B/C sentinel rows (the reference routes these to dedicated
+      // handlers, reader.py:190-195; txn-atomic assembly keys off them).
+      if (emitTxnMarkers) {
+        val m = meta
+        Seq(ChangeEvent("B", lsn, nextSeq(), m.txId, m.beginLsn, m.commitTsUs,
+          null, null, -1, null, null, null, Nil, Nil))
+      } else Nil
+    case c: Commit =>
+      val out = if (emitTxnMarkers) {
+        val m = meta
+        Seq(ChangeEvent("C", lsn, nextSeq(), m.txId, m.beginLsn, c.commitTs,
+          null, null, -1, null, null, null, Nil, Nil))
+      } else Nil
+      txn = None
+      out
     case r: Relation =>
       registry.update(r); Nil
     case _: PgType | _: Origin => Nil

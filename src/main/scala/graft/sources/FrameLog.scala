@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+
+/** A durable, append-only log of pgoutput frames — the backing store of the
+  * replayable source (SURVEY.md §7 step 3: "deterministic streaming tests
+  * with no Postgres"). One file, length-prefixed records:
+  *
+  *   [lsn: int64 BE][len: int32 BE][payload: len bytes]
+  *
+  * The live pgcdc source shares every downstream stage; only the frame
+  * producer differs (PGReplicationStream vs this file). */
+object FrameLog {
+
+  final case class Entry(lsn: Long, payload: Array[Byte])
+
+  def write(path: String, frames: Iterator[Entry]): Long = {
+    Files.createDirectories(Paths.get(path).getParent)
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    var n = 0L
+    try frames.foreach { e =>
+      out.writeLong(e.lsn); out.writeInt(e.payload.length); out.write(e.payload); n += 1
+    } finally out.close()
+    n
+  }
+
+  def append(path: String, frames: Iterator[Entry]): Long = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path, true)))
+    var n = 0L
+    try frames.foreach { e =>
+      out.writeLong(e.lsn); out.writeInt(e.payload.length); out.write(e.payload); n += 1
+    } finally out.close()
+    n
+  }
+
+  /** Lazily iterate entries [from, until) by record index. */
+  def read(path: String, from: Long = 0L, until: Long = Long.MaxValue): Iterator[Entry] =
+    new Iterator[Entry] {
+      private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
+      private var idx = 0L
+      private var nextEntry: Entry = null
+      private var closed = false
+
+      private def advance(): Unit = {
+        nextEntry = null
+        while (nextEntry == null && !closed) {
+          try {
+            val lsn = in.readLong()
+            val len = in.readInt()
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            if (idx >= until) { in.close(); closed = true }
+            else if (idx >= from) nextEntry = Entry(lsn, buf)
+            idx += 1
+          } catch {
+            case _: EOFException => in.close(); closed = true
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextEntry != null
+      override def next(): Entry = {
+        val e = nextEntry; advance(); e
+      }
+    }
+
+  def count(path: String): Long = {
+    if (!Files.exists(Paths.get(path))) return 0L
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
+    var n = 0L
+    try {
+      while (true) {
+        in.readLong()
+        val len = in.readInt()
+        if (in.skipBytes(len) != len) throw new EOFException
+        n += 1
+      }
+      n
+    } catch { case _: EOFException => n } finally in.close()
+  }
+}

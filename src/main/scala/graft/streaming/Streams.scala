@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.cdc.Cdc
+import graft.decode.Relation
+
+/** Structured-streaming surface (SURVEY.md §2.2 Streaming): envelope
+  * streams from the pgcdc sources, event-time windows + watermarks,
+  * stateful dedup, txn-atomic assembly, and the foreachBatch CDC upsert
+  * sink (K1/K2's Spark realization). */
+object Streams {
+
+  /** Envelope stream from a frame log (the replayable S1). */
+  def envelopeStream(spark: SparkSession, frameLogPath: String,
+      maxFramesPerTrigger: Option[Long] = None,
+      txnMarkers: Boolean = false): DataFrame = {
+    val r = spark.readStream.format("graft.sources.FrameReplayProvider")
+      .option("path", frameLogPath)
+      .option("txn.markers", txnMarkers.toString)
+    maxFramesPerTrigger.foreach(n => r.option("maxFramesPerTrigger", n.toString))
+    r.load()
+  }
+
+  /** CDC upsert materialization sink: per micro-batch, merge the batch's
+    * events into the parquet state at `stateDir` by primary key
+    * (last-LSN-wins; the foreachBatch realization of SURVEY.md §2.2 Sinks).
+    *
+    * Scale note: local parquet read-merge-overwrite keeps the semantics
+    * honest (idempotent under at-least-once replay because the merge keys
+    * on (key, lsn, seq) maxima); a production deployment swaps the store
+    * for a format with transactional MERGE while `mergeBatch` stays
+    * identical. */
+  def cdcUpsertSink(envelope: DataFrame, rel: Relation, stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val keys = rel.keyColumnNames
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, rel, keys, stateDir)
+      }
+      .start()
+  }
+
+  private[streaming] def mergeBatch(
+      batch: DataFrame, rel: Relation, keys: Seq[String], stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val dir = new java.io.File(stateDir)
+    val existing =
+      if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(stateDir))
+      else None
+    // Previous state rows re-enter the merge as synthetic low-water events
+    // so deletes/updates in this batch win, and TOAST repair sees them.
+    val stateAsEvents = existing.map { st =>
+      st.select(
+        lit("I").as("op"), col("__lsn").as("lsn"), col("__seq").as("seq"),
+        lit(-1).as("tx_id"), lit(-1L).as("begin_lsn"), lit(-1L).as("commit_ts_us"),
+        lit(rel.namespace).as("namespace"), lit(rel.name).as("table"),
+        lit(rel.relationId).as("relation_id"),
+        col("__key").as("key"), lit(null).cast(batch.schema("before").dataType).as("before"),
+        col("__after").as("after"),
+        lit(null).cast(batch.schema("before_toasted").dataType).as("before_toasted"),
+        lit(null).cast(batch.schema("after_toasted").dataType).as("after_toasted"))
+    }
+    val all = stateAsEvents.map(_.unionByName(batch)).getOrElse(batch)
+    val renamed = all
+      .withColumnRenamed("tx_id", "txId").withColumnRenamed("begin_lsn", "beginLsn")
+      .withColumnRenamed("commit_ts_us", "commitTsUs")
+      .withColumnRenamed("relation_id", "relationId")
+      .withColumnRenamed("before_toasted", "beforeToasted")
+      .withColumnRenamed("after_toasted", "afterToasted")
+    val compacted = Cdc.compactFillingToast(renamed, keys)
+      .select(
+        col("lsn").as("__lsn"), col("seq").as("__seq"), col("after").as("__after"),
+        map_from_arrays(
+          expr("array(" + keys.map(k => s"'$k'").mkString(",") + ")"),
+          expr("array(" + keys.map(k => s"element_at(after, '$k')").mkString(",") + ")")
+        ).as("__key"))
+    val tmp = stateDir + ".tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    val spark2 = compacted.sparkSession
+    spark2.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+  }
+
+  /** Current typed state of the materialized table. */
+  def materializedState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame =
+    graft.decode.TypedView.ofAfter(
+      spark.read.parquet(stateDir).withColumnRenamed("__after", "after"), rel)
+
+  /** Event-time tumbling window aggregate with watermark (late data beyond
+    * the watermark is dropped) — the streaming twin of q21. */
+  def windowedCounts(events: DataFrame, watermark: String = "30 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Session windows per user (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
+  /** Stateful exact-once dedup by message id within the watermark. */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** One assembled transaction: every I/U/D event between B and C. */
+  final case class TxnEnvelope(txId: Int, nEvents: Long, ops: Seq[String], commitLsn: Long)
+
+  private final case class TxnBuf(events: List[(String, Long)])
+
+  /** Txn-atomic delivery (SURVEY.md §7.3): buffer events per tx_id, emit
+    * the whole transaction when its Commit marker arrives (requires the
+    * source's txn.markers option). ProcessingTimeTimeout evicts orphaned
+    * transactions (a crash between B and C on the producer side). */
+  def assembleTransactions(envelope: DataFrame): Dataset[TxnEnvelope] = {
+    import envelope.sparkSession.implicits._
+    envelope
+      .select(col("tx_id").as("txId"), col("op"), col("lsn"))
+      .as[(Int, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TxnBuf, TxnEnvelope](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (txId, rows, state: GroupState[TxnBuf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption.getOrElse(TxnBuf(Nil))
+            var commit: Option[Long] = None
+            rows.foreach { case (_, op, lsn) =>
+              op match {
+                case "C" => commit = Some(lsn)
+                case "B" => ()
+                case _ => buf = TxnBuf((op, lsn) :: buf.events)
+              }
+            }
+            commit match {
+              case Some(clsn) =>
+                state.remove()
+                val evs = buf.events.reverse
+                Iterator.single(TxnEnvelope(txId, evs.size, evs.map(_._1), clsn))
+              case None =>
+                state.update(buf)
+                state.setTimeoutDuration("5 minutes")
+                Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.decode._
+import graft.sources.FrameLog
+
+/** Structured-streaming surface: event-time windows vs their batch twins,
+  * stateful dedup, session windows, txn-atomic assembly, and the streaming
+  * CDC upsert sink materializing the same state as the batch pipeline. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** FileStreamSource needs a *directory*; stage the single parquet file
+    * into one. */
+  private lazy val eventsDir: String = {
+    val d = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling window + watermark matches the batch computation") {
+    // stream the raw parquet (ts is ns-long after nanosAsLong conf, set by
+    // Tables.events first)
+    val batchEvents = graft.Tables.events(spark, sfDir)
+    val expected = Streams.windowedCounts(batchEvents.withWatermark("ts", "30 minutes"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.windowedCounts(src).writeStream.format("memory")
+      .queryName("win_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT ws, event_type, n FROM win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // append mode emits only windows closed by the watermark; with
+    // AvailableNow over a finite file all windows except the tail flush
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expected))
+    assert(got.size >= expected.size - 10) // at most the tail windows held back
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate event ids") {
+    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = src.union(src) // every event twice
+    val q = Streams.dedupedEvents(doubled).writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(*) FROM dedup_out").first().getLong(0)
+    val expected = graft.Tables.events(spark, sfDir).count()
+    assert(n === expected)
+  }
+
+  test("session windows group events by gap per user") {
+    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.sessionCounts(src).writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sessions = spark.sql("SELECT user_id, n FROM sess_out").collect()
+    assert(sessions.nonEmpty)
+    val total = sessions.map(_.getLong(1)).sum
+    val expected = graft.Tables.events(spark, sfDir).count()
+    assert(total <= expected) // tail sessions may be held by the watermark
+    assert(total > expected / 2)
+  }
+
+  test("txn-atomic assembly emits one envelope per committed transaction") {
+    val rel = Relation(7, "public", "acct", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("txn")
+    val p = dir.resolve("log.bin").toString
+    // txn 1: two inserts; txn 2: one insert
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(10, PgOutputEncoder.encode(Begin(13, 1000, 1))),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(7, TupleData(Vector(t("1")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(7, TupleData(Vector(t("2")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Commit(0, 13, 13, 1000))),
+      FrameLog.Entry(20, PgOutputEncoder.encode(Begin(22, 2000, 2))),
+      FrameLog.Entry(21, PgOutputEncoder.encode(Insert(7, TupleData(Vector(t("3")))))),
+      FrameLog.Entry(22, PgOutputEncoder.encode(Commit(0, 22, 22, 2000)))))
+    val env = Streams.envelopeStream(spark, p, txnMarkers = true)
+    val q = Streams.assembleTransactions(env).toDF()
+      .writeStream.format("memory").queryName("txn_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT txId, nEvents, commitLsn FROM txn_out ORDER BY txId")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1, 2L, 13L), (2, 1L, 22L)))
+  }
+
+  test("streaming CDC upsert sink materializes the same state as the batch pipeline") {
+    val dir = Files.createTempDirectory("cdcstream")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // reuse the batch generator's frames: upserts + deletes over orders
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir,
+      graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(20000))
+    val q = Streams.cdcUpsertSink(env, graft.cdc.CdcPipeline.ordersRelation, stateDir, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val got = Streams.materializedState(spark, graft.cdc.CdcPipeline.ordersRelation, stateDir)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = graft.cdc.CdcPipeline.materializedOrders(spark, sfDir,
+      graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+  }
+}
