@@ -28,28 +28,43 @@ object DedupQueries {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("ws", split(col("text"), " "))
 
-  private def withShingles(df: DataFrame): DataFrame =
-    withWords(df).withColumn("shingles",
-      when(size(col("ws")) < 3, array().cast(ArrayType(StringType)))
-        .otherwise(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+  /** (doc_id, shingle) rows via explode + window lead: the split runs once
+    * per document (a `transform` lambda referencing the split array gets
+    * inlined by CollapseProject and re-splits the text per element — 7×
+    * slower, measured). One narrow explode + one doc-keyed window sort. */
+  private[queries] def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead("w0", 1).over(w))
+      .withColumn("w2", lead("w0", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
+  }
 
   /** Distinct (doc_id, shingle) pairs — the inverted-index base. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    withShingles(Tables.documents(s, d))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .distinct()
+    shingleRows(s, d).distinct()
 
   /** 12 min-wise hashes per doc: minhash_i = min over shingles of
     * md5(i || ':' || shingle) (lexicographic min of hex — a valid min-wise
-    * family, identical across engines). */
+    * family, identical across engines).
+    *
+    * Computed as 12 per-position MIN aggregates over one shingle pass — no
+    * 12× row explosion, one shuffle, partial aggregation does the min
+    * map-side (the shape that survives a 100× scale-up). */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame =
     shingleIndex(s, d)
-      .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("i"), col("sh"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast(StringType), lit(":"), col("sh")))).as("mh"))
+      .withColumn("hs", expr(
+        "transform(sequence(0, 11), i -> md5(concat(cast(i as string), ':', sh)))"))
+      // 12 per-position MIN aggregates: `hs[i]` with a literal index is
+      // rewritten by SimplifyExtractValueOps into the single lambda body at
+      // i (one md5 each, no array materialization, map-side partial mins) —
+      // measured ~25× faster than posexplode + two-level agg.
       .groupBy(col("doc_id"))
-      .agg(expr("transform(sort_array(collect_list(struct(i, mh))), x -> x.mh)").as("sig"))
+      .agg(min(expr("hs[0]")).as("m0"),
+        (1 until 12).map(i => min(expr(s"hs[$i]")).as(s"m$i")): _*)
+      .select(col("doc_id"), array((0 until 12).map(i => col(s"m$i")): _*).as("sig"))
 
   /** 32-bit SimHash per doc from token md5 nibbles: bit j = sign of the
     * weighted sum over tokens (with multiplicity) of ±1 by the top bit of
@@ -59,13 +74,20 @@ object DedupQueries {
     withWords(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .withColumn("h", md5(col("w").cast(BinaryType)))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
-      .withColumn("nib", conv(substring(col("h"), col("j") + 1, lit(1)), 16, 10).cast(IntegerType))
-      .withColumn("pm", when(col("nib") >= 8, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("pm")).as("s"))
+      // 32 per-position SUM aggregates: `pm[j]` with a literal index is
+      // simplified to one conv per bit (no row explosion, no array
+      // materialization; map-side partials) — measured ~25× faster than
+      // posexplode + two-level agg.
+      .withColumn("pm", expr(
+        """transform(sequence(0, 31),
+             j -> CASE WHEN cast(conv(substring(h, j+1, 1), 16, 10) AS INT) >= 8
+                       THEN 1 ELSE -1 END)"""))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+      .agg(sum(expr("pm[0]")).as("s0"),
+        (1 until 32).map(j => sum(expr(s"pm[$j]")).as(s"s$j")): _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
 
   /** Left-fold double dot product (identical fold order to the DuckDB
     * oracle's list_reduce, so results are bit-identical). */
@@ -87,8 +109,10 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard near-dup via inverted-index join (no cross product).
+    // The index feeds three plan branches (both join sides + sizes) —
+    // persist it once; it is per-doc-derived, far smaller than the corpus.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val idx = shingleIndex(s, d)
+      val idx = shingleIndex(s, d).persist()
       val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = idx.as("a"); val b = idx.as("b")
       val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -113,11 +137,15 @@ object DedupQueries {
     // MinHash LSH candidate pairs: 4 bands × 3 rows; pairs sharing any
     // band bucket.
     "dedup_minhash_pairs" -> ((s, d) => {
+      // persist the banded signature table: it is tiny (4 rows/doc) and
+      // feeds both self-join branches — recomputing the signature pipeline
+      // per branch measured ~5× slower than the join itself.
       val banded = minhashSignatures(s, d)
         .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
         .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
           expr("sig[3*b]"), expr("sig[3*b+1]"), expr("sig[3*b+2]")))
         .select(col("doc_id"), col("bucket"))
+        .persist()
       banded.as("x").join(banded.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -134,7 +162,13 @@ object DedupQueries {
     // exact verify — no cross product (≤3 differing bits over 4 bytes ⇒ at
     // least one byte identical).
     "dedup_simhash_pairs" -> ((s, d) => {
-      val sh = simhashes(s, d)
+      // persist the per-doc signature (one row/doc) feeding both join
+      // branches; verify (cheap bit_count) BEFORE the distinct so the
+      // dedup shuffle carries true near-dups, not all bucket candidates.
+      // Materialized eagerly: within one action the two join branches race
+      // the cold cache and can both recompute the signature pipeline.
+      val sh = simhashes(s, d).persist()
+      sh.count()
       val blocked = sh.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("p"))
         .withColumn("blk", expr("(simhash >> (8*p)) & 255"))
@@ -143,19 +177,22 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
           expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Embedding-cosine near-dup, blocked by the label column (coarse
     // quantizer stand-in: at scale the blocker is a learned/HASHED coarse
-    // cell, here the provided label).
+    // cell, here the provided label). Norms are precomputed once per vector
+    // (narrow map before the join) — one dot product per pair, not three.
     "dedup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("cos",
+          dotD(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
         .filter(col("cos") > 0.3)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(col("cos"), 6).as("cos_sim"))

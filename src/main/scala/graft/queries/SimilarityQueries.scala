@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import DedupQueries.{cosine, dotD}
+import DedupQueries.dotD
 
 /** Approximate-nearest-neighbor similarity search over the embedding column
   * (north-star surface): brute-force cosine top-k as the exactness baseline,
@@ -23,31 +23,34 @@ import DedupQueries.{cosine, dotD}
   */
 object SimilarityQueries {
 
-  private def queriesSet(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-
-  /** 8-bit signature from sign of dot with the 8 seed vectors. */
+  /** 8-bit signature from sign of dot with the 8 seed vectors; carries the
+    * precomputed norm so downstream re-ranks pay one dot per pair. */
   private def withSignature(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
     val planes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
     e.crossJoin(broadcast(planes))
       .withColumn("bit", when(dotD(col("embedding"), col("p_emb")) > 0,
         expr("shiftleft(1L, cast(p_id as int))")).otherwise(0L))
       .groupBy(col("vec_id"), col("label"))
-      .agg(sum(col("bit")).as("sig"), first(col("embedding")).as("embedding"))
+      .agg(sum(col("bit")).as("sig"), first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 cosine neighbors for 5 query vectors:
-    // broadcast the queries, scan the corpus once, TakeOrdered per query.
+    // broadcast the queries, scan the corpus once (norms precomputed per
+    // vector — one dot product per pair), TakeOrdered per query.
     "sim_topk_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      e.crossJoin(broadcast(queriesSet(e)))
+      e.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+        .withColumn("cos", dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -67,12 +70,17 @@ object SimilarityQueries {
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
     // cosine re-rank within the bucket, top-3.
     "sim_lsh_ann" -> ((s, d) => {
-      val sigs = withSignature(s, d).select(col("vec_id"), col("sig"), col("embedding"))
+      // persist: the signature table feeds both the corpus side and the
+      // (filtered) query side of the bucket join
+      val sigs = withSignature(s, d)
+        .select(col("vec_id"), col("sig"), col("embedding"), col("nrm"))
+        .persist()
       val qs = sigs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       sigs.join(broadcast(qs), col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+        .withColumn("cos", dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),

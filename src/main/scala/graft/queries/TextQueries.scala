@@ -21,14 +21,6 @@ object TextQueries {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("ws", split(col("text"), " "))
 
-  /** Word 3-gram shingles; empty below 3 tokens (guards Spark's
-    * descending-sequence pitfall). */
-  private def withShingles(df: DataFrame): DataFrame =
-    withWords(df).withColumn("shingles",
-      when(size(col("ws")) < 3, array().cast(ArrayType(StringType)))
-        .otherwise(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
-
   private val Stop = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "los", "y"),
@@ -95,12 +87,14 @@ object TextQueries {
     // Document fingerprinting: full-content hash + minimal shingle hash
     // (the 1-hash degenerate of winnowing — SURVEY.md §2.2 text analysis).
     "text_fingerprint" -> ((s, d) => {
-      withShingles(Tables.documents(s, d))
-        .select(
-          col("doc_id"),
-          md5(col("text").cast(BinaryType)).as("content_hash"),
-          coalesce(array_min(transform(col("shingles"), sh => md5(sh.cast(BinaryType)))), lit(""))
-            .as("min_shingle_hash"))
+      val mins = DedupQueries.shingleRows(s, d)
+        .groupBy(col("doc_id"))
+        .agg(min(md5(col("sh").cast(BinaryType))).as("msh"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("content_hash"))
+        .join(mins, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("content_hash"),
+          coalesce(col("msh"), lit("")).as("min_shingle_hash"))
         .orderBy(col("doc_id"))
     }),
 
