@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries hold at
+  * 100 TB — predicate pushdown into the parquet scan, column pruning,
+  * broadcast joins for small dims, TakeOrderedAndProject for top-k, partial
+  * (map-side) aggregation. A green result here is design evidence, not just
+  * behavior. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, d)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 filter+projection: predicates pushed to the parquet scan, columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"), p)
+    // pruned read schema: no l_tax / l_returnflag in ReadSchema
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q03 dimension joins: both nation and region broadcast, no shuffle join") {
+    val p = plan("q03_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q05/q06: semi and anti joins plan as such (no row multiplication)") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q11 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q11_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregation is two-phase (map-side partial + final)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("whole-stage codegen covers the agg pipeline (no interpreted hot path)") {
+    val df = graft.SparkEntry.queries("q01_pricing_summary")(spark, d)
+    df.collect() // AQE finalizes the physical plan only on execution
+    // codegen stages print as "*(n)" in the compact plan form
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") && p.contains("*(2)"), p)
+  }
+
+  test("cdc compaction has exactly one wide exchange (the pk shuffle)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plain envelope compaction: events -> one hash exchange for the window
+    val events = Seq(
+      graft.decode.ChangeEvent("I", 1, 1, 1, 1, 0, "public", "t", 1,
+        Map("id" -> "1"), null, Map("id" -> "1", "v" -> "a"), Nil, Nil)).toDS().toDF()
+    val out = graft.cdc.Cdc.compact(events, Seq("id"))
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // one exchange for the window partitioning; the truncate high-water mark
+    // is a broadcast, not a second data shuffle
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    val dataShuffles = p.linesIterator.count(l => l.contains("hashpartitioning"))
+    assert(dataShuffles <= 2, s"expected <=2 hash exchanges, plan:\n$p")
+    assert(p.contains("BroadcastExchange") || exchanges <= 2, p)
+  }
+
+  test("sim_topk_brute broadcasts the query set against the corpus scan") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("events scan prunes to the columns the query needs") {
+    val p = plan("q19_json")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
+  }
+}
