@@ -277,6 +277,48 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Ordered array aggregation (collect + sort inside groups).
+    "q24_array_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
+          .as("types_in_order"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // GROUPING SETS (disjoint single-dim groupings + grand total).
+    "q25_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+           FROM li_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // HLL approximate distinct — implementation-specific sketch, so the
+    // gate is rows-only (no oracle); the spec asserts the error envelope.
+    "q26_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // max_by/min_by — the single-pass argmax primitive (ts is unique in
+    // the events table, so the argmax is well-defined).
+    "q27_arg_extremes" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"), col("ts")).as("latest_event_id"),
+          min_by(col("event_id"), col("ts")).as("earliest_event_id"),
+          max(col("ts")).as("latest_ts"))
+        .orderBy(col("event_type"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -436,5 +478,19 @@ object RelationalQueries {
       """SELECT user_id, event_id, event_type, value, ts FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) t
-         WHERE rn = 1 ORDER BY user_id""")
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "q24_array_agg" ->
+      """SELECT user_id, list(event_type ORDER BY ts, event_id) AS types_in_order, COUNT(*) AS n
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q25_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS qty
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q27_arg_extremes" ->
+      """SELECT event_type, arg_max(event_id, ts) AS latest_event_id,
+           arg_min(event_id, ts) AS earliest_event_id, MAX(ts) AS latest_ts
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

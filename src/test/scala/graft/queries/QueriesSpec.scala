@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catch-all query-surface sanity at sf0.001: every declared query builds
+  * and executes; contract invariants between `queries` and `oracleSql`. */
+class QueriesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("every oracleSql key has a matching query") {
+    val orphans = graft.SparkEntry.oracleSql.keySet -- graft.SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query executes at sf0.001 and almost all return rows") {
+    val counts = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, d).count()
+    }
+    val empty = counts.filter(_._2 == 0).map(_._1)
+    // near-dup pair queries may legitimately be empty at tiny scale
+    assert(empty.forall(n => n.contains("pairs") || n.contains("jaccard") || n.contains("embedding")),
+      s"unexpectedly empty: $empty")
+    assert(counts.count(_._2 > 0) >= counts.size - 4, counts.mkString(", "))
+  }
+
+  test("approx_count_distinct lands within 10% of exact (rows-only gate rationale)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, d)
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"approx=$approx exact=$exact")
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver t1 smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}
