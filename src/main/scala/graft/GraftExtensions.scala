@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.VectorFunctions
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions for SQL use. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  *
+  * Custom planner strategies are intentionally absent: every declared
+  * operator is expressible through built-ins + the expressions registered
+  * here (SURVEY.md §4 — Catalyst provides the rewrites; only the fused
+  * vector kernel needed native code). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(VectorFunctions.fnName),
+      VectorFunctions.fnInfo,
+      VectorFunctions.fnBuilder))
+  }
+}

@@ -89,12 +89,13 @@ object DedupQueries {
         (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
 
-  /** Left-fold double dot product (identical fold order to the DuckDB
-    * oracle's list_reduce, so results are bit-identical). */
+  /** Left-fold double dot product — the fused native expression
+    * (graft.functions.FloatVectorDot), bit-identical to
+    * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)), 0d, +)` and to
+    * the DuckDB oracle's list_reduce, but codegen'd without the
+    * intermediate product array. */
   private[queries] def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vector_dot(a, b)
 
   private[queries] def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
