@@ -24,6 +24,7 @@ final case class TxnMeta(txId: Int, beginLsn: Long, commitTsUs: Long)
   */
 final case class ChangeEvent(
     op: String,
+    messageId: String,
     lsn: Long,
     seq: Long,
     txId: Int,
@@ -72,6 +73,12 @@ final class ChangeEventBuilder(
 
   private def nextSeq(): Long = { seq += 1; seq }
 
+  /** Per-message id (the reference mints a uuid4 per frame, reader.py:180
+    * "S3"); ours is the deterministic (lsn, seq) pair so replays produce
+    * identical ids — which is what makes exactly-once dedup by message id
+    * possible downstream. */
+  private def messageId(lsn: Long, seq: Long): String = s"$lsn-$seq"
+
   /** Zip positional tuple data with schema column names (T3). Returns the
     * text image map (NULL ⇒ present with null value; unchanged-TOAST ⇒
     * absent) and the list of TOASTed column names. */
@@ -110,7 +117,8 @@ final class ChangeEventBuilder(
       before: Map[String, String], after: Map[String, String],
       beforeToasted: Seq[String], afterToasted: Seq[String]): ChangeEvent = {
     val m = meta
-    ChangeEvent(op, lsn, nextSeq(), m.txId, m.beginLsn, m.commitTsUs,
+    val s = nextSeq()
+    ChangeEvent(op, messageId(lsn, s), lsn, s, m.txId, m.beginLsn, m.commitTsUs,
       rel.namespace, rel.name, rel.relationId, key, before, after,
       beforeToasted, afterToasted)
   }
@@ -125,13 +133,15 @@ final class ChangeEventBuilder(
       // handlers, reader.py:190-195; txn-atomic assembly keys off them).
       if (emitTxnMarkers) {
         val m = meta
-        Seq(ChangeEvent("B", lsn, nextSeq(), m.txId, m.beginLsn, m.commitTsUs,
+        val s = nextSeq()
+        Seq(ChangeEvent("B", messageId(lsn, s), lsn, s, m.txId, m.beginLsn, m.commitTsUs,
           null, null, -1, null, null, null, Nil, Nil))
       } else Nil
     case c: Commit =>
       val out = if (emitTxnMarkers) {
         val m = meta
-        Seq(ChangeEvent("C", lsn, nextSeq(), m.txId, m.beginLsn, c.commitTs,
+        val s = nextSeq()
+        Seq(ChangeEvent("C", messageId(lsn, s), lsn, s, m.txId, m.beginLsn, c.commitTs,
           null, null, -1, null, null, null, Nil, Nil))
       } else Nil
       txn = None

@@ -16,6 +16,7 @@ object Envelope {
 
   val schema: StructType = StructType(Seq(
     StructField("op", StringType, nullable = false),
+    StructField("message_id", StringType, nullable = false),
     StructField("lsn", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("tx_id", IntegerType, nullable = false),
@@ -47,7 +48,7 @@ object Envelope {
 
   def toInternalRow(ev: ChangeEvent): InternalRow =
     new GenericInternalRow(Array[Any](
-      utf8(ev.op), ev.lsn, ev.seq, ev.txId, ev.beginLsn, ev.commitTsUs,
+      utf8(ev.op), utf8(ev.messageId), ev.lsn, ev.seq, ev.txId, ev.beginLsn, ev.commitTsUs,
       utf8(ev.namespace), utf8(ev.table), ev.relationId,
       mapData(ev.key), mapData(ev.before), mapData(ev.after),
       arrData(ev.beforeToasted), arrData(ev.afterToasted)))

@@ -57,7 +57,9 @@ object Streams {
     // so deletes/updates in this batch win, and TOAST repair sees them.
     val stateAsEvents = existing.map { st =>
       st.select(
-        lit("I").as("op"), col("__lsn").as("lsn"), col("__seq").as("seq"),
+        lit("I").as("op"),
+        concat_ws("-", col("__lsn"), col("__seq")).as("message_id"),
+        col("__lsn").as("lsn"), col("__seq").as("seq"),
         lit(-1).as("tx_id"), lit(-1L).as("begin_lsn"), lit(-1L).as("commit_ts_us"),
         lit(rel.namespace).as("namespace"), lit(rel.name).as("table"),
         lit(rel.relationId).as("relation_id"),
@@ -112,6 +114,13 @@ object Streams {
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** At-least-once → exactly-once on the CDC envelope: replayed frames mint
+    * identical deterministic message ids ("lsn-seq"), so duplicates from a
+    * crash/replay window collapse here. (The compaction sink is idempotent
+    * anyway; this protects non-idempotent consumers.) */
+  def exactlyOnceEnvelope(envelope: DataFrame): DataFrame =
+    envelope.dropDuplicates("message_id")
 
   /** One assembled transaction: every I/U/D event between B and C. */
   final case class TxnEnvelope(txId: Int, nEvents: Long, ops: Seq[String], commitLsn: Long)

@@ -22,7 +22,7 @@ class CdcSpec extends AnyFunSuite {
 
   private def ev(op: String, lsn: Long, seq: Long, id: String,
       after: Map[String, String], toasted: Seq[String] = Nil): ChangeEvent =
-    ChangeEvent(op, lsn, seq, 1, lsn, 0L, "public", "t", 1,
+    ChangeEvent(op, s"$lsn-$seq", lsn, seq, 1, lsn, 0L, "public", "t", 1,
       Map("id" -> id), null, after, Nil, toasted)
 
   private def compactIds(events: Seq[ChangeEvent], fillToast: Boolean = false): Map[String, String] = {

@@ -1,0 +1,65 @@
+package graft.decode
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** pg-oid → Catalyst mapping (the widened version of the reference's lossy
+  * 5-way coercion, reader.py:61-72) and text→typed projection. */
+class TypedViewSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("oid mapping: ints, floats, bool, timestamps, text catch-all") {
+    import TypedView.Oid._
+    assert(TypedView.sparkType(Int2, -1) === ShortType)
+    assert(TypedView.sparkType(Int4, -1) === IntegerType)
+    assert(TypedView.sparkType(Int8, -1) === LongType)
+    assert(TypedView.sparkType(Float4, -1) === FloatType)
+    assert(TypedView.sparkType(Float8, -1) === DoubleType)
+    assert(TypedView.sparkType(Bool, -1) === BooleanType)
+    assert(TypedView.sparkType(Timestamp, -1) === TimestampType)
+    assert(TypedView.sparkType(Timestamptz, -1) === TimestampType)
+    assert(TypedView.sparkType(Date, -1) === DateType)
+    assert(TypedView.sparkType(Bytea, -1) === BinaryType)
+    // the reference's catch-all: everything else stays text
+    assert(TypedView.sparkType(Json, -1) === StringType)
+    assert(TypedView.sparkType(Jsonb, -1) === StringType)
+    assert(TypedView.sparkType(Uuid, -1) === StringType)
+    assert(TypedView.sparkType(999999, -1) === StringType)
+  }
+
+  test("numeric(p,s) precision/scale recovered from atttypmod (not reference's lossy float)") {
+    // atttypmod for numeric(p,s) = (p << 16 | s) + 4
+    val tm = (10 << 16 | 2) + 4
+    assert(TypedView.sparkType(TypedView.Oid.Numeric, tm) === DecimalType(10, 2))
+    assert(TypedView.sparkType(TypedView.Oid.Numeric, -1) === DecimalType(38, 18))
+  }
+
+  test("typed projection casts pg text values incl. '+00' timestamps and NULLs") {
+    import spark.implicits._
+    val rel = Relation(1, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "price", TypedView.Oid.Numeric, (12 << 16 | 2) + 4),
+      RelationColumn(partOfKey = false, "flag", TypedView.Oid.Bool, -1),
+      RelationColumn(partOfKey = false, "created", TypedView.Oid.Timestamptz, -1),
+      RelationColumn(partOfKey = false, "note", TypedView.Oid.Text, -1)))
+    val env = Seq(
+      Map("id" -> "42", "price" -> "123.45", "flag" -> "true",
+        "created" -> "2021-04-20 20:13:16.867121+00", "note" -> null)
+    ).toDF("after")
+    val typed = TypedView.ofAfter(env, rel)
+    assert(typed.schema("id").dataType === LongType)
+    assert(typed.schema("price").dataType === DecimalType(12, 2))
+    val row = typed.head()
+    assert(row.getLong(0) === 42L)
+    assert(row.getDecimal(1).toString === "123.45")
+    assert(row.getBoolean(2) === true)
+    assert(row.getTimestamp(3).toInstant.toString === "2021-04-20T20:13:16.867121Z")
+    assert(row.isNullAt(4))
+  }
+}

@@ -9,12 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * SQL-registered via GraftExtensions, codegen active, type errors clear. */
 class VectorExpressionsSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may return another suite's session (one JVM, shared
+    // SparkContext) where the extensions config never applied — register
+    // through the same builder the extension uses.
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      VectorFunctions.fnName, VectorFunctions.fnBuilder, "built-in")
+    s
+  }
 
   private val d = "/root/testdata/sf0.001"
 

@@ -69,7 +69,7 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     // plain envelope compaction: events -> one hash exchange for the window
     val events = Seq(
-      graft.decode.ChangeEvent("I", 1, 1, 1, 1, 0, "public", "t", 1,
+      graft.decode.ChangeEvent("I", "1-1", 1, 1, 1, 1, 0, "public", "t", 1,
         Map("id" -> "1"), null, Map("id" -> "1", "v" -> "a"), Nil, Nil)).toDS().toDF()
     val out = graft.cdc.Cdc.compact(events, Seq("id"))
     val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
