@@ -66,28 +66,32 @@ object DedupQueries {
         (1 until 12).map(i => min(expr(s"hs[$i]")).as(s"m$i")): _*)
       .select(col("doc_id"), array((0 until 12).map(i => col(s"m$i")): _*).as("sig"))
 
-  /** 32-bit SimHash per doc from token md5 nibbles: bit j = sign of the
-    * weighted sum over tokens (with multiplicity) of ±1 by the top bit of
-    * hex digit j. (16 bits is too coarse on a shared-vocabulary corpus —
-    * ~28% of random pairs land within Hamming 3.) */
+  /** 64-bit SimHash per doc from token md5 bits: bit j uses bit (2·(j%2)+1)
+    * of hex digit (j/2) — two independent bits per nibble, 64 total. (8/16
+    * bits are too coarse on a shared-vocabulary corpus: ~28% of random
+    * pairs land within Hamming 3 at 16 bits.)
+    *
+    * Shape: compress tokens to per-doc (token, count) first — weighted ±cnt
+    * sums over distinct tokens equal the per-instance sums, at ~10× fewer
+    * rows on a small vocabulary — then one narrow explode of the 64 bit
+    * indexes and two partial-agg levels. A 64-column aggregate alternative
+    * generates a class janino takes ~20s to compile (one-time per JVM, but
+    * the bench always pays it); this shape's codegen is small. */
   private def simhashes(s: SparkSession, d: String): DataFrame =
     withWords(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("w").cast(BinaryType)))
-      // 32 per-position SUM aggregates: `pm[j]` with a literal index is
-      // simplified to one conv per bit (no row explosion, no array
-      // materialization; map-side partials) — measured ~25× faster than
-      // posexplode + two-level agg.
-      .withColumn("pm", expr(
-        """transform(sequence(0, 31),
-             j -> CASE WHEN cast(conv(substring(h, j+1, 1), 16, 10) AS INT) >= 8
-                       THEN 1 ELSE -1 END)"""))
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(expr("sequence(0, 63)")).as("j"))
+      .withColumn("bit", expr(
+        "(cast(conv(substring(h, CAST(j / 2 AS INT) + 1, 1), 16, 10) AS INT) >> (2 * (j % 2) + 1)) % 2"))
+      .withColumn("v", when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("j")).agg(sum(col("v")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("pm[0]")).as("s0"),
-        (1 until 32).map(j => sum(expr(s"pm[$j]")).as(s"s$j")): _*)
-      .select(col("doc_id"),
-        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+      .agg(sum(when(col("s") > 0,
+        expr("CASE WHEN j = 63 THEN -9223372036854775808L ELSE shiftleft(1L, j) END"))
+        .otherwise(0L)).as("simhash"))
 
   /** Left-fold double dot product — the fused native expression
     * (graft.functions.FloatVectorDot), bit-identical to
@@ -159,9 +163,10 @@ object DedupQueries {
       simhashes(s, d).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole byte blocking +
-    // exact verify — no cross product (≤3 differing bits over 4 bytes ⇒ at
-    // least one byte identical).
+    // SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole 16-bit blocking +
+    // exact verify — no cross product (≤3 differing bits over 4 blocks ⇒ at
+    // least one block identical; 16-bit blocks keep buckets small even on a
+    // high-overlap corpus).
     "dedup_simhash_pairs" -> ((s, d) => {
       // persist the per-doc signature (one row/doc) feeding both join
       // branches; verify (cheap bit_count) BEFORE the distinct so the
@@ -172,7 +177,7 @@ object DedupQueries {
       sh.count()
       val blocked = sh.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("p"))
-        .withColumn("blk", expr("(simhash >> (8*p)) & 255"))
+        .withColumn("blk", expr("(simhash >> (16*p)) & 65535"))
       blocked.as("x").join(blocked.as("y"),
           col("x.p") === col("y.p") && col("x.blk") === col("y.blk") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -211,11 +216,17 @@ object DedupQueries {
           FROM ($ShIdxSql) s CROSS JOIN (SELECT unnest(range(12)) AS i) ii
           GROUP BY doc_id, i) m GROUP BY doc_id"""
   private val SimhashSql =
-    s"""SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash FROM (
-          SELECT doc_id, j, SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(w), j+1, 1)) - 1 >= 8
-                                     THEN 1 ELSE -1 END) AS s
+    s"""SELECT doc_id,
+          CAST(SUM(CASE WHEN s > 0 THEN
+                 CASE WHEN j = 63 THEN -9223372036854775808::HUGEINT
+                      ELSE ((1::BIGINT) << j)::HUGEINT END
+               ELSE 0::HUGEINT END) AS BIGINT) AS simhash FROM (
+          SELECT doc_id, j,
+            SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), CAST(j // 2 AS INT) + 1, 1)) - 1)
+                           >> (2 * (j % 2) + 1)) % 2 = 1
+                     THEN 1 ELSE -1 END) AS s
           FROM (SELECT doc_id, unnest($WsSql) AS w FROM documents) tw
-          CROSS JOIN (SELECT unnest(range(32)) AS j) jj
+          CROSS JOIN (SELECT unnest(range(64)) AS j) jj
           GROUP BY doc_id, j) b GROUP BY doc_id"""
   private val DotSql = // left-fold double dot product, same order as Spark's aggregate()
     "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"

@@ -45,14 +45,18 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // unique names per run: a shared session (full-suite runs) may carry a
+    // default warehouse with stale tables from an earlier version
+    val tag = System.nanoTime()
+    val (ot, ct) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
     val o = graft.Tables.orders(spark, d)
     val c = graft.Tables.customer(spark, d)
     o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("orders_bkt")
+      .saveAsTable(ot)
     c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("customer_bkt")
-    val joined = spark.table("orders_bkt")
-      .join(spark.table("customer_bkt"),
+      .saveAsTable(ct)
+    val joined = spark.table(ot)
+      .join(spark.table(ct),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
     joined.collect()
