@@ -115,6 +115,12 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The reference's default sink logs each event as JSON
+    * (stores.py:104-118, K1); here: envelope rows → one JSON document per
+    * event, ready for console/Kafka-style value sinks. */
+  def jsonEnvelope(envelope: DataFrame): DataFrame =
+    envelope.select(to_json(struct(envelope.columns.map(col): _*)).as("value"))
+
   /** At-least-once → exactly-once on the CDC envelope: replayed frames mint
     * identical deterministic message ids ("lsn-seq"), so duplicates from a
     * crash/replay window collapse here. (The compaction sink is idempotent

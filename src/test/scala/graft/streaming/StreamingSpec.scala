@@ -109,6 +109,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1, 2L, 13L), (2, 1L, 22L)))
   }
 
+  test("jsonEnvelope renders one parseable JSON document per event (K1 default sink)") {
+    val rel = Relation(5, "public", "j", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("json")
+    val p = dir.resolve("log.bin").toString
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(10, PgOutputEncoder.encode(Begin(12, 1000, 3))),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(5, TupleData(Vector(t("7")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Commit(0, 12, 12, 1000)))))
+    val env = spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    val json = Streams.jsonEnvelope(env).collect().map(_.getString(0))
+    assert(json.length === 1)
+    val parsed = spark.read.json(spark.createDataset(json.toSeq)(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.head()
+    assert(row.getAs[String]("op") === "I")
+    assert(row.getAs[String]("table") === "j")
+    assert(row.getAs[Long]("tx_id") === 3L)
+  }
+
   test("streaming CDC upsert sink materializes the same state as the batch pipeline") {
     val dir = Files.createTempDirectory("cdcstream")
     val p = dir.resolve("log.bin").toString
