@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.VectorFunctions
+import graft.functions.{DecodeFrameFunction, VectorFunctions}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Activate with
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.fnName),
       VectorFunctions.fnInfo,
       VectorFunctions.fnBuilder))
+    e.injectFunction((
+      FunctionIdentifier(DecodeFrameFunction.fnName),
+      DecodeFrameFunction.fnInfo,
+      DecodeFrameFunction.fnBuilder))
   }
 }

@@ -45,7 +45,13 @@ final case class ChangeEvent(
   * decode pipelines. */
 final class SchemaRegistry extends Serializable {
   private val relations = scala.collection.concurrent.TrieMap.empty[Int, Relation]
+  // 'Y' (PgType) messages pre-warm type names without a catalog round-trip
+  // (the reference left this decoder an unimplemented stub, D6).
+  private val typeNames = scala.collection.concurrent.TrieMap.empty[Int, String]
+
   def update(r: Relation): Unit = relations.put(r.relationId, r)
+  def updateType(t: PgType): Unit = typeNames.put(t.typeOid, s"${t.namespace}.${t.name}")
+  def typeName(oid: Int): Option[String] = typeNames.get(oid)
   def get(relationId: Int): Option[Relation] = relations.get(relationId)
   def getOrThrow(relationId: Int): Relation =
     relations.getOrElse(relationId,
@@ -148,7 +154,9 @@ final class ChangeEventBuilder(
       out
     case r: Relation =>
       registry.update(r); Nil
-    case _: PgType | _: Origin => Nil
+    case t: PgType =>
+      registry.updateType(t); Nil
+    case _: Origin => Nil
 
     case Insert(relId, newTuple) =>
       val rel = registry.getOrThrow(relId)

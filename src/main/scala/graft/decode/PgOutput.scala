@@ -94,9 +94,11 @@ object PgOutputDecoder {
   def unixMicrosToPgMicros(unixUs: Long): Long = unixUs - PostgresEpochMicros
 
   def decode(payload: Array[Byte]): PgOutputMessage = {
+    if (payload.isEmpty)
+      throw new PgOutputDecodeException("empty pgoutput frame")
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
     val tag = buf.get().toChar
-    tag match {
+    try tag match {
       case 'B' => decodeBegin(buf)
       case 'C' => decodeCommit(buf)
       case 'O' => decodeOrigin(buf)
@@ -108,6 +110,12 @@ object PgOutputDecoder {
       case 'T' => decodeTruncate(buf)
       case other =>
         throw new PgOutputDecodeException(s"unknown pgoutput message type '$other'")
+    } catch {
+      // one catch type for per-frame error routing (callers shouldn't need
+      // to know ByteBuffer internals to build an error channel)
+      case _: java.nio.BufferUnderflowException =>
+        throw new PgOutputDecodeException(
+          s"truncated '$tag' frame (${payload.length} bytes)")
     }
   }
 

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.decode._
+
+/** `decode_pgoutput(payload binary)` → typed struct: SQL-level inspection
+  * of raw pgoutput frames (SURVEY.md §2.2 Decode: "alternatively
+  * decode_pgoutput(payload) as an Expression"). The streaming sources
+  * decode in plain JVM code (stateful: registry + txn); this expression is
+  * the stateless per-frame view — wire archaeology, frame-log analytics,
+  * dead-letter triage — so CodegenFallback is fine: it is a diagnostic
+  * surface, not the ingest hot path.
+  *
+  * Malformed frames yield a struct with `error` set instead of failing the
+  * query: frame triage must not die on the frame it exists to triage. */
+case class DecodePgOutput(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${child.dataType.catalogString}")
+
+  override def prettyName: String = "decode_pgoutput"
+
+  private val columnStruct = StructType(Seq(
+    StructField("name", StringType), StructField("type_oid", IntegerType),
+    StructField("type_mod", IntegerType), StructField("pk", BooleanType)))
+
+  override val dataType: StructType = StructType(Seq(
+    StructField("msg_type", StringType),
+    StructField("relation_id", IntegerType),
+    StructField("xid", IntegerType),
+    StructField("final_lsn", LongType),
+    StructField("commit_lsn", LongType),
+    StructField("commit_ts_us", LongType),
+    StructField("namespace", StringType),
+    StructField("name", StringType),
+    StructField("replica_identity", StringType),
+    StructField("columns", ArrayType(columnStruct)),
+    StructField("old_kind", StringType),
+    StructField("old_categories", StringType),
+    StructField("old_values", ArrayType(StringType)),
+    StructField("new_categories", StringType),
+    StructField("new_values", ArrayType(StringType)),
+    StructField("truncate_relation_ids", ArrayType(IntegerType)),
+    StructField("error", StringType)))
+
+  private def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+  private def cats(t: TupleData): UTF8String =
+    u(t.columns.map(_.category).mkString)
+  private def vals(t: TupleData): GenericArrayData =
+    new GenericArrayData(t.columns.map(c => u(c.data.orNull)).toArray[Any])
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = new Array[Any](17)
+    try {
+      PgOutputDecoder.decode(input.asInstanceOf[Array[Byte]]) match {
+        case Begin(finalLsn, ts, xid) =>
+          out(0) = u("B"); out(2) = xid; out(3) = finalLsn; out(5) = ts
+        case Commit(_, commitLsn, endLsn, ts) =>
+          out(0) = u("C"); out(3) = endLsn; out(4) = commitLsn; out(5) = ts
+        case Origin(commitLsn, name) =>
+          out(0) = u("O"); out(4) = commitLsn; out(7) = u(name)
+        case Relation(id, ns, name, ri, cols) =>
+          out(0) = u("R"); out(1) = id; out(6) = u(ns); out(7) = u(name)
+          out(8) = u(ri.toString)
+          out(9) = new GenericArrayData(cols.map(c => new GenericInternalRow(
+            Array[Any](u(c.name), c.typeOid, c.typeMod, c.partOfKey))).toArray[Any])
+        case PgType(oid, ns, name) =>
+          out(0) = u("Y"); out(1) = oid; out(6) = u(ns); out(7) = u(name)
+        case Insert(id, t) =>
+          out(0) = u("I"); out(1) = id; out(13) = cats(t); out(14) = vals(t)
+        case Update(id, oldKind, oldT, newT) =>
+          out(0) = u("U"); out(1) = id
+          out(10) = u(oldKind.map(_.toString).orNull)
+          oldT.foreach { t => out(11) = cats(t); out(12) = vals(t) }
+          out(13) = cats(newT); out(14) = vals(newT)
+        case Delete(id, kind, t) =>
+          out(0) = u("D"); out(1) = id; out(10) = u(kind.toString)
+          out(11) = cats(t); out(12) = vals(t)
+        case Truncate(_, ids) =>
+          out(0) = u("T")
+          out(15) = new GenericArrayData(ids.map(Int.box).toArray[Any])
+      }
+    } catch {
+      case e: PgOutputDecodeException => out(16) = u(e.getMessage)
+    }
+    new GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodePgOutput =
+    copy(child = newChild)
+}
+
+object DecodeFrameFunction {
+  def decode_pgoutput(payload: Column): Column =
+    ColumnBridge.column(DecodePgOutput(ColumnBridge.expression(payload)))
+
+  val fnName = "decode_pgoutput"
+  val fnInfo = new ExpressionInfo(classOf[DecodePgOutput].getName, fnName)
+  val fnBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$fnName expects 1 argument")
+    DecodePgOutput(exprs.head)
+  }
+}

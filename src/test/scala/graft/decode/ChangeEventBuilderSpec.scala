@@ -112,6 +112,14 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("PgType ('Y') messages pre-warm registry type names (D6, stubbed in the reference)") {
+    val reg = new SchemaRegistry
+    val b = new ChangeEventBuilder(reg)
+    assert(b.process(1L, PgType(16385, "public", "my_enum")) === Nil)
+    assert(reg.typeName(16385) === Some("public.my_enum"))
+    assert(reg.typeName(99) === None)
+  }
+
   test("seq is strictly monotonic within a builder (LSN tie-break)") {
     val (b, _) = fresh()
     b.process(10L, Begin(100L, 5000L, 1))

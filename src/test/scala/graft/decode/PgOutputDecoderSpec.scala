@@ -122,6 +122,16 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated and empty frames raise the typed decode error (one catch type)") {
+    val e = intercept[PgOutputDecodeException] {
+      PgOutputDecoder.decode(frame("B\\x00\\x00\\x00"))
+    }
+    assert(e.getMessage.contains("truncated 'B' frame"))
+    intercept[PgOutputDecodeException] {
+      PgOutputDecoder.decode(Array.empty[Byte])
+    }
+  }
+
   test("unchanged-TOAST category 'u' is distinct from NULL (decoders.py:131-137)") {
     val tuple = TupleData(Vector(
       ColumnData('t', Some("1")), ColumnData('u', None), ColumnData('n', None)))
