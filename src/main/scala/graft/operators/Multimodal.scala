@@ -26,6 +26,10 @@ object Multimodal {
   /** One sampled frame reference. */
   final case class FrameRef(doc_id: Long, frame_idx: Int, frame_byte: Int)
 
+  /** Extracted features + resize target for one media payload. */
+  final case class MediaFeatures(
+      doc_id: Long, n_probe: Int, byte_sum: Long, resized_w: Int, resized_h: Int)
+
   /** Deterministic stand-in for the real decoder (??? in production terms:
     * swap for libjpeg/ffmpeg behind the same signature). Reads only the
     * payload bytes, so the SQL oracle can reproduce it exactly. */
@@ -42,6 +46,17 @@ object Multimodal {
         val b = if (payload.length > 0) payload(idx % payload.length) & 0xff else 0
         FrameRef(m.doc_id, idx, b)
       }
+
+    /** Feature extraction + resize over the payload: byte-sum over the
+      * first 64 bytes (the "embedding" of the fake codec) and halved
+      * target dimensions. Real codecs slot in behind the same signature. */
+    def extractFeatures(m: MediaMeta, payload: Array[Byte]): MediaFeatures = {
+      val n = math.min(64, payload.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += payload(i) & 0xff; i += 1 }
+      MediaFeatures(m.doc_id, n, s, m.width / 2 + 1, m.height / 2 + 1)
+    }
   }
 
   /** documents → (doc_id, payload binary): the text bytes stand in for an
@@ -65,6 +80,15 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, p) => FakeCodec.sampleFrames(FakeCodec.decode(id, p), p) }
+      }
+  }
+
+  /** Feature-extract + resize: decode → features, one batch per partition. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) => FakeCodec.extractFeatures(FakeCodec.decode(id, p), p) }
       }
   }
 }

@@ -23,6 +23,12 @@ object MultimodalQueries {
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Feature-extract + resize through the per-partition codec batch.
+    "mm_features" -> ((s, d) => {
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
     // Modality-aware aggregate over decoded metadata: joins the decoded
     // stream back to document labels — the "unified wide view" shape.
     "mm_meta_stats" -> ((s, d) => {
@@ -53,6 +59,17 @@ object MultimodalQueries {
          CROSS JOIN (SELECT unnest(range(0, 16, 4)) AS frame_idx) f
          WHERE frame_idx < octet_length(text::BLOB) % 16 + 1
          ORDER BY doc_id, frame_idx""",
+
+    "mm_features" ->
+      """SELECT doc_id,
+           CAST(least(64, octet_length(text::BLOB)) AS INTEGER) AS n_probe,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(1, CAST(least(64, octet_length(text::BLOB)) AS INT) + 1),
+               i -> ord(substr(text, CAST(i AS INT), 1))::BIGINT)),
+             (acc, x) -> acc + x) AS byte_sum,
+           CAST((octet_length(text::BLOB) % 640) // 2 + 1 AS INTEGER) AS resized_w,
+           CAST(((octet_length(text::BLOB) // 640) % 480 + 1) // 2 + 1 AS INTEGER) AS resized_h
+         FROM documents ORDER BY doc_id""",
 
     "mm_meta_stats" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,

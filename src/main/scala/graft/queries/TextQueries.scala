@@ -98,6 +98,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Polynomial rolling hash over the character stream (base 131 mod
+    // 1e9+7) — the classic content-defined fingerprint primitive; exact
+    // integer arithmetic, identical across engines.
+    "text_rolling_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("""aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                           0L, (acc, x) -> (acc * 131 + x) % 1000000007)""").as("rolling_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus term frequency: tokenize → explode → hash agg; top 20 terms.
     "text_termfreq" -> ((s, d) => {
       withWords(Tables.documents(s, d))
@@ -152,6 +163,13 @@ object TextQueries {
          FROM (SELECT doc_id, text, $ShinglesSql AS shingles
                FROM (SELECT doc_id, text, $WsSql AS ws FROM documents) t) t2
          ORDER BY doc_id""",
+
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_hash
+         FROM documents ORDER BY doc_id""",
 
     "text_termfreq" ->
       s"""SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
