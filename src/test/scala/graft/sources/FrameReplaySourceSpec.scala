@@ -47,6 +47,16 @@ class FrameReplaySourceSpec extends AnyFunSuite {
     assert(FrameLog.read(p, 4, 7).size === 3)
   }
 
+  test("a torn tail record is tolerated (WAL-style partial-write recovery)") {
+    val p = Files.createTempDirectory("flog").resolve("log.bin").toString
+    writeLog(p, 3) // 10 frames
+    // append garbage shorter than a record header: a crashed writer's tail
+    val out = new java.io.FileOutputStream(p, true)
+    out.write(Array[Byte](0, 0, 0, 9)); out.close()
+    assert(FrameLog.count(p) === 10) // torn tail ignored, intact prefix kept
+    assert(FrameLog.read(p).size === 10)
+  }
+
   test("batch read decodes the full log into envelope rows") {
     val p = Files.createTempDirectory("flog").resolve("log.bin").toString
     writeLog(p, 10)
