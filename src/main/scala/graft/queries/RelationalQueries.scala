@@ -319,6 +319,20 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Statistical aggregates (rounded: Welford-style accumulation differs
+    // in last ulps across engines) + exact interpolated percentile.
+    "q28_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -492,5 +506,14 @@ object RelationalQueries {
     "q27_arg_extremes" ->
       """SELECT event_type, arg_max(event_id, ts) AS latest_event_id,
            arg_min(event_id, ts) AS earliest_event_id, MAX(ts) AS latest_ts
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q28_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
