@@ -148,6 +148,12 @@ object PgOutputDecoder {
         case 'n' | 'u' => cols += ColumnData(cat, None)
         case 't' =>
           val len = buf.getInt()
+          // length must fit the remaining frame: garbage input must raise
+          // the typed error, not NegativeArraySizeException or an OOM-sized
+          // allocation
+          if (len < 0 || len > buf.remaining())
+            throw new PgOutputDecodeException(
+              s"tuple column length $len exceeds frame remainder ${buf.remaining()}")
           val bytes = new Array[Byte](len)
           buf.get(bytes)
           cols += ColumnData('t', Some(new String(bytes, StandardCharsets.UTF_8)))

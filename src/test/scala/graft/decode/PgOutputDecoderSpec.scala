@@ -143,6 +143,23 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     assert(!decoded.newTuple.columns(2).isUnchangedToast)
   }
 
+  test("fuzz: random garbage never escapes the typed error channel (500 payloads)") {
+    val rnd = new scala.util.Random(1234)
+    var decoded = 0
+    var rejected = 0
+    (1 to 500).foreach { _ =>
+      val payload = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(payload)
+      try { PgOutputDecoder.decode(payload); decoded += 1 }
+      catch {
+        case _: PgOutputDecodeException => rejected += 1
+        // anything else (NegativeArraySize, OOM-sized alloc, NPE) fails
+      }
+    }
+    assert(decoded + rejected === 500)
+    assert(rejected > 400) // random bytes are overwhelmingly invalid
+  }
+
   // --- round-trip properties (encode → decode === identity) ---
 
   private val genName: Gen[String] =

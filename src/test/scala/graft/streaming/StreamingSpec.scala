@@ -109,6 +109,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1, 2L, 13L), (2, 1L, 22L)))
   }
 
+  test("mergeBatch is idempotent under batch replay (at-least-once sink contract)") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("idem")
+    val p = dir.resolve("log.bin").toString
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(10, PgOutputEncoder.encode(Begin(14, 1000, 1))),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Update(6, None, None, TupleData(Vector(t("1"), t("b")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("x")))))),
+      FrameLog.Entry(14, PgOutputEncoder.encode(Commit(0, 14, 14, 1000)))))
+    val batch = spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    val stateDir = dir.resolve("state").toString
+    Streams.mergeBatch(batch, rel, Seq("id"), stateDir)
+    val once = Streams.materializedState(spark, rel, stateDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // replay the SAME batch (crash between sink write and checkpoint commit)
+    Streams.mergeBatch(batch, rel, Seq("id"), stateDir)
+    val twice = Streams.materializedState(spark, rel, stateDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(once === Seq((1L, "b"), (2L, "x")))
+    assert(twice === once)
+  }
+
   test("jsonEnvelope renders one parseable JSON document per event (K1 default sink)") {
     val rel = Relation(5, "public", "j", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
