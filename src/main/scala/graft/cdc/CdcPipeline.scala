@@ -114,6 +114,70 @@ object CdcPipeline {
     }
   }
 
+  val LineitemRelId = 50002
+
+  /** Composite-pk relation: (l_orderkey, l_linenumber, l_partkey,
+    * l_suppkey) — the 4 columns are jointly unique in the test data —
+    * exercising multi-column key extraction and compaction through the
+    * wire path. */
+  val lineitemRelation: Relation = Relation(
+    LineitemRelId, "public", "lineitem", 'd',
+    Vector(
+      RelationColumn(partOfKey = true, "l_orderkey", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = true, "l_linenumber", TypedView.Oid.Int4, -1),
+      RelationColumn(partOfKey = true, "l_partkey", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = true, "l_suppkey", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "l_quantity", TypedView.Oid.Float8, -1),
+      RelationColumn(partOfKey = false, "l_returnflag", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "l_shipdate", TypedView.Oid.Timestamptz, -1)))
+
+  /** lineitem → frames with a key-dependent DML pattern:
+    * insert all; (ok+ln)%5==0 → update quantity+1 (no old image);
+    * (ok+ln)%9==0 → delete with key-only composite image.
+    * LSNs collide across different (partkey, suppkey) rows sharing
+    * (ok, ln) — harmless: compaction orders within a key only, and each
+    * key's own events have distinct offsets. */
+  def lineitemToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"), unix_micros(col("l_shipdate")).as("ship_us"))
+    val relFrame = PgOutputEncoder.encode(lineitemRelation)
+    li.as[(Long, Int, Long, Long, Double, String, Long)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      def n = ColumnData('n', None)
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (ok, ln, pk, sk, qty, rf, shipUs) =>
+        val base = ok * 32 + ln * 4
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(shipUs)
+        def full(q: Double) = TupleData(Vector(
+          t(ok.toString), t(ln.toString), t(pk.toString), t(sk.toString),
+          t(q.toString), t(rf), t(pgTimestampText(shipUs))))
+        val ins = Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 1, ts, ok.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(LineitemRelId, full(qty))),
+          (base + 1) -> PgOutputEncoder.encode(Commit(0, base + 1, base + 1, ts)))
+        val upd = if ((ok + ln) % 5 == 0) Seq(
+          (base + 2) -> PgOutputEncoder.encode(Update(LineitemRelId, None, None, full(qty + 1.0))))
+        else Nil
+        val del = if ((ok + ln) % 9 == 0) Seq(
+          (base + 3) -> PgOutputEncoder.encode(Delete(LineitemRelId, 'K',
+            TupleData(Vector(t(ok.toString), t(ln.toString), t(pk.toString), t(sk.toString),
+              n, n, n)))))
+        else Nil
+        ins ++ upd ++ del
+      }
+      rel ++ dml
+    }
+  }
+
+  /** Composite-key wire slice: frames → decode → compact on the two-column
+    * pk → typed state. */
+  def materializedLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = decodeFrames(lineitemToFrames(spark, sfDir)).toDF()
+    Cdc.materialize(events, lineitemRelation)
+  }
+
   /** Binary frames → envelope rows. Pure per-partition decode: each
     * partition carries its own leading Relation frame, so no cross-partition
     * schema dependency exists (the streaming source does the same per

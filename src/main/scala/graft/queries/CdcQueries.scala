@@ -40,6 +40,14 @@ object CdcQueries {
       finish(CdcPipeline.materializedOrders(s, d,
         DmlPattern(updates = true, toastPriorityOnUpdate = true)))),
 
+    // Composite primary key (l_orderkey, l_linenumber): multi-column key
+    // extraction, key-only delete images, compaction on a two-column pk.
+    "cdc_composite_key" -> ((s, d) =>
+      CdcPipeline.materializedLineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -65,6 +73,13 @@ object CdcQueries {
            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
            o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+
+    "cdc_composite_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CASE WHEN (l_orderkey + l_linenumber) % 5 = 0 THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+           l_returnflag, l_shipdate
+         FROM lineitem WHERE (l_orderkey + l_linenumber) % 9 <> 0
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 
     "cdc_truncate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
