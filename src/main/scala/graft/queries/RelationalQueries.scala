@@ -319,6 +319,32 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Non-equi range join: events against a (small, broadcast) derived
+    // calendar dimension on ts ∈ [month, next month) — the range-join shape
+    // (SURVEY.md §2.2 Joins "range/as-of style").
+    "q29_range_join" -> ((s, d) => {
+      val weeks = Tables.events(s, d)
+        .select(date_trunc("week", col("ts")).as("w_start"))
+        .distinct()
+        .withColumn("w_end", (col("w_start") + expr("INTERVAL 7 DAYS")).cast(TimestampType))
+      val e = Tables.events(s, d)
+      e.join(broadcast(weeks),
+          e("ts") >= weeks("w_start") && e("ts") < weeks("w_end"))
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Pivot: event types to columns (explicit value list → stable schema).
+    "q30_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "error", "purchase", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     // Statistical aggregates (rounded: Welford-style accumulation differs
     // in last ulps across engines) + exact interpolated percentile.
     "q28_stats" -> ((s, d) => {
@@ -507,6 +533,22 @@ object RelationalQueries {
       """SELECT event_type, arg_max(event_id, ts) AS latest_event_id,
            arg_min(event_id, ts) AS earliest_event_id, MAX(ts) AS latest_ts
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q29_range_join" ->
+      s"""WITH weeks AS (SELECT DISTINCT date_trunc('week', ts) AS w_start FROM events)
+         SELECT CAST(w_start AS TIMESTAMP) AS w_start, COUNT(*) AS n, ${DSUM.format("value")} AS total
+         FROM events e JOIN weeks w
+           ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 7 DAY
+         GROUP BY 1 ORDER BY w_start""",
+
+    "q30_pivot" ->
+      """SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q28_stats" ->
       """SELECT l_returnflag,

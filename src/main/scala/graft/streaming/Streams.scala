@@ -115,6 +115,24 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each error joined to the same user's
+    * clicks within the preceding 30 minutes. Both sides watermarked, so
+    * join state is bounded by interval + watermark — the canonical
+    * stream-stream shape. */
+  def errorsWithRecentClicks(events: DataFrame,
+      watermark: String = "1 hour", window_ : String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+      .withWatermark("e_ts", watermark)
+    errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $window_") &&
+        col("c_ts") <= col("e_ts"))
+  }
+
   /** The reference's default sink logs each event as JSON
     * (stores.py:104-118, K1); here: envelope rows → one JSON document per
     * event, ready for console/Kafka-style value sinks. */

@@ -109,6 +109,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1, 2L, 13L), (2, 1L, 22L)))
   }
 
+  test("stream-stream interval join matches the batch computation") {
+    val batchEvents = graft.Tables.events(spark, sfDir)
+    val expected = Streams.errorsWithRecentClicks(batchEvents).count()
+    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.errorsWithRecentClicks(src).writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*) FROM ssj_out").first().getLong(0)
+    assert(expected > 0)
+    assert(got === expected) // single-batch AvailableNow: no rows past watermark
+  }
+
   test("mergeBatch is idempotent under batch replay (at-least-once sink contract)") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
