@@ -345,6 +345,18 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Session windows in batch mode (same expression the streaming variant
+    // uses): per-user gap-based sessions, checked against a gaps-and-islands
+    // SQL oracle.
+    "q31_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Statistical aggregates (rounded: Welford-style accumulation differs
     // in last ulps across engines) + exact interpolated percentile.
     "q28_stats" -> ((s, d) => {
@@ -549,6 +561,23 @@ object RelationalQueries {
            COUNT(*) FILTER (event_type = 'purchase') AS purchase,
            COUNT(*) FILTER (event_type = 'signup') AS signup
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q31_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM o)
+         SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           user_id, COUNT(*) AS n
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     "q28_stats" ->
       """SELECT l_returnflag,
