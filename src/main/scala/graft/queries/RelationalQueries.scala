@@ -345,6 +345,21 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Bag-semantics set ops: INTERSECT ALL keeps min multiplicities,
+    // EXCEPT ALL subtracts them — the duplicate-aware complement of q15.
+    "q32_setops_all" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).filter(col("l_quantity") < 10)
+        .select(col("l_returnflag").as("f"), col("l_linenumber").as("ln"))
+      val b = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 30 && col("l_quantity") < 35)
+        .select(col("l_returnflag").as("f"), col("l_linenumber").as("ln"))
+      a.intersectAll(b).withColumn("tag", lit("inter_all"))
+        .union(a.exceptAll(b).withColumn("tag", lit("except_all")))
+        .groupBy(col("tag"), col("f"), col("ln"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("tag"), col("f"), col("ln"))
+    }),
+
     // Session windows in batch mode (same expression the streaming variant
     // uses): per-user gap-based sessions, checked against a gaps-and-islands
     // SQL oracle.
@@ -561,6 +576,15 @@ object RelationalQueries {
            COUNT(*) FILTER (event_type = 'purchase') AS purchase,
            COUNT(*) FILTER (event_type = 'signup') AS signup
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q32_setops_all" ->
+      """WITH a AS (SELECT l_returnflag AS f, l_linenumber AS ln FROM lineitem WHERE l_quantity < 10),
+            b AS (SELECT l_returnflag AS f, l_linenumber AS ln FROM lineitem WHERE l_quantity >= 30 AND l_quantity < 35)
+         SELECT tag, f, ln, COUNT(*) AS n FROM (
+           SELECT 'inter_all' AS tag, * FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+           UNION ALL
+           SELECT 'except_all' AS tag, * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)) t
+         GROUP BY tag, f, ln ORDER BY tag, f, ln""",
 
     "q31_session_window" ->
       """WITH o AS (
