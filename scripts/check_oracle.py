@@ -47,8 +47,20 @@ def main(sf_dir, out_dir):
             print(f"SCHEMA-MISMATCH {name}: spark={scols} oracle={ocols}")
             n_fail += 1
             continue
-        srows = spark_rel.select(*scols).fetchall()
-        orows = oracle_rel.select(*ocols).fetchall()
+        # Go through pandas like the driver does: this surfaces driver-only
+        # failure modes — array cells are unhashable in sort_values, and
+        # DuckDB HUGEINT (int128, e.g. SUM of ints) widens to float64.
+        try:
+            sdf = spark_rel.select(*scols).df()
+            odf = oracle_rel.select(*ocols).df()
+            sdf.sort_values(by=list(sdf.columns))
+            odf.sort_values(by=list(odf.columns))
+            srows = list(sdf.itertuples(index=False, name=None))
+            orows = list(odf.itertuples(index=False, name=None))
+        except Exception as e:
+            print(f"PANDAS-COMPARE-ERROR {name}: {e}")
+            n_fail += 1
+            continue
         if len(srows) != len(orows):
             print(f"ROWCOUNT-MISMATCH {name}: spark={len(srows)} oracle={len(orows)}")
             n_fail += 1

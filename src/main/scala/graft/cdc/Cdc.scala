@@ -57,7 +57,21 @@ object Cdc {
     */
   def compactFillingToast(events: DataFrame, keyColumns: Seq[String]): DataFrame = {
     val keyExprs = keyColumns.map(k => element_at(col("key"), k).as(s"__k_$k"))
-    val withKeys = events.filter(col("op") =!= "T").select(col("*") +: keyExprs: _*)
+    // Truncate high-water mark, same broadcast shape as compact(). Events at
+    // or before the latest 'T' are dropped BEFORE the fold: the truncated
+    // rows no longer exist, so their images must not survive — and must not
+    // fill TOAST columns of post-truncate events either (a post-truncate
+    // INSERT is a fresh row; Postgres can't send 'u' referring to it).
+    val truncLsn = events.filter(col("op") === "T")
+      .agg(max(struct(col("lsn"), col("seq"))).as("t"))
+      .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
+              coalesce(col("t.seq"), lit(Long.MinValue)).as("__trunc_seq"))
+    val withKeys = events.filter(col("op") =!= "T")
+      .crossJoin(broadcast(truncLsn))
+      .filter(struct(col("lsn"), col("seq")) >
+        struct(col("__trunc_lsn"), col("__trunc_seq")))
+      .drop("__trunc_lsn", "__trunc_seq")
+      .select(col("*") +: keyExprs: _*)
 
     // Per key: sort events by (lsn, seq), fold images left-to-right.
     //   I/U: new state = after ∪ (previous state restricted to TOASTed cols)

@@ -172,8 +172,24 @@ final class ChangeEventBuilder(
         case Some('K') => (keyImage(oldTuple.get, rel), Nil) // key-only old image
         case _ => (null, Nil) // key unchanged; old image not sent
       }
-      val key = if (before != null) before else pkProjection(after, rel)
-      Seq(event("U", lsn, rel, key, before, after, beforeToasted, afterToasted))
+      val newPk = pkProjection(after, rel)
+      val oldPk = if (before != null) pkProjection(before, rel) else newPk
+      if (before != null && oldPk.nonEmpty && oldPk != newPk) {
+        // Primary-key-changing update (the old image 'K'/'O' was sent
+        // precisely because the key changed): a single 'U' keyed by either
+        // key would strand or duplicate a pk in last-LSN-wins compaction.
+        // Emit Debezium-style 'D'(old key) + 'I'(new key) instead; seq
+        // ordering makes the delete sort strictly before the insert.
+        // Note the 'I' carries afterToasted as-is — a TOASTed column of a
+        // key-changing update has no prior state under the NEW key to fill
+        // from, which mirrors Debezium's incomplete-new-row behavior.
+        Seq(
+          event("D", lsn, rel, before, before, null, beforeToasted, Nil),
+          event("I", lsn, rel, newPk, null, after, Nil, afterToasted))
+      } else {
+        val key = if (before != null) before else newPk
+        Seq(event("U", lsn, rel, key, before, after, beforeToasted, afterToasted))
+      }
 
     case Delete(relId, kind, oldTuple) =>
       val rel = registry.getOrThrow(relId)

@@ -277,11 +277,14 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
-    // Ordered array aggregation (collect + sort inside groups).
+    // Ordered array aggregation (collect + sort inside groups). Serialized
+    // to a pipe-joined string: the gate's comparator sorts rows in pandas,
+    // and raw array cells are unhashable there — the aggregation under test
+    // (collect_list + sort_array + transform) is unchanged.
     "q24_array_agg" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type), '|')")
           .as("types_in_order"), count(lit(1)).as("n"))
         .orderBy(col("user_id"))
     }),
@@ -548,7 +551,7 @@ object RelationalQueries {
          WHERE rn = 1 ORDER BY user_id""",
 
     "q24_array_agg" ->
-      """SELECT user_id, list(event_type ORDER BY ts, event_id) AS types_in_order, COUNT(*) AS n
+      """SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS types_in_order, COUNT(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q25_grouping_sets" ->

@@ -92,10 +92,13 @@ object SimilarityQueries {
     "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
   private def cosSql(a: String, b: String) =
     s"${DotSql.format(a, b)} / (sqrt(${DotSql.format(a, a)}) * sqrt(${DotSql.format(b, b)}))"
+  // CAST the SUM to BIGINT: DuckDB's integer SUM yields HUGEINT (int128),
+  // which pandas (the gate's comparator) widens to float64 — "211.0" vs
+  // Spark's "211" would hash-mismatch on otherwise identical values.
   private val SigSql =
     s"""SELECT e.vec_id, e.label, e.embedding,
-          SUM(CASE WHEN ${DotSql.format("e.embedding", "p.embedding")} > 0
-                   THEN 1 << p.vec_id ELSE 0 END) AS sig
+          CAST(SUM(CASE WHEN ${DotSql.format("e.embedding", "p.embedding")} > 0
+                   THEN 1 << p.vec_id ELSE 0 END) AS BIGINT) AS sig
         FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) p
         GROUP BY e.vec_id, e.label, e.embedding"""
 

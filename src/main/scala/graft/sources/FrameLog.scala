@@ -34,13 +34,19 @@ object FrameLog {
     n
   }
 
-  /** Lazily iterate entries [from, until) by record index. */
-  def read(path: String, from: Long = 0L, until: Long = Long.MaxValue): Iterator[Entry] =
-    new Iterator[Entry] {
+  /** Lazily iterate entries [from, until) by record index. Closeable so
+    * callers that stop early (LIMIT, task cancellation) can release the
+    * file handle instead of leaking one per task; close() is idempotent
+    * and also happens automatically on exhaustion / `until`. */
+  def read(path: String, from: Long = 0L, until: Long = Long.MaxValue): Iterator[Entry] with java.io.Closeable =
+    new Iterator[Entry] with java.io.Closeable {
       private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
       private var idx = 0L
       private var nextEntry: Entry = null
       private var closed = false
+
+      override def close(): Unit =
+        if (!closed) { closed = true; in.close() }
 
       private def advance(): Unit = {
         nextEntry = null

@@ -162,5 +162,7 @@ final class FramePartitionReader(p: FrameRange) extends PartitionReader[Internal
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // Tasks that terminate early (LIMIT, cancellation, downstream failure)
+  // must not leak the log's file handle.
+  override def close(): Unit = entries.close()
 }

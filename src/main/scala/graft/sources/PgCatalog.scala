@@ -33,6 +33,12 @@ final class PgCatalog(runQuery: String => Seq[Seq[Any]]) extends Serializable {
 }
 
 object PgCatalog {
+  /** SQL string-literal escaping (single quotes doubled): identifiers such
+    * as namespace/table names are interpolated as *literals* into catalog
+    * queries, and a name containing a quote must not break the query or
+    * inject SQL. */
+  def sqlLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** The two catalog queries the reference issues (utils.py:79-94). */
   def formatTypeSql(typeOid: Int, typeMod: Int): String =
     s"SELECT format_type($typeOid, $typeMod)"
@@ -42,7 +48,7 @@ object PgCatalog {
        |FROM pg_attribute a
        |JOIN pg_class c ON a.attrelid = c.oid
        |JOIN pg_namespace n ON c.relnamespace = n.oid
-       |WHERE n.nspname = '$namespace' AND c.relname = '$table' AND a.attnum > 0
+       |WHERE n.nspname = ${sqlLiteral(namespace)} AND c.relname = ${sqlLiteral(table)} AND a.attnum > 0
        |""".stripMargin
 }
 

@@ -129,13 +129,17 @@ object PgJdbcReplication {
   * access (public docs: logicaldecoding-snapshot). */
 object PgSnapshotSync {
 
+  /** Double-quoted Postgres identifier (embedded quotes doubled) — names
+    * from config/options must not break or inject into bootstrap SQL. */
+  def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
   /** The statements a first start issues, in order. Exposed as data so the
     * sequence is unit-testable without a live database. */
   def bootstrapStatements(slot: String, publication: String): Seq[String] = Seq(
-    s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput EXPORT_SNAPSHOT",
+    s"CREATE_REPLICATION_SLOT ${quoteIdent(slot)} LOGICAL pgoutput EXPORT_SNAPSHOT",
     "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ",
     "SET TRANSACTION SNAPSHOT '<snapshot-name-from-create>'",
-    s"SELECT schemaname, tablename FROM pg_publication_tables WHERE pubname = '$publication'",
+    s"SELECT schemaname, tablename FROM pg_publication_tables WHERE pubname = ${PgCatalog.sqlLiteral(publication)}",
     "-- per table: SELECT * (batch JDBC read pinned to the snapshot)",
     "COMMIT")
 
@@ -149,9 +153,10 @@ object PgSnapshotSync {
     spark.read.format("jdbc")
       .option("url", jdbcUrl)
       .option("dbtable",
-        s"(SELECT * FROM $table) AS snap /* pinned via SET TRANSACTION SNAPSHOT '$snapshotName' */")
+        s"(SELECT * FROM ${table.split('.').map(quoteIdent).mkString(".")}) AS snap")
       .option("sessionInitStatement",
-        s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '$snapshotName'")
+        s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
+          s"SET TRANSACTION SNAPSHOT ${PgCatalog.sqlLiteral(snapshotName)}")
       .load()
   }
 }

@@ -46,7 +46,12 @@ object Streams {
   }
 
   private[streaming] def mergeBatch(
-      batch: DataFrame, rel: Relation, keys: Seq[String], stateDir: String): Unit = {
+      batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String): Unit = {
+    // An envelope stream can interleave several relations (a frame log with
+    // multiple tables) plus relation-less B/C markers (relation_id = -1);
+    // merging foreign events under this table's key columns would produce
+    // null-key groups and bogus rows. Keep only this relation's events.
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
     val spark = batch.sparkSession
     val dir = new java.io.File(stateDir)
     val existing =

@@ -88,6 +88,28 @@ class CdcSpec extends AnyFunSuite {
     assert(out === Map("1" -> null))
   }
 
+  test("truncate clears state in compactFillingToast; later rows survive") {
+    val events = Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "old")),
+      ev("T", 20, 2, null, null).copy(key = Map.empty),
+      ev("I", 30, 3, "2", Map("id" -> "2", "v" -> "new")))
+    import spark.implicits._
+    val df = spark.createDataset(events).toDF()
+    val out = Cdc.compactFillingToast(df, Seq("id")).collect()
+    assert(out.length === 1)
+    assert(out.head.getMap[String, String](out.head.fieldIndex("after"))("id") === "2")
+  }
+
+  test("truncate also severs TOAST repair: post-truncate update can't fill from pre-truncate image") {
+    val out = compactIds(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "fat-value")),
+      ev("T", 20, 2, null, null).copy(key = Map.empty),
+      ev("I", 30, 3, "1", Map("id" -> "1", "v" -> "fresh")),
+      ev("U", 40, 4, "1", Map("id" -> "1"), toasted = Seq("v"))), fillToast = true)
+    // fills from the post-truncate insert, never from the truncated row
+    assert(out === Map("1" -> "fresh"))
+  }
+
   test("plain compact ignores TOAST (documented contrast with compactFillingToast)") {
     val out = compactIds(Seq(
       ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "fat-value")),

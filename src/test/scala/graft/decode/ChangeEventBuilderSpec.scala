@@ -34,16 +34,29 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     assert(b.process(12L, Commit(0, 100L, 101L, 5000L)) === Nil)
   }
 
-  test("update with key-only old image: key from before, not after (T6)") {
+  test("pk-changing update splits into D(old key) + I(new key), Debezium-style") {
     val (b, _) = fresh()
     b.process(10L, Begin(100L, 5000L, 1))
-    val ev = b.process(11L, Update(99, Some('K'),
+    val evs = b.process(11L, Update(99, Some('K'),
       Some(TupleData(Vector(t("7"), n, n))),
-      TupleData(Vector(t("8"), t("bob"), t("x"))))).head
-    assert(ev.op === "U")
-    assert(ev.before === Map("id" -> "7"))
-    assert(ev.key === Map("id" -> "7")) // pk *changed*: key must be the OLD pk
-    assert(ev.after("id") === "8")
+      TupleData(Vector(t("8"), t("bob"), t("x")))))
+    // a single 'U' keyed by either pk would strand the old key or never
+    // materialize the new one under last-LSN-wins compaction
+    assert(evs.map(_.op) === Seq("D", "I"))
+    val Seq(d, i) = evs
+    assert(d.key === Map("id" -> "7") && d.before === Map("id" -> "7") && d.after === null)
+    assert(i.key === Map("id" -> "8") && i.before === null && i.after("id") === "8")
+    assert(d.lsn === i.lsn && d.seq < i.seq) // delete sorts strictly first
+  }
+
+  test("key-only old image with unchanged pk stays a single U keyed by before (T6)") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val evs = b.process(11L, Update(99, Some('K'),
+      Some(TupleData(Vector(t("7"), n, n))),
+      TupleData(Vector(t("7"), t("bob"), t("x")))))
+    assert(evs.map(_.op) === Seq("U"))
+    assert(evs.head.key === Map("id" -> "7"))
   }
 
   test("update with REPLICA IDENTITY FULL old image keeps all old columns") {

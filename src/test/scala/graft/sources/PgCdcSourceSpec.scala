@@ -79,10 +79,18 @@ class PgCdcSourceSpec extends AnyFunSuite {
 
   test("bootstrap statement sequence covers slot + snapshot + publication enumeration (S2)") {
     val stmts = PgSnapshotSync.bootstrapStatements("my_slot", "my_pub")
-    assert(stmts.head.contains("CREATE_REPLICATION_SLOT my_slot LOGICAL pgoutput"))
+    assert(stmts.head.contains("CREATE_REPLICATION_SLOT \"my_slot\" LOGICAL pgoutput"))
     assert(stmts.exists(_.contains("EXPORT_SNAPSHOT")))
     assert(stmts.exists(_.contains("REPEATABLE READ")))
     assert(stmts.exists(_.contains("SET TRANSACTION SNAPSHOT")))
     assert(stmts.exists(_.contains("pg_publication_tables")))
+  }
+
+  test("identifiers and literals in bootstrap SQL are escape-safe (no injection)") {
+    val stmts = PgSnapshotSync.bootstrapStatements("""sl"ot""", "pu'b")
+    assert(stmts.head.contains("\"sl\"\"ot\""))
+    assert(stmts.exists(_.contains("pubname = 'pu''b'")))
+    assert(PgCatalog.attNotNullSql("n's", "t'bl").contains("'n''s'"))
+    assert(PgCatalog.attNotNullSql("n's", "t'bl").contains("'t''bl'"))
   }
 }

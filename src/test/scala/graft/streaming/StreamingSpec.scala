@@ -150,6 +150,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(twice === once)
   }
 
+  test("mergeBatch ignores foreign relations interleaved in the envelope batch") {
+    val relA = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    // foreign table with a DIFFERENT key column: without the relation filter
+    // its events would form null-key groups and bogus rows in relA's state
+    val relB = Relation(8, "public", "other", 'd', Vector(
+      RelationColumn(partOfKey = true, "oid", TypedView.Oid.Int8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("multirel")
+    val p = dir.resolve("log.bin").toString
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(relA)),
+      FrameLog.Entry(1, PgOutputEncoder.encode(relB)),
+      FrameLog.Entry(10, PgOutputEncoder.encode(Begin(15, 1000, 1))),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(8, TupleData(Vector(t("99")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Insert(8, TupleData(Vector(t("98")))))),
+      FrameLog.Entry(14, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("b")))))),
+      FrameLog.Entry(15, PgOutputEncoder.encode(Commit(0, 15, 15, 1000)))))
+    val batch = spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    val stateDir = dir.resolve("state").toString
+    Streams.mergeBatch(batch, relA, Seq("id"), stateDir)
+    val got = Streams.materializedState(spark, relA, stateDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("truncate through mergeBatch wipes prior state; later inserts survive") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("truncmerge")
+    val stateDir = dir.resolve("state").toString
+    // batch 1: two inserts → state {1, 2}
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(10, PgOutputEncoder.encode(Begin(13, 1000, 1))),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("b")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Commit(0, 13, 13, 1000)))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeBatch(b1, rel, Seq("id"), stateDir)
+    // batch 2: truncate, then one insert → only the post-truncate row remains.
+    // Prior state re-enters the merge as low-water events (lsn < truncate's),
+    // so the high-water filter must clear it.
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(20, PgOutputEncoder.encode(Begin(23, 2000, 2))),
+      FrameLog.Entry(21, PgOutputEncoder.encode(Truncate(0, Vector(6)))),
+      FrameLog.Entry(22, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("3"), t("c")))))),
+      FrameLog.Entry(23, PgOutputEncoder.encode(Commit(0, 23, 23, 2000)))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    Streams.mergeBatch(b2, rel, Seq("id"), stateDir)
+    val got = Streams.materializedState(spark, rel, stateDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((3L, "c")))
+  }
+
   test("jsonEnvelope renders one parseable JSON document per event (K1 default sink)") {
     val rel = Relation(5, "public", "j", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
