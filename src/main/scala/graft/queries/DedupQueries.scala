@@ -73,25 +73,43 @@ object DedupQueries {
     *
     * Shape: compress tokens to per-doc (token, count) first — weighted ±cnt
     * sums over distinct tokens equal the per-instance sums, at ~10× fewer
-    * rows on a small vocabulary — then one narrow explode of the 64 bit
-    * indexes and two partial-agg levels. A 64-column aggregate alternative
-    * generates a class janino takes ~20s to compile (one-time per JVM, but
-    * the bench always pays it); this shape's codegen is small. */
-  private def simhashes(s: SparkSession, d: String): DataFrame =
+    * rows on a small vocabulary — then one narrow explode of 8 digit-group
+    * indexes (4 hex digits = 8 bits per row, 8 conditional sums) and two
+    * partial-agg levels. Exploding all 64 bit indexes individually measured
+    * ~7 s at sf0.1 — 8× the shuffled rows for the same information; a
+    * 64-column aggregate at the other extreme generates a class janino
+    * takes ~20 s to compile (paid every bench run). 8×8 is the sweet spot:
+    * small codegen, 8× fewer rows. */
+  private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
+    // per row: digit group k covers hex digits g = 4k+m (m 0..3), providing
+    // bits j = 2g+b = 8k+2m+b for b∈{0,1} (b picks nibble bit 1 or 3, as in
+    // the j-indexed formula (nib(j/2) >> (2*(j%2)+1)) % 2)
+    val digits = (0 until 4).map(m =>
+      expr(s"cast(conv(substring(h, 4*k+${m + 1}, 1), 16, 10) as int)").as(s"d$m"))
+    val sums = (0 until 8).map { i =>
+      val (m, b) = (i / 2, i % 2)
+      sum(when(expr(s"(d$m >> ${2 * b + 1}) % 2") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$i")
+    }
+    val contrib = (0 until 8).map { i =>
+      // bit j = 8k+i; j=63 (k=7,i=7) is the sign bit — shiftleft(1L,63)
+      // equals Long.MinValue anyway, but keep the literal for clarity/parity
+      // with the DuckDB oracle's HUGEINT-guarded CASE.
+      when(col(s"s$i") > 0,
+        expr(s"CASE WHEN k = 7 AND $i = 7 THEN -9223372036854775808L ELSE shiftleft(1L, 8*k+$i) END"))
+        .otherwise(0L)
+    }.reduce(_ + _)
     withWords(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("w").cast(BinaryType)))
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(expr("sequence(0, 63)")).as("j"))
-      .withColumn("bit", expr(
-        "(cast(conv(substring(h, CAST(j / 2 AS INT) + 1, 1), 16, 10) AS INT) >> (2 * (j % 2) + 1)) % 2"))
-      .withColumn("v", when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("j")).agg(sum(col("v")).as("s"))
+      .select(Seq(col("doc_id"), col("cnt"), explode(expr("sequence(0, 7)")).as("k")) ++
+        Seq(col("h")): _*)
+      .select(Seq(col("doc_id"), col("cnt"), col("k")) ++ digits: _*)
+      .groupBy(col("doc_id"), col("k")).agg(sums.head, sums.tail: _*)
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("CASE WHEN j = 63 THEN -9223372036854775808L ELSE shiftleft(1L, j) END"))
-        .otherwise(0L)).as("simhash"))
+      .agg(sum(contrib).as("simhash"))
+  }
 
   /** Left-fold double dot product — the fused native expression
     * (graft.functions.FloatVectorDot), bit-identical to
