@@ -119,6 +119,23 @@ object DedupQueries {
   private[queries] def dotD(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vector_dot(a, b)
 
+  /** Distinct candidate pairs (a_id < b_id) sharing any MinHash LSH band
+    * bucket (4 bands × 3 rows). The banded table is persisted: it is tiny
+    * (4 rows/doc) and feeds both self-join branches — recomputing the
+    * signature pipeline per branch measured ~5× slower than the join. */
+  private[queries] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val banded = minhashSignatures(s, d)
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
+      .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
+        expr("sig[3*b]"), expr("sig[3*b+1]"), expr("sig[3*b+2]")))
+      .select(col("doc_id"), col("bucket"))
+      .persist()
+    banded.as("x").join(banded.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
   private[queries] def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
@@ -159,21 +176,49 @@ object DedupQueries {
 
     // MinHash LSH candidate pairs: 4 bands × 3 rows; pairs sharing any
     // band bucket.
-    "dedup_minhash_pairs" -> ((s, d) => {
-      // persist the banded signature table: it is tiny (4 rows/doc) and
-      // feeds both self-join branches — recomputing the signature pipeline
-      // per branch measured ~5× slower than the join itself.
-      val banded = minhashSignatures(s, d)
-        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
-        .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
-          expr("sig[3*b]"), expr("sig[3*b+1]"), expr("sig[3*b+2]")))
-        .select(col("doc_id"), col("bucket"))
-        .persist()
-      banded.as("x").join(banded.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-        .orderBy(col("a_id"), col("b_id"))
+    "dedup_minhash_pairs" -> ((s, d) =>
+      minhashCandidatePairs(s, d).orderBy(col("a_id"), col("b_id"))),
+
+    // Near-dup clusters: connected components over the LSH candidate-pair
+    // graph, each doc labeled with its cluster's canonical keeper (min
+    // doc_id) — the step a training pipeline runs after pair finding to
+    // keep exactly one representative per duplicate group (transitive:
+    // a~b, b~c ⇒ one cluster even if a,c never share a bucket).
+    //
+    // Implemented as iterative min-label propagation: each round every
+    // vertex takes the min label among itself and its neighbors; converges
+    // in diameter(component) rounds — dup clusters are tiny, so 2-4 rounds.
+    // Each round is one join + one agg (pk-partitioned); at 100 TB the same
+    // loop holds (components stay small; the classic large-star/small-star
+    // variant bounds rounds at O(log n) if ever needed).
+    "dedup_clusters" -> ((s, d) => {
+      // persist pairs: both direction branches of the edge union scan it,
+      // and the bucket self-join behind it is the expensive part
+      val pairs = minhashCandidatePairs(s, d).persist()
+      val edges = pairs.union(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
+      var labels = edges.select(col("a_id").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).persist()
+      // Convergence check without a join: propagation only ever lowers
+      // labels, so sum(label) strictly decreases until the fixpoint.
+      var prevSum = Long.MaxValue
+      var curSum = labels.agg(sum(col("label"))).head().getLong(0)
+      while (curSum < prevSum) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("b_doc"), col("label").as("b_label")),
+            col("b_id") === col("b_doc"))
+          .groupBy(col("a_id")).agg(min(col("b_label")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, col("doc_id") === col("a_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .persist()
+        prevSum = curSum
+        curSum = next.agg(sum(col("label"))).head().getLong(0)
+        labels.unpersist()
+        labels = next
+      }
+      labels.select(col("doc_id"), col("label").as("keeper")).orderBy(col("doc_id"))
     }),
 
     // SimHash values (checks the bit math, every doc).
@@ -280,6 +325,25 @@ object DedupQueries {
          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
          ORDER BY a_id, b_id""",
+
+    // transitive closure by recursive CTE: reach(u,v) = v reachable from u;
+    // keeper = min over {self} ∪ reachable set
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                      UNION SELECT b_id AS u, a_id AS v FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS doc_id, LEAST(u, MIN(v)) AS keeper
+         FROM reach GROUP BY u ORDER BY doc_id""",
 
     "dedup_simhash" ->
       s"""SELECT doc_id, simhash FROM ($SimhashSql) t ORDER BY doc_id""",

@@ -389,6 +389,53 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Correlated scalar subqueries (Catalyst decorrelates to an aggregate +
+    // join): customers with above-nation-average balance. The comparison is
+    // written as balance·count > sum over DECIMAL so both engines decide
+    // borderline rows identically (a double AVG is summation-order
+    // dependent and could flip a row that sits exactly on the average).
+    "q33_correlated_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("cust_q33")
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal FROM cust_q33 c
+           WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+                 (SELECT COUNT(*) FROM cust_q33 c2 WHERE c2.c_nationkey = c.c_nationkey)
+               > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM cust_q33 c3
+                  WHERE c3.c_nationkey = c.c_nationkey)
+           ORDER BY c_custkey""")
+    }),
+
+    // EXISTS / NOT EXISTS correlated predicates (Catalyst plans existence
+    // joins): orders with at least one line shipped after the order date
+    // and no returned line.
+    "q34_exists_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_q34")
+      Tables.lineitem(s, d).createOrReplaceTempView("li_q34")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM ord_q34 o
+           WHERE EXISTS (SELECT 1 FROM li_q34 l
+                         WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+             AND NOT EXISTS (SELECT 1 FROM li_q34 l2
+                             WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+           ORDER BY o_orderkey""")
+    }),
+
+    // UNPIVOT (melt) — the inverse of q30's pivot: wide per-flag measures to
+    // long (flag, measure, value) rows.
+    "q35_unpivot" -> ((s, d) => {
+      val agg = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)").as("qty"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").as("price"),
+          expr("CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)").as("disc"))
+      agg.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -558,6 +605,32 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS qty
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q33_correlated_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+               (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+             > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+                WHERE c3.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+
+    "q34_exists_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+         ORDER BY o_orderkey""",
+
+    "q35_unpivot" ->
+      """SELECT l_returnflag, measure, value FROM (
+           SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS disc
+           FROM lineitem GROUP BY l_returnflag)
+         UNPIVOT (value FOR measure IN (qty, price, disc))
+         ORDER BY l_returnflag, measure""",
 
     "q27_arg_extremes" ->
       """SELECT event_type, arg_max(event_id, ts) AS latest_event_id,

@@ -67,6 +67,39 @@ object SimilarityQueries {
         .orderBy(col("sig"))
     }),
 
+    // IVF-style ANN (the second scale path beside LSH): corpus vectors are
+    // assigned to their nearest of 8 coarse cells (centroids = embeddings of
+    // vec_id 0..7 — a deterministic stand-in for trained k-means centroids);
+    // queries probe their nprobe=2 nearest cells and re-rank exactly inside.
+    // Scale shape: assignment is a narrow broadcast map over the corpus (one
+    // pass, no shuffle), the probe is a broadcast join on cell id — scan
+    // cost drops from O(corpus) per query to O(probed cells).
+    "sim_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("crank", row_number().over(wAssign))
+        .persist()
+      val corpus = assigned.filter(col("crank") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"), col("embedding"), col("nrm"))
+      val probes = assigned.filter(col("vec_id") < 5 && col("crank") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_id").as("q_cell"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      corpus.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
     // cosine re-rank within the bucket, top-3.
     "sim_lsh_ann" -> ((s, d) => {
@@ -116,6 +149,24 @@ object SimilarityQueries {
     "sim_lsh_buckets" ->
       s"""SELECT sig, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
          FROM ($SigSql) t GROUP BY sig ORDER BY sig""",
+
+    "sim_ivf_ann" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+           assigned AS (
+             SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
+             FROM embeddings e CROSS JOIN cents c),
+           corpus AS (SELECT vec_id, embedding, c_id AS cell FROM assigned WHERE crank = 1),
+           probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
+                      FROM assigned WHERE vec_id < 5 AND crank <= 2)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT p.q_id, c.vec_id AS neighbor_id,
+             round(${cosSql("c.embedding", "p.q_emb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id
+               ORDER BY ${cosSql("c.embedding", "p.q_emb")} DESC, c.vec_id) AS rank
+           FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
+         WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "sim_lsh_ann" ->
       s"""WITH sigs AS ($SigSql)
