@@ -193,6 +193,7 @@ object CdcPipeline {
     }
   }
 
+
   /** Full slice: generate frames → decode → compact → typed current state. */
   def materializedOrders(spark: SparkSession, sfDir: String, pattern: DmlPattern): DataFrame = {
     val events = decodeFrames(ordersToFrames(spark, sfDir, pattern)).toDF()

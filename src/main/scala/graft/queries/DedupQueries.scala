@@ -191,35 +191,10 @@ object DedupQueries {
     // Each round is one join + one agg (pk-partitioned); at 100 TB the same
     // loop holds (components stay small; the classic large-star/small-star
     // variant bounds rounds at O(log n) if ever needed).
-    "dedup_clusters" -> ((s, d) => {
-      // persist pairs: both direction branches of the edge union scan it,
-      // and the bucket self-join behind it is the expensive part
-      val pairs = minhashCandidatePairs(s, d).persist()
-      val edges = pairs.union(
-        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
-      var labels = edges.select(col("a_id").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).persist()
-      // Convergence check without a join: propagation only ever lowers
-      // labels, so sum(label) strictly decreases until the fixpoint.
-      var prevSum = Long.MaxValue
-      var curSum = labels.agg(sum(col("label"))).head().getLong(0)
-      while (curSum < prevSum) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("b_doc"), col("label").as("b_label")),
-            col("b_id") === col("b_doc"))
-          .groupBy(col("a_id")).agg(min(col("b_label")).as("nbr_min"))
-        val next = labels
-          .join(nbrMin, col("doc_id") === col("a_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .persist()
-        prevSum = curSum
-        curSum = next.agg(sum(col("label"))).head().getLong(0)
-        labels.unpersist()
-        labels = next
-      }
-      labels.select(col("doc_id"), col("label").as("keeper")).orderBy(col("doc_id"))
-    }),
+    "dedup_clusters" -> ((s, d) =>
+      graft.operators.Graph.connectedComponents(minhashCandidatePairs(s, d))
+        .select(col("vertex").as("doc_id"), col("component").as("keeper"))
+        .orderBy(col("doc_id"))),
 
     // SimHash values (checks the bit math, every doc).
     "dedup_simhash" -> ((s, d) => {
