@@ -436,6 +436,55 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("measure"))
     }),
 
+    // Time-RANGE window frame (vs q09's ROWS frame): per-user rolling count
+    // and value sum over the trailing hour, ordered by epoch seconds so the
+    // frame bound is a plain numeric range both engines evaluate identically.
+    "q36_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-3600L, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_s", unix_timestamp(col("ts")))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("sum_last_hour",
+          sum(col("value").cast(DecimalType(28, 6))).over(w).cast(DoubleType))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("n_last_hour"), col("sum_last_hour"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Distribution ranking family: ntile / percent_rank / cume_dist
+    // (complements q08's row_number/rank). Total order inside each
+    // partition (ts, event_id) keeps every rank deterministic.
+    "q37_distribution_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select(col("event_type"), col("event_id"), col("quartile"),
+          col("pct_rank"), col("cume"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): rows pair up when
+    // both sides are NULL too — a different join key semantics Catalyst
+    // plans with EqualNullSafe. Nullable key derived from event value.
+    "q38_null_safe_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("vkey",
+          when(col("value") > 0, floor(col("value") / 100).cast("long")))
+      val a = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("a_id"), col("vkey").as("a_key"))
+      val b = e.filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .select(col("event_id").as("b_id"), col("vkey").as("b_key"))
+      a.join(b, col("a_key") <=> col("b_key"))
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("a_id")).as("min_a"),
+          min(col("b_id")).as("min_b"))
+        .orderBy(col("a_key").asc_nulls_first)
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -605,6 +654,38 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS qty
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q36_range_frame" ->
+      """SELECT user_id, event_id, ts, n_last_hour, sum_last_hour FROM (
+           SELECT user_id, event_id, ts,
+             COUNT(*) OVER w AS n_last_hour,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_last_hour
+           FROM (SELECT user_id, event_id, ts, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s FROM events) e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) t
+         ORDER BY user_id, ts, event_id""",
+
+    "q37_distribution_rank" ->
+      """SELECT event_type, event_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM events WHERE user_id < 50
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         ORDER BY event_type, event_id""",
+
+    "q38_null_safe_join" ->
+      """WITH e AS (
+           SELECT event_id, event_type, user_id,
+             CASE WHEN value > 0 THEN CAST(FLOOR(value / 100) AS BIGINT) END AS vkey
+           FROM events),
+         a AS (SELECT event_id AS a_id, vkey AS a_key FROM e WHERE event_type = 'error'),
+         b AS (SELECT event_id AS b_id, vkey AS b_key FROM e
+               WHERE event_type = 'purchase' AND user_id < 20)
+         SELECT a_key, COUNT(*) AS n_pairs, MIN(a_id) AS min_a, MIN(b_id) AS min_b
+         FROM a JOIN b ON a_key IS NOT DISTINCT FROM b_key
+         GROUP BY a_key ORDER BY a_key ASC NULLS FIRST""",
 
     "q33_correlated_subquery" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c

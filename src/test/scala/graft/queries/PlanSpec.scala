@@ -91,4 +91,32 @@ class PlanSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
   }
+
+  test("q34 EXISTS/NOT EXISTS decorrelate to semi + anti joins, never a cross product") {
+    val p = plan("q34_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q33 correlated scalar subqueries decorrelate to aggregates + joins") {
+    val p = plan("q33_correlated_subquery")
+    // no per-row subquery execution: the rewrite produces joins against
+    // grouped aggregates of the inner table
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q38 null-safe join keys plan as a single equi-join (no nested loop)") {
+    val p = plan("q38_null_safe_join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_ivf_ann probes via broadcast joins — the corpus is never shuffled") {
+    val df = graft.SparkEntry.queries("sim_ivf_ann")(spark, d)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
