@@ -485,6 +485,36 @@ object RelationalQueries {
         .orderBy(col("a_key").asc_nulls_first)
     }),
 
+    // Skew-safe two-phase aggregation through the gate: the salted shape
+    // (group by (key, salt), then re-merge by key) must equal the plain
+    // aggregate — decimal partials make the equality exact.
+    "q39_salted_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedAggregate(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), salts = 16,
+        partialAggs = Seq(
+          sum(col("l_quantity").cast(DecimalType(28, 6))).as("p_qty"),
+          count(lit(1)).as("p_n")),
+        finalAggs = Seq(
+          sum(col("p_qty")).cast(DoubleType).as("sum_qty"),
+          sum(col("p_n")).as("n")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Salted equi-join through the gate: build side replicated across 8
+    // salts, probe side salted deterministically — results must equal the
+    // plain inner join (here re-aggregated per nation).
+    "q40_salted_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      graft.operators.Skew.saltedJoin(cust, nat, "c_nationkey", "n_nationkey", salts = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)").as("sum_bal"))
+        .orderBy(col("n_name"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -654,6 +684,18 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS qty
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q39_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q40_salted_join" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
 
     "q36_range_frame" ->
       """SELECT user_id, event_id, ts, n_last_hour, sum_last_hour FROM (

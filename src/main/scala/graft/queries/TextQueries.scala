@@ -109,6 +109,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split by content-hash bucket (md5 of the
+    // doc id, first byte → 256 buckets: 208/24/24 ≈ 81/9/9%). The
+    // reproducible alternative to TABLESAMPLE for corpus assembly: the same
+    // doc lands in the same split on any cluster, any partitioning, any day.
+    "text_sample_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+        .withColumn("split",
+          when(col("bucket") < 208, "train")
+            .when(col("bucket") < 232, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // Corpus term frequency: tokenize → explode → hash agg; top 20 terms.
     "text_termfreq" -> ((s, d) => {
       withWords(Tables.documents(s, d))
@@ -125,6 +141,17 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_sample_split" ->
+      """WITH b AS (
+           SELECT lang, doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+           FROM documents)
+         SELECT lang,
+           CASE WHEN bucket < 208 THEN 'train' WHEN bucket < 232 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+         FROM b GROUP BY 1, 2 ORDER BY lang, split""",
+
     "text_tokens" ->
       s"""SELECT doc_id, len(ws) AS n_ws_tokens,
            len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
