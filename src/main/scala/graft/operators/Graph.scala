@@ -27,8 +27,13 @@ object Graph {
   def connectedComponents(
       pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val p = pairs.select(col(aCol).as("a_id"), col(bCol).as("b_id")).persist()
+    // Cache the symmetrized edges already hash-partitioned on the join key:
+    // the per-round edge⋈label join then reuses the cached partitioning
+    // (InMemoryTableScan preserves outputPartitioning) instead of
+    // re-shuffling the static edge table every round.
     val edges = p.union(
-      p.select(col("b_id").as("a_id"), col("a_id").as("b_id"))).persist()
+      p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .repartition(col("b_id")).persist()
     var labels = edges.select(col("a_id").as("vertex")).distinct()
       .withColumn("label", col("vertex")).persist()
     var prevSum = Long.MaxValue

@@ -123,7 +123,7 @@ object DedupQueries {
     * bucket (4 bands × 3 rows). The banded table is persisted: it is tiny
     * (4 rows/doc) and feeds both self-join branches — recomputing the
     * signature pipeline per branch measured ~5× slower than the join. */
-  private[queries] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val banded = minhashSignatures(s, d)
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
       .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
