@@ -37,7 +37,8 @@ final case class ChangeEvent(
     before: Map[String, String],
     after: Map[String, String],
     beforeToasted: Seq[String],
-    afterToasted: Seq[String])
+    afterToasted: Seq[String],
+    origin: String = null)
 
 /** Registry of wire-discovered relation schemas, keyed by relation id
   * (reference `MetadataStore`, stores.py:121-156). Used driver-side by the
@@ -75,6 +76,11 @@ final class ChangeEventBuilder(
     emitTxnMarkers: Boolean = false) {
 
   private var txn: Option[TxnMeta] = None
+  // Replication origin of the current transaction ('O' message, sent after
+  // Begin for transactions replayed from another node). The reference left
+  // this decoder an unimplemented stub (D4); we decode and carry it on
+  // every event of the transaction.
+  private var origin: Option[String] = None
   private var seq: Long = 0L
 
   private def nextSeq(): Long = { seq += 1; seq }
@@ -126,7 +132,7 @@ final class ChangeEventBuilder(
     val s = nextSeq()
     ChangeEvent(op, messageId(lsn, s), lsn, s, m.txId, m.beginLsn, m.commitTsUs,
       rel.namespace, rel.name, rel.relationId, key, before, after,
-      beforeToasted, afterToasted)
+      beforeToasted, afterToasted, origin.orNull)
   }
 
   /** Process one message at the given WAL position; emits zero or more
@@ -141,22 +147,24 @@ final class ChangeEventBuilder(
         val m = meta
         val s = nextSeq()
         Seq(ChangeEvent("B", messageId(lsn, s), lsn, s, m.txId, m.beginLsn, m.commitTsUs,
-          null, null, -1, null, null, null, Nil, Nil))
+          null, null, -1, null, null, null, Nil, Nil, origin.orNull))
       } else Nil
     case c: Commit =>
       val out = if (emitTxnMarkers) {
         val m = meta
         val s = nextSeq()
         Seq(ChangeEvent("C", messageId(lsn, s), lsn, s, m.txId, m.beginLsn, c.commitTs,
-          null, null, -1, null, null, null, Nil, Nil))
+          null, null, -1, null, null, null, Nil, Nil, origin.orNull))
       } else Nil
       txn = None
+      origin = None
       out
     case r: Relation =>
       registry.update(r); Nil
     case t: PgType =>
       registry.updateType(t); Nil
-    case _: Origin => Nil
+    case o: Origin =>
+      origin = Some(o.name); Nil
 
     case Insert(relId, newTuple) =>
       val rel = registry.getOrThrow(relId)

@@ -29,7 +29,8 @@ object Envelope {
     StructField("before", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
     StructField("after", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
     StructField("before_toasted", ArrayType(StringType), nullable = true),
-    StructField("after_toasted", ArrayType(StringType), nullable = true)))
+    StructField("after_toasted", ArrayType(StringType), nullable = true),
+    StructField("origin", StringType, nullable = true)))
 
   private def utf8(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
@@ -51,5 +52,5 @@ object Envelope {
       utf8(ev.op), utf8(ev.messageId), ev.lsn, ev.seq, ev.txId, ev.beginLsn, ev.commitTsUs,
       utf8(ev.namespace), utf8(ev.table), ev.relationId,
       mapData(ev.key), mapData(ev.before), mapData(ev.after),
-      arrData(ev.beforeToasted), arrData(ev.afterToasted)))
+      arrData(ev.beforeToasted), arrData(ev.afterToasted), utf8(ev.origin)))
 }

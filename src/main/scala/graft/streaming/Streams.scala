@@ -71,7 +71,8 @@ object Streams {
         col("__key").as("key"), lit(null).cast(batch.schema("before").dataType).as("before"),
         col("__after").as("after"),
         lit(null).cast(batch.schema("before_toasted").dataType).as("before_toasted"),
-        lit(null).cast(batch.schema("after_toasted").dataType).as("after_toasted"))
+        lit(null).cast(batch.schema("after_toasted").dataType).as("after_toasted"),
+        lit(null).cast("string").as("origin"))
     }
     val all = stateAsEvents.map(_.unionByName(batch)).getOrElse(batch)
     val renamed = all

@@ -109,6 +109,19 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     assert(evs.forall(_.op === "T"))
   }
 
+  test("replication origin ('O', stubbed in the reference D4) rides on the txn's events and clears at commit") {
+    val (b, _) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    b.process(10L, Origin(100L, "node_a"))
+    val ev = b.process(11L, Insert(99, TupleData(Vector(t("1"), t("x"), t("y"))))).head
+    assert(ev.origin === "node_a")
+    b.process(12L, Commit(0, 100L, 101L, 5000L))
+    // next transaction has no Origin message → local origin (null)
+    b.process(20L, Begin(200L, 6000L, 2))
+    val ev2 = b.process(21L, Insert(99, TupleData(Vector(t("2"), t("x"), t("y"))))).head
+    assert(ev2.origin === null)
+  }
+
   test("commit clears txn metadata; events outside txn get sentinel values") {
     val (b, _) = fresh()
     b.process(10L, Begin(100L, 5000L, 7))
