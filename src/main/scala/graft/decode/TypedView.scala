@@ -68,6 +68,58 @@ object TypedView {
   def ofAfter(envelope: DataFrame, rel: Relation): DataFrame =
     envelope.select(rel.columns.map(rc => typedColumn(col("after"), rc)): _*)
 
+  /** Like [[typedColumn]] but null-on-malformed (`try_cast`) instead of the
+    * session's ANSI error — the probe the validator uses to detect
+    * uncoercible values without failing the job. */
+  private def tryTypedColumn(imageCol: Column, rc: RelationColumn): Column = {
+    val raw = element_at(imageCol, rc.name)
+    sparkType(rc.typeOid, rc.typeMod) match {
+      case StringType => raw
+      case BinaryType => unbase64(raw)
+      case TimestampType =>
+        regexp_replace(raw, "([+-]\\d{2})$", "$100").try_cast(TimestampType)
+      case other => raw.try_cast(other)
+    }
+  }
+
+  /** Row validation — the engine's form of the reference's dynamic pydantic
+    * models (T4, reader.py:274-292: required = NOT NULL columns, typed
+    * coercion raises on bad values). Appends a `_errors array<string>`
+    * column to the typed projection listing, per row:
+    *  - `not_null:<col>` — a NOT NULL column is null or absent (an
+    *    unchanged-TOAST column is NOT a violation: the value exists, it just
+    *    wasn't resent);
+    *  - `cast_error:<col>` — the text value fails coercion to the column's
+    *    type.
+    * Rows with `size(_errors) > 0` are the error channel: route them to a
+    * dead-letter sink and keep the pipeline running — where the reference
+    * throws and stops its single-threaded loop. */
+  def ofAfterValidated(
+      envelope: DataFrame, rel: Relation, notNull: Set[String],
+      toastedCol: String = "after_toasted"): DataFrame = {
+    val img = col("after")
+    val toasted = coalesce(col(toastedCol), array())
+    val errs = rel.columns.flatMap { rc =>
+      val raw = element_at(img, rc.name)
+      val castErr =
+        if (sparkType(rc.typeOid, rc.typeMod) == StringType) None
+        else Some(when(raw.isNotNull && tryTypedColumn(img, rc).isNull,
+          lit(s"cast_error:${rc.name}")))
+      val nullErr =
+        if (notNull(rc.name))
+          Some(when(raw.isNull && !array_contains(toasted, rc.name),
+            lit(s"not_null:${rc.name}")))
+        else None
+      castErr ++ nullErr
+    }
+    val errArray =
+      if (errs.isEmpty) array().cast(ArrayType(StringType))
+      else filter(array(errs: _*), e => e.isNotNull)
+    envelope.select(
+      rel.columns.map(rc => tryTypedColumn(col("after"), rc).as(rc.name)) :+
+        errArray.as("_errors"): _*)
+  }
+
   /** Typed projection keeping envelope metadata columns alongside. */
   def withTyped(envelope: DataFrame, rel: Relation, image: String = "after"): DataFrame =
     envelope.select(

@@ -62,4 +62,32 @@ class TypedViewSpec extends AnyFunSuite {
     assert(row.getTimestamp(3).toInstant.toString === "2021-04-20T20:13:16.867121Z")
     assert(row.isNullAt(4))
   }
+
+  test("validated projection routes NOT NULL and cast failures to _errors (T4 error channel)") {
+    import spark.implicits._
+    val rel = Relation(1, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "qty", TypedView.Oid.Int4, -1),
+      RelationColumn(partOfKey = false, "note", TypedView.Oid.Text, -1)))
+    val env = Seq(
+      // clean row
+      (Map("id" -> "1", "qty" -> "5", "note" -> "ok"), Seq.empty[String]),
+      // qty uncoercible; note (NOT NULL) absent
+      (Map("id" -> "2", "qty" -> "not-a-number"), Seq.empty[String]),
+      // note absent but TOASTed → NOT a violation
+      (Map("id" -> "3", "qty" -> "7"), Seq("note")),
+      // id (NOT NULL) explicitly null
+      (Map[String, String]("id" -> null, "qty" -> "1", "note" -> "x"), Seq.empty[String])
+    ).toDF("after", "after_toasted")
+    val v = TypedView.ofAfterValidated(env, rel, notNull = Set("id", "note"))
+    val rows = v.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Seq[String]]("_errors").sorted)).toSeq
+    assert(rows(0) === ((1L, Seq())))
+    assert(rows(1) === ((2L, Seq("cast_error:qty", "not_null:note"))))
+    assert(rows(2) === ((3L, Seq())))
+    assert(rows(3)._2 === Seq("not_null:id"))
+    // the error channel split: good rows flow on, bad rows route aside
+    assert(v.filter(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("_errors")) === 0).count() === 2)
+  }
 }
