@@ -45,6 +45,22 @@ object Streams {
       .start()
   }
 
+  /** R1 routing (reader.py:188-197): one envelope stream carrying several
+    * relations fans out into one upsert sink per relation — each sink
+    * filters to its relation_id (mergeBatch's relation filter) and
+    * materializes its own table state under `stateBaseDir/<ns>.<table>`.
+    * The Spark form of the reference's per-handler dispatch, except the
+    * handlers run as independent streaming queries with independent
+    * checkpoints. */
+  def routeByRelation(
+      envelope: DataFrame, rels: Seq[Relation],
+      stateBaseDir: String, checkpointBaseDir: String): Seq[StreamingQuery] =
+    rels.map { rel =>
+      cdcUpsertSink(envelope, rel,
+        s"$stateBaseDir/${rel.namespace}.${rel.name}",
+        s"$checkpointBaseDir/${rel.relationId}")
+    }
+
   private[streaming] def mergeBatch(
       batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String): Unit = {
     // An envelope stream can interleave several relations (a frame log with

@@ -178,6 +178,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("routeByRelation fans one multi-table stream into per-relation materialized states (R1)") {
+    val relA = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    val relB = Relation(8, "public", "other", 'd', Vector(
+      RelationColumn(partOfKey = true, "oid", TypedView.Oid.Int8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("route")
+    val p = dir.resolve("log.bin").toString
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(relA)),
+      FrameLog.Entry(1, PgOutputEncoder.encode(relB)),
+      FrameLog.Entry(10, PgOutputEncoder.encode(Begin(14, 1000, 1))),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(8, TupleData(Vector(t("99")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("b")))))),
+      FrameLog.Entry(14, PgOutputEncoder.encode(Commit(0, 14, 14, 1000)))))
+    val env = Streams.envelopeStream(spark, p)
+    val qs = Streams.routeByRelation(env, Seq(relA, relB),
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    val a = Streams.materializedState(spark, relA, s"${dir.resolve("state")}/public.m")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = Streams.materializedState(spark, relB, s"${dir.resolve("state")}/public.other")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === Seq((1L, "a"), (2L, "b")))
+    assert(b === Seq(99L))
+  }
+
   test("truncate through mergeBatch wipes prior state; later inserts survive") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
