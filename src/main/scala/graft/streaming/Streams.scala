@@ -155,6 +155,15 @@ object Streams {
         col("c_ts") <= col("e_ts"))
   }
 
+  /** Stream-static join: enrich a streaming source with a static dimension
+    * (broadcast — the dim never shuffles, the stream never blocks). The
+    * third join shape beside stream-stream (errorsWithRecentClicks) and
+    * batch: no watermark needed, the static side is re-scanned per
+    * micro-batch so slowly-changing dims pick up updates. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** The reference's default sink logs each event as JSON
     * (stores.py:104-118, K1); here: envelope rows → one JSON document per
     * event, ready for console/Kafka-style value sinks. */

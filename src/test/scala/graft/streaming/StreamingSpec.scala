@@ -123,6 +123,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected) // single-batch AvailableNow: no rows past watermark
   }
 
+  test("stream-static dim enrichment matches the batch join") {
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batchEvents = graft.Tables.events(spark, sfDir)
+    val expected = Streams.enrichedEvents(batchEvents, dim, "user_id", "c_custkey")
+      .filter(col("c_mktsegment").isNotNull).count()
+    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.enrichedEvents(src, dim, "user_id", "c_custkey")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*) FROM enrich_out WHERE c_mktsegment IS NOT NULL")
+      .first().getLong(0)
+    assert(expected > 0)
+    assert(got === expected)
+  }
+
   test("mergeBatch is idempotent under batch replay (at-least-once sink contract)") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
