@@ -515,6 +515,20 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }),
 
+    // Heavy-hitters sketch (DataSketches frequent-items via approx_top_k).
+    // Run in the exact regime — event_type cardinality ≪ the sketch's
+    // tracked-item budget, so counts are exact and the DuckDB oracle is a
+    // plain top-k; at corpus scale the same sketch degrades gracefully to
+    // approximate with mergeable per-partition state (the property that
+    // matters at 100 TB: no shuffle of raw values, just sketch merges).
+    "q41_approx_top_k" -> ((s, d) => {
+      Tables.events(s, d)
+        .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("item"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -684,6 +698,11 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS qty
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q41_approx_top_k" ->
+      """SELECT event_type AS item, COUNT(*) AS n
+         FROM events GROUP BY event_type
+         ORDER BY n DESC, item LIMIT 3""",
 
     "q39_salted_agg" ->
       """SELECT l_returnflag,
