@@ -529,6 +529,49 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("item"))
     }),
 
+    // Fixed-width histogram: numeric bucketing + count/exact-sum per bucket
+    // (the profiling primitive a corpus pipeline runs before filtering).
+    // One partial+final hash agg on a 10-value key — fully map-side at scale.
+    "q42_histogram" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("bucket",
+          least(floor((col("l_quantity") - 1) / 5).cast(IntegerType), lit(9)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Conditional aggregation: FILTER-style counts and boolean aggregates
+    // (count_if / bool_and / bool_or) — all partial-aggregable, no extra
+    // shuffle beyond the group-by.
+    "q43_conditional_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_totalprice") > 450000).as("any_huge"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Gap-fill / last-observation-carried-forward: last non-null value per
+    // user over an event-time window (IGNORE NULLS frame) — the windowed
+    // twin of the CDC TOAST repair fold (same pk partitioning, no extra
+    // shuffle beyond the window's).
+    "q44_gap_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v_click", when(col("event_type") === "click", col("value")))
+        .withColumn("last_click_value", last(col("v_click"), ignoreNulls = true).over(w))
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("last_click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -542,6 +585,26 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q42_histogram" ->
+      s"""SELECT LEAST(CAST(floor((l_quantity - 1) / 5) AS INT), 9) AS bucket,
+         COUNT(*) AS n, ${DSUM.format("l_extendedprice")} AS price_sum
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+
+    "q43_conditional_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_total,
+         COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+         bool_and(o_totalprice > 0) AS all_positive,
+         bool_or(o_totalprice > 450000) AS any_huge
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q44_gap_fill" ->
+      """SELECT user_id, event_id, event_type,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+         FROM events WHERE user_id < 50
+         ORDER BY user_id, event_id""",
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${DSUM.format("l_quantity")} AS sum_qty,

@@ -125,6 +125,31 @@ object TextQueries {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // TF-IDF: top-3 characteristic terms per document. Three hash aggs
+    // (doc-term tf, term df, corpus N) + one broadcast of the tiny df/N
+    // sides; ranking window partitioned by doc — the shape that holds at
+    // corpus scale (df table ≈ vocabulary, broadcastable or bucket-joined).
+    "text_tfidf" -> ((s, d) => {
+      val tf = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_total") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // Corpus term frequency: tokenize → explode → hash agg; top 20 terms.
     "text_termfreq" -> ((s, d) => {
       withWords(Tables.documents(s, d))
@@ -197,6 +222,21 @@ object TextQueries {
              list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
              (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_hash
          FROM documents ORDER BY doc_id""",
+
+    "text_tfidf" ->
+      s"""WITH tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest($WsSql) AS term FROM documents) t
+           WHERE length(term) > 0 GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_total FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, df, tf * ln(n_total / df) AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY tf * ln(n_total / df) DESC, term) AS rn
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, rn, term, tf, df, round(score, 6) AS tfidf
+         FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""",
 
     "text_termfreq" ->
       s"""SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs

@@ -74,8 +74,17 @@ object Streams {
       if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
         Some(spark.read.parquet(stateDir))
       else None
-    // Previous state rows re-enter the merge as synthetic low-water events
-    // so deletes/updates in this batch win, and TOAST repair sees them.
+    val compacted = mergeCompact(batch, existing, rel, keys)
+    val tmp = stateDir + ".tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+  }
+
+  /** (state rows ∪ batch events) → compacted state rows. Previous state rows
+    * re-enter the merge as synthetic low-water events so deletes/updates in
+    * this batch win, and TOAST repair sees them. */
+  private def mergeCompact(batch: DataFrame, existing: Option[DataFrame],
+      rel: Relation, keys: Seq[String]): DataFrame = {
     val stateAsEvents = existing.map { st =>
       st.select(
         lit("I").as("op"),
@@ -97,17 +106,86 @@ object Streams {
       .withColumnRenamed("relation_id", "relationId")
       .withColumnRenamed("before_toasted", "beforeToasted")
       .withColumnRenamed("after_toasted", "afterToasted")
-    val compacted = Cdc.compactFillingToast(renamed, keys)
+    Cdc.compactFillingToast(renamed, keys)
       .select(
         col("lsn").as("__lsn"), col("seq").as("__seq"), col("after").as("__after"),
         map_from_arrays(
           expr("array(" + keys.map(k => s"'$k'").mkString(",") + ")"),
           expr("array(" + keys.map(k => s"element_at(after, '$k')").mkString(",") + ")")
         ).as("__key"))
+  }
+
+  /** Deterministic state bucket of a pk: xxhash64 over the key columns in
+    * relation order, mod `nBuckets`. Any deterministic hash works (a
+    * collision only co-locates keys); xxhash64 is codegen'd and cheap. */
+  private def bucketOf(keyMap: org.apache.spark.sql.Column, keys: Seq[String],
+      nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keys.map(k => element_at(keyMap, k)): _*), lit(nBuckets))
+
+  /** Bucketed merge: the scale path of [[mergeBatch]].
+    *
+    * State layout: parquet partitioned by `__bucket = xxhash64(pk) mod n`.
+    * A micro-batch computes the buckets its keys fall into, reads ONLY those
+    * partitions of the previous state (partition pruning on the directory
+    * layout — untouched buckets are never opened), compacts, and rewrites
+    * only those partition directories. Per-batch cost is O(state touched by
+    * the batch's keys), not O(total state): with n sized so a bucket is a
+    * few GB, a 100 TB table absorbs a small batch by rewriting a handful of
+    * bucket files, where the unbucketed merge would rewrite all 100 TB.
+    *
+    * Same crash contract as [[mergeBatch]] (tmp double-write, idempotent
+    * re-merge on replay); a production deployment swaps the directory swap
+    * for a transactional MERGE store with the same bucketing. */
+  private[streaming] def mergeBatchBucketed(
+      batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String,
+      nBuckets: Int = 64): Unit = {
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val spark = batch.sparkSession
+    // One pass over the (small) batch: per-bucket presence + truncate flag.
+    // A Truncate has no key — it clears the whole table, so it must touch
+    // every bucket (the one legitimately O(state) operation).
+    val probe = batch.agg(
+      collect_set(bucketOf(col("key"), keys, nBuckets)).as("bs"),
+      coalesce(max(when(col("op") === "T", true).otherwise(false)), lit(false)).as("hasT")).first()
+    val hasTruncate = probe.getBoolean(1)
+    val touched: Array[Long] =
+      if (hasTruncate) (0L until nBuckets).toArray
+      else probe.getSeq[Long](0).toArray
+    if (touched.isEmpty) return
+    val root = new java.io.File(stateDir)
+    val hasState = root.exists() &&
+      root.listFiles().exists(_.getName.startsWith("__bucket="))
+    // Partition pruning: only the touched buckets' directories are read.
+    val existing =
+      if (hasState)
+        Some(spark.read.parquet(stateDir)
+          .where(col("__bucket").isin(touched: _*)).drop("__bucket"))
+      else None
+    val compacted = mergeCompact(batch, existing, rel, keys)
+      .withColumn("__bucket", bucketOf(col("__key"), keys, nBuckets))
     val tmp = stateDir + ".tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
-    val spark2 = compacted.sparkSession
-    spark2.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+    compacted.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    // Replace exactly the touched partitions: delete them (a bucket whose
+    // keys were all deleted must empty out — dynamic partition overwrite
+    // alone would leave it stale), then append the recompacted buckets.
+    touched.foreach { b =>
+      val d = new java.io.File(root, s"__bucket=$b")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    spark.read.parquet(tmp).write.mode("append").partitionBy("__bucket").parquet(stateDir)
+  }
+
+  /** [[cdcUpsertSink]] over the bucketed state layout. */
+  def cdcUpsertSinkBucketed(envelope: DataFrame, rel: Relation, stateDir: String,
+      checkpointDir: String, nBuckets: Int = 64): StreamingQuery = {
+    val keys = rel.keyColumnNames
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchBucketed(batch, rel, keys, stateDir, nBuckets)
+      }
+      .start()
   }
 
   /** Current typed state of the materialized table. */

@@ -306,4 +306,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length === expected.length)
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("bucketed CDC sink materializes the same state as the batch pipeline") {
+    val dir = Files.createTempDirectory("cdcbucketed")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir,
+      graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // several micro-batches so the incremental path (state read-back) runs
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(5000))
+    val q = Streams.cdcUpsertSinkBucketed(env, graft.cdc.CdcPipeline.ordersRelation,
+      stateDir, dir.resolve("ckpt").toString, nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.materializedState(spark, graft.cdc.CdcPipeline.ordersRelation, stateDir)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = graft.cdc.CdcPipeline.materializedOrders(spark, sfDir,
+      graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("bucketed merge rewrites only the buckets the batch touches") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("bucketincr")
+    val stateDir = dir.resolve("state").toString
+    val n = 8
+    // batch 1: 32 keys spread across (almost surely) all 8 buckets
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(FrameLog.Entry(0, PgOutputEncoder.encode(rel))) ++
+      (1 to 32).iterator.map(i =>
+        FrameLog.Entry(10 + i, PgOutputEncoder.encode(
+          Insert(6, TupleData(Vector(t(i.toString), t(s"v$i"))))))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeBatchBucketed(b1, rel, Seq("id"), stateDir, n)
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = bucketFiles()
+    assert(before.size > 1, "keys should spread over several buckets")
+    // batch 2: update a single key → exactly one bucket dir may change
+    val touchedBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("1")), lit(n))).first().getLong(0)
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(100, PgOutputEncoder.encode(
+        Update(6, None, None, TupleData(Vector(t("1"), t("patched"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    Streams.mergeBatchBucketed(b2, rel, Seq("id"), stateDir, n)
+    val after = bucketFiles()
+    before.keySet.filterNot(_ == s"__bucket=$touchedBucket").foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    val got = Streams.materializedState(spark, rel, stateDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) === "patched")
+    assert(got.size === 32)
+    assert(got(32L) === "v32")
+  }
+
+  test("truncate through the bucketed sink clears every bucket") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("buckettrunc")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(FrameLog.Entry(0, PgOutputEncoder.encode(rel))) ++
+      (1 to 16).iterator.map(i =>
+        FrameLog.Entry(10 + i, PgOutputEncoder.encode(
+          Insert(6, TupleData(Vector(t(i.toString), t(s"v$i"))))))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeBatchBucketed(b1, rel, Seq("id"), stateDir, 8)
+    // truncate + one post-truncate insert, in a later batch: the truncate has
+    // no key, so the merge must fan out to ALL buckets, not just the insert's
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(100, PgOutputEncoder.encode(Begin(102, 2000, 2))),
+      FrameLog.Entry(101, PgOutputEncoder.encode(Truncate(0, Vector(6)))),
+      FrameLog.Entry(102, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("99"), t("fresh")))))),
+      FrameLog.Entry(103, PgOutputEncoder.encode(Commit(0, 103, 103, 2000)))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    Streams.mergeBatchBucketed(b2, rel, Seq("id"), stateDir, 8)
+    val got = Streams.materializedState(spark, rel, stateDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((99L, "fresh")))
+  }
 }
