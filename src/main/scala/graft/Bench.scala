@@ -19,7 +19,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 
     // warmup: touch every table (via the normalizing loaders — events needs
     // the nanosAsLong conf) + run one query end-to-end for JIT/codegen
@@ -28,7 +28,13 @@ object Bench {
       Tables.documents _, Tables.embeddings _).foreach(f => f(spark, sfDir).schema)
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev hook: SPARK_GRAFT_ONLY=q01_pricing_summary,dedup_clusters restricts
+    // the run (isolated per-query floors); unset = full driver-shaped bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -22,11 +22,28 @@ object Graph {
     * `component` is the minimum vertex id in the component — the canonical
     * "keeper" for dedup clustering.
     *
-    * Convergence is detected without a join: propagation only ever lowers
-    * labels, so `sum(label)` strictly decreases until the fixpoint. */
+    * Hybrid execution: the pair graph of a dedup job is orders of magnitude
+    * smaller than the corpus (it holds only near-duplicates), so below
+    * `localThreshold` edges the component computation runs as driver-side
+    * union-find on the collected pairs — one collect of a small table
+    * instead of a multi-round join loop whose per-round scheduling cost
+    * dwarfs the data. Above the threshold (or for non-integral ids) it
+    * falls back to distributed min-label propagation, whose convergence is
+    * detected without a join: propagation only ever lowers labels, so
+    * `sum(label)` strictly decreases until the fixpoint. */
   def connectedComponents(
-      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      localThreshold: Long = 1L << 20): DataFrame = {
     val p = pairs.select(col(aCol).as("a_id"), col(bCol).as("b_id")).persist()
+    val integralIds = p.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && p.count() <= localThreshold) {
+      val edges = p.collect().map(r =>
+        (r.get(0).asInstanceOf[Number].longValue(), r.get(1).asInstanceOf[Number].longValue()))
+      p.unpersist()
+      return localComponents(pairs.sparkSession, edges)
+    }
     // Cache the symmetrized edges already hash-partitioned on the join key:
     // the per-round edge⋈label join then reuses the cached partitioning
     // (InMemoryTableScan preserves outputPartitioning) instead of
@@ -56,5 +73,31 @@ object Graph {
     edges.unpersist()
     p.unpersist()
     labels.select(col("vertex"), col("label").as("component"))
+  }
+
+  /** Union-find with path compression over collected edges; component label
+    * = min vertex id (computed per root after all unions). */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = new scala.collection.mutable.HashMap[Long, Long]()
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, v), v)
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(v => (v, minOfRoot(find(v)))).toDF("vertex", "component")
   }
 }

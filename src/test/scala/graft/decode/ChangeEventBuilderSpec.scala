@@ -146,6 +146,25 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     assert(reg.typeName(99) === None)
   }
 
+  test("relation re-send with an added column switches subsequent decoding (schema evolution, T2)") {
+    val (b, reg) = fresh()
+    b.process(10L, Begin(100L, 5000L, 1))
+    val before = b.process(11L, Insert(99, TupleData(Vector(t("1"), t("alice"), n)))).head
+    assert(before.after === Map("id" -> "1", "name" -> "alice", "payload" -> null))
+    // ALTER TABLE ADD COLUMN email → Postgres re-sends Relation before the
+    // first DML under the new shape; the registry entry is replaced in place
+    val evolved = Relation(99, "public", "acct", 'd', rel.columns :+
+      RelationColumn(partOfKey = false, "email", TypedView.Oid.Text, -1))
+    assert(b.process(12L, evolved) === Nil)
+    assert(reg.getOrThrow(99).columns.map(_.name) ===
+      Seq("id", "name", "payload", "email"))
+    val after = b.process(13L, Insert(99, TupleData(Vector(t("2"), t("bob"), n, t("b@x"))))).head
+    assert(after.after === Map("id" -> "2", "name" -> "bob", "payload" -> null, "email" -> "b@x"))
+    // pre-evolution rows simply lack the new column in their image map —
+    // the typed view over the evolved schema reads them as NULL
+    assert(!before.after.contains("email"))
+  }
+
   test("seq is strictly monotonic within a builder (LSN tie-break)") {
     val (b, _) = fresh()
     b.process(10L, Begin(100L, 5000L, 1))

@@ -63,6 +63,23 @@ class TypedViewSpec extends AnyFunSuite {
     assert(row.isNullAt(4))
   }
 
+  test("typed view over an evolved schema reads pre-evolution rows' missing columns as NULL") {
+    import spark.implicits._
+    val evolved = Relation(1, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "name", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "email", TypedView.Oid.Text, -1)))
+    // row 1 decoded before ALTER TABLE ADD COLUMN email (no such key in its
+    // image map); row 2 after — one registry, one typed view over both
+    val env = Seq(
+      Map("id" -> "1", "name" -> "alice"),
+      Map("id" -> "2", "name" -> "bob", "email" -> "b@x")
+    ).toDF("after")
+    val rows = TypedView.ofAfter(env, evolved).orderBy("id").collect()
+    assert(rows(0).getLong(0) === 1L && rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) === 2L && rows(1).getString(2) === "b@x")
+  }
+
   test("validated projection routes NOT NULL and cast failures to _errors (T4 error channel)") {
     import spark.implicits._
     val rel = Relation(1, "public", "t", 'd', Vector(

@@ -14,10 +14,17 @@ class GraphSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Runs BOTH execution paths (driver-side union-find and distributed
+    * label propagation) and asserts they agree before returning. */
   private def cc(pairs: (Long, Long)*): Map[Long, Long] = {
     import spark.implicits._
-    Graph.connectedComponents(pairs.toDF("a_id", "b_id"))
+    val df = pairs.toDF("a_id", "b_id")
+    val local = Graph.connectedComponents(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.connectedComponents(df, localThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist, "local union-find and distributed propagation disagree")
+    local
   }
 
   test("transitive closure: a~b, b~c is one cluster labeled min id") {
