@@ -117,6 +117,51 @@ object Cdc {
       col("state").as("after"))
   }
 
+  /** Per-group (±value, ±1) contributions of a change-event batch toward an
+    * incrementally-maintained SUM/COUNT aggregate: I adds the after image,
+    * D subtracts the before image, U does both (handling group-key moves —
+    * the old group loses the row, the new group gains it). Events at or
+    * before the latest Truncate are dropped, mirroring [[compact]].
+    *
+    * Requires full old images (REPLICA IDENTITY FULL) on U/D: without
+    * `before`, an update's retraction is uncomputable — callers guard
+    * (see Streams.mergeAggBatch). Values accumulate as DECIMAL(28,6): exact
+    * and order-independent, so incremental and from-scratch aggregation
+    * agree bit-for-bit in any execution order. */
+  private[graft] def aggDeltas(
+      events: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val truncLsn = events.filter(col("op") === "T")
+      .agg(max(struct(col("lsn"), col("seq"))).as("t"))
+      .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
+              coalesce(col("t.seq"), lit(Long.MinValue)).as("__trunc_seq"))
+    val ev = events.filter(col("op") =!= "T")
+      .crossJoin(broadcast(truncLsn))
+      .filter(struct(col("lsn"), col("seq")) >
+        struct(col("__trunc_lsn"), col("__trunc_seq")))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val plus = ev.filter(col("op").isin("I", "U"))
+      .select(element_at(col("after"), groupCol).as("g"),
+        element_at(col("after"), valueCol).cast(dec).as("dv"), lit(1L).as("dc"))
+    val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
+      .select(element_at(col("before"), groupCol).as("g"),
+        (-element_at(col("before"), valueCol).cast(dec)).as("dv"), lit(-1L).as("dc"))
+    plus.unionByName(minus)
+  }
+
+  /** Incrementally-maintained aggregate view, batch form: the SUM/COUNT per
+    * group that results from applying every event's delta — equal to
+    * aggregating the compacted table state, but computed WITHOUT
+    * materializing it (one narrow pass + one group-keyed shuffle; at scale
+    * this is how a 100 TB materialized aggregate stays fresh from a change
+    * stream without rescanning the table). Groups whose rows are all
+    * deleted vanish (count ≤ 0). */
+  def incrementalAggregate(
+      events: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    aggDeltas(events, groupCol, valueCol)
+      .groupBy(col("g"))
+      .agg(sum(col("dv")).as("v"), sum(col("dc")).as("c"))
+      .filter(col("c") > 0)
+
   /** Typed current-state view: compact then project through the relation
     * schema from the registry. */
   def materialize(

@@ -61,7 +61,11 @@ object CdcPipeline {
       updates: Boolean = false,
       deletes: Boolean = false,
       toastPriorityOnUpdate: Boolean = false,
-      truncateAtLsn: Option[Long] = None)
+      truncateAtLsn: Option[Long] = None,
+      // REPLICA IDENTITY FULL: updates carry an 'O' old image, deletes a
+      // full 'O' image of the current row (post-update value when both
+      // apply) — what incremental aggregate maintenance requires.
+      fullImages: Boolean = false)
 
   /** orders parquet → Dataset[(lsn, frameBytes)] of pgoutput frames. */
   def ordersToFrames(spark: SparkSession, sfDir: String, pattern: DmlPattern): Dataset[(Long, Array[Byte])] = {
@@ -95,16 +99,26 @@ object CdcPipeline {
 
         val updateTxn = if (pattern.updates && k % 10 == 0) Seq(
           (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, commitTs, k.toInt)),
-          (base + 4) -> PgOutputEncoder.encode(Update(OrdersRelId, None, None,
-            fullTuple(price + 1.0, pattern.toastPriorityOnUpdate))),
+          (base + 4) -> PgOutputEncoder.encode(
+            if (pattern.fullImages)
+              Update(OrdersRelId, Some('O'), Some(fullTuple(price, toastPrio = false)),
+                fullTuple(price + 1.0, pattern.toastPriorityOnUpdate))
+            else Update(OrdersRelId, None, None,
+              fullTuple(price + 1.0, pattern.toastPriorityOnUpdate))),
           (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, commitTs)))
         else Nil
 
+        // the row state at delete time (updates sort before deletes)
+        val priceAtDelete =
+          if (pattern.updates && k % 10 == 0) price + 1.0 else price
         val deleteTxn = if (pattern.deletes && k % 7 == 0) Seq(
           (base + 6) -> PgOutputEncoder.encode(Begin(base + 7, commitTs, k.toInt)),
-          (base + 7) -> PgOutputEncoder.encode(Delete(OrdersRelId, 'K',
-            TupleData(Vector(t(k.toString), ColumnData('n', None), ColumnData('n', None),
-              ColumnData('n', None), ColumnData('n', None), ColumnData('n', None))))),
+          (base + 7) -> PgOutputEncoder.encode(
+            if (pattern.fullImages)
+              Delete(OrdersRelId, 'O', fullTuple(priceAtDelete, toastPrio = false))
+            else Delete(OrdersRelId, 'K',
+              TupleData(Vector(t(k.toString), ColumnData('n', None), ColumnData('n', None),
+                ColumnData('n', None), ColumnData('n', None), ColumnData('n', None))))),
           (base + 8) -> PgOutputEncoder.encode(Commit(0, base + 8, base + 8, commitTs)))
         else Nil
 

@@ -48,6 +48,19 @@ object CdcQueries {
           col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))),
 
+    // Incrementally-maintained aggregate view: SUM/COUNT of totalprice per
+    // priority computed purely from event deltas (+after/−before, REPLICA
+    // IDENTITY FULL images) — never materializing the table. Must equal
+    // aggregating the oracle's final state.
+    "cdc_incremental_agg" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalAggregate(events, "o_orderpriority", "o_totalprice")
+        .select(col("g").as("o_orderpriority"),
+          col("v").cast("double").as("sum_price"), col("c").as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -85,5 +98,13 @@ object CdcQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders
          WHERE o_orderkey * 8 + 1 > (SELECT MAX(o_orderkey) * 4 FROM orders)
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+
+    "cdc_incremental_agg" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+         FROM orders WHERE o_orderkey % 7 <> 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }

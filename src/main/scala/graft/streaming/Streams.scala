@@ -188,6 +188,81 @@ object Streams {
       .start()
   }
 
+  /** Incrementally-maintained SUM/COUNT aggregate view over the envelope
+    * stream: per micro-batch, each event's delta (+after / −before, see
+    * Cdc.aggDeltas) merges into the per-group state — O(batch ∪ touched
+    * groups) per batch, never a rescan of table state. Exactly-once under
+    * at-least-once replay via a persisted (lsn, seq) high-water mark:
+    * replayed events at or below it contribute nothing. A Truncate newer
+    * than the high-water resets the state. Requires full old images
+    * (REPLICA IDENTITY FULL) on updates — enforced per batch. */
+  def incrementalAggSink(envelope: DataFrame, rel: Relation, groupCol: String,
+      valueCol: String, stateDir: String, checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeAggBatch(batch, rel, groupCol, valueCol, stateDir)
+      }
+      .start()
+
+  private[streaming] def mergeAggBatch(batch0: DataFrame, rel: Relation,
+      groupCol: String, valueCol: String, stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val dataDir = s"$stateDir/data"
+    val hwDir = s"$stateDir/hw"
+    val hasData = new java.io.File(dataDir).exists()
+    val (hwLsn, hwSeq) =
+      if (new java.io.File(hwDir).exists()) {
+        val r = spark.read.parquet(hwDir).first(); (r.getLong(0), r.getLong(1))
+      } else (Long.MinValue, Long.MinValue)
+    // One probe pass: batch high-water, newest truncate, missing-old-image
+    // guard (an update without `before` makes the retraction uncomputable —
+    // fail loudly rather than drift).
+    val probe = batch.agg(
+      max(struct(col("lsn"), col("seq"))).as("mx"),
+      max(when(col("op") === "T", struct(col("lsn"), col("seq")))).as("t"),
+      sum(when(col("op") === "U" && col("before").isNull, 1L).otherwise(0L)).as("badU")
+    ).first()
+    if (probe.isNullAt(0)) return // no events for this relation
+    require(probe.getLong(2) == 0L,
+      s"incrementalAggSink(${rel.name}): update without a before image — " +
+        "the table needs REPLICA IDENTITY FULL for aggregate maintenance")
+    val mx = probe.getStruct(0)
+    val truncOpt = if (probe.isNullAt(1)) None
+      else Some((probe.getStruct(1).getLong(0), probe.getStruct(1).getLong(1)))
+    // Replay guard: only events strictly above the stored high-water count.
+    val fresh = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    // A truncate NEWER than the high-water wipes prior aggregate state
+    // (aggDeltas drops the batch's own pre-truncate events).
+    val truncates = truncOpt.exists { case (tl, ts) =>
+      tl > hwLsn || (tl == hwLsn && ts > hwSeq) }
+    val delta = Cdc.aggDeltas(fresh, groupCol, valueCol)
+    val existing =
+      if (hasData && !truncates)
+        Some(spark.read.parquet(dataDir)
+          .select(col("g"), col("v").as("dv"), col("c").as("dc")))
+      else None
+    val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("g"))
+      .agg(sum(col("dv")).as("v"), sum(col("dc")).as("c"))
+      .filter(col("c") > 0)
+    val tmp = dataDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(dataDir)
+    spark.range(1)
+      .select(lit(math.max(hwLsn, mx.getLong(0))).as("lsn"),
+        lit(if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+          mx.getLong(1) else hwSeq).as("seq"))
+      .write.mode("overwrite").parquet(hwDir)
+  }
+
+  /** Current state of an incrementally-maintained aggregate view. */
+  def incrementalAggState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/data")
+
   /** Current typed state of the materialized table. */
   def materializedState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame =
     graft.decode.TypedView.ofAfter(

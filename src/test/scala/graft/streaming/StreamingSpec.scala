@@ -373,6 +373,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(32L) === "v32")
   }
 
+  test("incremental aggregate sink equals the batch delta aggregate across micro-batches") {
+    val dir = Files.createTempDirectory("incragg")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(
+      updates = true, deletes = true, fullImages = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
+    val q = Streams.incrementalAggSink(env, graft.cdc.CdcPipeline.ordersRelation,
+      "o_orderpriority", "o_totalprice",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.incrementalAggState(spark, dir.resolve("state").toString)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2)))
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)).toDF()
+    val expected = graft.cdc.Cdc
+      .incrementalAggregate(events, "o_orderpriority", "o_totalprice")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("incremental aggregate merge is replay-safe (high-water mark) and truncate resets it") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "grp", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "val", TypedView.Oid.Float8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("incrreplay")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a"), t("10.5")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("a"), t("2.0")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("3"), t("b"), t("7.0")))))),
+      FrameLog.Entry(14, PgOutputEncoder.encode(Update(6, Some('O'),
+        Some(TupleData(Vector(t("2"), t("a"), t("2.0")))),
+        TupleData(Vector(t("2"), t("b"), t("3.0"))))))))  // group move a→b
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeAggBatch(b1, rel, "grp", "val", stateDir)
+    def state(): Seq[(String, String, Long)] =
+      Streams.incrementalAggState(spark, stateDir).orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSeq
+    val once = state()
+    assert(once === Seq(("a", "10.500000", 1L), ("b", "10.000000", 2L)))
+    // replay the SAME batch (crash before checkpoint commit): no double count
+    Streams.mergeAggBatch(b1, rel, "grp", "val", stateDir)
+    assert(state() === once)
+    // batch 2: truncate + fresh insert → state = post-truncate rows only
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(20, PgOutputEncoder.encode(Truncate(0, Vector(6)))),
+      FrameLog.Entry(21, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("9"), t("c"), t("1.25"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    Streams.mergeAggBatch(b2, rel, "grp", "val", stateDir)
+    assert(state() === Seq(("c", "1.250000", 1L)))
+  }
+
+  test("incremental aggregate merge rejects updates without old images") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "grp", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "val", TypedView.Oid.Float8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("incrguard")
+    val p = dir.resolve("log.bin").toString
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a"), t("1.0")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Update(6, None, None,
+        TupleData(Vector(t("1"), t("a"), t("2.0"))))))))
+    val b = spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    val e = intercept[IllegalArgumentException] {
+      Streams.mergeAggBatch(b, rel, "grp", "val", dir.resolve("state").toString)
+    }
+    assert(e.getMessage.contains("REPLICA IDENTITY FULL"))
+  }
+
   test("truncate through the bucketed sink clears every bucket") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
