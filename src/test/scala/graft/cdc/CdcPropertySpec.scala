@@ -79,6 +79,82 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Stateful generator with REAL images: I only for absent keys, U/D only
+    * for present keys with `before` = the actual prior row image (what
+    * REPLICA IDENTITY FULL puts on the wire); occasional T clears state. */
+  private def randomFullImageEvents(
+      rnd: Random, n: Int, keySpace: Int): Seq[ChangeEvent] = {
+    val state = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    var seq = 0L
+    (1 to n).flatMap { i =>
+      seq += 1
+      val lsn = i.toLong
+      if (rnd.nextInt(80) == 0) {
+        state.clear()
+        Some(ChangeEvent("T", s"$lsn-$seq", lsn, seq, 1, lsn, 0L, "public", "t", 1,
+          Map.empty, null, null, Nil, Nil))
+      } else {
+        val key = (rnd.nextInt(keySpace) + 1).toString
+        val g = s"g${rnd.nextInt(4)}"
+        val v = rnd.nextInt(1000).toString
+        val after = Map("id" -> key, "g" -> g, "v" -> v)
+        state.get(key) match {
+          case None =>
+            state(key) = after
+            Some(ChangeEvent("I", s"$lsn-$seq", lsn, seq, 1, lsn, 0L, "public", "t", 1,
+              Map("id" -> key), null, after, Nil, Nil))
+          case Some(prev) if rnd.nextInt(4) == 0 =>
+            state.remove(key)
+            Some(ChangeEvent("D", s"$lsn-$seq", lsn, seq, 1, lsn, 0L, "public", "t", 1,
+              Map("id" -> key), prev, null, Nil, Nil))
+          case Some(prev) =>
+            state(key) = after
+            Some(ChangeEvent("U", s"$lsn-$seq", lsn, seq, 1, lsn, 0L, "public", "t", 1,
+              Map("id" -> key), prev, after, Nil, Nil))
+        }
+      }
+    }
+  }
+
+  test("incremental aggregate equals aggregating the compacted state over random DML+truncate mixes") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val rnd = new Random(100 + trial)
+      val events = randomFullImageEvents(rnd, n = 500, keySpace = 30)
+      // sequential reference: fold row states, then aggregate
+      val finalState = scala.collection.mutable.Map.empty[String, Map[String, String]]
+      events.sortBy(e => (e.lsn, e.seq)).foreach { e =>
+        e.op match {
+          case "I" | "U" => finalState(e.key("id")) = e.after
+          case "D" => finalState.remove(e.key("id"))
+          case "T" => finalState.clear()
+        }
+      }
+      val expected = finalState.values.groupBy(_("g")).map { case (g, rows) =>
+        (g, BigDecimal(rows.map(r => BigInt(r("v"))).sum).setScale(6).toString, rows.size.toLong)
+      }.toSeq.sortBy(_._1)
+      val df = spark.createDataset(rnd.shuffle(events)).repartition(7).toDF()
+      val incr = Cdc.incrementalAggregate(df, "g", "v")
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSeq
+      assert(incr === expected, s"trial $trial: incremental vs sequential reference")
+      // and the from-scratch path: aggregate over the compacted table state
+      val scratch = Cdc.compactFillingToast(df, Seq("id"))
+        .select(org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.col("after"), "g").as("g"),
+          org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.col("after"), "v")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("v"))
+        .groupBy("g")
+        .agg(org.apache.spark.sql.functions.sum("v").as("v"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("c"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSeq
+      assert(incr === scratch, s"trial $trial: incremental vs from-scratch aggregate")
+    }
+  }
+
   test("plain compact agrees on which keys survive (ignoring TOAST repair)") {
     import spark.implicits._
     val rnd = new Random(7)
