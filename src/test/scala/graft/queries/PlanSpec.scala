@@ -119,4 +119,24 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q42 histogram aggregates two-phase on the derived bucket key") {
+    val p = plan("q42_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q44 gap-fill pushes the partition-key filter below the window") {
+    val p = plan("q44_gap_fill")
+    // the user_id < 50 predicate must reach the scan, not run post-window
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*user_id[^\\]]*\\].*"), p)
+    // one hash exchange for the window partitioning, nothing more
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) <= 1, p)
+  }
+
+  test("text_tfidf broadcasts df and corpus-count sides — the tf table never shuffles for the join") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row N cross join
+  }
 }
