@@ -572,6 +572,26 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Five-table star join: two fact tables shuffled on their join key,
+    // three dims broadcast — the canonical warehouse topology. Catalyst
+    // orders the joins; the plan must keep every dim on the build side.
+    "q45_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -604,6 +624,16 @@ object RelationalQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
          FROM events WHERE user_id < 50
          ORDER BY user_id, event_id""",
+
+    "q45_star_join" ->
+      s"""SELECT r_name, n_name,
+         ${DSUM.format("l_extendedprice * (1 - l_discount)")} AS revenue,
+         COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -139,4 +139,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row N cross join
   }
+
+  test("q45 star join keeps all three dims on the broadcast build side") {
+    val p = plan("q45_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
