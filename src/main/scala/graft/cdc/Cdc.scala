@@ -129,7 +129,7 @@ object Cdc {
     * and order-independent, so incremental and from-scratch aggregation
     * agree bit-for-bit in any execution order. */
   private[graft] def aggDeltas(
-      events: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+      events: DataFrame, groupCol: String, valueCols: Seq[String]): DataFrame = {
     val truncLsn = events.filter(col("op") === "T")
       .agg(max(struct(col("lsn"), col("seq"))).as("t"))
       .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
@@ -140,11 +140,13 @@ object Cdc {
         struct(col("__trunc_lsn"), col("__trunc_seq")))
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val plus = ev.filter(col("op").isin("I", "U"))
-      .select(element_at(col("after"), groupCol).as("g"),
-        element_at(col("after"), valueCol).cast(dec).as("dv"), lit(1L).as("dc"))
+      .select(element_at(col("after"), groupCol).as("g") +:
+        valueCols.map(c => element_at(col("after"), c).cast(dec).as(s"dv_$c")) :+
+        lit(1L).as("dc"): _*)
     val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
-      .select(element_at(col("before"), groupCol).as("g"),
-        (-element_at(col("before"), valueCol).cast(dec)).as("dv"), lit(-1L).as("dc"))
+      .select(element_at(col("before"), groupCol).as("g") +:
+        valueCols.map(c => (-element_at(col("before"), c).cast(dec)).as(s"dv_$c")) :+
+        lit(-1L).as("dc"): _*)
     plus.unionByName(minus)
   }
 
@@ -154,13 +156,26 @@ object Cdc {
     * materializing it (one narrow pass + one group-keyed shuffle; at scale
     * this is how a 100 TB materialized aggregate stays fresh from a change
     * stream without rescanning the table). Groups whose rows are all
-    * deleted vanish (count ≤ 0). */
+    * deleted vanish (count ≤ 0).
+    *
+    * Multi-column form: one `sum_<col>` per value column plus the shared
+    * count `c` — several SUMs ride the same shuffle. (SUM/COUNT are the
+    * delta-maintainable aggregates; MIN/MAX retraction needs full per-group
+    * state and is deliberately out of scope.) */
+  def incrementalAggregate(
+      events: DataFrame, groupCol: String, valueCols: Seq[String]): DataFrame =
+    aggDeltas(events, groupCol, valueCols)
+      .groupBy(col("g"))
+      .agg(sum(col(s"dv_${valueCols.head}")).as(s"sum_${valueCols.head}"),
+        valueCols.tail.map(c => sum(col(s"dv_$c")).as(s"sum_$c")) :+
+          sum(col("dc")).as("c"): _*)
+      .filter(col("c") > 0)
+
+  /** Single-column form, output columns `(g, v, c)`. */
   def incrementalAggregate(
       events: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    aggDeltas(events, groupCol, valueCol)
-      .groupBy(col("g"))
-      .agg(sum(col("dv")).as("v"), sum(col("dc")).as("c"))
-      .filter(col("c") > 0)
+    incrementalAggregate(events, groupCol, Seq(valueCol))
+      .select(col("g"), col(s"sum_$valueCol").as("v"), col("c"))
 
   /** Typed current-state view: compact then project through the relation
     * schema from the registry. */

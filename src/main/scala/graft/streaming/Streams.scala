@@ -239,7 +239,8 @@ object Streams {
     // (aggDeltas drops the batch's own pre-truncate events).
     val truncates = truncOpt.exists { case (tl, ts) =>
       tl > hwLsn || (tl == hwLsn && ts > hwSeq) }
-    val delta = Cdc.aggDeltas(fresh, groupCol, valueCol)
+    val delta = Cdc.aggDeltas(fresh, groupCol, Seq(valueCol))
+      .withColumnRenamed(s"dv_$valueCol", "dv")
     val existing =
       if (hasData && !truncates)
         Some(spark.read.parquet(dataDir)

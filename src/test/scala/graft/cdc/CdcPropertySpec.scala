@@ -155,6 +155,38 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-column incremental aggregate: several SUMs ride one shuffle and match per-column math") {
+    import spark.implicits._
+    val rnd = new Random(55)
+    // reuse the full-image generator, with a second value column derived
+    // deterministically from v so the reference fold can recompute it
+    val base = randomFullImageEvents(rnd, n = 400, keySpace = 25)
+    def widen(m: Map[String, String]): Map[String, String] =
+      if (m == null) null else m + ("w" -> (m("v").toLong * 2 + 1).toString)
+    val events = base.map(e => e.copy(
+      before = widen(e.before), after = widen(e.after)))
+    val finalState = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    events.sortBy(e => (e.lsn, e.seq)).foreach { e =>
+      e.op match {
+        case "I" | "U" => finalState(e.key("id")) = e.after
+        case "D" => finalState.remove(e.key("id"))
+        case "T" => finalState.clear()
+      }
+    }
+    val expected = finalState.values.groupBy(_("g")).map { case (g, rows) =>
+      (g,
+        BigDecimal(rows.map(r => BigInt(r("v"))).sum).setScale(6).toString,
+        BigDecimal(rows.map(r => BigInt(r("w"))).sum).setScale(6).toString,
+        rows.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val df = spark.createDataset(rnd.shuffle(events)).repartition(6).toDF()
+    val got = Cdc.incrementalAggregate(df, "g", Seq("v", "w"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+        r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   test("plain compact agrees on which keys survive (ignoring TOAST repair)") {
     import spark.implicits._
     val rnd = new Random(7)
