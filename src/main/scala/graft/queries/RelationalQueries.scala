@@ -592,6 +592,27 @@ object RelationalQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Grouped top-k through the custom typed Aggregator (bounded O(k)
+    // per-group buffers with map-side partial merge — the shuffle-light
+    // alternative to window-rank when k ≪ group size), gate-checked against
+    // the window formulation's SQL.
+    "q46_grouped_topk" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.operators.TopKAggregator(3).toColumn
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(topk)
+        .flatMap { case (seg, top) =>
+          top.zipWithIndex.map { case ((score, id), i) => (seg, (i + 1).toLong, id, score) }
+        }
+        .toDF("seg", "rn", "o_orderkey", "o_totalprice")
+        .orderBy(col("seg"), col("rn"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -624,6 +645,14 @@ object RelationalQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
          FROM events WHERE user_id < 50
          ORDER BY user_id, event_id""",
+
+    "q46_grouped_topk" ->
+      """SELECT seg, rn, o_orderkey, o_totalprice FROM (
+           SELECT c_mktsegment AS seg, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey) t
+         WHERE rn <= 3 ORDER BY seg, rn""",
 
     "q45_star_join" ->
       s"""SELECT r_name, n_name,
