@@ -197,17 +197,26 @@ object Streams {
     * than the high-water resets the state. Requires full old images
     * (REPLICA IDENTITY FULL) on updates — enforced per batch. */
   def incrementalAggSink(envelope: DataFrame, rel: Relation, groupCol: String,
-      valueCol: String, stateDir: String, checkpointDir: String): StreamingQuery =
+      valueCols: Seq[String], stateDir: String, checkpointDir: String): StreamingQuery =
     envelope.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeAggBatch(batch, rel, groupCol, valueCol, stateDir)
+        mergeAggBatch(batch, rel, groupCol, valueCols, stateDir)
       }
       .start()
 
+  /** Single-SUM form. */
+  def incrementalAggSink(envelope: DataFrame, rel: Relation, groupCol: String,
+      valueCol: String, stateDir: String, checkpointDir: String): StreamingQuery =
+    incrementalAggSink(envelope, rel, groupCol, Seq(valueCol), stateDir, checkpointDir)
+
   private[streaming] def mergeAggBatch(batch0: DataFrame, rel: Relation,
-      groupCol: String, valueCol: String, stateDir: String): Unit = {
+      groupCol: String, valueCol: String, stateDir: String): Unit =
+    mergeAggBatch(batch0, rel, groupCol, Seq(valueCol), stateDir)
+
+  private[streaming] def mergeAggBatch(batch0: DataFrame, rel: Relation,
+      groupCol: String, valueCols: Seq[String], stateDir: String): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val dataDir = s"$stateDir/data"
@@ -239,16 +248,19 @@ object Streams {
     // (aggDeltas drops the batch's own pre-truncate events).
     val truncates = truncOpt.exists { case (tl, ts) =>
       tl > hwLsn || (tl == hwLsn && ts > hwSeq) }
-    val delta = Cdc.aggDeltas(fresh, groupCol, Seq(valueCol))
-      .withColumnRenamed(s"dv_$valueCol", "dv")
+    val delta = Cdc.aggDeltas(fresh, groupCol, valueCols)
     val existing =
       if (hasData && !truncates)
         Some(spark.read.parquet(dataDir)
-          .select(col("g"), col("v").as("dv"), col("c").as("dc")))
+          .select(col("g") +:
+            valueCols.map(c => col(s"sum_$c").as(s"dv_$c")) :+
+            col("c").as("dc"): _*))
       else None
     val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
       .groupBy(col("g"))
-      .agg(sum(col("dv")).as("v"), sum(col("dc")).as("c"))
+      .agg(sum(col(s"dv_${valueCols.head}")).as(s"sum_${valueCols.head}"),
+        valueCols.tail.map(c => sum(col(s"dv_$c")).as(s"sum_$c")) :+
+          sum(col("dc")).as("c"): _*)
       .filter(col("c") > 0)
     val tmp = dataDir + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)

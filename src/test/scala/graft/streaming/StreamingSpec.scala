@@ -437,6 +437,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === Seq(("c", "1.250000", 1L)))
   }
 
+  test("multi-SUM incremental aggregate state maintains both columns through update and delete") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "grp", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "v1", TypedView.Oid.Float8, -1),
+      RelationColumn(partOfKey = false, "v2", TypedView.Oid.Float8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("incrmulti")
+    val stateDir = dir.resolve("state").toString
+    val p = dir.resolve("log.bin").toString
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a"), t("1.5"), t("10")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("a"), t("2.0"), t("20")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Update(6, Some('O'),
+        Some(TupleData(Vector(t("1"), t("a"), t("1.5"), t("10")))),
+        TupleData(Vector(t("1"), t("a"), t("4.5"), t("40")))))),
+      FrameLog.Entry(14, PgOutputEncoder.encode(Delete(6, 'O',
+        TupleData(Vector(t("2"), t("a"), t("2.0"), t("20"))))))))
+    val b = spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    Streams.mergeAggBatch(b, rel, "grp", Seq("v1", "v2"), stateDir)
+    val row = Streams.incrementalAggState(spark, stateDir).collect().toSeq
+    assert(row.map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+      r.getDecimal(2).toPlainString, r.getLong(3))) ===
+      Seq(("a", "4.500000", "40.000000", 1L)))
+  }
+
   test("incremental aggregate merge rejects updates without old images") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
