@@ -67,6 +67,27 @@ object DedupQueries {
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     cached(s, "shingleIndex", d) { shingleRows(s, d).distinct() }
 
+  /** Document frequency per shingle ≤ maxDf: the stop-shingle cap. A
+    * shingle shared by thousands of documents carries no dedup signal but
+    * costs df² join rows — one runaway posting list ("the end of" at df=10⁶)
+    * turns the inverted-index self-join into a 10¹² cross product. Dropping
+    * df > maxDf bounds every posting list's contribution at maxDf², keeping
+    * the join sub-quadratic on any corpus. Jaccard is then computed over the
+    * capped shingle universe (both intersections AND set sizes — a coherent
+    * similarity over informative shingles; the oracle applies the same cap). */
+  private[queries] def cappedShingleIndex(s: SparkSession, d: String,
+      maxDf: Int): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val kept = idx.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    idx.join(kept, "sh")
+  }
+
+  /** Posting-list cap for n-gram Jaccard (see [[cappedShingleIndex]]). */
+  private[queries] val JaccardMaxDf = 1000
+
   /** 12 min-wise hashes per doc: minhash_i = min over shingles of
     * md5(i || ':' || shingle) (lexicographic min of hex — a valid min-wise
     * family, identical across engines).
@@ -178,12 +199,14 @@ object DedupQueries {
         .orderBy(col("content_hash"))
     }),
 
-    // n-gram Jaccard near-dup via inverted-index join (no cross product).
+    // n-gram Jaccard near-dup via inverted-index join (no cross product),
+    // with posting lists capped at df ≤ JaccardMaxDf (stop-shingle drop —
+    // the guard that keeps the self-join sub-quadratic at corpus scale).
     // The index feeds three plan branches (both join sides + sizes) — the
     // session cache persists it once; per-doc-derived, far smaller than the
     // corpus.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val idx = shingleIndex(s, d)
+      val idx = cappedShingleIndex(s, d, JaccardMaxDf)
       val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = idx.as("a"); val b = idx.as("b")
       val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -307,8 +330,12 @@ object DedupQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
 
+    // same stop-shingle cap as the Spark side: Jaccard over shingles with
+    // df <= JaccardMaxDf
     "dedup_ngram_jaccard" ->
-      s"""WITH idx AS ($ShIdxSql),
+      s"""WITH idx0 AS ($ShIdxSql),
+            kept AS (SELECT sh FROM idx0 GROUP BY sh HAVING COUNT(*) <= $JaccardMaxDf),
+            idx AS (SELECT i.doc_id, i.sh FROM idx0 i JOIN kept USING (sh)),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter

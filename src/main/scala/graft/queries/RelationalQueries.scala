@@ -300,13 +300,24 @@ object RelationalQueries {
            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),
 
-    // HLL approximate distinct — implementation-specific sketch, so the
-    // gate is rows-only (no oracle); the spec asserts the error envelope.
+    // HLL approximate distinct. The sketch estimate is implementation-
+    // specific (DuckDB cannot reproduce Spark's HLL++), so the machine-
+    // checked contract is the error envelope: the query outputs the exact
+    // distinct count plus a boolean asserting the sketch landed within
+    // 3×rsd (rsd = 0.05 default ⇒ 15%); the oracle computes the exact
+    // counts and expects the boolean TRUE. Both engines hash-match iff the
+    // approximation held its bound — the q41 exact-regime trick, adapted to
+    // a sketch that is never exact. (HLL++ is deterministic, so the check
+    // is stable run-over-run.)
     "q26_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.15)).as("within_bound"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -386,6 +397,34 @@ object RelationalQueries {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
           round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Scale path for q28's percentiles: approx_percentile (Greenwald-Khanna
+    // quantile summaries — mergeable, bounded O(accuracy) state per group,
+    // map-side partial aggregation) replaces the exact percentile whose
+    // buffer grows with group size (per-group memory O(rows) — the thing
+    // that cannot survive a 100× scale-up). The sketch value is
+    // implementation-specific, so the machine-checked contract is the error
+    // envelope (the q26 pattern): compute both forms, output booleans
+    // asserting the sketch landed within 1% of exact; the oracle expects
+    // TRUE. Production runs only the approx branch — the exact branch here
+    // exists to make the bound machine-checked. (GK ε = 1/accuracy = 1e-4
+    // rank error; 1% value error is a wide margin on a dense column.)
+    "q28_stats_approx" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
+          expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+          expr("percentile(l_extendedprice, 0.95)").as("ep95"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("ap50") - col("ep50")) <= abs(col("ep50")) * lit(0.01))
+            .as("p50_within_1pct"),
+          (abs(col("ap95") - col("ep95")) <= abs(col("ep95")) * lit(0.01))
+            .as("p95_within_1pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -573,8 +612,12 @@ object RelationalQueries {
     }),
 
     // Five-table star join: two fact tables shuffled on their join key,
-    // three dims broadcast — the canonical warehouse topology. Catalyst
-    // orders the joins; the plan must keep every dim on the build side.
+    // small dims broadcast — the canonical warehouse topology. nation and
+    // region are bounded dimensions (25/5 rows at every scale factor) so
+    // their hints are always right; customer grows with the fact tables
+    // (15 M rows at sf100 — far beyond any broadcast threshold), so its
+    // strategy is left to Catalyst statistics + AQE rather than pinned to a
+    // hint that becomes a driver OOM at scale.
     "q45_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -582,7 +625,7 @@ object RelationalQueries {
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -896,6 +939,13 @@ object RelationalQueries {
          UNPIVOT (value FOR measure IN (qty, price, disc))
          ORDER BY l_returnflag, measure""",
 
+    // error-envelope oracle: exact counts + the expectation that Spark's
+    // sketch stayed within bound (within_bound must come back TRUE)
+    "q26_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n, TRUE AS within_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q27_arg_extremes" ->
       """SELECT event_type, arg_max(event_id, ts) AS latest_event_id,
            arg_min(event_id, ts) AS earliest_event_id, MAX(ts) AS latest_ts
@@ -942,6 +992,13 @@ object RelationalQueries {
            CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
            user_id, COUNT(*) AS n
          FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    // error-envelope oracle (see the query comment): the booleans must come
+    // back TRUE, proving the sketch held its bound
+    "q28_stats_approx" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q28_stats" ->
       """SELECT l_returnflag,

@@ -140,9 +140,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row N cross join
   }
 
-  test("q45 star join keeps all three dims on the broadcast build side") {
+  test("q28 approx twin: mergeable sketch with map-side partial aggregation") {
+    // the scale property: approx_percentile runs as a two-phase object hash
+    // aggregate (partial sketches merged), never a single-phase buffer of
+    // raw group values on one node
+    val p = plan("q28_stats_approx")
+    assert(p.contains("approx_percentile"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q45 star join keeps the bounded dims broadcast, customer unpinned") {
+    // nation/region are hinted (bounded at 25/5 rows forever); customer's
+    // side is adaptive — at test scale statistics make it a broadcast too,
+    // at warehouse scale it becomes a shuffle join with no code change.
     val p = plan("q45_star_join")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 }

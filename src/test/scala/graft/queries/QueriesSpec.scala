@@ -39,6 +39,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.1, s"approx=$approx exact=$exact")
   }
 
+  test("capped shingle index bounds every posting list at maxDf") {
+    import org.apache.spark.sql.functions._
+    // With a tiny cap the corpus's common shingles must drop out entirely;
+    // the surviving index never has a posting list above the cap.
+    val capped = DedupQueries.cappedShingleIndex(spark, d, maxDf = 3)
+    val maxDf = capped.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    assert(maxDf <= 3, s"posting list of size $maxDf survived a cap of 3")
+    // and the cap actually binds on this corpus (sf0.001 has shingles df>3)
+    val uncappedMax = DedupQueries.cappedShingleIndex(spark, d, maxDf = Int.MaxValue)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
+    assert(uncappedMax > 3, "corpus has no high-df shingles; cap test vacuous")
+  }
+
   test("flagship entry returns rows on sf0.001 (driver t1 smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
