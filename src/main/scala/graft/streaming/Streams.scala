@@ -28,11 +28,12 @@ object Streams {
     * events into the parquet state at `stateDir` by primary key
     * (last-LSN-wins; the foreachBatch realization of SURVEY.md §2.2 Sinks).
     *
-    * Scale note: local parquet read-merge-overwrite keeps the semantics
-    * honest (idempotent under at-least-once replay because the merge keys
-    * on (key, lsn, seq) maxima); a production deployment swaps the store
-    * for a format with transactional MERGE while `mergeBatch` stays
-    * identical. */
+    * Crash safety: each merge writes a fresh version directory and
+    * publishes it through [[StateStore]]'s atomic manifest flip — a crash
+    * mid-rewrite leaves the previous state readable, and the idempotent
+    * merge re-applies the batch on replay. A production deployment swaps
+    * the store for a format with transactional MERGE while `mergeBatch`
+    * stays identical. */
   def cdcUpsertSink(envelope: DataFrame, rel: Relation, stateDir: String,
       checkpointDir: String): StreamingQuery = {
     val keys = rel.keyColumnNames
@@ -69,15 +70,15 @@ object Streams {
     // null-key groups and bogus rows. Keep only this relation's events.
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val spark = batch.sparkSession
-    val dir = new java.io.File(stateDir)
-    val existing =
-      if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-        Some(spark.read.parquet(stateDir))
-      else None
+    // The new version is written while its plan reads the OLD version's
+    // directory — distinct paths, so no tmp double-write is needed; the
+    // manifest flip makes the swap atomic.
+    val existing = StateStore.load(stateDir).get("data")
+      .map(v => spark.read.parquet(s"$stateDir/$v"))
     val compacted = mergeCompact(batch, existing, rel, keys)
-    val tmp = stateDir + ".tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
+    val next = StateStore.newVersion("data")
+    compacted.write.mode("overwrite").parquet(s"$stateDir/$next")
+    StateStore.commit(stateDir, Map("data" -> next))
   }
 
   /** (state rows ∪ batch events) → compacted state rows. Previous state rows
@@ -133,9 +134,12 @@ object Streams {
     * few GB, a 100 TB table absorbs a small batch by rewriting a handful of
     * bucket files, where the unbucketed merge would rewrite all 100 TB.
     *
-    * Same crash contract as [[mergeBatch]] (tmp double-write, idempotent
-    * re-merge on replay); a production deployment swaps the directory swap
-    * for a transactional MERGE store with the same bucketing. */
+    * Crash safety: same [[StateStore]] manifest protocol as [[mergeBatch]],
+    * one version directory per bucket — the recompacted buckets are staged,
+    * promoted to fresh version dirs, and ALL touched manifest entries flip
+    * in one atomic rename (a bucket emptied by deletes simply leaves the
+    * manifest). A production deployment swaps the store for a transactional
+    * MERGE format with the same bucketing. */
   private[streaming] def mergeBatchBucketed(
       batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String,
       nBuckets: Int = 64): Unit = {
@@ -152,27 +156,33 @@ object Streams {
       if (hasTruncate) (0L until nBuckets).toArray
       else probe.getSeq[Long](0).toArray
     if (touched.isEmpty) return
-    val root = new java.io.File(stateDir)
-    val hasState = root.exists() &&
-      root.listFiles().exists(_.getName.startsWith("__bucket="))
-    // Partition pruning: only the touched buckets' directories are read.
+    val manifest = StateStore.load(stateDir)
+    // Pruning: only the touched buckets' version directories are opened.
+    val existingDirs = touched.toSeq
+      .flatMap(b => manifest.get(s"b$b")).map(v => s"$stateDir/$v")
     val existing =
-      if (hasState)
-        Some(spark.read.parquet(stateDir)
-          .where(col("__bucket").isin(touched: _*)).drop("__bucket"))
+      if (existingDirs.nonEmpty) Some(spark.read.parquet(existingDirs: _*))
       else None
     val compacted = mergeCompact(batch, existing, rel, keys)
       .withColumn("__bucket", bucketOf(col("__key"), keys, nBuckets))
-    val tmp = stateDir + ".tmp"
-    compacted.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-    // Replace exactly the touched partitions: delete them (a bucket whose
-    // keys were all deleted must empty out — dynamic partition overwrite
-    // alone would leave it stale), then append the recompacted buckets.
+    // Stage all recompacted buckets in one partitioned write, then promote
+    // each produced bucket to its own uncommitted version directory.
+    val stage = StateStore.newVersion("stage")
+    compacted.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")
+    var entries = manifest
     touched.foreach { b =>
-      val d = new java.io.File(root, s"__bucket=$b")
-      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      val produced = new java.io.File(s"$stateDir/$stage/__bucket=$b")
+      entries -= s"b$b" // a bucket whose keys were all deleted empties out
+      if (produced.exists()) {
+        val v = StateStore.newVersion(s"b$b")
+        require(produced.renameTo(new java.io.File(s"$stateDir/$v")),
+          s"failed to promote staged bucket $b")
+        entries += (s"b$b" -> v)
+      }
     }
-    spark.read.parquet(tmp).write.mode("append").partitionBy("__bucket").parquet(stateDir)
+    // One flip commits every touched bucket; the sweep reclaims the stage
+    // remnants and the replaced bucket versions.
+    StateStore.commit(stateDir, entries)
   }
 
   /** [[cdcUpsertSink]] over the bucketed state layout. */
@@ -219,13 +229,14 @@ object Streams {
       groupCol: String, valueCols: Seq[String], stateDir: String): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0.filter(col("relation_id") === rel.relationId)
-    val dataDir = s"$stateDir/data"
-    val hwDir = s"$stateDir/hw"
-    val hasData = new java.io.File(dataDir).exists()
-    val (hwLsn, hwSeq) =
-      if (new java.io.File(hwDir).exists()) {
-        val r = spark.read.parquet(hwDir).first(); (r.getLong(0), r.getLong(1))
-      } else (Long.MinValue, Long.MinValue)
+    // Data version + high-water mark live in ONE manifest: merged sums and
+    // the replay guard publish in the same atomic flip, so a crash can
+    // never pair new data with a stale watermark (which a replay would then
+    // double-apply).
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
     // One probe pass: batch high-water, newest truncate, missing-old-image
     // guard (an update without `before` makes the retraction uncomputable —
     // fail loudly rather than drift).
@@ -250,8 +261,8 @@ object Streams {
       tl > hwLsn || (tl == hwLsn && ts > hwSeq) }
     val delta = Cdc.aggDeltas(fresh, groupCol, valueCols)
     val existing =
-      if (hasData && !truncates)
-        Some(spark.read.parquet(dataDir)
+      if (!truncates) manifest.get("data").map(v =>
+        spark.read.parquet(s"$stateDir/$v")
           .select(col("g") +:
             valueCols.map(c => col(s"sum_$c").as(s"dv_$c")) :+
             col("c").as("dc"): _*))
@@ -262,24 +273,33 @@ object Streams {
         valueCols.tail.map(c => sum(col(s"dv_$c")).as(s"sum_$c")) :+
           sum(col("dc")).as("c"): _*)
       .filter(col("c") > 0)
-    val tmp = dataDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(dataDir)
-    spark.range(1)
-      .select(lit(math.max(hwLsn, mx.getLong(0))).as("lsn"),
-        lit(if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
-          mx.getLong(1) else hwSeq).as("seq"))
-      .write.mode("overwrite").parquet(hwDir)
+    val next = StateStore.newVersion("data")
+    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
   /** Current state of an incrementally-maintained aggregate view. */
-  def incrementalAggState(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/data")
+  def incrementalAggState(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = StateStore.load(stateDir).getOrElse("data",
+      sys.error(s"no committed aggregate state under $stateDir"))
+    spark.read.parquet(s"$stateDir/$v")
+  }
 
-  /** Current typed state of the materialized table. */
-  def materializedState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame =
+  /** Current typed state of the materialized table (either state layout). */
+  def materializedState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
+      manifest.collect { case (k, v) if k.startsWith("b") => v }.toSeq.sorted)
+    require(dirs.nonEmpty, s"no committed state under $stateDir")
     graft.decode.TypedView.ofAfter(
-      spark.read.parquet(stateDir).withColumnRenamed("__after", "after"), rel)
+      spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
+        .withColumnRenamed("__after", "after"), rel)
+  }
 
   /** Event-time tumbling window aggregate with watermark (late data beyond
     * the watermark is dropped) — the streaming twin of q21. */

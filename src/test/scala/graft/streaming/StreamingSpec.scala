@@ -347,12 +347,13 @@ class StreamingSpec extends AnyFunSuite {
           Insert(6, TupleData(Vector(t(i.toString), t(s"v$i"))))))))
     val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
     Streams.mergeBatchBucketed(b1, rel, Seq("id"), stateDir, n)
-    def bucketFiles(): Map[String, Set[String]] =
-      new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("__bucket="))
-        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
-    val before = bucketFiles()
+    // manifest maps bucket → version dir; an untouched bucket must keep the
+    // SAME committed version directory (not merely equal contents)
+    def bucketVersions(): Map[String, String] =
+      StateStore.load(stateDir).filter(_._1.startsWith("b"))
+    val before = bucketVersions()
     assert(before.size > 1, "keys should spread over several buckets")
-    // batch 2: update a single key → exactly one bucket dir may change
+    // batch 2: update a single key → exactly one bucket version may change
     val touchedBucket = spark.range(1)
       .select(pmod(xxhash64(lit("1")), lit(n))).first().getLong(0)
     val p2 = dir.resolve("log2.bin").toString
@@ -362,15 +363,93 @@ class StreamingSpec extends AnyFunSuite {
         Update(6, None, None, TupleData(Vector(t("1"), t("patched"))))))))
     val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
     Streams.mergeBatchBucketed(b2, rel, Seq("id"), stateDir, n)
-    val after = bucketFiles()
-    before.keySet.filterNot(_ == s"__bucket=$touchedBucket").foreach { b =>
+    val after = bucketVersions()
+    before.keySet.filterNot(_ == s"b$touchedBucket").foreach { b =>
       assert(after(b) === before(b), s"untouched bucket $b was rewritten")
     }
+    assert(after(s"b$touchedBucket") !== before(s"b$touchedBucket"),
+      "touched bucket should have a fresh version")
     val got = Streams.materializedState(spark, rel, stateDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got(1L) === "patched")
     assert(got.size === 32)
     assert(got(32L) === "v32")
+  }
+
+  test("a crash between state write and manifest flip loses nothing (atomic swap)") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("crashswap")
+    val stateDir = dir.resolve("state").toString
+    def log(path: String, entries: (Long, PgOutputMessage)*): org.apache.spark.sql.DataFrame = {
+      FrameLog.write(path, entries.iterator.map { case (lsn, m) =>
+        FrameLog.Entry(lsn, PgOutputEncoder.encode(m)) })
+      spark.read.format("graft.sources.FrameReplayProvider").option("path", path).load()
+    }
+    val b1 = log(dir.resolve("log1.bin").toString,
+      0L -> rel,
+      11L -> Insert(6, TupleData(Vector(t("1"), t("a")))),
+      12L -> Insert(6, TupleData(Vector(t("2"), t("b")))))
+    Streams.mergeBatch(b1, rel, Seq("id"), stateDir)
+    def state(): Seq[(Long, String)] =
+      Streams.materializedState(spark, rel, stateDir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(state() === Seq((1L, "a"), (2L, "b")))
+    // batch 2 crashes AFTER its new version dir is fully written but BEFORE
+    // the manifest flip — the previous state must remain the visible one
+    val b2 = log(dir.resolve("log2.bin").toString,
+      0L -> rel,
+      21L -> Update(6, None, None, TupleData(Vector(t("1"), t("patched")))),
+      22L -> Insert(6, TupleData(Vector(t("3"), t("c")))))
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergeBatch(b2, rel, Seq("id"), stateDir)
+    } finally StateStore.failBeforeCommit = false
+    assert(state() === Seq((1L, "a"), (2L, "b")), "crashed swap must not publish")
+    // recovery: the replayed batch merges normally and the commit sweeps the
+    // crash orphan — exactly one live version dir remains
+    Streams.mergeBatch(b2, rel, Seq("id"), stateDir)
+    assert(state() === Seq((1L, "patched"), (2L, "b"), (3L, "c")))
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    assert(versions.length === 1, versions.mkString(", "))
+  }
+
+  test("incremental aggregate crash keeps data+high-water atomic (no double apply)") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "grp", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "val", TypedView.Oid.Float8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("crashagg")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a"), t("10.0"))))))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeAggBatch(b1, rel, "grp", "val", stateDir)
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(21, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("a"), t("5.0"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergeAggBatch(b2, rel, "grp", "val", stateDir)
+    } finally StateStore.failBeforeCommit = false
+    def state(): Seq[(String, String, Long)] =
+      Streams.incrementalAggState(spark, stateDir).orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSeq
+    // crashed merge published neither data nor watermark
+    assert(state() === Seq(("a", "10.000000", 1L)))
+    // replay applies the batch exactly once
+    Streams.mergeAggBatch(b2, rel, "grp", "val", stateDir)
+    assert(state() === Seq(("a", "15.000000", 2L)))
+    Streams.mergeAggBatch(b2, rel, "grp", "val", stateDir) // second replay: no-op
+    assert(state() === Seq(("a", "15.000000", 2L)))
   }
 
   test("incremental aggregate sink equals the batch delta aggregate across micro-batches") {
