@@ -65,21 +65,12 @@ object Cdc {
     */
   def compactFillingToast(events: DataFrame, keyColumns: Seq[String]): DataFrame = {
     val keyExprs = keyColumns.map(k => element_at(col("key"), k).as(s"__k_$k"))
-    // Truncate high-water mark, same broadcast shape as compact(). Events at
-    // or before the latest 'T' are dropped BEFORE the fold: the truncated
-    // rows no longer exist, so their images must not survive — and must not
-    // fill TOAST columns of post-truncate events either (a post-truncate
-    // INSERT is a fresh row; Postgres can't send 'u' referring to it).
-    val truncLsn = events.filter(col("op") === "T")
-      .agg(max(struct(col("lsn"), col("seq"))).as("t"))
-      .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
-              coalesce(col("t.seq"), lit(Long.MinValue)).as("__trunc_seq"))
-    val withKeys = events.filter(col("op") =!= "T")
-      .crossJoin(broadcast(truncLsn))
-      .filter(struct(col("lsn"), col("seq")) >
-        struct(col("__trunc_lsn"), col("__trunc_seq")))
-      .drop("__trunc_lsn", "__trunc_seq")
-      .select(col("*") +: keyExprs: _*)
+    // Events at or before the latest 'T' are dropped BEFORE the fold: the
+    // truncated rows no longer exist, so their images must not survive —
+    // and must not fill TOAST columns of post-truncate events either (a
+    // post-truncate INSERT is a fresh row; Postgres can't send 'u'
+    // referring to it).
+    val withKeys = survivingEvents(events).select(col("*") +: keyExprs: _*)
 
     // Per key: sort events by (lsn, seq), fold images left-to-right.
     //   I/U: new state = after ∪ (previous state restricted to TOASTed cols)
@@ -128,16 +119,23 @@ object Cdc {
     * (see Streams.mergeAggBatch). Values accumulate as DECIMAL(28,6): exact
     * and order-independent, so incremental and from-scratch aggregation
     * agree bit-for-bit in any execution order. */
-  private[graft] def aggDeltas(
-      events: DataFrame, groupCol: String, valueCols: Seq[String]): DataFrame = {
+  /** Events strictly after the batch's latest Truncate (the shared
+    * high-water filter of compact/compactFillingToast/aggDeltas). */
+  private[graft] def survivingEvents(events: DataFrame): DataFrame = {
     val truncLsn = events.filter(col("op") === "T")
       .agg(max(struct(col("lsn"), col("seq"))).as("t"))
       .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
               coalesce(col("t.seq"), lit(Long.MinValue)).as("__trunc_seq"))
-    val ev = events.filter(col("op") =!= "T")
+    events.filter(col("op") =!= "T")
       .crossJoin(broadcast(truncLsn))
       .filter(struct(col("lsn"), col("seq")) >
         struct(col("__trunc_lsn"), col("__trunc_seq")))
+      .drop("__trunc_lsn", "__trunc_seq")
+  }
+
+  private[graft] def aggDeltas(
+      events: DataFrame, groupCol: String, valueCols: Seq[String]): DataFrame = {
+    val ev = survivingEvents(events)
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val plus = ev.filter(col("op").isin("I", "U"))
       .select(element_at(col("after"), groupCol).as("g") +:
@@ -176,6 +174,42 @@ object Cdc {
       events: DataFrame, groupCol: String, valueCol: String): DataFrame =
     incrementalAggregate(events, groupCol, Seq(valueCol))
       .select(col("g"), col(s"sum_$valueCol").as("v"), col("c"))
+
+  /** MIN/MAX/COUNT per group maintained purely from event deltas — the
+    * retraction-capable complement of [[incrementalAggregate]].
+    *
+    * MIN/MAX are not delta-maintainable with a scalar accumulator (deleting
+    * the current minimum needs the runner-up), so the maintained state is
+    * the per-(group, value) NET row count: +1 per insert image, −1 per
+    * delete image; an update retracts its before image and adds its after
+    * image. Values surviving with net > 0 are exactly the group's current
+    * value multiset, so MIN/MAX over them equal MIN/MAX over the compacted
+    * table — without materializing it.
+    *
+    * Scale shape: two hash aggregations. The first keys on (group, value) —
+    * high cardinality, so it DISTRIBUTES the per-group work instead of
+    * buffering a group's values on one node (partial aggregation compresses
+    * duplicates map-side); the second reduces to one row per group. Requires
+    * full old images (REPLICA IDENTITY FULL), same contract as aggDeltas.
+    * For the cross-batch streaming form with BOUNDED per-group state see
+    * Streams.mergeMinMaxBatch / BoundedMinMax. */
+  def incrementalMinMax(
+      events: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val ev = survivingEvents(events)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val plus = ev.filter(col("op").isin("I", "U"))
+      .select(element_at(col("after"), groupCol).as("g"),
+        element_at(col("after"), valueCol).cast(dec).as("v"), lit(1L).as("n"))
+    val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
+      .select(element_at(col("before"), groupCol).as("g"),
+        element_at(col("before"), valueCol).cast(dec).as("v"), lit(-1L).as("n"))
+    plus.unionByName(minus)
+      .groupBy(col("g"), col("v")).agg(sum(col("n")).as("net"))
+      .filter(col("net") > 0)
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(col("net")).as("c"))
+  }
 
   /** Typed current-state view: compact then project through the relation
     * schema from the registry. */

@@ -61,6 +61,22 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Incrementally-maintained MIN/MAX/COUNT view: extremes per priority
+    // computed purely from event deltas (net per-(group,value) row counts —
+    // the retraction-capable form; deletes genuinely remove extremes here,
+    // so a scalar MIN/MAX accumulator would be wrong). Must equal MIN/MAX
+    // over the oracle's final table state.
+    "cdc_incremental_minmax" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalMinMax(events, "o_orderpriority", "o_totalprice")
+        .select(col("g").as("o_orderpriority"),
+          col("mn").cast("double").as("min_price"),
+          col("mx").cast("double").as("max_price"),
+          col("c").as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -99,6 +115,16 @@ object CdcQueries {
          FROM orders
          WHERE o_orderkey * 8 + 1 > (SELECT MAX(o_orderkey) * 4 FROM orders)
          ORDER BY o_orderkey""",
+
+    "cdc_incremental_minmax" ->
+      """SELECT o_orderpriority,
+           CAST(MIN(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS DECIMAL(28,6))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS DECIMAL(28,6))) AS DOUBLE) AS max_price,
+           COUNT(*) AS n_rows
+         FROM orders WHERE o_orderkey % 7 <> 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "cdc_incremental_agg" ->
       """SELECT o_orderpriority,

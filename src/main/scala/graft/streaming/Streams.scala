@@ -283,6 +283,124 @@ object Streams {
       "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Incrementally-maintained MIN/MAX/COUNT view with BOUNDED per-group
+    * state (graft.cdc.BoundedMinMax: k smallest/largest distinct values
+    * with exact counts). Each micro-batch merges net (group, value) deltas
+    * into the synopses — O(batch ∪ touched groups) per batch; a group whose
+    * synopsis is exhausted by deletes is rebuilt by a TARGETED rescan of
+    * the co-located materialized table (only that group's rows), which this
+    * sink maintains in the same foreachBatch so the rescan source is always
+    * at the batch's own high-water. Replay guard + truncate reset identical
+    * to incrementalAggSink; state publishes via the atomic manifest flip. */
+  def minMaxAggSink(envelope: DataFrame, rel: Relation, groupCol: String,
+      valueCol: String, stateDir: String, tableStateDir: String,
+      checkpointDir: String, k: Int = 16): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, rel, rel.keyColumnNames, tableStateDir)
+        mergeMinMaxBatch(batch, rel, groupCol, valueCol, stateDir, k,
+          Some(() => materializedState(batch.sparkSession, rel, tableStateDir)))
+      }
+      .start()
+
+  private[graft] def mergeMinMaxBatch(batch0: DataFrame, rel: Relation,
+      groupCol: String, valueCol: String, stateDir: String, k: Int,
+      rescanSource: Option[() => DataFrame]): Unit = {
+    import graft.cdc.BoundedMinMax
+    import graft.cdc.BoundedMinMax.GroupState
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val probe = batch.agg(
+      max(struct(col("lsn"), col("seq"))).as("mx"),
+      max(when(col("op") === "T", struct(col("lsn"), col("seq")))).as("t"),
+      sum(when(col("op") === "U" && col("before").isNull, 1L).otherwise(0L)).as("badU")
+    ).first()
+    if (probe.isNullAt(0)) return
+    require(probe.getLong(2) == 0L,
+      s"minMaxAggSink(${rel.name}): update without a before image — " +
+        "the table needs REPLICA IDENTITY FULL for aggregate maintenance")
+    val mx = probe.getStruct(0)
+    val truncates = !probe.isNullAt(1) && {
+      val t = probe.getStruct(1)
+      t.getLong(0) > hwLsn || (t.getLong(0) == hwLsn && t.getLong(1) > hwSeq)
+    }
+    val fresh = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ev = Cdc.survivingEvents(fresh)
+    val plus = ev.filter(col("op").isin("I", "U"))
+      .select(element_at(col("after"), groupCol).as("g"),
+        element_at(col("after"), valueCol).cast(dec).as("v"), lit(1L).as("n"))
+    val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
+      .select(element_at(col("before"), groupCol).as("g"),
+        element_at(col("before"), valueCol).cast(dec).as("v"), lit(-1L).as("n"))
+    val deltas = plus.unionByName(minus)
+      .groupBy(col("g"), col("v")).agg(sum(col("n")).as("net"))
+      .filter(col("net") =!= 0)
+      .as[(String, java.math.BigDecimal, Long)]
+    val prior: Dataset[GroupState] =
+      if (truncates) spark.emptyDataset[GroupState]
+      else manifest.get("data")
+        .map(v => spark.read.parquet(s"$stateDir/$v").as[GroupState])
+        .getOrElse(spark.emptyDataset[GroupState])
+    // per-group synopsis merge: state ⨝ net deltas, O(k + deltas) a group
+    val merged = prior.groupByKey(_.g).cogroup(deltas.groupByKey(_._1)) {
+      (g, states, ds) =>
+        val del = ds.map(t => (t._2, t._3)).toSeq
+        val st = states.nextOption().getOrElse(BoundedMinMax.empty(g))
+        if (del.isEmpty) Iterator.single((false, st))
+        else BoundedMinMax.merge(st, del, k) match {
+          case BoundedMinMax.Updated(None)    => Iterator.empty
+          case BoundedMinMax.Updated(Some(s)) => Iterator.single((false, s))
+          case BoundedMinMax.NeedsRescan =>
+            Iterator.single((true, BoundedMinMax.empty(g)))
+        }
+    }.persist()
+    val rescanGroups = merged.filter(_._1).map(_._2.g).collect().toSeq
+    val kept = merged.filter(!_._1).map(_._2)
+    val rebuilt: Dataset[GroupState] =
+      if (rescanGroups.isEmpty) spark.emptyDataset[GroupState]
+      else {
+        val src = rescanSource.getOrElse(sys.error(
+          s"minmax synopsis exhausted for groups [${rescanGroups.mkString(", ")}] " +
+            "and no rescan source configured"))()
+        src.filter(col(groupCol).cast("string").isin(rescanGroups: _*))
+          .select(col(groupCol).cast("string").as("g"),
+            col(valueCol).cast(dec).as("v"))
+          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
+          .as[(String, java.math.BigDecimal, Long)]
+          .groupByKey(_._1)
+          .mapGroups((g, it) =>
+            BoundedMinMax.fromValues(g, it.map(t => (t._2, t._3)).toSeq, k).get)
+      }
+    val next = StateStore.newVersion("data")
+    kept.union(rebuilt).toDF().write.mode("overwrite").parquet(s"$stateDir/$next")
+    merged.unpersist()
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
+  /** Current (g, mn, mx, c) rows of the bounded MIN/MAX view. */
+  def minMaxAggState(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = StateStore.load(stateDir).getOrElse("data",
+      sys.error(s"no committed min/max state under $stateDir"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    spark.read.parquet(s"$stateDir/$v")
+      .select(col("g"), col("bottom")(0)("v").cast(dec).as("mn"),
+        col("top")(0)("v").cast(dec).as("mx"), col("cnt").as("c"))
+  }
+
   /** Current state of an incrementally-maintained aggregate view. */
   def incrementalAggState(spark: SparkSession, stateDir: String): DataFrame = {
     val v = StateStore.load(stateDir).getOrElse("data",

@@ -187,6 +187,81 @@ class CdcPropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("incremental MIN/MAX equals extremes of the compacted state over random DML+truncate mixes") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val rnd = new Random(200 + trial)
+      val events = randomFullImageEvents(rnd, n = 500, keySpace = 30)
+      val finalState = scala.collection.mutable.Map.empty[String, Map[String, String]]
+      events.sortBy(e => (e.lsn, e.seq)).foreach { e =>
+        e.op match {
+          case "I" | "U" => finalState(e.key("id")) = e.after
+          case "D" => finalState.remove(e.key("id"))
+          case "T" => finalState.clear()
+        }
+      }
+      val expected = finalState.values.groupBy(_("g")).map { case (g, rows) =>
+        val vs = rows.map(r => BigDecimal(r("v")).setScale(6))
+        (g, vs.min.toString, vs.max.toString, rows.size.toLong)
+      }.toSeq.sortBy(_._1)
+      val df = spark.createDataset(rnd.shuffle(events)).repartition(7).toDF()
+      val got = Cdc.incrementalMinMax(df, "g", "v")
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+          r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("bounded MIN/MAX state across random micro-batch splits matches the reference (k=2 forces rescans)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (1 to 3).foreach { trial =>
+      val rnd = new Random(300 + trial)
+      val events = randomFullImageEvents(rnd, n = 400, keySpace = 25)
+        .sortBy(e => (e.lsn, e.seq))
+      // random batch boundaries (ordered delivery, like micro-batches)
+      val batches = {
+        val cuts = (Seq(0, events.size) ++
+          Seq.fill(4)(rnd.nextInt(events.size))).distinct.sorted
+        cuts.zip(cuts.tail).map { case (a, b) => events.slice(a, b) }
+          .filter(_.nonEmpty)
+      }
+      val stateDir = java.nio.file.Files.createTempDirectory(s"mmprop$trial")
+        .resolve("state").toString
+      // reference fold; at each batch boundary it provides the exact table
+      // rows the rescan path would read from the co-located materialization
+      val ref = scala.collection.mutable.Map.empty[String, Map[String, String]]
+      batches.foreach { b =>
+        b.foreach { e =>
+          e.op match {
+            case "I" | "U" => ref(e.key("id")) = e.after
+            case "D" => ref.remove(e.key("id"))
+            case "T" => ref.clear()
+          }
+        }
+        val tableNow = ref.values.map(r => (r("g"), r("v"))).toSeq
+        val env = spark.createDataset(b).toDF()
+          .select(col("relationId").as("relation_id"), col("lsn"), col("seq"),
+            col("op"), col("before"), col("after"))
+        graft.streaming.Streams.mergeMinMaxBatch(env,
+          Relation(1, "public", "t", 'f', Vector(
+            RelationColumn(partOfKey = true, "id", TypedView.Oid.Text, -1))),
+          "g", "v", stateDir, k = 2,
+          rescanSource = Some(() => tableNow.toDF("g", "v")))
+      }
+      val got = graft.streaming.Streams.minMaxAggState(spark, stateDir)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+          r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+      val expected = ref.values.groupBy(_("g")).map { case (g, rows) =>
+        val vs = rows.map(r => BigDecimal(r("v")).setScale(6))
+        (g, vs.min.toString, vs.max.toString, rows.size.toLong)
+      }.toSeq.sortBy(_._1)
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("plain compact agrees on which keys survive (ignoring TOAST repair)") {
     import spark.implicits._
     val rnd = new Random(7)

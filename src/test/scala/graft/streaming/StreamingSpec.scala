@@ -478,6 +478,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("bounded MIN/MAX sink across micro-batches equals the batch delta form (rescans included)") {
+    val dir = Files.createTempDirectory("minmaxsink")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(
+      updates = true, deletes = true, fullImages = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // several micro-batches + k=2 so deletes of retained extremes force the
+    // targeted-rescan path through the co-located table state
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
+    val q = Streams.minMaxAggSink(env, graft.cdc.CdcPipeline.ordersRelation,
+      "o_orderpriority", "o_totalprice",
+      dir.resolve("agg").toString, dir.resolve("table").toString,
+      dir.resolve("ckpt").toString, k = 2)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.minMaxAggState(spark, dir.resolve("agg").toString)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+        r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)).toDF()
+    val expected = graft.cdc.Cdc
+      .incrementalMinMax(events, "o_orderpriority", "o_totalprice")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).setScale(6).toPlainString,
+        r.getDecimal(2).setScale(6).toPlainString, r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("incremental aggregate merge is replay-safe (high-water mark) and truncate resets it") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
