@@ -39,10 +39,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only a bounded TAIL of stdout; a full-precision
+    // line over ~80 queries outgrows it and loses its head (BENCH_r02's
+    // "parsed": null). Print a millisecond-precision line that fits the
+    // window, and persist the full-precision JSON beside the repo's other
+    // round artifacts so round-over-round comparison never needs stdout
+    // archaeology.
+    def fmt(precision: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(precision, BigDecimal.RoundingMode.HALF_UP) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${
+        BigDecimal(total).setScale(precision, BigDecimal.RoundingMode.HALF_UP)
+      },"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), fmt(9) + "\n")
+    catch { case _: Throwable => () } // read-only checkout: stdout still has it
+    println(fmt(3))
     spark.stop()
   }
 }
