@@ -159,6 +159,84 @@ object TextQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("term"))
         .limit(20)
+    }),
+
+    // Benchmark decontamination: flag training docs sharing any 5-gram with
+    // the held-out eval set (docs with doc_id % 97 == 0 stand in for the
+    // benchmark). The standard pre-training hygiene step: n-gram overlap
+    // against eval suites, run BEFORE training, at corpus scale.
+    //
+    // Scale shape: the eval set is tiny relative to the corpus, so its
+    // distinct-shingle set BROADCASTS; the corpus side stays one narrow
+    // scan + explode + broadcast join — no corpus shuffle at all. The final
+    // per-doc count is a hash agg keyed by doc_id.
+    "text_decontaminate" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams5 = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
+        .withColumn("w1", lead("w0", 1).over(w))
+        .withColumn("w2", lead("w0", 2).over(w))
+        .withColumn("w3", lead("w0", 3).over(w))
+        .withColumn("w4", lead("w0", 4).over(w))
+        .filter(col("w4").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w0"), col("w1"), col("w2"), col("w3"), col("w4")).as("g"))
+        .distinct()
+      val bench = grams5.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      grams5.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Within-document repetition (Gopher-style quality signal): the
+    // fraction of 3-gram instances that are repeats of an earlier 3-gram in
+    // the same document. High values mark boilerplate/spam. One doc-keyed
+    // hash agg over the shingle explode — no cross-doc shuffle.
+    "text_repetition" -> ((s, d) => {
+      DedupQueries.shingleRows(s, d)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("sh")).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"),
+          round(lit(1.0) - col("n_distinct") / col("n_grams"), 6).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-budget chunking: split each document into sequential chunks of
+    // ≤ 32 tokens (the pre-tokenization step before packing sequences for
+    // training). Narrow: one sequence-explode per doc, no shuffle; chunk
+    // boundaries are deterministic functions of position, so the operation
+    // is reproducible under any partitioning.
+    "text_chunks" -> ((s, d) => {
+      withWords(Tables.documents(s, d))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("n"), col("ws"),
+          explode(expr("sequence(0, int(ceil(n / 32.0)) - 1)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+          least(col("n") - col("chunk_id") * 32, lit(32)).cast(LongType).as("n_tokens"),
+          expr("ws[chunk_id * 32]").as("first_token"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Stratified sampling: a deterministic per-language quota (10 docs per
+    // lang, ranked by content-addressed hash) — balanced-mixture corpus
+    // assembly that reproduces bit-identically on any cluster. The window
+    // ranks within each stratum; at scale the same contract runs through
+    // the bounded TopKAggregator (operators/TopK.scala) when strata are
+    // huge and k is small.
+    "text_stratified_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
     }))
 
   private val WsSql = "string_split(text, ' ')"
@@ -242,5 +320,41 @@ object TextQueries {
       s"""SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest($WsSql) AS term FROM documents) t
          WHERE length(term) > 0
-         GROUP BY term ORDER BY n DESC, term LIMIT 20""")
+         GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+
+    "text_decontaminate" ->
+      s"""WITH g AS (
+           SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws)-3, 1)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+           FROM (SELECT doc_id, $WsSql AS ws FROM documents) t),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+         SELECT doc_id, COUNT(*) AS n_contaminated_grams
+         FROM (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0) c
+         JOIN bench USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_repetition" ->
+      s"""SELECT doc_id, len(shingles) AS n_grams,
+           round(1.0 - len(list_distinct(shingles)) / len(shingles), 6) AS rep_ratio
+         FROM (SELECT doc_id, $ShinglesSql AS shingles
+               FROM (SELECT doc_id, $WsSql AS ws FROM documents) t
+               WHERE len(ws) >= 3) t2
+         ORDER BY doc_id""",
+
+    "text_chunks" ->
+      s"""SELECT doc_id, chunk_id,
+           least(n - chunk_id * 32, 32) AS n_tokens,
+           ws[chunk_id * 32 + 1] AS first_token
+         FROM (SELECT doc_id, len(ws) AS n, ws,
+                 unnest(range(0, CAST(ceil(len(ws) / 32.0) AS INT))) AS chunk_id
+               FROM (SELECT doc_id, $WsSql AS ws FROM documents) t) t2
+         ORDER BY doc_id, chunk_id""",
+
+    "text_stratified_sample" ->
+      """SELECT lang, rn, doc_id FROM (
+           SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 10 ORDER BY lang, rn""")
 }

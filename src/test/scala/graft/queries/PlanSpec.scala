@@ -140,6 +140,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row N cross join
   }
 
+  test("decontamination joins the corpus against a BROADCAST benchmark set") {
+    // the eval set is tiny vs the corpus: its shingles must broadcast so
+    // the corpus side never shuffles for the join
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q28 approx twin: mergeable sketch with map-side partial aggregation") {
     // the scale property: approx_percentile runs as a two-phase object hash
     // aggregate (partial sketches merged), never a single-phase buffer of
