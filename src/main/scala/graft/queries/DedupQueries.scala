@@ -78,11 +78,15 @@ object DedupQueries {
   private[queries] def cappedShingleIndex(s: SparkSession, d: String,
       maxDf: Int): DataFrame = {
     val idx = shingleIndex(s, d)
-    val kept = idx.groupBy(col("sh"))
+    // Anti-join against the DROPPED set, not an equi-join against the kept
+    // set: the stop-shingle list is bounded by Σdf/maxDf (tiny — one entry
+    // per runaway shingle), so it broadcasts at any corpus size, where the
+    // kept set is vocabulary-sized and would force a shuffle join.
+    val dropped = idx.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select(col("sh"))
-    idx.join(kept, "sh")
+    idx.join(broadcast(dropped), Seq("sh"), "left_anti")
   }
 
   /** Posting-list cap for n-gram Jaccard (see [[cappedShingleIndex]]). */
