@@ -222,6 +222,38 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // GPT-style sequence packing (concatenate-and-chunk): documents are
+    // laid end-to-end in deterministic order and cut into fixed 256-token
+    // training sequences; a document may straddle a cut (the standard
+    // pretraining packing — zero padding waste). Distributed shape: docs
+    // are first bucketed by a content-addressed hash (each bucket packs
+    // independently — buckets are the parallel unit at corpus scale), the
+    // per-bucket token offset is ONE window cumsum, and each doc explodes
+    // into just the sequences it overlaps. Output: per (bucket, seq_id)
+    // manifest with doc count and token occupancy (the tail sequence of a
+    // bucket may be short).
+    "text_pack_sequences" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      withWords(Tables.documents(s, d))
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 8")
+            .as("bucket"),
+          size(col("ws")).cast(LongType).as("n"))
+        .withColumn("end_off", sum(col("n")).over(w))
+        .withColumn("start_off", col("end_off") - col("n"))
+        .select(col("bucket"), col("doc_id"), col("end_off"),
+          explode(expr("sequence(bigint(floor(start_off / 256)), bigint(floor((end_off - 1) / 256)))"))
+            .as("seq_id"))
+        .groupBy(col("bucket"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          (least(col("seq_id") * 256 + 256, max(col("end_off"))) - col("seq_id") * 256)
+            .cast(LongType).as("n_tokens"))
+        .orderBy(col("bucket"), col("seq_id"))
+    }),
+
     // Stratified sampling: a deterministic per-language quota (10 docs per
     // lang, ranked by content-addressed hash) — balanced-mixture corpus
     // assembly that reproduces bit-identically on any cluster. The window
@@ -349,6 +381,27 @@ object TextQueries {
                  unnest(range(0, CAST(ceil(len(ws) / 32.0) AS INT))) AS chunk_id
                FROM (SELECT doc_id, $WsSql AS ws FROM documents) t) t2
          ORDER BY doc_id, chunk_id""",
+
+    "text_pack_sequences" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS bucket,
+             len($WsSql) AS n
+           FROM documents),
+         o AS (
+           SELECT bucket, doc_id, n,
+             SUM(n) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+           FROM d),
+         e AS (
+           SELECT bucket, doc_id, end_off,
+             unnest(range(CAST((end_off - n) // 256 AS BIGINT),
+                          CAST((end_off - 1) // 256 + 1 AS BIGINT))) AS seq_id
+           FROM o)
+         SELECT bucket, seq_id, COUNT(*) AS n_docs,
+           CAST(least(seq_id * 256 + 256, MAX(end_off)) - seq_id * 256 AS BIGINT) AS n_tokens
+         FROM e GROUP BY bucket, seq_id ORDER BY bucket, seq_id""",
 
     "text_stratified_sample" ->
       """SELECT lang, rn, doc_id FROM (
