@@ -40,24 +40,38 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    // The driver captures only a bounded TAIL of stdout; a full-precision
-    // line over ~80 queries outgrows it and loses its head (BENCH_r02's
-    // "parsed": null). Print a millisecond-precision line that fits the
-    // window, and persist the full-precision JSON beside the repo's other
-    // round artifacts so round-over-round comparison never needs stdout
-    // archaeology.
-    def fmt(precision: Int): String = {
-      val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + BigDecimal(v).setScale(precision, BigDecimal.RoundingMode.HALF_UP) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${
-        BigDecimal(total).setScale(precision, BigDecimal.RoundingMode.HALF_UP)
-      },"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    val sfName = new java.io.File(sfDir).getName
+    // The driver captures only the last ~2000 chars of stdout and parses
+    // the metric line from that TAIL; a full line over ~80 queries cannot
+    // fit beside sbt's trailer (BENCH_r02's "parsed": null — head cut).
+    // Emit THREE artifacts so every consumer gets a complete record:
+    //  1. BENCH_LOCAL.json in-repo — every query, full precision (the
+    //     round-over-round source of truth);
+    //  2. a full metric line, printed FIRST — complete for any parser that
+    //     scans the whole stdout;
+    //  3. a bounded line printed LAST — total + the slowest queries with an
+    //     EXPLICIT queries_omitted count (never silent truncation), small
+    //     enough that the tail window always holds it intact.
+    def entry(k: String, v: Double, p: Int): String = {
+      val s = BigDecimal(v).setScale(p, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+      "\"" + k + "\":" + s
     }
+    def line(rs: Seq[(String, Double)], p: Int, extra: String): String =
+      s"""{"metric":"total","value":${
+        BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      },"unit":"sec","queries":${
+        rs.map { case (k, v) => entry(k, v, p) }.mkString("{", ",", "}")
+      }$extra,"sf":"$sfName"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), fmt(9) + "\n")
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      line(results, 9, "") + "\n")
     catch { case _: Throwable => () } // read-only checkout: stdout still has it
-    println(fmt(3))
+    println(line(results, 3, ""))
+    val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
+    val omitted = results.size - slowest.size
+    println(line(slowest, 2,
+      s""","queries_omitted":$omitted,"full_detail":"BENCH_LOCAL.json""""))
     spark.stop()
   }
 }

@@ -405,6 +405,22 @@ object PgSnapshotSync {
     * from config/options must not break or inject into bootstrap SQL. */
   def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
 
+  /** Postgres wire-text LSN ("16/B3748F2C") ↔ the 64-bit integer offsets
+    * the engine uses (models.py keeps int LSNs; the server speaks text). */
+  def lsnFromText(s: String): Long = s.split('/') match {
+    case Array(hi, lo) => (java.lang.Long.parseLong(hi, 16) << 32) |
+      java.lang.Long.parseLong(lo, 16)
+    case _ => throw new IllegalArgumentException(s"not an LSN: '$s'")
+  }
+  def lsnToText(lsn: Long): String =
+    f"${lsn >>> 32}%X/${lsn & 0xffffffffL}%X"
+
+  /** What `CREATE_REPLICATION_SLOT … EXPORT_SNAPSHOT` returns (reference
+    * `SlotInitInfo`, models.py:55-61): the stream must start at
+    * `consistentPoint` and the base reads must pin `snapshotName`. */
+  final case class SlotInit(
+      slotName: String, consistentPoint: Long, snapshotName: String, plugin: String)
+
   /** The statements a first start issues, in order. Exposed as data so the
     * sequence is unit-testable without a live database. */
   def bootstrapStatements(slot: String, publication: String): Seq[String] = Seq(
@@ -414,6 +430,36 @@ object PgSnapshotSync {
     s"SELECT schemaname, tablename FROM pg_publication_tables WHERE pubname = ${PgCatalog.sqlLiteral(publication)}",
     "-- per table: SELECT * (batch JDBC read pinned to the snapshot)",
     "COMMIT")
+
+  /** Execute the S2 bootstrap against an injected statement runner (live =
+    * a JDBC session; tests = a scripted runner, the same seam PgCatalog
+    * uses). Creates the slot, pins the session to the exported snapshot,
+    * and enumerates the published tables. Returns the slot info (stream
+    * start = `consistentPoint`) and one escape-safe `SELECT *` per table
+    * for the caller to run IN THE SAME pinned session, after which the
+    * caller invokes the returned `commit`. snapshot ∪ stream-from-
+    * consistentPoint = exact table state, no gap or overlap
+    * (reader.py:165-176 + stores.py:88-101). */
+  def bootstrap(run: String => Seq[Seq[Any]], slot: String, publication: String)
+      : (SlotInit, Seq[(String, String)], () => Unit) = {
+    val created = run(
+      s"CREATE_REPLICATION_SLOT ${quoteIdent(slot)} LOGICAL pgoutput EXPORT_SNAPSHOT")
+    require(created.nonEmpty && created.head.size >= 4,
+      "CREATE_REPLICATION_SLOT returned no (slot_name, consistent_point, snapshot_name, output_plugin) row")
+    val r = created.head
+    val info = SlotInit(r(0).toString, lsnFromText(r(1).toString),
+      r(2).toString, r(3).toString)
+    run("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    run(s"SET TRANSACTION SNAPSHOT ${PgCatalog.sqlLiteral(info.snapshotName)}")
+    val tables = run(
+      "SELECT schemaname, tablename FROM pg_publication_tables " +
+        s"WHERE pubname = ${PgCatalog.sqlLiteral(publication)}")
+    val reads = tables.map { row =>
+      val (ns, t) = (row(0).toString, row(1).toString)
+      s"$ns.$t" -> s"SELECT * FROM ${quoteIdent(ns)}.${quoteIdent(t)}"
+    }
+    (info, reads, () => { run("COMMIT"); () })
+  }
 
   /** Batch-read one published table pinned to an exported snapshot. The
     * returned DataFrame is written as the base table; the stream then starts

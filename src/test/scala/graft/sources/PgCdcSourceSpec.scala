@@ -233,6 +233,48 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(stmts.exists(_.contains("pg_publication_tables")))
   }
 
+  test("executed S2 bootstrap: slot create → snapshot pin → enumerate → per-table reads → commit") {
+    val issued = scala.collection.mutable.ArrayBuffer.empty[String]
+    val runner: String => Seq[Seq[Any]] = { sql =>
+      issued += sql
+      if (sql.startsWith("CREATE_REPLICATION_SLOT"))
+        Seq(Seq("my_slot", "16/B3748F2C", "00000003-00000002-1", "pgoutput"))
+      else if (sql.contains("pg_publication_tables"))
+        Seq(Seq("public", "orders"), Seq("public", "line item"))
+      else Nil
+    }
+    val (info, reads, commit) =
+      PgSnapshotSync.bootstrap(runner, "my_slot", "my_pub")
+    assert(info.slotName === "my_slot")
+    assert(info.consistentPoint === ((0x16L << 32) | 0xB3748F2CL))
+    assert(info.snapshotName === "00000003-00000002-1")
+    assert(info.plugin === "pgoutput")
+    // exactly the reference's ordering: create → BEGIN RR → SET SNAPSHOT →
+    // enumerate; the snapshot pin quotes the server-minted name
+    assert(issued(0).startsWith("CREATE_REPLICATION_SLOT \"my_slot\""))
+    assert(issued(1) === "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    assert(issued(2) === "SET TRANSACTION SNAPSHOT '00000003-00000002-1'")
+    assert(issued(3).contains("pg_publication_tables"))
+    assert(issued.length === 4, issued)
+    // per-table reads are escape-safe and cover every published table
+    assert(reads === Seq(
+      "public.orders" -> "SELECT * FROM \"public\".\"orders\"",
+      "public.line item" -> "SELECT * FROM \"public\".\"line item\""))
+    commit()
+    assert(issued.last === "COMMIT")
+  }
+
+  test("LSN text codec round-trips the Postgres X/Y wire format") {
+    import PgSnapshotSync._
+    assert(lsnFromText("0/0") === 0L)
+    assert(lsnFromText("16/B3748F2C") === ((0x16L << 32) | 0xB3748F2CL))
+    assert(lsnToText(lsnFromText("FFFFFFFF/FFFFFFFF")) === "FFFFFFFF/FFFFFFFF")
+    (Seq(0L, 1L, 0x100000000L, 0x16B3748F2CL, Long.MaxValue)).foreach { l =>
+      assert(lsnFromText(lsnToText(l)) === l)
+    }
+    intercept[IllegalArgumentException](lsnFromText("nope"))
+  }
+
   test("identifiers and literals in bootstrap SQL are escape-safe (no injection)") {
     val stmts = PgSnapshotSync.bootstrapStatements("""sl"ot""", "pu'b")
     assert(stmts.head.contains("\"sl\"\"ot\""))
