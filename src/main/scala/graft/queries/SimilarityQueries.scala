@@ -100,6 +100,47 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Scalar-quantized (int8) similarity: per-dimension [min,max] over the
+    // corpus → 8-bit codes → search on the DEQUANTIZED vectors. The memory
+    // path for 100 TB embedding stores: codes are 4× smaller than float32
+    // (16× vs float64), quantization is one narrow map, and the bounds
+    // table is 2×dims doubles — broadcast everywhere. Quantize-time
+    // rounding is floor(u·255 + 0.5): identical semantics on both engines
+    // (plain `round` half-cases differ across engines). Exactness contract:
+    // the top-k is exact OVER THE QUANTIZED representation, hash-checked —
+    // the quality loss vs float is the quantization error itself, which is
+    // the documented trade.
+    "sim_quantized_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val bounds = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+        .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("b"))
+        .select(expr("transform(b, t -> t.mn)").as("mns"),
+          expr("transform(b, t -> t.mx)").as("mxs"))
+      val coded = e.crossJoin(broadcast(bounds))
+        .withColumn("codes", expr(
+          """transform(embedding, (x, i) ->
+               CASE WHEN mxs[i] = mns[i] THEN 0L
+                    ELSE bigint(floor((double(x) - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5d)) END)"""))
+        .withColumn("deq", expr(
+          "transform(codes, (c, i) -> mns[i] + double(c) * (mxs[i] - mns[i]) / 255.0)"))
+        .select(col("vec_id"), col("deq"))
+      def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val qs = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("deq").as("q_deq"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id"))
+      coded.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .withColumn("qcos", dotDbl(col("deq"), col("q_deq")) /
+          (sqrt(dotDbl(col("deq"), col("deq"))) * sqrt(dotDbl(col("q_deq"), col("q_deq")))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("qcos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
     // cosine re-rank within the bucket, top-3.
     "sim_lsh_ann" -> ((s, d) => {
@@ -167,6 +208,34 @@ object SimilarityQueries {
                ORDER BY ${cosSql("c.embedding", "p.q_emb")} DESC, c.vec_id) AS rank
            FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "sim_quantized_topk" ->
+      s"""WITH bounds AS (
+           SELECT i, MIN(CAST(embedding[i+1] AS DOUBLE)) AS mn,
+                  MAX(CAST(embedding[i+1] AS DOUBLE)) AS mx
+           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+           GROUP BY i),
+         barr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM bounds),
+         coded AS (
+           SELECT vec_id,
+             list_transform(range(64), j ->
+               CASE WHEN mxs[j+1] = mns[j+1] THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((CAST(embedding[j+1] AS DOUBLE) - mns[j+1])
+                                    / (mxs[j+1] - mns[j+1]) * 255.0 + 0.5) AS BIGINT) END) AS codes
+           FROM embeddings CROSS JOIN barr),
+         deq AS (
+           SELECT vec_id,
+             list_transform(range(64), j ->
+               mns[j+1] + CAST(codes[j+1] AS DOUBLE) * (mxs[j+1] - mns[j+1]) / 255.0) AS v
+           FROM coded CROSS JOIN barr)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             round(${cosSql("e.v", "q.v")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("e.v", "q.v")} DESC, e.vec_id) AS rank
+           FROM deq e CROSS JOIN (SELECT * FROM deq WHERE vec_id < 5) q
+           WHERE e.vec_id <> q.vec_id) t
+         WHERE rank <= 10 ORDER BY q_id, rank""",
 
     "sim_lsh_ann" ->
       s"""WITH sigs AS ($SigSql)
