@@ -199,7 +199,8 @@ final class EnvelopeEventsReaderFactory extends PartitionReaderFactory {
 final class PgCdcMicroBatch(
     conduit: ReplicationConduit, startLsn: Long, maxFramesPerTrigger: Option[Long],
     txnMarkers: Boolean, checkpointLocation: String)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import graft.decode.{ChangeEvent, ChangeEventBuilder, PgOutputDecoder, SchemaRegistry}
 
@@ -253,6 +254,17 @@ final class PgCdcMicroBatch(
     if (n > 0) saveRegistry()
   }
 
+  // Trigger.AvailableNow: pin "available" at what the conduit can deliver
+  // when the first planning cycle runs, so rate-limited batches drain to a
+  // stable point and the query terminates (same contract as the replay
+  // source). Plain triggers keep polling the conduit every cycle.
+  private var availableNowArmed = false
+  @volatile private var pinnedEnd: Long = Long.MinValue
+
+  override def prepareForTriggerAvailableNow(): Unit = { availableNowArmed = true }
+
+  override def reportLatestOffset(): Offset = LsnOffset(bufferedThrough)
+
   override def initialOffset(): Offset = LsnOffset(startLsn)
   override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
 
@@ -265,11 +277,28 @@ final class PgCdcMicroBatch(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[LsnOffset].lsn
     ensureStarted(from)
-    drain(limit match {
+    val cap = limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
       case _ => Long.MaxValue
-    })
-    LsnOffset(math.max(from, bufferedThrough))
+    }
+    if (!availableNowArmed) {
+      drain(cap)
+      LsnOffset(math.max(from, bufferedThrough))
+    } else {
+      if (pinnedEnd == Long.MinValue) {
+        drain(Long.MaxValue)
+        pinnedEnd = bufferedThrough
+      }
+      if (cap == Long.MaxValue) LsnOffset(math.max(from, pinnedEnd))
+      else {
+        // admission-controlled: advance at most `cap` frames toward the pin
+        val target = buffered.iterator.map(_._1)
+          .filter(l => l > from && l <= pinnedEnd)
+          .take(math.min(cap, Int.MaxValue).toInt)
+          .foldLeft(from)((_, l) => l)
+        LsnOffset(math.max(from, target))
+      }
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

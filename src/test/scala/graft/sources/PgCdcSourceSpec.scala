@@ -233,6 +233,30 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(stmts.exists(_.contains("pg_publication_tables")))
   }
 
+  test("conduit machinery: Trigger.AvailableNow drains the pinned backlog in rate-limited batches and terminates") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val mc = new MockConduit
+    mc.append(10, Relation(5, "public", "r", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1))))
+    (1 to 6).foreach { i =>
+      mc.append(10 + i, Insert(5, TupleData(Vector(t(i.toString)))))
+    }
+    PgCdcConduits.register("mc_avnow", mc)
+    val q = spark.readStream.format("graft.sources.PgCdcProvider")
+      .option("producer", "conduit").option("conduit.name", "mc_avnow")
+      .option("maxFramesPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("avnow_out")
+      .option("checkpointLocation", Files.createTempDirectory("avnow_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query must terminate")
+    // all six backlog inserts delivered, over several admission-bounded
+    // batches, and the query ended on its own at the pinned point
+    val ids = spark.sql("SELECT after['id'] FROM avnow_out").collect()
+      .map(_.getString(0)).sorted
+    assert(ids.toSeq === (1 to 6).map(_.toString).sorted)
+  }
+
   test("executed S2 bootstrap: slot create → snapshot pin → enumerate → per-table reads → commit") {
     val issued = scala.collection.mutable.ArrayBuffer.empty[String]
     val runner: String => Seq[Seq[Any]] = { sql =>
