@@ -77,6 +77,37 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Incrementally-maintained JOIN-aggregate view: revenue per customer
+    // nation, maintained purely from order deltas. The Δ⋈dim maintenance
+    // rule: each event's ±(o_custkey, o_totalprice) contribution is
+    // ENRICHED through the customer→nation dimensions (broadcast — dims
+    // never shuffle, deltas never rescan the table), then merged into the
+    // per-nation SUM/COUNT. The view over a 100 TB orders table refreshes
+    // at the cost of the batch, not the table. Must equal aggregating the
+    // oracle's final joined state.
+    "cdc_incremental_join_agg" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val plus = events.filter(col("op").isin("I", "U"))
+        .select(element_at(col("after"), "o_custkey").cast("long").as("custkey"),
+          element_at(col("after"), "o_totalprice").cast(dec).as("dv"),
+          lit(1L).as("dc"))
+      val minus = events.filter(col("op").isin("U", "D") && col("before").isNotNull)
+        .select(element_at(col("before"), "o_custkey").cast("long").as("custkey"),
+          (-element_at(col("before"), "o_totalprice").cast(dec)).as("dv"),
+          lit(-1L).as("dc"))
+      val dims = graft.Tables.customer(s, d)
+        .join(graft.Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      plus.unionByName(minus)
+        .join(broadcast(dims), col("custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("dv")).cast("double").as("revenue"), sum(col("dc")).as("n_orders"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("n_name"))
+    }),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -115,6 +146,17 @@ object CdcQueries {
          FROM orders
          WHERE o_orderkey * 8 + 1 > (SELECT MAX(o_orderkey) * 4 FROM orders)
          ORDER BY o_orderkey""",
+
+    "cdc_incremental_join_agg" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderkey % 7 <> 0
+         GROUP BY n_name ORDER BY n_name""",
 
     "cdc_incremental_minmax" ->
       """SELECT o_orderpriority,

@@ -509,6 +509,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("incremental JOIN-aggregate: dim-enriched envelope stream through the agg sink equals the batch form") {
+    val dir = Files.createTempDirectory("incrjoinagg")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(
+      updates = true, deletes = true, fullImages = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // Δ⋈dim composition: splice the broadcast-joined nation name into BOTH
+    // images as an ordinary envelope column, then the UNCHANGED incremental
+    // aggregate sink maintains the per-nation view — no new sink machinery
+    val dims = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").cast("string").as("ck"), col("n_name"))
+    def spliced(img: String) = when(col(img).isNotNull,
+      map_concat(col(img), map(lit("n_name"), col("n_name")))).otherwise(col(img))
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
+    val enriched = env
+      .join(broadcast(dims),
+        element_at(coalesce(col("after"), col("before")), "o_custkey") === col("ck"),
+        "left")
+      .withColumn("after", spliced("after"))
+      .withColumn("before", spliced("before"))
+      .drop("ck", "n_name")
+    val q = Streams.incrementalAggSink(enriched, graft.cdc.CdcPipeline.ordersRelation,
+      "n_name", "o_totalprice",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.incrementalAggState(spark, dir.resolve("state").toString)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2))).toSeq
+    val expected = graft.SparkEntry.queries("cdc_incremental_join_agg")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(6).bigDecimal.toPlainString,
+        r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got.map(t => (t._1, t._3)) === expected.map(t => (t._1, t._3)))
+    assert(got.map(_._2) === expected.map(_._2))
+  }
+
   test("incremental aggregate merge is replay-safe (high-water mark) and truncate resets it") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
