@@ -100,6 +100,40 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Embedding-corpus health: per-label centroids + cosine dispersion (the
+    // drift/quality profile a pipeline runs before training on an embedding
+    // store — collapsed or polluted labels show as low avg/min cosine).
+    // Scale shape: centroids are one (label, dim)-keyed hash agg over a
+    // narrow posexplode (partial sums map-side; (label × dims) rows total),
+    // then BROADCAST back — the corpus is scanned twice, shuffled never.
+    // Determinism: per-dim means and the cosine average sum as exact
+    // DECIMAL before the double division (order-free ⇒ cross-engine exact).
+    "sim_label_centroids" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      def dotMixed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables.embeddings(s, d)
+      val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
+          .as("centroid"))
+      e.join(broadcast(cents), "label")
+        .withColumn("cos", dotMixed(col("embedding"), col("centroid")) /
+          (sqrt(dotMixed(col("embedding"), col("embedding"))) *
+            sqrt(dotMixed(col("centroid"), col("centroid")))))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sqrt(first(dotMixed(col("centroid"), col("centroid")))), 6)
+            .as("centroid_norm"),
+          round(sum(col("cos").cast(dec)).cast("double") / count(lit(1)), 6)
+            .as("avg_cos"),
+          round(min(col("cos")), 6).as("min_cos"))
+        .orderBy(col("label"))
+    }),
+
     // Scalar-quantized (int8) similarity: per-dimension [min,max] over the
     // corpus → 8-bit codes → search on the DEQUANTIZED vectors. The memory
     // path for 100 TB embedding stores: codes are 4× smaller than float32
@@ -208,6 +242,27 @@ object SimilarityQueries {
                ORDER BY ${cosSql("c.embedding", "p.q_emb")} DESC, c.vec_id) AS rank
            FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
          WHERE rank <= 3 ORDER BY q_id, rank""",
+
+    "sim_label_centroids" ->
+      s"""WITH ex AS (
+           SELECT label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
+         cent AS (
+           SELECT label, i,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+           FROM ex GROUP BY label, i),
+         carr AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+         cosr AS (
+           SELECT e.label, c.centroid,
+             ${DotSql.format("e.embedding", "c.centroid")} /
+               (sqrt(${DotSql.format("e.embedding", "e.embedding")}) *
+                sqrt(${DotSql.format("c.centroid", "c.centroid")})) AS cos
+           FROM embeddings e JOIN carr c USING (label))
+         SELECT label, COUNT(*) AS n_vectors,
+           round(sqrt(${DotSql.format("centroid", "centroid")}), 6) AS centroid_norm,
+           round(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
+           round(MIN(cos), 6) AS min_cos
+         FROM cosr GROUP BY label, centroid ORDER BY label""",
 
     "sim_quantized_topk" ->
       s"""WITH bounds AS (
