@@ -211,6 +211,58 @@ object Cdc {
         sum(col("net")).as("c"))
   }
 
+  /** SCD type-2 history: every row version the change stream ever produced,
+    * with its validity interval in WAL order — the warehouse "history table"
+    * a CDC consumer builds next after current state (the reference leaves
+    * this to consumers entirely; stores.py:43-118 just logs).
+    *
+    * Semantics:
+    *  - each I/U event OPENS a version (`valid_from_lsn` = event lsn,
+    *    image = `after`);
+    *  - the key's next event (any of I/U/D) CLOSES it
+    *    (`valid_to_lsn` = that event's lsn); a Delete opens nothing, so the
+    *    key has no current version until a later re-insert;
+    *  - a Truncate closes every version open at its WAL position (rows
+    *    stopped existing there) without erasing history;
+    *  - `is_current` marks versions still open at the end of the batch.
+    *
+    * Scale shape: ONE pk-keyed shuffle + per-key sort — identical cost to
+    * [[compact]] (the window's `lead` replaces its `row_number`); the
+    * truncate high-water is a broadcast scalar, exactly as in compact.
+    * History grows append-mostly: versions closed in earlier batches are
+    * never revisited, which is what makes the streaming form
+    * (Streams.scd2Sink) O(touched keys) per batch. */
+  def scd2History(events: DataFrame, keyColumns: Seq[String]): DataFrame = {
+    val keyExprs = keyColumns.map(k => element_at(col("key"), k).as(s"__k_$k"))
+    val truncLsn = events.filter(col("op") === "T")
+      .agg(max(struct(col("lsn"), col("seq"))).as("t"))
+      .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
+              coalesce(col("t.seq"), lit(Long.MinValue)).as("__trunc_seq"))
+
+    val w = Window.partitionBy(keyColumns.map(k => col(s"__k_$k")): _*)
+      .orderBy(col("lsn"), col("seq"))
+
+    events.filter(col("op") =!= "T")
+      .select(col("*") +: keyExprs: _*)
+      .withColumn("__next", lead(struct(col("lsn"), col("seq")), 1).over(w))
+      .filter(col("op").isin("I", "U"))
+      .crossJoin(broadcast(truncLsn))
+      // Open at the truncate point = started at-or-before it, not yet closed
+      // by an event at-or-before it → clamp the close to the truncate lsn.
+      .withColumn("__closed_by_trunc",
+        struct(col("lsn"), col("seq")) <=
+          struct(col("__trunc_lsn"), col("__trunc_seq")) &&
+        (col("__next").isNull || struct(col("__next.lsn"), col("__next.seq")) >
+          struct(col("__trunc_lsn"), col("__trunc_seq"))))
+      .select(
+        (keyColumns.map(k => col(s"__k_$k").as(s"__key_$k")) ++ Seq(
+          col("after"),
+          col("lsn").as("valid_from_lsn"),
+          when(col("__closed_by_trunc"), col("__trunc_lsn"))
+            .otherwise(col("__next.lsn")).as("valid_to_lsn"))): _*)
+      .withColumn("is_current", col("valid_to_lsn").isNull)
+  }
+
   /** Typed current-state view: compact then project through the relation
     * schema from the registry. */
   def materialize(

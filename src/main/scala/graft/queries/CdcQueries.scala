@@ -108,6 +108,23 @@ object CdcQueries {
         .orderBy(col("n_name"))
     }),
 
+    // SCD type-2 history: every version each order ever had, with its WAL
+    // validity interval — version 1 from the insert (closed by the update
+    // or delete if the key has one), version 2 from the update (closed by
+    // the delete). The LSN schedule is a pure function of the key
+    // (insert 8k+1, update 8k+4, delete 8k+7), so the full history table is
+    // expressible in ANSI SQL over the source table.
+    "cdc_scd2_history" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true))).toDF()
+      graft.cdc.Cdc.scd2History(events, Seq("o_orderkey"))
+        .select(
+          element_at(col("after"), "o_orderkey").cast("long").as("o_orderkey"),
+          element_at(col("after"), "o_totalprice").cast("double").as("o_totalprice"),
+          col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+        .orderBy(col("o_orderkey"), col("valid_from_lsn"))
+    }),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -140,6 +157,23 @@ object CdcQueries {
            l_returnflag, l_shipdate
          FROM lineitem WHERE (l_orderkey + l_linenumber) % 9 <> 0
          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+
+    "cdc_scd2_history" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice,
+             o_orderkey * 8 + 1 AS valid_from_lsn,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey * 8 + 4
+                  WHEN o_orderkey % 7 = 0 THEN o_orderkey * 8 + 7 END AS valid_to_lsn
+           FROM orders),
+         v2 AS (
+           SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+             o_orderkey * 8 + 4 AS valid_from_lsn,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey * 8 + 7 END AS valid_to_lsn
+           FROM orders WHERE o_orderkey % 10 = 0)
+         SELECT o_orderkey, o_totalprice, valid_from_lsn, valid_to_lsn,
+           valid_to_lsn IS NULL AS is_current
+         FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY o_orderkey, valid_from_lsn""",
 
     "cdc_truncate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

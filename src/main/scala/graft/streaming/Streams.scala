@@ -198,6 +198,98 @@ object Streams {
       .start()
   }
 
+  /** SCD type-2 history sink: maintains the full version-history table
+    * (Cdc.scd2History's streaming form). Per micro-batch: the batch's events
+    * become new version rows, and the still-open versions of the keys the
+    * batch touches are closed at the key's first fresh event (a Truncate
+    * closes every open version at its WAL position). Closed versions are
+    * immutable — a batch's cost is O(batch + open versions), never a
+    * rewrite of closed history. Exactly-once under at-least-once replay via
+    * the persisted (lsn, seq) high-water mark, same protocol as
+    * [[incrementalAggSink]]; data and high-water flip in one manifest
+    * commit. */
+  def scd2Sink(envelope: DataFrame, rel: Relation, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeScd2Batch(batch, rel, stateDir)
+      }
+      .start()
+
+  private[streaming] def mergeScd2Batch(batch0: DataFrame, rel: Relation,
+      stateDir: String): Unit = {
+    val keys = rel.keyColumnNames
+    val spark = batch0.sparkSession
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val fresh = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    val probe = fresh.agg(
+      max(struct(col("lsn"), col("seq"))).as("mx"),
+      max(when(col("op") === "T", col("lsn"))).as("tLsn")).first()
+    if (probe.isNullAt(0)) return // pure replay: state already reflects it
+    val mx = probe.getStruct(0)
+    val truncCol = if (probe.isNullAt(1)) lit(null).cast("long")
+                   else lit(probe.getLong(1))
+
+    val newVersions = Cdc.scd2History(fresh, keys)
+      .select(
+        map_from_arrays(
+          array(keys.map(lit): _*),
+          array(keys.map(k => col(s"__key_$k")): _*)).as("__key"),
+        col("after").as("__after"),
+        col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+
+    val merged = manifest.get("data") match {
+      case None => newVersions
+      case Some(v) =>
+        val st = spark.read.parquet(s"$stateDir/$v")
+          .select(col("*") +:
+            keys.map(k => element_at(col("__key"), k).as(s"__jk_$k")): _*)
+        // first fresh event per key — closes that key's open version
+        val firstEvt = fresh.filter(col("op") =!= "T")
+          .select(keys.map(k => element_at(col("key"), k).as(s"__fk_$k")) :+
+            struct(col("lsn"), col("seq")).as("__e"): _*)
+          .groupBy(keys.map(k => col(s"__fk_$k")): _*)
+          .agg(min(col("__e")).getField("lsn").as("__first_lsn"))
+        val joined = st.join(firstEvt,
+          keys.map(k => col(s"__jk_$k") === col(s"__fk_$k")).reduce(_ && _),
+          "left")
+        // an open version closes at the earliest of (key's first fresh
+        // event, batch truncate); closed versions are immutable
+        val closeAt = least(col("__first_lsn"), truncCol)
+        joined
+          .withColumn("valid_to_lsn",
+            when(col("is_current") && closeAt.isNotNull &&
+              closeAt > col("valid_from_lsn"), closeAt)
+              .otherwise(col("valid_to_lsn")))
+          .withColumn("is_current", col("valid_to_lsn").isNull)
+          .select(col("__key"), col("__after"),
+            col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+          .unionByName(newVersions)
+    }
+    val next = StateStore.newVersion("data")
+    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
+  /** Full version history maintained by [[scd2Sink]]. */
+  def scd2State(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = StateStore.load(stateDir).getOrElse("data",
+      sys.error(s"no committed scd2 state under $stateDir"))
+    spark.read.parquet(s"$stateDir/$v")
+  }
+
   /** Incrementally-maintained SUM/COUNT aggregate view over the envelope
     * stream: per micro-batch, each event's delta (+after / −before, see
     * Cdc.aggDeltas) merges into the per-group state — O(batch ∪ touched

@@ -116,4 +116,63 @@ class CdcSpec extends AnyFunSuite {
       ev("U", 20, 2, "1", Map("id" -> "1"), toasted = Seq("v"))))
     assert(out === Map("1" -> null)) // toasted column absent → null in typed view
   }
+
+  // --- SCD type-2 history ---
+
+  private def scd2(events: Seq[ChangeEvent]): Seq[(String, String, Long, Option[Long], Boolean)] = {
+    import spark.implicits._
+    val df = spark.createDataset(events).toDF()
+    Cdc.scd2History(df, Seq("id")).collect().map { r =>
+      val m = r.getMap[String, String](r.fieldIndex("after"))
+      val to = r.fieldIndex("valid_to_lsn")
+      (m("id"), m.getOrElse("v", null), r.getLong(r.fieldIndex("valid_from_lsn")),
+        if (r.isNullAt(to)) None else Some(r.getLong(to)),
+        r.getBoolean(r.fieldIndex("is_current")))
+    }.toSeq.sortBy(t => (t._1, t._3))
+  }
+
+  test("scd2: insert→update→delete yields two closed versions, none current") {
+    val out = scd2(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "a")),
+      ev("U", 20, 2, "1", Map("id" -> "1", "v" -> "b")),
+      ev("D", 30, 3, "1", null)))
+    assert(out === Seq(
+      ("1", "a", 10L, Some(20L), false),
+      ("1", "b", 20L, Some(30L), false)))
+  }
+
+  test("scd2: open version is current; delete-then-reinsert starts a fresh current version") {
+    val out = scd2(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "a")),
+      ev("D", 20, 2, "1", null),
+      ev("I", 30, 3, "1", Map("id" -> "1", "v" -> "re")),
+      ev("I", 15, 4, "2", Map("id" -> "2", "v" -> "x"))))
+    assert(out === Seq(
+      ("1", "a", 10L, Some(20L), false),
+      ("1", "re", 30L, None, true),
+      ("2", "x", 15L, None, true)))
+  }
+
+  test("scd2: truncate closes versions open at its WAL position, leaves closed history intact") {
+    val out = scd2(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "a")),
+      ev("U", 15, 2, "1", Map("id" -> "1", "v" -> "b")), // open at T=20 → closed at 20
+      ev("I", 12, 3, "2", Map("id" -> "2", "v" -> "x")), // open at T=20 → closed at 20
+      ev("T", 20, 4, null, null).copy(key = Map.empty),
+      ev("I", 30, 5, "1", Map("id" -> "1", "v" -> "post")))) // after T → current
+    assert(out === Seq(
+      ("1", "a", 10L, Some(15L), false), // closed before T: interval untouched
+      ("1", "b", 15L, Some(20L), false),
+      ("1", "post", 30L, None, true),
+      ("2", "x", 12L, Some(20L), false)))
+  }
+
+  test("scd2: same-LSN open/close tie-breaks on seq") {
+    val out = scd2(Seq(
+      ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "first")),
+      ev("U", 10, 2, "1", Map("id" -> "1", "v" -> "second"))))
+    assert(out === Seq(
+      ("1", "first", 10L, Some(10L), false),
+      ("1", "second", 10L, None, true)))
+  }
 }

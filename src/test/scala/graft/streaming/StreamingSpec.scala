@@ -588,6 +588,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === Seq(("c", "1.250000", 1L)))
   }
 
+  test("scd2 sink across micro-batches equals the batch history") {
+    val dir = Files.createTempDirectory("scd2stream")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // several micro-batches so versions open in one batch close in a later one
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
+    val q = Streams.scd2Sink(env, graft.cdc.CdcPipeline.ordersRelation,
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame, keyMap: String, img: String) = df
+      .select(element_at(col(keyMap), "o_orderkey").cast("long"),
+        element_at(col(img), "o_totalprice").cast("double"),
+        col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val got = rows(Streams.scd2State(spark, dir.resolve("state").toString),
+      "__key", "__after")
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)).toDF()
+    val expected = rows(
+      graft.cdc.Cdc.scd2History(events, Seq("o_orderkey"))
+        .withColumn("__key", map_from_arrays(array(lit("o_orderkey")),
+          array(col("__key_o_orderkey")))),
+      "__key", "after")
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("scd2 merge is replay-safe and a truncate closes every open version") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("scd2replay")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("x"))))))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeScd2Batch(b1, rel, stateDir)
+    def state(): Seq[(String, String, Long, Long, Boolean)] =
+      Streams.scd2State(spark, stateDir).collect().map { r =>
+        val k = r.getMap[String, String](r.fieldIndex("__key"))("id")
+        val m = r.getMap[String, String](r.fieldIndex("__after"))
+        val to = r.fieldIndex("valid_to_lsn")
+        (k, m("v"), r.getLong(r.fieldIndex("valid_from_lsn")),
+          if (r.isNullAt(to)) -1L else r.getLong(to),
+          r.getBoolean(r.fieldIndex("is_current")))
+      }.sortBy(x => (x._1, x._3)).toSeq
+    val once = state()
+    assert(once === Seq(("1", "a", 11L, -1L, true), ("2", "x", 12L, -1L, true)))
+    // replay the SAME batch (crash before checkpoint commit): no duplicates
+    Streams.mergeScd2Batch(b1, rel, stateDir)
+    assert(state() === once)
+    // batch 2: update key 1, then truncate, then re-insert key 1 —
+    // the truncate closes key 2's (untouched) open version too
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(20, PgOutputEncoder.encode(Update(6, None, None, TupleData(Vector(t("1"), t("b")))))),
+      FrameLog.Entry(30, PgOutputEncoder.encode(Truncate(0, Vector(6)))),
+      FrameLog.Entry(40, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("post"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    Streams.mergeScd2Batch(b2, rel, stateDir)
+    val after2 = state()
+    assert(after2 === Seq(
+      ("1", "a", 11L, 20L, false),     // closed by the batch-2 update
+      ("1", "b", 20L, 30L, false),     // closed by the truncate
+      ("1", "post", 40L, -1L, true),   // re-insert after the truncate
+      ("2", "x", 12L, 30L, false)))    // untouched key, closed by the truncate
+    // replaying batch 2 changes nothing
+    Streams.mergeScd2Batch(b2, rel, stateDir)
+    assert(state() === after2)
+  }
+
   test("multi-SUM incremental aggregate state maintains both columns through update and delete") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
