@@ -175,6 +175,52 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Deterministic Lloyd k-means (k=8, init = the embeddings of vec_id
+    // 0..7, one centroid update + reassignment): the coarse quantizer an
+    // IVF index trains before bucketing a 100 TB embedding store.
+    // Scale shape: centroids are MODEL state (k×dims doubles — bytes, not
+    // data), so they ride the driver/broadcast path by design; each
+    // assignment pass is then a NARROW map over the corpus (argmin via
+    // array_min over k literal-centroid distances — no crossJoin, no
+    // shuffle), and the centroid update is one (cluster, dim)-keyed hash
+    // agg over a posexplode, partial-aggregated map-side. Per iteration:
+    // one narrow pass + one bounded shuffle of k×dims rows.
+    // Determinism: init is data-derived (no RNG); distances fold
+    // left-to-right in double; per-dim means and inertia sum as exact
+    // DECIMAL before the double cast; argmin ties break on cluster id.
+    "sim_kmeans" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val e = Tables.embeddings(s, d)
+      def dist(cent: Seq[Double]) =
+        aggregate(zip_with(col("embedding"), typedLit(cent),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)
+      def assign(cents: Seq[(Long, Seq[Double])]) = e.withColumn("m",
+        array_min(array(cents.map { case (cid, c) =>
+          struct(dist(c).as("dist"), lit(cid).as("cid")) }: _*)))
+        .select(col("vec_id"), col("embedding"),
+          col("m.cid").as("cid"), col("m.dist").as("dist"))
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq.sortBy(_._1)
+      val c1 = assign(c0)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
+          .as("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq.sortBy(_._1)
+      assign(c1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("dist").cast(dec)).cast("double"), 6).as("inertia"))
+        .select(col("cid").as("cluster_id"), col("n_vectors"), col("inertia"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
     // cosine re-rank within the bucket, top-3.
     "sim_lsh_ann" -> ((s, d) => {
@@ -198,6 +244,12 @@ object SimilarityQueries {
 
   private val DotSql =
     "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
+  // Squared L2 distance with the same left-to-right double fold as Spark's
+  // zip_with+aggregate (0.0-seeded fold ≡ first-element-seeded: 0.0+x = x).
+  private val DistSql =
+    ("list_reduce(list_transform(list_zip(%s, %s), " +
+      "r -> (CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE)) * " +
+      "(CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE))), (acc, x) -> acc + x)")
   private def cosSql(a: String, b: String) =
     s"${DotSql.format(a, b)} / (sqrt(${DotSql.format(a, a)}) * sqrt(${DotSql.format(b, b)}))"
   // CAST the SUM to BIGINT: DuckDB's integer SUM yields HUGEINT (int128),
@@ -263,6 +315,33 @@ object SimilarityQueries {
            round(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
            round(MIN(cos), 6) AS min_cos
          FROM cosr GROUP BY label, centroid ORDER BY label""",
+
+    "sim_kmeans" ->
+      s"""WITH c0 AS (
+           SELECT vec_id AS cid, embedding AS centroid
+           FROM embeddings WHERE vec_id < 8),
+         a1 AS (
+           SELECT e.vec_id, c.cid, e.embedding
+           FROM embeddings e CROSS JOIN c0 c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${DistSql.format("e.embedding", "c.centroid")}, c.cid) = 1),
+         ex AS (
+           SELECT a.cid, i, CAST(a.embedding[i+1] AS DOUBLE) AS x
+           FROM a1 a CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
+         c1d AS (
+           SELECT cid, i,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+           FROM ex GROUP BY cid, i),
+         c1 AS (SELECT cid, list(c ORDER BY i) AS centroid FROM c1d GROUP BY cid),
+         a2 AS (
+           SELECT e.vec_id, c.cid,
+             ${DistSql.format("e.embedding", "c.centroid")} AS dist
+           FROM embeddings e CROSS JOIN c1 c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY dist, c.cid) = 1)
+         SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+           round(CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE), 6) AS inertia
+         FROM a2 GROUP BY cid ORDER BY cid""",
 
     "sim_quantized_topk" ->
       s"""WITH bounds AS (
