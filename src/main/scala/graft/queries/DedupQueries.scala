@@ -203,6 +203,46 @@ object DedupQueries {
         .orderBy(col("content_hash"))
     }),
 
+    // Cross-document duplicate-span profile (exact-substring dedup signal,
+    // after Lee et al. "Deduplicating Training Data Makes Language Models
+    // Better"): per document, how many of its 8-word spans also occur in
+    // ANOTHER document, and the resulting duplicate ratio / near-dup flag.
+    // Scale shape: strictly LINEAR — span rows are one narrow explode + one
+    // doc-keyed window (8 leads in a single pass); the duplicated-span set
+    // is a hash agg over distinct (span, doc); marking a doc's positions is
+    // a LEFT SEMI join on the span key (one row per distinct span on the
+    // build side, so a hot span multiplies nothing — unlike the Jaccard
+    // self-join there is no df² term, and AQE splits any skewed span key).
+    "dedup_span_overlap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val spans = cached(s, "spanRows8", d) {
+        Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+          .select(Seq(col("doc_id"), col("w0")) ++
+            (1 until 8).map(i => lead("w0", i).over(w).as(s"w$i")): _*)
+          .filter(col("w7").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", (0 until 8).map(i => col(s"w$i")): _*).as("sh"))
+      }
+      val dup = spans.distinct()
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("sh"))
+      val total = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      val dupCnt = spans.join(dup, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(total, Seq("doc_id"), "left")
+        .join(dupCnt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("dup_ratio", when(col("n_spans") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_spans").cast("double") / col("n_spans"), 6)))
+        .withColumn("near_dup", col("dup_ratio") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // n-gram Jaccard near-dup via inverted-index join (no cross product),
     // with posting lists capped at df ≤ JaccardMaxDf (stop-shingle drop —
     // the guard that keeps the self-join sub-quadratic at corpus scale).
@@ -333,6 +373,33 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "dedup_span_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sp AS (
+           SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS sh
+           FROM (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM w)),
+         dup AS (
+           SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+           GROUP BY sh HAVING COUNT(*) >= 2),
+         tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+         dc AS (
+           SELECT doc_id, COUNT(*) AS n_dup_spans FROM sp
+           WHERE sh IN (SELECT sh FROM dup) GROUP BY doc_id)
+         SELECT doc_id, n_spans, n_dup_spans, dup_ratio,
+           dup_ratio >= 0.5 AS near_dup
+         FROM (
+           SELECT d.doc_id,
+             COALESCE(tot.n_spans, 0) AS n_spans,
+             COALESCE(dc.n_dup_spans, 0) AS n_dup_spans,
+             CASE WHEN COALESCE(tot.n_spans, 0) = 0 THEN 0.0
+                  ELSE round(CAST(COALESCE(dc.n_dup_spans, 0) AS DOUBLE)
+                             / tot.n_spans, 6) END AS dup_ratio
+           FROM documents d
+           LEFT JOIN tot ON d.doc_id = tot.doc_id
+           LEFT JOIN dc ON d.doc_id = dc.doc_id)
+         ORDER BY doc_id""",
 
     // same stop-shingle cap as the Spark side: Jaccard over shingles with
     // df <= JaccardMaxDf

@@ -158,6 +158,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("scd2 history costs one pk shuffle — same as compaction (the lead window)") {
+    import spark.implicits._
+    val events = Seq(
+      graft.decode.ChangeEvent("I", "1-1", 1, 1, 1, 1, 0, "public", "t", 1,
+        Map("id" -> "1"), null, Map("id" -> "1", "v" -> "a"), Nil, Nil)).toDS().toDF()
+    val out = graft.cdc.Cdc.scd2History(events, Seq("id"))
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val dataShuffles = p.linesIterator.count(l => l.contains("hashpartitioning"))
+    assert(dataShuffles <= 2, s"expected <=2 hash exchanges, plan:\n$p")
+    // the truncate high-water rides a broadcast, never a data shuffle
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sim_kmeans assignment is a narrow map — no join, one agg shuffle") {
+    val p = plan("sim_kmeans")
+    assert(!p.contains("Join"), p) // centroids are literals, not a joined side
+    val dataShuffles = p.linesIterator.count(l => l.contains("hashpartitioning"))
+    assert(dataShuffles <= 1, s"expected <=1 hash exchange, plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // two-phase final agg
+  }
+
+  test("sim_label_centroids joins the corpus against BROADCAST centroids") {
+    val p = plan("sim_label_centroids")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q45 star join keeps the bounded dims broadcast, customer unpinned") {
     // nation/region are hinted (bounded at 25/5 rows forever); customer's
     // side is adaptive — at test scale statistics make it a broadcast too,
