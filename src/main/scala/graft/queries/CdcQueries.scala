@@ -125,6 +125,27 @@ object CdcQueries {
         .orderBy(col("o_orderkey"), col("valid_from_lsn"))
     }),
 
+    // Point-in-time (as-of) read over the SCD2 history: table state as of
+    // WAL position 4·max(o_orderkey) (≈ the stream's midpoint) — the query
+    // a history table exists to answer. A version is visible iff
+    // valid_from ≤ asof < valid_to. Keys whose insert lands after the
+    // midpoint don't exist yet; updates/deletes after it are invisible.
+    // Scale: one filter over the history — no recompaction, no event replay.
+    "cdc_scd2_asof" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true))).toDF()
+      val asof = graft.Tables.orders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0) * 4
+      graft.cdc.Cdc.scd2History(events, Seq("o_orderkey"))
+        .filter(col("valid_from_lsn") <= asof &&
+          (col("valid_to_lsn").isNull || col("valid_to_lsn") > asof))
+        .select(
+          element_at(col("after"), "o_orderkey").cast("long").as("o_orderkey"),
+          element_at(col("after"), "o_totalprice").cast("double").as("o_totalprice"),
+          col("valid_from_lsn"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -174,6 +195,18 @@ object CdcQueries {
            valid_to_lsn IS NULL AS is_current
          FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
          ORDER BY o_orderkey, valid_from_lsn""",
+
+    "cdc_scd2_asof" ->
+      """WITH m AS (SELECT MAX(o_orderkey) * 4 AS asof_lsn FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 AND o_orderkey * 8 + 4 <= asof_lsn
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 AND o_orderkey * 8 + 4 <= asof_lsn
+                THEN o_orderkey * 8 + 4 ELSE o_orderkey * 8 + 1 END AS valid_from_lsn
+         FROM orders CROSS JOIN m
+         WHERE o_orderkey * 8 + 1 <= asof_lsn
+           AND NOT (o_orderkey % 7 = 0 AND o_orderkey * 8 + 7 <= asof_lsn)
+         ORDER BY o_orderkey""",
 
     "cdc_truncate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

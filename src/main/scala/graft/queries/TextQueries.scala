@@ -206,6 +206,66 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Composite pretraining document gate (C4/Gopher-style): fuse the
+    // individual quality signals — language ID, heuristic quality score,
+    // within-doc repetition, benchmark contamination — into one keep/drop
+    // decision per document, with each criterion exposed for auditing.
+    // This is the operator a data pipeline actually runs; the single-signal
+    // queries are its diagnostics. Scale shape: union of the constituent
+    // shapes — one narrow scoring pass, one doc-keyed shingle agg, one
+    // BROADCAST benchmark-gram join, then doc-keyed left joins (no new
+    // shuffle class). Thresholds are explicit constants of the operator.
+    "text_quality_filter" -> ((s, d) => {
+      val scored = withWords(Tables.documents(s, d))
+        .withColumn("n_tokens", size(col("ws")))
+        .withColumn("stop_hits", hits("en"))
+        .withColumn("punct", regexp_count(col("text"), lit("[.,;:!?]")))
+        .withColumn("en", hits("en")).withColumn("es", hits("es"))
+        .withColumn("de", hits("de")).withColumn("fr", hits("fr"))
+        .withColumn("lang_guess",
+          when(col("en") > 0 && col("en") >= col("es") && col("en") >= col("de") && col("en") >= col("fr"), "en")
+            .when(col("es") > 0 && col("es") >= col("de") && col("es") >= col("fr"), "es")
+            .when(col("de") > 0 && col("de") >= col("fr"), "de")
+            .when(col("fr") > 0, "fr")
+            .otherwise("und"))
+        .withColumn("quality_score", round(
+          col("stop_hits") / col("n_tokens") * 0.5 +
+            (lit(1.0) - col("punct") / length(col("text"))) * 0.3 +
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.2, 6))
+        .select(col("doc_id"), col("lang_guess"), col("quality_score"))
+      val rep = DedupQueries.shingleRows(s, d)
+        .groupBy(col("doc_id"))
+        .agg(round(lit(1.0) - countDistinct(col("sh")) / count(lit(1)), 6)
+          .as("rep_ratio"))
+      val w5 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams5 = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
+        .select(col("doc_id"), col("w0"),
+          lead("w0", 1).over(w5).as("w1"), lead("w0", 2).over(w5).as("w2"),
+          lead("w0", 3).over(w5).as("w3"), lead("w0", 4).over(w5).as("w4"))
+        .filter(col("w4").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2"),
+          col("w3"), col("w4")).as("g"))
+        .distinct()
+      val bench = grams5.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      val contam = grams5.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(true))
+      scored
+        .join(rep, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang_guess"), col("quality_score"),
+          coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .withColumn("keep",
+          col("lang_guess") =!= "und" && col("quality_score") >= 0.42 &&
+            col("rep_ratio") <= 0.02 && !col("contaminated") &&
+            col("doc_id") % 97 =!= 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-budget chunking: split each document into sequential chunks of
     // ≤ 32 tokens (the pre-tokenization step before packing sequences for
     // training). Narrow: one sequence-explode per doc, no shuffle; chunk
@@ -371,6 +431,45 @@ object TextQueries {
          FROM (SELECT doc_id, $ShinglesSql AS shingles
                FROM (SELECT doc_id, $WsSql AS ws FROM documents) t
                WHERE len(ws) >= 3) t2
+         ORDER BY doc_id""",
+
+    "text_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $WsSql AS ws FROM documents),
+         sc AS (
+           SELECT doc_id, len(ws) AS n_tokens, ${hitsSql("en")} AS stop_hits,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+             ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
+             ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr, text
+           FROM t),
+         sc2 AS (
+           SELECT doc_id,
+             CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                  WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                  WHEN de > 0 AND de >= fr THEN 'de'
+                  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess,
+             round(stop_hits / n_tokens * 0.5 + (1.0 - punct / length(text)) * 0.3
+                   + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality_score
+           FROM sc),
+         rep AS (
+           SELECT doc_id,
+             round(1.0 - len(list_distinct(sh)) / len(sh), 6) AS rep_ratio
+           FROM (SELECT doc_id, $ShinglesSql AS sh FROM t WHERE len(ws) >= 3) r),
+         g AS (
+           SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws)-3, 1)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+           FROM t),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0)
+         SELECT doc_id, lang_guess, quality_score, rep_ratio, contaminated,
+           (lang_guess <> 'und' AND quality_score >= 0.42 AND rep_ratio <= 0.02
+            AND NOT contaminated AND doc_id % 97 <> 0) AS keep
+         FROM (
+           SELECT s.doc_id, s.lang_guess, s.quality_score,
+             COALESCE(rep.rep_ratio, 0.0) AS rep_ratio,
+             (cont.doc_id IS NOT NULL) AS contaminated
+           FROM sc2 s
+           LEFT JOIN rep ON s.doc_id = rep.doc_id
+           LEFT JOIN cont ON s.doc_id = cont.doc_id)
          ORDER BY doc_id""",
 
     "text_chunks" ->
