@@ -38,6 +38,54 @@ object SimilarityQueries {
         first(col("nrm")).as("nrm"))
   }
 
+  /** Squared L2 distance of the `embedding` column to a literal centroid —
+    * same left-to-right double fold as the DuckDB oracle's DistSql. */
+  private def sqDist(cent: Seq[Double]): org.apache.spark.sql.Column =
+    aggregate(zip_with(col("embedding"), typedLit(cent),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest literal centroid as a (dist, cid) struct: argmin via
+    * array_min over k per-centroid distances — a NARROW map, no join, no
+    * shuffle; ties break on cluster id (struct comparison is
+    * lexicographic). */
+  private def nearest(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+    array_min(array(cents.map { case (cid, c) =>
+      struct(sqDist(c).as("dist"), lit(cid).as("cid")) }: _*))
+
+  private def assign(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    e.withColumn("m", nearest(cents))
+      .select(col("vec_id"), col("embedding"),
+        col("m.cid").as("cid"), col("m.dist").as("dist"))
+
+  /** One-update Lloyd centroids (k = 8, init = the embeddings of vec_id
+    * 0..7): assign to the seed vectors, then per-(cluster, dim) exact
+    * DECIMAL means. Centroids are MODEL state (k×dims doubles), collected
+    * to the driver by design — they broadcast into every later pass. The
+    * trained model is session-cached per data dir: sim_kmeans profiles it,
+    * sim_ivf_trained uses it as the coarse quantizer. */
+  private val models =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[(Long, Seq[Double])]]()
+
+  private def lloydCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    models.getOrElseUpdate((s, d), {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val e = Tables.embeddings(s, d)
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq.sortBy(_._1)
+      assign(e, c0)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
+          .as("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq.sortBy(_._1)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 cosine neighbors for 5 query vectors:
     // broadcast the queries, scan the corpus once (norms precomputed per
@@ -190,35 +238,43 @@ object SimilarityQueries {
     // DECIMAL before the double cast; argmin ties break on cluster id.
     "sim_kmeans" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-      val e = Tables.embeddings(s, d)
-      def dist(cent: Seq[Double]) =
-        aggregate(zip_with(col("embedding"), typedLit(cent),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v)
-      def assign(cents: Seq[(Long, Seq[Double])]) = e.withColumn("m",
-        array_min(array(cents.map { case (cid, c) =>
-          struct(dist(c).as("dist"), lit(cid).as("cid")) }: _*)))
-        .select(col("vec_id"), col("embedding"),
-          col("m.cid").as("cid"), col("m.dist").as("dist"))
-      val c0 = e.filter(col("vec_id") < 8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq.sortBy(_._1)
-      val c1 = assign(c0)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("cid"), col("i"))
-        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
-          .as("centroid"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-        .toSeq.sortBy(_._1)
-      assign(c1)
+      assign(Tables.embeddings(s, d), lloydCentroids(s, d))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vectors"),
           round(sum(col("dist").cast(dec)).cast("double"), 6).as("inertia"))
         .select(col("cid").as("cluster_id"), col("n_vectors"), col("inertia"))
         .orderBy(col("cluster_id"))
+    }),
+
+    // IVF ANN over the TRAINED coarse quantizer: the k-means centroids
+    // (not raw seed vectors, as in sim_ivf_ann) partition the corpus into
+    // cells; each query probes its 2 nearest cells and re-ranks by exact
+    // cosine. The production IVF recipe end-to-end: train → assign →
+    // probe. Scale shape: assignment and probe-cell selection are the
+    // same NARROW literal-centroid passes as sim_kmeans (no join, no
+    // shuffle); candidates come from a broadcast of the tiny probe set
+    // against the cell-filtered corpus — at warehouse scale the cell id
+    // is the partitioning key and a probe reads only its cells'
+    // partitions.
+    "sim_ivf_trained" -> ((s, d) => {
+      val c1 = lloydCentroids(s, d)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val corpus = e.withColumn("cell", nearest(c1).getField("cid"))
+      val qs = e.filter(col("vec_id") < 5)
+        .withColumn("pc", slice(array_sort(array(c1.map { case (cid, c) =>
+          struct(sqDist(c).as("dist"), lit(cid).as("cid")) }: _*)), 1, 2))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), explode(expr("transform(pc, t -> t.cid)")).as("q_cell"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      corpus.join(broadcast(qs),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
     }),
 
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
@@ -250,6 +306,27 @@ object SimilarityQueries {
     ("list_reduce(list_transform(list_zip(%s, %s), " +
       "r -> (CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE)) * " +
       "(CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE))), (acc, x) -> acc + x)")
+
+  /** Shared CTE chain training the one-update Lloyd centroids (c1) —
+    * mirrors [[lloydCentroids]]; consumed by the sim_kmeans and
+    * sim_ivf_trained oracles. */
+  private lazy val KmeansTrainSql =
+    s"""c0 AS (
+           SELECT vec_id AS cid, embedding AS centroid
+           FROM embeddings WHERE vec_id < 8),
+         a1 AS (
+           SELECT e.vec_id, c.cid, e.embedding
+           FROM embeddings e CROSS JOIN c0 c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${DistSql.format("e.embedding", "c.centroid")}, c.cid) = 1),
+         ex AS (
+           SELECT a.cid, i, CAST(a.embedding[i+1] AS DOUBLE) AS x
+           FROM a1 a CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
+         c1d AS (
+           SELECT cid, i,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+           FROM ex GROUP BY cid, i),
+         c1 AS (SELECT cid, list(c ORDER BY i) AS centroid FROM c1d GROUP BY cid)"""
   private def cosSql(a: String, b: String) =
     s"${DotSql.format(a, b)} / (sqrt(${DotSql.format(a, a)}) * sqrt(${DotSql.format(b, b)}))"
   // CAST the SUM to BIGINT: DuckDB's integer SUM yields HUGEINT (int128),
@@ -317,22 +394,7 @@ object SimilarityQueries {
          FROM cosr GROUP BY label, centroid ORDER BY label""",
 
     "sim_kmeans" ->
-      s"""WITH c0 AS (
-           SELECT vec_id AS cid, embedding AS centroid
-           FROM embeddings WHERE vec_id < 8),
-         a1 AS (
-           SELECT e.vec_id, c.cid, e.embedding
-           FROM embeddings e CROSS JOIN c0 c
-           QUALIFY row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY ${DistSql.format("e.embedding", "c.centroid")}, c.cid) = 1),
-         ex AS (
-           SELECT a.cid, i, CAST(a.embedding[i+1] AS DOUBLE) AS x
-           FROM a1 a CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
-         c1d AS (
-           SELECT cid, i,
-             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-           FROM ex GROUP BY cid, i),
-         c1 AS (SELECT cid, list(c ORDER BY i) AS centroid FROM c1d GROUP BY cid),
+      s"""WITH $KmeansTrainSql,
          a2 AS (
            SELECT e.vec_id, c.cid,
              ${DistSql.format("e.embedding", "c.centroid")} AS dist
@@ -342,6 +404,27 @@ object SimilarityQueries {
          SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
            round(CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE), 6) AS inertia
          FROM a2 GROUP BY cid ORDER BY cid""",
+
+    "sim_ivf_trained" ->
+      s"""WITH $KmeansTrainSql,
+         cells AS (
+           SELECT e.vec_id, e.embedding, c.cid AS cell
+           FROM embeddings e CROSS JOIN c1 c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${DistSql.format("e.embedding", "c.centroid")}, c.cid) = 1),
+         probes AS (
+           SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid AS q_cell
+           FROM embeddings e CROSS JOIN c1 c
+           WHERE e.vec_id < 5
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${DistSql.format("e.embedding", "c.centroid")}, c.cid) <= 2)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT p.q_id, t.vec_id AS neighbor_id,
+             round(${cosSql("t.embedding", "p.q_emb")}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY ${cosSql("t.embedding", "p.q_emb")} DESC, t.vec_id) AS rank
+           FROM cells t JOIN probes p ON t.cell = p.q_cell AND t.vec_id <> p.q_id) r
+         WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "sim_quantized_topk" ->
       s"""WITH bounds AS (
