@@ -202,12 +202,20 @@ object Streams {
     * (Cdc.scd2History's streaming form). Per micro-batch: the batch's events
     * become new version rows, and the still-open versions of the keys the
     * batch touches are closed at the key's first fresh event (a Truncate
-    * closes every open version at its WAL position). Closed versions are
-    * immutable — a batch's cost is O(batch + open versions), never a
-    * rewrite of closed history. Exactly-once under at-least-once replay via
-    * the persisted (lsn, seq) high-water mark, same protocol as
-    * [[incrementalAggSink]]; data and high-water flip in one manifest
-    * commit. */
+    * closes every open version at its WAL position).
+    *
+    * State layout exploits that closed history is IMMUTABLE: versions
+    * closed by a batch land in a fresh append-only SEGMENT directory
+    * (`seg-N` manifest entries — never rewritten, never re-read by later
+    * merges); only the small OPEN set is rewritten per batch. Per-batch
+    * cost is therefore O(batch + open versions) regardless of how much
+    * closed history has accumulated — the property that lets a year of
+    * 100 TB-table history absorb a micro-batch in seconds. (Segment
+    * compaction/retention is an offline concern, exactly as for any
+    * log-structured table format.) Exactly-once under at-least-once replay
+    * via the persisted (lsn, seq) high-water mark, same protocol as
+    * [[incrementalAggSink]]; segments, open set, and high-water flip in ONE
+    * manifest commit. */
   def scd2Sink(envelope: DataFrame, rel: Relation, stateDir: String,
       checkpointDir: String): StreamingQuery =
     envelope.writeStream
@@ -245,49 +253,64 @@ object Streams {
         col("after").as("__after"),
         col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
 
-    val merged = manifest.get("data") match {
+    // previous OPEN versions (closed segments are never re-read): close the
+    // ones the batch touches at the earliest of (key's first fresh event,
+    // batch truncate); the rest stay open untouched
+    val resolved = manifest.get("open") match {
       case None => newVersions
       case Some(v) =>
         val st = spark.read.parquet(s"$stateDir/$v")
           .select(col("*") +:
             keys.map(k => element_at(col("__key"), k).as(s"__jk_$k")): _*)
-        // first fresh event per key — closes that key's open version
         val firstEvt = fresh.filter(col("op") =!= "T")
           .select(keys.map(k => element_at(col("key"), k).as(s"__fk_$k")) :+
             struct(col("lsn"), col("seq")).as("__e"): _*)
           .groupBy(keys.map(k => col(s"__fk_$k")): _*)
           .agg(min(col("__e")).getField("lsn").as("__first_lsn"))
-        val joined = st.join(firstEvt,
-          keys.map(k => col(s"__jk_$k") === col(s"__fk_$k")).reduce(_ && _),
-          "left")
-        // an open version closes at the earliest of (key's first fresh
-        // event, batch truncate); closed versions are immutable
         val closeAt = least(col("__first_lsn"), truncCol)
-        joined
+        st.join(firstEvt,
+            keys.map(k => col(s"__jk_$k") === col(s"__fk_$k")).reduce(_ && _),
+            "left")
           .withColumn("valid_to_lsn",
-            when(col("is_current") && closeAt.isNotNull &&
-              closeAt > col("valid_from_lsn"), closeAt)
-              .otherwise(col("valid_to_lsn")))
+            when(closeAt.isNotNull && closeAt > col("valid_from_lsn"), closeAt)
+              .otherwise(lit(null).cast("long")))
           .withColumn("is_current", col("valid_to_lsn").isNull)
           .select(col("__key"), col("__after"),
             col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
           .unionByName(newVersions)
     }
-    val next = StateStore.newVersion("data")
-    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val cached = resolved.persist()
+    val closedSeg = cached.filter(!col("is_current"))
+    val openNext = cached.filter(col("is_current"))
+    val segs = manifest.filter { case (k, _) => k.startsWith("seg-") }
+    var entries = segs
+    if (closedSeg.limit(1).count() > 0) {
+      val segDir = StateStore.newVersion(s"seg${segs.size}")
+      closedSeg.write.mode("overwrite").parquet(s"$stateDir/$segDir")
+      entries += (s"seg-${segs.size}" -> segDir)
+    }
+    if (openNext.limit(1).count() > 0) {
+      val openDir = StateStore.newVersion("open")
+      openNext.write.mode("overwrite").parquet(s"$stateDir/$openDir")
+      entries += ("open" -> openDir)
+    }
+    cached.unpersist()
     val newLsn = math.max(hwLsn, mx.getLong(0))
     val newSeq =
       if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
         mx.getLong(1) else hwSeq
-    StateStore.commit(stateDir, Map(
-      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+    StateStore.commit(stateDir, entries ++ Map(
+      "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
-  /** Full version history maintained by [[scd2Sink]]. */
+  /** Full version history maintained by [[scd2Sink]]: the union of every
+    * immutable closed segment plus the live open set. */
   def scd2State(spark: SparkSession, stateDir: String): DataFrame = {
-    val v = StateStore.load(stateDir).getOrElse("data",
-      sys.error(s"no committed scd2 state under $stateDir"))
-    spark.read.parquet(s"$stateDir/$v")
+    val m = StateStore.load(stateDir)
+    val dirs = m.collect { case (k, v) if k.startsWith("seg-") => v }.toSeq.sorted ++
+      m.get("open")
+    require(dirs.nonEmpty, s"no committed scd2 state under $stateDir")
+    spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
   }
 
   /** Incrementally-maintained SUM/COUNT aggregate view over the envelope

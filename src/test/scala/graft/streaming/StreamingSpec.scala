@@ -670,6 +670,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === after2)
   }
 
+  test("scd2 closed segments are immutable across batches; crash before commit loses nothing") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("scd2seg")
+    val stateDir = dir.resolve("state").toString
+    def log(n: String, entries: FrameLog.Entry*): org.apache.spark.sql.DataFrame = {
+      val p = dir.resolve(n).toString
+      FrameLog.write(p, (Iterator(FrameLog.Entry(0, PgOutputEncoder.encode(rel))) ++ entries.iterator))
+      spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    }
+    // batch 1: key 1 insert + update → one closed version (seg-0) + one open
+    Streams.mergeScd2Batch(log("l1.bin",
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Update(6, None, None, TupleData(Vector(t("1"), t("b"))))))),
+      rel, stateDir)
+    val m1 = StateStore.load(stateDir)
+    assert(m1.contains("seg-0") && m1.contains("open"), m1.toString)
+    // batch 2 crashes before the manifest flip: nothing published
+    StateStore.failBeforeCommit = true
+    val b2 = log("l2.bin",
+      FrameLog.Entry(20, PgOutputEncoder.encode(Update(6, None, None, TupleData(Vector(t("1"), t("c")))))))
+    intercept[IllegalStateException] { Streams.mergeScd2Batch(b2, rel, stateDir) }
+    StateStore.failBeforeCommit = false
+    assert(StateStore.load(stateDir) === m1) // old manifest fully intact
+    // replay batch 2 (at-least-once): applies exactly once
+    Streams.mergeScd2Batch(b2, rel, stateDir)
+    val m2 = StateStore.load(stateDir)
+    assert(m2("seg-0") === m1("seg-0")) // closed segment never rewritten
+    assert(m2.contains("seg-1") && m2("open") != m1("open"))
+    val hist = Streams.scd2State(spark, stateDir).collect().map { r =>
+      val m = r.getMap[String, String](r.fieldIndex("__after"))
+      val to = r.fieldIndex("valid_to_lsn")
+      (m("v"), r.getLong(r.fieldIndex("valid_from_lsn")),
+        if (r.isNullAt(to)) -1L else r.getLong(to))
+    }.sortBy(_._2).toSeq
+    assert(hist === Seq(("a", 11L, 12L), ("b", 12L, 20L), ("c", 20L, -1L)))
+  }
+
   test("multi-SUM incremental aggregate state maintains both columns through update and delete") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
