@@ -294,6 +294,34 @@ object DedupQueries {
         .select(col("vertex").as("doc_id"), col("component").as("keeper"))
         .orderBy(col("doc_id"))),
 
+    // End-to-end dedup DECISION: the keep/drop list a dedup pipeline
+    // actually emits. Precedence: an exact duplicate (same content hash,
+    // not the smallest doc_id) drops first; then a near-dup cluster member
+    // that is not its cluster's canonical doc; everything else is kept.
+    // Every dropped doc names its keeper — the audit trail for training-
+    // data provenance. Scale: one digest-keyed agg + one doc-keyed left
+    // join over the (pair-graph-sized) cluster table; the heavy lifting is
+    // the shared session-cached LSH pipeline.
+    "dedup_keep_list" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+      val exactKeeper = docs.groupBy(col("h")).agg(min(col("doc_id")).as("ek"))
+      val clusters = graft.operators.Graph
+        .connectedComponents(minhashCandidatePairs(s, d))
+        .select(col("vertex").as("doc_id"), col("component").as("ck"))
+      docs.join(exactKeeper, "h")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("ek"), lit("exact_dup"))
+            .when(col("ck").isNotNull && col("ck") =!= col("doc_id"), lit("near_dup"))
+            .otherwise(lit("kept")).as("reason"),
+          when(col("doc_id") =!= col("ek"), col("ek"))
+            .when(col("ck").isNotNull && col("ck") =!= col("doc_id"), col("ck"))
+            .otherwise(col("doc_id")).as("keeper"))
+        .withColumn("keep", col("reason") === "kept")
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash values (checks the bit math, every doc).
     "dedup_simhash" -> ((s, d) => {
       simhashes(s, d).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
@@ -448,6 +476,34 @@ object DedupQueries {
               SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS doc_id, LEAST(u, MIN(v)) AS keeper
          FROM reach GROUP BY u ORDER BY doc_id""",
+
+    "dedup_keep_list" ->
+      s"""WITH RECURSIVE sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                      UNION SELECT b_id AS u, a_id AS v FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS ck FROM reach GROUP BY u),
+            ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+            ek AS (SELECT h, MIN(doc_id) AS ek FROM ex GROUP BY h)
+         SELECT doc_id, reason, keeper, reason = 'kept' AS keep FROM (
+           SELECT e.doc_id,
+             CASE WHEN e.doc_id <> k.ek THEN 'exact_dup'
+                  WHEN c.ck IS NOT NULL AND c.ck <> e.doc_id THEN 'near_dup'
+                  ELSE 'kept' END AS reason,
+             CASE WHEN e.doc_id <> k.ek THEN k.ek
+                  WHEN c.ck IS NOT NULL AND c.ck <> e.doc_id THEN c.ck
+                  ELSE e.doc_id END AS keeper
+           FROM ex e JOIN ek k USING (h) LEFT JOIN comp c ON e.doc_id = c.doc_id) t
+         ORDER BY doc_id""",
 
     "dedup_simhash" ->
       s"""SELECT doc_id, simhash FROM ($SimhashSql) t ORDER BY doc_id""",
