@@ -128,6 +128,64 @@ object CdcPipeline {
     }
   }
 
+  /** The orders relation after an `ALTER TABLE … ADD COLUMN o_note text`:
+    * Postgres appends the column and re-sends the Relation message on the
+    * replication stream (D5/T2). */
+  val ordersRelationV2: Relation = Relation(
+    OrdersRelId, "public", "orders", 'd',
+    ordersRelation.columns :+
+      RelationColumn(partOfKey = false, "o_note", TypedView.Oid.Text, -1))
+
+  /** Schema evolution mid-stream: every order row is inserted under the
+    * 6-column v1 relation; then the 7-column v2 Relation message is
+    * re-sent (the wire form of ADD COLUMN), and keys k % 3 == 0 are
+    * updated with 7-column images carrying `o_note = 'n<k>'` (and
+    * totalprice + 1). Decode must switch tuple→named-row projection at the
+    * re-send point; pre-evolution rows surface with a NULL o_note through
+    * the v2 typed view. Same per-partition narrow generation as
+    * [[ordersToFrames]] (rows buffer per partition so the v2 Relation
+    * precedes the first 7-column image in partition order — bounded by
+    * partition size, not table size). */
+  def ordersToFramesEvolving(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relV1 = PgOutputEncoder.encode(ordersRelation)
+    val relV2 = PgOutputEncoder.encode(ordersRelationV2)
+
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rs = rows.toVector
+      val inserts = rs.iterator.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val commitTs = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, TupleData(Vector(
+            t(k.toString), t(cust.toString), t(status), t(price.toString),
+            t(pgTimestampText(dateUs)), t(prio))))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, commitTs)))
+      }
+      val updates = rs.iterator.filter(_._1 % 3 == 0)
+        .flatMap { case (k, cust, status, price, dateUs, prio) =>
+          val base = k * 8
+          val commitTs = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+          Seq(
+            (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, commitTs, k.toInt)),
+            (base + 4) -> PgOutputEncoder.encode(Update(OrdersRelId, None, None,
+              TupleData(Vector(
+                t(k.toString), t(cust.toString), t(status), t((price + 1.0).toString),
+                t(pgTimestampText(dateUs)), t(prio), t(s"n$k"))))),
+            (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, commitTs)))
+        }
+      Iterator.single(0L -> relV1) ++ inserts ++
+        Iterator.single(1L -> relV2) ++ updates
+    }
+  }
+
   val LineitemRelId = 50002
 
   /** Composite-pk relation: (l_orderkey, l_linenumber, l_partkey,

@@ -125,6 +125,20 @@ object CdcQueries {
         .orderBy(col("o_orderkey"), col("valid_from_lsn"))
     }),
 
+    // Schema evolution through the wire path (D5/T2): rows insert under
+    // the 6-column relation, the Relation message re-sends with an added
+    // o_note column (the ADD COLUMN wire form), then k % 3 == 0 rows update
+    // with 7-column images. Decode must re-project tuples at the re-send
+    // point; the v2 typed view surfaces pre-evolution rows with NULL
+    // o_note. Hash-checked end-to-end — not just spec-pinned.
+    "cdc_schema_evolution" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesEvolving(s, d)).toDF()
+      graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelationV2)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_note"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Point-in-time (as-of) read over the SCD2 history: table state as of
     // WAL position 4·max(o_orderkey) (≈ the stream's midpoint) — the query
     // a history table exists to answer. A version is visible iff
@@ -195,6 +209,13 @@ object CdcQueries {
            valid_to_lsn IS NULL AS is_current
          FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
          ORDER BY o_orderkey, valid_from_lsn""",
+
+    "cdc_schema_evolution" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'n' || CAST(o_orderkey AS VARCHAR) END AS o_note
+         FROM orders ORDER BY o_orderkey""",
 
     "cdc_scd2_asof" ->
       """WITH m AS (SELECT MAX(o_orderkey) * 4 AS asof_lsn FROM orders)
