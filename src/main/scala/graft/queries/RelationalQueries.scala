@@ -656,6 +656,30 @@ object RelationalQueries {
         .orderBy(col("seg"), col("rn"))
     }),
 
+    // Sequential funnel (view → click → purchase): each user's first view,
+    // first click strictly after it, first purchase strictly after that —
+    // the product-analytics pattern over an event stream. Scale shape:
+    // every aggregate AND every join keys on user_id, so one partitioning
+    // carries the whole funnel (AQE reuses the exchange); adding funnel
+    // stages adds user-keyed steps, never a new shuffle class, and the
+    // event_type filters prune each stage's input at the scan.
+    "q47_event_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -838,6 +862,24 @@ object RelationalQueries {
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
          ${DSUM.format("value")} AS total
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "q47_event_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id)
+         SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
 
     "q22_asof_join" ->
       """SELECT event_id, user_id, ts, last_click_ts, last_click_value FROM (

@@ -303,6 +303,24 @@ object Streams {
       "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Offline maintenance for the scd2 state's log-structured layout: fold
+    * every closed segment into one (the small-files compaction any
+    * log-structured table format schedules off the write path). Safe to
+    * run between batches: the fold changes segment LAYOUT, never content,
+    * and publishes through the same atomic manifest flip — a crash leaves
+    * the old segments readable; the sink's high-water and open set ride
+    * along unchanged. */
+  def compactScd2Segments(spark: SparkSession, stateDir: String): Unit = {
+    val m = StateStore.load(stateDir)
+    val segs = m.collect { case (k, v) if k.startsWith("seg-") => v }.toSeq.sorted
+    if (segs.length <= 1) return
+    val merged = StateStore.newVersion("seg0")
+    spark.read.parquet(segs.map(v => s"$stateDir/$v"): _*)
+      .write.mode("overwrite").parquet(s"$stateDir/$merged")
+    StateStore.commit(stateDir,
+      m.filterNot { case (k, _) => k.startsWith("seg-") } + ("seg-0" -> merged))
+  }
+
   /** Full version history maintained by [[scd2Sink]]: the union of every
     * immutable closed segment plus the live open set. */
   def scd2State(spark: SparkSession, stateDir: String): DataFrame = {

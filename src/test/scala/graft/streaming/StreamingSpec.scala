@@ -701,13 +701,21 @@ class StreamingSpec extends AnyFunSuite {
     val m2 = StateStore.load(stateDir)
     assert(m2("seg-0") === m1("seg-0")) // closed segment never rewritten
     assert(m2.contains("seg-1") && m2("open") != m1("open"))
-    val hist = Streams.scd2State(spark, stateDir).collect().map { r =>
-      val m = r.getMap[String, String](r.fieldIndex("__after"))
-      val to = r.fieldIndex("valid_to_lsn")
-      (m("v"), r.getLong(r.fieldIndex("valid_from_lsn")),
-        if (r.isNullAt(to)) -1L else r.getLong(to))
-    }.sortBy(_._2).toSeq
-    assert(hist === Seq(("a", 11L, 12L), ("b", 12L, 20L), ("c", 20L, -1L)))
+    def hist(): Seq[(String, Long, Long)] =
+      Streams.scd2State(spark, stateDir).collect().map { r =>
+        val m = r.getMap[String, String](r.fieldIndex("__after"))
+        val to = r.fieldIndex("valid_to_lsn")
+        (m("v"), r.getLong(r.fieldIndex("valid_from_lsn")),
+          if (r.isNullAt(to)) -1L else r.getLong(to))
+      }.sortBy(_._2).toSeq
+    assert(hist() === Seq(("a", 11L, 12L), ("b", 12L, 20L), ("c", 20L, -1L)))
+    // offline segment compaction: layout folds to one segment, content
+    // identical, open set and high-water untouched
+    Streams.compactScd2Segments(spark, stateDir)
+    val m3 = StateStore.load(stateDir)
+    assert(m3.keys.count(_.startsWith("seg-")) === 1, m3.toString)
+    assert(m3("open") === m2("open") && m3("hwLsn") === m2("hwLsn"))
+    assert(hist() === Seq(("a", 11L, 12L), ("b", 12L, 20L), ("c", 20L, -1L)))
   }
 
   test("multi-SUM incremental aggregate state maintains both columns through update and delete") {
