@@ -680,6 +680,33 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort retention: users grouped by signup week; per later week, the
+    // fraction of the cohort still active — the companion analytics
+    // pattern to the funnel. Scale shape: cohort assignment and the
+    // (user, cohort, week) distinct both key on user_id; the final
+    // cohort×offset matrix is tiny (weeks², broadcast-joined to sizes).
+    // Week arithmetic is Monday-truncated timestamps on both engines;
+    // day-diff/7 is exact between week starts.
+    "q48_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val size = cohort.groupBy(col("cw"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val act = ev.join(cohort, "user_id")
+        .withColumn("aw", date_trunc("week", col("ts")))
+        .filter(col("aw") >= col("cw"))
+        .select(col("user_id"), col("cw"),
+          (datediff(col("aw"), col("cw")) / 7).cast("int").as("week_offset"))
+        .distinct()
+        .groupBy(col("cw"), col("week_offset")).agg(count(lit(1)).as("n_active"))
+      act.join(size, "cw")
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("cohort_size"),
+          round(col("n_active") / col("cohort_size"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -880,6 +907,23 @@ object RelationalQueries {
          FROM v LEFT JOIN c ON v.user_id = c.user_id
                 LEFT JOIN p ON v.user_id = p.user_id
          ORDER BY v.user_id""",
+
+    "q48_cohort_retention" ->
+      """WITH cohort AS (
+           SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         sz AS (SELECT cw, COUNT(DISTINCT user_id) AS cohort_size FROM cohort GROUP BY cw),
+         act AS (
+           SELECT DISTINCT e.user_id, c.cw,
+             CAST(date_diff('day', CAST(c.cw AS DATE),
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset
+           FROM events e JOIN cohort c ON e.user_id = c.user_id
+           WHERE date_trunc('week', e.ts) >= c.cw),
+         a2 AS (SELECT cw, week_offset, COUNT(*) AS n_active FROM act GROUP BY cw, week_offset)
+         SELECT a2.cw AS cohort_week, week_offset, n_active, cohort_size,
+           round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+         FROM a2 JOIN sz ON a2.cw = sz.cw
+         ORDER BY cohort_week, week_offset""",
 
     "q22_asof_join" ->
       """SELECT event_id, user_id, ts, last_click_ts, last_click_value FROM (
