@@ -561,6 +561,47 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
 
+  /** Per-user funnel progress (view → click → purchase), streaming form of
+    * q47_event_funnel: a keyed state machine via `mapGroupsWithState`. Each
+    * trigger advances the user's state with the batch's events in ts order
+    * and emits the updated row. Contract: in-order delivery per key across
+    * batches (the CDC/event sources here replay in log order); state is
+    * three timestamps per user — O(users) total, no event retention.
+    * Stage rules match the batch query exactly: first view; first click
+    * strictly after it; first purchase strictly after that. */
+  final case class FunnelState(
+      tView: Option[java.sql.Timestamp],
+      tClick: Option[java.sql.Timestamp],
+      tPurchase: Option[java.sql.Timestamp])
+
+  def funnelStates(events: DataFrame): Dataset[(Long, FunnelState)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+         gs: GroupState[FunnelState]) =>
+          var s = gs.getOption.getOrElse(FunnelState(None, None, None))
+          it.toSeq.sortWith((a, b) => a._2.compareTo(b._2) < 0)
+            .foreach { case (_, ts, tpe) =>
+            tpe match {
+              case "view" if s.tView.isEmpty => s = s.copy(tView = Some(ts))
+              case "click" if s.tClick.isEmpty &&
+                s.tView.exists(v => ts.compareTo(v) > 0) =>
+                s = s.copy(tClick = Some(ts))
+              case "purchase" if s.tPurchase.isEmpty &&
+                s.tClick.exists(c => ts.compareTo(c) > 0) =>
+                s = s.copy(tPurchase = Some(ts))
+              case _ =>
+            }
+          }
+          gs.update(s)
+          (user, s)
+      }
+  }
+
   /** Session windows per user (gap-based). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -83,6 +83,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > expected / 2)
   }
 
+  test("streaming funnel state machine equals the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .collect().sortWith((a, b) => a._2.compareTo(b._2) < 0)
+    val (b1, b2) = ev.splitAt(ev.length / 2) // in-order delivery, two batches
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = ms.toDS().toDF("user_id", "ts", "event_type")
+    val q = Streams.funnelStates(src).toDF("user_id", "st")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends each batch's rows; funnel state only
+    // gains fields, so the most-complete row per user is the final state
+    val got = spark.sql("SELECT user_id, st.tView, st.tClick, st.tPurchase FROM funnel_out")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+      .groupBy(_._1).map { case (_, rows) =>
+        rows.maxBy(t => (t._4.isDefined, t._3.isDefined, t._2.isDefined))
+      }
+      .filter(_._2.isDefined).toSet
+    val expected = graft.SparkEntry.queries("q47_event_funnel")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toSet
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("txn-atomic assembly emits one envelope per committed transaction") {
     val rel = Relation(7, "public", "acct", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
