@@ -322,6 +322,42 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sketch-quality gate for the MinHash estimator: over the LSH candidate
+    // pairs, the signature-agreement Jaccard ESTIMATE (matching positions /
+    // 12) is compared against the EXACT capped-universe Jaccard; the query
+    // emits the pair count, the mean absolute error (summed as exact
+    // DECIMAL — order-free), and a boolean asserting the error bound —
+    // the error-envelope pattern (NOTES #6) applied to the sketch itself.
+    // The engine measures its own approximation quality instead of
+    // assuming the textbook variance holds on this corpus.
+    "dedup_minhash_estimate" -> ((s, d) => {
+      val dec = DecimalType(28, 12)
+      val sigs = minhashSignatures(s, d)
+      val est = minhashCandidatePairs(s, d)
+        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+        .withColumn("est",
+          expr("size(filter(sequence(0, 11), i -> a_sig[i] = b_sig[i])) / 12.0"))
+      val idx = cappedShingleIndex(s, d, JaccardMaxDf)
+      val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = idx.as("a").join(idx.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      val den = coalesce(col("sza"), lit(0L)) + coalesce(col("szb"), lit(0L)) -
+        coalesce(col("inter"), lit(0L))
+      est
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), Seq("a_id"), "left")
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), Seq("b_id"), "left")
+        .withColumn("jac", when(den === 0, lit(0.0))
+          .otherwise(coalesce(col("inter"), lit(0L)).cast("double") / den))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(abs(col("est") - col("jac")).cast(dec)).cast("double") /
+            count(lit(1)), 6).as("mean_abs_err"))
+        .withColumn("within_bound", col("mean_abs_err") <= 0.2)
+    }),
+
     // SimHash values (checks the bit math, every doc).
     "dedup_simhash" -> ((s, d) => {
       simhashes(s, d).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
@@ -504,6 +540,43 @@ object DedupQueries {
                   ELSE e.doc_id END AS keeper
            FROM ex e JOIN ek k USING (h) LEFT JOIN comp c ON e.doc_id = c.doc_id) t
          ORDER BY doc_id""",
+
+    "dedup_minhash_estimate" ->
+      s"""WITH sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            withsig AS (
+              SELECT p.a_id, p.b_id,
+                len(list_filter(range(12), i -> sa.sig[i+1] = sb.sig[i+1])) / 12.0 AS est
+              FROM pairs p JOIN sigs sa ON p.a_id = sa.doc_id
+                           JOIN sigs sb ON p.b_id = sb.doc_id),
+            idx0 AS ($ShIdxSql),
+            kept AS (SELECT sh FROM idx0 GROUP BY sh HAVING COUNT(*) <= $JaccardMaxDf),
+            idx AS (SELECT i.doc_id, i.sh FROM idx0 i JOIN kept USING (sh)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            j AS (
+              SELECT w.est,
+                CASE WHEN COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.inter, 0) = 0
+                     THEN 0.0
+                     ELSE CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+                          (COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0) - COALESCE(i.inter, 0)) END AS jac
+              FROM withsig w
+              LEFT JOIN inter i ON w.a_id = i.a_id AND w.b_id = i.b_id
+              LEFT JOIN sizes sa ON w.a_id = sa.doc_id
+              LEFT JOIN sizes sb ON w.b_id = sb.doc_id)
+         SELECT n_pairs, mean_abs_err, mean_abs_err <= 0.2 AS within_bound FROM (
+           SELECT COUNT(*) AS n_pairs,
+             round(CAST(SUM(CAST(ABS(est - jac) AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_abs_err
+           FROM j) t""",
 
     "dedup_simhash" ->
       s"""SELECT doc_id, simhash FROM ($SimhashSql) t ORDER BY doc_id""",
