@@ -707,6 +707,23 @@ object RelationalQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Rolling 7-day distinct active users: the sliding-window DISTINCT that
+    // window frames can't express (no COUNT(DISTINCT) over RANGE frames).
+    // Shape: reduce events to distinct (day, user) FIRST — the fan-out then
+    // costs ≤7 rows per (day, user), linear with a constant, joined against
+    // the BROADCAST (tiny) day dimension; the final count-distinct shuffles
+    // on (day, user). No quadratic term at any scale.
+    "q49_rolling_distinct" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      du.join(broadcast(days),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("active_users_7d"))
+        .orderBy(col("d"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -924,6 +941,13 @@ object RelationalQueries {
            round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
          FROM a2 JOIN sz ON a2.cw = sz.cw
          ORDER BY cohort_week, week_offset""",
+
+    "q49_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day AS d FROM du)
+         SELECT d, COUNT(DISTINCT user_id) AS active_users_7d
+         FROM du JOIN days ON du.day BETWEEN d - 6 AND d
+         GROUP BY d ORDER BY d""",
 
     "q22_asof_join" ->
       """SELECT event_id, user_id, ts, last_click_ts, last_click_value FROM (

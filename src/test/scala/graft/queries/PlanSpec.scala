@@ -185,6 +185,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q47 funnel pushes each stage's event_type filter to the scan") {
+    val p = plan("q47_event_funnel")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q49 rolling distinct broadcasts the day dimension (no quadratic join)") {
+    val p = plan("q49_rolling_distinct")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q45 star join keeps the bounded dims broadcast, customer unpinned") {
     // nation/region are hinted (bounded at 25/5 rows forever); customer's
     // side is adaptive — at test scale statistics make it a broadcast too,
