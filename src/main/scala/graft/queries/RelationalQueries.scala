@@ -724,6 +724,37 @@ object RelationalQueries {
         .orderBy(col("d"))
     }),
 
+    // Scale path for the rolling distinct: per-day HLL sketches (Datasketches
+    // hll_sketch_agg) merged over the trailing window — sketches are KB-sized
+    // regardless of user cardinality and merge associatively, so the 7-day
+    // union moves 7 sketches per day instead of re-shuffling (day, user)
+    // pairs; at 100 TB this is the difference between a constant-size
+    // day×sketch table and a users-sized shuffle. Gated by the error-envelope
+    // pattern (q26): the query outputs the EXACT counts plus a boolean
+    // asserting the sketch landed within 5% relative error per day; the
+    // oracle expects every boolean TRUE.
+    "q50_rolling_distinct_approx" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      val exact = du.join(broadcast(days),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      val sketches = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val approx = sketches.join(broadcast(days),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      exact.join(approx, "d")
+        .select(col("d"), col("active_users_7d"),
+          (abs(col("est") - col("active_users_7d")) <=
+            col("active_users_7d") * 0.05).as("within_bound"))
+        .orderBy(col("d"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -941,6 +972,13 @@ object RelationalQueries {
            round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
          FROM a2 JOIN sz ON a2.cw = sz.cw
          ORDER BY cohort_week, week_offset""",
+
+    "q50_rolling_distinct_approx" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day AS d FROM du)
+         SELECT d, COUNT(DISTINCT user_id) AS active_users_7d, TRUE AS within_bound
+         FROM du JOIN days ON du.day BETWEEN d - 6 AND d
+         GROUP BY d ORDER BY d""",
 
     "q49_rolling_distinct" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
