@@ -277,6 +277,27 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ANN quality gate: recall@3 of the LSH path against brute-force ground
+    // truth — the metric every ANN deployment reports, computed inside the
+    // engine (composition of the two search operators; both sides reuse the
+    // session-cached signature table). A recall regression from re-tuning
+    // planes/bands fails the hash gate instead of silently degrading search.
+    "sim_ann_recall" -> ((s, d) => {
+      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val lsh = queries("sim_lsh_ann")(s, d)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = lsh.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"), 6)
+            .as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
     // cosine re-rank within the bucket, top-3.
     "sim_lsh_ann" -> ((s, d) => {
@@ -306,6 +327,31 @@ object SimilarityQueries {
     ("list_reduce(list_transform(list_zip(%s, %s), " +
       "r -> (CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE)) * " +
       "(CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE))), (acc, x) -> acc + x)")
+
+  /** Brute-force exact top-10 oracle SQL — also the ground truth for the
+    * ANN recall gate. */
+  private lazy val BruteAnnSql =
+    s"""SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rank
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE e.vec_id <> q.vec_id) t
+         WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  /** LSH-bucketed ANN oracle SQL — the candidate whose recall the gate
+    * measures. */
+  private lazy val LshAnnSql =
+    s"""WITH sigs AS ($SigSql)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rank
+           FROM sigs e JOIN (SELECT * FROM sigs WHERE vec_id < 5) q
+             ON e.sig = q.sig AND e.vec_id <> q.vec_id) t
+         WHERE rank <= 3 ORDER BY q_id, rank"""
 
   /** Shared CTE chain training the one-update Lloyd centroids (c1) —
     * mirrors [[lloydCentroids]]; consumed by the sim_kmeans and
@@ -340,15 +386,20 @@ object SimilarityQueries {
         GROUP BY e.vec_id, e.label, e.embedding"""
 
   val oracleSql: Map[String, String] = Map(
-    "sim_topk_brute" ->
-      s"""SELECT q_id, rank, neighbor_id, cos_sim FROM (
-           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-             round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id
-               ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rank
-           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
-           WHERE e.vec_id <> q.vec_id) t
-         WHERE rank <= 10 ORDER BY q_id, rank""",
+    "sim_topk_brute" -> BruteAnnSql,
+
+    "sim_ann_recall" ->
+      s"""WITH brute AS ($BruteAnnSql),
+         lsh AS ($LshAnnSql),
+         b3 AS (SELECT q_id, neighbor_id FROM brute WHERE rank <= 3),
+         hits AS (
+           SELECT l.q_id, COUNT(*) AS n_hits FROM lsh l
+           JOIN b3 ON l.q_id = b3.q_id AND l.neighbor_id = b3.neighbor_id
+           GROUP BY l.q_id),
+         truth AS (SELECT q_id, COUNT(*) AS n_true FROM b3 GROUP BY q_id)
+         SELECT t.q_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_true,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall_at_3
+         FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id ORDER BY t.q_id""",
 
     "sim_lsh_buckets" ->
       s"""SELECT sig, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
@@ -454,14 +505,5 @@ object SimilarityQueries {
            WHERE e.vec_id <> q.vec_id) t
          WHERE rank <= 10 ORDER BY q_id, rank""",
 
-    "sim_lsh_ann" ->
-      s"""WITH sigs AS ($SigSql)
-         SELECT q_id, rank, neighbor_id, cos_sim FROM (
-           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-             round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id
-               ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rank
-           FROM sigs e JOIN (SELECT * FROM sigs WHERE vec_id < 5) q
-             ON e.sig = q.sig AND e.vec_id <> q.vec_id) t
-         WHERE rank <= 3 ORDER BY q_id, rank""")
+    "sim_lsh_ann" -> LshAnnSql)
 }
