@@ -266,6 +266,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic source-weighted mixture (the pretraining data-mixing
+    // step): each source gets a sampling weight; a document yields
+    // floor(w) full copies plus one more iff its content-hash bucket falls
+    // under the fractional part — so a weight of 2.5 repeats every doc
+    // twice and half the docs (chosen by hash, not RNG) a third time.
+    // Reproducible on any cluster/partitioning (pure function of doc_id),
+    // and fully narrow: one map + one bounded explode, no shuffle.
+    "text_mixture_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("w", lit(0.25) +
+          (expr("CAST(substring(source, 4) AS INT)") % 8) * lit(0.5))
+        .withColumn("base", floor(col("w")))
+        .withColumn("bucket", expr(
+          "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)"))
+        .withColumn("n_copies", (col("base") +
+          when(col("bucket") < (col("w") - col("base")) * 256, 1).otherwise(0)).cast("int"))
+      docs.filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          explode(expr("sequence(0L, cast(n_copies as long) - 1)")).as("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // Fixed-budget chunking: split each document into sequential chunks of
     // ≤ 32 tokens (the pre-tokenization step before packing sequences for
     // training). Narrow: one sequence-explode per doc, no shuffle; chunk
@@ -471,6 +494,21 @@ object TextQueries {
            LEFT JOIN rep ON s.doc_id = rep.doc_id
            LEFT JOIN cont ON s.doc_id = cont.doc_id)
          ORDER BY doc_id""",
+
+    "text_mixture_sample" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+             0.25 + (CAST(substr(source, 4) AS INT) % 8) * 0.5 AS w,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+             CAST(FLOOR(w) + CASE WHEN bucket < (w - FLOOR(w)) * 256
+                                  THEN 1 ELSE 0 END AS INT) AS n_copies
+           FROM w)
+         SELECT doc_id, source, n_copies, unnest(range(n_copies)) AS copy_idx
+         FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_idx""",
 
     "text_chunks" ->
       s"""SELECT doc_id, chunk_id,

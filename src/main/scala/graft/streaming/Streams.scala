@@ -226,6 +226,18 @@ object Streams {
       }
       .start()
 
+  /** R1 routing for history sinks: one envelope stream carrying several
+    * relations fans out into one SCD2 history per relation (each merge
+    * filters to its relation_id), mirroring [[routeByRelation]]. */
+  def routeScd2ByRelation(
+      envelope: DataFrame, rels: Seq[Relation],
+      stateBaseDir: String, checkpointBaseDir: String): Seq[StreamingQuery] =
+    rels.map { rel =>
+      scd2Sink(envelope, rel,
+        s"$stateBaseDir/${rel.namespace}.${rel.name}",
+        s"$checkpointBaseDir/${rel.relationId}")
+    }
+
   private[streaming] def mergeScd2Batch(batch0: DataFrame, rel: Relation,
       stateDir: String): Unit = {
     val keys = rel.keyColumnNames

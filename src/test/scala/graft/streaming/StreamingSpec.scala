@@ -261,6 +261,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(b === Seq(99L))
   }
 
+  test("routeScd2ByRelation fans one multi-table stream into per-relation histories") {
+    val relA = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    val relB = Relation(8, "public", "other", 'd', Vector(
+      RelationColumn(partOfKey = true, "oid", TypedView.Oid.Int8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("routescd2")
+    val p = dir.resolve("log.bin").toString
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(relA)),
+      FrameLog.Entry(1, PgOutputEncoder.encode(relB)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(8, TupleData(Vector(t("99")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Update(6, None, None, TupleData(Vector(t("1"), t("b"))))))))
+    val env = Streams.envelopeStream(spark, p)
+    val qs = Streams.routeScd2ByRelation(env, Seq(relA, relB),
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+    def hist(sd: String): Seq[(String, Long, Boolean)] =
+      Streams.scd2State(spark, sd).collect().map { r =>
+        (r.getMap[String, String](r.fieldIndex("__key")).values.head,
+          r.getLong(r.fieldIndex("valid_from_lsn")),
+          r.getBoolean(r.fieldIndex("is_current")))
+      }.sortBy(x => (x._1, x._2)).toSeq
+    // table m: key 1 has a closed v1 and a current v2; table other: one
+    // current version — neither history contains the other's events
+    assert(hist(s"${dir.resolve("state")}/public.m") ===
+      Seq(("1", 11L, false), ("1", 13L, true)))
+    assert(hist(s"${dir.resolve("state")}/public.other") === Seq(("99", 12L, true)))
+  }
+
   test("truncate through mergeBatch wipes prior state; later inserts survive") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
