@@ -29,6 +29,21 @@ object MultimodalQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    // Unified text⋈vector wide view (SURVEY §2.2 north-star multimodal):
+    // document metadata joined with its embedding row (vec_id = doc_id)
+    // and the vector's norm — the per-example record a training pipeline
+    // feeds downstream. Doc-keyed equi-join; norms are one narrow map.
+    "mm_text_embedding_view" -> ((s, d) => {
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label"),
+          round(sqrt(DedupQueries.dotD(col("embedding"), col("embedding"))), 6)
+            .as("emb_norm"))
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(e, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    }),
+
     // Modality-aware aggregate over decoded metadata: joins the decoded
     // stream back to document labels — the "unified wide view" shape.
     "mm_meta_stats" -> ((s, d) => {
@@ -43,7 +58,15 @@ object MultimodalQueries {
         .orderBy(col("lang"))
     }))
 
+  private val DotSql =
+    "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
   val oracleSql: Map[String, String] = Map(
+    "mm_text_embedding_view" ->
+      s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           round(sqrt(${DotSql.format("e.embedding", "e.embedding")}), 6) AS emb_norm
+         FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+         ORDER BY d.doc_id""",
     "mm_decode_meta" ->
       """SELECT doc_id, CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
            CAST(ord(substr(text, 1, 1)) AS INTEGER) AS magic,
