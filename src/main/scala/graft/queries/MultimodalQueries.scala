@@ -64,7 +64,9 @@ object MultimodalQueries {
   val oracleSql: Map[String, String] = Map(
     "mm_text_embedding_view" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,
-           round(sqrt(${DotSql.format("e.embedding", "e.embedding")}), 6) AS emb_norm
+           CASE WHEN e.vec_id IS NULL THEN NULL
+                ELSE round(sqrt(${DotSql.format("e.embedding", "e.embedding")}), 6)
+           END AS emb_norm
          FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
          ORDER BY d.doc_id""",
     "mm_decode_meta" ->
