@@ -139,6 +139,25 @@ object CdcQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SCD2 over the composite primary key (4-column pk through the wire
+    // path): multi-column key extraction drives the history's per-key
+    // window; LSNs COLLIDE across keys by construction (harmless — version
+    // ordering is within-key only, same property compaction relies on).
+    "cdc_scd2_composite" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.lineitemToFrames(s, d)).toDF()
+      graft.cdc.Cdc.scd2History(events,
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+        .select(
+          element_at(col("after"), "l_orderkey").cast("long").as("l_orderkey"),
+          element_at(col("after"), "l_linenumber").cast("int").as("l_linenumber"),
+          element_at(col("after"), "l_partkey").cast("long").as("l_partkey"),
+          element_at(col("after"), "l_suppkey").cast("long").as("l_suppkey"),
+          element_at(col("after"), "l_quantity").cast("double").as("l_quantity"),
+          col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("valid_from_lsn"))
+    }),
+
     // Point-in-time (as-of) read over the SCD2 history: table state as of
     // WAL position 4·max(o_orderkey) (≈ the stream's midpoint) — the query
     // a history table exists to answer. A version is visible iff
@@ -216,6 +235,28 @@ object CdcQueries {
                 ELSE o_totalprice END AS o_totalprice,
            CASE WHEN o_orderkey % 3 = 0 THEN 'n' || CAST(o_orderkey AS VARCHAR) END AS o_note
          FROM orders ORDER BY o_orderkey""",
+
+    "cdc_scd2_composite" ->
+      """WITH v1 AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_orderkey * 32 + l_linenumber * 4 + 1 AS valid_from_lsn,
+             CASE WHEN (l_orderkey + l_linenumber) % 5 = 0
+                    THEN l_orderkey * 32 + l_linenumber * 4 + 2
+                  WHEN (l_orderkey + l_linenumber) % 9 = 0
+                    THEN l_orderkey * 32 + l_linenumber * 4 + 3
+             END AS valid_to_lsn
+           FROM lineitem),
+         v2 AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_quantity + 1.0 AS l_quantity,
+             l_orderkey * 32 + l_linenumber * 4 + 2 AS valid_from_lsn,
+             CASE WHEN (l_orderkey + l_linenumber) % 9 = 0
+                    THEN l_orderkey * 32 + l_linenumber * 4 + 3 END AS valid_to_lsn
+           FROM lineitem WHERE (l_orderkey + l_linenumber) % 5 = 0)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+           valid_from_lsn, valid_to_lsn, valid_to_lsn IS NULL AS is_current
+         FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, valid_from_lsn""",
 
     "cdc_scd2_asof" ->
       """WITH m AS (SELECT MAX(o_orderkey) * 4 AS asof_lsn FROM orders)

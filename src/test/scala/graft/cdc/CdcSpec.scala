@@ -167,6 +167,22 @@ class CdcSpec extends AnyFunSuite {
       ("2", "x", 12L, Some(20L), false)))
   }
 
+  test("scd2 current versions equal compacted state (orders wire pipeline)") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(spark,
+      "/root/testdata/sf0.001",
+      CdcPipeline.DmlPattern(updates = true, deletes = true))).toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(element_at(col("after"), "o_orderkey").cast("long"),
+        element_at(col("after"), "o_totalprice").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val current = rows(Cdc.scd2History(events, Seq("o_orderkey"))
+      .filter(col("is_current")))
+    val compacted = rows(Cdc.compact(events, Seq("o_orderkey")))
+    assert(current.nonEmpty)
+    assert(current === compacted)
+  }
+
   test("scd2: same-LSN open/close tie-breaks on seq") {
     val out = scd2(Seq(
       ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "first")),
