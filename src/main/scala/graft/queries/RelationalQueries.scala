@@ -755,6 +755,38 @@ object RelationalQueries {
         .orderBy(col("d"))
     }),
 
+    // Per-user anomaly detection over the event stream: z-score of each
+    // event's value against its user's own mean/stddev, flagging |z| > 3 —
+    // the outlier sweep a pipeline runs before training on behavioral data.
+    // Scale shape: one user-keyed hash agg builds the per-user profile
+    // (users ≪ events → tiny), which BROADCASTS back onto a narrow scan —
+    // the corpus never shuffles. Determinism: mean and variance come from
+    // exact DECIMAL sums of value and value² (value carries 2 decimals, so
+    // both cast exactly); the remaining arithmetic is plain IEEE double,
+    // identical on both engines.
+    "q51_event_anomaly" -> ((s, d) => {
+      val dec = DecimalType(28, 6)
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+      val stats = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sv"),
+          sum((col("value") * col("value")).cast(dec)).cast(DoubleType).as("svv"))
+        .filter(col("n") >= 2)
+        .withColumn("mean", col("sv") / col("n"))
+        .withColumn("sd",
+          sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1)))
+        .filter(col("sd") > 0)
+        .select(col("user_id"), col("mean"), col("sd"))
+      ev.join(broadcast(stats), "user_id")
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("mean"), 6).as("user_mean"),
+          round(col("sd"), 6).as("user_sd"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -768,6 +800,23 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q51_event_anomaly" ->
+      """WITH st AS (
+           SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS svv
+           FROM events GROUP BY user_id HAVING COUNT(*) >= 2),
+         pr AS (
+           SELECT user_id, sv / n AS mean,
+             sqrt((svv - sv * sv / n) / (n - 1)) AS sd
+           FROM st)
+         SELECT e.user_id, e.event_id, e.value,
+           round(p.mean, 6) AS user_mean, round(p.sd, 6) AS user_sd,
+           round((e.value - p.mean) / p.sd, 6) AS z
+         FROM events e JOIN pr p ON e.user_id = p.user_id
+         WHERE p.sd > 0 AND abs((e.value - p.mean) / p.sd) > 3.0
+         ORDER BY e.user_id, e.event_id""",
+
     "q42_histogram" ->
       s"""SELECT LEAST(CAST(floor((l_quantity - 1) / 5) AS INT), 9) AS bucket,
          COUNT(*) AS n, ${DSUM.format("l_extendedprice")} AS price_sum

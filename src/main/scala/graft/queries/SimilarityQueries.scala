@@ -223,6 +223,62 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Product quantization (PQ) ANN: the 64-dim vector splits into m=8
+    // subspaces of 8 dims; each subspace has its own 8-entry codebook (the
+    // sub-vectors of the seed embeddings vec_id 0..7 — data-derived, no
+    // RNG, consistent with the LSH/IVF seed convention), so a vector
+    // compresses to 8 one-byte codes (8 B vs 256 B float32 — the memory
+    // path beyond sim_quantized_topk's int8). Search is ADC (asymmetric
+    // distance computation): the FULL query vector scores against the
+    // RECONSTRUCTED corpus vectors, top-10 by cosine.
+    // Scale shape: the codebook is MODEL state (m×k×(dims/m) doubles —
+    // bytes), broadcast everywhere; encoding is a NARROW map (argmin over
+    // k literal centroid sub-vectors per subspace — no join, no shuffle);
+    // at warehouse scale only the 8-byte codes ship to the searcher and
+    // reconstruction happens from the resident codebook.
+    // Exactness contract (same as sim_quantized_topk): the top-k is exact
+    // OVER THE QUANTIZED representation, hash-checked; quantization error
+    // is the documented trade. Determinism: sub-distances and dots fold
+    // left-to-right in double; argmin ties break on code id.
+    "sim_pq_adc" -> ((s, d) => {
+      val m = 8; val sw = 8 // m subspaces × sw dims
+      val e = Tables.embeddings(s, d)
+      val seeds = e.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).map(_._2).toSeq
+      def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      // squared L2 of subspace j's slice to a literal codebook sub-vector
+      def subDist(j: Int, cv: Seq[Double]) =
+        aggregate(zip_with(slice(col("embedding"), j * sw + 1, sw), typedLit(cv),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)
+      def codeFor(j: Int) =
+        array_min(array((0 until 8).map { c =>
+          struct(subDist(j, seeds(c).slice(j * sw, j * sw + sw)).as("dist"),
+            lit(c).as("c")) }: _*)).getField("c")
+      val cbLit = typedLit(seeds.map(s0 => (0 until m).map(j => s0.slice(j * sw, j * sw + sw))))
+      val coded = e
+        .withColumn("cb", cbLit)
+        .withColumn("codes", array((0 until m).map(codeFor): _*))
+        .withColumn("deq", flatten(expr(
+          "transform(sequence(0, 7), j -> element_at(element_at(cb, element_at(codes, j + 1) + 1), j + 1))")))
+      val corpus = coded.select(col("vec_id"), col("deq"))
+        .withColumn("dn", sqrt(dotDbl(col("deq"), col("deq"))))
+      val qs = e.filter(col("vec_id") < 5)
+        .withColumn("qn", sqrt(dotDbl(col("embedding"), col("embedding"))))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      corpus.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotDbl(col("deq"), col("q_emb")) / (col("dn") * col("qn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Deterministic Lloyd k-means (k=8, init = the embeddings of vec_id
     // 0..7, one centroid update + reassignment): the coarse quantizer an
     // IVF index trains before bucketing a 100 TB embedding store.
@@ -503,6 +559,31 @@ object SimilarityQueries {
                ORDER BY ${cosSql("e.v", "q.v")} DESC, e.vec_id) AS rank
            FROM deq e CROSS JOIN (SELECT * FROM deq WHERE vec_id < 5) q
            WHERE e.vec_id <> q.vec_id) t
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    "sim_pq_adc" ->
+      s"""WITH jj AS (SELECT unnest(range(8)) AS j),
+         sub AS (
+           SELECT e.vec_id, j, list_slice(e.embedding, j*8+1, j*8+8) AS sv
+           FROM embeddings e CROSS JOIN jj),
+         cb AS (
+           SELECT e.vec_id AS c, j, list_slice(e.embedding, j*8+1, j*8+8) AS cv
+           FROM embeddings e CROSS JOIN jj WHERE e.vec_id < 8),
+         codes AS (
+           SELECT s.vec_id, s.j, c.cv
+           FROM sub s JOIN cb c USING (j)
+           QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY ${DistSql.format("s.sv", "c.cv")}, c.c) = 1),
+         deq AS (
+           SELECT vec_id, flatten(list(cv ORDER BY j)) AS v
+           FROM codes GROUP BY vec_id),
+         qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(${cosSql("e.v", "q.q_emb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY ${cosSql("e.v", "q.q_emb")} DESC, e.vec_id) AS rank
+           FROM deq e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) t
          WHERE rank <= 10 ORDER BY q_id, rank""",
 
     "sim_lsh_ann" -> LshAnnSql)

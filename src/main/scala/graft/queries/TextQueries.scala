@@ -337,6 +337,39 @@ object TextQueries {
         .orderBy(col("bucket"), col("seq_id"))
     }),
 
+    // PII detection + redaction (the scrubbing pass every pretraining
+    // pipeline runs): count and mask emails, phone numbers, and IPv4
+    // addresses, emitting per-class counts plus a hash of the redacted text
+    // (so the exact redaction output is gate-checked, not just the counts).
+    // The corpus is synthetic word-soup with no natural PII, so the operator
+    // runs over a deterministically PII-AUGMENTED view (doc_id-derived
+    // contact strings appended to ~1/3, 1/5, 1/7 of docs) — the regex
+    // machinery is the real operator; the augmentation only gives it signal.
+    // Patterns use the common Java-regex/RE2 subset so both engines match
+    // identically. Scale shape: pure narrow map over the scan — no shuffle.
+    "text_pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phone = "\\+1-555-[0-9]{4}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val aug = Tables.documents(s, d).withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" mail user"),
+          col("doc_id").cast(StringType), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 256).cast(StringType), lit(".0."),
+          (col("doc_id") % 100).cast(StringType))).otherwise(lit(""))))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(col("aug"),
+        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+      aug.select(col("doc_id"),
+          regexp_count(col("aug"), lit(email)).as("n_emails"),
+          regexp_count(col("aug"), lit(phone)).as("n_phones"),
+          regexp_count(col("aug"), lit(ip)).as("n_ips"),
+          length(redacted).as("redacted_len"),
+          md5(redacted.cast(BinaryType)).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified sampling: a deterministic per-language quota (10 docs per
     // lang, ranked by content-addressed hash) — balanced-mixture corpus
     // assembly that reproduces bit-identically on any cluster. The window
@@ -539,6 +572,28 @@ object TextQueries {
          SELECT bucket, seq_id, COUNT(*) AS n_docs,
            CAST(least(seq_id * 256 + 256, MAX(end_off)) - seq_id * 256 AS BIGINT) AS n_tokens
          FROM e GROUP BY bucket, seq_id ORDER BY bucket, seq_id""",
+
+    "text_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS aug
+           FROM documents),
+         red AS (
+           SELECT doc_id, aug,
+             regexp_replace(regexp_replace(regexp_replace(aug,
+               '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS r
+           FROM aug)
+         SELECT doc_id,
+           len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+           length(r) AS redacted_len, md5(r) AS redacted_hash
+         FROM red ORDER BY doc_id""",
 
     "text_stratified_sample" ->
       """SELECT lang, rn, doc_id FROM (
