@@ -243,6 +243,44 @@ object CdcPipeline {
     }
   }
 
+  val DocumentsRelId = 50003
+
+  /** Wire-style relation for the documents corpus — the shape an ingest
+    * pipeline sees when raw documents arrive as CDC inserts. */
+  val documentsRelation: Relation = Relation(
+    DocumentsRelId, "public", "documents", 'd',
+    Vector(
+      RelationColumn(partOfKey = true, "doc_id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "text", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "lang", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "source", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "n_chars", TypedView.Oid.Int8, -1)))
+
+  /** documents → insert-only pgoutput frames, one transaction per document.
+    * LSN = doc_id*4 + {1,2,3}, so arrival order ≡ doc_id order — which is
+    * what lets the online-dedup oracle express "first seen wins" as
+    * MIN(doc_id) per content hash. Same narrow per-partition generation as
+    * [[ordersToFrames]]. */
+  def documentsToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val relFrame = PgOutputEncoder.encode(documentsRelation)
+    docs.as[(Long, String, String, String, Long)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (id, text, lang, source, nChars) =>
+        val base = id * 4
+        Seq(
+          (base + 1) -> PgOutputEncoder.encode(Begin(base + 3, 0L, id.toInt)),
+          (base + 2) -> PgOutputEncoder.encode(Insert(DocumentsRelId, TupleData(Vector(
+            t(id.toString), t(text), t(lang), t(source), t(nChars.toString))))),
+          (base + 3) -> PgOutputEncoder.encode(Commit(0, base + 3, base + 3, 0L)))
+      }
+      rel ++ dml
+    }
+  }
+
   /** Composite-key wire slice: frames → decode → compact on the two-column
     * pk → typed state. */
   def materializedLineitem(spark: SparkSession, sfDir: String): DataFrame = {

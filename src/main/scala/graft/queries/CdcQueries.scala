@@ -61,6 +61,29 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Online dedup at CDC ingest: the documents corpus arrives as
+    // insert-only pgoutput frames (one txn per doc, LSN ≡ arrival order),
+    // and every document gets a first-seen-wins keep/drop decision by
+    // content hash — the batch twin of Streams.onlineDedupSink, run through
+    // the REAL wire path (encode → decode → envelope). Scale shape: one
+    // shuffle keyed on the 16-byte digest (never the text); the window
+    // orders each hash group by (lsn, seq). The LSN schedule is a pure
+    // function of doc_id, so "first seen" ≡ MIN(doc_id) per hash in the
+    // SQL oracle.
+    "cdc_online_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("lsn"), col("seq"))
+      CdcPipeline.decodeFrames(CdcPipeline.documentsToFrames(s, d)).toDF()
+        .filter(col("op") === "I")
+        .select(element_at(col("after"), "doc_id").cast("long").as("doc_id"),
+          md5(element_at(col("after"), "text").cast("binary")).as("content_hash"),
+          col("lsn"), col("seq"))
+        .withColumn("keeper_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("content_hash"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"), col("keeper_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incrementally-maintained MIN/MAX/COUNT view: extremes per priority
     // computed purely from event deltas (net per-(group,value) row counts —
     // the retraction-capable form; deletes genuinely remove extremes here,
@@ -189,6 +212,15 @@ object CdcQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_online_dedup" ->
+      """WITH k AS (
+           SELECT md5(text) AS h, MIN(doc_id) AS keeper_id
+           FROM documents GROUP BY 1)
+         SELECT d.doc_id, md5(d.text) AS content_hash,
+           d.doc_id = k.keeper_id AS is_keeper, k.keeper_id
+         FROM documents d JOIN k ON md5(d.text) = k.h
+         ORDER BY d.doc_id""",
+
     "cdc_insert_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",

@@ -343,6 +343,119 @@ object Streams {
     spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
   }
 
+  /** Online (at-ingest) exact dedup over a CDC document stream: every
+    * arriving document gets a keep/drop decision against ALL previously
+    * ingested content — the streaming twin of the batch dedup_exact /
+    * dedup_keep_list family, and the operator a 100 TB ingest pipeline
+    * actually runs (dedup decided as data lands, not in a nightly rescan).
+    *
+    * Per micro-batch: hash each new document's content (md5 → 16-byte
+    * digest; all downstream work keys on the digest, never the text),
+    * first-wins WITHIN the batch by (lsn, seq), then against the persisted
+    * seen-hash state. Decisions (doc, hash, is_keeper, keeper_id) land in
+    * an append-only SEGMENT (immutable, like scd2 history); the seen-hash
+    * state is parquet bucketed by xxhash64(digest) mod n — a batch reads
+    * and rewrites ONLY the buckets its hashes fall into, so per-batch cost
+    * is O(batch + touched buckets), not O(corpus). Exactly-once under
+    * at-least-once replay via the (lsn, seq) high-water mark; segments,
+    * buckets, and high-water flip in ONE manifest commit. */
+  def onlineDedupSink(envelope: DataFrame, rel: Relation, textCol: String,
+      stateDir: String, checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeDedupBatch(batch, rel, textCol, stateDir, nBuckets)
+      }
+      .start()
+
+  private[streaming] def mergeDedupBatch(batch0: DataFrame, rel: Relation,
+      textCol: String, stateDir: String, nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val pk = rel.keyColumnNames.head
+    val batch = batch0.filter(col("relation_id") === rel.relationId && col("op") === "I")
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val fresh = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    val docs = fresh.select(
+        element_at(col("after"), pk).as("id"),
+        md5(element_at(col("after"), textCol).cast("binary")).as("h"),
+        col("lsn"), col("seq"))
+      .withColumn("__bucket", pmod(xxhash64(col("h")), lit(nBuckets)))
+      .persist()
+    val probe = docs.agg(max(struct(col("lsn"), col("seq"))).as("mx"),
+      collect_set(col("__bucket")).as("bs")).first()
+    if (probe.isNullAt(0)) { docs.unpersist(); return } // pure replay / empty
+    val mx = probe.getStruct(0)
+    val touched = probe.getSeq[Long](1)
+    // Pruning: only the touched buckets' seen-hash dirs are opened.
+    val existingDirs = touched.flatMap(b => manifest.get(s"b$b")).map(v => s"$stateDir/$v")
+    val seen =
+      if (existingDirs.nonEmpty) spark.read.parquet(existingDirs: _*)
+      else Seq.empty[(String, String)].toDF("h", "keeper")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("lsn"), col("seq"))
+    val ranked = docs.withColumn("rn", row_number().over(w))
+      .withColumn("batch_keeper", first(col("id")).over(w))
+    val decisions = ranked
+      .join(seen.withColumnRenamed("keeper", "seen_keeper"), Seq("h"), "left")
+      .select(col("id"), col("h"),
+        (col("seen_keeper").isNull && col("rn") === 1).as("is_keeper"),
+        coalesce(col("seen_keeper"), col("batch_keeper")).as("keeper_id"),
+        col("lsn"), col("seq"))
+      .persist()
+    val segs = manifest.filter { case (k, _) => k.startsWith("seg-") }
+    var entries = manifest
+    val segDir = StateStore.newVersion(s"seg${segs.size}")
+    decisions.write.mode("overwrite").parquet(s"$stateDir/$segDir")
+    entries += (s"seg-${segs.size}" -> segDir)
+    // touched buckets absorb this batch's new keepers (staged partitioned
+    // write, per-bucket promotion — same protocol as mergeBatchBucketed)
+    val merged = seen
+      .unionByName(decisions.filter(col("is_keeper"))
+        .select(col("h"), col("id").as("keeper")))
+      .withColumn("__bucket", pmod(xxhash64(col("h")), lit(nBuckets)))
+    val stage = StateStore.newVersion("stage")
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")
+    touched.foreach { b =>
+      val produced = new java.io.File(s"$stateDir/$stage/__bucket=$b")
+      if (produced.exists()) {
+        val v = StateStore.newVersion(s"b$b")
+        require(produced.renameTo(new java.io.File(s"$stateDir/$v")),
+          s"failed to promote staged dedup bucket $b")
+        entries += (s"b$b" -> v)
+      }
+    }
+    docs.unpersist(); decisions.unpersist()
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, entries ++ Map(
+      "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
+  /** Every dedup decision made so far (union of the append-only segments):
+    * (id, h, is_keeper, keeper_id, lsn, seq), one row per ingested doc. */
+  def onlineDedupDecisions(spark: SparkSession, stateDir: String): DataFrame = {
+    val m = StateStore.load(stateDir)
+    val dirs = m.collect { case (k, v) if k.startsWith("seg-") => v }.toSeq.sorted
+    require(dirs.nonEmpty, s"no committed dedup decisions under $stateDir")
+    spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
+  }
+
+  /** The seen-hash state (h → keeper id), union of the hash buckets. */
+  def onlineDedupSeen(spark: SparkSession, stateDir: String): DataFrame = {
+    val m = StateStore.load(stateDir)
+    val dirs = m.collect { case (k, v) if k.startsWith("b") => v }.toSeq.sorted
+    require(dirs.nonEmpty, s"no committed dedup state under $stateDir")
+    spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*).select(col("h"), col("keeper"))
+  }
+
   /** Incrementally-maintained SUM/COUNT aggregate view over the envelope
     * stream: per micro-batch, each event's delta (+after / −before, see
     * Cdc.aggDeltas) merges into the per-group state — O(batch ∪ touched

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.decode._
+import graft.sources.FrameLog
+
+/** Online dedup at CDC ingest (Streams.onlineDedupSink): streaming
+  * decisions must equal the batch wire-path twin (cdc_online_dedup), the
+  * dup branch must resolve against PERSISTED state across micro-batches,
+  * and the merge must be replay- and crash-safe like every other sink. */
+class OnlineDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("online dedup sink across micro-batches equals the batch wire-path dedup") {
+    val dir = Files.createTempDirectory("onlinededup")
+    val p = dir.resolve("log.bin").toString
+    // WAL order is the stream contract: sort the generated frames by LSN
+    val frames = graft.cdc.CdcPipeline.documentsToFrames(spark, sfDir)
+      .collect().sortBy(_._1).iterator.map { case (lsn, b) => FrameLog.Entry(lsn, b) }
+    FrameLog.write(p, frames)
+    // several micro-batches so later batches dedup against persisted state
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(400))
+    val q = Streams.onlineDedupSink(env, graft.cdc.CdcPipeline.documentsRelation,
+      "text", dir.resolve("state").toString, dir.resolve("ckpt").toString, nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.onlineDedupDecisions(spark, dir.resolve("state").toString)
+      .select(col("id").cast("long"), col("h"), col("is_keeper"),
+        col("keeper_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val expected = graft.SparkEntry.queries("cdc_online_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("cross-batch dups hit persisted state; merge is replay-safe and crash-safe") {
+    val rel = Relation(9, "public", "docs", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "body", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("dedupreplay")
+    val stateDir = dir.resolve("state").toString
+    def log(n: String, entries: (Long, PgOutputMessage)*): org.apache.spark.sql.DataFrame = {
+      val p = dir.resolve(n).toString
+      FrameLog.write(p, Iterator(FrameLog.Entry(0, PgOutputEncoder.encode(rel))) ++
+        entries.iterator.map { case (l, m) => FrameLog.Entry(l, PgOutputEncoder.encode(m)) })
+      spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    }
+    def decisions(): Seq[(Long, Boolean, Long)] =
+      Streams.onlineDedupDecisions(spark, stateDir)
+        .collect().map(r => (r.getString(0).toLong, r.getBoolean(2), r.getString(3).toLong))
+        .sortBy(_._1).toSeq
+    // batch 1: docs 1 ("aaa"), 2 ("bbb"), 3 ("aaa") — an IN-batch dup
+    val b1 = log("l1.bin",
+      11L -> Insert(9, TupleData(Vector(t("1"), t("aaa")))),
+      12L -> Insert(9, TupleData(Vector(t("2"), t("bbb")))),
+      13L -> Insert(9, TupleData(Vector(t("3"), t("aaa")))))
+    Streams.mergeDedupBatch(b1, rel, "body", stateDir, 4)
+    val once = decisions()
+    assert(once === Seq((1L, true, 1L), (2L, true, 2L), (3L, false, 1L)))
+    // replay the SAME batch (crash before checkpoint commit): no duplicates
+    Streams.mergeDedupBatch(b1, rel, "body", stateDir, 4)
+    assert(decisions() === once)
+    // batch 2 crashes AFTER its segment/bucket writes but BEFORE the
+    // manifest flip: nothing publishes
+    val b2 = log("l2.bin",
+      21L -> Insert(9, TupleData(Vector(t("4"), t("bbb")))), // dup of batch 1's doc 2
+      22L -> Insert(9, TupleData(Vector(t("5"), t("ccc")))))
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergeDedupBatch(b2, rel, "body", stateDir, 4)
+    } finally StateStore.failBeforeCommit = false
+    assert(decisions() === once, "crashed merge must not publish")
+    // replay applies exactly once: the cross-batch dup resolves to the
+    // PERSISTED keeper from batch 1
+    Streams.mergeDedupBatch(b2, rel, "body", stateDir, 4)
+    assert(decisions() === once ++ Seq((4L, false, 2L), (5L, true, 5L)))
+    // replaying batch 2 again changes nothing
+    Streams.mergeDedupBatch(b2, rel, "body", stateDir, 4)
+    assert(decisions() === once ++ Seq((4L, false, 2L), (5L, true, 5L)))
+    // seen-hash state holds exactly the 3 distinct contents
+    assert(Streams.onlineDedupSeen(spark, stateDir).count() === 3)
+  }
+}
