@@ -281,6 +281,48 @@ object CdcPipeline {
     }
   }
 
+  val EmbeddingsRelId = 50004
+
+  /** Wire-style relation for the embedding store: the vector rides as a pg
+    * array-typed column whose wire form is TEXT ("{v1,v2,…}") — exactly how
+    * a float4[] column surfaces on a real replication stream. */
+  val embeddingsRelation: Relation = Relation(
+    EmbeddingsRelId, "public", "embeddings", 'd',
+    Vector(
+      RelationColumn(partOfKey = true, "vec_id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "embedding", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "label", TypedView.Oid.Int4, -1)))
+
+  /** embeddings → pgoutput frames: insert every vector; vec_id % 9 == 0 is
+    * later deleted with a REPLICA IDENTITY FULL old image (retraction needs
+    * the vector). Floats render at DOUBLE precision ("0.10000000149011612",
+    * not "0.1") so the text→double parse on the consumer side reproduces
+    * exactly the float-widened value both engines compute from the parquet
+    * column — bit-identical distances. */
+  def embeddingsToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val relFrame = PgOutputEncoder.encode(embeddingsRelation)
+    e.as[(Long, Array[Float], Int)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (id, vec, label) =>
+        val base = id * 4
+        val arr = vec.map(_.toDouble.toString).mkString("{", ",", "}")
+        val ins = Seq((base + 1) -> PgOutputEncoder.encode(
+          Insert(EmbeddingsRelId, TupleData(Vector(
+            t(id.toString), t(arr), t(label.toString))))))
+        val del = if (id % 9 == 0) Seq((base + 2) -> PgOutputEncoder.encode(
+          Delete(EmbeddingsRelId, 'O', TupleData(Vector(
+            t(id.toString), t(arr), t(label.toString))))))
+        else Nil
+        ins ++ del
+      }
+      rel ++ dml
+    }
+  }
+
   /** Composite-key wire slice: frames → decode → compact on the two-column
     * pk → typed state. */
   def materializedLineitem(spark: SparkSession, sfDir: String): DataFrame = {

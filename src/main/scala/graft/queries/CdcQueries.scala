@@ -84,6 +84,41 @@ object CdcQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incrementally-maintained IVF index occupancy from an embedding-store
+    // CDC stream: vectors arrive (and are retracted) as pgoutput frames
+    // with the vector as pg-array TEXT; each event's delta is ASSIGNED to
+    // its nearest coarse cell (the 8 seed centroids — model state, literal
+    // in the plan like sim_kmeans) and merged into the per-cell histogram.
+    // This is the "keep the ANN index fresh from the OLTP store" loop: the
+    // index's routing table updates at the cost of the batch, never a
+    // corpus rescan. Scale shape: parse + assignment are NARROW maps (no
+    // join — argmin over k literal centroids); the only shuffle is the
+    // k-row cell agg. Deletes carry REPLICA IDENTITY FULL images, so
+    // retraction re-derives the cell from the before image. Must equal the
+    // from-scratch assignment histogram of the surviving vectors.
+    "cdc_incremental_ivf" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.embeddingsToFrames(s, d)).toDF()
+      val cents = graft.Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .toSeq.sortBy(_._1)
+      def parsed(img: String) = expr(
+        s"""transform(split(substring(element_at($img, 'embedding'), 2,
+              length(element_at($img, 'embedding')) - 2), ','),
+            x -> cast(x as double))""")
+      def cellsOf(df: DataFrame, img: String, net: Int) = df
+        .withColumn("embedding", parsed(img))
+        .withColumn("cell", SimilarityQueries.nearest(cents).getField("cid"))
+        .select(col("cell"), lit(net.toLong).as("net"))
+      val plus = cellsOf(events.filter(col("op") === "I"), "after", 1)
+      val minus = cellsOf(
+        events.filter(col("op") === "D" && col("before").isNotNull), "before", -1)
+      plus.unionByName(minus)
+        .groupBy(col("cell")).agg(sum(col("net")).as("n_vectors"))
+        .filter(col("n_vectors") > 0)
+        .orderBy(col("cell"))
+    }),
+
     // Incrementally-maintained MIN/MAX/COUNT view: extremes per priority
     // computed purely from event deltas (net per-(group,value) row counts —
     // the retraction-capable form; deletes genuinely remove extremes here,
@@ -212,6 +247,18 @@ object CdcQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_incremental_ivf" ->
+      s"""WITH surv AS (SELECT * FROM embeddings WHERE vec_id % 9 <> 0),
+         cents AS (SELECT vec_id AS cid, embedding AS centroid
+                   FROM embeddings WHERE vec_id < 8),
+         a AS (
+           SELECT s.vec_id, c.cid
+           FROM surv s CROSS JOIN cents c
+           QUALIFY row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY ${SimilarityQueries.DistSql.format("s.embedding", "c.centroid")}, c.cid) = 1)
+         SELECT cid AS cell, COUNT(*) AS n_vectors
+         FROM a GROUP BY cid ORDER BY cell""",
+
     "cdc_online_dedup" ->
       """WITH k AS (
            SELECT md5(text) AS h, MIN(doc_id) AS keeper_id

@@ -49,7 +49,7 @@ object SimilarityQueries {
     * array_min over k per-centroid distances — a NARROW map, no join, no
     * shuffle; ties break on cluster id (struct comparison is
     * lexicographic). */
-  private def nearest(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+  private[queries] def nearest(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
     array_min(array(cents.map { case (cid, c) =>
       struct(sqDist(c).as("dist"), lit(cid).as("cid")) }: _*))
 
@@ -379,7 +379,7 @@ object SimilarityQueries {
     "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
   // Squared L2 distance with the same left-to-right double fold as Spark's
   // zip_with+aggregate (0.0-seeded fold ≡ first-element-seeded: 0.0+x = x).
-  private val DistSql =
+  private[queries] val DistSql =
     ("list_reduce(list_transform(list_zip(%s, %s), " +
       "r -> (CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE)) * " +
       "(CAST(r[1] AS DOUBLE) - CAST(r[2] AS DOUBLE))), (acc, x) -> acc + x)")

@@ -197,6 +197,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q51 anomaly scoring broadcasts the per-user profile back onto the scan") {
+    val p = plan("q51_event_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_pii_redact is a pure narrow map — no data shuffle before the sort") {
+    val p = plan("text_pii_redact")
+    assert(!p.contains("hashpartitioning"), p)
+    // column pruning: the scrubber needs only doc_id + text
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("sim_pq_adc: narrow encode, broadcast query probe, no sort-merge join") {
+    val p = plan("sim_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cdc_online_dedup shuffles once on the content digest (the hash window)") {
+    val p = plan("cdc_online_dedup")
+    val dataShuffles = p.linesIterator.count(l => l.contains("hashpartitioning"))
+    assert(dataShuffles <= 2, s"expected <=2 hash exchanges, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q45 star join keeps the bounded dims broadcast, customer unpinned") {
     // nation/region are hinted (bounded at 25/5 rows forever); customer's
     // side is adaptive — at test scale statistics make it a broadcast too,
