@@ -51,16 +51,20 @@ object DedupQueries {
   /** (doc_id, shingle) rows via explode + window lead: the split runs once
     * per document (a `transform` lambda referencing the split array gets
     * inlined by CollapseProject and re-splits the text per element — 7×
-    * slower, measured). One narrow explode + one doc-keyed window sort. */
-  private[queries] def shingleRows(s: SparkSession, d: String): DataFrame = {
+    * slower, measured). One narrow explode + one doc-keyed window sort.
+    * Takes any (doc_id, text) frame — the ingest sink runs it per batch. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .withColumn("w1", lead("w0", 1).over(w))
       .withColumn("w2", lead("w0", 2).over(w))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
   }
+
+  private[queries] def shingleRows(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
 
   /** Distinct (doc_id, shingle) pairs — the inverted-index base (persisted
     * once per data dir; feeds Jaccard and the MinHash family). */
@@ -103,17 +107,35 @@ object DedupQueries {
     cached(s, "minhashSignatures", d) { minhashSignatures0(s, d) }
 
   private def minhashSignatures0(s: SparkSession, d: String): DataFrame =
-    shingleIndex(s, d)
+    sigsFromShingles(shingleIndex(s, d))
+
+  /** Signatures from distinct (doc_id, sh) rows. 12 per-position MIN
+    * aggregates: `hs[i]` with a literal index is rewritten by
+    * SimplifyExtractValueOps into the single lambda body at i (one md5
+    * each, no array materialization, map-side partial mins) — measured
+    * ~25× faster than posexplode + two-level agg. */
+  private def sigsFromShingles(shingles: DataFrame): DataFrame =
+    shingles
       .withColumn("hs", expr(
         "transform(sequence(0, 11), i -> md5(concat(cast(i as string), ':', sh)))"))
-      // 12 per-position MIN aggregates: `hs[i]` with a literal index is
-      // rewritten by SimplifyExtractValueOps into the single lambda body at
-      // i (one md5 each, no array materialization, map-side partial mins) —
-      // measured ~25× faster than posexplode + two-level agg.
       .groupBy(col("doc_id"))
       .agg(min(expr("hs[0]")).as("m0"),
         (1 until 12).map(i => min(expr(s"hs[$i]")).as(s"m$i")): _*)
       .select(col("doc_id"), array((0 until 12).map(i => col(s"m$i")): _*).as("sig"))
+
+  /** MinHash signatures of an arbitrary (doc_id, text) frame — the
+    * per-batch form `Streams.onlineNearDupSink` uses; identical hashing to
+    * the corpus path, so streaming band keys match batch band keys. */
+  private[graft] def minhashSigsOf(docs: DataFrame): DataFrame =
+    sigsFromShingles(shinglesOf(docs).distinct())
+
+  /** LSH band keys (4 bands × 3 rows) of a signature frame — same bucket
+    * encoding as [[minhashCandidatePairs]]. */
+  private[graft] def bandKeysOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
+      .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
+        expr("sig[3*b]"), expr("sig[3*b+1]"), expr("sig[3*b+2]")))
+      .select(col("doc_id"), col("bucket"))
 
   /** 64-bit SimHash per doc from token md5 bits: bit j uses bit (2·(j%2)+1)
     * of hex digit (j/2) — two independent bits per nibble, 64 total. (8/16
@@ -179,12 +201,7 @@ object DedupQueries {
     minhashCandidatePairs0(s, d)
 
   private def minhashCandidatePairs0(s: SparkSession, d: String): DataFrame = {
-    val banded = minhashSignatures(s, d)
-      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
-      .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
-        expr("sig[3*b]"), expr("sig[3*b+1]"), expr("sig[3*b+2]")))
-      .select(col("doc_id"), col("bucket"))
-      .persist()
+    val banded = bandKeysOf(minhashSignatures(s, d)).persist()
     banded.as("x").join(banded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))

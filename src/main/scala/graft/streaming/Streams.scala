@@ -439,6 +439,123 @@ object Streams {
       "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Online NEAR-dup detection at CDC ingest: the MinHash/LSH analog of
+    * [[onlineDedupSink]]. Each arriving document's 12-hash MinHash
+    * signature yields 4 LSH band keys (identical hashing to the batch
+    * corpus path, so streaming band keys ≡ batch band keys); a document is
+    * flagged near-dup iff it shares ANY band with an earlier-arrived
+    * document — in this batch or in all prior ingest — mirroring the batch
+    * candidate-pair semantics (dedup_minhash_pairs) oriented by arrival.
+    *
+    * State: per band bucket, the EARLIEST holder (id, lsn, seq) — a few
+    * dozen bytes per distinct band key, parquet-bucketed by
+    * xxhash64(band key) mod n so a micro-batch opens only the buckets its
+    * keys fall into. Decisions are append-only segments; segments, buckets,
+    * and the replay high-water flip in ONE manifest commit (the shared
+    * crash-safety protocol). A verify-stage re-rank (exact Jaccard over
+    * candidate pairs) slots between the band join and the decision without
+    * changing the state layout. */
+  def onlineNearDupSink(envelope: DataFrame, rel: Relation, textCol: String,
+      stateDir: String, checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeNearDupBatch(batch, rel, textCol, stateDir, nBuckets)
+      }
+      .start()
+
+  private[streaming] def mergeNearDupBatch(batch0: DataFrame, rel: Relation,
+      textCol: String, stateDir: String, nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val pk = rel.keyColumnNames.head
+    val batch = batch0.filter(col("relation_id") === rel.relationId && col("op") === "I")
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val docs = batch
+      .filter(struct(col("lsn"), col("seq")) > struct(lit(hwLsn), lit(hwSeq)))
+      .select(element_at(col("after"), pk).as("id"),
+        element_at(col("after"), textCol).as("text"),
+        col("lsn"), col("seq"))
+      .persist()
+    val probe = docs.agg(max(struct(col("lsn"), col("seq")))).first()
+    if (probe.isNullAt(0)) { docs.unpersist(); return } // pure replay / empty
+    val mx = probe.getStruct(0)
+    // per-batch signatures + band keys (identical hashing to the corpus path)
+    val bands = graft.queries.DedupQueries
+      .bandKeysOf(graft.queries.DedupQueries.minhashSigsOf(
+        docs.select(col("id").as("doc_id"), col("text"))))
+      .withColumnRenamed("doc_id", "id")
+      .join(docs.select(col("id"), col("lsn"), col("seq")), "id")
+      .withColumn("__bucket", pmod(xxhash64(col("bucket")), lit(nBuckets)))
+      .persist()
+    val touched = bands.select(collect_set(col("__bucket"))).first()
+      .getSeq[Long](0)
+    val existingDirs = touched.flatMap(b => manifest.get(s"b$b")).map(v => s"$stateDir/$v")
+    val seen = // (bucket, keeper, klsn, kseq): earliest holder per band key
+      if (existingDirs.nonEmpty) spark.read.parquet(existingDirs: _*)
+      else Seq.empty[(String, String, Long, Long)].toDF("bucket", "keeper", "klsn", "kseq")
+    // earliest earlier-arrived band-sharer: in-batch partners ∪ state holders
+    val inBatch = bands.as("x").join(bands.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          (struct(col("y.lsn"), col("y.seq")) < struct(col("x.lsn"), col("x.seq"))))
+      .select(col("x.id").as("id"),
+        struct(col("y.lsn").as("l"), col("y.seq").as("s"), col("y.id").as("d")).as("p"))
+    val fromState = bands.join(seen, "bucket")
+      .select(col("id"),
+        struct(col("klsn").as("l"), col("kseq").as("s"), col("keeper").as("d")).as("p"))
+    val partners = inBatch.unionByName(fromState)
+      .groupBy(col("id")).agg(min(col("p")).as("p"))
+    val decisions = docs
+      .join(partners, Seq("id"), "left")
+      .select(col("id"), col("p").isNotNull.as("is_neardup"),
+        col("p").getField("d").as("dup_of"), col("lsn"), col("seq"))
+      .persist()
+    val segs = manifest.filter { case (k, _) => k.startsWith("seg-") }
+    var entries = manifest
+    val segDir = StateStore.newVersion(s"seg${segs.size}")
+    decisions.write.mode("overwrite").parquet(s"$stateDir/$segDir")
+    entries += (s"seg-${segs.size}" -> segDir)
+    // every batch doc's bands enter the state (a near-dup still anchors
+    // future candidates, exactly as in the batch pair semantics); per
+    // bucket the earliest holder wins
+    val newHolders = bands
+      .select(col("bucket"), col("id").as("keeper"),
+        col("lsn").as("klsn"), col("seq").as("kseq"))
+    val mergedState = seen.unionByName(newHolders)
+      .groupBy(col("bucket"))
+      .agg(min(struct(col("klsn"), col("kseq"), col("keeper"))).as("m"))
+      .select(col("bucket"), col("m.keeper").as("keeper"),
+        col("m.klsn").as("klsn"), col("m.kseq").as("kseq"))
+      .withColumn("__bucket", pmod(xxhash64(col("bucket")), lit(nBuckets)))
+    val stage = StateStore.newVersion("stage")
+    mergedState.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")
+    touched.foreach { b =>
+      val produced = new java.io.File(s"$stateDir/$stage/__bucket=$b")
+      if (produced.exists()) {
+        val v = StateStore.newVersion(s"b$b")
+        require(produced.renameTo(new java.io.File(s"$stateDir/$v")),
+          s"failed to promote staged near-dup bucket $b")
+        entries += (s"b$b" -> v)
+      }
+    }
+    docs.unpersist(); bands.unpersist(); decisions.unpersist()
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, entries ++ Map(
+      "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
+  /** Every near-dup decision so far (union of the append-only segments):
+    * (id, is_neardup, dup_of, lsn, seq), one row per ingested doc. */
+  def onlineNearDupDecisions(spark: SparkSession, stateDir: String): DataFrame =
+    onlineDedupDecisions(spark, stateDir)
+
   /** Every dedup decision made so far (union of the append-only segments):
     * (id, h, is_keeper, keeper_id, lsn, seq), one row per ingested doc. */
   def onlineDedupDecisions(spark: SparkSession, stateDir: String): DataFrame = {

@@ -48,6 +48,42 @@ class OnlineDedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("online near-dup sink matches the batch LSH candidate-pair semantics") {
+    val dir = Files.createTempDirectory("onlineneardup")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val frames = graft.cdc.CdcPipeline.documentsToFrames(spark, sfDir)
+      .collect().sortBy(_._1).iterator.map { case (lsn, b) => FrameLog.Entry(lsn, b) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(400))
+    val q = Streams.onlineNearDupSink(env, graft.cdc.CdcPipeline.documentsRelation,
+      "text", stateDir, dir.resolve("ckpt").toString, nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.onlineNearDupDecisions(spark, stateDir)
+      .select(col("id").cast("long"), col("is_neardup"), col("dup_of").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // batch semantics: doc b is near-dup iff some pair (a, b) exists with
+    // a < b (arrival ≡ id order under the LSN schedule); dup_of = min a
+    val pairs = graft.SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupOf = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    val expected = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, dupOf.contains(id), dupOf.getOrElse(id, -1L)))
+      .sortBy(_._1).toSeq
+    assert(dupOf.nonEmpty, "corpus should contain near-dup candidates")
+    assert(got === expected)
+    // replaying the whole log through the merge is a no-op (high-water)
+    val whole = spark.read.format("graft.sources.FrameReplayProvider")
+      .option("path", p).load()
+    Streams.mergeNearDupBatch(whole, graft.cdc.CdcPipeline.documentsRelation,
+      "text", stateDir, 8)
+    val again = Streams.onlineNearDupDecisions(spark, stateDir).count()
+    assert(again === expected.length)
+  }
+
   test("cross-batch dups hit persisted state; merge is replay-safe and crash-safe") {
     val rel = Relation(9, "public", "docs", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
