@@ -259,11 +259,15 @@ object SimilarityQueries {
           struct(subDist(j, seeds(c).slice(j * sw, j * sw + sw)).as("dist"),
             lit(c).as("c")) }: _*)).getField("c")
       val cbLit = typedLit(seeds.map(s0 => (0 until m).map(j => s0.slice(j * sw, j * sw + sw))))
+      // deq built with LITERAL subspace indexes: element_at(codes, j+1) with
+      // a non-literal j would make CollapseProject inline (and recompute)
+      // the whole 64-argmin codes array once per lambda element — 8× the
+      // encode work (measured; the NOTES.md literal-index trap). Unrolled,
+      // each subspace's argmin evaluates exactly once per row.
       val coded = e
         .withColumn("cb", cbLit)
-        .withColumn("codes", array((0 until m).map(codeFor): _*))
-        .withColumn("deq", flatten(expr(
-          "transform(sequence(0, 7), j -> element_at(element_at(cb, element_at(codes, j + 1) + 1), j + 1))")))
+        .withColumn("deq", flatten(array((0 until m).map(j =>
+          element_at(element_at(col("cb"), codeFor(j) + 1), j + 1)): _*)))
       val corpus = coded.select(col("vec_id"), col("deq"))
         .withColumn("dn", sqrt(dotDbl(col("deq"), col("deq"))))
       val qs = e.filter(col("vec_id") < 5)
