@@ -315,14 +315,14 @@ object Streams {
       "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
-  /** Offline maintenance for the scd2 state's log-structured layout: fold
-    * every closed segment into one (the small-files compaction any
-    * log-structured table format schedules off the write path). Safe to
-    * run between batches: the fold changes segment LAYOUT, never content,
-    * and publishes through the same atomic manifest flip — a crash leaves
-    * the old segments readable; the sink's high-water and open set ride
-    * along unchanged. */
-  def compactScd2Segments(spark: SparkSession, stateDir: String): Unit = {
+  /** Offline maintenance for any log-structured sink state (scd2 history,
+    * online-dedup / near-dup decision logs): fold every append-only segment
+    * into one (the small-files compaction any log-structured table format
+    * schedules off the write path). Safe to run between batches: the fold
+    * changes segment LAYOUT, never content, and publishes through the same
+    * atomic manifest flip — a crash leaves the old segments readable; the
+    * sink's high-water, open set, and hash buckets ride along unchanged. */
+  def compactSegments(spark: SparkSession, stateDir: String): Unit = {
     val m = StateStore.load(stateDir)
     val segs = m.collect { case (k, v) if k.startsWith("seg-") => v }.toSeq.sorted
     if (segs.length <= 1) return
@@ -332,6 +332,10 @@ object Streams {
     StateStore.commit(stateDir,
       m.filterNot { case (k, _) => k.startsWith("seg-") } + ("seg-0" -> merged))
   }
+
+  /** Historical name for the scd2 form of [[compactSegments]]. */
+  def compactScd2Segments(spark: SparkSession, stateDir: String): Unit =
+    compactSegments(spark, stateDir)
 
   /** Full version history maintained by [[scd2Sink]]: the union of every
     * immutable closed segment plus the live open set. */

@@ -131,5 +131,15 @@ class OnlineDedupSpec extends AnyFunSuite {
     assert(decisions() === once ++ Seq((4L, false, 2L), (5L, true, 5L)))
     // seen-hash state holds exactly the 3 distinct contents
     assert(Streams.onlineDedupSeen(spark, stateDir).count() === 3)
+    // offline segment compaction: layout folds to one segment; decision
+    // content and the seen-hash buckets are untouched
+    val mBefore = StateStore.load(stateDir)
+    assert(mBefore.keys.count(_.startsWith("seg-")) === 2, mBefore.toString)
+    Streams.compactSegments(spark, stateDir)
+    val mAfter = StateStore.load(stateDir)
+    assert(mAfter.keys.count(_.startsWith("seg-")) === 1, mAfter.toString)
+    assert(mAfter("hwLsn") === mBefore("hwLsn"))
+    assert(decisions() === once ++ Seq((4L, false, 2L), (5L, true, 5L)))
+    assert(Streams.onlineDedupSeen(spark, stateDir).count() === 3)
   }
 }
