@@ -132,10 +132,16 @@ object DedupQueries {
   /** LSH band keys (4 bands × 3 rows) of a signature frame — same bucket
     * encoding as [[minhashCandidatePairs]]. */
   private[graft] def bandKeysOf(sigs: DataFrame): DataFrame =
+    bandKeysWithSig(sigs).select(col("doc_id"), col("bucket"))
+
+  /** Band keys carrying the full signature — the ingest sink's verified
+    * mode stores these so candidate similarity re-ranks against the
+    * partner's signature. */
+  private[graft] def bandKeysWithSig(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), explode(expr("sequence(0, 3)")).as("b"), col("sig"))
       .withColumn("bucket", concat_ws("|", col("b").cast(StringType),
         expr("sig[3*b]"), expr("sig[3*b+1]"), expr("sig[3*b+2]")))
-      .select(col("doc_id"), col("bucket"))
+      .select(col("doc_id"), col("bucket"), col("sig"))
 
   /** 64-bit SimHash per doc from token md5 bits: bit j uses bit (2·(j%2)+1)
     * of hex digit (j/2) — two independent bits per nibble, 64 total. (8/16

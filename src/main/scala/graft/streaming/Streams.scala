@@ -460,17 +460,25 @@ object Streams {
     * candidate pairs) slots between the band join and the decision without
     * changing the state layout. */
   def onlineNearDupSink(envelope: DataFrame, rel: Relation, textCol: String,
-      stateDir: String, checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
+      stateDir: String, checkpointDir: String, nBuckets: Int = 64,
+      minEstSim: Option[Double] = None): StreamingQuery =
     envelope.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeNearDupBatch(batch, rel, textCol, stateDir, nBuckets)
+        mergeNearDupBatch(batch, rel, textCol, stateDir, nBuckets, minEstSim)
       }
       .start()
 
+  /** One micro-batch of the near-dup sink. `minEstSim = None` flags on any
+    * band collision (the raw LSH candidate semantics); `Some(τ)` adds the
+    * VERIFY stage — the partner's stored signature re-ranks the candidate
+    * by estimated Jaccard (matching positions / 12) and only est ≥ τ
+    * flags. Either way `dup_of` is the EARLIEST qualifying partner, so the
+    * decision matches the batch pair semantics oriented by arrival. */
   private[streaming] def mergeNearDupBatch(batch0: DataFrame, rel: Relation,
-      textCol: String, stateDir: String, nBuckets: Int): Unit = {
+      textCol: String, stateDir: String, nBuckets: Int,
+      minEstSim: Option[Double] = None): Unit = {
     val spark = batch0.sparkSession
     import spark.implicits._
     val pk = rel.keyColumnNames.head
@@ -490,7 +498,7 @@ object Streams {
     val mx = probe.getStruct(0)
     // per-batch signatures + band keys (identical hashing to the corpus path)
     val bands = graft.queries.DedupQueries
-      .bandKeysOf(graft.queries.DedupQueries.minhashSigsOf(
+      .bandKeysWithSig(graft.queries.DedupQueries.minhashSigsOf(
         docs.select(col("id").as("doc_id"), col("text"))))
       .withColumnRenamed("doc_id", "id")
       .join(docs.select(col("id"), col("lsn"), col("seq")), "id")
@@ -499,20 +507,27 @@ object Streams {
     val touched = bands.select(collect_set(col("__bucket"))).first()
       .getSeq[Long](0)
     val existingDirs = touched.flatMap(b => manifest.get(s"b$b")).map(v => s"$stateDir/$v")
-    val seen = // (bucket, keeper, klsn, kseq): earliest holder per band key
+    val seen = // all prior holders of the touched band keys, with signatures
       if (existingDirs.nonEmpty) spark.read.parquet(existingDirs: _*)
-      else Seq.empty[(String, String, Long, Long)].toDF("bucket", "keeper", "klsn", "kseq")
-    // earliest earlier-arrived band-sharer: in-batch partners ∪ state holders
+      else Seq.empty[(String, String, Long, Long, Seq[String])]
+        .toDF("bucket", "hid", "hlsn", "hseq", "hsig")
+    // estimated Jaccard between the doc's and the partner's signatures
+    def est = expr("size(filter(zip_with(sig, hsig, (a, b) -> a = b), v -> v)) / 12.0d")
+    def qualifies = minEstSim.map(t => est >= lit(t)).getOrElse(lit(true))
+    // earliest qualifying earlier-arrived band-sharer:
+    // in-batch partners ∪ state holders
     val inBatch = bands.as("x").join(bands.as("y"),
         col("x.bucket") === col("y.bucket") &&
           (struct(col("y.lsn"), col("y.seq")) < struct(col("x.lsn"), col("x.seq"))))
-      .select(col("x.id").as("id"),
-        struct(col("y.lsn").as("l"), col("y.seq").as("s"), col("y.id").as("d")).as("p"))
+      .select(col("x.id").as("id"), col("x.sig").as("sig"),
+        col("y.lsn").as("hlsn"), col("y.seq").as("hseq"),
+        col("y.id").as("hid"), col("y.sig").as("hsig"))
     val fromState = bands.join(seen, "bucket")
-      .select(col("id"),
-        struct(col("klsn").as("l"), col("kseq").as("s"), col("keeper").as("d")).as("p"))
+      .select(col("id"), col("sig"), col("hlsn"), col("hseq"), col("hid"), col("hsig"))
     val partners = inBatch.unionByName(fromState)
-      .groupBy(col("id")).agg(min(col("p")).as("p"))
+      .filter(qualifies)
+      .groupBy(col("id"))
+      .agg(min(struct(col("hlsn").as("l"), col("hseq").as("s"), col("hid").as("d"))).as("p"))
     val decisions = docs
       .join(partners, Seq("id"), "left")
       .select(col("id"), col("p").isNotNull.as("is_neardup"),
@@ -523,17 +538,13 @@ object Streams {
     val segDir = StateStore.newVersion(s"seg${segs.size}")
     decisions.write.mode("overwrite").parquet(s"$stateDir/$segDir")
     entries += (s"seg-${segs.size}" -> segDir)
-    // every batch doc's bands enter the state (a near-dup still anchors
-    // future candidates, exactly as in the batch pair semantics); per
-    // bucket the earliest holder wins
+    // every batch doc's bands (with signature) enter the state — a flagged
+    // near-dup still anchors future candidates, exactly as in the batch
+    // pair semantics. The state IS the incrementally-maintained LSH index.
     val newHolders = bands
-      .select(col("bucket"), col("id").as("keeper"),
-        col("lsn").as("klsn"), col("seq").as("kseq"))
+      .select(col("bucket"), col("id").as("hid"),
+        col("lsn").as("hlsn"), col("seq").as("hseq"), col("sig").as("hsig"))
     val mergedState = seen.unionByName(newHolders)
-      .groupBy(col("bucket"))
-      .agg(min(struct(col("klsn"), col("kseq"), col("keeper"))).as("m"))
-      .select(col("bucket"), col("m.keeper").as("keeper"),
-        col("m.klsn").as("klsn"), col("m.kseq").as("kseq"))
       .withColumn("__bucket", pmod(xxhash64(col("bucket")), lit(nBuckets)))
     val stage = StateStore.newVersion("stage")
     mergedState.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")

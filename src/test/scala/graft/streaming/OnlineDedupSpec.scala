@@ -84,6 +84,46 @@ class OnlineDedupSpec extends AnyFunSuite {
     assert(again === expected.length)
   }
 
+  test("verified near-dup mode re-ranks candidates by signature similarity (est >= tau)") {
+    // pick tau INSIDE the corpus' pair-est distribution so the verify stage
+    // provably both passes and filters candidates
+    val sigs0 = graft.SparkEntry.queries("dedup_minhash_sig")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split('|')).toMap
+    def est0(a: Long, b: Long): Double =
+      sigs0(a).zip(sigs0(b)).count { case (x, y) => x == y } / 12.0
+    val pairs0 = graft.SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ests = pairs0.map { case (a, b) => est0(a, b) }
+    assert(ests.min < ests.max, "corpus pair ests should not be uniform")
+    val tau = (ests.min + ests.max) / 2
+    val dir = Files.createTempDirectory("verifiedneardup")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val frames = graft.cdc.CdcPipeline.documentsToFrames(spark, sfDir)
+      .collect().sortBy(_._1).iterator.map { case (lsn, b) => FrameLog.Entry(lsn, b) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(400))
+    val q = Streams.onlineNearDupSink(env, graft.cdc.CdcPipeline.documentsRelation,
+      "text", stateDir, dir.resolve("ckpt").toString, nBuckets = 8,
+      minEstSim = Some(tau))
+    q.processAllAvailable(); q.stop()
+    val got = Streams.onlineNearDupDecisions(spark, stateDir)
+      .filter(col("is_neardup"))
+      .select(col("id").cast("long"), col("dup_of").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // batch semantics: qualifying pairs = band-sharing pairs whose signature
+    // agreement is at least tau; flagged doc = earliest qualifying partner
+    val expected = pairs0.filter { case (a, b) => est0(a, b) >= tau }
+      .groupBy(_._2).map { case (b, ps) => (b, ps.map(_._1).min) }
+      .toSeq.sortBy(_._1)
+    assert(expected.nonEmpty, "tau should pass some candidates")
+    assert(got === expected)
+    // and the verify stage actually filtered: some raw candidates fell away
+    val rawFlagged = pairs0.map(_._2).distinct.size
+    assert(expected.size < rawFlagged || pairs0.exists { case (a, b) => est0(a, b) < tau },
+      "verify stage filtered nothing")
+  }
+
   test("cross-batch dups hit persisted state; merge is replay-safe and crash-safe") {
     val rel = Relation(9, "public", "docs", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
