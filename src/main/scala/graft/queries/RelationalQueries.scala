@@ -787,6 +787,26 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Per-session statistics over the gap-sessionized event stream: the
+    // session TABLE (duration, events, value sum) q31's window grouping
+    // implies — the unit of analysis for engagement/billing pipelines.
+    // Scale shape: session_window is one user-keyed partitioning (same
+    // exchange as the whole event family); the duration arithmetic is a
+    // narrow projection on the aggregated (tiny) session rows.
+    // session_window.end = last event + gap, so duration = end-start-gap.
+    "q52_session_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          expr("""(unix_micros(session_window.end) -
+                   unix_micros(session_window.start) - 1800000000L) div 1000000L""")
+            .as("duration_s"),
+          col("n_events"), col("value_sum"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -800,6 +820,24 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q52_session_stats" ->
+      s"""WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM o)
+         SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) // 1000000 AS duration_s,
+           COUNT(*) AS n_events, ${DSUM.format("value")} AS value_sum
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
     "q51_event_anomaly" ->
       """WITH st AS (
            SELECT user_id, COUNT(*) AS n,

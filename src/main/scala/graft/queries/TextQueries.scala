@@ -337,6 +337,40 @@ object TextQueries {
         .orderBy(col("bucket"), col("seq_id"))
     }),
 
+    // Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    // algorithm): per document, hash every 3-word shingle to a 32-bit int
+    // (md5-derived — cross-engine exact), slide a w=4 window over the hash
+    // sequence, and keep the minimum of each full window; the distinct
+    // selected hashes are the document's fingerprint set. Guarantees any
+    // shared run of ≥ w+2 words yields a shared fingerprint — the
+    // position-robust exact-substring dedup signal (text_fingerprint's
+    // 1-hash form is its degenerate case). Scale shape: one narrow explode
+    // + ONE doc-keyed window pass (the same partitioning serves the lead,
+    // the count, and the min frames) + a doc-keyed agg. No cross-doc work.
+    "text_winnowing" -> ((s, d) => {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      // fingerprint hash = first 8 hex chars of md5(shingle): fixed-width
+      // lowercase hex, so lexicographic MIN ≡ numeric MIN on both engines
+      val sh = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
+        .withColumn("w1", lead("w0", 1).over(byDoc))
+        .withColumn("w2", lead("w0", 2).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          substring(md5(concat_ws(" ", col("w0"), col("w1"), col("w2"))
+            .cast(BinaryType)), 1, 8).as("fh"))
+      sh.withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        .withColumn("wmin", min(col("fh")).over(byDoc.rowsBetween(0, 3)))
+        .filter(col("pos") <= col("n") - 4) // full w=4 windows only
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("wmin")).as("n_fingerprints"),
+          min(col("wmin")).as("min_fp"), max(col("wmin")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII detection + redaction (the scrubbing pass every pretraining
     // pipeline runs): count and mask emails, phone numbers, and IPv4
     // addresses, emitting per-class counts plus a hash of the redacted text
@@ -572,6 +606,27 @@ object TextQueries {
          SELECT bucket, seq_id, COUNT(*) AS n_docs,
            CAST(least(seq_id * 256 + 256, MAX(end_off)) - seq_id * 256 AS BIGINT) AS n_tokens
          FROM e GROUP BY bucket, seq_id ORDER BY bucket, seq_id""",
+
+    "text_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         s AS (
+           SELECT doc_id, unnest(range(1, greatest(len(ws)-1, 1))) AS i, ws
+           FROM t),
+         f AS (
+           SELECT doc_id, i,
+             substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 8) AS fh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+           FROM s),
+         w AS (
+           SELECT doc_id, i, n,
+             MIN(fh) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+           FROM f)
+         SELECT doc_id, COUNT(*) AS n_windows,
+           COUNT(DISTINCT wmin) AS n_fingerprints,
+           MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+         FROM w WHERE i <= n - 3
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "text_pii_redact" ->
       """WITH aug AS (

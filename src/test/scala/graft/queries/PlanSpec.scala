@@ -224,6 +224,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_winnowing runs on ONE doc-keyed partitioning (leads, count, window-min share it)") {
+    val p = plan("text_winnowing")
+    val dataShuffles = p.linesIterator.count(l => l.contains("hashpartitioning"))
+    assert(dataShuffles <= 2, s"expected <=2 hash exchanges, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q52 session stats reuses the user-keyed session-window partitioning") {
+    val p = plan("q52_session_stats")
+    assert(!p.contains("CartesianProduct"), p)
+    // one session-window agg; the duration projection adds no exchange
+    val dataShuffles = p.linesIterator.count(l => l.contains("hashpartitioning"))
+    assert(dataShuffles <= 2, s"expected <=2 hash exchanges, plan:\n$p")
+  }
+
   test("q45 star join keeps the bounded dims broadcast, customer unpinned") {
     // nation/region are hinted (bounded at 25/5 rows forever); customer's
     // side is adaptive — at test scale statistics make it a broadcast too,
