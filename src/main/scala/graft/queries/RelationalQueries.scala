@@ -807,6 +807,27 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Per-event running user features: each event annotated with its
+    // user's running event count and exact running value sum — the
+    // point-in-time feature-engineering primitive (a model trained on
+    // event N must only see state as of event N; computing features this
+    // way is the leakage-free construction). Batch form = one user-keyed
+    // cumulative window; the streaming twin (Streams.runningFeatures) is
+    // a transformWithState processor maintaining (n, cents) per user.
+    // Determinism: the cumulative sum accumulates DECIMAL (value has 2
+    // decimals — exact), cast to double per row.
+    "q53_running_features" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("user_event_n", count(lit(1)).over(w))
+        .withColumn("user_value_cum",
+          sum(col("value").cast(DecimalType(28, 6))).over(w).cast(DoubleType))
+        .select(col("user_id"), col("event_id"),
+          col("user_event_n"), col("user_value_cum"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -820,6 +841,15 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q53_running_features" ->
+      """SELECT user_id, event_id,
+           COUNT(*) OVER w AS user_event_n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS user_value_cum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
     "q52_session_stats" ->
       s"""WITH o AS (
            SELECT user_id, ts, value,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.cdc.Cdc
 import graft.decode.Relation
@@ -857,6 +857,51 @@ object Streams {
           gs.update(s)
           (user, s)
       }
+  }
+
+  /** Spark-4-native stateful processor (transformWithState): per-user
+    * running (event count, value cents). State is ONE value per user —
+    * the arbitrary-state API's replacement for mapGroupsWithState, with
+    * per-state TTL and RocksDB-backed stores. Rows apply in (ts, event_id)
+    * order within each batch; in-order delivery across batches is the
+    * log-ordered sources' contract (same as funnelStates). Value rides as
+    * integer CENTS so the running sum is exact; the emitted double equals
+    * the batch query's decimal-sum→double cast bit-for-bit. */
+  final class RunningFeatureProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long), (Long, Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("rf",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (_, eventId, _, c) =>
+        n += 1; cents += c
+        (user, eventId, n, cents / 100.0)
+      }
+      st.update((n, cents))
+      out.iterator
+    }
+  }
+
+  /** Streaming twin of q53_running_features over the raw event stream.
+    * Requires the RocksDB state-store provider
+    * (spark.sql.streaming.stateStore.providerClass) — transformWithState's
+    * backing store. */
+  def runningFeatures(events: DataFrame): Dataset[(Long, Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningFeatureProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Session windows per user (gap-based). */
