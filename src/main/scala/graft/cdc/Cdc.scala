@@ -42,7 +42,7 @@ object Cdc {
     val w = Window.partitionBy(keyColumns.map(k => col(s"__k_$k")): _*)
       .orderBy(col("lsn").desc, col("seq").desc)
 
-    events.filter(col("op") =!= "T")
+    events.filter(col("op").isin("I", "U", "D"))
       .select(col("*") +: keyExprs: _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "D")
@@ -126,7 +126,9 @@ object Cdc {
       .agg(max(struct(col("lsn"), col("seq"))).as("t"))
       .select(coalesce(col("t.lsn"), lit(Long.MinValue)).as("__trunc_lsn"),
               coalesce(col("t.seq"), lit(Long.MinValue)).as("__trunc_seq"))
-    events.filter(col("op") =!= "T")
+    // Explicit I/U/D (not just "not T"): marker ('B'/'C') and message ('M')
+    // rows have no table key and must never enter key-wise folds.
+    events.filter(col("op").isin("I", "U", "D"))
       .crossJoin(broadcast(truncLsn))
       .filter(struct(col("lsn"), col("seq")) >
         struct(col("__trunc_lsn"), col("__trunc_seq")))
@@ -242,7 +244,7 @@ object Cdc {
     val w = Window.partitionBy(keyColumns.map(k => col(s"__k_$k")): _*)
       .orderBy(col("lsn"), col("seq"))
 
-    events.filter(col("op") =!= "T")
+    events.filter(col("op").isin("I", "U", "D"))
       .select(col("*") +: keyExprs: _*)
       .withColumn("__next", lead(struct(col("lsn"), col("seq")), 1).over(w))
       .filter(col("op").isin("I", "U"))

@@ -186,6 +186,110 @@ object CdcPipeline {
     }
   }
 
+  /** Protocol-v2 streamed-transaction slice: two large transactions stream
+    * in INTERLEAVED segments (the wire shape `streaming on` produces when
+    * concurrent bulk writes exceed `logical_decoding_work_mem`), one of them
+    * carrying an aborted subtransaction, plus ordinary small transactions:
+    *
+    *  - k % 4 == 0 → INSERT inside streamed txn A (commits; k % 8 == 0 rows
+    *    also UPDATEd (+1) in a LATER segment of A — multi-segment order);
+    *  - k % 4 == 1 → INSERT inside streamed txn B (whole-txn StreamAbort);
+    *  - k % 4 == 2 → INSERT inside txn A but under aborted subxact A′
+    *    (StreamAbort(A, A′) — surgical removal, A itself still commits);
+    *  - k % 4 == 3 → ordinary Begin/Insert/Commit transaction.
+    *
+    * Expected final state: keys with k % 4 ∈ {0, 3}; price +1 for k % 8 == 0
+    * — pure function of the key, hence the exact SQL oracle. */
+  def ordersToFramesStreamed(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    val (xidA, xidB, xidASub) = (900001, 900002, 900003)
+
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      def enc(m: PgOutputMessage) = PgOutputEncoder.encode(m)
+      def full(k: Long, cust: Long, status: String, p: Double, dateUs: Long, prio: String) =
+        TupleData(Vector(t(k.toString), t(cust.toString), t(status), t(p.toString),
+          t(pgTimestampText(dateUs)), t(prio)))
+      // rows iterate several times (one pass per segment) — buffer the
+      // partition; bounded by partition size, same as the evolving generator
+      val rs = rows.toVector
+      def seg(sel: Long => Boolean, sub: Int, mk: ((Long, Long, String, Double, Long, String)) => (Long, PgOutputMessage)) =
+        rs.iterator.filter(r => sel(r._1)).map { r =>
+          val (lsn, m) = mk(r); lsn -> enc(StreamedPart(sub, m))
+        }
+
+      val segA1 = seg(_ % 4 == 0, xidA, { case (k, c, st, p, d, pr) =>
+        (k * 8 + 1) -> Insert(OrdersRelId, full(k, c, st, p, d, pr)) })
+      val segB = seg(_ % 4 == 1, xidB, { case (k, c, st, p, d, pr) =>
+        (k * 8 + 1) -> Insert(OrdersRelId, full(k, c, st, p, d, pr)) })
+      val segASub = seg(_ % 4 == 2, xidASub, { case (k, c, st, p, d, pr) =>
+        (k * 8 + 1) -> Insert(OrdersRelId, full(k, c, st, p, d, pr)) })
+      val segA2 = seg(_ % 8 == 0, xidA, { case (k, c, st, p, d, pr) =>
+        (k * 8 + 4) -> Update(OrdersRelId, None, None, full(k, c, st, p + 1.0, d, pr)) })
+      val plain = rs.iterator.filter(_._1 % 4 == 3).flatMap { case (k, c, st, p, d, pr) =>
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(d)
+        Seq(
+          base -> enc(Begin(base + 2, ts, k.toInt)),
+          (base + 1) -> enc(Insert(OrdersRelId, full(k, c, st, p, d, pr))),
+          (base + 2) -> enc(Commit(0, base + 2, base + 2, ts)))
+      }
+      def ctl(lsn: Long, m: PgOutputMessage) = Iterator.single(lsn -> enc(m))
+
+      Iterator.single(0L -> relFrame) ++
+        ctl(1L, StreamStart(xidA, firstSegment = true)) ++ segA1 ++ ctl(2L, StreamStop) ++
+        ctl(3L, StreamStart(xidB, firstSegment = true)) ++ segB ++ ctl(4L, StreamStop) ++
+        ctl(5L, StreamStart(xidA, firstSegment = false)) ++ segASub ++ ctl(6L, StreamStop) ++
+        ctl(7L, StreamStart(xidA, firstSegment = false)) ++ segA2 ++ ctl(8L, StreamStop) ++
+        ctl(9L, StreamAbort(xidA, xidASub)) ++
+        ctl(10L, StreamAbort(xidB, xidB)) ++
+        ctl(11L, StreamCommit(xidA, 0, 1L << 40, 1L << 40, 0L)) ++
+        plain
+    }
+  }
+
+  /** Logical decoding messages on the wire ('M', pg_logical_emit_message):
+    * every order's transaction carries a transactional "audit" message, and
+    * k % 5 == 0 keys additionally emit a NON-transactional "heartbeat"
+    * message mid-transaction (sent immediately at its own WAL position,
+    * outside the txn — exactly PG's semantics for transactional=false). */
+  def ordersToFramesWithMessages(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val audit = LogicalMessage(transactional = true, base + 2, "audit", utf8(s"order=$k"))
+        val hb = if (k % 5 == 0)
+          Seq((base + 6) -> PgOutputEncoder.encode(
+            LogicalMessage(transactional = false, base + 6, "heartbeat", utf8(s"hb=$k"))))
+        else Nil
+        Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 3, ts, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, TupleData(Vector(
+            t(k.toString), t(cust.toString), t(status), t(price.toString),
+            t(pgTimestampText(dateUs)), t(prio))))),
+          (base + 2) -> PgOutputEncoder.encode(audit)) ++ hb ++ Seq(
+          (base + 3) -> PgOutputEncoder.encode(Commit(0, base + 3, base + 3, ts)))
+      }
+      rel ++ dml
+    }
+  }
+
   val LineitemRelId = 50002
 
   /** Composite-pk relation: (l_orderkey, l_linenumber, l_partkey,
@@ -339,14 +443,16 @@ object CdcPipeline {
     * partition carries its own leading Relation frame, so no cross-partition
     * schema dependency exists (the streaming source does the same per
     * micro-batch). */
-  def decodeFrames(frames: Dataset[(Long, Array[Byte])]): Dataset[ChangeEvent] = {
+  def decodeFrames(frames: Dataset[(Long, Array[Byte])]): Dataset[ChangeEvent] =
+    decodeFrames(frames, emitMessages = false)
+
+  def decodeFrames(
+      frames: Dataset[(Long, Array[Byte])], emitMessages: Boolean): Dataset[ChangeEvent] = {
     import frames.sparkSession.implicits._
     frames.mapPartitions { iter =>
       val registry = new SchemaRegistry
-      val builder = new ChangeEventBuilder(registry)
-      iter.flatMap { case (lsn, payload) =>
-        builder.process(lsn, PgOutputDecoder.decode(payload))
-      }
+      val builder = new ChangeEventBuilder(registry, emitMessages = emitMessages)
+      iter.flatMap { case (lsn, payload) => builder.processRaw(lsn, payload) }
     }
   }
 

@@ -73,7 +73,8 @@ final class SchemaRegistry extends Serializable {
   */
 final class ChangeEventBuilder(
     registry: SchemaRegistry,
-    emitTxnMarkers: Boolean = false) {
+    emitTxnMarkers: Boolean = false,
+    emitMessages: Boolean = false) {
 
   private var txn: Option[TxnMeta] = None
   // Replication origin of the current transaction ('O' message, sent after
@@ -82,6 +83,18 @@ final class ChangeEventBuilder(
   // every event of the transaction.
   private var origin: Option[String] = None
   private var seq: Long = 0L
+
+  // Protocol-v2 streamed-transaction reassembly: xid of the currently open
+  // 'S' segment, plus per-top-level-xid buffers of (subXid, lsn, message)
+  // awaiting StreamCommit/StreamAbort. Buffer size is bounded by the sum of
+  // IN-FLIGHT streamed transactions on this partition — the same bound a
+  // Postgres apply worker's spill file has, and orders of magnitude smaller
+  // than buffering server-side (which is what `streaming on` exists to
+  // avoid). An abort costs O(buffer) and frees it immediately.
+  private var streamXid: Option[Int] = None
+  private val streamBufs =
+    scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Long, PgOutputMessage)]]
+  private val streamFirstLsn = scala.collection.mutable.Map.empty[Int, Long]
 
   private def nextSeq(): Long = { seq += 1; seq }
 
@@ -135,6 +148,13 @@ final class ChangeEventBuilder(
       beforeToasted, afterToasted, origin.orNull)
   }
 
+  /** Decode + process in one step, tracking the protocol-v2 stream-segment
+    * state the stateless decoder cannot (R/Y/I/U/D/T/M frames change layout
+    * inside an open 'S' segment). All stateful decode paths (batch replay,
+    * the frame-replay source, the live source) go through here. */
+  def processRaw(lsn: Long, payload: Array[Byte]): Seq[ChangeEvent] =
+    process(lsn, PgOutputDecoder.decode(payload, inStream = streamXid.isDefined))
+
   /** Process one message at the given WAL position; emits zero or more
     * envelope rows (Begin/Commit/Relation/PgType/Origin emit none — their
     * content rides on subsequent events or updates the registry). */
@@ -166,6 +186,73 @@ final class ChangeEventBuilder(
     case o: Origin =>
       origin = Some(o.name); Nil
 
+    case m: LogicalMessage =>
+      // Transactional messages ride the surrounding transaction's metadata
+      // (a non-streamed txn on the wire always commits — aborted txns are
+      // never decoded at all); non-transactional ones are emitted at their
+      // own WAL position regardless of any open transaction.
+      if (emitMessages) Seq(messageEvent(lsn, m, inTxn = m.transactional)) else Nil
+
+    case StreamStart(xid, _) =>
+      streamXid = Some(xid)
+      if (!streamBufs.contains(xid)) {
+        streamBufs(xid) = scala.collection.mutable.ArrayBuffer.empty
+        streamFirstLsn(xid) = lsn
+      }
+      Nil
+
+    case StreamStop =>
+      streamXid = None; Nil
+
+    case StreamedPart(subXid, inner) =>
+      val top = streamXid.getOrElse(throw new PgOutputDecodeException(
+        s"streamed '${inner.msgType}' frame outside an open stream segment"))
+      streamBufs(top) += ((subXid, lsn, inner))
+      Nil
+
+    case StreamAbort(xid, subXid) =>
+      // Whole-transaction abort drops the buffer; a subtransaction abort
+      // surgically removes only that subXid's frames — the rest of the
+      // transaction stays pending until its own commit/abort.
+      if (subXid == xid) { streamBufs.remove(xid); streamFirstLsn.remove(xid) }
+      else streamBufs.get(xid).foreach(_.filterInPlace(_._1 != subXid))
+      Nil
+
+    case sc: StreamCommit =>
+      // Reassembly point: replay the surviving buffered frames in arrival
+      // order under the now-known commit metadata. Relation/PgType frames
+      // inside the stream apply to the registry here, so tuple projection
+      // sees exactly the schema state the frames were generated under.
+      val pending = streamBufs.remove(sc.xid)
+        .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+      val firstLsn = streamFirstLsn.remove(sc.xid).getOrElse(-1L)
+      txn = Some(TxnMeta(sc.xid, firstLsn, sc.commitTs))
+      val out = pending.iterator.flatMap {
+        case (_, l, r: Relation) => registry.update(r); Nil
+        case (_, l, t: PgType) => registry.updateType(t); Nil
+        case (_, l, m: LogicalMessage) =>
+          if (emitMessages) Seq(messageEvent(l, m, inTxn = true)) else Nil
+        case (_, l, dml) => emitDml(l, dml)
+      }.toVector
+      txn = None
+      origin = None
+      out
+
+    case dml => emitDml(lsn, dml)
+  }
+
+  private def messageEvent(lsn: Long, m: LogicalMessage, inTxn: Boolean): ChangeEvent = {
+    val mt = if (inTxn) meta else TxnMeta(-1, -1L, -1L)
+    val s = nextSeq()
+    ChangeEvent("M", messageId(lsn, s), lsn, s, mt.txId, mt.beginLsn, mt.commitTsUs,
+      null, null, -1, Map.empty, null,
+      Map("prefix" -> m.prefix, "content" -> m.contentText,
+        "transactional" -> m.transactional.toString,
+        "message_lsn" -> m.lsn.toString),
+      Nil, Nil, origin.orNull)
+  }
+
+  private def emitDml(lsn: Long, msg: PgOutputMessage): Seq[ChangeEvent] = msg match {
     case Insert(relId, newTuple) =>
       val rel = registry.getOrThrow(relId)
       val (after, afterToasted) = imageOf(newTuple, rel)
@@ -215,5 +302,9 @@ final class ChangeEventBuilder(
           event("T", lsn, rel, Map.empty, null, null, Nil, Nil)
         }
       }
+
+    case other =>
+      throw new PgOutputDecodeException(
+        s"message type '${other.msgType}' is not a DML frame")
   }
 }

@@ -79,6 +79,55 @@ final case class Truncate(optionBits: Byte, relationIds: Vector[Int])
   def restartIdentity: Boolean = (optionBits & 2) != 0
 }
 
+/** 'M' logical decoding message (`pg_logical_emit_message`, PG 14+ with the
+  * `messages` option). Not present in the reference's decoder family at all
+  * (decoders.py handles only B/C/O/R/Y/I/U/D/T) — the message channel is how
+  * applications ride audit/ordering markers on the WAL without a table.
+  * `lsn` is the WAL position of the message itself (distinct from the frame's
+  * envelope position); `content` is opaque bytes. */
+final case class LogicalMessage(
+    transactional: Boolean, lsn: Long, prefix: String, content: Array[Byte])
+    extends PgOutputMessage {
+  def msgType = 'M'
+  def contentText: String = new String(content, StandardCharsets.UTF_8)
+  // Array fields break case-class equality; compare by value (tests rely on it).
+  override def equals(o: Any): Boolean = o match {
+    case m: LogicalMessage =>
+      m.transactional == transactional && m.lsn == lsn && m.prefix == prefix &&
+        java.util.Arrays.equals(m.content, content)
+    case _ => false
+  }
+  override def hashCode: Int =
+    (transactional, lsn, prefix, java.util.Arrays.hashCode(content)).hashCode
+}
+
+/** Protocol v2 (PG 14+, `streaming on`): a large in-progress transaction is
+  * sent in segments instead of being buffered server-side until commit —
+  * the feature that keeps replication lag flat when a bulk load writes
+  * millions of rows in one transaction. `xid` is the TOP-LEVEL transaction id;
+  * segments of different transactions may interleave. */
+final case class StreamStart(xid: Int, firstSegment: Boolean)
+    extends PgOutputMessage { def msgType = 'S' }
+
+case object StreamStop extends PgOutputMessage { def msgType = 'E' }
+
+final case class StreamCommit(
+    xid: Int, flags: Byte, commitLsn: Long, endLsn: Long, commitTs: Long)
+    extends PgOutputMessage { def msgType = 'c' }
+
+/** Abort of a streamed transaction (`subXid == xid`) or of one of its
+  * subtransactions (`subXid != xid`): everything streamed under `subXid`
+  * must be discarded; the rest of the transaction stays pending. */
+final case class StreamAbort(xid: Int, subXid: Int)
+    extends PgOutputMessage { def msgType = 'A' }
+
+/** A message observed inside a stream segment: protocol v2 inserts the
+  * sending (sub)transaction's xid right after the type byte of
+  * R/Y/I/U/D/T/M frames. Decoded only when the caller says the stream is
+  * open (tag bytes alone cannot distinguish the two layouts). */
+final case class StreamedPart(xid: Int, inner: PgOutputMessage)
+    extends PgOutputMessage { def msgType = inner.msgType }
+
 final class PgOutputDecodeException(msg: String) extends RuntimeException(msg)
 
 /** Binary decoder for pgoutput frames (reference: decoders.py:86-455).
@@ -93,23 +142,45 @@ object PgOutputDecoder {
   def pgMicrosToUnixMicros(pgUs: Long): Long = pgUs + PostgresEpochMicros
   def unixMicrosToPgMicros(unixUs: Long): Long = unixUs - PostgresEpochMicros
 
-  def decode(payload: Array[Byte]): PgOutputMessage = {
+  def decode(payload: Array[Byte]): PgOutputMessage = decode(payload, inStream = false)
+
+  /** `inStream = true` ⇒ an 'S' segment is open, so R/Y/I/U/D/T/M frames
+    * carry a leading Int32 xid (protocol v2 layout) and decode to
+    * [[StreamedPart]]. Stream-control frames (S/E/c/A) parse the same either
+    * way. The caller owns the open/closed state — a stateless decoder cannot
+    * recover it from the tag byte alone. */
+  def decode(payload: Array[Byte], inStream: Boolean): PgOutputMessage = {
     if (payload.isEmpty)
       throw new PgOutputDecodeException("empty pgoutput frame")
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
     val tag = buf.get().toChar
-    try tag match {
-      case 'B' => decodeBegin(buf)
-      case 'C' => decodeCommit(buf)
-      case 'O' => decodeOrigin(buf)
-      case 'R' => decodeRelation(buf)
-      case 'Y' => decodePgType(buf)
-      case 'I' => decodeInsert(buf)
-      case 'U' => decodeUpdate(buf)
-      case 'D' => decodeDelete(buf)
-      case 'T' => decodeTruncate(buf)
-      case other =>
-        throw new PgOutputDecodeException(s"unknown pgoutput message type '$other'")
+    val streamedDml = inStream && (tag match {
+      case 'R' | 'Y' | 'I' | 'U' | 'D' | 'T' | 'M' => true
+      case _ => false
+    })
+    val xid = if (streamedDml) buf.getInt() else 0
+    try {
+      val msg = tag match {
+        case 'B' => decodeBegin(buf)
+        case 'C' => decodeCommit(buf)
+        case 'O' => decodeOrigin(buf)
+        case 'R' => decodeRelation(buf)
+        case 'Y' => decodePgType(buf)
+        case 'I' => decodeInsert(buf)
+        case 'U' => decodeUpdate(buf)
+        case 'D' => decodeDelete(buf)
+        case 'T' => decodeTruncate(buf)
+        case 'M' => decodeLogicalMessage(buf)
+        case 'S' => StreamStart(buf.getInt(), buf.get() == 1)
+        case 'E' => StreamStop
+        case 'c' =>
+          val x = buf.getInt(); val f = buf.get()
+          StreamCommit(x, f, buf.getLong(), buf.getLong(), buf.getLong())
+        case 'A' => StreamAbort(buf.getInt(), buf.getInt())
+        case other =>
+          throw new PgOutputDecodeException(s"unknown pgoutput message type '$other'")
+      }
+      if (streamedDml) StreamedPart(xid, msg) else msg
     } catch {
       // one catch type for per-frame error routing (callers shouldn't need
       // to know ByteBuffer internals to build an error channel)
@@ -251,6 +322,19 @@ object PgOutputDecoder {
     while (i < nRelations) { ids += buf.getInt(); i += 1 }
     Truncate(optionBits, ids.result())
   }
+
+  private def decodeLogicalMessage(buf: ByteBuffer): LogicalMessage = {
+    val flags = buf.get()
+    val lsn = buf.getLong()
+    val prefix = readString(buf)
+    val len = buf.getInt()
+    if (len < 0 || len > buf.remaining())
+      throw new PgOutputDecodeException(
+        s"message content length $len exceeds frame remainder ${buf.remaining()}")
+    val content = new Array[Byte](len)
+    buf.get(content)
+    LogicalMessage((flags & 1) != 0, lsn, prefix, content)
+  }
 }
 
 /** Wire-format encoder — the inverse of [[PgOutputDecoder]]. Used by tests
@@ -332,5 +416,27 @@ object PgOutputEncoder {
       val b = buf(6 + 4 * relIds.size)
       b.put('T'.toByte); b.putInt(relIds.size); b.put(optionBits)
       relIds.foreach(b.putInt); b.array()
+    case LogicalMessage(transactional, lsn, prefix, content) =>
+      val p = cstr(prefix)
+      val b = buf(10 + p.length + 4 + content.length)
+      b.put('M'.toByte); b.put(if (transactional) 1.toByte else 0.toByte)
+      b.putLong(lsn); b.put(p); b.putInt(content.length); b.put(content); b.array()
+    case StreamStart(xid, first) =>
+      val b = buf(6); b.put('S'.toByte); b.putInt(xid)
+      b.put(if (first) 1.toByte else 0.toByte); b.array()
+    case StreamStop =>
+      Array('E'.toByte)
+    case StreamCommit(xid, flags, commitLsn, endLsn, ts) =>
+      val b = buf(30); b.put('c'.toByte); b.putInt(xid); b.put(flags)
+      b.putLong(commitLsn); b.putLong(endLsn); b.putLong(ts); b.array()
+    case StreamAbort(xid, subXid) =>
+      val b = buf(9); b.put('A'.toByte); b.putInt(xid); b.putInt(subXid); b.array()
+    // Protocol-v2 in-stream layout: the (sub)transaction xid is spliced in
+    // right after the inner frame's type byte.
+    case StreamedPart(xid, inner) =>
+      val innerBytes = encode(inner)
+      val b = buf(innerBytes.length + 4)
+      b.put(innerBytes(0)); b.putInt(xid)
+      b.put(innerBytes, 1, innerBytes.length - 1); b.array()
   }
 }

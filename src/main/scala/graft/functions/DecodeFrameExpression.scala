@@ -92,6 +92,29 @@ case class DecodePgOutput(child: Expression)
         case Truncate(_, ids) =>
           out(0) = u("T")
           out(15) = new GenericArrayData(ids.map(Int.box).toArray[Any])
+        // Diagnostic mappings for the protocol-v2 / message frames:
+        // 'M' rides prefix in `name`, content (UTF-8) in `new_values[0]`,
+        // its own WAL position in `final_lsn`, transactional flag in
+        // `old_kind` ('t'/'f'). Stream control frames carry xids only.
+        case LogicalMessage(transactional, lsn, prefix, content) =>
+          out(0) = u("M"); out(3) = lsn; out(7) = u(prefix)
+          out(10) = u(if (transactional) "t" else "f")
+          out(14) = new GenericArrayData(
+            Array[Any](u(new String(content, java.nio.charset.StandardCharsets.UTF_8))))
+        case StreamStart(xid, first) =>
+          out(0) = u("S"); out(2) = xid; out(10) = u(if (first) "t" else "f")
+        case StreamStop =>
+          out(0) = u("E")
+        case StreamCommit(xid, _, commitLsn, endLsn, ts) =>
+          out(0) = u("c"); out(2) = xid; out(3) = endLsn; out(4) = commitLsn; out(5) = ts
+        case StreamAbort(xid, subXid) =>
+          out(0) = u("A"); out(2) = xid
+          // sub_xid has no dedicated slot; relation_id is free on 'A' frames
+          out(1) = subXid
+        // the stateless view cannot know a stream is open, so xid-prefixed
+        // in-stream frames are never produced here (decode(payload) only)
+        case StreamedPart(_, _) =>
+          out(16) = u("in-stream frame reached the stateless decoder")
       }
     } catch {
       case e: PgOutputDecodeException => out(16) = u(e.getMessage)

@@ -237,6 +237,38 @@ object CdcQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Protocol-v2 streamed transactions (PG 14 `streaming on` — absent from
+    // the reference): two large transactions arrive in INTERLEAVED segments,
+    // one committing (with a later-segment update and an aborted
+    // subtransaction), one aborting wholesale, alongside ordinary small
+    // transactions. Reassembly is per-partition builder state bounded by
+    // in-flight streamed bytes — the consumer-side mirror of what keeps
+    // replication lag flat when a bulk load writes one huge transaction.
+    "cdc_streamed_txn" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesStreamed(s, d)).toDF()
+      graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Logical decoding messages ('M', pg_logical_emit_message — a message
+    // type the reference does not decode at all): every order's transaction
+    // carries a transactional "audit" message (rides the txn's xid), and
+    // k % 5 == 0 keys emit a NON-transactional "heartbeat" mid-txn (emitted
+    // immediately at its own WAL position, outside the txn → tx_id = -1).
+    "cdc_logical_messages" -> ((s, d) => {
+      CdcPipeline.decodeFrames(
+          CdcPipeline.ordersToFramesWithMessages(s, d), emitMessages = true).toDF()
+        .filter(col("op") === "M")
+        .select(col("lsn"),
+          element_at(col("after"), "prefix").as("prefix"),
+          element_at(col("after"), "content").as("content"),
+          (element_at(col("after"), "transactional") === "true").as("transactional"),
+          col("txId").as("tx_id"))
+        .orderBy(col("lsn"), col("prefix"))
+    }),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -247,6 +279,24 @@ object CdcQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_streamed_txn" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 4 IN (0, 3)
+         ORDER BY o_orderkey""",
+
+    "cdc_logical_messages" ->
+      """SELECT o_orderkey * 8 + 2 AS lsn, 'audit' AS prefix,
+           'order=' || CAST(o_orderkey AS VARCHAR) AS content,
+           TRUE AS transactional, CAST(o_orderkey AS INT) AS tx_id
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey * 8 + 6, 'heartbeat',
+           'hb=' || CAST(o_orderkey AS VARCHAR), FALSE, CAST(-1 AS INT)
+         FROM orders WHERE o_orderkey % 5 = 0
+         ORDER BY lsn, prefix""",
+
     "cdc_incremental_ivf" ->
       s"""WITH surv AS (SELECT * FROM embeddings WHERE vec_id % 9 <> 0),
          cents AS (SELECT vec_id AS cid, embedding AS centroid

@@ -154,7 +154,7 @@ final class FramePartitionReader(p: FrameRange) extends PartitionReader[Internal
   override def next(): Boolean = {
     while (!pending.hasNext && entries.hasNext) {
       val e = entries.next()
-      val events = builder.process(e.lsn, PgOutputDecoder.decode(e.payload))
+      val events = builder.processRaw(e.lsn, e.payload)
       if (idx >= p.from) pending = events.iterator.map(Envelope.toInternalRow)
       idx += 1
     }

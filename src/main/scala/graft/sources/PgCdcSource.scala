@@ -242,7 +242,7 @@ final class PgCdcMicroBatch(
       case Some((lsn, payload)) =>
         require(lsn > bufferedThrough,
           s"pgcdc: conduit delivered non-monotonic lsn $lsn (≤ $bufferedThrough)")
-        buffered.append((lsn, builder.process(lsn, PgOutputDecoder.decode(payload))))
+        buffered.append((lsn, builder.processRaw(lsn, payload)))
         bufferedThrough = lsn
         n += 1
       case None => more = false

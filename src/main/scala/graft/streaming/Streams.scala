@@ -274,7 +274,7 @@ object Streams {
         val st = spark.read.parquet(s"$stateDir/$v")
           .select(col("*") +:
             keys.map(k => element_at(col("__key"), k).as(s"__jk_$k")): _*)
-        val firstEvt = fresh.filter(col("op") =!= "T")
+        val firstEvt = fresh.filter(col("op").isin("I", "U", "D"))
           .select(keys.map(k => element_at(col("key"), k).as(s"__fk_$k")) :+
             struct(col("lsn"), col("seq")).as("__e"): _*)
           .groupBy(keys.map(k => col(s"__fk_$k")): _*)

@@ -172,4 +172,76 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     val e2 = b.process(11L, Insert(99, TupleData(Vector(t("2"), n, n)))).head
     assert(e1.seq < e2.seq)
   }
+
+  test("streamed txns: interleaved segments reassemble on commit, aborted txn vanishes") {
+    val (b, _) = fresh()
+    def ins(id: String) = Insert(99, TupleData(Vector(t(id), t("x"), n)))
+    // segments of txn 10 and txn 20 interleave; 20 aborts wholesale
+    assert(b.process(100L, StreamStart(10, firstSegment = true)) === Nil)
+    assert(b.process(101L, StreamedPart(10, ins("1"))) === Nil) // buffered, not emitted
+    assert(b.process(102L, StreamStop) === Nil)
+    assert(b.process(103L, StreamStart(20, firstSegment = true)) === Nil)
+    assert(b.process(104L, StreamedPart(20, ins("2"))) === Nil)
+    assert(b.process(105L, StreamStop) === Nil)
+    assert(b.process(106L, StreamStart(10, firstSegment = false)) === Nil)
+    assert(b.process(107L, StreamedPart(10, ins("3"))) === Nil)
+    assert(b.process(108L, StreamStop) === Nil)
+    assert(b.process(109L, StreamAbort(20, 20)) === Nil)
+    val evs = b.process(110L, StreamCommit(10, 0, 200L, 201L, 7777L))
+    assert(evs.map(e => e.after("id")) === Seq("1", "3")) // arrival order, txn 20 gone
+    // commit metadata stamped at reassembly: top xid, first segment's lsn
+    assert(evs.forall(e => e.txId == 10 && e.beginLsn == 100L && e.commitTsUs == 7777L))
+    assert(evs.map(_.lsn) === Seq(101L, 107L)) // events keep their frame positions
+    assert(evs.map(_.seq) === evs.map(_.seq).sorted)
+  }
+
+  test("subtransaction abort removes only that subxid's frames; txn still commits") {
+    val (b, _) = fresh()
+    def ins(id: String) = Insert(99, TupleData(Vector(t(id), t("x"), n)))
+    b.process(100L, StreamStart(10, firstSegment = true))
+    b.process(101L, StreamedPart(10, ins("1")))
+    b.process(102L, StreamedPart(11, ins("2"))) // subxact 11
+    b.process(103L, StreamedPart(10, ins("3")))
+    b.process(104L, StreamStop)
+    b.process(105L, StreamAbort(10, 11)) // surgical: only subxact 11 dies
+    val evs = b.process(106L, StreamCommit(10, 0, 200L, 201L, 1L))
+    assert(evs.map(e => e.after("id")) === Seq("1", "3"))
+  }
+
+  test("in-stream frame outside an open segment is a protocol error") {
+    val (b, _) = fresh()
+    intercept[PgOutputDecodeException] {
+      b.process(100L, StreamedPart(10, Insert(99, TupleData(Vector(t("1"), n, n)))))
+    }
+  }
+
+  test("logical messages: transactional rides txn meta, non-transactional is immediate with tx_id -1") {
+    val reg = new SchemaRegistry
+    val b = new ChangeEventBuilder(reg, emitMessages = true)
+    b.process(1L, rel)
+    b.process(10L, Begin(100L, 5000L, 42))
+    val tx = b.process(11L, LogicalMessage(transactional = true, 11L, "audit", "a".getBytes("UTF-8"))).head
+    assert(tx.op === "M" && tx.txId === 42 && tx.commitTsUs === 5000L)
+    assert(tx.after === Map("prefix" -> "audit", "content" -> "a",
+      "transactional" -> "true", "message_lsn" -> "11"))
+    val nt = b.process(12L, LogicalMessage(transactional = false, 12L, "hb", "b".getBytes("UTF-8"))).head
+    assert(nt.txId === -1 && nt.beginLsn === -1L) // outside the txn by definition
+    b.process(13L, Commit(0, 100L, 101L, 5000L))
+    // default builder (emitMessages = false) stays silent — sinks that fold
+    // by table key never see keyless 'M' rows unless they opt in
+    val (b2, _) = fresh()
+    assert(b2.process(11L, LogicalMessage(transactional = false, 11L, "p", Array.emptyByteArray)) === Nil)
+  }
+
+  test("messages inside an aborted streamed txn are dropped with it") {
+    val reg = new SchemaRegistry
+    val b = new ChangeEventBuilder(reg, emitMessages = true)
+    b.process(1L, rel)
+    b.process(100L, StreamStart(10, firstSegment = true))
+    b.process(101L, StreamedPart(10,
+      LogicalMessage(transactional = true, 101L, "audit", "z".getBytes("UTF-8"))))
+    b.process(102L, StreamStop)
+    assert(b.process(103L, StreamAbort(10, 10)) === Nil)
+    assert(b.process(104L, StreamCommit(10, 0, 200L, 201L, 1L)) === Nil) // buffer already gone
+  }
 }

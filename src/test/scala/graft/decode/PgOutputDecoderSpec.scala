@@ -212,4 +212,34 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     }
     assert(checked > 400)
   }
+
+  test("logical message 'M' round-trips (transactional + not, empty + binary content)") {
+    val msgs = Seq(
+      LogicalMessage(transactional = true, 0x1000L, "audit", "k=1".getBytes("UTF-8")),
+      LogicalMessage(transactional = false, 77L, "", Array[Byte](0, -1, 127)),
+      LogicalMessage(transactional = true, Long.MaxValue, "p", Array.emptyByteArray))
+    msgs.foreach(m => assert(PgOutputDecoder.decode(PgOutputEncoder.encode(m)) === m))
+  }
+
+  test("stream control frames S/E/c/A round-trip") {
+    val msgs = Seq(
+      StreamStart(491, firstSegment = true), StreamStart(7, firstSegment = false),
+      StreamStop,
+      StreamCommit(491, 0, 0x1234L, 0x1250L, 99L),
+      StreamAbort(491, 492), StreamAbort(491, 491))
+    msgs.foreach(m => assert(PgOutputDecoder.decode(PgOutputEncoder.encode(m)) === m))
+  }
+
+  test("in-stream frames carry the xid after the type byte (protocol v2 layout)") {
+    val inner = Insert(99, TupleData(Vector(ColumnData('t', Some("7")))))
+    val wire = PgOutputEncoder.encode(StreamedPart(491, inner))
+    // stateless view mis-parses in-stream layout by design; the stream-aware
+    // call recovers both the xid and the inner message
+    assert(wire(0).toChar === 'I')
+    val decoded = PgOutputDecoder.decode(wire, inStream = true)
+    assert(decoded === StreamedPart(491, inner))
+    // control frames parse identically whether or not a stream is open
+    val s = PgOutputEncoder.encode(StreamStart(5, firstSegment = true))
+    assert(PgOutputDecoder.decode(s, inStream = true) === StreamStart(5, firstSegment = true))
+  }
 }
