@@ -226,6 +226,31 @@ object DedupQueries {
         .orderBy(col("content_hash"))
     }),
 
+    // Blocklist contamination filter with a Bloom-sketch prefilter: find
+    // every corpus document whose content hash appears in a blocklist (here
+    // the doc_id % 37 == 0 docs — standing in for a banned/held-out digest
+    // set). Scale shape: the Bloom filter over blocklist digests is a
+    // mergeable sketch built tree-wise (~1.2 MB per 10⁶ entries at 1% fpp)
+    // and shipped to every task; corpus rows that miss it are definitively
+    // clean (no false negatives) and NEVER enter the join shuffle — at
+    // 100 TB the exchange carries ~(true hits + 1%) of the corpus instead
+    // of all of it. The exact semi join then removes the sketch's false
+    // positives, so the result is EXACT — the oracle is the plain semi
+    // join. (The UDF is a narrow prefilter outside any agg/join hot loop;
+    // Spark's own runtime row-level filtering injects the same shape.)
+    "dedup_bloom_blocklist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("content_hash"))
+      val block = docs.filter(col("doc_id") % 37 === 0).select(col("content_hash"))
+      val bf = block.stat.bloomFilter("content_hash", math.max(block.count(), 1L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((h: String) => bfB.value.mightContainString(h))
+      docs.filter(mightContain(col("content_hash")))
+        .join(block, Seq("content_hash"), "left_semi")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-document duplicate-span profile (exact-substring dedup signal,
     // after Lee et al. "Deduplicating Training Data Makes Language Models
     // Better"): per document, how many of its 8-word spans also occur in
@@ -460,6 +485,13 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "dedup_bloom_blocklist" ->
+      """SELECT d.doc_id, md5(d.text) AS content_hash
+         FROM documents d
+         WHERE EXISTS (SELECT 1 FROM documents b
+                       WHERE b.doc_id % 37 = 0 AND md5(b.text) = md5(d.text))
+         ORDER BY d.doc_id""",
 
     "dedup_span_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

