@@ -65,7 +65,12 @@ object CdcPipeline {
       // REPLICA IDENTITY FULL: updates carry an 'O' old image, deletes a
       // full 'O' image of the current row (post-update value when both
       // apply) — what incremental aggregate maintenance requires.
-      fullImages: Boolean = false)
+      fullImages: Boolean = false,
+      // k % 3 == 0 transactions carry an Origin("upstream") frame after
+      // Begin — the wire shape of rows replayed from another node in
+      // bidirectional replication (what PG16's `origin = none` publication
+      // option exists to filter).
+      originOnMod3: Boolean = false)
 
   /** orders parquet → Dataset[(lsn, frameBytes)] of pgoutput frames. */
   def ordersToFrames(spark: SparkSession, sfDir: String, pattern: DmlPattern): Dataset[(Long, Array[Byte])] = {
@@ -92,8 +97,13 @@ object CdcPipeline {
           t(pgTimestampText(dateUs)),
           if (toastPrio) ColumnData('u', None) else t(prio)))
 
+        val originFrame =
+          if (pattern.originOnMod3 && k % 3 == 0)
+            Seq(base -> PgOutputEncoder.encode(Origin(base + 2, "upstream")))
+          else Nil
         val insertTxn = Seq(
-          base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt)),
+          base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt))) ++
+          originFrame ++ Seq(
           (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, fullTuple(price, toastPrio = false))),
           (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, commitTs)))
 

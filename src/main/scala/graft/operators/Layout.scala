@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Write-path data layout — the half of 100 TB performance that happens
   * BEFORE any query runs. A table clustered for its read pattern turns
@@ -35,4 +35,40 @@ object Layout {
       .repartition(col(partitionName))
       .sortWithinPartitions((partitionName +: sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(partitionName).parquet(dir)
+
+  /** Morton (Z-order) interleave of `cols` at `bits` bits each: bit b of
+    * column i lands at position `b·n + (n−1−i)`, so a range predicate on
+    * ANY of the clustered columns maps to contiguous-ish z-ranges — file
+    * and row-group min/max stats stay tight on every dimension, not just a
+    * leading sort column. This is how a single physical order serves
+    * several query dimensions at once (the multi-column analog of
+    * [[writeClustered]]'s in-file sort).
+    *
+    * Inputs must be non-negative and < 2^bits: quantize unbounded domains
+    * first (rank, width-bucket over min/max, or epoch-day for timestamps).
+    * Pure bit-shift Column expressions — whole-stage codegen'd, no UDF. */
+  def zorderKey(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits * cols.size <= 63,
+      s"zorder: ${cols.size} cols × $bits bits must fit a signed long")
+    val n = cols.size
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + (n - 1 - i))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` as `nFiles` parquet files globally range-partitioned AND
+    * internally sorted by the Z-order key of `zCols` — every file owns a
+    * compact z-range, so min/max pruning works on all clustered dimensions.
+    * File count is an explicit knob (range shuffle), independent of
+    * cluster width. */
+  def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[Column],
+      nFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zorderKey(zCols, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
 }

@@ -269,6 +269,22 @@ object CdcQueries {
         .orderBy(col("lsn"), col("prefix"))
     }),
 
+    // Origin-filtered apply (PG16 `origin = none` semantics — loop
+    // prevention in bidirectional replication): k % 3 == 0 transactions
+    // arrive marked with an Origin("upstream") frame, meaning they were
+    // replayed from another node; a subscriber that also publishes must
+    // apply only locally-originated rows or changes ping-pong forever.
+    // The origin rides every event of its transaction (D4 — a stub in the
+    // reference), so the filter is a narrow predicate before compaction.
+    "cdc_origin_filter" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(originOnMod3 = true))).toDF()
+      graft.cdc.Cdc.materialize(
+          events.filter(col("origin").isNull), CdcPipeline.ordersRelation)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // A Truncate frame at LSN 4*max(o_orderkey) (≈ the stream's midpoint)
     // wipes all rows whose insert precedes it.
     "cdc_truncate" -> ((s, d) => {
@@ -285,6 +301,10 @@ object CdcQueries {
                 ELSE o_totalprice END AS o_totalprice
          FROM orders WHERE o_orderkey % 4 IN (0, 3)
          ORDER BY o_orderkey""",
+
+    "cdc_origin_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey""",
 
     "cdc_logical_messages" ->
       """SELECT o_orderkey * 8 + 2 AS lsn, 'audit' AS prefix,

@@ -46,4 +46,54 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(ids === ids.sorted, "file not clustered by user_id")
   }
+
+  test("zorder key interleaves bits (x=0b11,y=0b00 → 0b1010)") {
+    import spark.implicits._
+    val df = Seq((3L, 0L), (0L, 3L), (1L, 1L), (255L, 255L)).toDF("x", "y")
+    val z = df.select(Layout.zorderKey(Seq(col("x"), col("y")), bits = 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x takes odd bit positions, y even: (3,0)→1010b=10, (0,3)→0101b=5,
+    // (1,1)→11b=3, (255,255)→all 16 low bits set
+    assert(z === Seq(10L, 5L, 3L, 65535L))
+  }
+
+  test("z-ordered files prune on BOTH dimensions; linear sort only on the leading one") {
+    val base = Files.createTempDirectory("layout")
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val zDir = base.resolve("z").toString
+    val linDir = base.resolve("lin").toString
+    // 8 files each: z-order on (partkey, suppkey) vs linear sort on partkey.
+    // The dimensions are quantized to EQUAL bucket counts (8 each) before
+    // interleaving — with raw domains (200 vs 10 values) partkey's high
+    // bits would own every split point and suppkey would get no placement
+    // power at all (measured: zero second-dimension pruning at 8 raw bits).
+    // (keys are 0-based in the test data: partkey 0..199, suppkey 0..9)
+    Layout.writeZOrdered(li, zDir,
+      Seq(floor(col("l_partkey") / lit(25)).cast("long"),
+        floor(col("l_suppkey") * lit(8) / lit(10)).cast("long")),
+      8, bits = 3)
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linDir)
+
+    def candidateFiles(dir: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+
+    // nothing lost by the layout
+    assert(spark.read.parquet(zDir).count() === li.count())
+    // a SUPPKEY range (the dimension the linear layout does NOT order by):
+    // linear sort leaves suppkey scattered → every file is a candidate;
+    // z-order gives suppkey bits placement power → some files drop out
+    val zSupp = candidateFiles(zDir, "l_suppkey", 3, 4)
+    val linSupp = candidateFiles(linDir, "l_suppkey", 3, 4)
+    assert(linSupp === 8L, s"linear layout should have no suppkey locality, got $linSupp")
+    assert(zSupp < linSupp, s"z-order must prune on the second dimension: $zSupp vs $linSupp")
+    // and the z layout still prunes on partkey too (multi-dimension, not a swap)
+    val zPart = candidateFiles(zDir, "l_partkey", 0, 24)
+    assert(zPart < 8L, s"z-order lost partkey locality: $zPart")
+  }
 }

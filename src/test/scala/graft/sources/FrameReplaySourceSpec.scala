@@ -118,6 +118,47 @@ class FrameReplaySourceSpec extends AnyFunSuite {
     assert(run() === 3) // only the newly appended events arrive after restart
   }
 
+  test("streamed transactions survive micro-batch boundaries (segments replayed, exactly-once at commit)") {
+    val p = Files.createTempDirectory("flog").resolve("log.bin").toString
+    def ins(xid: Int, id: Int) = PgOutputEncoder.encode(StreamedPart(xid,
+      Insert(7, TupleData(Vector(t(id.toString), t(s"v$id"))))))
+    // interleaved streamed txns: 10 commits (ids 1,2,4), 20 aborts (id 3);
+    // maxFramesPerTrigger=5 forces batch cuts INSIDE open segments — the
+    // replay reader rebuilds stream state from frame 0 each batch and only
+    // emits events whose StreamCommit frame falls in the batch window
+    val frames = Iterator(
+      FrameLog.Entry(0L, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(1L, PgOutputEncoder.encode(StreamStart(10, firstSegment = true))),
+      FrameLog.Entry(2L, ins(10, 1)),
+      FrameLog.Entry(3L, ins(10, 2)),
+      FrameLog.Entry(4L, PgOutputEncoder.encode(StreamStop)),
+      FrameLog.Entry(5L, PgOutputEncoder.encode(StreamStart(20, firstSegment = true))),
+      FrameLog.Entry(6L, ins(20, 3)),
+      FrameLog.Entry(7L, PgOutputEncoder.encode(StreamStop)),
+      FrameLog.Entry(8L, PgOutputEncoder.encode(StreamAbort(20, 20))),
+      FrameLog.Entry(9L, PgOutputEncoder.encode(StreamStart(10, firstSegment = false))),
+      FrameLog.Entry(10L, ins(10, 4)),
+      FrameLog.Entry(11L, PgOutputEncoder.encode(StreamStop)),
+      FrameLog.Entry(12L, PgOutputEncoder.encode(StreamCommit(10, 0, 100L, 101L, 5000L))),
+      // plain txn after the streams
+      FrameLog.Entry(20L, PgOutputEncoder.encode(Begin(22L, 6000L, 30))),
+      FrameLog.Entry(21L, PgOutputEncoder.encode(
+        Insert(7, TupleData(Vector(t("5"), t("v5")))))),
+      FrameLog.Entry(22L, PgOutputEncoder.encode(Commit(0, 22L, 22L, 6000L))))
+    FrameLog.write(p, frames)
+
+    val stream = spark.readStream.format("graft.sources.FrameReplayProvider")
+      .option("path", p).option("maxFramesPerTrigger", "5").load()
+    val q = stream.writeStream.format("memory").queryName("replay_streamed")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT after['id'] AS id, tx_id FROM replay_streamed ORDER BY CAST(id AS INT)")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq === Seq(("1", 10), ("2", 10), ("4", 10), ("5", 30))) // 3 never
+    assert(q.recentProgress.length >= 3) // boundaries really cut the streams
+  }
+
   test("txn.markers option emits B/C sentinel rows") {
     val p = Files.createTempDirectory("flog").resolve("log.bin").toString
     writeLog(p, 3)
