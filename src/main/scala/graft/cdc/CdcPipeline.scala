@@ -264,6 +264,51 @@ object CdcPipeline {
     }
   }
 
+  /** Two-phase-commit slice (protocol v3, PG 15 `two_phase on`): k % 6 == 0
+    * rows arrive via PREPARE TRANSACTION later resolved by COMMIT PREPARED
+    * (survive); k % 6 == 3 via PREPARE later ROLLBACK PREPARED (vanish);
+    * all resolutions arrive in a second pass AFTER every prepare — the
+    * "far apart in the WAL, keyed by gid" shape 2PC consumers must hold.
+    * Everything else is an ordinary transaction. Expected final state:
+    * keys with k % 6 != 3. */
+  def ordersToFramesTwoPhase(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      def enc(m: PgOutputMessage) = PgOutputEncoder.encode(m)
+      def full(k: Long, c: Long, st: String, p: Double, d: Long, pr: String) =
+        TupleData(Vector(t(k.toString), t(c.toString), t(st), t(p.toString),
+          t(pgTimestampText(d)), t(pr)))
+      val rs = rows.toVector
+      val prepares = rs.iterator.flatMap { case (k, c, st, p, d, pr) =>
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(d)
+        if (k % 3 == 0) Seq( // both 2PC flavors prepare identically
+          base -> enc(BeginPrepare(base + 2, base + 2, ts, k.toInt, s"gid$k")),
+          (base + 1) -> enc(Insert(OrdersRelId, full(k, c, st, p, d, pr))),
+          (base + 2) -> enc(Prepare(0, base + 2, base + 2, ts, k.toInt, s"gid$k")))
+        else Seq(
+          base -> enc(Begin(base + 2, ts, k.toInt)),
+          (base + 1) -> enc(Insert(OrdersRelId, full(k, c, st, p, d, pr))),
+          (base + 2) -> enc(Commit(0, base + 2, base + 2, ts)))
+      }
+      val resolutions = rs.iterator.filter(_._1 % 3 == 0).map { case (k, _, _, _, d, _) =>
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(d)
+        if (k % 6 == 0)
+          (base + 5) -> enc(CommitPrepared(0, base + 5, base + 5, ts, k.toInt, s"gid$k"))
+        else
+          (base + 5) -> enc(RollbackPrepared(0, base + 2, base + 5, ts, ts, k.toInt, s"gid$k"))
+      }
+      Iterator.single(0L -> relFrame) ++ prepares ++ resolutions
+    }
+  }
+
   /** Logical decoding messages on the wire ('M', pg_logical_emit_message):
     * every order's transaction carries a transactional "audit" message, and
     * k % 5 == 0 keys additionally emit a NON-transactional "heartbeat"

@@ -96,6 +96,17 @@ final class ChangeEventBuilder(
     scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Long, PgOutputMessage)]]
   private val streamFirstLsn = scala.collection.mutable.Map.empty[Int, Long]
 
+  // Two-phase commit (protocol v3): a PREPARE TRANSACTION txn's DML buffers
+  // under its gid from 'b' (BeginPrepare) to 'P' (Prepare), then waits —
+  // possibly across many other transactions — for 'K' (CommitPrepared) or
+  // 'r' (RollbackPrepared). In-doubt transactions (prepared, never
+  // resolved before end of stream) are never emitted, matching a 2PC
+  // participant's obligation to hold them. Bounded by in-doubt prepared
+  // transaction size, the same bound the server's own 2PC state carries.
+  private var preparedOpen: Option[String] = None
+  private val preparedBufs =
+    scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long, scala.collection.mutable.ArrayBuffer[(Long, PgOutputMessage)])]
+
   private def nextSeq(): Long = { seq += 1; seq }
 
   /** Per-message id (the reference mints a uuid4 per frame, reader.py:180
@@ -190,8 +201,12 @@ final class ChangeEventBuilder(
       // Transactional messages ride the surrounding transaction's metadata
       // (a non-streamed txn on the wire always commits — aborted txns are
       // never decoded at all); non-transactional ones are emitted at their
-      // own WAL position regardless of any open transaction.
-      if (emitMessages) Seq(messageEvent(lsn, m, inTxn = m.transactional)) else Nil
+      // own WAL position regardless of any open transaction. Inside a
+      // prepared txn a transactional message shares the txn's fate.
+      if (m.transactional && preparedOpen.isDefined) {
+        preparedBufs(preparedOpen.get)._3 += ((lsn, m)); Nil
+      } else if (emitMessages) Seq(messageEvent(lsn, m, inTxn = m.transactional))
+      else Nil
 
     case StreamStart(xid, _) =>
       streamXid = Some(xid)
@@ -238,7 +253,40 @@ final class ChangeEventBuilder(
       origin = None
       out
 
-    case dml => emitDml(lsn, dml)
+    case BeginPrepare(pLsn, _, _, xid, gid) =>
+      preparedOpen = Some(gid)
+      preparedBufs(gid) = (xid, lsn, scala.collection.mutable.ArrayBuffer.empty)
+      Nil
+
+    case _: Prepare =>
+      // closes the data section; the txn is now in-doubt until 'K'/'r'
+      preparedOpen = None
+      Nil
+
+    case cp: CommitPrepared =>
+      preparedBufs.remove(cp.gid) match {
+        case None => Nil // resolution for a txn prepared before this stream
+        case Some((xid, firstLsn, pending)) =>
+          txn = Some(TxnMeta(xid, firstLsn, cp.commitTs))
+          val out = pending.iterator.flatMap {
+            case (l, m: LogicalMessage) =>
+              if (emitMessages) Seq(messageEvent(l, m, inTxn = true)) else Nil
+            case (l, m) => emitDml(l, m)
+          }.toVector
+          txn = None
+          origin = None
+          out
+      }
+
+    case rp: RollbackPrepared =>
+      preparedBufs.remove(rp.gid)
+      Nil
+
+    case dml =>
+      preparedOpen match {
+        case Some(gid) => preparedBufs(gid)._3 += ((lsn, dml)); Nil
+        case None => emitDml(lsn, dml)
+      }
   }
 
   private def messageEvent(lsn: Long, m: LogicalMessage, inTxn: Boolean): ChangeEvent = {

@@ -128,6 +128,28 @@ final case class StreamAbort(xid: Int, subXid: Int)
 final case class StreamedPart(xid: Int, inner: PgOutputMessage)
     extends PgOutputMessage { def msgType = inner.msgType }
 
+/** Two-phase commit family (protocol v3, PG 15+ with `two_phase on`): a
+  * PREPARE TRANSACTION txn opens with 'b' (Begin Prepare), sends its DML,
+  * closes the data section with 'P' (Prepare), and is later resolved by
+  * 'K' (Commit Prepared) or 'r' (Rollback Prepared) — possibly much later
+  * and far apart in the WAL, keyed by the user-visible gid. */
+final case class BeginPrepare(
+    prepareLsn: Long, endLsn: Long, prepareTs: Long, xid: Int, gid: String)
+    extends PgOutputMessage { def msgType = 'b' }
+
+final case class Prepare(
+    flags: Byte, prepareLsn: Long, endLsn: Long, prepareTs: Long, xid: Int, gid: String)
+    extends PgOutputMessage { def msgType = 'P' }
+
+final case class CommitPrepared(
+    flags: Byte, commitLsn: Long, endLsn: Long, commitTs: Long, xid: Int, gid: String)
+    extends PgOutputMessage { def msgType = 'K' }
+
+final case class RollbackPrepared(
+    flags: Byte, prepareEndLsn: Long, rollbackEndLsn: Long,
+    prepareTs: Long, rollbackTs: Long, xid: Int, gid: String)
+    extends PgOutputMessage { def msgType = 'r' }
+
 final class PgOutputDecodeException(msg: String) extends RuntimeException(msg)
 
 /** Binary decoder for pgoutput frames (reference: decoders.py:86-455).
@@ -177,6 +199,18 @@ object PgOutputDecoder {
           val x = buf.getInt(); val f = buf.get()
           StreamCommit(x, f, buf.getLong(), buf.getLong(), buf.getLong())
         case 'A' => StreamAbort(buf.getInt(), buf.getInt())
+        case 'b' =>
+          BeginPrepare(buf.getLong(), buf.getLong(), buf.getLong(), buf.getInt(),
+            readString(buf))
+        case 'P' =>
+          Prepare(buf.get(), buf.getLong(), buf.getLong(), buf.getLong(), buf.getInt(),
+            readString(buf))
+        case 'K' =>
+          CommitPrepared(buf.get(), buf.getLong(), buf.getLong(), buf.getLong(),
+            buf.getInt(), readString(buf))
+        case 'r' =>
+          RollbackPrepared(buf.get(), buf.getLong(), buf.getLong(), buf.getLong(),
+            buf.getLong(), buf.getInt(), readString(buf))
         case other =>
           throw new PgOutputDecodeException(s"unknown pgoutput message type '$other'")
       }
@@ -431,6 +465,23 @@ object PgOutputEncoder {
       b.putLong(commitLsn); b.putLong(endLsn); b.putLong(ts); b.array()
     case StreamAbort(xid, subXid) =>
       val b = buf(9); b.put('A'.toByte); b.putInt(xid); b.putInt(subXid); b.array()
+    case BeginPrepare(pLsn, endLsn, ts, xid, gid) =>
+      val g = cstr(gid)
+      val b = buf(29 + g.length); b.put('b'.toByte)
+      b.putLong(pLsn); b.putLong(endLsn); b.putLong(ts); b.putInt(xid); b.put(g); b.array()
+    case Prepare(flags, pLsn, endLsn, ts, xid, gid) =>
+      val g = cstr(gid)
+      val b = buf(30 + g.length); b.put('P'.toByte); b.put(flags)
+      b.putLong(pLsn); b.putLong(endLsn); b.putLong(ts); b.putInt(xid); b.put(g); b.array()
+    case CommitPrepared(flags, cLsn, endLsn, ts, xid, gid) =>
+      val g = cstr(gid)
+      val b = buf(30 + g.length); b.put('K'.toByte); b.put(flags)
+      b.putLong(cLsn); b.putLong(endLsn); b.putLong(ts); b.putInt(xid); b.put(g); b.array()
+    case RollbackPrepared(flags, pEnd, rEnd, pTs, rTs, xid, gid) =>
+      val g = cstr(gid)
+      val b = buf(38 + g.length); b.put('r'.toByte); b.put(flags)
+      b.putLong(pEnd); b.putLong(rEnd); b.putLong(pTs); b.putLong(rTs)
+      b.putInt(xid); b.put(g); b.array()
     // Protocol-v2 in-stream layout: the (sub)transaction xid is spliced in
     // right after the inner frame's type byte.
     case StreamedPart(xid, inner) =>

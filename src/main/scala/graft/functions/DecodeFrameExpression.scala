@@ -111,6 +111,20 @@ case class DecodePgOutput(child: Expression)
           out(0) = u("A"); out(2) = xid
           // sub_xid has no dedicated slot; relation_id is free on 'A' frames
           out(1) = subXid
+        // 2PC frames: gid rides in `name`, prepare/commit positions in
+        // final_lsn/commit_lsn, timestamps in commit_ts_us
+        case BeginPrepare(pLsn, endLsn, ts, xid, gid) =>
+          out(0) = u("b"); out(2) = xid; out(3) = endLsn; out(4) = pLsn
+          out(5) = ts; out(7) = u(gid)
+        case Prepare(_, pLsn, endLsn, ts, xid, gid) =>
+          out(0) = u("P"); out(2) = xid; out(3) = endLsn; out(4) = pLsn
+          out(5) = ts; out(7) = u(gid)
+        case CommitPrepared(_, cLsn, endLsn, ts, xid, gid) =>
+          out(0) = u("K"); out(2) = xid; out(3) = endLsn; out(4) = cLsn
+          out(5) = ts; out(7) = u(gid)
+        case RollbackPrepared(_, pEnd, rEnd, _, rTs, xid, gid) =>
+          out(0) = u("r"); out(2) = xid; out(3) = rEnd; out(4) = pEnd
+          out(5) = rTs; out(7) = u(gid)
         // the stateless view cannot know a stream is open, so xid-prefixed
         // in-stream frames are never produced here (decode(payload) only)
         case StreamedPart(_, _) =>

@@ -269,6 +269,19 @@ object CdcQueries {
         .orderBy(col("lsn"), col("prefix"))
     }),
 
+    // Two-phase commit (protocol v3 — PREPARE TRANSACTION / COMMIT
+    // PREPARED / ROLLBACK PREPARED, absent from the reference): prepared
+    // transactions buffer under their gid and resolve much later in the
+    // WAL; rolled-back ones leave no trace, in-doubt ones are held, and
+    // committed ones emit with the COMMIT PREPARED timestamp.
+    "cdc_two_phase" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesTwoPhase(s, d)).toDF()
+      graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Origin-filtered apply (PG16 `origin = none` semantics — loop
     // prevention in bidirectional replication): k % 3 == 0 transactions
     // arrive marked with an Origin("upstream") frame, meaning they were
@@ -305,6 +318,10 @@ object CdcQueries {
     "cdc_origin_filter" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey""",
+
+    "cdc_two_phase" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey % 6 <> 3 ORDER BY o_orderkey""",
 
     "cdc_logical_messages" ->
       """SELECT o_orderkey * 8 + 2 AS lsn, 'audit' AS prefix,

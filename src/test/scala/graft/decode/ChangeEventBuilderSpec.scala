@@ -233,6 +233,32 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     assert(b2.process(11L, LogicalMessage(transactional = false, 11L, "p", Array.emptyByteArray)) === Nil)
   }
 
+  test("2PC: prepared txn buffers until COMMIT PREPARED, rollback leaves no trace, in-doubt held") {
+    val (b, _) = fresh()
+    def ins(id: String) = Insert(99, TupleData(Vector(t(id), t("x"), n)))
+    // gid A commits, gid B rolls back, gid C stays in-doubt
+    b.process(100L, BeginPrepare(102L, 102L, 5000L, 40, "A"))
+    assert(b.process(101L, ins("1")) === Nil) // buffered
+    b.process(102L, Prepare(0, 102L, 102L, 5000L, 40, "A"))
+    b.process(110L, BeginPrepare(112L, 112L, 5000L, 41, "B"))
+    b.process(111L, ins("2"))
+    b.process(112L, Prepare(0, 112L, 112L, 5000L, 41, "B"))
+    b.process(120L, BeginPrepare(122L, 122L, 5000L, 42, "C"))
+    b.process(121L, ins("3"))
+    b.process(122L, Prepare(0, 122L, 122L, 5000L, 42, "C"))
+    // an unrelated plain txn between prepare and resolution flows normally
+    b.process(130L, Begin(132L, 1L, 50))
+    assert(b.process(131L, ins("4")).nonEmpty)
+    b.process(132L, Commit(0, 132L, 132L, 1L))
+    // resolutions: B rolls back, A commits with the COMMIT PREPARED ts
+    assert(b.process(140L, RollbackPrepared(0, 112L, 140L, 5000L, 8000L, 41, "B")) === Nil)
+    val evs = b.process(150L, CommitPrepared(0, 150L, 151L, 9000L, 40, "A"))
+    assert(evs.map(e => e.after("id")) === Seq("1"))
+    assert(evs.head.txId === 40 && evs.head.commitTsUs === 9000L && evs.head.beginLsn === 100L)
+    assert(evs.head.lsn === 101L) // the DML frame's own WAL position
+    // C was never resolved: in-doubt, held, nothing emitted
+  }
+
   test("messages inside an aborted streamed txn are dropped with it") {
     val reg = new SchemaRegistry
     val b = new ChangeEventBuilder(reg, emitMessages = true)

@@ -230,6 +230,15 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     msgs.foreach(m => assert(PgOutputDecoder.decode(PgOutputEncoder.encode(m)) === m))
   }
 
+  test("two-phase-commit frames b/P/K/r round-trip") {
+    val msgs = Seq(
+      BeginPrepare(0x100L, 0x110L, 5000L, 42, "tx-gid-1"),
+      Prepare(0, 0x100L, 0x110L, 5000L, 42, "tx-gid-1"),
+      CommitPrepared(0, 0x200L, 0x210L, 6000L, 42, "tx-gid-1"),
+      RollbackPrepared(0, 0x110L, 0x220L, 5000L, 7000L, 42, ""))
+    msgs.foreach(m => assert(PgOutputDecoder.decode(PgOutputEncoder.encode(m)) === m))
+  }
+
   test("in-stream frames carry the xid after the type byte (protocol v2 layout)") {
     val inner = Insert(99, TupleData(Vector(ColumnData('t', Some("7")))))
     val wire = PgOutputEncoder.encode(StreamedPart(491, inner))
