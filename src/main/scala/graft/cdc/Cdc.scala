@@ -135,16 +135,27 @@ object Cdc {
       .drop("__trunc_lsn", "__trunc_seq")
   }
 
+  /** Canonicalize a wire-text group key through its SQL type: "5", "5.0"
+    * and "5.00" all become the typed value's one canonical rendering, so
+    * text-keyed grouping agrees with typed grouping. Postgres renders any
+    * one column type consistently, but keys that cross a type change (or
+    * arrive from generators with different formatting) need this.
+    * `None` (text key) is the identity. */
+  def canonKey(c: Column, groupType: Option[String]): Column =
+    groupType.fold(c)(t => c.cast(t).cast("string"))
+
   private[graft] def aggDeltas(
-      events: DataFrame, groupCol: String, valueCols: Seq[String]): DataFrame = {
+      events: DataFrame, groupCol: String, valueCols: Seq[String],
+      groupType: Option[String] = None): DataFrame = {
     val ev = survivingEvents(events)
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def g(img: String) = canonKey(element_at(col(img), groupCol), groupType).as("g")
     val plus = ev.filter(col("op").isin("I", "U"))
-      .select(element_at(col("after"), groupCol).as("g") +:
+      .select(g("after") +:
         valueCols.map(c => element_at(col("after"), c).cast(dec).as(s"dv_$c")) :+
         lit(1L).as("dc"): _*)
     val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
-      .select(element_at(col("before"), groupCol).as("g") +:
+      .select(g("before") +:
         valueCols.map(c => (-element_at(col("before"), c).cast(dec)).as(s"dv_$c")) :+
         lit(-1L).as("dc"): _*)
     plus.unionByName(minus)
@@ -196,14 +207,16 @@ object Cdc {
     * For the cross-batch streaming form with BOUNDED per-group state see
     * Streams.mergeMinMaxBatch / BoundedMinMax. */
   def incrementalMinMax(
-      events: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+      events: DataFrame, groupCol: String, valueCol: String,
+      groupType: Option[String] = None): DataFrame = {
     val ev = survivingEvents(events)
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def g(img: String) = canonKey(element_at(col(img), groupCol), groupType).as("g")
     val plus = ev.filter(col("op").isin("I", "U"))
-      .select(element_at(col("after"), groupCol).as("g"),
+      .select(g("after"),
         element_at(col("after"), valueCol).cast(dec).as("v"), lit(1L).as("n"))
     val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
-      .select(element_at(col("before"), groupCol).as("g"),
+      .select(g("before"),
         element_at(col("before"), valueCol).cast(dec).as("v"), lit(-1L).as("n"))
     plus.unionByName(minus)
       .groupBy(col("g"), col("v")).agg(sum(col("n")).as("net"))

@@ -191,4 +191,27 @@ class CdcSpec extends AnyFunSuite {
       ("1", "first", 10L, Some(10L), false),
       ("1", "second", 10L, None, true)))
   }
+
+  test("numeric group keys with differing text renderings canonicalize into one group") {
+    import spark.implicits._
+    // the same numeric group 5 rendered three ways on the wire — raw text
+    // grouping would make three groups; groupType canonicalizes first
+    def gev(lsn: Long, seq: Long, id: String, g: String, v: String) =
+      ChangeEvent("I", s"$lsn-$seq", lsn, seq, 1, lsn, 0L, "public", "t", 1,
+        Map("id" -> id), null, Map("id" -> id, "grp" -> g, "val" -> v), Nil, Nil)
+    val df = spark.createDataset(Seq(
+      gev(10, 1, "1", "5", "1.5"),
+      gev(11, 2, "2", "5.0", "2.5"),
+      gev(12, 3, "3", "5.00", "3.0"))).toDF()
+    val raw = Cdc.incrementalMinMax(df, "grp", "val").collect()
+    assert(raw.length === 3) // the trap the canonicalizer exists for
+    val canon = Cdc.incrementalMinMax(df, "grp", "val", groupType = Some("double"))
+      .collect()
+    assert(canon.length === 1)
+    assert(canon.head.getAs[Long]("c") === 3L)
+    // the SUM/COUNT delta path shares the same canonicalizer
+    val deltaGroups = Cdc.aggDeltas(df, "grp", Seq("val"), groupType = Some("double"))
+      .select("g").distinct().collect().map(_.getString(0)).toSeq
+    assert(deltaGroups === Seq("5.0"))
+  }
 }
