@@ -288,7 +288,16 @@ object CdcPipeline {
       val prepares = rs.iterator.flatMap { case (k, c, st, p, d, pr) =>
         val base = k * 8
         val ts = PgOutputDecoder.unixMicrosToPgMicros(d)
-        if (k % 3 == 0) Seq( // both 2PC flavors prepare identically
+        if (k % 12 == 6 || k % 12 == 9) Seq(
+          // streamed + prepared ('p'): segments reassemble, then the txn
+          // parks in the prepared table under its gid — k%12==6 ⊂ k%6==0
+          // (committed), k%12==9 ⊂ k%6==3 (rolled back), so the oracle is
+          // untouched by which wire path carried the rows
+          base -> enc(StreamStart(k.toInt, firstSegment = true)),
+          (base + 1) -> enc(StreamedPart(k.toInt, Insert(OrdersRelId, full(k, c, st, p, d, pr)))),
+          (base + 2) -> enc(StreamStop),
+          (base + 2) -> enc(StreamPrepare(0, base + 2, base + 2, ts, k.toInt, s"gid$k")))
+        else if (k % 3 == 0) Seq( // both 2PC flavors prepare identically
           base -> enc(BeginPrepare(base + 2, base + 2, ts, k.toInt, s"gid$k")),
           (base + 1) -> enc(Insert(OrdersRelId, full(k, c, st, p, d, pr))),
           (base + 2) -> enc(Prepare(0, base + 2, base + 2, ts, k.toInt, s"gid$k")))

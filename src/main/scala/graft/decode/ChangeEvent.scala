@@ -269,6 +269,8 @@ final class ChangeEventBuilder(
         case Some((xid, firstLsn, pending)) =>
           txn = Some(TxnMeta(xid, firstLsn, cp.commitTs))
           val out = pending.iterator.flatMap {
+            case (_, r: Relation) => registry.update(r); Nil
+            case (_, y: PgType) => registry.updateType(y); Nil
             case (l, m: LogicalMessage) =>
               if (emitMessages) Seq(messageEvent(l, m, inTxn = true)) else Nil
             case (l, m) => emitDml(l, m)
@@ -280,6 +282,16 @@ final class ChangeEventBuilder(
 
     case rp: RollbackPrepared =>
       preparedBufs.remove(rp.gid)
+      Nil
+
+    case sp: StreamPrepare =>
+      // a streamed txn's PREPARE: its reassembled segments become an
+      // ordinary in-doubt prepared txn keyed by gid (resolution by 'K'/'r')
+      val pending = streamBufs.remove(sp.xid)
+        .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+      val firstLsn = streamFirstLsn.remove(sp.xid).getOrElse(-1L)
+      preparedBufs(sp.gid) =
+        (sp.xid, firstLsn, pending.map { case (_, l, m) => (l, m) })
       Nil
 
     case dml =>

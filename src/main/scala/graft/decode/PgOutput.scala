@@ -150,6 +150,13 @@ final case class RollbackPrepared(
     prepareTs: Long, rollbackTs: Long, xid: Int, gid: String)
     extends PgOutputMessage { def msgType = 'r' }
 
+/** 'p' — a STREAMED transaction ends with PREPARE TRANSACTION instead of a
+  * stream commit: the reassembled segments move into the prepared (gid)
+  * table and wait for 'K'/'r' like any other 2PC txn. */
+final case class StreamPrepare(
+    flags: Byte, prepareLsn: Long, endLsn: Long, prepareTs: Long, xid: Int, gid: String)
+    extends PgOutputMessage { def msgType = 'p' }
+
 final class PgOutputDecodeException(msg: String) extends RuntimeException(msg)
 
 /** Binary decoder for pgoutput frames (reference: decoders.py:86-455).
@@ -211,6 +218,9 @@ object PgOutputDecoder {
         case 'r' =>
           RollbackPrepared(buf.get(), buf.getLong(), buf.getLong(), buf.getLong(),
             buf.getLong(), buf.getInt(), readString(buf))
+        case 'p' =>
+          StreamPrepare(buf.get(), buf.getLong(), buf.getLong(), buf.getLong(),
+            buf.getInt(), readString(buf))
         case other =>
           throw new PgOutputDecodeException(s"unknown pgoutput message type '$other'")
       }
@@ -482,6 +492,10 @@ object PgOutputEncoder {
       val b = buf(38 + g.length); b.put('r'.toByte); b.put(flags)
       b.putLong(pEnd); b.putLong(rEnd); b.putLong(pTs); b.putLong(rTs)
       b.putInt(xid); b.put(g); b.array()
+    case StreamPrepare(flags, pLsn, endLsn, ts, xid, gid) =>
+      val g = cstr(gid)
+      val b = buf(30 + g.length); b.put('p'.toByte); b.put(flags)
+      b.putLong(pLsn); b.putLong(endLsn); b.putLong(ts); b.putInt(xid); b.put(g); b.array()
     // Protocol-v2 in-stream layout: the (sub)transaction xid is spliced in
     // right after the inner frame's type byte.
     case StreamedPart(xid, inner) =>

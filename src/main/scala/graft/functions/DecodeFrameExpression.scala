@@ -125,6 +125,9 @@ case class DecodePgOutput(child: Expression)
         case RollbackPrepared(_, pEnd, rEnd, _, rTs, xid, gid) =>
           out(0) = u("r"); out(2) = xid; out(3) = rEnd; out(4) = pEnd
           out(5) = rTs; out(7) = u(gid)
+        case StreamPrepare(_, pLsn, endLsn, ts, xid, gid) =>
+          out(0) = u("p"); out(2) = xid; out(3) = endLsn; out(4) = pLsn
+          out(5) = ts; out(7) = u(gid)
         // the stateless view cannot know a stream is open, so xid-prefixed
         // in-stream frames are never produced here (decode(payload) only)
         case StreamedPart(_, _) =>

@@ -259,6 +259,25 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     // C was never resolved: in-doubt, held, nothing emitted
   }
 
+  test("stream-prepare: streamed segments park under the gid and resolve via K/r") {
+    val (b, _) = fresh()
+    def ins(id: String) = Insert(99, TupleData(Vector(t(id), t("x"), n)))
+    // txn 10 streams then prepares as gid "G", commits much later
+    b.process(100L, StreamStart(10, firstSegment = true))
+    b.process(101L, StreamedPart(10, ins("1")))
+    b.process(102L, StreamStop)
+    assert(b.process(103L, StreamPrepare(0, 103L, 103L, 5000L, 10, "G")) === Nil)
+    // txn 20 streams, prepares as "H", rolls back
+    b.process(110L, StreamStart(20, firstSegment = true))
+    b.process(111L, StreamedPart(20, ins("2")))
+    b.process(112L, StreamStop)
+    b.process(113L, StreamPrepare(0, 113L, 113L, 5000L, 20, "H"))
+    assert(b.process(120L, RollbackPrepared(0, 113L, 120L, 5000L, 6000L, 20, "H")) === Nil)
+    val evs = b.process(130L, CommitPrepared(0, 130L, 131L, 9000L, 10, "G"))
+    assert(evs.map(e => e.after("id")) === Seq("1"))
+    assert(evs.head.txId === 10 && evs.head.commitTsUs === 9000L)
+  }
+
   test("messages inside an aborted streamed txn are dropped with it") {
     val reg = new SchemaRegistry
     val b = new ChangeEventBuilder(reg, emitMessages = true)

@@ -235,7 +235,8 @@ class PgOutputDecoderSpec extends AnyFunSuite {
       BeginPrepare(0x100L, 0x110L, 5000L, 42, "tx-gid-1"),
       Prepare(0, 0x100L, 0x110L, 5000L, 42, "tx-gid-1"),
       CommitPrepared(0, 0x200L, 0x210L, 6000L, 42, "tx-gid-1"),
-      RollbackPrepared(0, 0x110L, 0x220L, 5000L, 7000L, 42, ""))
+      RollbackPrepared(0, 0x110L, 0x220L, 5000L, 7000L, 42, ""),
+      StreamPrepare(0, 0x100L, 0x110L, 5000L, 42, "gid-streamed"))
     msgs.foreach(m => assert(PgOutputDecoder.decode(PgOutputEncoder.encode(m)) === m))
   }
 
