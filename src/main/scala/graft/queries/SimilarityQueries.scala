@@ -306,6 +306,33 @@ object SimilarityQueries {
         .orderBy(col("cluster_id"))
     }),
 
+    // Clustering-quality gate: per-point SIMPLIFIED silhouette over the
+    // seed-centroid assignment — a = distance to own centroid, b = to the
+    // runner-up, s = (b−a)/max(a,b). The self-measuring health check a
+    // pipeline runs on its quantizer before trusting IVF routing (collapsed
+    // or overlapping cells surface as s ≈ 0). Scale shape: one NARROW pass
+    // (k literal-centroid distances per row, argmin + runner-up from one
+    // sorted k-array — no join, no shuffle); per-point outputs avoid
+    // cross-row double summation entirely, so round-6 is exact on both
+    // engines.
+    "sim_silhouette" -> ((s, d) => {
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .toSeq.sortBy(_._1)
+      Tables.embeddings(s, d)
+        .withColumn("ds", slice(array_sort(array(cents.map { case (cid, c) =>
+          struct(sqrt(sqDist(c)).as("dist"), lit(cid).as("cid")) }: _*)), 1, 2))
+        .select(col("vec_id"),
+          col("ds")(0).getField("cid").as("cell"),
+          round(col("ds")(0).getField("dist"), 6).as("a_dist"),
+          round(col("ds")(1).getField("dist"), 6).as("b_dist"),
+          round((col("ds")(1).getField("dist") - col("ds")(0).getField("dist")) /
+            greatest(col("ds")(0).getField("dist"), col("ds")(1).getField("dist")), 6)
+            .as("silhouette"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF ANN over the TRAINED coarse quantizer: the k-means centroids
     // (not raw seed vectors, as in sim_ivf_ann) partition the corpus into
     // cells; each query probes its 2 nearest cells and re-ranks by exact
@@ -503,6 +530,23 @@ object SimilarityQueries {
            round(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
            round(MIN(cos), 6) AS min_cos
          FROM cosr GROUP BY label, centroid ORDER BY label""",
+
+    "sim_silhouette" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c
+                         FROM embeddings WHERE vec_id < 8),
+         dd AS (
+           SELECT e.vec_id, c.cid,
+             sqrt(${DistSql.format("e.embedding", "c.c")}) AS dist
+           FROM embeddings e CROSS JOIN cents c),
+         r AS (
+           SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+           FROM dd)
+         SELECT a.vec_id, a.cid AS cell,
+           ROUND(a.dist, 6) AS a_dist, ROUND(b.dist, 6) AS b_dist,
+           ROUND((b.dist - a.dist) / GREATEST(a.dist, b.dist), 6) AS silhouette
+         FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+         ORDER BY a.vec_id""",
 
     "sim_kmeans" ->
       s"""WITH $KmeansTrainSql,

@@ -162,6 +162,55 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(fl.size >= 2, fl)
   }
 
+  test("conduit machinery: protocol v2/v3 frames (streamed + 2PC) through the live path") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val mc = new MockConduit
+    val rel = Relation(3, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    mc.append(10, rel)
+    // streamed txn 70 commits (ids 1,2); streamed txn 80 aborts (id 3);
+    // prepared txn gid "G" commits much later (id 4) — with
+    // maxFramesPerTrigger=3 the batch boundaries cut inside both
+    mc.append(11, StreamStart(70, firstSegment = true))
+    mc.append(12, StreamedPart(70, Insert(3, TupleData(Vector(t("1"))))))
+    mc.append(13, StreamStop)
+    mc.append(14, StreamStart(80, firstSegment = true))
+    mc.append(15, StreamedPart(80, Insert(3, TupleData(Vector(t("3"))))))
+    mc.append(16, StreamStop)
+    mc.append(17, StreamStart(70, firstSegment = false))
+    mc.append(18, StreamedPart(70, Insert(3, TupleData(Vector(t("2"))))))
+    mc.append(19, StreamStop)
+    mc.append(20, StreamAbort(80, 80))
+    mc.append(21, StreamCommit(70, 0, 21, 21, 1000))
+    mc.append(22, BeginPrepare(24, 24, 2000, 90, "G"))
+    mc.append(23, Insert(3, TupleData(Vector(t("4")))))
+    mc.append(24, Prepare(0, 24, 24, 2000, 90, "G"))
+    mc.append(25, CommitPrepared(0, 25, 25, 3000, 90, "G"))
+    PgCdcConduits.register("mc_v2v3", mc)
+    val ckpt = Files.createTempDirectory("conduit_ckpt_v2").toString
+    val q = spark.readStream.format("graft.sources.PgCdcProvider")
+      .option("producer", "conduit").option("conduit.name", "mc_v2v3")
+      .option("maxFramesPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("conduit_v2v3")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    mc.append(26, PgType(20, "pg_catalog", "int8")) // commit-cycle nudge
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT after['id'] AS id, tx_id, commit_ts_us FROM conduit_v2v3 ORDER BY CAST(id AS INT)")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // aborted streamed txn 80 leaves no trace; streamed 70 reassembles in
+    // arrival order; the prepared txn carries its COMMIT PREPARED ts
+    assert(rows.toSeq === Seq(("1", 70, 1000L), ("2", 70, 1000L), ("4", 90, 3000L)))
+    // K2 unchanged by the new frame kinds: flushes nondecreasing, ending
+    // at the resolution frame
+    val fl = mc.flushes
+    assert(fl.nonEmpty && fl.last >= 25L)
+    assert(fl.zip(fl.tail).forall { case (a, b) => a <= b }, fl)
+  }
+
   test("conduit machinery: restart resumes at the checkpoint offset with the persisted registry (K2+K3)") {
     def t(v: String) = ColumnData('t', Some(v))
     val mc = new MockConduit
