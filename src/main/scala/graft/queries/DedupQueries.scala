@@ -342,6 +342,38 @@ object DedupQueries {
         .select(col("vertex").as("doc_id"), col("component").as("keeper"))
         .orderBy(col("doc_id"))),
 
+    // PageRank over the near-dup candidate graph — centrality of each doc
+    // in its duplication neighborhood (the "template" document of a boiler-
+    // plate family ranks highest; useful for choosing cluster keepers by
+    // connectivity rather than min-id). Ten power iterations in FIXED-POINT
+    // integer arithmetic (ranks are 1e12-scaled BIGINTs, floor division):
+    // every operation is exact on both engines, so an iterative numeric
+    // algorithm gets a hash-exact oracle — no float summation-order terms
+    // at all. Scale shape: per iteration one join on src + one dst-keyed
+    // agg (the standard distributed PageRank step); lineage is truncated
+    // per iteration (localCheckpoint locally, checkpoint dir on a cluster).
+    "dedup_pagerank" -> ((s, d) => {
+      val pairs = minhashCandidatePairs(s, d)
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val n = deg.count()
+      val base = 1000000000000L / math.max(n, 1L)
+      val tele = (15L * base) / 100L
+      val edgesD = edges.join(deg, "src").persist()
+      var r = deg.select(col("src").as("v"), lit(base).as("r"))
+      for (_ <- 1 to 10) {
+        r = edgesD.join(r, edgesD("src") === r("v"))
+          .select(col("dst"), expr("r div dg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("v"), (lit(tele) + expr("(85 * sc) div 100")).as("r"))
+          .localCheckpoint()
+      }
+      edgesD.unpersist()
+      r.select(col("v").as("doc_id"), col("r").as("rank_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end dedup DECISION: the keep/drop list a dedup pipeline
     // actually emits. Precedence: an exact duplicate (same content hash,
     // not the smallest doc_id) drops first; then a near-dup cluster member
@@ -548,6 +580,38 @@ object DedupQueries {
          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
          ORDER BY a_id, b_id""",
+
+    // fixed-point power iteration, 10 steps unrolled as chained CTEs
+    // (aggregates are not allowed in a recursive term); `//` and Spark's
+    // `div` agree on truncated division for non-negative operands
+    "dedup_pagerank" -> {
+      val iters = (1 to 10).map { i =>
+        s""", pr$i AS (
+             SELECT e.t AS v,
+               CAST(tele.tp + (85 * SUM(p.r // dd.dg)) // 100 AS BIGINT) AS r
+             FROM pr${i - 1} p
+             JOIN edges e ON p.v = e.s
+             JOIN deg dd ON dd.s = p.v
+             CROSS JOIN tele
+             GROUP BY e.t, tele.tp)"""
+      }.mkString
+      s"""WITH sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+            prs AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            edges AS (
+              SELECT a_id AS s, b_id AS t FROM prs
+              UNION ALL SELECT b_id, a_id FROM prs),
+            deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s),
+            nn AS (SELECT COUNT(*) AS n FROM deg),
+            tele AS (SELECT (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
+            pr0 AS (SELECT s AS v, (1000000000000 // n) AS r FROM deg CROSS JOIN nn)
+            $iters
+         SELECT v AS doc_id, r AS rank_fp FROM pr10 ORDER BY doc_id"""
+    },
 
     // transitive closure by recursive CTE: reach(u,v) = v reachable from u;
     // keeper = min over {self} ∪ reachable set

@@ -848,6 +848,24 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Mode (most frequent value) per group with a DETERMINISTIC tie-break:
+    // built-in `mode()` leaves ties unspecified on both engines, so the
+    // hash-exact form is count + rank with an explicit (count desc, value
+    // asc) order. Scale shape: two-phase hash agg on (user, type) — a few
+    // distinct types per user, so the ranking window's per-group state is
+    // bounded by type cardinality, not event count.
+    "q55_mode" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -861,6 +879,14 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q55_mode" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+           SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY COUNT(*) DESC, event_type) AS rk
+           FROM events GROUP BY user_id, event_type)
+         WHERE rk = 1 ORDER BY user_id""",
+
     "q54_regression" ->
       """SELECT l_returnflag,
            ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s,

@@ -684,20 +684,23 @@ object Streams {
     * to incrementalAggSink; state publishes via the atomic manifest flip. */
   def minMaxAggSink(envelope: DataFrame, rel: Relation, groupCol: String,
       valueCol: String, stateDir: String, tableStateDir: String,
-      checkpointDir: String, k: Int = 16): StreamingQuery =
+      checkpointDir: String, k: Int = 16,
+      groupType: Option[String] = None): StreamingQuery =
     envelope.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeBatch(batch, rel, rel.keyColumnNames, tableStateDir)
         mergeMinMaxBatch(batch, rel, groupCol, valueCol, stateDir, k,
-          Some(() => materializedState(batch.sparkSession, rel, tableStateDir)))
+          Some(() => materializedState(batch.sparkSession, rel, tableStateDir)),
+          groupType)
       }
       .start()
 
   private[graft] def mergeMinMaxBatch(batch0: DataFrame, rel: Relation,
       groupCol: String, valueCol: String, stateDir: String, k: Int,
-      rescanSource: Option[() => DataFrame]): Unit = {
+      rescanSource: Option[() => DataFrame],
+      groupType: Option[String] = None): Unit = {
     import graft.cdc.BoundedMinMax
     import graft.cdc.BoundedMinMax.GroupState
     val spark = batch0.sparkSession
@@ -725,11 +728,14 @@ object Streams {
       struct(lit(hwLsn), lit(hwSeq)))
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val ev = Cdc.survivingEvents(fresh)
+    // same wire-text canonicalization as the batch form (Cdc.canonKey):
+    // numeric group keys rendered differently must not split groups
+    def g(img: String) = Cdc.canonKey(element_at(col(img), groupCol), groupType).as("g")
     val plus = ev.filter(col("op").isin("I", "U"))
-      .select(element_at(col("after"), groupCol).as("g"),
+      .select(g("after"),
         element_at(col("after"), valueCol).cast(dec).as("v"), lit(1L).as("n"))
     val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
-      .select(element_at(col("before"), groupCol).as("g"),
+      .select(g("before"),
         element_at(col("before"), valueCol).cast(dec).as("v"), lit(-1L).as("n"))
     val deltas = plus.unionByName(minus)
       .groupBy(col("g"), col("v")).agg(sum(col("n")).as("net"))
