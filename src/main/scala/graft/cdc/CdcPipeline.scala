@@ -264,6 +264,44 @@ object CdcPipeline {
     }
   }
 
+  /** The stream HALF of the S2 backfill-then-tail flow: everything after
+    * the snapshot point `mid` arrives as CDC inserts, and k % 10 == 0 keys
+    * (snapshot keys included — rows that changed AFTER the snapshot was
+    * pinned) arrive as updates. The snapshot half is the plain table read
+    * ≤ mid; see `cdc_backfill_union`. */
+  def ordersToFramesTail(spark: SparkSession, sfDir: String, mid: Long): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        def full(p: Double) = TupleData(Vector(
+          t(k.toString), t(cust.toString), t(status), t(p.toString),
+          t(pgTimestampText(dateUs)), t(prio)))
+        val ins = if (k > mid) Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, ts, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, full(price))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, ts)))
+        else Nil
+        val upd = if (k % 10 == 0) Seq(
+          (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, ts, k.toInt)),
+          (base + 4) -> PgOutputEncoder.encode(
+            Update(OrdersRelId, None, None, full(price + 1.0))),
+          (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, ts)))
+        else Nil
+        ins ++ upd
+      }
+      rel ++ dml
+    }
+  }
+
   /** Two-phase-commit slice (protocol v3, PG 15 `two_phase on`): k % 6 == 0
     * rows arrive via PREPARE TRANSACTION later resolved by COMMIT PREPARED
     * (survive); k % 6 == 3 via PREPARE later ROLLBACK PREPARED (vanish);

@@ -269,6 +269,29 @@ object CdcQueries {
         .orderBy(col("lsn"), col("prefix"))
     }),
 
+    // Backfill-then-tail (the COMPLETE S2 flow, hash-checked): the initial
+    // sync reads the table pinned at the snapshot point (keys ≤ mid), the
+    // replication stream delivers everything after it — inserts of new
+    // keys AND updates to snapshot keys that changed post-pin. Final state
+    // = stream-derived state wins per key, snapshot fills the rest (one
+    // left-anti join on the pk — the union is cheap; the heavy sides never
+    // shuffle against each other beyond the key match). The oracle is the
+    // whole table with the update pattern applied — the union must leave
+    // no seam: no lost snapshot row, no duplicated updated key.
+    "cdc_backfill_union" -> ((s, d) => {
+      val mid = graft.Tables.orders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0) / 2
+      val snapshot = graft.Tables.orders(s, d).filter(col("o_orderkey") <= mid)
+        .select(cols.map(col): _*)
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesTail(s, d, mid)).toDF()
+      val streamed = graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation)
+        .select(cols.map(col): _*)
+      snapshot.join(streamed, Seq("o_orderkey"), "left_anti")
+        .unionByName(streamed)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Two-phase commit (protocol v3 — PREPARE TRANSACTION / COMMIT
     // PREPARED / ROLLBACK PREPARED, absent from the reference): prepared
     // transactions buffer under their gid and resolve much later in the
@@ -322,6 +345,13 @@ object CdcQueries {
     "cdc_two_phase" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey % 6 <> 3 ORDER BY o_orderkey""",
+
+    "cdc_backfill_union" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
 
     "cdc_logical_messages" ->
       """SELECT o_orderkey * 8 + 2 AS lsn, 'audit' AS prefix,

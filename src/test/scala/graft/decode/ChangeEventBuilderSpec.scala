@@ -278,6 +278,23 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     assert(evs.head.txId === 10 && evs.head.commitTsUs === 9000L)
   }
 
+  test("schema evolution inside a streamed txn re-projects at the re-send point") {
+    val (b, _) = fresh()
+    val relV2 = Relation(99, "public", "acct", 'd',
+      rel.columns :+ RelationColumn(partOfKey = false, "email", TypedView.Oid.Text, -1))
+    b.process(100L, StreamStart(10, firstSegment = true))
+    b.process(101L, StreamedPart(10, Insert(99, TupleData(Vector(t("1"), t("a"), n)))))
+    b.process(102L, StreamedPart(10, relV2)) // ADD COLUMN mid-stream
+    b.process(103L, StreamedPart(10, Insert(99, TupleData(Vector(t("2"), t("b"), n, t("b@x"))))))
+    b.process(104L, StreamStop)
+    val evs = b.process(105L, StreamCommit(10, 0, 200L, 201L, 1L))
+    // replay applies the Relation in arrival order: the 3-col tuple
+    // projects under v1, the 4-col tuple under v2
+    assert(evs.map(_.after) === Seq(
+      Map("id" -> "1", "name" -> "a", "payload" -> null),
+      Map("id" -> "2", "name" -> "b", "payload" -> null, "email" -> "b@x")))
+  }
+
   test("messages inside an aborted streamed txn are dropped with it") {
     val reg = new SchemaRegistry
     val b = new ChangeEventBuilder(reg, emitMessages = true)
