@@ -62,6 +62,30 @@ object Streams {
         s"$checkpointBaseDir/${rel.relationId}")
     }
 
+  /** Bootstrap a sink's state from a snapshot-pinned table read — the
+    * initial-sync half of S2's backfill-then-tail. Snapshot rows become
+    * state versioned at `snapshotLsn` (seq 0), so every event the tail
+    * stream delivers (all at LSN > snapshotLsn) wins per key under the
+    * normal last-LSN compaction; keys untouched by the stream keep their
+    * snapshot image. Values render through `cast(string)` — the canonical
+    * text the typed view parses back exactly. One-time, same atomic
+    * manifest protocol as every batch commit; run before starting the
+    * sink (batch twin: the `cdc_backfill_union` oracle query). */
+  def seedState(snapshot: DataFrame, rel: Relation, stateDir: String,
+      snapshotLsn: Long): Unit = {
+    val keys = rel.keyColumnNames
+    val names = rel.columns.map(_.name)
+    val st = snapshot.select(
+      lit(snapshotLsn).as("__lsn"), lit(0L).as("__seq"),
+      map_from_arrays(array(names.map(lit): _*),
+        array(names.map(c => col(c).cast("string")): _*)).as("__after"),
+      map_from_arrays(array(keys.map(lit): _*),
+        array(keys.map(c => col(c).cast("string")): _*)).as("__key"))
+    val next = StateStore.newVersion("data")
+    st.write.mode("overwrite").parquet(s"$stateDir/$next")
+    StateStore.commit(stateDir, Map("data" -> next))
+  }
+
   private[streaming] def mergeBatch(
       batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String): Unit = {
     // An envelope stream can interleave several relations (a frame log with

@@ -374,6 +374,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("seeded state + tail stream equals the backfill-then-tail batch union (S2 end-to-end)") {
+    val dir = Files.createTempDirectory("cdcseed")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val rel = graft.cdc.CdcPipeline.ordersRelation
+    val orders = graft.Tables.orders(spark, sfDir)
+    val mid = orders.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("o_orderkey"))).head().getLong(0) / 2
+    // initial sync: snapshot-pinned read ≤ mid becomes the sink's state
+    Streams.seedState(
+      orders.filter(org.apache.spark.sql.functions.col("o_orderkey") <= mid)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+      rel, stateDir, snapshotLsn = 0L)
+    // tail: inserts beyond mid + post-pin updates stream into the SAME sink
+    val frames = graft.cdc.CdcPipeline.ordersToFramesTail(spark, sfDir, mid)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(10000))
+    val q = Streams.cdcUpsertSink(env, rel, stateDir, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.materializedState(spark, rel, stateDir)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // expected: the whole table with the post-pin update pattern applied —
+    // no lost snapshot row, no duplicated updated key (cdc_backfill_union's
+    // oracle, evaluated directly)
+    val expected = orders
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("o_orderkey") % 10 === 0,
+          org.apache.spark.sql.functions.col("o_totalprice") + 1.0)
+          .otherwise(org.apache.spark.sql.functions.col("o_totalprice"))
+          .as("o_totalprice"))
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("bucketed CDC sink materializes the same state as the batch pipeline") {
     val dir = Files.createTempDirectory("cdcbucketed")
     val p = dir.resolve("log.bin").toString
