@@ -61,6 +61,74 @@ final class SchemaRegistry extends Serializable {
   def all: Map[Int, Relation] = relations.toMap
 }
 
+/** Buffer for an in-flight streamed/prepared transaction's frames: first
+  * `spillThreshold` entries stay on the heap, the overflow appends to a
+  * temp file as re-encoded wire bytes — the consumer-side mirror of the
+  * Postgres apply worker's changes spill file, so one multi-GB bulk-load
+  * transaction cannot OOM an executor. Subtransaction aborts are recorded
+  * as a drop-set and filtered on replay (an O(1) abort instead of a file
+  * rewrite); whole-transaction aborts delete the file. */
+private[decode] final class TxnSpillBuffer(spillThreshold: Int) {
+  private val mem = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, PgOutputMessage)]
+  private val droppedSubXids = scala.collection.mutable.Set.empty[Int]
+  private var file: java.io.File = null
+  private var out: java.io.DataOutputStream = null
+  private var spilledCount = 0L
+
+  def append(subXid: Int, lsn: Long, msg: PgOutputMessage): Unit =
+    if (file == null && mem.size < spillThreshold) mem += ((subXid, lsn, msg))
+    else {
+      if (file == null) {
+        file = java.io.File.createTempFile("graft-txn-spill", ".bin")
+        file.deleteOnExit()
+        out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(file)))
+      }
+      val bytes = PgOutputEncoder.encode(msg)
+      out.writeInt(subXid); out.writeLong(lsn)
+      out.writeInt(bytes.length); out.write(bytes)
+      spilledCount += 1
+    }
+
+  def dropSubXid(subXid: Int): Unit = {
+    droppedSubXids += subXid
+    mem.filterInPlace(_._1 != subXid)
+  }
+
+  /** Replay surviving frames in arrival order, then release all resources.
+    * Must be consumed fully (the commit path always does). */
+  def drain(): Iterator[(Int, Long, PgOutputMessage)] = {
+    val fromFile: Iterator[(Int, Long, PgOutputMessage)] =
+      if (file == null) Iterator.empty
+      else {
+        out.close()
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(file)))
+        new Iterator[(Int, Long, PgOutputMessage)] {
+          private var remaining = spilledCount
+          def hasNext: Boolean = {
+            if (remaining == 0L && in != null) in.close()
+            remaining > 0L
+          }
+          def next(): (Int, Long, PgOutputMessage) = {
+            val subXid = in.readInt(); val lsn = in.readLong()
+            val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+            remaining -= 1
+            if (remaining == 0L) { in.close(); discard() }
+            (subXid, lsn, PgOutputDecoder.decode(bytes))
+          }
+        }
+      }
+    (mem.iterator ++ fromFile).filterNot(e => droppedSubXids.contains(e._1))
+  }
+
+  def discard(): Unit = {
+    mem.clear()
+    if (out != null) { try out.close() catch { case _: Throwable => () } }
+    if (file != null) { file.delete(); file = null; out = null }
+  }
+}
+
 /** Stateful fold turning a partition-ordered pgoutput message sequence into
   * envelope rows. Implements the reference's transform semantics:
   *  - T1 dispatch (reader.py:203-228), T3 tuple→named projection
@@ -74,7 +142,8 @@ final class SchemaRegistry extends Serializable {
 final class ChangeEventBuilder(
     registry: SchemaRegistry,
     emitTxnMarkers: Boolean = false,
-    emitMessages: Boolean = false) {
+    emitMessages: Boolean = false,
+    spillThreshold: Int = 1 << 16) {
 
   private var txn: Option[TxnMeta] = None
   // Replication origin of the current transaction ('O' message, sent after
@@ -86,14 +155,13 @@ final class ChangeEventBuilder(
 
   // Protocol-v2 streamed-transaction reassembly: xid of the currently open
   // 'S' segment, plus per-top-level-xid buffers of (subXid, lsn, message)
-  // awaiting StreamCommit/StreamAbort. Buffer size is bounded by the sum of
-  // IN-FLIGHT streamed transactions on this partition — the same bound a
-  // Postgres apply worker's spill file has, and orders of magnitude smaller
-  // than buffering server-side (which is what `streaming on` exists to
-  // avoid). An abort costs O(buffer) and frees it immediately.
+  // awaiting StreamCommit/StreamAbort. Memory is bounded by spillThreshold
+  // frames per in-flight transaction — the overflow goes to a local spill
+  // file (TxnSpillBuffer), the same strategy the Postgres apply worker
+  // uses, so a multi-GB bulk-load transaction cannot OOM the executor.
   private var streamXid: Option[Int] = None
   private val streamBufs =
-    scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Long, PgOutputMessage)]]
+    scala.collection.mutable.LinkedHashMap.empty[Int, TxnSpillBuffer]
   private val streamFirstLsn = scala.collection.mutable.Map.empty[Int, Long]
 
   // Two-phase commit (protocol v3): a PREPARE TRANSACTION txn's DML buffers
@@ -101,11 +169,10 @@ final class ChangeEventBuilder(
   // possibly across many other transactions — for 'K' (CommitPrepared) or
   // 'r' (RollbackPrepared). In-doubt transactions (prepared, never
   // resolved before end of stream) are never emitted, matching a 2PC
-  // participant's obligation to hold them. Bounded by in-doubt prepared
-  // transaction size, the same bound the server's own 2PC state carries.
+  // participant's obligation to hold them. Same spill bound as streams.
   private var preparedOpen: Option[String] = None
   private val preparedBufs =
-    scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long, scala.collection.mutable.ArrayBuffer[(Long, PgOutputMessage)])]
+    scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long, TxnSpillBuffer)]
 
   private def nextSeq(): Long = { seq += 1; seq }
 
@@ -204,14 +271,14 @@ final class ChangeEventBuilder(
       // own WAL position regardless of any open transaction. Inside a
       // prepared txn a transactional message shares the txn's fate.
       if (m.transactional && preparedOpen.isDefined) {
-        preparedBufs(preparedOpen.get)._3 += ((lsn, m)); Nil
+        preparedBufs(preparedOpen.get)._3.append(0, lsn, m); Nil
       } else if (emitMessages) Seq(messageEvent(lsn, m, inTxn = m.transactional))
       else Nil
 
     case StreamStart(xid, _) =>
       streamXid = Some(xid)
       if (!streamBufs.contains(xid)) {
-        streamBufs(xid) = scala.collection.mutable.ArrayBuffer.empty
+        streamBufs(xid) = new TxnSpillBuffer(spillThreshold)
         streamFirstLsn(xid) = lsn
       }
       Nil
@@ -222,15 +289,16 @@ final class ChangeEventBuilder(
     case StreamedPart(subXid, inner) =>
       val top = streamXid.getOrElse(throw new PgOutputDecodeException(
         s"streamed '${inner.msgType}' frame outside an open stream segment"))
-      streamBufs(top) += ((subXid, lsn, inner))
+      streamBufs(top).append(subXid, lsn, inner)
       Nil
 
     case StreamAbort(xid, subXid) =>
       // Whole-transaction abort drops the buffer; a subtransaction abort
       // surgically removes only that subXid's frames — the rest of the
       // transaction stays pending until its own commit/abort.
-      if (subXid == xid) { streamBufs.remove(xid); streamFirstLsn.remove(xid) }
-      else streamBufs.get(xid).foreach(_.filterInPlace(_._1 != subXid))
+      if (subXid == xid) {
+        streamBufs.remove(xid).foreach(_.discard()); streamFirstLsn.remove(xid)
+      } else streamBufs.get(xid).foreach(_.dropSubXid(subXid))
       Nil
 
     case sc: StreamCommit =>
@@ -239,10 +307,9 @@ final class ChangeEventBuilder(
       // inside the stream apply to the registry here, so tuple projection
       // sees exactly the schema state the frames were generated under.
       val pending = streamBufs.remove(sc.xid)
-        .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
       val firstLsn = streamFirstLsn.remove(sc.xid).getOrElse(-1L)
       txn = Some(TxnMeta(sc.xid, firstLsn, sc.commitTs))
-      val out = pending.iterator.flatMap {
+      val out = pending.iterator.flatMap(_.drain()).flatMap {
         case (_, l, r: Relation) => registry.update(r); Nil
         case (_, l, t: PgType) => registry.updateType(t); Nil
         case (_, l, m: LogicalMessage) =>
@@ -255,7 +322,7 @@ final class ChangeEventBuilder(
 
     case BeginPrepare(pLsn, _, _, xid, gid) =>
       preparedOpen = Some(gid)
-      preparedBufs(gid) = (xid, lsn, scala.collection.mutable.ArrayBuffer.empty)
+      preparedBufs(gid) = (xid, lsn, new TxnSpillBuffer(spillThreshold))
       Nil
 
     case _: Prepare =>
@@ -268,12 +335,12 @@ final class ChangeEventBuilder(
         case None => Nil // resolution for a txn prepared before this stream
         case Some((xid, firstLsn, pending)) =>
           txn = Some(TxnMeta(xid, firstLsn, cp.commitTs))
-          val out = pending.iterator.flatMap {
-            case (_, r: Relation) => registry.update(r); Nil
-            case (_, y: PgType) => registry.updateType(y); Nil
-            case (l, m: LogicalMessage) =>
+          val out = pending.drain().flatMap {
+            case (_, _, r: Relation) => registry.update(r); Nil
+            case (_, _, y: PgType) => registry.updateType(y); Nil
+            case (_, l, m: LogicalMessage) =>
               if (emitMessages) Seq(messageEvent(l, m, inTxn = true)) else Nil
-            case (l, m) => emitDml(l, m)
+            case (_, l, m) => emitDml(l, m)
           }.toVector
           txn = None
           origin = None
@@ -281,22 +348,21 @@ final class ChangeEventBuilder(
       }
 
     case rp: RollbackPrepared =>
-      preparedBufs.remove(rp.gid)
+      preparedBufs.remove(rp.gid).foreach(_._3.discard())
       Nil
 
     case sp: StreamPrepare =>
-      // a streamed txn's PREPARE: its reassembled segments become an
-      // ordinary in-doubt prepared txn keyed by gid (resolution by 'K'/'r')
+      // a streamed txn's PREPARE: its buffer (spill file and all) moves to
+      // the prepared table keyed by gid, awaiting 'K'/'r' resolution
       val pending = streamBufs.remove(sp.xid)
-        .getOrElse(scala.collection.mutable.ArrayBuffer.empty)
+        .getOrElse(new TxnSpillBuffer(spillThreshold))
       val firstLsn = streamFirstLsn.remove(sp.xid).getOrElse(-1L)
-      preparedBufs(sp.gid) =
-        (sp.xid, firstLsn, pending.map { case (_, l, m) => (l, m) })
+      preparedBufs(sp.gid) = (sp.xid, firstLsn, pending)
       Nil
 
     case dml =>
       preparedOpen match {
-        case Some(gid) => preparedBufs(gid)._3 += ((lsn, dml)); Nil
+        case Some(gid) => preparedBufs(gid)._3.append(0, lsn, dml); Nil
         case None => emitDml(lsn, dml)
       }
   }

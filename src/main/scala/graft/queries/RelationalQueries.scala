@@ -866,6 +866,22 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Order statistics over a sliding window: per-user rolling median of
+    // the last 7 values (lower median — integer index into the sorted
+    // frame, so the only doubles are passthrough values, no interpolation
+    // arithmetic to diverge cross-engine). Scale shape: one user-keyed
+    // window pass; per-row state is the 7-row frame, O(frame) not O(rows).
+    "q57_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("frame", array_sort(collect_list(col("value")).over(w)))
+        .select(col("user_id"), col("event_id"),
+          element_at(col("frame"), ((size(col("frame")) + 1) / 2).cast("int"))
+            .as("rolling_median"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -879,6 +895,17 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q57_rolling_median" ->
+      """SELECT user_id, event_id,
+           fr[CAST((len(fr) + 1) // 2 AS INT)] AS rolling_median
+         FROM (
+           SELECT user_id, event_id,
+             list_sort(list(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+           FROM events)
+         ORDER BY user_id, event_id""",
+
     "q55_mode" ->
       """SELECT user_id, event_type AS mode_type, n FROM (
            SELECT user_id, event_type, COUNT(*) AS n,

@@ -295,6 +295,37 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
       Map("id" -> "2", "name" -> "b", "payload" -> null, "email" -> "b@x")))
   }
 
+  test("streamed txn overflow spills to disk and replays identically (threshold 2)") {
+    val reg = new SchemaRegistry
+    val b = new ChangeEventBuilder(reg, spillThreshold = 2)
+    b.process(1L, rel)
+    def ins(id: Int) = Insert(99, TupleData(Vector(t(id.toString), t("x"), n)))
+    b.process(100L, StreamStart(10, firstSegment = true))
+    // 6 frames: 2 on-heap, 4 spilled; subxact 11 aborts AFTER its frames
+    // spilled — the drop-set must filter the file replay too
+    b.process(101L, StreamedPart(10, ins(1)))
+    b.process(102L, StreamedPart(10, ins(2)))
+    b.process(103L, StreamedPart(10, ins(3)))
+    b.process(104L, StreamedPart(11, ins(4)))
+    b.process(105L, StreamedPart(10, ins(5)))
+    b.process(106L, StreamedPart(11, ins(6)))
+    b.process(107L, StreamStop)
+    b.process(108L, StreamAbort(10, 11))
+    val evs = b.process(109L, StreamCommit(10, 0, 200L, 201L, 7L))
+    assert(evs.map(e => e.after("id")) === Seq("1", "2", "3", "5"))
+    assert(evs.map(_.lsn) === Seq(101L, 102L, 103L, 105L))
+    assert(evs.forall(_.txId == 10))
+    // prepared txns share the spill machinery: prepare 4 frames at
+    // threshold 2, rollback must release without replay
+    val b2 = new ChangeEventBuilder(reg, spillThreshold = 2)
+    b2.process(1L, rel)
+    b2.process(200L, BeginPrepare(205L, 205L, 1L, 50, "G"))
+    (1 to 4).foreach(i => b2.process(200L + i, ins(i)))
+    b2.process(205L, Prepare(0, 205L, 205L, 1L, 50, "G"))
+    assert(b2.process(210L, RollbackPrepared(0, 205L, 210L, 1L, 2L, 50, "G")) === Nil)
+    assert(b2.process(211L, CommitPrepared(0, 211L, 211L, 3L, 50, "G")) === Nil)
+  }
+
   test("messages inside an aborted streamed txn are dropped with it") {
     val reg = new SchemaRegistry
     val b = new ChangeEventBuilder(reg, emitMessages = true)
