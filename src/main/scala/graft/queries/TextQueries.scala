@@ -215,6 +215,32 @@ object TextQueries {
     // shapes — one narrow scoring pass, one doc-keyed shingle agg, one
     // BROADCAST benchmark-gram join, then doc-keyed left joins (no new
     // shuffle class). Thresholds are explicit constants of the operator.
+    // One-row corpus health report — the dashboard snapshot a pipeline
+    // publishes per ingest run: volumes, language/source diversity, and
+    // the exact-duplicate footprint. Scale shape: one full-scan agg plus
+    // one digest-keyed agg (the dedup shuffle already priced elsewhere);
+    // the single ratio is one division of exact integers (round 6), so no
+    // float summation-order terms exist.
+    "text_corpus_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      val dup = docs
+        .groupBy(md5(col("text").cast(BinaryType)).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("dup_docs"),
+          count(lit(1)).as("dup_groups"))
+      base.crossJoin(dup)
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_chars"),
+          round(col("total_chars") / col("n_docs"), 6).as("avg_chars"),
+          col("dup_docs"), col("dup_groups"))
+    }),
+
     "text_quality_filter" -> ((s, d) => {
       val scored = withWords(Tables.documents(s, d))
         .withColumn("n_tokens", size(col("ws")))
@@ -426,6 +452,22 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_corpus_report" ->
+      """WITH base AS (
+           SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM documents),
+         dup AS (
+           SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS dup_docs,
+             COUNT(*) AS dup_groups
+           FROM (SELECT md5(text) AS h, COUNT(*) AS n
+                 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2))
+         SELECT n_docs, n_langs, n_sources, total_chars,
+           ROUND(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars,
+           dup_docs, dup_groups
+         FROM base CROSS JOIN dup""",
+
     "text_sample_split" ->
       """WITH b AS (
            SELECT lang, doc_id,
