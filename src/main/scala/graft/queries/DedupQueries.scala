@@ -483,6 +483,27 @@ object DedupQueries {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           round(col("cos"), 6).as("cos_sim"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Cross-modal near-dup verification: textual LSH candidates re-scored
+    // by embedding cosine — the two independent signals a production dedup
+    // pipeline fuses (surface n-gram overlap can be boilerplate; embedding
+    // agreement says the MEANING matches too). Scale shape: the pair list
+    // (≪ corpus) joins the embedding store twice by id — two broadcast-or-
+    // shuffle hash joins on a tiny left side; one dot product per pair,
+    // never a pairwise scan.
+    "dedup_semantic_verify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      minhashCandidatePairs(s, d)
+        .join(e.as("ea"), col("a_id") === col("ea.vec_id"))
+        .join(e.as("eb"), col("b_id") === col("eb.vec_id"))
+        .withColumn("cos", dotD(col("ea.embedding"), col("eb.embedding")) /
+          (col("ea.nrm") * col("eb.nrm")))
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"),
+          (col("cos") >= 0.5).as("semantic_dup"))
+        .orderBy(col("a_id"), col("b_id"))
     }))
 
   private val WsSql = "string_split(text, ' ')"
@@ -714,5 +735,21 @@ object DedupQueries {
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
+         ORDER BY a_id, b_id""",
+
+    "dedup_semantic_verify" ->
+      s"""WITH sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+            prs AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         SELECT p.a_id, p.b_id,
+           round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cos_sim,
+           ${cosSql("ea.embedding", "eb.embedding")} >= 0.5 AS semantic_dup
+         FROM prs p
+         JOIN embeddings ea ON p.a_id = ea.vec_id
+         JOIN embeddings eb ON p.b_id = eb.vec_id
          ORDER BY a_id, b_id""")
 }
