@@ -882,6 +882,36 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Peak concurrency by interval sweep — how many 10-minute event
+    // intervals overlap at once, per hour. The classic global running sum
+    // is a SINGLE total order (unscalable as one partition); this is the
+    // distributed form: ±1 deltas sweep WITHIN hour buckets, and bucket
+    // offsets come from a second, tiny prefix-sum window over per-bucket
+    // totals (rows = number of hours, thousands at warehouse scale — the
+    // only single-partition step, and it is O(buckets), not O(events)).
+    // Tie order (t, d) puts interval ends before starts at the same
+    // instant (end-exclusive intervals); per-hour MAX is invariant to
+    // intra-tie permutation since equal deltas commute.
+    "q58_peak_concurrency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dl = ev.select(col("ts").as("t"), lit(1).as("dlt"))
+        .unionByName(ev.select(
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("t"), lit(-1).as("dlt")))
+        .withColumn("bucket", date_trunc("hour", col("t")))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("t"), col("dlt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = dl.groupBy(col("bucket")).agg(sum(col("dlt")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(wB), lit(0L)))
+        .select(col("bucket"), col("off"))
+      dl.withColumn("run_in", sum(col("dlt")).over(wIn))
+        .join(broadcast(offsets), "bucket")
+        .groupBy(col("bucket").as("hour"))
+        .agg(max(col("off") + col("run_in")).as("peak"))
+        .orderBy(col("hour"))
+    }),
+
     // CDC compaction as pure SQL: latest event per key via max_by ordering
     // tuple — the materialization primitive (SURVEY.md §2.2 Aggregations).
     "q23_latest_by_key" -> ((s, d) => {
@@ -895,6 +925,19 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q58_peak_concurrency" ->
+      """WITH dl AS (
+           SELECT ts AS t, 1 AS dlt FROM events
+           UNION ALL
+           SELECT ts + INTERVAL 10 MINUTE, -1 FROM events),
+         r AS (
+           SELECT t, SUM(dlt) OVER (ORDER BY t, dlt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM dl)
+         SELECT CAST(date_trunc('hour', t) AS TIMESTAMP) AS hour,
+           CAST(MAX(run) AS BIGINT) AS peak
+         FROM r GROUP BY 1 ORDER BY 1""",
+
     "q57_rolling_median" ->
       """SELECT user_id, event_id,
            fr[CAST((len(fr) + 1) // 2 AS INT)] AS rolling_median

@@ -264,6 +264,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p)
   }
 
+  test("q58 interval sweep: event-level window is bucket-partitioned, offsets broadcast") {
+    val p = plan("q58_peak_concurrency")
+    // the O(events) running sum must be partitioned by hour bucket — a
+    // global-order window here would serialize the whole sweep
+    assert(p.contains("windowspecdefinition(bucket"), p)
+    // bucket offsets (rows = number of hours) join back via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q54 regression aggregates partial-aggregate map-side (two-phase HashAggregate)") {
     val p = plan("q54_regression")
     // co-moment aggregates are mergeable: a partial aggregate must appear
