@@ -326,6 +326,78 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     assert(b2.process(211L, CommitPrepared(0, 211L, 211L, 3L, 50, "G")) === Nil)
   }
 
+  test("property: streamed delivery is invariant to segmentation and interleaving (200 arrangements)") {
+    // k transactions, each inserting its own keys; a random subset aborts.
+    // Streamed form: each txn's frames split into random segments, segments
+    // of all txns interleaved randomly (per-txn order preserved), aborts
+    // and commits appended. The final last-LSN-wins image per key must
+    // equal plain sequential processing of just the committed txns.
+    val rnd = new scala.util.Random(42)
+    def ins(id: Int) = Insert(99, TupleData(Vector(t(id.toString), t(s"v$id"), n)))
+    for (trial <- 1 to 200) {
+      val nTxn = 1 + rnd.nextInt(4)
+      val txns = (0 until nTxn).map { i =>
+        val keys = (0 until 1 + rnd.nextInt(5)).map(j => i * 100 + j)
+        val aborted = rnd.nextBoolean() && i > 0
+        (1000 + i, keys, aborted)
+      }
+      // expected: plain processing of committed txns only
+      val (bp, _) = fresh()
+      val expected = txns.filterNot(_._3).flatMap { case (xid, keys, _) =>
+        bp.process(1L, Begin(2L, 0L, xid))
+        val evs = keys.flatMap(k => bp.process(10L + k, ins(k)))
+        bp.process(2L, Commit(0, 2L, 2L, 0L))
+        evs
+      }.map(e => (e.after("id"), e.after("name"), e.lsn)).toSet
+      // streamed arrangement: split each txn's frames into segments
+      val segments = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Int])]
+      txns.foreach { case (xid, keys, _) =>
+        var rest = keys
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(rest.size)
+          segments += ((xid, rest.take(take)))
+          rest = rest.drop(take)
+        }
+      }
+      // interleave randomly while preserving each txn's own segment order:
+      // repeatedly pick a txn that still has segments and emit its next one
+      val byTxn = segments.toSeq.groupBy(_._1)
+      val pending = scala.collection.mutable.Map(byTxn.view.mapValues(_.toList).toSeq: _*)
+      val arrangement = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Int])]
+      while (pending.nonEmpty) {
+        val xids = pending.keys.toSeq
+        val x = xids(rnd.nextInt(xids.size))
+        arrangement += pending(x).head
+        pending(x) = pending(x).tail
+        if (pending(x).isEmpty) pending.remove(x)
+      }
+      val (bs, _) = fresh()
+      val got = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      arrangement.foreach { case (xid, keys) =>
+        bs.process(1L, StreamStart(xid, firstSegment = true))
+        keys.foreach(k => got ++= bs.process(10L + k, StreamedPart(xid, ins(k))))
+        got ++= bs.process(1L, StreamStop)
+      }
+      txns.foreach { case (xid, _, aborted) =>
+        if (aborted) got ++= bs.process(2L, StreamAbort(xid, xid))
+        else got ++= bs.process(2L, StreamCommit(xid, 0, 2L, 2L, 0L))
+      }
+      val gotSet = got.map(e => (e.after("id"), e.after("name"), e.lsn)).toSet
+      assert(gotSet === expected, s"trial $trial: $arrangement")
+    }
+  }
+
+  test("stream edge cases: empty txn, unknown commit/abort are inert") {
+    val (b, _) = fresh()
+    b.process(1L, StreamStart(5, firstSegment = true))
+    assert(b.process(2L, StreamStop) === Nil)
+    assert(b.process(3L, StreamCommit(5, 0, 3L, 3L, 0L)) === Nil) // empty txn
+    assert(b.process(4L, StreamCommit(999, 0, 4L, 4L, 0L)) === Nil) // unknown xid
+    assert(b.process(5L, StreamAbort(998, 998)) === Nil)
+    assert(b.process(6L, CommitPrepared(0, 6L, 6L, 0L, 7, "nope")) === Nil)
+    assert(b.process(7L, RollbackPrepared(0, 1L, 7L, 0L, 0L, 7, "nope")) === Nil)
+  }
+
   test("messages inside an aborted streamed txn are dropped with it") {
     val reg = new SchemaRegistry
     val b = new ChangeEventBuilder(reg, emitMessages = true)
