@@ -882,6 +882,34 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
+    // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
+    // the mergeable-sketch form of an audience-overlap question that at
+    // 100 TB never needs the raw user sets co-shuffled. Gate = the q26
+    // error-envelope pattern: exact values ride along (one user-keyed agg)
+    // and the output asserts the estimate landed within 25% of the exact
+    // union (three ±2.5%-rsd sketches compound on a ~150-user domain);
+    // Spark's HLL is deterministic, so the boolean is stable.
+    "q59_sketch_intersection" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("a"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("b"))
+        .agg(sum(col("a")).as("n_click"), sum(col("b")).as("n_view"),
+          sum(col("a") * col("b")).as("n_both"), count(lit(1)).as("n_union"))
+      val approx = ev.agg(
+        approx_count_distinct(
+          when(col("event_type") === "click", col("user_id")), 0.025).as("ca"),
+        approx_count_distinct(
+          when(col("event_type") === "view", col("user_id")), 0.025).as("cb"),
+        approx_count_distinct(col("user_id"), 0.025).as("cu"))
+      exact.crossJoin(approx)
+        .select(col("n_click"), col("n_view"), col("n_both"), col("n_union"),
+          (abs(col("ca") + col("cb") - col("cu") - col("n_both")) <=
+            col("n_union") * 0.25).as("inter_within_bound"))
+    }),
+
     // Peak concurrency by interval sweep — how many 10-minute event
     // intervals overlap at once, per hour. The classic global running sum
     // is a SINGLE total order (unscalable as one partition); this is the
@@ -925,6 +953,19 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q59_sketch_intersection" ->
+      """SELECT CAST(SUM(a) AS BIGINT) AS n_click,
+           CAST(SUM(b) AS BIGINT) AS n_view,
+           CAST(SUM(a * b) AS BIGINT) AS n_both,
+           COUNT(*) AS n_union,
+           TRUE AS inter_within_bound
+         FROM (
+           SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY user_id)""",
+
     "q58_peak_concurrency" ->
       """WITH dl AS (
            SELECT ts AS t, 1 AS dlt FROM events

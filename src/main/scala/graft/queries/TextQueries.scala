@@ -215,6 +215,31 @@ object TextQueries {
     // shapes — one narrow scoring pass, one doc-keyed shingle agg, one
     // BROADCAST benchmark-gram join, then doc-keyed left joins (no new
     // shuffle class). Thresholds are explicit constants of the operator.
+    // Per-document token entropy — the information-theoretic quality
+    // signal (templated/boilerplate text scores low, diverse prose high;
+    // complements the ratio-based heuristics of text_quality). Float
+    // determinism: the per-doc Σ p·ln p folds left-to-right over the
+    // SORTED count list on both engines (the DistSql trick applied to an
+    // aggregation), so summation order is pinned; ln() differs across
+    // libms only in final ulps, absorbed by round-6. Scale shape: one
+    // explode + (doc, token) hash agg + doc-keyed agg — same class as
+    // text_termfreq.
+    "text_entropy" -> ((s, d) => {
+      val tf = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      tf.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"),
+          sum(col("n")).as("tot"))
+        .select(col("doc_id"),
+          round(-aggregate(col("ns"), lit(0.0), (acc, x) =>
+            acc + (x.cast("double") / col("tot").cast("double")) *
+              log(x.cast("double") / col("tot").cast("double"))), 6)
+            .as("entropy"),
+          col("tot").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // One-row corpus health report — the dashboard snapshot a pipeline
     // publishes per ingest run: volumes, language/source diversity, and
     // the exact-duplicate footprint. Scale shape: one full-scan agg plus
@@ -452,6 +477,23 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH tf AS (
+           SELECT doc_id, w, COUNT(*) AS n
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY doc_id, w),
+         l AS (
+           SELECT doc_id, list_sort(list(n)) AS ns,
+             CAST(SUM(n) AS BIGINT) AS tot
+           FROM tf GROUP BY doc_id)
+         SELECT doc_id,
+           ROUND(-list_reduce(list_transform(ns,
+             x -> (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) *
+                  ln(CAST(x AS DOUBLE) / CAST(tot AS DOUBLE))),
+             (a, b) -> a + b), 6) AS entropy,
+           tot AS n_tokens
+         FROM l ORDER BY doc_id""",
+
     "text_corpus_report" ->
       """WITH base AS (
            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
