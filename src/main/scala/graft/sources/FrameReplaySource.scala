@@ -39,7 +39,8 @@ import graft.decode.{ChangeEventBuilder, PgOutputDecoder, SchemaRegistry}
   *    instead (K3).
   *  - Options: `path` (frame log file), `maxFramesPerTrigger` (admission
   *    control), `txn.markers` (emit 'B'/'C' sentinel rows for txn-atomic
-  *    assembly downstream).
+  *    assembly downstream), `messages` (surface 'M' logical decoding
+  *    messages as op="M" rows — the WAL audit channel).
   */
 class FrameReplayProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pgcdc-replay"
@@ -66,6 +67,7 @@ final class FrameReplayTable(properties: Map[String, String]) extends Table with
 
 final class FrameReplayScan(path: String, options: Map[String, String]) extends Scan {
   private val txnMarkers = options.get("txn.markers").exists(_.toBoolean)
+  private val messages = options.get("messages").exists(_.toBoolean)
   private val maxPerTrigger = options.get("maxFramesPerTrigger").map(_.toLong)
 
   override def readSchema(): StructType = Envelope.schema
@@ -73,23 +75,25 @@ final class FrameReplayScan(path: String, options: Map[String, String]) extends 
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(FrameRange(path, 0L, FrameLog.count(path), txnMarkers))
+      Array(FrameRange(path, 0L, FrameLog.count(path), txnMarkers, messages))
     override def createReaderFactory(): PartitionReaderFactory = new FrameReaderFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FrameReplayMicroBatch(path, maxPerTrigger, txnMarkers)
+    new FrameReplayMicroBatch(path, maxPerTrigger, txnMarkers, messages)
 }
 
 final case class FrameOffset(idx: Long) extends Offset {
   override def json(): String = idx.toString
 }
 
-final case class FrameRange(path: String, from: Long, until: Long, txnMarkers: Boolean)
+final case class FrameRange(path: String, from: Long, until: Long,
+    txnMarkers: Boolean, messages: Boolean = false)
   extends InputPartition
 
 final class FrameReplayMicroBatch(
-    path: String, maxPerTrigger: Option[Long], txnMarkers: Boolean)
+    path: String, maxPerTrigger: Option[Long], txnMarkers: Boolean,
+    messages: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // For Trigger.AvailableNow: pin the end of "available" at query start so
@@ -122,7 +126,7 @@ final class FrameReplayMicroBatch(
     val s = start.asInstanceOf[FrameOffset].idx
     val e = end.asInstanceOf[FrameOffset].idx
     if (e <= s) Array.empty
-    else Array(FrameRange(path, s, e, txnMarkers))
+    else Array(FrameRange(path, s, e, txnMarkers, messages))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new FrameReaderFactory
@@ -145,7 +149,8 @@ final class FrameReaderFactory extends PartitionReaderFactory {
 /** Replays the log prefix to rebuild decode state, emits [from, until). */
 final class FramePartitionReader(p: FrameRange) extends PartitionReader[InternalRow] {
   private val registry = new SchemaRegistry
-  private val builder = new ChangeEventBuilder(registry, emitTxnMarkers = p.txnMarkers)
+  private val builder = new ChangeEventBuilder(registry,
+    emitTxnMarkers = p.txnMarkers, emitMessages = p.messages)
   private var idx = 0L
   private val entries = FrameLog.read(p.path, 0L, p.until)
   private var pending: Iterator[InternalRow] = Iterator.empty

@@ -104,7 +104,8 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
       case "framelog" =>
         new FrameReplayMicroBatch(opts("path"),
           opts.get("maxFramesPerTrigger").map(_.toLong),
-          opts.get("txn.markers").exists(_.toBoolean))
+          opts.get("txn.markers").exists(_.toBoolean),
+          opts.get("messages").exists(_.toBoolean))
       case "pgjdbc" =>
         PgJdbcReplication.requireDriver()
         new PgCdcMicroBatch(
@@ -112,14 +113,16 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           opts.get("startLsn").map(_.toLong).getOrElse(0L),
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
-          checkpointLocation)
+          checkpointLocation,
+          opts.get("messages").exists(_.toBoolean))
       case "conduit" =>
         new PgCdcMicroBatch(
           PgCdcConduits.acquire(opts("conduit.name")),
           opts.get("startLsn").map(_.toLong).getOrElse(0L),
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
-          checkpointLocation)
+          checkpointLocation,
+          opts.get("messages").exists(_.toBoolean))
     }
 }
 
@@ -198,14 +201,16 @@ final class EnvelopeEventsReaderFactory extends PartitionReaderFactory {
   */
 final class PgCdcMicroBatch(
     conduit: ReplicationConduit, startLsn: Long, maxFramesPerTrigger: Option[Long],
-    txnMarkers: Boolean, checkpointLocation: String)
+    txnMarkers: Boolean, checkpointLocation: String,
+    messages: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import graft.decode.{ChangeEvent, ChangeEventBuilder, PgOutputDecoder, SchemaRegistry}
 
   private val registry: SchemaRegistry = loadRegistry()
-  private val builder = new ChangeEventBuilder(registry, emitTxnMarkers = txnMarkers)
+  private val builder = new ChangeEventBuilder(registry,
+    emitTxnMarkers = txnMarkers, emitMessages = messages)
   private var started = false
   // decoded, not-yet-committed events per frame LSN (ascending)
   private val buffered = scala.collection.mutable.ArrayDeque.empty[(Long, Seq[ChangeEvent])]

@@ -159,6 +159,28 @@ class FrameReplaySourceSpec extends AnyFunSuite {
     assert(q.recentProgress.length >= 3) // boundaries really cut the streams
   }
 
+  test("messages option surfaces 'M' rows; default hides them") {
+    val p = Files.createTempDirectory("flog").resolve("log.bin").toString
+    val frames = Iterator(
+      FrameLog.Entry(0L, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(10L, PgOutputEncoder.encode(Begin(13L, 1000L, 7))),
+      FrameLog.Entry(11L, PgOutputEncoder.encode(
+        LogicalMessage(transactional = true, 11L, "audit", "k=1".getBytes("UTF-8")))),
+      FrameLog.Entry(12L, PgOutputEncoder.encode(
+        Insert(7, TupleData(Vector(t("1"), t("v1")))))),
+      FrameLog.Entry(13L, PgOutputEncoder.encode(Commit(0, 13L, 13L, 1000L))))
+    FrameLog.write(p, frames)
+    def read(messages: Boolean) =
+      spark.read.format("graft.sources.FrameReplayProvider")
+        .option("path", p).option("messages", messages.toString).load()
+    assert(read(messages = false).count() === 1) // just the insert
+    val rows = read(messages = true).orderBy("lsn", "seq")
+      .select("op", "after").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("M", "I"))
+    val m = rows.head.getAs[Map[String, String]]("after")
+    assert(m("prefix") === "audit" && m("content") === "k=1")
+  }
+
   test("txn.markers option emits B/C sentinel rows") {
     val p = Files.createTempDirectory("flog").resolve("log.bin").toString
     writeLog(p, 3)
