@@ -882,6 +882,30 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Time-weighted average per user — each event's value holds until the
+    // user's next event, so the mean weights by HOLDING TIME, not event
+    // count (the metric/finance semantics a plain AVG silently gets
+    // wrong). Determinism: value has 2 decimals → ×100 is an exact
+    // integer; weights are whole microseconds; the whole integral is
+    // INTEGER arithmetic with one final division (round 6) — no float
+    // summation anywhere. Scale shape: one user-keyed window (lead) + one
+    // user-keyed agg sharing the partitioning.
+    "q60_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("dt_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull) // last segment is open-ended
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(col("cents") * col("dt_us")).cast("double") /
+            (sum(col("dt_us")) * 100.0), 6).as("time_weighted_avg"),
+          sum(col("dt_us")).as("span_us"),
+          count(lit(1)).as("n_segments"))
+        .orderBy(col("user_id"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -953,6 +977,21 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q60_time_weighted" ->
+      """WITH seg AS (
+           SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+           FROM events)
+         SELECT user_id,
+           ROUND(CAST(SUM(cents * dt_us) AS DOUBLE) /
+                 (CAST(SUM(dt_us) AS DOUBLE) * 100.0), 6) AS time_weighted_avg,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           COUNT(*) AS n_segments
+         FROM seg WHERE dt_us IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+
     "q59_sketch_intersection" ->
       """SELECT CAST(SUM(a) AS BIGINT) AS n_click,
            CAST(SUM(b) AS BIGINT) AS n_view,
