@@ -161,6 +161,51 @@ object PgCdcConduits {
       s"pgcdc: no conduit registered under '$name'"))
 }
 
+/** Tee: every frame read from `inner` is also appended to a durable
+  * [[FrameLog]] — record production WAL traffic once, replay it forever
+  * (CI regression corpora, disaster-recovery drills, bug repros with the
+  * exact byte stream that triggered them). Frames flush in batches of
+  * `flushEvery` so recording cost stays amortized; the tail flushes on
+  * close, and a torn final record is tolerated by FrameLog's reader.
+  * Restart-safe: on `start(afterLsn)` the tee keeps appending — the log
+  * may then contain duplicate LSN ranges, which the deterministic
+  * message-id dedup (or an LSN filter at replay) absorbs, mirroring the
+  * at-least-once contract of the stream itself. */
+final class RecordingConduit(
+    inner: ReplicationConduit, logPath: String, flushEvery: Int = 256)
+    extends ReplicationConduit {
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[FrameLog.Entry]
+
+  private def flush(): Unit = if (pending.nonEmpty) {
+    FrameLog.append(logPath, pending.iterator)
+    pending.clear()
+  }
+
+  override def start(afterLsn: Long): Unit = inner.start(afterLsn)
+
+  override def read(): Option[(Long, Array[Byte])] = {
+    val frame = inner.read()
+    frame.foreach { case (lsn, payload) =>
+      pending += FrameLog.Entry(lsn, payload)
+      if (pending.size >= flushEvery) flush()
+    }
+    frame
+  }
+
+  override def setFlushedLSN(lsn: Long): Unit = {
+    // frames at or below the feedback LSN must be durably recorded before
+    // the server is told it may reclaim their WAL — otherwise a crash
+    // leaves a hole the replay log can never recover
+    flush()
+    inner.setFlushedLSN(lsn)
+  }
+
+  override def close(): Unit = {
+    flush()
+    inner.close()
+  }
+}
+
 final case class LsnOffset(lsn: Long) extends Offset {
   override def json(): String = lsn.toString
 }
