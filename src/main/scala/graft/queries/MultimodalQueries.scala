@@ -13,6 +13,24 @@ import graft.operators.Multimodal
 object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Content-addressable blob store view: identical media payloads stored
+    // ONCE, every holder pointing at the canonical copy — the dedup layer
+    // under any multimodal lake (image/video corpora are heavily
+    // duplicated). Codec-independent: works on the opaque bytes. Scale
+    // shape: one digest-keyed shuffle carrying (16-byte digest, 8-byte
+    // length) per blob — never the payload bytes themselves.
+    "mm_blob_dedup" -> ((s, d) => {
+      graft.operators.Multimodal.mediaTable(s, d)
+        .select(col("doc_id"), md5(col("payload")).as("digest"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("refcount"),
+          min(col("n_bytes")).as("blob_bytes"),
+          (sum(col("n_bytes")) - min(col("n_bytes"))).as("bytes_saved"))
+        .orderBy(col("digest"))
+    }),
+
     "mm_decode_meta" -> ((s, d) => {
       Multimodal.decodeMeta(Multimodal.mediaTable(s, d))
         .toDF().orderBy(col("doc_id"))
@@ -62,6 +80,13 @@ object MultimodalQueries {
     "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
 
   val oracleSql: Map[String, String] = Map(
+    "mm_blob_dedup" ->
+      """SELECT md5(text) AS digest,
+           MIN(doc_id) AS canonical_id, COUNT(*) AS refcount,
+           CAST(MIN(strlen(text)) AS BIGINT) AS blob_bytes,
+           CAST(SUM(strlen(text)) - MIN(strlen(text)) AS BIGINT) AS bytes_saved
+         FROM documents GROUP BY 1 ORDER BY digest""",
+
     "mm_text_embedding_view" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,
            CASE WHEN e.vec_id IS NULL THEN NULL
