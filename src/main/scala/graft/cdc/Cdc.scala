@@ -226,6 +226,34 @@ object Cdc {
         sum(col("net")).as("c"))
   }
 
+  /** Incrementally-maintained TOP-K view (retraction-capable — the
+    * generalization of [[incrementalMinMax]]): the k largest DISTINCT
+    * values per group with their live multiplicities, computed purely from
+    * event deltas via net per-(group, value) row counts. A delete that
+    * evicts a top value is handled for free: the value's net count drops
+    * to 0 and the next value ranks in — no per-group rescan, because the
+    * net-count table IS the full ordered state, distributed by (g, v).
+    * Same REPLICA IDENTITY FULL contract as the other delta views. */
+  def incrementalTopK(
+      events: DataFrame, groupCol: String, valueCol: String, k: Int,
+      groupType: Option[String] = None): DataFrame = {
+    val ev = survivingEvents(events)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def g(img: String) = canonKey(element_at(col(img), groupCol), groupType).as("g")
+    val plus = ev.filter(col("op").isin("I", "U"))
+      .select(g("after"),
+        element_at(col("after"), valueCol).cast(dec).as("v"), lit(1L).as("n"))
+    val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
+      .select(g("before"),
+        element_at(col("before"), valueCol).cast(dec).as("v"), lit(-1L).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    plus.unionByName(minus)
+      .groupBy(col("g"), col("v")).agg(sum(col("n")).as("net"))
+      .filter(col("net") > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** SCD type-2 history: every row version the change stream ever produced,
     * with its validity interval in WAL order — the warehouse "history table"
     * a CDC consumer builds next after current state (the reference leaves

@@ -135,6 +135,21 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Incrementally-maintained TOP-K view: the 3 highest live prices per
+    // priority with multiplicities, from deltas alone — deletes that evict
+    // a leader promote the runner-up without any rescan (the distributed
+    // net-count table is the full ordered state). Must equal ranking the
+    // oracle's final table state.
+    "cdc_incremental_topk" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalTopK(events, "o_orderpriority", "o_totalprice", 3)
+        .select(col("g").as("o_orderpriority"),
+          col("v").cast("double").as("price"), col("net").as("n_rows"),
+          col("rk"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
     // Incrementally-maintained JOIN-aggregate view: revenue per customer
     // nation, maintained purely from order deltas. The Δ⋈dim maintenance
     // rule: each event's ±(o_custkey, o_totalprice) contribution is
@@ -482,6 +497,22 @@ object CdcQueries {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE o_orderkey % 7 <> 0
          GROUP BY n_name ORDER BY n_name""",
+
+    "cdc_incremental_topk" ->
+      """WITH st AS (
+           SELECT o_orderpriority,
+             CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS DECIMAL(28,6)) AS price
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         ranked AS (
+           SELECT o_orderpriority, price, COUNT(*) AS n_rows,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY price DESC) AS rk
+           FROM st GROUP BY o_orderpriority, price)
+         SELECT o_orderpriority, CAST(price AS DOUBLE) AS price,
+           n_rows, CAST(rk AS INT) AS rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY o_orderpriority, rk""",
 
     "cdc_incremental_minmax" ->
       """SELECT o_orderpriority,

@@ -192,6 +192,30 @@ class CdcSpec extends AnyFunSuite {
       ("1", "second", 10L, None, true)))
   }
 
+  test("incremental top-k: deleting the leader promotes the runner-up, no rescan") {
+    import spark.implicits._
+    def dev(op: String, lsn: Long, seq: Long, id: String, g: String, v: String,
+        withBefore: Boolean) =
+      ChangeEvent(op, s"$lsn-$seq", lsn, seq, 1, lsn, 0L, "public", "t", 1,
+        Map("id" -> id),
+        if (withBefore) Map("id" -> id, "grp" -> g, "val" -> v) else null,
+        if (op == "D") null else Map("id" -> id, "grp" -> g, "val" -> v),
+        Nil, Nil)
+    val events = Seq(
+      dev("I", 10, 1, "1", "a", "100", withBefore = false),
+      dev("I", 11, 2, "2", "a", "90", withBefore = false),
+      dev("I", 12, 3, "3", "a", "80", withBefore = false),
+      dev("I", 13, 4, "4", "a", "70", withBefore = false),
+      // the current leader (100) is deleted with a full before image
+      ChangeEvent("D", "14-5", 14, 5, 1, 14, 0L, "public", "t", 1,
+        Map("id" -> "1"), Map("id" -> "1", "grp" -> "a", "val" -> "100"),
+        null, Nil, Nil))
+    val out = Cdc.incrementalTopK(spark.createDataset(events).toDF(), "grp", "val", 3)
+      .orderBy(org.apache.spark.sql.functions.col("rk"))
+      .collect().map(r => (r.getAs[java.math.BigDecimal]("v").doubleValue, r.getAs[Int]("rk")))
+    assert(out.toSeq === Seq((90.0, 1), (80.0, 2), (70.0, 3)))
+  }
+
   test("numeric group keys with differing text renderings canonicalize into one group") {
     import spark.implicits._
     // the same numeric group 5 rendered three ways on the wire — raw text
