@@ -387,6 +387,24 @@ class ChangeEventBuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("spill buffer lifecycle: file created past threshold, deleted on drain and on discard") {
+    val buf = new TxnSpillBuffer(spillThreshold = 1)
+    def ins(id: String) = Insert(99, TupleData(Vector(t(id))))
+    buf.append(0, 1L, ins("1")) // on heap
+    buf.append(0, 2L, ins("2")) // spills
+    buf.append(0, 3L, ins("3")) // spills
+    val drained = buf.drain().toVector
+    assert(drained.map(_._2) === Seq(1L, 2L, 3L))
+    assert(drained.map(_._3).collect { case Insert(_, td) => td.columns.head.data.get }
+      === Seq("1", "2", "3"))
+    // discard on a fresh spilled buffer releases without replay
+    val buf2 = new TxnSpillBuffer(spillThreshold = 1)
+    buf2.append(0, 1L, ins("1"))
+    buf2.append(0, 2L, ins("2"))
+    buf2.discard()
+    assert(buf2.drain().isEmpty)
+  }
+
   test("stream edge cases: empty txn, unknown commit/abort are inert") {
     val (b, _) = fresh()
     b.process(1L, StreamStart(5, firstSegment = true))
