@@ -236,7 +236,24 @@ object Cdc {
     * Same REPLICA IDENTITY FULL contract as the other delta views. */
   def incrementalTopK(
       events: DataFrame, groupCol: String, valueCol: String, k: Int,
-      groupType: Option[String] = None): DataFrame = {
+      groupType: Option[String] = None): DataFrame =
+    rankTopK(netCounts(events, groupCol, valueCol, groupType)
+      .filter(col("net") > 0), k)
+
+  /** Rank a (g, v, net) net-count table: k largest values per group. */
+  private[graft] def rankTopK(netTable: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    netTable.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Net per-(group, value) row-count deltas of a batch (nonzero rows
+    * only): the shared substrate of the retraction-capable MIN/MAX and
+    * TOP-K views. Within one batch a net can be NEGATIVE — a delete whose
+    * insert landed in an earlier batch — which is why the streaming sinks
+    * merge nonzero nets with prior state before filtering > 0. */
+  private[graft] def netCounts(
+      events: DataFrame, groupCol: String, valueCol: String,
+      groupType: Option[String]): DataFrame = {
     val ev = survivingEvents(events)
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     def g(img: String) = canonKey(element_at(col(img), groupCol), groupType).as("g")
@@ -246,12 +263,9 @@ object Cdc {
     val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
       .select(g("before"),
         element_at(col("before"), valueCol).cast(dec).as("v"), lit(-1L).as("n"))
-    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
     plus.unionByName(minus)
       .groupBy(col("g"), col("v")).agg(sum(col("n")).as("net"))
-      .filter(col("net") > 0)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .filter(col("net") =!= 0)
   }
 
   /** SCD type-2 history: every row version the change stream ever produced,

@@ -697,6 +697,74 @@ object Streams {
       "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Incrementally-maintained TOP-K view, streaming form: the state is the
+    * full (group, value, net) net-count table — distributed by group and
+    * sized by live DISTINCT values, which is exactly what makes retraction
+    * free (an evicted leader's net drops to 0 and the runner-up ranks in;
+    * no rescan, unlike the bounded-synopsis MIN/MAX sink). Per batch the
+    * nonzero delta nets merge with prior state by (g, v); replay
+    * high-water, truncate reset, and the atomic manifest protocol are the
+    * SUM/COUNT sink's. Read the view with [[topKFromState]]. */
+  def incrementalTopKSink(envelope: DataFrame, rel: Relation, groupCol: String,
+      valueCol: String, stateDir: String, checkpointDir: String,
+      groupType: Option[String] = None): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeTopKBatch(batch, rel, groupCol, valueCol, stateDir, groupType)
+      }
+      .start()
+
+  def topKFromState(spark: SparkSession, stateDir: String, k: Int): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed top-k state under $stateDir"))
+    Cdc.rankTopK(spark.read.parquet(s"$stateDir/$v"), k)
+  }
+
+  private[streaming] def mergeTopKBatch(batch0: DataFrame, rel: Relation,
+      groupCol: String, valueCol: String, stateDir: String,
+      groupType: Option[String]): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val probe = batch.agg(
+      max(struct(col("lsn"), col("seq"))).as("mx"),
+      max(when(col("op") === "T", struct(col("lsn"), col("seq")))).as("t"),
+      sum(when(col("op") === "U" && col("before").isNull, 1L).otherwise(0L)).as("badU")
+    ).first()
+    if (probe.isNullAt(0)) return
+    require(probe.getLong(2) == 0L,
+      s"incrementalTopKSink(${rel.name}): update without a before image — " +
+        "the table needs REPLICA IDENTITY FULL for aggregate maintenance")
+    val mx = probe.getStruct(0)
+    val truncates = !probe.isNullAt(1) && {
+      val t = probe.getStruct(1)
+      t.getLong(0) > hwLsn || (t.getLong(0) == hwLsn && t.getLong(1) > hwSeq)
+    }
+    val fresh = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    val delta = Cdc.netCounts(fresh, groupCol, valueCol, groupType)
+    val existing =
+      if (!truncates) manifest.get("data").map(v => spark.read.parquet(s"$stateDir/$v"))
+      else None
+    val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("g"), col("v")).agg(sum(col("net")).as("net"))
+      .filter(col("net") > 0)
+    val next = StateStore.newVersion("data")
+    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
   /** Incrementally-maintained MIN/MAX/COUNT view with BOUNDED per-group
     * state (graft.cdc.BoundedMinMax: k smallest/largest distinct values
     * with exact counts). Each micro-batch merges net (group, value) deltas

@@ -585,6 +585,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("incremental top-k sink across micro-batches equals the batch form (cross-batch retraction)") {
+    val dir = Files.createTempDirectory("topksink")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(
+      updates = true, deletes = true, fullImages = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // small batches: deletes/updates retract inserts from EARLIER batches,
+    // exercising the negative-delta merge path
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
+    val q = Streams.incrementalTopKSink(env, graft.cdc.CdcPipeline.ordersRelation,
+      "o_orderpriority", "o_totalprice",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g", "rk").collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          r.getDecimal(r.fieldIndex("v")).toPlainString,
+          r.getLong(r.fieldIndex("net")), r.getInt(r.fieldIndex("rk"))))
+    val got = rows(Streams.topKFromState(spark, dir.resolve("state").toString, 3))
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)).toDF()
+    val expected = rows(graft.cdc.Cdc
+      .incrementalTopK(events, "o_orderpriority", "o_totalprice", 3))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("bounded MIN/MAX sink across micro-batches equals the batch delta form (rescans included)") {
     val dir = Files.createTempDirectory("minmaxsink")
     val p = dir.resolve("log.bin").toString
