@@ -697,6 +697,85 @@ object Streams {
       "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Incrementally-maintained JOIN-aggregate view, streaming form (the
+    * Δ⋈dim maintenance rule): each batch's ±(joinKey, value) contributions
+    * are ENRICHED through a small dimension table — broadcast, so the dims
+    * never shuffle and the deltas never rescan the fact table — and merged
+    * into per-dimension-group SUM/COUNT state. The view over a 100 TB fact
+    * table refreshes at the cost of the batch. `dims` must map `joinKeyCol`
+    * (a fact image column) to `dimGroupCol`, one row per key (a slowly-
+    * changing dim wants the SCD2 sink instead — joining a delta against a
+    * dim version VALID AT the delta's LSN). Deltas missing a dim row fail
+    * loudly: silently dropping them would corrupt the view. */
+  def incrementalJoinAggSink(envelope: DataFrame, rel: Relation,
+      joinKeyCol: String, valueCol: String, dims: DataFrame,
+      dimKeyCol: String, dimGroupCol: String,
+      stateDir: String, checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeJoinAggBatch(batch, rel, joinKeyCol, valueCol,
+          dims, dimKeyCol, dimGroupCol, stateDir)
+      }
+      .start()
+
+  private[streaming] def mergeJoinAggBatch(batch0: DataFrame, rel: Relation,
+      joinKeyCol: String, valueCol: String, dims: DataFrame,
+      dimKeyCol: String, dimGroupCol: String, stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val probe = batch.agg(
+      max(struct(col("lsn"), col("seq"))).as("mx"),
+      max(when(col("op") === "T", struct(col("lsn"), col("seq")))).as("t"),
+      sum(when(col("op") === "U" && col("before").isNull, 1L).otherwise(0L)).as("badU")
+    ).first()
+    if (probe.isNullAt(0)) return
+    require(probe.getLong(2) == 0L,
+      s"incrementalJoinAggSink(${rel.name}): update without a before image — " +
+        "the table needs REPLICA IDENTITY FULL for aggregate maintenance")
+    val mx = probe.getStruct(0)
+    val truncates = !probe.isNullAt(1) && {
+      val t = probe.getStruct(1)
+      t.getLong(0) > hwLsn || (t.getLong(0) == hwLsn && t.getLong(1) > hwSeq)
+    }
+    val fresh = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    // per-delta enrichment: group key comes from the dim, not the fact
+    val raw = Cdc.aggDeltas(fresh, joinKeyCol, Seq(valueCol))
+    val enriched = raw
+      .join(broadcast(dims.select(col(dimKeyCol).cast("string").as("__dk"),
+        col(dimGroupCol).as("__dg"))), col("g") === col("__dk"), "left")
+    val delta = enriched
+      .withColumn("__miss", col("__dg").isNull)
+      .select(col("__dg").as("g"), col(s"dv_$valueCol"), col("dc"), col("__miss"))
+    val missing = delta.agg(sum(when(col("__miss"), 1L).otherwise(0L))).first().getLong(0)
+    require(missing == 0L,
+      s"incrementalJoinAggSink(${rel.name}): $missing delta rows have no dim match")
+    val existing =
+      if (!truncates) manifest.get("data").map(v =>
+        spark.read.parquet(s"$stateDir/$v")
+          .select(col("g"), col(s"sum_$valueCol").as(s"dv_$valueCol"),
+            col("c").as("dc"), lit(false).as("__miss")))
+      else None
+    val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("g"))
+      .agg(sum(col(s"dv_$valueCol")).as(s"sum_$valueCol"), sum(col("dc")).as("c"))
+      .filter(col("c") > 0)
+    val next = StateStore.newVersion("data")
+    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
   /** Incrementally-maintained TOP-K view, streaming form: the state is the
     * full (group, value, net) net-count table — distributed by group and
     * sized by live DISTINCT values, which is exactly what makes retraction

@@ -585,6 +585,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("incremental join-agg sink equals the batch Δ⋈dim view across micro-batches") {
+    val dir = Files.createTempDirectory("joinaggsink")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(
+      updates = true, deletes = true, fullImages = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val dims = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.nation(spark, sfDir),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
+    val q = Streams.incrementalJoinAggSink(env, graft.cdc.CdcPipeline.ordersRelation,
+      "o_custkey", "o_totalprice", dims, "c_custkey", "n_name",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.incrementalAggState(spark, dir.resolve("state").toString)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2)))
+    // expected = the batch query's revenue-per-nation over the same frames
+    val expected = graft.SparkEntry.queries("cdc_incremental_join_agg")(spark, sfDir)
+      .collect().map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.toPlainString, r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("incremental top-k sink across micro-batches equals the batch form (cross-batch retraction)") {
     val dir = Files.createTempDirectory("topksink")
     val p = dir.resolve("log.bin").toString
