@@ -720,7 +720,7 @@ object Streams {
       }
       .start()
 
-  private[streaming] def mergeJoinAggBatch(batch0: DataFrame, rel: Relation,
+  private[graft] def mergeJoinAggBatch(batch0: DataFrame, rel: Relation,
       joinKeyCol: String, valueCol: String, dims: DataFrame,
       dimKeyCol: String, dimGroupCol: String, stateDir: String): Unit = {
     val spark = batch0.sparkSession
@@ -802,7 +802,7 @@ object Streams {
     Cdc.rankTopK(spark.read.parquet(s"$stateDir/$v"), k)
   }
 
-  private[streaming] def mergeTopKBatch(batch0: DataFrame, rel: Relation,
+  private[graft] def mergeTopKBatch(batch0: DataFrame, rel: Relation,
       groupCol: String, valueCol: String, stateDir: String,
       groupType: Option[String]): Unit = {
     val spark = batch0.sparkSession

@@ -262,6 +262,57 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("top-k net-count state across random micro-batch splits + replays matches the reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (1 to 3).foreach { trial =>
+      val rnd = new Random(400 + trial)
+      val events = randomFullImageEvents(rnd, n = 400, keySpace = 25)
+        .sortBy(e => (e.lsn, e.seq))
+      val batches = {
+        val cuts = (Seq(0, events.size) ++
+          Seq.fill(4)(rnd.nextInt(events.size))).distinct.sorted
+        cuts.zip(cuts.tail).map { case (a, b) => events.slice(a, b) }
+          .filter(_.nonEmpty)
+      }
+      val stateDir = java.nio.file.Files.createTempDirectory(s"topkprop$trial")
+        .resolve("state").toString
+      val rel = Relation(1, "public", "t", 'f', Vector(
+        RelationColumn(partOfKey = true, "id", TypedView.Oid.Text, -1)))
+      batches.foreach { b =>
+        val env = spark.createDataset(b).toDF()
+          .select(col("relationId").as("relation_id"), col("lsn"), col("seq"),
+            col("op"), col("before"), col("after"))
+        graft.streaming.Streams.mergeTopKBatch(env, rel, "g", "v", stateDir, None)
+        // at-least-once: random batches re-deliver; the high-water makes
+        // the replay a no-op
+        if (rnd.nextBoolean())
+          graft.streaming.Streams.mergeTopKBatch(env, rel, "g", "v", stateDir, None)
+      }
+      val ref = scala.collection.mutable.Map.empty[String, Map[String, String]]
+      events.foreach { e =>
+        e.op match {
+          case "I" | "U" => ref(e.key("id")) = e.after
+          case "D" => ref.remove(e.key("id"))
+          case "T" => ref.clear()
+        }
+      }
+      val expected = ref.values.groupBy(_("g")).toSeq.flatMap { case (g, rows) =>
+        rows.groupBy(r => BigDecimal(r("v")).setScale(6))
+          .view.mapValues(_.size.toLong).toSeq
+          .sortBy(-_._1).take(3).zipWithIndex
+          .map { case ((v, n), i) => (g, v.underlying.toPlainString, n, i + 1) }
+      }.sortBy(x => (x._1, x._4))
+      val got = graft.streaming.Streams
+        .topKFromState(spark, stateDir, 3)
+        .orderBy("g", "rk").collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          r.getDecimal(r.fieldIndex("v")).toPlainString,
+          r.getLong(r.fieldIndex("net")), r.getInt(r.fieldIndex("rk")))).toSeq
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("plain compact agrees on which keys survive (ignoring TOAST repair)") {
     import spark.implicits._
     val rnd = new Random(7)
