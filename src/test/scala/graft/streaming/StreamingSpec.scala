@@ -585,6 +585,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("top-k sink crash keeps data+high-water atomic (no double apply)") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "grp", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "val", TypedView.Oid.Float8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("crashtopk")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a"), t("10.0"))))))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeTopKBatch(b1, rel, "grp", "val", stateDir, None)
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(21, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("a"), t("5.0"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergeTopKBatch(b2, rel, "grp", "val", stateDir, None)
+    } finally StateStore.failBeforeCommit = false
+    def top(): Seq[(String, String, Int)] =
+      Streams.topKFromState(spark, stateDir, 3).orderBy("g", "rk").collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          r.getDecimal(r.fieldIndex("v")).toPlainString, r.getInt(r.fieldIndex("rk")))).toSeq
+    assert(top() === Seq(("a", "10.000000", 1))) // crash published nothing
+    Streams.mergeTopKBatch(b2, rel, "grp", "val", stateDir, None) // replay: once
+    assert(top() === Seq(("a", "10.000000", 1), ("a", "5.000000", 2)))
+    Streams.mergeTopKBatch(b2, rel, "grp", "val", stateDir, None) // again: no-op
+    assert(top() === Seq(("a", "10.000000", 1), ("a", "5.000000", 2)))
+  }
+
   test("incremental join-agg sink equals the batch Δ⋈dim view across micro-batches") {
     val dir = Files.createTempDirectory("joinaggsink")
     val p = dir.resolve("log.bin").toString
