@@ -362,12 +362,15 @@ object DedupQueries {
       val tele = (15L * base) / 100L
       val edgesD = edges.join(deg, "src").persist()
       var r = deg.select(col("src").as("v"), lit(base).as("r"))
-      for (_ <- 1 to 10) {
+      for (i <- 1 to 10) {
         r = edgesD.join(r, edgesD("src") === r("v"))
           .select(col("dst"), expr("r div dg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
           .select(col("dst").as("v"), (lit(tele) + expr("(85 * sc) div 100")).as("r"))
-          .localCheckpoint()
+        // truncate lineage every 3rd round: each checkpoint is a blocking
+        // job, but un-truncated lineage grows the plan exponentially for
+        // the optimizer — 3 iterations/checkpoint measured fastest
+        if (i % 3 == 0 || i == 10) r = r.localCheckpoint()
       }
       edgesD.unpersist()
       r.select(col("v").as("doc_id"), col("r").as("rank_fp"))
