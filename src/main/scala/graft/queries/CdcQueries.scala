@@ -343,9 +343,49 @@ object CdcQueries {
         .agg(max(col("o_orderkey"))).head().getLong(0)
       finish(CdcPipeline.materializedOrders(s, d,
         DmlPattern(truncateAtLsn = Some(maxKey * 4))))
+    }),
+
+    // Replication-monitoring report (the Debezium-metrics surface every
+    // production CDC deployment watches): per-op event volume, distinct
+    // transactions, and the LSN range covered — computed straight off the
+    // decoded envelope, so it prices the same whether the source is replay
+    // or live. The oracle re-derives every number from the generator's
+    // (documented, key-pure) wire schedule — an end-to-end check that
+    // decode drops/duplicates NOTHING: any lost frame, re-delivery, or
+    // mis-assigned lsn/tx_id shifts a count or an LSN bound and
+    // hash-fails. Scale shape: one narrow filter + one 3-group hash agg
+    // over the stream — no image maps touched, no state.
+    "cdc_wire_stats" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true))).toDF()
+      events.filter(col("op").isin("I", "U", "D"))
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("txId")).as("n_txns"),
+          min(col("lsn")).as("min_lsn"),
+          max(col("lsn")).as("max_lsn"))
+        .orderBy(col("op"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Re-derives the wire schedule: each key k emits its insert at lsn
+    // 8k+1 (own txn, xid k), k%10=0 an update at 8k+4, k%7=0 a delete at
+    // 8k+7 — so every count and LSN bound is a pure function of orders.
+    "cdc_wire_stats" ->
+      """SELECT * FROM (
+           SELECT 'I' AS op, COUNT(*) AS n_events, COUNT(*) AS n_txns,
+             MIN(o_orderkey * 8 + 1) AS min_lsn, MAX(o_orderkey * 8 + 1) AS max_lsn
+           FROM orders
+           UNION ALL
+           SELECT 'U', COUNT(*), COUNT(*),
+             MIN(o_orderkey * 8 + 4), MAX(o_orderkey * 8 + 4)
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT 'D', COUNT(*), COUNT(*),
+             MIN(o_orderkey * 8 + 7), MAX(o_orderkey * 8 + 7)
+           FROM orders WHERE o_orderkey % 7 = 0) t
+         ORDER BY op""",
+
     "cdc_streamed_txn" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 1.0

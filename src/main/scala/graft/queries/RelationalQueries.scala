@@ -882,6 +882,25 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // LATERAL correlated subquery with ORDER BY … LIMIT — per-nation top-2
+    // customers by balance. Exercises Catalyst's lateral-join decorrelation
+    // (DecorrelateInnerQuery rewrites the per-row LIMIT into a ranked
+    // window under the hood), the remaining subquery shape the surface
+    // didn't cover. Scale shape: decorrelation turns N per-row probes into
+    // ONE partitioned rank — no driver loop, no nested execution; balances
+    // pass through unchanged (no float arithmetic to diverge).
+    "q56_lateral_topn" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nat_lat")
+      Tables.customer(s, d).createOrReplaceTempView("cust_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+           FROM nat_lat n,
+           LATERAL (SELECT c_name, c_acctbal FROM cust_lat c
+                    WHERE c.c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+           ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    }),
+
     // Time-weighted average per user — each event's value holds until the
     // user's next event, so the mean weights by HOLDING TIME, not event
     // count (the metric/finance semantics a plain AVG silently gets
@@ -1028,6 +1047,14 @@ object RelationalQueries {
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
            FROM events)
          ORDER BY user_id, event_id""",
+
+    "q56_lateral_topn" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
 
     "q55_mode" ->
       """SELECT user_id, event_type AS mode_type, n FROM (

@@ -404,6 +404,37 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 6).as("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ColBERT-style late interaction (MaxSim): each 64-dim vector is
+    // treated as 8 token sub-vectors of 8 dims; score(q, d) =
+    // Σ_i max_j ⟨q_i, d_j⟩ — the multi-vector retrieval scoring a
+    // single-vector cosine cannot express (per-token soft alignment).
+    // Determinism: every ⟨·,·⟩ is the fused left-to-right double fold,
+    // max is exact, and the 8 maxes sum in fixed literal order — no
+    // data-dependent float order anywhere. Scale shape: the query set
+    // broadcasts and the corpus scans ONCE with a narrow 64-dot score
+    // map (queries ≪ corpus, same plan family as sim_topk_brute); at
+    // index scale the LSH/IVF buckets gate the candidate set first and
+    // this scoring runs only on candidates.
+    "sim_maxsim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val score = (0 until 8).map { i =>
+        greatest((0 until 8).map { j =>
+          dotD(slice(col("q_emb"), i * 8 + 1, 8), slice(col("embedding"), j * 8 + 1, 8))
+        }: _*)
+      }.reduce(_ + _)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("ms").desc, col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ms", score)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("ms"), 6).as("maxsim"))
+        .orderBy(col("q_id"), col("rank"))
     }))
 
   private val DotSql =
@@ -634,5 +665,25 @@ object SimilarityQueries {
            FROM deq e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) t
          WHERE rank <= 10 ORDER BY q_id, rank""",
 
-    "sim_lsh_ann" -> LshAnnSql)
+    "sim_lsh_ann" -> LshAnnSql,
+
+    "sim_maxsim" -> {
+      val score = (0 until 8).map { i =>
+        "greatest(" + (0 until 8).map { j =>
+          DotSql.format(
+            s"q.embedding[${i * 8 + 1}:${i * 8 + 8}]",
+            s"e.embedding[${j * 8 + 1}:${j * 8 + 8}]")
+        }.mkString(", ") + ")"
+      }.mkString(" + ")
+      s"""WITH sc AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, $score AS ms
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE e.vec_id <> q.vec_id)
+         SELECT q_id, rank, neighbor_id, maxsim FROM (
+           SELECT q_id, neighbor_id, round(ms, 6) AS maxsim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ms DESC, neighbor_id) AS rank
+           FROM sc) t
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+    })
 }

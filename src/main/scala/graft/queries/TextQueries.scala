@@ -470,6 +470,37 @@ object TextQueries {
         .filter(col("rn") <= 10)
         .select(col("lang"), col("rn"), col("doc_id"))
         .orderBy(col("lang"), col("rn"))
+    }),
+
+    // CCNet-style language-model quality score: a unigram LM is fit on the
+    // corpus itself and every document is scored by its average negative
+    // log-likelihood (nats/token) + perplexity — the classic "does this
+    // look like the reference distribution" filter (low ppl ≈ stereotyped,
+    // high ppl ≈ noise/OOV-heavy). avg_nll = ln N − (Σ_w k_w·ln c_w)/len,
+    // so the only float sum is Σ k·ln c — folded over a SORTED list
+    // (text_entropy's determinism trick; equal values commute, so order
+    // among ties is irrelevant). Scale shape: two hash aggs (doc-term,
+    // term), the vocab-sized LM broadcasts back to the doc-term side, and
+    // the scalar N crosses in as one broadcast row — the corpus text is
+    // never shuffled, only (doc, term, count) triples.
+    "text_lm_perplexity" -> ((s, d) => {
+      val tf = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+      val lm = tf.groupBy(col("w")).agg(sum(col("k")).as("c"))
+      val tot = lm.agg(sum(col("c")).as("n_total"))
+      tf.join(broadcast(lm), "w")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+            col("k").cast("double") * log(col("c").cast("double")))).as("xs"),
+          sum(col("k")).as("len"))
+        .crossJoin(broadcast(tot))
+        .withColumn("avg_nll", log(col("n_total").cast("double")) -
+          aggregate(col("xs"), lit(0.0), (a, x) => a + x) / col("len").cast("double"))
+        .select(col("doc_id"), col("len").as("n_tokens"),
+          round(col("avg_nll"), 6).as("avg_nll"),
+          round(exp(col("avg_nll")), 6).as("ppl"))
+        .orderBy(col("doc_id"))
     }))
 
   private val WsSql = "string_split(text, ' ')"
@@ -477,6 +508,26 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_lm_perplexity" ->
+      """WITH tf AS (
+           SELECT doc_id, w, COUNT(*) AS k
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY doc_id, w),
+         lm AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM tf GROUP BY w),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM lm),
+         pd AS (
+           SELECT doc_id,
+             list_sort(list(CAST(k AS DOUBLE) * ln(CAST(c AS DOUBLE)))) AS xs,
+             CAST(SUM(k) AS BIGINT) AS len
+           FROM tf JOIN lm USING (w) GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id, len,
+             ln(CAST(n_total AS DOUBLE)) - list_reduce(xs, (a, b) -> a + b) / len AS avg_nll
+           FROM pd CROSS JOIN tot)
+         SELECT doc_id, len AS n_tokens, ROUND(avg_nll, 6) AS avg_nll,
+           ROUND(exp(avg_nll), 6) AS ppl
+         FROM sc ORDER BY doc_id""",
+
     "text_entropy" ->
       """WITH tf AS (
            SELECT doc_id, w, COUNT(*) AS n

@@ -280,4 +280,40 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("Exchange"), p)
   }
+
+  test("q56 lateral top-n decorrelates to one ranked pass — no per-row nested loop") {
+    val p = plan("q56_lateral_topn")
+    // DecorrelateInnerQuery rewrites LATERAL … LIMIT into a partitioned
+    // window; the plan must contain the rank, and must NOT execute the
+    // subquery per outer row (no LateralJoin/CartesianProduct survives)
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_maxsim: query set broadcast, corpus scanned once with a narrow score map") {
+    val p = plan("sim_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only data exchanges are the per-query rank and the final sort —
+    // the corpus reaches the join straight off its scan (BuildRight = the
+    // broadcast query set), and WindowGroupLimit keeps per-partition top-k
+    // ahead of the rank shuffle (map-side candidate pruning)
+    assert("(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BuildRight"), p)
+  }
+
+  test("text_lm_perplexity: vocab LM and corpus-total broadcast back to the doc-term side") {
+    val p = plan("text_lm_perplexity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cdc_wire_stats is one narrow filter + one two-phase agg over the stream") {
+    val p = plan("cdc_wire_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // no image-map deserialization beyond the envelope projection: the agg
+    // reads only op/txId/lsn
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
