@@ -501,6 +501,32 @@ object TextQueries {
           round(col("avg_nll"), 6).as("avg_nll"),
           round(exp(col("avg_nll")), 6).as("ppl"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer induction — the first BPE training iteration: corpus-wide
+    // counts of adjacent symbol pairs (weighted by word frequency), whose
+    // argmax is the first merge rule. The expensive part of BPE training
+    // at 100 TB is exactly this count, and it runs here as two hash aggs:
+    // word→count first (collapses the corpus to its vocabulary — pair
+    // extraction then costs O(vocab·word_len), not O(corpus)), then
+    // pair→Σ count. Top-20 with a total tie order (count desc, pair asc)
+    // keeps the result deterministic; all-integer arithmetic.
+    "text_bpe_merges" -> ((s, d) => {
+      val vocab = withWords(Tables.documents(s, d))
+        .select(explode(col("ws")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      vocab
+        // NB sequence(1, 0) is DESCENDING in Spark — clamp at 1 and drop
+        // the empty-second-char pair a 1-char word produces
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, greatest(length(word) - 1, 1)), " +
+            "i -> struct(substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b))"))
+          .as("pr"))
+        .filter(col("pr.b") =!= "")
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(20)
     }))
 
   private val WsSql = "string_split(text, ' ')"
@@ -508,6 +534,21 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    // range(1, len) is end-EXCLUSIVE in DuckDB (empty for 1-char words),
+    // mirroring the Spark side's clamp-and-filter guard.
+    "text_bpe_merges" ->
+      """WITH vocab AS (
+           SELECT w AS word, COUNT(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         pr AS (
+           SELECT unnest(list_transform(range(1, len(word)),
+             i -> {'a': word[i], 'b': word[i + 1]})) AS p, c
+           FROM vocab)
+         SELECT p.a AS a, p.b AS b, CAST(SUM(c) AS BIGINT) AS n
+         FROM pr GROUP BY p.a, p.b
+         ORDER BY n DESC, a, b LIMIT 20""",
+
     "text_lm_perplexity" ->
       """WITH tf AS (
            SELECT doc_id, w, COUNT(*) AS k

@@ -975,6 +975,63 @@ object Streams {
     spark.read.parquet(s"$stateDir/$v")
   }
 
+  /** Streaming replication-monitoring counters (the live twin of the
+    * cdc_wire_stats batch report): per-(relation, op) event counts and LSN
+    * coverage bounds, maintained incrementally across micro-batches —
+    * O(batch + touched groups) per batch, groups bounded by
+    * relations × ops. Replay-safe via the same one-manifest (lsn, seq)
+    * high-water discipline as the aggregate sinks: counters and the guard
+    * flip atomically, so at-least-once redelivery can never double-count.
+    * Distinct-txn counts are deliberately absent in the streaming form —
+    * exact distinctness across batches needs per-txid state (unbounded);
+    * the batch report covers it where the whole stream is in hand. */
+  def wireStatsSink(envelope: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeWireStatsBatch(batch, stateDir)
+      }
+      .start()
+
+  private[streaming] def mergeWireStatsBatch(batch0: DataFrame, stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.filter(col("op").isin("I", "U", "D", "T", "M"))
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val probe = batch.agg(max(struct(col("lsn"), col("seq"))).as("mx")).first()
+    if (probe.isNullAt(0)) return
+    val mx = probe.getStruct(0)
+    val delta = batch
+      .filter(struct(col("lsn"), col("seq")) > struct(lit(hwLsn), lit(hwSeq)))
+      .groupBy(col("relation_id"), col("op"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("lsn")).as("min_lsn"), max(col("lsn")).as("max_lsn"))
+    val existing = manifest.get("data").map(v => spark.read.parquet(s"$stateDir/$v"))
+    val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("relation_id"), col("op"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("min_lsn")).as("min_lsn"), max(col("max_lsn")).as("max_lsn"))
+    val next = StateStore.newVersion("data")
+    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
+  /** Current per-(relation, op) monitoring counters. */
+  def wireStats(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = StateStore.load(stateDir).getOrElse("data",
+      sys.error(s"no committed wire-stats state under $stateDir"))
+    spark.read.parquet(s"$stateDir/$v")
+  }
+
   /** Current typed state of the materialized table (either state layout). */
   def materializedState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame = {
     val manifest = StateStore.load(stateDir)

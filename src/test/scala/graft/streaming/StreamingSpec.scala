@@ -994,4 +994,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(got === Seq((99L, "fresh")))
   }
+
+  test("wire-stats sink matches the whole-stream counts and ignores replays") {
+    val dir = Files.createTempDirectory("wirestats")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().sortBy(_._1)
+    FrameLog.write(p, frames.iterator.map { case (lsn, b) => FrameLog.Entry(lsn, b) })
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(1000))
+    val stateDir = dir.resolve("state").toString
+    val q = Streams.wireStatsSink(env, stateDir, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    def state(): Seq[(Int, String, Long, Long, Long)] =
+      Streams.wireStats(spark, stateDir).orderBy("relation_id", "op").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val expected = graft.cdc.CdcPipeline.decodeFrames(
+        graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)).toDF()
+      .filter(col("op").isin("I", "U", "D", "T", "M"))
+      .groupBy(col("relationId"), col("op"))
+      .agg(count(lit(1)).as("n"), min(col("lsn")), max(col("lsn")))
+      .orderBy("relationId", "op").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(state().nonEmpty)
+    assert(state() === expected)
+    // at-least-once redelivery of the whole log: counters must not move
+    val replay = spark.read.format("graft.sources.FrameReplayProvider")
+      .option("path", p).load()
+    Streams.mergeWireStatsBatch(replay, stateDir)
+    assert(state() === expected)
+  }
 }
