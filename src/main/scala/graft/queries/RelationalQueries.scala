@@ -277,6 +277,39 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join, NEAREST direction (the other two thirds of pandas
+    // merge_asof semantics beside q22's backward form): each error event
+    // pairs with its closest click in time, backward or forward, ties
+    // preferring backward. Two frames over ONE user-keyed partitioning
+    // (preceding-last + following-first ignore-nulls); distances are whole
+    // microseconds, so direction choice is integer-exact. Scale shape:
+    // identical to q22 — one shuffle on user_id, per-row O(1) state.
+    "q61_asof_nearest" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("bk",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(wb))
+        .withColumn("fw",
+          first(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "error")
+        .withColumn("db", unix_micros(col("ts")) - unix_micros(col("bk")))
+        .withColumn("df", unix_micros(col("fw")) - unix_micros(col("ts")))
+        .withColumn("nearest_click_ts",
+          when(col("db").isNull, col("fw"))
+            .when(col("df").isNull, col("bk"))
+            .when(col("db") <= col("df"), col("bk")).otherwise(col("fw")))
+        .withColumn("direction",
+          when(col("db").isNull && col("df").isNull, lit(null).cast("string"))
+            .when(col("df").isNull, lit("b"))
+            .when(col("db").isNull, lit("f"))
+            .when(col("db") <= col("df"), lit("b")).otherwise(lit("f")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("nearest_click_ts"), col("direction"))
+        .orderBy(col("event_id"))
+    }),
+
     // Ordered array aggregation (collect + sort inside groups). Serialized
     // to a pipe-joined string: the gate's comparator sorts rows in pandas,
     // and raw array cells are unhashable there — the aggregation under test
@@ -1345,6 +1378,30 @@ object RelationalQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+         WHERE event_type = 'error' ORDER BY event_id""",
+
+    "q61_asof_nearest" ->
+      """SELECT event_id, user_id, ts, nearest_click_ts, direction FROM (
+           SELECT event_id, user_id, ts, event_type,
+             CASE WHEN db IS NULL THEN fw WHEN df IS NULL THEN bk
+                  WHEN db <= df THEN bk ELSE fw END AS nearest_click_ts,
+             CASE WHEN db IS NULL AND df IS NULL THEN NULL
+                  WHEN df IS NULL THEN 'b' WHEN db IS NULL THEN 'f'
+                  WHEN db <= df THEN 'b' ELSE 'f' END AS direction
+           FROM (
+             SELECT *, epoch_us(ts) - epoch_us(bk) AS db,
+               epoch_us(fw) - epoch_us(ts) AS df
+             FROM (
+               SELECT event_id, user_id, ts, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER wb AS bk,
+                 FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER wf AS fw
+               FROM events
+               WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) a) b) c
          WHERE event_type = 'error' ORDER BY event_id""",
 
     "q23_latest_by_key" ->

@@ -309,6 +309,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("text_bpe_merges: corpus-sized pass is two-phase, top-20 is TakeOrdered") {
+    val p = plan("text_bpe_merges")
+    // word-count agg (the only corpus-sized pass) must combine map-side,
+    // and the final top-20 must be a bounded heap, not a global sort
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("cdc_wire_stats is one narrow filter + one two-phase agg over the stream") {
     val p = plan("cdc_wire_stats")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
