@@ -47,6 +47,30 @@ object Multimodal {
         FrameRef(m.doc_id, idx, b)
       }
 
+    /** Perceptual hash (average-hash family): 64 wrapped 4-byte block sums
+      * over the payload, bit i set iff block i exceeds the global mean
+      * (63 bits — the sign bit stays clear so the hash compares cleanly as
+      * a signed Long on both engines). A real codec computes the same
+      * shape over decoded pixel blocks; near-dup media then reduces to
+      * Hamming distance exactly like text SimHash. */
+    def aHash(payload: Array[Byte]): Long = {
+      val n = payload.length
+      val bs = Array.tabulate(64) { b =>
+        var s = 0L
+        var j = 0
+        while (j < 4) {
+          s += (if (n > 0) payload((b * 4 + j) % n) & 0xff else 0)
+          j += 1
+        }
+        s
+      }
+      val total = bs.sum
+      var h = 0L
+      var i = 0
+      while (i < 63) { if (bs(i) * 64 > total) h |= 1L << i; i += 1 }
+      h
+    }
+
     /** Feature extraction + resize over the payload: byte-sum over the
       * first 64 bytes (the "embedding" of the fake codec) and halved
       * target dimensions. Real codecs slot in behind the same signature. */
@@ -81,6 +105,17 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, p) => FakeCodec.sampleFrames(FakeCodec.decode(id, p), p) }
       }
+  }
+
+  /** Perceptual hashes: codec-stage feature pass, one batch per partition
+    * (a real pipeline fuses this with decode — the pixels are already in
+    * hand). Output is (doc_id, phash) — narrow, the only thing that ever
+    * shuffles for media near-dup. */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, p) => (id, FakeCodec.aHash(p)) } }
+      .toDF("doc_id", "phash")
   }
 
   /** Feature-extract + resize: decode → features, one batch per partition. */

@@ -74,12 +74,70 @@ object MultimodalQueries {
           sum(col("n_frames")).as("total_frames"),
           max(col("width")).as("max_width"))
         .orderBy(col("lang"))
+    }),
+
+    // Perceptual hash per media payload (checks the codec-stage bit math
+    // on every row — the media analog of dedup_simhash).
+    "mm_phash" -> ((s, d) => {
+      Multimodal.perceptualHashes(Multimodal.mediaTable(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Media NEAR-dup pairs by perceptual-hash Hamming distance ≤ 3 — what
+    // exact blob dedup (mm_blob_dedup) cannot see: re-encoded / slightly
+    // altered payloads. Same sub-quadratic shape as text SimHash: 16-bit
+    // pigeonhole blocks bucket the candidates (≤3 differing bits over 4
+    // blocks ⇒ one block identical), exact bit_count verifies before the
+    // distinct. The payload never joins — only the 8-byte hash shuffles.
+    "mm_phash_pairs" -> ((s, d) => {
+      val ph = Multimodal.perceptualHashes(Multimodal.mediaTable(s, d))
+      val blocked = ph.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("p"))
+        .withColumn("blk", expr("(phash >> (16 * p)) & 65535"))
+      blocked.as("x").join(blocked.as("y"),
+          col("x.p") === col("y.p") && col("x.blk") === col("y.blk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          expr("bit_count(x.phash ^ y.phash)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
     }))
 
   private val DotSql =
     "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
 
+  /** FakeCodec.aHash in SQL: 64 wrapped 4-byte block sums, bit i (i<63)
+    * set iff block i × 64 > total. ord ≡ byte because the corpus is ASCII
+    * (asserted: octet_length(text::BLOB) = length(text) corpus-wide). */
+  private val PhashSql =
+    """SELECT doc_id,
+         list_reduce(list_transform(list_zip(bs, range(0, 64)),
+           r -> CASE WHEN CAST(r[2] AS INT) < 63
+                      AND r[1] * 64 > list_reduce(bs, (a, b) -> a + b)
+                 THEN 1::BIGINT << CAST(r[2] AS INT) ELSE 0::BIGINT END),
+           (a, b) -> a + b) AS phash
+       FROM (
+         SELECT doc_id,
+           list_transform(range(0, 64), b ->
+             ord(substr(text, CAST((b * 4) % n AS INT) + 1, 1))::BIGINT +
+             ord(substr(text, CAST((b * 4 + 1) % n AS INT) + 1, 1)) +
+             ord(substr(text, CAST((b * 4 + 2) % n AS INT) + 1, 1)) +
+             ord(substr(text, CAST((b * 4 + 3) % n AS INT) + 1, 1))) AS bs
+         FROM (SELECT doc_id, text, octet_length(text::BLOB) AS n FROM documents) b0) b1"""
+
   val oracleSql: Map[String, String] = Map(
+    "mm_phash" ->
+      s"""SELECT doc_id, phash FROM ($PhashSql) t ORDER BY doc_id""",
+
+    "mm_phash_pairs" ->
+      s"""WITH ph AS ($PhashSql)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.phash, b.phash)::BIGINT) AS hamming
+         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)::BIGINT) <= 3
+         ORDER BY a_id, b_id""",
+
     "mm_blob_dedup" ->
       """SELECT md5(text) AS digest,
            MIN(doc_id) AS canonical_id, COUNT(*) AS refcount,

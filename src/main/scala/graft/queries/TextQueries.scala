@@ -527,6 +527,38 @@ object TextQueries {
         .agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(20)
+    }),
+
+    // Line-level dedup (the FineWeb/RefinedWeb within-corpus boilerplate
+    // scrub — removes repeated PASSAGES while keeping the documents): the
+    // corpus is cut into deterministic 32-token chunks (the corpus has no
+    // sentence punctuation, so chunking IS the line proxy), each chunk
+    // occurrence after the first — ordered by (doc_id, position) — is
+    // dropped, and every document is rebuilt from its kept chunks in
+    // order. Output pins the reconstruction by md5, so a wrong drop or a
+    // reordered rebuild hash-fails. Scale shape: one shuffle on the chunk
+    // text (the first-occurrence window) + one doc-keyed agg; chunk rows
+    // carry ~32 tokens each, so the shuffle is corpus-sized but narrow —
+    // the standard shape of passage-level dedup (hash the chunk instead
+    // of shipping its text when bytes dominate).
+    "text_chunk_dedup" -> ((s, d) => {
+      val ch = withWords(Tables.documents(s, d))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(0, int(ceil(n / 32.0)) - 1)")).as("ci"))
+        .select(col("doc_id"), col("ci").cast(LongType).as("ci"),
+          expr("array_join(slice(ws, ci * 32 + 1, 32), ' ')").as("chunk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk")).orderBy(col("doc_id"), col("ci"))
+      ch.withColumn("keep", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(expr("cast(array_join(transform(filter(" +
+              "sort_array(collect_list(struct(ci, keep, chunk))), " +
+              "x -> x.keep), x -> x.chunk), ' ') as binary)"))
+            .as("cleaned_md5"))
+        .orderBy(col("doc_id"))
     }))
 
   private val WsSql = "string_split(text, ' ')"
@@ -534,6 +566,23 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         ch AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS ci,
+             array_to_string(ws[(CAST(i AS INT) * 32 + 1):((CAST(i AS INT) + 1) * 32)], ' ') AS chunk
+           FROM w, unnest(range(0, CAST(ceil(len(ws) / 32.0) AS INT))) AS t(i)),
+         k AS (
+           SELECT doc_id, ci, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ci) = 1 AS keep
+           FROM ch)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(array_to_string(list_transform(
+             list_filter(list_sort(list({'ci': ci, 'keep': keep, 'chunk': chunk})),
+               x -> x.keep), x -> x.chunk), ' ')) AS cleaned_md5
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+
     // range(1, len) is end-EXCLUSIVE in DuckDB (empty for 1-char words),
     // mirroring the Spark side's clamp-and-filter guard.
     "text_bpe_merges" ->
