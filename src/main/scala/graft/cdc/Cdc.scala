@@ -208,23 +208,28 @@ object Cdc {
     * Streams.mergeMinMaxBatch / BoundedMinMax. */
   def incrementalMinMax(
       events: DataFrame, groupCol: String, valueCol: String,
-      groupType: Option[String] = None): DataFrame = {
-    val ev = survivingEvents(events)
-    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    def g(img: String) = canonKey(element_at(col(img), groupCol), groupType).as("g")
-    val plus = ev.filter(col("op").isin("I", "U"))
-      .select(g("after"),
-        element_at(col("after"), valueCol).cast(dec).as("v"), lit(1L).as("n"))
-    val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
-      .select(g("before"),
-        element_at(col("before"), valueCol).cast(dec).as("v"), lit(-1L).as("n"))
-    plus.unionByName(minus)
-      .groupBy(col("g"), col("v")).agg(sum(col("n")).as("net"))
+      groupType: Option[String] = None): DataFrame =
+    netCounts(events, groupCol, valueCol, groupType)
       .filter(col("net") > 0)
       .groupBy(col("g"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
         sum(col("net")).as("c"))
-  }
+
+  /** Incrementally-maintained COUNT DISTINCT view — the aggregate that is
+    * famously NOT delta-maintainable with a scalar accumulator (a delete
+    * must know whether it removed the last occurrence of its value). The
+    * shared net-count table answers exactly that: distinct = rows with
+    * net > 0. An update whose value is unchanged retracts and re-adds the
+    * same (g, v) row — cancellation is free. Scale shape identical to
+    * incrementalMinMax: the (g, v) agg distributes per-group work, the
+    * final agg is one row per group. */
+  def incrementalDistinct(
+      events: DataFrame, groupCol: String, valueCol: String,
+      groupType: Option[String] = None): DataFrame =
+    netCounts(events, groupCol, valueCol, groupType)
+      .filter(col("net") > 0)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("net")).as("c"))
 
   /** Incrementally-maintained TOP-K view (retraction-capable — the
     * generalization of [[incrementalMinMax]]): the k largest DISTINCT

@@ -355,6 +355,20 @@ object CdcQueries {
     // mis-assigned lsn/tx_id shifts a count or an LSN bound and
     // hash-fails. Scale shape: one narrow filter + one 3-group hash agg
     // over the stream — no image maps touched, no state.
+    // Incrementally-maintained COUNT DISTINCT per group (the classic
+    // non-delta-maintainable aggregate, solved by the shared net-count
+    // state): distinct customers per priority from event deltas only.
+    // Updates here change totalprice, not custkey — their retract+re-add
+    // must cancel exactly; deletes must decrement only when they remove a
+    // customer's last surviving order in the group.
+    "cdc_incremental_distinct" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalDistinct(events, "o_orderpriority", "o_custkey")
+        .select(col("g").as("o_orderpriority"), col("n_distinct"), col("c"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "cdc_wire_stats" -> ((s, d) => {
       val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
         DmlPattern(updates = true, deletes = true))).toDF()
@@ -368,6 +382,12 @@ object CdcQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_incremental_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct,
+           COUNT(*) AS c
+         FROM orders WHERE o_orderkey % 7 <> 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     // Re-derives the wire schedule: each key k emits its insert at lsn
     // 8k+1 (own txn, xid k), k%10=0 an update at 8k+4, k%7=0 a delete at
     // 8k+7 — so every count and LSN bound is a pure function of orders.

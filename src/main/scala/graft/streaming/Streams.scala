@@ -802,6 +802,21 @@ object Streams {
     Cdc.rankTopK(spark.read.parquet(s"$stateDir/$v"), k)
   }
 
+  /** COUNT DISTINCT view over the SAME net-count state the top-k sink
+    * maintains — no separate sink, no second state: a group's distinct
+    * count is its number of live (g, v) rows, so one maintained table
+    * serves top-k, distinct, and unbounded min/max reads (the
+    * materialized-view sharing a warehouse wants: maintain once, answer
+    * several aggregates). */
+  def distinctFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed top-k state under $stateDir"))
+    spark.read.parquet(s"$stateDir/$v")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("net")).as("c"))
+  }
+
   private[graft] def mergeTopKBatch(batch0: DataFrame, rel: Relation,
       groupCol: String, valueCol: String, stateDir: String,
       groupType: Option[String]): Unit = {

@@ -676,6 +676,17 @@ class StreamingSpec extends AnyFunSuite {
       .incrementalTopK(events, "o_orderpriority", "o_totalprice", 3))
     assert(got.nonEmpty)
     assert(got.toSeq === expected.toSeq)
+    // the SAME maintained state also answers COUNT DISTINCT — one net-count
+    // table, several views (no second sink, no second state)
+    def drows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          r.getLong(r.fieldIndex("n_distinct")), r.getLong(r.fieldIndex("c"))))
+    val gotD = drows(Streams.distinctFromState(spark, dir.resolve("state").toString))
+    val expD = drows(graft.cdc.Cdc
+      .incrementalDistinct(events, "o_orderpriority", "o_totalprice"))
+    assert(gotD.nonEmpty)
+    assert(gotD.toSeq === expD.toSeq)
   }
 
   test("bounded MIN/MAX sink across micro-batches equals the batch delta form (rescans included)") {
