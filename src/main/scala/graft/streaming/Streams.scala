@@ -590,6 +590,115 @@ object Streams {
       "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Online MEDIA near-dup at CDC ingest — the perceptual-hash analog of
+    * [[onlineNearDupSink]]: each arriving payload is aHash'ed at the codec
+    * stage, candidates come from the incrementally-maintained pigeonhole
+    * block index (4 × 16-bit blocks; Hamming ≤ 3 ⇒ one block collides),
+    * and every candidate is verified by EXACT Hamming distance before
+    * flagging — so decisions equal mm_phash_pairs oriented by arrival,
+    * no estimate involved. State per block key is (holder id, lsn, seq,
+    * full 8-byte hash); payloads never enter the state. */
+  def onlinePhashSink(envelope: DataFrame, rel: Relation, payloadCol: String,
+      stateDir: String, checkpointDir: String, nBuckets: Int = 64,
+      maxHamming: Int = 3): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergePhashBatch(batch, rel, payloadCol, stateDir, nBuckets, maxHamming)
+      }
+      .start()
+
+  private[streaming] def mergePhashBatch(batch0: DataFrame, rel: Relation,
+      payloadCol: String, stateDir: String, nBuckets: Int,
+      maxHamming: Int = 3): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val pk = rel.keyColumnNames.head
+    val batch = batch0.filter(col("relation_id") === rel.relationId && col("op") === "I")
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val docs = batch
+      .filter(struct(col("lsn"), col("seq")) > struct(lit(hwLsn), lit(hwSeq)))
+      .select(element_at(col("after"), pk).cast("long").as("id"),
+        element_at(col("after"), payloadCol).cast("binary").as("payload"),
+        col("lsn"), col("seq"))
+      .persist()
+    val probe = docs.agg(max(struct(col("lsn"), col("seq")))).first()
+    if (probe.isNullAt(0)) { docs.unpersist(); return } // pure replay / empty
+    val mx = probe.getStruct(0)
+    // codec-stage hash (identical bit math to the batch mm_phash path),
+    // then the 4 pigeonhole block keys per doc
+    val hashed = graft.operators.Multimodal
+      .perceptualHashes(docs.select(col("id").as("doc_id"), col("payload")))
+      .withColumnRenamed("doc_id", "id")
+      .join(docs.select(col("id"), col("lsn"), col("seq")), "id")
+    val blocks = hashed
+      .select(col("id"), col("phash"), col("lsn"), col("seq"),
+        explode(expr("sequence(0, 3)")).as("p"))
+      .withColumn("bucket", concat_ws(":", col("p"),
+        expr("(phash >> (16 * p)) & 65535")))
+      .withColumn("__bucket", pmod(xxhash64(col("bucket")), lit(nBuckets)))
+      .persist()
+    val touched = blocks.select(collect_set(col("__bucket"))).first()
+      .getSeq[Long](0)
+    val existingDirs = touched.flatMap(b => manifest.get(s"b$b")).map(v => s"$stateDir/$v")
+    val seen = // prior holders of the touched block keys, with full hashes
+      if (existingDirs.nonEmpty) spark.read.parquet(existingDirs: _*)
+      else Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("bucket", "hid", "hlsn", "hseq", "hphash")
+    def verified = expr(s"bit_count(phash ^ hphash) <= $maxHamming")
+    val inBatch = blocks.as("x").join(blocks.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          (struct(col("y.lsn"), col("y.seq")) < struct(col("x.lsn"), col("x.seq"))))
+      .select(col("x.id").as("id"), col("x.phash").as("phash"),
+        col("y.lsn").as("hlsn"), col("y.seq").as("hseq"),
+        col("y.id").as("hid"), col("y.phash").as("hphash"))
+    val fromState = blocks.join(seen, "bucket")
+      .select(col("id"), col("phash"), col("hlsn"), col("hseq"), col("hid"), col("hphash"))
+    val partners = inBatch.unionByName(fromState)
+      .filter(verified)
+      .groupBy(col("id"))
+      .agg(min(struct(col("hlsn").as("l"), col("hseq").as("s"), col("hid").as("d"))).as("p"))
+    val decisions = docs
+      .join(partners, Seq("id"), "left")
+      .select(col("id"), col("p").isNotNull.as("is_neardup"),
+        col("p").getField("d").as("dup_of"), col("lsn"), col("seq"))
+      .persist()
+    val segs = manifest.filter { case (k, _) => k.startsWith("seg-") }
+    var entries = manifest
+    val segDir = StateStore.newVersion(s"seg${segs.size}")
+    decisions.write.mode("overwrite").parquet(s"$stateDir/$segDir")
+    entries += (s"seg-${segs.size}" -> segDir)
+    // flagged docs still anchor future candidates (batch pair semantics);
+    // the block-keyed state IS the incrementally-maintained phash index
+    val newHolders = blocks
+      .select(col("bucket"), col("id").as("hid"),
+        col("lsn").as("hlsn"), col("seq").as("hseq"), col("phash").as("hphash"))
+    val mergedState = seen.unionByName(newHolders)
+      .withColumn("__bucket", pmod(xxhash64(col("bucket")), lit(nBuckets)))
+    val stage = StateStore.newVersion("stage")
+    mergedState.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")
+    touched.foreach { b =>
+      val produced = new java.io.File(s"$stateDir/$stage/__bucket=$b")
+      if (produced.exists()) {
+        val v = StateStore.newVersion(s"b$b")
+        require(produced.renameTo(new java.io.File(s"$stateDir/$v")),
+          s"failed to promote staged phash bucket $b")
+        entries += (s"b$b" -> v)
+      }
+    }
+    docs.unpersist(); blocks.unpersist(); decisions.unpersist()
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, entries ++ Map(
+      "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
   /** Every near-dup decision so far (union of the append-only segments):
     * (id, is_neardup, dup_of, lsn, seq), one row per ingested doc. */
   def onlineNearDupDecisions(spark: SparkSession, stateDir: String): DataFrame =

@@ -182,4 +182,39 @@ class OnlineDedupSpec extends AnyFunSuite {
     assert(decisions() === once ++ Seq((4L, false, 2L), (5L, true, 5L)))
     assert(Streams.onlineDedupSeen(spark, stateDir).count() === 3)
   }
+
+  test("online phash sink matches mm_phash_pairs oriented by arrival; replay-safe") {
+    val dir = Files.createTempDirectory("onlinephash")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val frames = graft.cdc.CdcPipeline.documentsToFrames(spark, sfDir)
+      .collect().sortBy(_._1).iterator.map { case (lsn, b) => FrameLog.Entry(lsn, b) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(400))
+    val q = Streams.onlinePhashSink(env, graft.cdc.CdcPipeline.documentsRelation,
+      "text", stateDir, dir.resolve("ckpt").toString, nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.onlineDedupDecisions(spark, stateDir)
+      .select(col("id").cast("long"), col("is_neardup"), col("dup_of").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // batch semantics: doc b flags iff a pair (a, b) exists with a < b
+    // (arrival ≡ id order under the LSN schedule); dup_of = min such a
+    val pairs = graft.SparkEntry.queries("mm_phash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupOf = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    val expected = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, dupOf.contains(id), dupOf.getOrElse(id, -1L)))
+      .sortBy(_._1).toSeq
+    assert(dupOf.nonEmpty, "corpus should contain phash near-dup candidates")
+    assert(got === expected)
+    // whole-log redelivery through the merge is a no-op (high-water)
+    val whole = spark.read.format("graft.sources.FrameReplayProvider")
+      .option("path", p).load()
+    Streams.mergePhashBatch(whole, graft.cdc.CdcPipeline.documentsRelation,
+      "text", stateDir, 8)
+    assert(Streams.onlineDedupDecisions(spark, stateDir).count() === expected.length)
+  }
 }
