@@ -406,6 +406,39 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Embedding drift monitor (the MLOps gate a production pipeline runs
+    // between ingest windows): per-label exact centroids of a reference
+    // and a current window (vec_id parity stands in for the time split —
+    // deterministic and balanced) and the L2 shift between them. A rising
+    // drift_l2 is the canonical "retrain / investigate" signal. Exactness:
+    // centroid components are DECIMAL sums / counts (order-independent);
+    // the 64-term drift fold runs in fixed dimension order — every double
+    // op is reproducible cross-engine. Scale shape: one (label, win, dim)
+    // hash agg over exploded dims (two-phase, distributes per-dim work),
+    // then label-keyed joins of centroid rows — the corpus never joins.
+    "sim_centroid_drift" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val e = Tables.embeddings(s, d).withColumn("win", col("vec_id") % 2 === 0)
+      val cents = e.select(col("label"), col("win"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("win"), col("i"))
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"), col("win"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
+          .as("centroid"))
+      val ref = cents.filter(col("win")).select(col("label"), col("centroid").as("c_ref"))
+      val cur = cents.filter(!col("win")).select(col("label"), col("centroid").as("c_cur"))
+      val counts = e.groupBy(col("label")).agg(
+        sum(when(col("win"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("win"), 1L).otherwise(0L)).as("n_cur"))
+      ref.join(cur, "label").join(counts, "label")
+        .select(col("label"), col("n_ref"), col("n_cur"),
+          round(sqrt(aggregate(zip_with(col("c_ref"), col("c_cur"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v)), 6).as("drift_l2"))
+        .orderBy(col("label"))
+    }),
+
     // ColBERT-style late interaction (MaxSim): each 64-dim vector is
     // treated as 8 token sub-vectors of 8 dims; score(q, d) =
     // Σ_i max_j ⟨q_i, d_j⟩ — the multi-vector retrieval scoring a
@@ -666,6 +699,31 @@ object SimilarityQueries {
          WHERE rank <= 10 ORDER BY q_id, rank""",
 
     "sim_lsh_ann" -> LshAnnSql,
+
+    "sim_centroid_drift" ->
+      """WITH ex AS (
+           SELECT label, vec_id % 2 = 0 AS win, i,
+             CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
+         cent AS (
+           SELECT label, win, i,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+           FROM ex GROUP BY label, win, i),
+         cl AS (
+           SELECT label, win,
+             list_transform(list_sort(list({'i': i, 'c': c})), t -> t.c) AS centroid
+           FROM cent GROUP BY label, win),
+         counts AS (
+           SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM embeddings GROUP BY label)
+         SELECT r.label, n_ref, n_cur,
+           round(sqrt(list_reduce(list_transform(list_zip(r.centroid, u.centroid),
+             p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)), 6) AS drift_l2
+         FROM cl r JOIN cl u ON r.label = u.label AND r.win AND NOT u.win
+         JOIN counts ON counts.label = r.label
+         ORDER BY r.label""",
 
     "sim_maxsim" -> {
       val score = (0 until 8).map { i =>

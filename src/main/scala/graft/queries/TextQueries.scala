@@ -529,6 +529,32 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Corpus-mix drift monitor (the text-side companion of
+    // sim_centroid_drift): per-language share of a reference vs a current
+    // ingest window (doc_id parity = the deterministic window split) and
+    // the absolute share shift — the "did my source mix move" gate a
+    // pretraining pipeline runs before each training batch. Shares are
+    // one integer-count agg + one division each; no cross-row float
+    // summation exists, so round-6 outputs are bit-stable. Scale shape:
+    // one two-phase hash agg on (lang, window), then a per-lang pivot of
+    // two counts — monitoring cost is O(langs), data cost is one scan.
+    "text_dist_drift" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("win", col("doc_id") % 2 === 0)
+        .groupBy(col("lang"))
+        .agg(sum(when(col("win"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("win"), 1L).otherwise(0L)).as("n_cur"))
+        .crossJoin(broadcast(Tables.documents(s, d).agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("tot_ref"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("tot_cur"))))
+        .select(col("lang"), col("n_ref"), col("n_cur"),
+          round(col("n_ref").cast("double") / col("tot_ref"), 6).as("share_ref"),
+          round(col("n_cur").cast("double") / col("tot_cur"), 6).as("share_cur"),
+          round(abs(col("n_ref").cast("double") / col("tot_ref") -
+            col("n_cur").cast("double") / col("tot_cur")), 6).as("share_shift"))
+        .orderBy(col("lang"))
+    }),
+
     // Line-level dedup (the FineWeb/RefinedWeb within-corpus boilerplate
     // scrub — removes repeated PASSAGES while keeping the documents): the
     // corpus is cut into deterministic 32-token chunks (the corpus has no
@@ -566,6 +592,23 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_dist_drift" ->
+      """WITH t AS (
+           SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_ref,
+             CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_cur
+           FROM documents),
+         g AS (
+           SELECT lang,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM documents GROUP BY lang)
+         SELECT lang, n_ref, n_cur,
+           round(CAST(n_ref AS DOUBLE) / tot_ref, 6) AS share_ref,
+           round(CAST(n_cur AS DOUBLE) / tot_cur, 6) AS share_cur,
+           round(abs(CAST(n_ref AS DOUBLE) / tot_ref - CAST(n_cur AS DOUBLE) / tot_cur), 6)
+             AS share_shift
+         FROM g CROSS JOIN t ORDER BY lang""",
+
     "text_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          ch AS (

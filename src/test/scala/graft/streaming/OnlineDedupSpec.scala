@@ -217,4 +217,51 @@ class OnlineDedupSpec extends AnyFunSuite {
       "text", stateDir, 8)
     assert(Streams.onlineDedupDecisions(spark, stateDir).count() === expected.length)
   }
+
+  test("phash sink: cross-batch dup via persisted index; crash publishes nothing") {
+    val rel = Relation(9, "public", "docs", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "body", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    // pairwise aHash Hamming distances of A/B/C are all > 3 (chosen so);
+    // only identical payloads pair
+    val (pA, pB, pC) = ("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "sphinx of black quartz judge my vow forever more")
+    val dir = Files.createTempDirectory("phashreplay")
+    val stateDir = dir.resolve("state").toString
+    def log(n: String, entries: (Long, PgOutputMessage)*): org.apache.spark.sql.DataFrame = {
+      val p = dir.resolve(n).toString
+      FrameLog.write(p, Iterator(FrameLog.Entry(0, PgOutputEncoder.encode(rel))) ++
+        entries.iterator.map { case (l, m) => FrameLog.Entry(l, PgOutputEncoder.encode(m)) })
+      spark.read.format("graft.sources.FrameReplayProvider").option("path", p).load()
+    }
+    def decisions(): Seq[(Long, Boolean, Long)] =
+      Streams.onlineDedupDecisions(spark, stateDir)
+        .select(col("id"), col("is_neardup"), col("dup_of"))
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val b1 = log("l1.bin",
+      11L -> Insert(9, TupleData(Vector(t("1"), t(pA)))),
+      12L -> Insert(9, TupleData(Vector(t("2"), t(pB)))),
+      13L -> Insert(9, TupleData(Vector(t("3"), t(pA))))) // in-batch near-dup of 1
+    Streams.mergePhashBatch(b1, rel, "body", stateDir, 4)
+    val once = decisions()
+    assert(once === Seq((1L, false, -1L), (2L, false, -1L), (3L, true, 1L)))
+    // batch 2 crashes after writes but before the manifest flip
+    val b2 = log("l2.bin",
+      21L -> Insert(9, TupleData(Vector(t("4"), t(pB)))), // dup of persisted doc 2
+      22L -> Insert(9, TupleData(Vector(t("5"), t(pC)))))
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergePhashBatch(b2, rel, "body", stateDir, 4)
+    } finally StateStore.failBeforeCommit = false
+    assert(decisions() === once, "crashed merge must not publish")
+    // replay applies exactly once; the dup resolves against PERSISTED state
+    Streams.mergePhashBatch(b2, rel, "body", stateDir, 4)
+    assert(decisions() === once ++ Seq((4L, true, 2L), (5L, false, -1L)))
+    Streams.mergePhashBatch(b2, rel, "body", stateDir, 4) // second replay: no-op
+    assert(decisions() === once ++ Seq((4L, true, 2L), (5L, false, -1L)))
+  }
 }
