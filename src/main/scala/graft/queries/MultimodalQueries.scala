@@ -89,6 +89,17 @@ object MultimodalQueries {
     // pigeonhole blocks bucket the candidates (≤3 differing bits over 4
     // blocks ⇒ one block identical), exact bit_count verifies before the
     // distinct. The payload never joins — only the 8-byte hash shuffles.
+    // Media dup clusters: connected components over the phash pair graph
+    // (same hybrid CC operator as the text family — union-find under 2²⁰
+    // edges, distributed label propagation above). Output = every doc in
+    // a near-dup family with its canonical keeper.
+    "mm_phash_clusters" -> ((s, d) => {
+      val pairs = queries("mm_phash_pairs")(s, d).select(col("a_id"), col("b_id"))
+      graft.operators.Graph.connectedComponents(pairs)
+        .select(col("vertex").as("doc_id"), col("component").as("keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_phash_pairs" -> ((s, d) => {
       val ph = Multimodal.perceptualHashes(Multimodal.mediaTable(s, d))
       val blocked = ph.select(col("doc_id"), col("phash"),
@@ -129,6 +140,21 @@ object MultimodalQueries {
   val oracleSql: Map[String, String] = Map(
     "mm_phash" ->
       s"""SELECT doc_id, phash FROM ($PhashSql) t ORDER BY doc_id""",
+
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE ph AS ($PhashSql),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.phash, b.phash)::BIGINT) <= 3),
+         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION SELECT b_id AS u, a_id AS v FROM pairs),
+         reach AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS doc_id, LEAST(u, MIN(v)) AS keeper
+         FROM reach GROUP BY u ORDER BY doc_id""",
 
     "mm_phash_pairs" ->
       s"""WITH ph AS ($PhashSql)

@@ -555,6 +555,46 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // The SECOND BPE training iteration — proves the training loop closes:
+    // the round-1 argmax pair (data-derived on BOTH engines, not baked in)
+    // is merged into every word's symbol sequence ('|'-separated; the
+    // corpus alphabet is a–z so the separator cannot collide), and
+    // adjacent-pair counts are recomputed over symbols — the merged token
+    // now pairs as ONE unit (e.g. 'm'+'er'), exactly standard BPE.
+    // replace() is non-overlapping left-to-right on both engines, which IS
+    // the BPE merge rule for self-adjacent pairs. Scale shape: both
+    // rounds run on the vocabulary; the argmax is a 1-row broadcast
+    // (model state, like the k-means centroids). element_at stays in
+    // bounds via the filtered index sequence (ANSI-safe).
+    "text_bpe_round2" -> ((s, d) => {
+      val vocab = withWords(Tables.documents(s, d))
+        .select(explode(col("ws")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val r1 = vocab
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, greatest(length(word) - 1, 1)), " +
+            "i -> struct(substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b))"))
+          .as("pr"))
+        .filter(col("pr.b") =!= "")
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("c")).as("n"))
+      val top1 = r1.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .select(col("a"), col("b"))
+      val sym = vocab.crossJoin(broadcast(top1))
+        .select(col("c"),
+          split(expr("replace(array_join(split(word, ''), '|'), " +
+            "concat(a, '|', b), concat(a, b))"), "\\|").as("sy"))
+      sym
+        .select(col("c"), explode(expr(
+          "transform(filter(sequence(1, greatest(size(sy) - 1, 1)), i -> i < size(sy)), " +
+            "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
+          .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
     // Line-level dedup (the FineWeb/RefinedWeb within-corpus boilerplate
     // scrub — removes repeated PASSAGES while keeping the documents): the
     // corpus is cut into deterministic 32-token chunks (the corpus has no
@@ -592,6 +632,29 @@ object TextQueries {
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_round2" ->
+      """WITH vocab AS (
+           SELECT w AS word, COUNT(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         r1 AS (
+           SELECT word[CAST(i AS INT)] AS a, word[CAST(i AS INT) + 1] AS b,
+             CAST(SUM(c) AS BIGINT) AS n
+           FROM vocab, unnest(range(1, len(word))) t(i)
+           GROUP BY 1, 2),
+         top1 AS (SELECT a, b FROM r1 ORDER BY n DESC, a, b LIMIT 1),
+         sym AS (
+           SELECT replace(array_to_string(string_split(word, ''), '|'),
+             a || '|' || b, a || b) AS s, c
+           FROM vocab CROSS JOIN top1),
+         r2 AS (
+           SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+             CAST(SUM(c) AS BIGINT) AS n
+           FROM (SELECT string_split(s, '|') AS sy, c FROM sym),
+             unnest(range(1, len(sy))) t(i)
+           GROUP BY 1, 2)
+         SELECT a, b, n FROM r2 ORDER BY n DESC, a, b LIMIT 10""",
+
     "text_dist_drift" ->
       """WITH t AS (
            SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_ref,
