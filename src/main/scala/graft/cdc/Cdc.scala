@@ -188,6 +188,45 @@ object Cdc {
     incrementalAggregate(events, groupCol, Seq(valueCol))
       .select(col("g"), col(s"sum_$valueCol").as("v"), col("c"))
 
+  /** Mean/variance per group maintained purely from event deltas. The
+    * maintained state is the moment sums (Σx, Σx², n): Welford's one-pass
+    * recurrence is neither mergeable nor retractable, but moment sums are
+    * both — I adds (x, x², 1) for the after image, D subtracts them for
+    * the before image, U does both.
+    *
+    * Values are scaled to INTEGERS (x·10^scale, exact for wire values with
+    * ≤ `scale` decimals) and the sums kept in DECIMAL(38,0): scale-0 state
+    * is what makes the downstream float derivation engine-agnostic —
+    * converting an exact integer to double is correctly rounded on every
+    * engine, whereas converting a wide scaled decimal (int·10⁻ⁿ) need not
+    * be (two-rounding implementations differ in the last ulp once the
+    * scaled int exceeds 2⁵³). Callers derive mean = (sx/n)/10^scale and
+    * population variance = (sx2/n − (sx/n)²)/10^2·scale. Per-row x² must
+    * fit a long: |x·10^scale| < 3·10⁹. Output `(g, sx, sx2, c)`; groups
+    * with c ≤ 0 vanish. */
+  def incrementalStats(
+      events: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 2, groupType: Option[String] = None): DataFrame = {
+    val ev = survivingEvents(events)
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, scale)
+    val mult = math.pow(10, scale).toLong
+    def g(img: String) = canonKey(element_at(col(img), groupCol), groupType).as("g")
+    def xi(img: String) =
+      (element_at(col(img), valueCol).cast(dec) * lit(mult)).cast("long")
+    val plus = ev.filter(col("op").isin("I", "U"))
+      .select(g("after"), xi("after").as("dv"),
+        (xi("after") * xi("after")).as("dv2"), lit(1L).as("dc"))
+    val minus = ev.filter(col("op").isin("U", "D") && col("before").isNotNull)
+      .select(g("before"), (-xi("before")).as("dv"),
+        (-(xi("before") * xi("before"))).as("dv2"), lit(-1L).as("dc"))
+    plus.unionByName(minus)
+      .groupBy(col("g"))
+      .agg(sum(col("dv").cast(big)).as("sx"), sum(col("dv2").cast(big)).as("sx2"),
+        sum(col("dc")).as("c"))
+      .filter(col("c") > 0)
+  }
+
   /** MIN/MAX/COUNT per group maintained purely from event deltas — the
     * retraction-capable complement of [[incrementalAggregate]].
     *

@@ -61,6 +61,31 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Mean/variance view maintained from event deltas: the moment sums
+    // (Σx, Σx², n) are the retraction-capable state (Welford's form is
+    // not), kept exact as scaled-INTEGER sums (cents) so incremental and
+    // from-scratch maintenance agree bit-for-bit AND the float derivation
+    // is engine-agnostic (exact-int→double is correctly rounded
+    // everywhere; see Cdc.incrementalStats). The derivation — two double
+    // divisions, one multiply-subtract, two rescales, identical op order
+    // on both engines — emits raw doubles, no rounding needed. Same scale
+    // shape as cdc_incremental_agg: one narrow delta pass, one group-keyed
+    // shuffle — the 100 TB table is never rescanned.
+    "cdc_incremental_stats" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalStats(events, "o_orderpriority", "o_totalprice")
+        .select(col("g").as("o_orderpriority"),
+          (col("sx").cast("double") / col("c")).as("mc"),
+          (col("sx2").cast("double") / col("c")).as("ex2c"),
+          col("c").as("n_rows"))
+        .select(col("o_orderpriority"),
+          (col("mc") / 100.0).as("mean_price"),
+          ((col("ex2c") - col("mc") * col("mc")) / 10000.0).as("var_price"),
+          col("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Online dedup at CDC ingest: the documents corpus arrives as
     // insert-only pgoutput frames (one txn per doc, LSN ≡ arrival order),
     // and every document gets a first-seen-wins keep/drop decision by
@@ -583,6 +608,24 @@ object CdcQueries {
            COUNT(*) AS n_rows
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_incremental_stats" ->
+      """WITH xc AS (
+           SELECT o_orderpriority,
+             CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS DECIMAL(28,2)) * 100 AS BIGINT) AS xi
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         st AS (
+           SELECT o_orderpriority, SUM(xi) AS sx,
+             SUM(CAST(xi AS HUGEINT) * xi) AS sx2, COUNT(*) AS c
+           FROM xc GROUP BY o_orderpriority),
+         m AS (
+           SELECT o_orderpriority, CAST(sx AS DOUBLE) / c AS mc,
+             CAST(sx2 AS DOUBLE) / c AS ex2c, c
+           FROM st)
+         SELECT o_orderpriority, mc / 100.0 AS mean_price,
+           (ex2c - mc * mc) / 10000.0 AS var_price, c AS n_rows
+         FROM m ORDER BY o_orderpriority""",
 
     "cdc_incremental_agg" ->
       """SELECT o_orderpriority,

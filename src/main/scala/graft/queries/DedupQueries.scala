@@ -291,6 +291,50 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact substring removal (the Lee-et-al "Deduplicating Training Data
+    // Makes Language Models Better" scrub, shingle-approximated at k=16):
+    // every 16-token window that occurred EARLIER anywhere in the corpus —
+    // first occurrence by (doc_id, pos) wins — marks its token span for
+    // removal; per doc, overlapping spans union implicitly (removal is by
+    // DISTINCT token index, which IS interval merging), and the document
+    // is rebuilt from its surviving tokens in order, pinned by md5 so a
+    // wrong drop or a reordered rebuild hash-fails. Scale shape: windows
+    // travel as 16-byte digests, never text (one digest-keyed shuffle for
+    // the first-occurrence window; a Rabin-Karp rolling hash — the
+    // text_rolling_hash machinery — would drop the 16× hashing cost at
+    // 100 TB); the span→index explode is bounded by 16× the DUPLICATED
+    // windows only, not the corpus; the rebuild is one doc-keyed agg.
+    "dedup_substring_remove" -> ((s, d) => {
+      val k = 16
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+        .select(Seq(col("doc_id"), col("pos"), col("w0")) ++
+          (1 until k).map(i => lead("w0", i).over(w).as(s"w$i")): _*)
+        .filter(col(s"w${k - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*)
+            .cast(BinaryType)).as("h"))
+      val wh = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "pos")
+      val removed = grams.withColumn("rn", row_number().over(wh))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
+        .distinct()
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+        .join(removed.withColumn("rm", lit(true)), Seq("doc_id", "i"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+          md5(expr("cast(array_join(transform(filter(" +
+              "sort_array(collect_list(struct(i, rm, tok))), " +
+              "x -> x.rm IS NULL), x -> x.tok), ' ') as binary)"))
+            .as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // n-gram Jaccard near-dup via inverted-index join (no cross product),
     // with posting lists capped at df ≤ JaccardMaxDf (stop-shingle drop —
     // the guard that keeps the self-join sub-quadratic at corpus scale).
@@ -548,6 +592,32 @@ object DedupQueries {
          WHERE EXISTS (SELECT 1 FROM documents b
                        WHERE b.doc_id % 37 = 0 AND md5(b.text) = md5(d.text))
          ORDER BY d.doc_id""",
+
+    "dedup_substring_remove" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i + 15 AS INT)], ' ')) AS h
+           FROM w, unnest(range(1, len(ws) - 14)) t(i)),
+         dup AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             FROM g) WHERE rn > 1),
+         rm AS (
+           SELECT DISTINCT doc_id, CAST(j AS INT) AS i
+           FROM dup, unnest(range(pos, pos + 16)) t(j)),
+         tk AS (
+           SELECT doc_id, CAST(i - 1 AS INT) AS i, ws[CAST(i AS INT)] AS tok
+           FROM w, unnest(range(1, len(ws) + 1)) t(i))
+         SELECT tk.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN rm.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(array_to_string(list_transform(list_filter(
+             list_sort(list({'i': tk.i, 'rm': rm.i IS NOT NULL, 'tok': tk.tok})),
+             x -> NOT x.rm), x -> x.tok), ' '), '')) AS cleaned_md5
+         FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.i = rm.i
+         GROUP BY tk.doc_id ORDER BY tk.doc_id""",
 
     "dedup_span_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -36,6 +36,45 @@ object TextQueries {
     s"len(list_filter(ws, w -> w IN ($set)))"
   }
 
+  /** BPE training building blocks shared by the text_bpe_* family. The
+    * corpus collapses to its weighted vocabulary once (pair extraction and
+    * merge application then cost O(vocab·word_len), not O(corpus)); each
+    * learned merge is a 1-row broadcast (model state). Words travel as
+    * symbol arrays `sy`; a merge rewrites them through the DOUBLE-separator
+    * string form `|a||b||c|`: the pattern `|a||b|` anchors BOTH symbol
+    * boundaries, so it can only match two complete adjacent symbols — a
+    * single-separator form would let `r|y` falsely match the tail of a
+    * merged symbol `er` — and each symbol owns its wrappers, so leftmost
+    * non-overlapping replace (the BPE rule, identical on both engines)
+    * still catches back-to-back occurrences (`x y x y` → `xy xy`). */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    withWords(Tables.documents(s, d))
+      .select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("sy", split(col("word"), ""))
+
+  /** Adjacent-symbol pair counts `(a, b, n)` weighted by word frequency.
+    * element_at stays in bounds via the filtered index sequence
+    * (ANSI-safe); 1-symbol words contribute no pairs. */
+  private def bpePairs(sym: DataFrame): DataFrame =
+    sym.select(col("c"), explode(expr(
+        "transform(filter(sequence(1, greatest(size(sy) - 1, 1)), i -> i < size(sy)), " +
+          "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
+        .as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("c")).as("n"))
+
+  /** Apply the argmax pair of `pairs` (count desc, pair asc — a total tie
+    * order, so the learned rule is deterministic) to every word. */
+  private def bpeMergeTop(sym: DataFrame, pairs: DataFrame): DataFrame = {
+    val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      .select(col("a"), col("b"))
+    sym.crossJoin(broadcast(top))
+      .select(col("word"), col("c"),
+        split(expr("trim(BOTH '|' FROM replace(concat('|', array_join(sy, '||'), '|'), " +
+          "concat('|', a, '||', b, '|'), concat('|', a, b, '|')))"), "\\|\\|").as("sy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, alpha tokens, BPE-ish subword
     // chunks (greedy ≤4-char pieces — same greedy semantics both engines).
@@ -567,32 +606,35 @@ object TextQueries {
     // (model state, like the k-means centroids). element_at stays in
     // bounds via the filtered index sequence (ANSI-safe).
     "text_bpe_round2" -> ((s, d) => {
-      val vocab = withWords(Tables.documents(s, d))
-        .select(explode(col("ws")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("c"))
-      val r1 = vocab
-        .select(col("c"), explode(expr(
-          "transform(sequence(1, greatest(length(word) - 1, 1)), " +
-            "i -> struct(substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b))"))
-          .as("pr"))
-        .filter(col("pr.b") =!= "")
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum(col("c")).as("n"))
-      val top1 = r1.orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .select(col("a"), col("b"))
-      val sym = vocab.crossJoin(broadcast(top1))
-        .select(col("c"),
-          split(expr("replace(array_join(split(word, ''), '|'), " +
-            "concat(a, '|', b), concat(a, b))"), "\\|").as("sy"))
-      sym
-        .select(col("c"), explode(expr(
-          "transform(filter(sequence(1, greatest(size(sy) - 1, 1)), i -> i < size(sy)), " +
-            "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
-          .as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum(col("c")).as("n"))
+      val sym0 = bpeVocab(s, d)
+      bpePairs(bpeMergeTop(sym0, bpePairs(sym0)))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(10)
+    }),
+
+    // Closes the BPE loop train→apply: TWO merges are learned in sequence
+    // (round 2's argmax pairs against the round-1 token, exactly standard
+    // BPE), applied to the VOCABULARY, and the corpus is then tokenized by
+    // broadcasting the word→token-count map over the exploded corpus —
+    // the standard shape of tokenizer application at 100 TB: the model
+    // (two 1-row broadcasts) and the per-word rewrite are O(vocab); the
+    // corpus crosses the map-side join as narrow (doc_id, word) pairs and
+    // is never shuffled except the final doc-keyed agg. All-integer until
+    // the one final division, so round-6 output is bit-stable.
+    "text_bpe_tokenize" -> ((s, d) => {
+      val sym0 = bpeVocab(s, d)
+      val sym1 = bpeMergeTop(sym0, bpePairs(sym0))
+      val sym2 = bpeMergeTop(sym1, bpePairs(sym1))
+      val ntok = sym2.select(col("word"), size(col("sy")).as("nt"))
+      withWords(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ws")).as("word"))
+        .join(broadcast(ntok), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("avg_tok_per_word"))
+        .orderBy(col("doc_id"))
     }),
 
     // Line-level dedup (the FineWeb/RefinedWeb within-corpus boilerplate
@@ -654,6 +696,46 @@ object TextQueries {
              unnest(range(1, len(sy))) t(i)
            GROUP BY 1, 2)
          SELECT a, b, n FROM r2 ORDER BY n DESC, a, b LIMIT 10""",
+
+    // Mirrors the Spark side's double-separator merge form |a||b||c| (see
+    // bpeMergeTop): the pattern '|a||b|' anchors both symbol boundaries.
+    "text_bpe_tokenize" ->
+      """WITH vocab AS (
+           SELECT w AS word, COUNT(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         s0 AS (
+           SELECT word, c,
+             '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
+           FROM vocab),
+         r1 AS (
+           SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+             CAST(SUM(c) AS BIGINT) AS n
+           FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c FROM s0),
+             unnest(range(1, len(sy))) t(i)
+           GROUP BY 1, 2),
+         top1 AS (SELECT a, b FROM r1 ORDER BY n DESC, a, b LIMIT 1),
+         s1 AS (
+           SELECT word, c,
+             replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
+           FROM s0 CROSS JOIN top1),
+         r2 AS (
+           SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+             CAST(SUM(c) AS BIGINT) AS n
+           FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c FROM s1),
+             unnest(range(1, len(sy))) t(i)
+           GROUP BY 1, 2),
+         top2 AS (SELECT a, b FROM r2 ORDER BY n DESC, a, b LIMIT 1),
+         s2 AS (
+           SELECT word,
+             replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
+           FROM s1 CROSS JOIN top2),
+         nt AS (SELECT word, len(string_split(trim(s, '|'), '||')) AS nt FROM s2),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
+         FROM dw JOIN nt USING (word)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "text_dist_drift" ->
       """WITH t AS (
