@@ -207,8 +207,21 @@ object Cdc {
   def incrementalStats(
       events: DataFrame, groupCol: String, valueCol: String,
       scale: Int = 2, groupType: Option[String] = None): DataFrame = {
-    val ev = survivingEvents(events)
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    statsDeltas(events, groupCol, valueCol, scale, groupType)
+      .groupBy(col("g"))
+      .agg(sum(col("dv").cast(big)).as("sx"), sum(col("dv2").cast(big)).as("sx2"),
+        sum(col("dc")).as("c"))
+      .filter(col("c") > 0)
+  }
+
+  /** Per-event (±x·10^scale, ±x²·10^2scale, ±1) contributions toward
+    * [[incrementalStats]] — the mergeable delta form the streaming sink
+    * folds into persisted state. Columns `(g, dv, dv2, dc)`. */
+  private[graft] def statsDeltas(
+      events: DataFrame, groupCol: String, valueCol: String,
+      scale: Int, groupType: Option[String]): DataFrame = {
+    val ev = survivingEvents(events)
     val dec = org.apache.spark.sql.types.DecimalType(28, scale)
     val mult = math.pow(10, scale).toLong
     def g(img: String) = canonKey(element_at(col(img), groupCol), groupType).as("g")
@@ -221,10 +234,6 @@ object Cdc {
       .select(g("before"), (-xi("before")).as("dv"),
         (-(xi("before") * xi("before"))).as("dv2"), lit(-1L).as("dc"))
     plus.unionByName(minus)
-      .groupBy(col("g"))
-      .agg(sum(col("dv").cast(big)).as("sx"), sum(col("dv2").cast(big)).as("sx2"),
-        sum(col("dc")).as("c"))
-      .filter(col("c") > 0)
   }
 
   /** MIN/MAX/COUNT per group maintained purely from event deltas — the

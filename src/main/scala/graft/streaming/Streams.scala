@@ -806,6 +806,75 @@ object Streams {
       "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Incrementally-maintained mean/variance view over the envelope stream:
+    * per-group state is the moment sums (sx, sx2, c) in scaled-integer
+    * form (Cdc.incrementalStats) — retraction-capable where Welford's
+    * recurrence is not, and mergeable across batches by plain addition, so
+    * each micro-batch costs O(batch ∪ touched groups), never a table
+    * rescan. Same state discipline as incrementalAggSink: ONE manifest
+    * flip carries data + replay high-water (exactly-once under
+    * at-least-once redelivery), a newer Truncate resets state, and updates
+    * without full old images fail loudly (REPLICA IDENTITY FULL). */
+  def incrementalStatsSink(envelope: DataFrame, rel: Relation, groupCol: String,
+      valueCol: String, stateDir: String, checkpointDir: String,
+      scale: Int = 2): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeStatsBatch(batch, rel, groupCol, valueCol, scale, stateDir)
+      }
+      .start()
+
+  private[streaming] def mergeStatsBatch(batch0: DataFrame, rel: Relation,
+      groupCol: String, valueCol: String, scale: Int, stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val probe = batch.agg(
+      max(struct(col("lsn"), col("seq"))).as("mx"),
+      max(when(col("op") === "T", struct(col("lsn"), col("seq")))).as("t"),
+      sum(when(col("op") === "U" && col("before").isNull, 1L).otherwise(0L)).as("badU")
+    ).first()
+    if (probe.isNullAt(0)) return
+    require(probe.getLong(2) == 0L,
+      s"incrementalStatsSink(${rel.name}): update without a before image — " +
+        "the table needs REPLICA IDENTITY FULL for aggregate maintenance")
+    val mx = probe.getStruct(0)
+    val truncates = !probe.isNullAt(1) && {
+      val t = probe.getStruct(1)
+      t.getLong(0) > hwLsn || (t.getLong(0) == hwLsn && t.getLong(1) > hwSeq)
+    }
+    val fresh = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    val delta = Cdc.statsDeltas(fresh, groupCol, valueCol, scale, None)
+      .select(col("g"), col("dv").cast(big).as("dv"),
+        col("dv2").cast(big).as("dv2"), col("dc"))
+    val existing =
+      if (!truncates) manifest.get("data").map(v =>
+        spark.read.parquet(s"$stateDir/$v")
+          .select(col("g"), col("sx").as("dv"), col("sx2").as("dv2"),
+            col("c").as("dc")))
+      else None
+    val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("g"))
+      .agg(sum(col("dv")).as("sx"), sum(col("dv2")).as("sx2"),
+        sum(col("dc")).as("c"))
+      .filter(col("c") > 0)
+    val next = StateStore.newVersion("data")
+    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
   /** Incrementally-maintained JOIN-aggregate view, streaming form (the
     * Δ⋈dim maintenance rule): each batch's ±(joinKey, value) contributions
     * are ENRICHED through a small dimension table — broadcast, so the dims

@@ -585,6 +585,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("incremental stats sink equals the batch moment sums across micro-batches") {
+    val dir = Files.createTempDirectory("incrstats")
+    val p = dir.resolve("log.bin").toString
+    val pat = graft.cdc.CdcPipeline.DmlPattern(
+      updates = true, deletes = true, fullImages = true)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
+    val q = Streams.incrementalStatsSink(env, graft.cdc.CdcPipeline.ordersRelation,
+      "o_orderpriority", "o_totalprice",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    def render(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDecimal(1).toPlainString,
+        r.getDecimal(2).toPlainString, r.getLong(3))
+    val got = Streams.incrementalAggState(spark, dir.resolve("state").toString)
+      .select("g", "sx", "sx2", "c").orderBy("g").collect().map(render)
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)).toDF()
+    val expected = graft.cdc.Cdc
+      .incrementalStats(events, "o_orderpriority", "o_totalprice")
+      .orderBy("g").collect().map(render)
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("stats sink crash keeps data+high-water atomic (no double apply)") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "grp", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "val", TypedView.Oid.Float8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("crashstats")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a"), t("10.0"))))))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeStatsBatch(b1, rel, "grp", "val", 2, stateDir)
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(21, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("a"), t("4.0"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergeStatsBatch(b2, rel, "grp", "val", 2, stateDir)
+    } finally StateStore.failBeforeCommit = false
+    def state(): Seq[(String, String, String, Long)] =
+      Streams.incrementalAggState(spark, stateDir)
+        .select("g", "sx", "sx2", "c").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+          r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+    // crashed merge published neither data nor watermark (10.0 → 1000 cents)
+    assert(state() === Seq(("a", "1000", "1000000", 1L)))
+    // replay applies the batch exactly once (+4.0 → +400 cents, +160000)
+    Streams.mergeStatsBatch(b2, rel, "grp", "val", 2, stateDir)
+    assert(state() === Seq(("a", "1400", "1160000", 2L)))
+    Streams.mergeStatsBatch(b2, rel, "grp", "val", 2, stateDir) // replay: no-op
+    assert(state() === Seq(("a", "1400", "1160000", 2L)))
+  }
+
   test("top-k sink crash keeps data+high-water atomic (no double apply)") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
