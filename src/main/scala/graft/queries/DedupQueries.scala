@@ -299,11 +299,15 @@ object DedupQueries {
     // DISTINCT token index, which IS interval merging), and the document
     // is rebuilt from its surviving tokens in order, pinned by md5 so a
     // wrong drop or a reordered rebuild hash-fails. Scale shape: windows
-    // travel as 16-byte digests, never text (one digest-keyed shuffle for
-    // the first-occurrence window; a Rabin-Karp rolling hash — the
-    // text_rolling_hash machinery — would drop the 16× hashing cost at
-    // 100 TB); the span→index explode is bounded by 16× the DUPLICATED
-    // windows only, not the corpus; the rebuild is one doc-keyed agg.
+    // travel as 16-byte digests, never text (a Rabin-Karp rolling hash —
+    // the text_rolling_hash machinery — would drop the 16× hashing cost
+    // at 100 TB); "first occurrence" is a MIN-struct hash agg, not a
+    // window — partial (map-side) aggregation collapses each digest
+    // before the exchange, no per-partition sort, and the surviving
+    // duplicated-digest side is pair-graph-sized (≪ corpus), so AQE can
+    // broadcast it and the gram side never shuffles; the span→index
+    // explode is bounded by 16× the DUPLICATED windows only, not the
+    // corpus; the rebuild is one doc-keyed agg.
     "dedup_substring_remove" -> ((s, d) => {
       val k = 16
       val w = org.apache.spark.sql.expressions.Window
@@ -316,10 +320,13 @@ object DedupQueries {
         .select(col("doc_id"), col("pos"),
           md5(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*)
             .cast(BinaryType)).as("h"))
-      val wh = org.apache.spark.sql.expressions.Window
-        .partitionBy("h").orderBy("doc_id", "pos")
-      val removed = grams.withColumn("rn", row_number().over(wh))
-        .filter(col("rn") > 1)
+      val first = grams.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+      val removed = grams.join(first, "h")
+        .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
         .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("i"))
         .distinct()
       Tables.documents(s, d)

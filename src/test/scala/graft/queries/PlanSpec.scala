@@ -324,4 +324,26 @@ class PlanSpec extends AnyFunSuite {
     // reads only op/txId/lsn
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("text_bpe_tokenize: tokenizer model broadcast onto the corpus, learned merges 1-row") {
+    val p = plan("text_bpe_tokenize")
+    // the word→token-count map joins the exploded corpus as a broadcast
+    // (model ≪ corpus); the corpus side must never sort-merge
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // vocab-sized aggs are two-phase (map-side partial before exchange)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("dedup_substring_remove: first-occurrence is a partial-agg, no window sort or cross product") {
+    val p = plan("dedup_substring_remove")
+    // the corpus-sized digest pass must combine map-side (min-struct agg),
+    // not sort every gram under a window
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Window in the plan is the doc-keyed lead() span builder —
+    // no digest-keyed window (the scale hazard the agg form avoids)
+    val windows = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!windows.contains("row_number"), windows)
+  }
 }
