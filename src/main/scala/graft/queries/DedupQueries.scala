@@ -48,6 +48,22 @@ object DedupQueries {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("ws", split(col("text"), " "))
 
+  /** (doc_id, sh) rows, one per 8-token span position, session-cached —
+    * shared by the span-overlap and decontamination queries (one lead-
+    * window pass over the corpus instead of one per query). */
+  private def spanRows8(s: SparkSession, d: String): DataFrame =
+    cached(s, "spanRows8", d) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+        .select(Seq(col("doc_id"), col("w0")) ++
+          (1 until 8).map(i => lead("w0", i).over(w).as(s"w$i")): _*)
+        .filter(col("w7").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until 8).map(i => col(s"w$i")): _*).as("sh"))
+    }
+
   /** (doc_id, shingle) rows via explode + window lead: the split runs once
     * per document (a `transform` lambda referencing the split array gets
     * inlined by CollapseProject and re-splits the text per element — 7×
@@ -262,17 +278,7 @@ object DedupQueries {
     // build side, so a hot span multiplies nothing — unlike the Jaccard
     // self-join there is no df² term, and AQE splits any skewed span key).
     "dedup_span_overlap" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val spans = cached(s, "spanRows8", d) {
-        Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-          .select(Seq(col("doc_id"), col("w0")) ++
-            (1 until 8).map(i => lead("w0", i).over(w).as(s"w$i")): _*)
-          .filter(col("w7").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", (0 until 8).map(i => col(s"w$i")): _*).as("sh"))
-      }
+      val spans = spanRows8(s, d)
       val dup = spans.distinct()
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("sh"))
@@ -288,6 +294,35 @@ object DedupQueries {
         .withColumn("dup_ratio", when(col("n_spans") === 0, lit(0.0))
           .otherwise(round(col("n_dup_spans").cast("double") / col("n_spans"), 6)))
         .withColumn("near_dup", col("dup_ratio") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Train/test decontamination (the GPT-3/PaLM-style n-gram overlap
+    // check): docs with doc_id % 41 == 0 stand in for the HELD-OUT
+    // benchmark set; every other document counts its 8-token span
+    // positions whose span also occurs anywhere in the benchmark set, and
+    // is flagged contaminated at ≥ 8 overlapping positions (an integer
+    // threshold — no float compare). Scale shape: the benchmark span set
+    // is distinct-collapsed (benchmarks ≪ corpus, so it usually
+    // broadcasts); the corpus side anti-multiplies through a LEFT SEMI
+    // join — one row per distinct benchmark span on the build side, so a
+    // hot span multiplies nothing; per-doc counts are one two-phase agg.
+    "dedup_decontaminate" -> ((s, d) => {
+      val spans = spanRows8(s, d)
+      val benchSpans = spans.filter(col("doc_id") % 41 === 0)
+        .select(col("sh")).distinct()
+      val corpus = spans.filter(col("doc_id") % 41 =!= 0)
+      val total = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      val hit = corpus.join(benchSpans, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 41 =!= 0)
+        .join(total, Seq("doc_id"), "left")
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .withColumn("is_contaminated", col("n_contaminated") >= 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -625,6 +660,28 @@ object DedupQueries {
              x -> NOT x.rm), x -> x.tok), ' '), '')) AS cleaned_md5
          FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.i = rm.i
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+
+    "dedup_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sp AS (
+           SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS sh
+           FROM (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM w)),
+         bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 41 = 0),
+         corp AS (SELECT doc_id, sh FROM sp WHERE doc_id % 41 <> 0),
+         tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM corp GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS n_contaminated FROM corp
+           WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(tot.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(hits.n_contaminated, 0) >= 8 AS is_contaminated
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN hits ON d.doc_id = hits.doc_id
+         WHERE d.doc_id % 41 <> 0
+         ORDER BY d.doc_id""",
 
     "dedup_span_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

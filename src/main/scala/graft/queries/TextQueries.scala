@@ -637,6 +637,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-document repetition signals (the Gopher/MassiveText quality
+    // gates): fraction of 2-gram occurrences whose 2-gram repeats inside
+    // the doc, and the share of the single most frequent 2-gram. The flag
+    // thresholds (dup ≥ 30%, top ≥ 10%) compare INTEGERS (n·10 ≥ total·3)
+    // so no float crosses the gate — the rounded fractions are display
+    // only. Scale shape: one (doc, 2-gram) hash agg + one doc agg, both
+    // two-phase; the corpus text never shuffles, only (doc, gram, count)
+    // triples — and a repetitive doc cannot skew a partition because its
+    // triples collapse map-side first.
+    "text_repetition_filter" -> ((s, d) => {
+      val tf2 = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr(
+          "transform(filter(sequence(1, greatest(size(ws) - 1, 1)), i -> i < size(ws)), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g2"))
+        .groupBy(col("doc_id"), col("g2")).agg(count(lit(1)).as("c"))
+      tf2.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_2grams"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_occ"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_2grams"),
+          round(col("n_dup_occ").cast("double") / col("n_2grams"), 6)
+            .as("frac_dup_2gram"),
+          round(col("top_c").cast("double") / col("n_2grams"), 6)
+            .as("frac_top_2gram"),
+          (col("n_dup_occ") * 10 >= col("n_2grams") * 3 ||
+            col("top_c") * 10 >= col("n_2grams")).as("flag_repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Line-level dedup (the FineWeb/RefinedWeb within-corpus boilerplate
     // scrub — removes repeated PASSAGES while keeping the documents): the
     // corpus is cut into deterministic 32-token chunks (the corpus has no
@@ -736,6 +765,27 @@ object TextQueries {
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
          FROM dw JOIN nt USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_repetition_filter" ->
+      """WITH tf2 AS (
+           SELECT doc_id, g2, COUNT(*) AS c
+           FROM (
+             SELECT doc_id,
+               ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g2
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               unnest(range(1, len(ws))) t(i))
+           GROUP BY doc_id, g2),
+         agg AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_occ,
+             CAST(MAX(c) AS BIGINT) AS top_c
+           FROM tf2 GROUP BY doc_id)
+         SELECT doc_id, n_2grams,
+           ROUND(CAST(n_dup_occ AS DOUBLE) / n_2grams, 6) AS frac_dup_2gram,
+           ROUND(CAST(top_c AS DOUBLE) / n_2grams, 6) AS frac_top_2gram,
+           (n_dup_occ * 10 >= n_2grams * 3 OR top_c * 10 >= n_2grams)
+             AS flag_repetitive
+         FROM agg ORDER BY doc_id""",
 
     "text_dist_drift" ->
       """WITH t AS (

@@ -325,6 +325,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_decontaminate: benchmark spans semi-join (no row multiplication), counts two-phase") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_bpe_tokenize: tokenizer model broadcast onto the corpus, learned merges 1-row") {
     val p = plan("text_bpe_tokenize")
     // the word→token-count map joins the exploded corpus as a broadcast
