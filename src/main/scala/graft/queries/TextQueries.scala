@@ -637,6 +637,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-based data mixing (the multilingual-pretraining
+    // resampling rule, τ = 1/2): target language shares ∝ √(observed
+    // share), so minority languages are boosted; each language gets the
+    // acceptance rate that moves the corpus toward the target (capped at
+    // 1 — this operator only downsamples), and each DOCUMENT gets a
+    // deterministic accept/reject by content hash against the rate's
+    // 24-bit integer threshold — reproducible on any cluster, any
+    // partitioning, no RNG state. Float discipline: √ and ÷ are IEEE
+    // correctly-rounded (engine-identical); the one cross-language float
+    // SUM folds over a SORTED list; thresholds cross into the comparison
+    // as integers. Scale shape: the mixture model is a lang-count agg +
+    // a few-row broadcast; the corpus pass is one narrow map + broadcast
+    // join — nothing corpus-sized shuffles.
+    "text_mix_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      val w = counts.crossJoin(broadcast(tot))
+        .withColumn("w_l", sqrt(col("n_l").cast("double") / col("n_tot")))
+      val z = w.agg(aggregate(sort_array(collect_list(col("w_l"))),
+        lit(0.0), (a, x) => a + x).as("z"))
+      val rates = w.crossJoin(broadcast(z))
+        .withColumn("r_l",
+          least(lit(1.0), col("w_l") / col("z") * col("n_tot") / col("n_l")))
+        .select(col("lang"),
+          floor(col("r_l") * lit(16777216)).cast("long").as("thr"))
+      docs.select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("text").cast(BinaryType)), 1, 6), 16, 10)
+            .cast("long").as("h"))
+        .join(broadcast(rates), "lang")
+        .select(col("doc_id"), col("lang"), (col("h") < col("thr")).as("accepted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Within-document repetition signals (the Gopher/MassiveText quality
     // gates): fraction of 2-gram occurrences whose 2-gram repeats inside
     // the doc, and the share of the single most frequent 2-gram. The flag
@@ -765,6 +799,24 @@ object TextQueries {
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
          FROM dw JOIN nt USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_mix_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+         t AS (SELECT COUNT(*) AS n_tot FROM documents),
+         w AS (SELECT lang, n_l, n_tot,
+                 sqrt(CAST(n_l AS DOUBLE) / n_tot) AS w_l
+               FROM c CROSS JOIN t),
+         z AS (SELECT list_reduce(list_sort(list(w_l)), (a, b) -> a + b) AS z
+               FROM w),
+         r AS (SELECT lang,
+                 CAST(floor(least(1.0, w_l / z * n_tot / n_l) * 16777216)
+                   AS BIGINT) AS thr
+               FROM w CROSS JOIN z)
+         SELECT d.doc_id, d.lang,
+           CAST(concat('0x', substr(md5(d.text), 1, 6)) AS BIGINT) < r.thr
+             AS accepted
+         FROM documents d JOIN r USING (lang)
+         ORDER BY d.doc_id""",
 
     "text_repetition_filter" ->
       """WITH tf2 AS (
