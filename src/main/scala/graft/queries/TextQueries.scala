@@ -637,6 +637,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-language quality-quantile gating (the CCNet-style "keep the best
+    // q% per language" filter): documents rank within their language by
+    // the text_quality score (identical float expression both engines —
+    // ranking needs only ORDER equality, stricter-than-needed bitwise
+    // equality already proven by text_quality's green gate) with doc_id as
+    // the total tie-break; keep = rank·10 ≤ n·7, an integer compare. Scale
+    // note: the per-lang row_number is one sort-partition per language —
+    // fine while languages are many or corpora per language fit a
+    // partition spill; at 100 TB the scale path is the q28 pattern (an
+    // approx_percentile score threshold per language, broadcast back as a
+    // filter), with this exact-rank form as the correctness gate.
+    "text_quality_quantile" -> ((s, d) => {
+      val scored = withWords(Tables.documents(s, d))
+        .withColumn("n_tokens", size(col("ws")))
+        .withColumn("stop_hits", hits("en"))
+        .withColumn("punct", regexp_count(col("text"), lit("[.,;:!?]")))
+        .withColumn("score",
+          col("stop_hits") / col("n_tokens") * 0.5 +
+            (lit(1.0) - col("punct") / length(col("text"))) * 0.3 +
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      scored
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(wc))
+        .select(col("doc_id"), col("lang"), col("rnk"), col("n_lang"),
+          (col("rnk") * 10 <= col("n_lang") * 7).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-based data mixing (the multilingual-pretraining
     // resampling rule, τ = 1/2): target language shares ∝ √(observed
     // share), so minority languages are boosted; each language gets the
@@ -799,6 +830,24 @@ object TextQueries {
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
          FROM dw JOIN nt USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_quality_quantile" ->
+      s"""WITH sc AS (
+           SELECT doc_id, lang,
+             stop_hits / n_tokens * 0.5 + (1.0 - punct / length(text)) * 0.3
+               + least(n_tokens / 100.0, 1.0) * 0.2 AS score
+           FROM (SELECT doc_id, lang, text, len(ws) AS n_tokens,
+                   ${hitsSql("en")} AS stop_hits,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS punct
+                 FROM (SELECT doc_id, lang, text, $WsSql AS ws FROM documents) t) t2),
+         r AS (
+           SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+           FROM sc)
+         SELECT doc_id, lang, rnk, n_lang, (rnk * 10 <= n_lang * 7) AS kept
+         FROM r ORDER BY doc_id""",
 
     "text_mix_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),

@@ -20,6 +20,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("no duplicate query keys in the source (Map literals silently last-win)") {
+    // A runtime Map cannot reveal a duplicated literal key — the earlier
+    // entry is just gone. Scan the family sources instead: each name may
+    // appear at most twice (query + oracle) in its file, and never in two
+    // different family files.
+    val files = new java.io.File("src/main/scala/graft/queries").listFiles()
+      .filter(_.getName.endsWith(".scala")).toSeq.sortBy(_.getName)
+    val keyRe = """"([a-z][a-z0-9]*_[a-z0-9_]+)" *->""".r
+    val perFile = files.map { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      f.getName -> keyRe.findAllMatchIn(src).map(_.group(1)).toSeq
+    }
+    for ((name, keys) <- perFile) {
+      val dups = keys.groupBy(identity).filter(_._2.size > 2).keys.toSeq.sorted
+      assert(dups.isEmpty, s"$name defines a key more than twice: $dups")
+    }
+    for (Seq((fa, ka), (fb, kb)) <- perFile.combinations(2)) {
+      val inter = ka.toSet & kb.toSet
+      assert(inter.isEmpty, s"$fa and $fb both define: ${inter.toSeq.sorted}")
+    }
+  }
+
   test("every query executes at sf0.001 and almost all return rows") {
     val counts = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, d).count()
