@@ -637,6 +637,48 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact heavy hitters at bounded memory (the scale twin of
+    // text_termfreq, which shuffles the whole vocabulary): pass 1 runs
+    // Misra-Gries with k=4096 counters PER PARTITION (mapPartitions is the
+    // honest tier here — a decrement-all sketch is per-partition
+    // imperative state no Catalyst expression provides); by the averaging
+    // argument any term with global count > N/k exceeds n_p/k in some
+    // partition, so the union of per-partition candidates covers every
+    // such term. Pass 2 recounts ONLY the candidates exactly (broadcast
+    // join — the exchange carries candidate terms, ≤ 4096·partitions,
+    // instead of the vocabulary), so the top-20 is EXACT and
+    // deterministic whenever the 20th count clears the N/k floor — the
+    // per-row `above_mg_floor` boolean machine-checks that envelope, q41
+    // style, and a silent coverage failure would hash-fail against the
+    // oracle's true top-20 anyway. This is how exact frequent-items runs
+    // when the vocabulary (URLs, hashes) dwarfs executor memory.
+    "text_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val terms = withWords(Tables.documents(s, d))
+        .select(explode(col("ws")).as("term")).filter(length(col("term")) > 0)
+      val cands = terms.as[String].mapPartitions { it =>
+        val k = 4096
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (m.contains(t)) m(t) += 1L
+          else if (m.size < k) m.update(t, 1L)
+          else {
+            val dead = m.iterator.collect { case (key, 1L) => key }.toList
+            m.mapValuesInPlace((_, v) => v - 1L)
+            dead.foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }.toDF("term").distinct()
+      val tot = terms.agg(count(lit(1)).as("n_total"))
+      terms.join(broadcast(cands), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .orderBy(col("n").desc, col("term")).limit(20)
+        .select(col("term"), col("n"),
+          (col("n") * 4096 > col("n_total")).as("above_mg_floor"))
+    }),
+
     // Per-language quality-quantile gating (the CCNet-style "keep the best
     // q% per language" filter): documents rank within their language by
     // the text_quality score (identical float expression both engines —
@@ -830,6 +872,17 @@ object TextQueries {
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
          FROM dw JOIN nt USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_heavy_hitters" ->
+      """WITH t AS (
+           SELECT w AS term
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0),
+         n AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t)
+         SELECT term, n, (n * 4096 > n_total) AS above_mg_floor
+         FROM n CROSS JOIN tot
+         ORDER BY n DESC, term LIMIT 20""",
 
     "text_quality_quantile" ->
       s"""WITH sc AS (
