@@ -637,6 +637,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing (the GPT-style pretraining batch layout): documents
+    // concatenate in doc_id order and chop into fixed 512-token training
+    // sequences; each doc reports its global token offset, the sequences
+    // it lands in, and whether it straddles a boundary (the packing-waste
+    // / attention-mask signal). The global running offset is the q58
+    // two-level prefix sum — per-bucket window sums plus a bucket-offset
+    // table that is BUCKET-count sized (broadcast back), so no global
+    // single-partition sort ever happens; all arithmetic is integer.
+    "text_pack_offsets" -> ((s, d) => {
+      val b = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("doc_id div 64"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(wB), lit(0L)))
+        .select(col("bucket"), col("off"))
+      b.withColumn("run_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .join(broadcast(offsets), "bucket")
+        .withColumn("start_offset", col("off") + col("run_in"))
+        .withColumn("first_seq", expr("start_offset div 512"))
+        .withColumn("last_seq", expr("(start_offset + n_tokens - 1) div 512"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("first_seq"), col("last_seq"),
+          (col("first_seq") =!= col("last_seq")).as("crosses_boundary"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact heavy hitters at bounded memory (the scale twin of
     // text_termfreq, which shuffles the whole vocabulary): pass 1 runs
     // Misra-Gries with k=4096 counters PER PARTITION (mapPartitions is the
@@ -872,6 +903,29 @@ object TextQueries {
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
          FROM dw JOIN nt USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_pack_offsets" ->
+      """WITH w AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+         b AS (SELECT doc_id, n_tokens, doc_id // 64 AS bucket FROM w),
+         r AS (
+           SELECT doc_id, n_tokens, bucket,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_in
+           FROM b),
+         t AS (SELECT bucket, SUM(n_tokens) AS tot FROM b GROUP BY bucket),
+         o AS (
+           SELECT bucket, COALESCE(SUM(tot) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM t)
+         SELECT r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           CAST(o.off + r.run_in AS BIGINT) AS start_offset,
+           CAST((o.off + r.run_in) // 512 AS BIGINT) AS first_seq,
+           CAST((o.off + r.run_in + r.n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+           ((o.off + r.run_in) // 512 <> (o.off + r.run_in + r.n_tokens - 1) // 512)
+             AS crosses_boundary
+         FROM r JOIN o USING (bucket)
+         ORDER BY r.doc_id""",
 
     "text_heavy_hitters" ->
       """WITH t AS (
