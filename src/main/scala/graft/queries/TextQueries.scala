@@ -741,6 +741,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The SCALE path of text_quality_quantile (the promise in its
+    // comment, q28-style): instead of ranking every document under a
+    // per-language sort partition, compute each language's 30th-percentile
+    // score with approx_percentile (t-digest — mergeable, bounded memory,
+    // two-phase) and broadcast the thresholds back as a filter. The
+    // envelope is machine-checked the q28 way: the kept fraction must land
+    // within 5% of the 70% target, asserted as booleans the oracle pins
+    // to TRUE — a sketch drifting past its bound hash-fails the gate.
+    "text_quality_threshold" -> ((s, d) => {
+      val scored = withWords(Tables.documents(s, d))
+        .withColumn("n_tokens", size(col("ws")))
+        .withColumn("stop_hits", hits("en"))
+        .withColumn("punct", regexp_count(col("text"), lit("[.,;:!?]")))
+        .withColumn("score",
+          col("stop_hits") / col("n_tokens") * 0.5 +
+            (lit(1.0) - col("punct") / length(col("text"))) * 0.3 +
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.2)
+      val thr = scored.groupBy(col("lang"))
+        .agg(expr("approx_percentile(score, 0.3, 10000)").as("thr"))
+      scored.join(broadcast(thr), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("kept"))
+        .select(col("lang"), col("n_docs"),
+          (abs(col("kept").cast("double") / col("n_docs") - 0.7) <= 0.05)
+            .as("kept_frac_within_5pct"))
+        .orderBy(col("lang"))
+    }),
+
     // Temperature-based data mixing (the multilingual-pretraining
     // resampling rule, τ = 1/2): target language shares ∝ √(observed
     // share), so minority languages are boosted; each language gets the
@@ -937,6 +966,11 @@ object TextQueries {
          SELECT term, n, (n * 4096 > n_total) AS above_mg_floor
          FROM n CROSS JOIN tot
          ORDER BY n DESC, term LIMIT 20""",
+
+    "text_quality_threshold" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS kept_frac_within_5pct
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "text_quality_quantile" ->
       s"""WITH sc AS (

@@ -155,6 +155,33 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental stats equals moment sums of the compacted state over random DML+truncate mixes") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val rnd = new Random(300 + trial)
+      val events = randomFullImageEvents(rnd, n = 500, keySpace = 30)
+      val finalState = scala.collection.mutable.Map.empty[String, Map[String, String]]
+      events.sortBy(e => (e.lsn, e.seq)).foreach { e =>
+        e.op match {
+          case "I" | "U" => finalState(e.key("id")) = e.after
+          case "D" => finalState.remove(e.key("id"))
+          case "T" => finalState.clear()
+        }
+      }
+      // reference: exact integer moment sums in the scaled (cents) domain
+      val expected = finalState.values.groupBy(_("g")).map { case (g, rows) =>
+        val xs = rows.map(r => BigInt(r("v")) * 100)
+        (g, xs.sum.toString, xs.map(x => x * x).sum.toString, rows.size.toLong)
+      }.toSeq.sortBy(_._1)
+      val df = spark.createDataset(rnd.shuffle(events)).repartition(7).toDF()
+      val got = Cdc.incrementalStats(df, "g", "v")
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+          r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+      assert(got === expected, s"trial $trial: incremental stats vs sequential reference")
+    }
+  }
+
   test("multi-column incremental aggregate: several SUMs ride one shuffle and match per-column math") {
     import spark.implicits._
     val rnd = new Random(55)
