@@ -315,6 +315,35 @@ object SimilarityQueries {
     // sorted k-array — no join, no shuffle); per-point outputs avoid
     // cross-row double summation entirely, so round-6 is exact on both
     // engines.
+    // k-NN GRAPH construction (the input to semantic clustering and
+    // graph-based dedup): each vector's exact top-3 cosine neighbors
+    // WITHIN its coarse cell (label = the IVF-cell stand-in, the same
+    // blocking convention as dedup_embedding). Scale shape: the pair join
+    // is quadratic in CELL size, never corpus size — the quantizer caps
+    // cell width at scale (split oversized cells; multi-probe recovers
+    // recall across cell borders) — and the per-source top-3 rank window
+    // group-limits to k rows per partition before its shuffle.
+    // Determinism: dots fold left-to-right in double, norms computed once
+    // per row, ties break on neighbor id.
+    "sim_knn_graph" -> ((s, d) => {
+      def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotDbl(col("embedding"), col("embedding"))))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          (dotDbl(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("rank"), col("dst"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("src"), col("rank"))
+    }),
+
     "sim_silhouette" -> ((s, d) => {
       val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
@@ -538,6 +567,17 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" -> BruteAnnSql,
+
+    "sim_knn_graph" ->
+      s"""SELECT src, rank, dst, cos_sim FROM (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+               AS rank
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id) t
+         WHERE rank <= 3 ORDER BY src, rank""",
 
     "sim_ann_recall" ->
       s"""WITH brute AS ($BruteAnnSql),
