@@ -86,6 +86,31 @@ object SimilarityQueries {
         .toSeq.sortBy(_._1)
     })
 
+  /** Directed exact k-NN edges (src, rank, dst, cos): each vector's top-3
+    * cosine neighbors WITHIN its coarse cell (label = the IVF-cell
+    * stand-in, the same blocking convention as dedup_embedding). Scale
+    * shape: the pair join is quadratic in CELL size, never corpus size —
+    * the quantizer caps cell width at scale (split oversized cells;
+    * multi-probe recovers recall across cell borders) — and the
+    * per-source top-3 rank window group-limits to k rows per partition
+    * before its shuffle. Determinism: dots fold left-to-right in double,
+    * norms computed once per row, ties break on neighbor id. */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(dotDbl(col("embedding"), col("embedding"))))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (dotDbl(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 cosine neighbors for 5 query vectors:
     // broadcast the queries, scan the corpus once (norms precomputed per
@@ -317,31 +342,30 @@ object SimilarityQueries {
     // engines.
     // k-NN GRAPH construction (the input to semantic clustering and
     // graph-based dedup): each vector's exact top-3 cosine neighbors
-    // WITHIN its coarse cell (label = the IVF-cell stand-in, the same
-    // blocking convention as dedup_embedding). Scale shape: the pair join
-    // is quadratic in CELL size, never corpus size — the quantizer caps
-    // cell width at scale (split oversized cells; multi-probe recovers
-    // recall across cell borders) — and the per-source top-3 rank window
-    // group-limits to k rows per partition before its shuffle.
-    // Determinism: dots fold left-to-right in double, norms computed once
-    // per row, ties break on neighbor id.
-    "sim_knn_graph" -> ((s, d) => {
-      def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-      val e = Tables.embeddings(s, d)
-        .withColumn("nrm", sqrt(dotDbl(col("embedding"), col("embedding"))))
-      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-          (dotDbl(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+    // WITHIN its coarse cell — see [[knnEdges]] for the scale shape.
+    "sim_knn_graph" -> ((s, d) =>
+      knnEdges(s, d)
         .select(col("src"), col("rank"), col("dst"),
           round(col("cos"), 6).as("cos_sim"))
-        .orderBy(col("src"), col("rank"))
+        .orderBy(col("src"), col("rank"))),
+
+    // Semantic clusters (the SemDeDup shape): MUTUAL top-3 neighbors form
+    // the undirected edge set — mutuality is the standard symmetrization
+    // that keeps hub vectors from chaining unrelated regions — and
+    // connected components label each cluster by its minimum vec_id.
+    // Scale shape: the mutual-edge join is kNN-graph-sized (≤ 3N rows per
+    // side), and Graph.connectedComponents runs driver union-find below
+    // 2²⁰ edges with distributed min-label propagation above (both paths
+    // equivalence-tested in GraphSpec).
+    "sim_knn_clusters" -> ((s, d) => {
+      val knn = knnEdges(s, d).select(col("src"), col("dst"))
+      val mutual = knn.as("x").join(knn.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .filter(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("a_id"), col("x.dst").as("b_id"))
+      graft.operators.Graph.connectedComponents(mutual)
+        .select(col("vertex").as("vec_id"), col("component").as("cluster"))
+        .orderBy(col("vec_id"))
     }),
 
     "sim_silhouette" -> ((s, d) => {
@@ -567,6 +591,29 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" -> BruteAnnSql,
+
+    "sim_knn_clusters" ->
+      s"""WITH RECURSIVE knn AS (
+           SELECT src, dst FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+                 AS rank
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id) t
+           WHERE rank <= 3),
+         pairs AS (
+           SELECT x.src AS a_id, x.dst AS b_id FROM knn x JOIN knn y
+             ON x.src = y.dst AND x.dst = y.src
+           WHERE x.src < x.dst),
+         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                   UNION SELECT b_id AS u, a_id AS v FROM pairs),
+         reach AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster
+         FROM reach GROUP BY u ORDER BY vec_id""",
 
     "sim_knn_graph" ->
       s"""SELECT src, rank, dst, cos_sim FROM (
