@@ -612,6 +612,29 @@ object TextQueries {
         .limit(10)
     }),
 
+    // FULL BPE training, 8 rounds: the complete merge-rule table (round,
+    // pair, count) learned iteratively — each round counts adjacent
+    // symbol pairs over the current vocabulary segmentation, takes the
+    // argmax under the total tie order, and applies it via the
+    // boundary-anchored double-separator rewrite, which is safe for
+    // ARBITRARY stacked merges (both pattern symbols are anchored on both
+    // sides, so multi-char tokens can never false-match; see bpeMergeTop).
+    // The driver loop builds an 8-deep lazy plan — every round is
+    // vocab-sized, the corpus is scanned once. The oracle unrolls the
+    // same 8 rounds as chained CTEs (the dedup_pagerank precedent).
+    "text_bpe_train" -> ((s, d) => {
+      val rounds = 8
+      var sym = bpeVocab(s, d)
+      val rules = (1 to rounds).map { r =>
+        val pairs = bpePairs(sym)
+        val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .select(lit(r).as("round"), col("a"), col("b"), col("n"))
+        sym = bpeMergeTop(sym, pairs)
+        top
+      }
+      rules.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
     // Closes the BPE loop train→apply: TWO merges are learned in sequence
     // (round 2's argmax pairs against the round-1 token, exactly standard
     // BPE), applied to the VOCABULARY, and the corpus is then tokenized by
@@ -892,6 +915,35 @@ object TextQueries {
              unnest(range(1, len(sy))) t(i)
            GROUP BY 1, 2)
          SELECT a, b, n FROM r2 ORDER BY n DESC, a, b LIMIT 10""",
+
+    // 8 unrolled training rounds over the double-separator symbol form.
+    "text_bpe_train" -> {
+      val roundCte = (1 to 8).map { i =>
+        s"""r$i AS (
+             SELECT sy[CAST(j AS INT)] AS a, sy[CAST(j AS INT) + 1] AS b,
+               CAST(SUM(c) AS BIGINT) AS n
+             FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c FROM s${i - 1}),
+               unnest(range(1, len(sy))) t(j)
+             GROUP BY 1, 2),
+           top$i AS (SELECT a, b, n FROM r$i ORDER BY n DESC, a, b LIMIT 1),
+           s$i AS (
+             SELECT word, c,
+               replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
+             FROM s${i - 1} CROSS JOIN top$i)"""
+      }.mkString(",\n         ")
+      val tops = (1 to 8).map(i =>
+        s"SELECT $i AS round, a, b, n FROM top$i").mkString("\n         UNION ALL ")
+      s"""WITH vocab AS (
+           SELECT w AS word, COUNT(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         s0 AS (
+           SELECT word, c,
+             '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
+           FROM vocab),
+         $roundCte
+         SELECT * FROM ($tops) t ORDER BY round"""
+    },
 
     // Mirrors the Spark side's double-separator merge form |a||b||c| (see
     // bpeMergeTop): the pattern '|a||b|' anchors both symbol boundaries.
