@@ -635,20 +635,18 @@ object TextQueries {
       rules.reduce(_ unionByName _).orderBy(col("round"))
     }),
 
-    // Closes the BPE loop train→apply: TWO merges are learned in sequence
-    // (round 2's argmax pairs against the round-1 token, exactly standard
-    // BPE), applied to the VOCABULARY, and the corpus is then tokenized by
-    // broadcasting the word→token-count map over the exploded corpus —
-    // the standard shape of tokenizer application at 100 TB: the model
-    // (two 1-row broadcasts) and the per-word rewrite are O(vocab); the
-    // corpus crosses the map-side join as narrow (doc_id, word) pairs and
-    // is never shuffled except the final doc-keyed agg. All-integer until
-    // the one final division, so round-6 output is bit-stable.
+    // Closes the BPE loop train→apply with the FULL text_bpe_train model:
+    // the 8 learned merges apply to the VOCABULARY in training order, and
+    // the corpus is then tokenized by broadcasting the word→token-count
+    // map over the exploded corpus — the standard shape of tokenizer
+    // application at 100 TB: the model (eight 1-row broadcasts) and the
+    // per-word rewrite are O(vocab); the corpus crosses the map-side join
+    // as narrow (doc_id, word) pairs and is never shuffled except the
+    // final doc-keyed agg. All-integer until the one final division.
     "text_bpe_tokenize" -> ((s, d) => {
-      val sym0 = bpeVocab(s, d)
-      val sym1 = bpeMergeTop(sym0, bpePairs(sym0))
-      val sym2 = bpeMergeTop(sym1, bpePairs(sym1))
-      val ntok = sym2.select(col("word"), size(col("sy")).as("nt"))
+      var sym = bpeVocab(s, d)
+      (1 to 8).foreach(_ => sym = bpeMergeTop(sym, bpePairs(sym)))
+      val ntok = sym.select(col("word"), size(col("sy")).as("nt"))
       withWords(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("ws")).as("word"))
         .join(broadcast(ntok), "word")
@@ -889,6 +887,35 @@ object TextQueries {
     }))
 
   private val WsSql = "string_split(text, ' ')"
+
+  /** Shared BPE oracle scaffolding: weighted vocab + the double-separator
+    * symbol string s0 (`|a||b||c|`; see bpeMergeTop for why the double
+    * separator is the boundary-safe form). */
+  private val BpeBaseSql =
+    """vocab AS (
+           SELECT w AS word, COUNT(*) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         s0 AS (
+           SELECT word, c,
+             '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
+           FROM vocab)"""
+
+  /** `n` chained BPE training rounds (r_i pair counts, top_i argmax under
+    * the total tie order, s_i merged segmentation), CTE-unrolled. */
+  private def bpeRoundsSql(n: Int): String = (1 to n).map { i =>
+    s"""r$i AS (
+             SELECT sy[CAST(j AS INT)] AS a, sy[CAST(j AS INT) + 1] AS b,
+               CAST(SUM(c) AS BIGINT) AS n
+             FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c FROM s${i - 1}),
+               unnest(range(1, len(sy))) t(j)
+             GROUP BY 1, 2),
+           top$i AS (SELECT a, b, n FROM r$i ORDER BY n DESC, a, b LIMIT 1),
+           s$i AS (
+             SELECT word, c,
+               replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
+             FROM s${i - 1} CROSS JOIN top$i)"""
+  }.mkString(",\n         ")
   private val ShinglesSql =
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
@@ -918,67 +945,19 @@ object TextQueries {
 
     // 8 unrolled training rounds over the double-separator symbol form.
     "text_bpe_train" -> {
-      val roundCte = (1 to 8).map { i =>
-        s"""r$i AS (
-             SELECT sy[CAST(j AS INT)] AS a, sy[CAST(j AS INT) + 1] AS b,
-               CAST(SUM(c) AS BIGINT) AS n
-             FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c FROM s${i - 1}),
-               unnest(range(1, len(sy))) t(j)
-             GROUP BY 1, 2),
-           top$i AS (SELECT a, b, n FROM r$i ORDER BY n DESC, a, b LIMIT 1),
-           s$i AS (
-             SELECT word, c,
-               replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
-             FROM s${i - 1} CROSS JOIN top$i)"""
-      }.mkString(",\n         ")
       val tops = (1 to 8).map(i =>
         s"SELECT $i AS round, a, b, n FROM top$i").mkString("\n         UNION ALL ")
-      s"""WITH vocab AS (
-           SELECT w AS word, COUNT(*) AS c
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           GROUP BY w),
-         s0 AS (
-           SELECT word, c,
-             '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
-           FROM vocab),
-         $roundCte
+      s"""WITH $BpeBaseSql,
+         ${bpeRoundsSql(8)}
          SELECT * FROM ($tops) t ORDER BY round"""
     },
 
-    // Mirrors the Spark side's double-separator merge form |a||b||c| (see
-    // bpeMergeTop): the pattern '|a||b|' anchors both symbol boundaries.
+    // Tokenize with the full 8-rule trained model (same round chain as
+    // text_bpe_train; the pattern '|a||b|' anchors both symbol boundaries).
     "text_bpe_tokenize" ->
-      """WITH vocab AS (
-           SELECT w AS word, COUNT(*) AS c
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           GROUP BY w),
-         s0 AS (
-           SELECT word, c,
-             '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
-           FROM vocab),
-         r1 AS (
-           SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
-             CAST(SUM(c) AS BIGINT) AS n
-           FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c FROM s0),
-             unnest(range(1, len(sy))) t(i)
-           GROUP BY 1, 2),
-         top1 AS (SELECT a, b FROM r1 ORDER BY n DESC, a, b LIMIT 1),
-         s1 AS (
-           SELECT word, c,
-             replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
-           FROM s0 CROSS JOIN top1),
-         r2 AS (
-           SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
-             CAST(SUM(c) AS BIGINT) AS n
-           FROM (SELECT string_split(trim(s, '|'), '||') AS sy, c FROM s1),
-             unnest(range(1, len(sy))) t(i)
-           GROUP BY 1, 2),
-         top2 AS (SELECT a, b FROM r2 ORDER BY n DESC, a, b LIMIT 1),
-         s2 AS (
-           SELECT word,
-             replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
-           FROM s1 CROSS JOIN top2),
-         nt AS (SELECT word, len(string_split(trim(s, '|'), '||')) AS nt FROM s2),
+      s"""WITH $BpeBaseSql,
+         ${bpeRoundsSql(8)},
+         nt AS (SELECT word, len(string_split(trim(s, '|'), '||')) AS nt FROM s8),
          dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
          SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens,
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
