@@ -95,17 +95,27 @@ object SimilarityQueries {
     * per-source top-3 rank window group-limits to k rows per partition
     * before its shuffle. Determinism: dots fold left-to-right in double,
     * norms computed once per row, ties break on neighbor id. */
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
-    def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Session cache of the kNN edge table (per data dir): the graph query
+    * and the cluster query's TWO mutual-join sides share one computation
+    * of the within-cell pair join — the expensive part (|cell|² dots). */
+  private val knnCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnCache.getOrElseUpdate((s, d), knnEdgesPlan(s, d).persist())
+
+  private def knnEdgesPlan(s: SparkSession, d: String): DataFrame = {
+    // the codegen'd FloatVectorDot kernel — same left-to-right
+    // float→double fold as the DuckDB oracle's list_reduce
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.vector_dot(a, b)
     val e = Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(dotDbl(col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        (dotDbl(col("a.embedding"), col("b.embedding")) /
+        (dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
