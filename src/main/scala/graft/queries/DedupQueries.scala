@@ -297,6 +297,29 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Edit-distance verification of LSH candidates (the string-metric
+    // re-rank the token/shingle metrics can't express — catches
+    // transpositions and small in-word edits): each MinHash candidate
+    // pair scores levenshtein over the first 128 chars. The prefix cap is
+    // the standard cost guard — edit distance is O(n·m) per pair, so at
+    // scale the comparison window is bounded and only LSH-bucketed pairs
+    // (pair-graph-sized, ≪ corpus²) ever reach it. The dup flag compares
+    // integers (dist·10 ≤ len); the normalized similarity is display.
+    "dedup_edit_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+      minhashCandidatePairs(s, d)
+        .join(docs.select(col("doc_id").as("a_id"), col("t").as("ta")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("t").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+        .withColumn("sim",
+          round(lit(1.0) - col("edit_dist").cast("double") / col("max_len"), 6))
+        .withColumn("is_dup", col("edit_dist") * 10 <= col("max_len"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Train/test decontamination (the GPT-3/PaLM-style n-gram overlap
     // check): docs with doc_id % 41 == 0 stand in for the HELD-OUT
     // benchmark set; every other document counts its 8-token span
@@ -660,6 +683,27 @@ object DedupQueries {
              x -> NOT x.rm), x -> x.tok), ' '), '')) AS cleaned_md5
          FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.i = rm.i
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+
+    "dedup_edit_verify" ->
+      s"""WITH sigs AS ($MinhashSql),
+         banded AS (
+           SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+           FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         d128 AS (SELECT doc_id, substr(text, 1, 128) AS t FROM documents)
+         SELECT p.a_id, p.b_id,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+           CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS max_len,
+           ROUND(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+             greatest(length(a.t), length(b.t)), 6) AS sim,
+           (levenshtein(a.t, b.t) * 10 <= greatest(length(a.t), length(b.t)))
+             AS is_dup
+         FROM pairs p
+         JOIN d128 a ON p.a_id = a.doc_id
+         JOIN d128 b ON p.b_id = b.doc_id
+         ORDER BY p.a_id, p.b_id""",
 
     "dedup_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
