@@ -277,6 +277,25 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Cohort retention (the companion analytics staple to q64's funnel):
+    // users cohort by first-activity DAY; each (cohort, day-offset) cell
+    // counts users active that many days after joining. Scale shape: the
+    // (user, day) activity matrix distinct-collapses first (map-side —
+    // a chatty user contributes one row per day, not per event), the
+    // cohort table joins back user-keyed, and the cell agg is two-phase;
+    // all integer/date arithmetic, no floats anywhere.
+    "q65_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Funnel analysis (ordered-sequence matching, the MATCH_RECOGNIZE-lite
     // every product-analytics store ships): per user, the first view, the
     // first click strictly AFTER that view, and the first purchase
@@ -1438,6 +1457,18 @@ object RelationalQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
          WHERE event_type = 'error' ORDER BY event_id""",
+
+    "q65_retention" ->
+      """WITH cohort AS (
+           SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+         SELECT cohort_day,
+           date_diff('day', cohort_day, day) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM act a JOIN cohort c ON a.user_id = c.user_id
+         GROUP BY cohort_day, date_diff('day', cohort_day, day)
+         ORDER BY cohort_day, day_offset""",
 
     "q64_funnel" ->
       """WITH e AS (
