@@ -687,6 +687,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dataset export sharding (the "write N balanced training shards"
+    // step): each document lands in one of 16 shards by content hash —
+    // deterministic on any cluster, stable across reruns, and
+    // content-addressed so a re-ingested duplicate lands in the same
+    // shard. The report is the per-shard manifest (docs, tokens, chars)
+    // plus each shard's load ratio against the ideal 1/16 — the balance
+    // gate an export job checks before publishing. One narrow map + one
+    // 16-group agg; nothing corpus-sized shuffles except the 16-row cell
+    // exchange.
+    "text_export_shards" -> ((s, d) => {
+      val docs = withWords(Tables.documents(s, d))
+        .select(
+          (conv(substring(md5(col("text").cast(BinaryType)), 1, 6), 16, 10)
+            .cast("long") % 16).as("shard"),
+          size(col("ws")).cast("long").as("n_tok"), col("n_chars"))
+      val tot = docs.agg(count(lit(1)).as("total_docs"))
+      docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("total_chars"),
+          round(col("n_docs").cast("double") * 16 / col("total_docs"), 6)
+            .as("load_ratio"))
+        .orderBy(col("shard"))
+    }),
+
     // Sequence packing (the GPT-style pretraining batch layout): documents
     // concatenate in doc_id order and chop into fixed 512-token training
     // sequences; each doc reports its global token offset, the sequences
@@ -992,6 +1018,19 @@ object TextQueries {
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tok_per_word
          FROM dw JOIN nt USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_export_shards" ->
+      """WITH s AS (
+           SELECT CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tok, n_chars
+           FROM documents),
+         t AS (SELECT COUNT(*) AS total_docs FROM s)
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(COUNT(*) AS DOUBLE) * 16 / total_docs, 6) AS load_ratio
+         FROM s CROSS JOIN t
+         GROUP BY shard, total_docs ORDER BY shard""",
 
     "text_pack_offsets" ->
       """WITH w AS (
