@@ -277,60 +277,6 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
-    // Cohort retention (the companion analytics staple to q64's funnel):
-    // users cohort by first-activity DAY; each (cohort, day-offset) cell
-    // counts users active that many days after joining. Scale shape: the
-    // (user, day) activity matrix distinct-collapses first (map-side —
-    // a chatty user contributes one row per day, not per event), the
-    // cohort table joins back user-keyed, and the cell agg is two-phase;
-    // all integer/date arithmetic, no floats anywhere.
-    "q65_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val cohort = ev.groupBy(col("user_id"))
-        .agg(min(to_date(col("ts"))).as("cohort_day"))
-      ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .join(cohort, "user_id")
-        .groupBy(col("cohort_day"),
-          datediff(col("day"), col("cohort_day")).as("day_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("cohort_day"), col("day_offset"))
-    }),
-
-    // Funnel analysis (ordered-sequence matching, the MATCH_RECOGNIZE-lite
-    // every product-analytics store ships): per user, the first view, the
-    // first click strictly AFTER that view, and the first purchase
-    // strictly after that click — each stage one MIN-struct agg over
-    // (ts, event_id) (the total order, so same-timestamp events break
-    // ties deterministically) joined forward into the next stage's
-    // filter. Scale shape: three two-phase aggs + user-keyed joins that
-    // all share one partitioning; no window over the full event stream
-    // and no per-user sort — the MIN-struct trick is the same
-    // sort-elimination as dedup_substring_remove's first-occurrence agg.
-    "q64_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          struct(col("ts"), col("event_id")).as("k"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("k")).as("k1"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("k") > col("k1"))
-        .groupBy(col("user_id")).agg(min(col("k")).as("k2"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("k") > col("k2"))
-        .groupBy(col("user_id")).agg(min(col("k")).as("k3"))
-      Tables.events(s, d).select(col("user_id")).distinct()
-        .join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
-        .select(col("user_id"),
-          col("k1.ts").as("first_view_ts"),
-          col("k2.ts").as("first_click_ts"),
-          col("k3.ts").as("first_purchase_ts"),
-          when(col("k3").isNotNull, 3).when(col("k2").isNotNull, 2)
-            .when(col("k1").isNotNull, 1).otherwise(0).as("funnel_depth"))
-        .orderBy(col("user_id"))
-    }),
-
     // PIVOT (long→wide reshape): order counts by priority × status, with
     // the status domain EXPLICIT (`pivot(col, values)`) — the implicit
     // form runs a distinct-scan job to discover columns, which at 100 TB
@@ -1457,41 +1403,6 @@ object RelationalQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
          WHERE event_type = 'error' ORDER BY event_id""",
-
-    "q65_retention" ->
-      """WITH cohort AS (
-           SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
-           FROM events GROUP BY user_id),
-         act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-         SELECT cohort_day,
-           date_diff('day', cohort_day, day) AS day_offset,
-           COUNT(DISTINCT a.user_id) AS n_users
-         FROM act a JOIN cohort c ON a.user_id = c.user_id
-         GROUP BY cohort_day, date_diff('day', cohort_day, day)
-         ORDER BY cohort_day, day_offset""",
-
-    "q64_funnel" ->
-      """WITH e AS (
-           SELECT user_id, event_type, {'ts': ts, 'eid': event_id} AS k
-           FROM events),
-         v AS (SELECT user_id, MIN(k) AS k1 FROM e
-               WHERE event_type = 'view' GROUP BY user_id),
-         c AS (SELECT e.user_id, MIN(k) AS k2 FROM e JOIN v ON e.user_id = v.user_id
-               WHERE event_type = 'click' AND k > k1 GROUP BY e.user_id),
-         p AS (SELECT e.user_id, MIN(k) AS k3 FROM e JOIN c ON e.user_id = c.user_id
-               WHERE event_type = 'purchase' AND k > k2 GROUP BY e.user_id),
-         u AS (SELECT DISTINCT user_id FROM events)
-         SELECT u.user_id,
-           (v.k1).ts AS first_view_ts,
-           (c.k2).ts AS first_click_ts,
-           (p.k3).ts AS first_purchase_ts,
-           CASE WHEN p.k3 IS NOT NULL THEN 3 WHEN c.k2 IS NOT NULL THEN 2
-                WHEN v.k1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
-         FROM u
-         LEFT JOIN v ON u.user_id = v.user_id
-         LEFT JOIN c ON u.user_id = c.user_id
-         LEFT JOIN p ON u.user_id = p.user_id
-         ORDER BY u.user_id""",
 
     "q62_pivot" ->
       """SELECT o_orderpriority,
