@@ -104,6 +104,14 @@ object SimilarityQueries {
   private def knnEdges(s: SparkSession, d: String): DataFrame =
     knnCache.getOrElseUpdate((s, d), knnEdgesPlan(s, d).persist())
 
+  /** Drop cached derived tables and trained models (test hook / memory
+    * release — the DedupQueries.clearCache convention). */
+  def clearCache(): Unit = {
+    knnCache.values.foreach(_.unpersist())
+    knnCache.clear()
+    models.clear()
+  }
+
   private def knnEdgesPlan(s: SparkSession, d: String): DataFrame = {
     // the codegen'd FloatVectorDot kernel — same left-to-right
     // float→double fold as the DuckDB oracle's list_reduce
