@@ -277,30 +277,6 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
-    // PIVOT (long→wide reshape): order counts by priority × status, with
-    // the status domain EXPLICIT (`pivot(col, values)`) — the implicit
-    // form runs a distinct-scan job to discover columns, which at 100 TB
-    // is a full extra pass and a schema that depends on the data. With
-    // literal values the plan is a single two-phase conditional agg — the
-    // same exchange as any GROUP BY; missing combinations fill 0.
-    "q62_pivot" -> ((s, d) =>
-      Tables.orders(s, d)
-        .groupBy(col("o_orderpriority"))
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy(col("o_orderpriority"))),
-
-    // UNPIVOT (wide→long reshape, `stack`): per-lineitem metric rows for
-    // a metrics-table layout. A pure narrow map — each input row emits
-    // its k metric rows in place, no shuffle, no join; the inverse of
-    // q62's conditional-agg pivot.
-    "q63_unpivot" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .selectExpr("l_orderkey", "l_linenumber",
-          "stack(2, 'price', l_extendedprice, 'qty', l_quantity) AS (metric, value)")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
-
     // As-of join, NEAREST direction (the other two thirds of pandas
     // merge_asof semantics beside q22's backward form): each error event
     // pairs with its closest click in time, backward or forward, ties
@@ -1403,21 +1379,6 @@ object RelationalQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
          WHERE event_type = 'error' ORDER BY event_id""",
-
-    "q62_pivot" ->
-      """SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-
-    "q63_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, metric, value FROM (
-           SELECT l_orderkey, l_linenumber, 'price' AS metric,
-             l_extendedprice AS value FROM lineitem
-           UNION ALL
-           SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem) t
-         ORDER BY l_orderkey, l_linenumber, metric""",
 
     "q61_asof_nearest" ->
       """SELECT event_id, user_id, ts, nearest_click_ts, direction FROM (
