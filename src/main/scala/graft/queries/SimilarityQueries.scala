@@ -440,6 +440,26 @@ object SimilarityQueries {
     // engine (composition of the two search operators; both sides reuse the
     // session-cached signature table). A recall regression from re-tuning
     // planes/bands fails the hash gate instead of silently degrading search.
+    // Recall gate for the IVF path (the sibling of sim_ann_recall, which
+    // gates LSH): recall@3 of the nprobe=2 IVF ANN against brute-force
+    // ground truth, hash-gated — a quantizer or probe regression shows up
+    // as a changed recall number, not a silent quality drift.
+    "sim_ivf_recall" -> ((s, d) => {
+      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val ivf = queries("sim_ivf_ann")(s, d)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = ivf.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"), 6)
+            .as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
     "sim_ann_recall" -> ((s, d) => {
       val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
         .select(col("q_id"), col("neighbor_id"))
@@ -562,6 +582,26 @@ object SimilarityQueries {
            WHERE e.vec_id <> q.vec_id) t
          WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** IVF nprobe=2 ANN oracle SQL — shared by sim_ivf_ann and its recall
+    * gate. */
+  private lazy val IvfAnnSql =
+    s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+           assigned AS (
+             SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
+             FROM embeddings e CROSS JOIN cents c),
+           corpus AS (SELECT vec_id, embedding, c_id AS cell FROM assigned WHERE crank = 1),
+           probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
+                      FROM assigned WHERE vec_id < 5 AND crank <= 2)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT p.q_id, c.vec_id AS neighbor_id,
+             round(${cosSql("c.embedding", "p.q_emb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id
+               ORDER BY ${cosSql("c.embedding", "p.q_emb")} DESC, c.vec_id) AS rank
+           FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+
   /** LSH-bucketed ANN oracle SQL — the candidate whose recall the gate
     * measures. */
   private lazy val LshAnnSql =
@@ -644,6 +684,19 @@ object SimilarityQueries {
              ON a.label = b.label AND a.vec_id <> b.vec_id) t
          WHERE rank <= 3 ORDER BY src, rank""",
 
+    "sim_ivf_recall" ->
+      s"""WITH brute AS ($BruteAnnSql),
+         ivf AS ($IvfAnnSql),
+         b3 AS (SELECT q_id, neighbor_id FROM brute WHERE rank <= 3),
+         hits AS (
+           SELECT l.q_id, COUNT(*) AS n_hits FROM ivf l
+           JOIN b3 ON l.q_id = b3.q_id AND l.neighbor_id = b3.neighbor_id
+           GROUP BY l.q_id),
+         truth AS (SELECT q_id, COUNT(*) AS n_true FROM b3 GROUP BY q_id)
+         SELECT t.q_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_true,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall_at_3
+         FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id ORDER BY t.q_id""",
+
     "sim_ann_recall" ->
       s"""WITH brute AS ($BruteAnnSql),
          lsh AS ($LshAnnSql),
@@ -661,23 +714,7 @@ object SimilarityQueries {
       s"""SELECT sig, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
          FROM ($SigSql) t GROUP BY sig ORDER BY sig""",
 
-    "sim_ivf_ann" ->
-      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
-           assigned AS (
-             SELECT e.vec_id, e.embedding, c.c_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
-             FROM embeddings e CROSS JOIN cents c),
-           corpus AS (SELECT vec_id, embedding, c_id AS cell FROM assigned WHERE crank = 1),
-           probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
-                      FROM assigned WHERE vec_id < 5 AND crank <= 2)
-         SELECT q_id, rank, neighbor_id, cos_sim FROM (
-           SELECT p.q_id, c.vec_id AS neighbor_id,
-             round(${cosSql("c.embedding", "p.q_emb")}, 6) AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY p.q_id
-               ORDER BY ${cosSql("c.embedding", "p.q_emb")} DESC, c.vec_id) AS rank
-           FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
-         WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_ivf_ann" -> s"$IvfAnnSql",
 
     "sim_label_centroids" ->
       s"""WITH ex AS (
