@@ -86,15 +86,6 @@ object SimilarityQueries {
         .toSeq.sortBy(_._1)
     })
 
-  /** Directed exact k-NN edges (src, rank, dst, cos): each vector's top-3
-    * cosine neighbors WITHIN its coarse cell (label = the IVF-cell
-    * stand-in, the same blocking convention as dedup_embedding). Scale
-    * shape: the pair join is quadratic in CELL size, never corpus size —
-    * the quantizer caps cell width at scale (split oversized cells;
-    * multi-probe recovers recall across cell borders) — and the
-    * per-source top-3 rank window group-limits to k rows per partition
-    * before its shuffle. Determinism: dots fold left-to-right in double,
-    * norms computed once per row, ties break on neighbor id. */
   /** Session cache of the kNN edge table (per data dir): the graph query
     * and the cluster query's TWO mutual-join sides share one computation
     * of the within-cell pair join — the expensive part (|cell|² dots). */
@@ -112,6 +103,15 @@ object SimilarityQueries {
     models.clear()
   }
 
+  /** Directed exact k-NN edges (src, rank, dst, cos): each vector's top-3
+    * cosine neighbors WITHIN its coarse cell (label = the IVF-cell
+    * stand-in, the same blocking convention as dedup_embedding). Scale
+    * shape: the pair join is quadratic in CELL size, never corpus size —
+    * the quantizer caps cell width at scale (split oversized cells;
+    * multi-probe recovers recall across cell borders) — and the
+    * per-source top-3 rank window group-limits to k rows per partition
+    * before its shuffle. Determinism: dots fold left-to-right in double,
+    * norms computed once per row, ties break on neighbor id. */
   private def knnEdgesPlan(s: SparkSession, d: String): DataFrame = {
     // the codegen'd FloatVectorDot kernel — same left-to-right
     // float→double fold as the DuckDB oracle's list_reduce
