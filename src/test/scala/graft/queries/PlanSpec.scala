@@ -342,6 +342,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("text_mix_sample: mixture model broadcast onto the corpus, no sort-merge join") {
+    val p = plan("text_mix_sample")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_heavy_hitters: candidate set broadcast for the exact recount, counts two-phase") {
+    val p = plan("text_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("dedup_edit_verify: LSH candidates only — no cross product") {
+    val p = plan("dedup_edit_verify")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_pack_offsets: exactly one single-partition exchange (the bucket-offset table)") {
+    val p = plan("text_pack_offsets")
+    // the corpus-side running sum partitions by bucket; only the
+    // bucket-count-sized offsets table may pass through one partition
+    // (formatted mode renders the exchange's mode on an Arguments line)
+    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+  }
+
   test("dedup_substring_remove: first-occurrence is a partial-agg, no window sort or cross product") {
     val p = plan("dedup_substring_remove")
     // the corpus-sized digest pass must combine map-side (min-struct agg),
