@@ -612,6 +612,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("stats merge is replay-safe, retracts across group moves, and truncate resets it") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "grp", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "val", TypedView.Oid.Float8, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("statsreplay")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("1"), t("a"), t("10.5")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("2"), t("a"), t("2.0")))))),
+      FrameLog.Entry(13, PgOutputEncoder.encode(Update(6, Some('O'),
+        Some(TupleData(Vector(t("2"), t("a"), t("2.0")))),
+        TupleData(Vector(t("2"), t("b"), t("3.0"))))))))  // group move a→b
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeStatsBatch(b1, rel, "grp", "val", 2, stateDir)
+    def state(): Seq[(String, String, String, Long)] =
+      Streams.incrementalAggState(spark, stateDir)
+        .select("g", "sx", "sx2", "c").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+          r.getDecimal(2).toPlainString, r.getLong(3))).toSeq
+    // a: 10.5 → (1050, 1050², 1); b: 3.0 → (300, 90000, 1); key 2's
+    // +200/-200 in a cancels through the retraction
+    val once = state()
+    assert(once === Seq(("a", "1050", "1102500", 1L), ("b", "300", "90000", 1L)))
+    // replay the SAME batch: no double count
+    Streams.mergeStatsBatch(b1, rel, "grp", "val", 2, stateDir)
+    assert(state() === once)
+    // batch 2: truncate + fresh insert → state = post-truncate rows only
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(20, PgOutputEncoder.encode(Truncate(0, Vector(6)))),
+      FrameLog.Entry(21, PgOutputEncoder.encode(Insert(6, TupleData(Vector(t("9"), t("c"), t("1.25"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    Streams.mergeStatsBatch(b2, rel, "grp", "val", 2, stateDir)
+    assert(state() === Seq(("c", "125", "15625", 1L)))
+  }
+
   test("stats sink crash keeps data+high-water atomic (no double apply)") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
