@@ -299,6 +299,39 @@ object Cdc {
     netTable.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Incrementally-maintained exact MEDIAN view — the order statistic that
+    * no scalar accumulator can maintain under deletes, answered by the same
+    * net-count state as [[incrementalTopK]]/[[incrementalDistinct]]: the
+    * (g, v, net) table is the group's full value multiset, so the weighted
+    * lower median (smallest v whose cumulative multiplicity reaches
+    * ceil(n/2)) reads straight off a cumulative sum over it. Deterministic
+    * (no interpolation — q57's lower-median convention) and exactly equal
+    * to the median of the compacted table, which is never materialized.
+    *
+    * Scale shape: the heavy reduction is the (g, v) net-count agg, which
+    * DISTRIBUTES per-group work; the window pass runs over DISTINCT values
+    * per group (bounded by value cardinality, not row count). Same REPLICA
+    * IDENTITY FULL contract as the other delta views. */
+  def incrementalMedian(
+      events: DataFrame, groupCol: String, valueCol: String,
+      groupType: Option[String] = None): DataFrame =
+    medianFromNets(netCounts(events, groupCol, valueCol, groupType)
+      .filter(col("net") > 0))
+
+  /** Weighted lower median per group of a live (g, v, net) table:
+    * smallest v with 2·cum(net) ≥ n. Output `(g, median, c)`. */
+  private[graft] def medianFromNets(netTable: DataFrame): DataFrame = {
+    val cumW = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("g"))
+    netTable
+      .withColumn("cum", sum(col("net")).over(cumW))
+      .withColumn("n", sum(col("net")).over(totW))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("median"), max(col("n")).as("c"))
+  }
+
   /** Net per-(group, value) row-count deltas of a batch (nonzero rows
     * only): the shared substrate of the retraction-capable MIN/MAX and
     * TOP-K views. Within one batch a net can be NEGATIVE — a delete whose

@@ -175,6 +175,48 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
 
+    // Incrementally-maintained exact MEDIAN view: the order statistic from
+    // deltas alone, read off the same distributed net-count state the top-k
+    // view keeps (smallest value whose cumulative live multiplicity reaches
+    // half the group — q57's lower-median convention, no interpolation, so
+    // the answer is an actual data value and hash-exact). Must equal the
+    // median of the oracle's final table state.
+    "cdc_incremental_median" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalMedian(events, "o_orderpriority", "o_totalprice")
+        .select(col("g").as("o_orderpriority"),
+          col("median").cast("double").as("median_price"), col("c").as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Consistency audit: materialized CDC state vs a fresh source snapshot
+    // — the Debezium-style "incremental snapshot verifier" a 100 TB CDC
+    // consumer runs to prove the pipeline lost nothing. One full-outer join
+    // keyed on the pk (one shuffle per side, AQE-splittable); emits only
+    // divergent keys with a status ∈ {missing, extra, mismatch}. Here the
+    // state intentionally diverges from the raw snapshot by exactly the
+    // DML pattern (updated keys mismatch, deleted keys missing), so the
+    // audit report itself has an exact oracle.
+    "cdc_state_audit" -> ((s, d) => {
+      val state = CdcPipeline.materializedOrders(s, d,
+        DmlPattern(updates = true, deletes = true))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val snap = graft.Tables.orders(s, d)
+        .select(col("o_orderkey").as("s_key"), col("o_totalprice").as("s_price"))
+      state.join(snap, col("o_orderkey") === col("s_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("s_key")).as("o_orderkey"),
+          when(col("s_key").isNull, "extra")
+            .when(col("o_orderkey").isNull, "missing")
+            .when(col("o_totalprice") =!= col("s_price"), "mismatch")
+            .otherwise("match").as("status"),
+          col("o_totalprice").cast("double").as("state_price"),
+          col("s_price").cast("double").as("snap_price"))
+        .filter(col("status") =!= "match")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Incrementally-maintained JOIN-aggregate view: revenue per customer
     // nation, maintained purely from order deltas. The Δ⋈dim maintenance
     // rule: each event's ±(o_custkey, o_totalprice) contribution is
@@ -598,6 +640,35 @@ object CdcQueries {
            n_rows, CAST(rk AS INT) AS rk
          FROM ranked WHERE rk <= 3
          ORDER BY o_orderpriority, rk""",
+
+    "cdc_incremental_median" ->
+      """WITH st AS (
+           SELECT o_orderpriority,
+             CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS DECIMAL(28,6)) AS price
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         nets AS (
+           SELECT o_orderpriority, price, COUNT(*) AS cnt
+           FROM st GROUP BY o_orderpriority, price),
+         cum AS (
+           SELECT o_orderpriority, price,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY price) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+           FROM nets)
+         SELECT o_orderpriority, CAST(MIN(price) AS DOUBLE) AS median_price,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+         FROM cum WHERE cum * 2 >= n
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_state_audit" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'missing' ELSE 'mismatch' END AS status,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST(o_totalprice + 1.0 AS DOUBLE) END AS state_price,
+           CAST(o_totalprice AS DOUBLE) AS snap_price
+         FROM orders
+         WHERE o_orderkey % 7 = 0 OR o_orderkey % 10 = 0
+         ORDER BY o_orderkey""",
 
     "cdc_incremental_minmax" ->
       """SELECT o_orderpriority,

@@ -958,6 +958,32 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Exponentially-weighted moving average (α=1/2) over each user's last
+    // 8 values — the monitoring smoother. α=1/2 makes every weight an
+    // exact binary fraction, so the whole numerator is INTEGER arithmetic
+    // (cents × 2^(7−j)) and the only float op is one final division of two
+    // exactly-representable doubles — correctly rounded on every engine,
+    // no compounding float recursion (the usual EWMA form s=αx+(1−α)s is
+    // order-sensitive float feedback, untestable cross-engine). Scale
+    // shape: one user-keyed window pass, O(8) state per row.
+    "q62_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withCents = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val terms = (0 to 7).map { j =>
+        (if (j == 0) col("cents") else lag(col("cents"), j).over(w),
+          lit(1L << (7 - j)))
+      }
+      val num = terms.map { case (c, wt) => coalesce(c * wt, lit(0L)) }
+        .reduce(_ + _)
+      val den = terms.map { case (c, wt) => when(c.isNotNull, wt).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      withCents
+        .select(col("user_id"), col("event_id"),
+          round(num.cast("double") / (den.cast("double") * 100.0), 6).as("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -1029,6 +1055,33 @@ object RelationalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q62_ewma" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         l AS (
+           SELECT user_id, event_id, cents,
+             LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+             LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+             LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+             LAG(cents, 7) OVER w AS c7
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+           ROUND(CAST(cents * 128 + COALESCE(c1 * 64, 0) + COALESCE(c2 * 32, 0)
+               + COALESCE(c3 * 16, 0) + COALESCE(c4 * 8, 0) + COALESCE(c5 * 4, 0)
+               + COALESCE(c6 * 2, 0) + COALESCE(c7, 0) AS DOUBLE) /
+             (CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+               + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+               + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+               + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+               + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+               + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+               + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) * 100.0),
+             6) AS ewma
+         FROM l ORDER BY user_id, event_id""",
+
     "q60_time_weighted" ->
       """WITH seg AS (
            SELECT user_id,

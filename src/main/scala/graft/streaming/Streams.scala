@@ -995,6 +995,16 @@ object Streams {
       .agg(count(lit(1)).as("n_distinct"), sum(col("net")).as("c"))
   }
 
+  /** Exact MEDIAN view over the SAME net-count state (see
+    * [[distinctFromState]] — one maintained table answers top-k, distinct,
+    * min/max and now order statistics; Cdc.medianFromNets for semantics). */
+  def medianFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed top-k state under $stateDir"))
+    Cdc.medianFromNets(spark.read.parquet(s"$stateDir/$v"))
+  }
+
   private[graft] def mergeTopKBatch(batch0: DataFrame, rel: Relation,
       groupCol: String, valueCol: String, stateDir: String,
       groupType: Option[String]): Unit = {

@@ -792,6 +792,17 @@ class StreamingSpec extends AnyFunSuite {
       .incrementalDistinct(events, "o_orderpriority", "o_totalprice"))
     assert(gotD.nonEmpty)
     assert(gotD.toSeq === expD.toSeq)
+    // ... and the exact MEDIAN (order statistic from the same state)
+    def mrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          r.getDecimal(r.fieldIndex("median")).toPlainString,
+          r.getLong(r.fieldIndex("c"))))
+    val gotM = mrows(Streams.medianFromState(spark, dir.resolve("state").toString))
+    val expM = mrows(graft.cdc.Cdc
+      .incrementalMedian(events, "o_orderpriority", "o_totalprice"))
+    assert(gotM.nonEmpty)
+    assert(gotM.toSeq === expM.toSeq)
   }
 
   test("bounded MIN/MAX sink across micro-batches equals the batch delta form (rescans included)") {
