@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{DecodeFrameFunction, VectorFunctions}
+import graft.functions.{DecodeFrameFunction, TextNormFunctions, VectorFunctions}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Activate with
@@ -24,5 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DecodeFrameFunction.fnName),
       DecodeFrameFunction.fnInfo,
       DecodeFrameFunction.fnBuilder))
+    e.injectFunction((
+      FunctionIdentifier(TextNormFunctions.normName),
+      TextNormFunctions.normInfo,
+      TextNormFunctions.normBuilder))
+    e.injectFunction((
+      FunctionIdentifier(TextNormFunctions.foldName),
+      TextNormFunctions.foldInfo,
+      TextNormFunctions.foldBuilder))
   }
 }

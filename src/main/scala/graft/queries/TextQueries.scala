@@ -575,6 +575,36 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode canonicalization (UAX #15) — the prerequisite of every
+    // hash-based text operation: the SAME word arriving precomposed
+    // ("é" U+00E9) vs decomposed ("e"+U+0301) must dedup/fingerprint
+    // identically, and accent-insensitive matching needs a diacritic fold.
+    // Runs through the engine's native codegen'd expressions
+    // (UnicodeNormalize / StripAccents over JDK java.text.Normalizer —
+    // SURVEY §2.2 preference (b), no UDF, stays in whole-stage codegen).
+    // The ASCII corpus is deterministically augmented with decomposed
+    // suffixes (doc_id-derived) so the normalizer has real work; NFC and
+    // folded outputs are hash-gated, lengths prove the recomposition
+    // (raw_len − nfc_len = dropped combining marks). Pure narrow map.
+    "text_normalize" -> ((s, d) => {
+      import graft.functions.TextNormFunctions.{fold_accents, unicode_normalize}
+      // decomposed forms (base + combining mark, explicit escapes so no
+      // editor/tool ever precomposes them), mirroring the oracle's
+      // chr(769)/chr(776)/chr(807) — NFC must do real work
+      val suffix = when(col("doc_id") % 3 === 0, lit(" expose\u0301"))
+        .when(col("doc_id") % 3 === 1, lit(" u\u0308ber"))
+        .otherwise(lit(" garc\u0327on"))
+      val aug = Tables.documents(s, d)
+        .withColumn("aug", concat(col("text"), suffix))
+      val nfc = unicode_normalize(col("aug"), "NFC")
+      aug.select(col("doc_id"),
+          length(col("aug")).as("raw_len"),
+          length(nfc).as("nfc_len"),
+          md5(nfc.cast(BinaryType)).as("nfc_hash"),
+          md5(fold_accents(col("aug")).cast(BinaryType)).as("folded_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified sampling: a deterministic per-language quota (10 docs per
     // lang, ranked by content-addressed hash) — balanced-mixture corpus
     // assembly that reproduces bit-identically on any cluster. The window
@@ -1489,6 +1519,19 @@ object TextQueries {
            len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
            length(r) AS redacted_len, md5(r) AS redacted_hash
          FROM red ORDER BY doc_id""",
+
+    "text_normalize" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' expos' || 'e' || chr(769)
+                          WHEN doc_id % 3 = 1 THEN ' u' || chr(776) || 'ber'
+                          ELSE ' gar' || 'c' || chr(807) || 'on' END AS aug
+           FROM documents)
+         SELECT doc_id, length(aug) AS raw_len,
+           length(nfc_normalize(aug)) AS nfc_len,
+           md5(nfc_normalize(aug)) AS nfc_hash,
+           md5(strip_accents(aug)) AS folded_hash
+         FROM aug ORDER BY doc_id""",
 
     "text_stratified_sample" ->
       """SELECT lang, rn, doc_id FROM (
