@@ -449,6 +449,23 @@ object CdcPipeline {
     }
   }
 
+  /** Two publications in ONE replication slot: orders and lineitem frames
+    * interleaved on a shared LSN axis (2L for orders, 2L+1 for lineitem —
+    * preserves each stream's internal order, no cross-relation LSN
+    * collisions, and interleaves by original position so micro-batch cuts
+    * land mid-table on both sides). The wire shape a consumer joining two
+    * CDC tables actually sees. */
+  def jointOrdersLineitemFrames(
+      spark: SparkSession, sfDir: String,
+      pattern: DmlPattern): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val a = ordersToFrames(spark, sfDir, pattern)
+      .map { case (l, bytes) => (l * 2, bytes) }
+    val b = lineitemToFrames(spark, sfDir)
+      .map { case (l, bytes) => (l * 2 + 1, bytes) }
+    a.union(b)
+  }
+
   val DocumentsRelId = 50003
 
   /** Wire-style relation for the documents corpus — the shape an ingest

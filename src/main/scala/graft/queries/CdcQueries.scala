@@ -248,6 +248,33 @@ object CdcQueries {
         .orderBy(col("n_name"))
     }),
 
+    // Materialized two-sided JOIN view: orders AND lineitem stream through
+    // ONE replication slot (interleaved LSN axis), each side compacts to
+    // its current state, and the view is their inner join on the order key
+    // — the batch twin of Streams.incrementalJoinViewSink (which maintains
+    // the same view with co-bucketed per-batch rebuilds). Exercises
+    // multi-relation decode in one frame log + key-wise compaction per
+    // relation + the join. Scale shape: one shuffle per side keyed on the
+    // join key (what the streaming form's shared bucketing amortizes away).
+    "cdc_join_view" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.jointOrdersLineitemFrames(s, d,
+          DmlPattern(updates = true, deletes = true))).toDF()
+      val o = graft.cdc.Cdc.materialize(
+        events.filter(col("relationId") === CdcPipeline.OrdersRelId),
+        CdcPipeline.ordersRelation)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val li = graft.cdc.Cdc.materialize(
+        events.filter(col("relationId") === CdcPipeline.LineitemRelId),
+        CdcPipeline.lineitemRelation)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_returnflag"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+    }),
+
     // SCD type-2 history: every version each order ever had, with its WAL
     // validity interval — version 1 from the insert (closed by the update
     // or delete if the key has one), version 2 from the update (closed by
@@ -542,6 +569,24 @@ object CdcQueries {
            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
            o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+
+    "cdc_join_view" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CASE WHEN (l_orderkey + l_linenumber) % 5 = 0 THEN l_quantity + 1.0
+                  ELSE l_quantity END AS l_quantity,
+             l_returnflag
+           FROM lineitem WHERE (l_orderkey + l_linenumber) % 9 <> 0),
+         o AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+           FROM orders WHERE o_orderkey % 7 <> 0)
+         SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.l_suppkey,
+           li.l_quantity, li.l_returnflag, o.o_totalprice, o.o_orderpriority
+         FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 
     "cdc_composite_key" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -954,6 +954,131 @@ object Streams {
       "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Incrementally-maintained two-sided JOIN view: the materialized inner
+    * join B ⋈ A of TWO CDC relations streaming through one slot, where the
+    * join key is A's primary key (the fact ⋈ changing-dim shape; orders ⋈
+    * lineitem in the tests). Unlike [[incrementalJoinAggSink]] (static
+    * broadcast dim), BOTH sides change: an A update must refresh every
+    * joined row of its key, an A delete must drop them, and a B event must
+    * join against A's CURRENT state — the bilinear maintenance rule
+    * ΔV = ΔB⋈A ∪ B⋈ΔA, realized here by co-bucketing.
+    *
+    * State layout (one manifest): three families, ALL bucketed by
+    * xxhash64(join key) mod n — `a<b>` A-side compacted rows, `bb<b>`
+    * B-side compacted rows, `j<b>` the joined view. Because every family
+    * shares the bucketing, a batch touches only the buckets its join keys
+    * hash to: those A/B buckets re-compact, and the SAME view buckets
+    * rebuild by a bucket-local join (join partners hash to the same
+    * bucket by construction — no global shuffle of untouched state). Per
+    * batch cost is O(batch + touched buckets), never O(state); a truncate
+    * on either side touches every bucket, the one legitimately O(state)
+    * event (as in [[mergeBatchBucketed]]). Idempotent under replay by
+    * construction (compaction is last-LSN-wins), so no high-water mark is
+    * needed; all touched families flip in ONE atomic manifest commit. */
+  def incrementalJoinViewSink(envelope: DataFrame, relA: Relation,
+      relB: Relation, joinColA: String, joinColB: String, stateDir: String,
+      checkpointDir: String, nBuckets: Int = 16): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeJoinViewBatch(batch, relA, relB, joinColA, joinColB, stateDir, nBuckets)
+      }
+      .start()
+
+  private[graft] def mergeJoinViewBatch(batch0: DataFrame, relA: Relation,
+      relB: Relation, joinColA: String, joinColB: String, stateDir: String,
+      nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    def jb(keyMap: org.apache.spark.sql.Column, jc: String) =
+      pmod(xxhash64(element_at(keyMap, jc)), lit(nBuckets))
+    val batchA = batch0.filter(col("relation_id") === relA.relationId)
+    val batchB = batch0.filter(col("relation_id") === relB.relationId)
+    // One probe over the whole batch: per-side touched buckets, truncate
+    // flag, per-side event counts (T has no key — touches every bucket).
+    val probe = batch0.agg(
+      collect_set(when(col("relation_id") === relA.relationId &&
+        col("op").isin("I", "U", "D"), jb(col("key"), joinColA))).as("ba"),
+      collect_set(when(col("relation_id") === relB.relationId &&
+        col("op").isin("I", "U", "D"), jb(col("key"), joinColB))).as("bb"),
+      coalesce(max(when(col("op") === "T" &&
+        col("relation_id").isin(relA.relationId, relB.relationId), true)
+        .otherwise(false)), lit(false)).as("hasT"),
+      sum(when(col("relation_id") === relA.relationId, 1L).otherwise(0L)).as("na"),
+      sum(when(col("relation_id") === relB.relationId, 1L).otherwise(0L)).as("nb")
+    ).first()
+    val hasT = probe.getBoolean(2)
+    val (nA, nB) = (probe.getLong(3), probe.getLong(4))
+    if (nA == 0 && nB == 0) return
+    val touched: Array[Long] =
+      if (hasT) (0L until nBuckets).toArray
+      else (probe.getSeq[Long](0) ++ probe.getSeq[Long](1)).distinct.toArray
+    if (touched.isEmpty) return
+    val manifest = StateStore.load(stateDir)
+    def readFamily(prefix: String): Option[DataFrame] = {
+      val dirs = touched.toSeq.flatMap(b => manifest.get(s"$prefix$b"))
+        .map(v => s"$stateDir/$v")
+      if (dirs.nonEmpty) Some(spark.read.parquet(dirs: _*)) else None
+    }
+    val existingA = readFamily("a")
+    val existingB = readFamily("bb")
+    // Re-compact a side only if the batch carries its events; an untouched
+    // side still feeds the view rebuild read-only.
+    val newA =
+      if (nA > 0) mergeCompact(batchA, existingA, relA, relA.keyColumnNames)
+      else existingA.getOrElse(
+        mergeCompact(batchA, None, relA, relA.keyColumnNames)) // typed empty
+    val newB =
+      if (nB > 0) mergeCompact(batchB, existingB, relB, relB.keyColumnNames)
+      else existingB.getOrElse(
+        mergeCompact(batchB, None, relB, relB.keyColumnNames))
+    val viewT = newB.as("b").join(newA.as("a"),
+        element_at(col("b.__key"), joinColB) ===
+          element_at(col("a.__key"), joinColA))
+      .select(col("b.__key").as("__key"),
+        col("b.__after").as("b_after"), col("a.__after").as("a_after"),
+        jb(col("b.__key"), joinColB).as("__bucket"))
+    def stageAndPromote(df: DataFrame, prefix: String,
+        entries0: Map[String, String]): Map[String, String] = {
+      val stage = StateStore.newVersion("stage")
+      df.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")
+      var entries = entries0
+      touched.foreach { b =>
+        val produced = new java.io.File(s"$stateDir/$stage/__bucket=$b")
+        entries -= s"$prefix$b"
+        if (produced.exists()) {
+          val v = StateStore.newVersion(s"$prefix$b")
+          require(produced.renameTo(new java.io.File(s"$stateDir/$v")),
+            s"failed to promote staged bucket $prefix$b")
+          entries += (s"$prefix$b" -> v)
+        }
+      }
+      entries
+    }
+    var entries = manifest
+    if (nA > 0 || hasT)
+      entries = stageAndPromote(
+        newA.withColumn("__bucket", jb(col("__key"), joinColA)), "a", entries)
+    if (nB > 0 || hasT)
+      entries = stageAndPromote(
+        newB.withColumn("__bucket", jb(col("__key"), joinColB)), "bb", entries)
+    entries = stageAndPromote(viewT, "j", entries)
+    StateStore.commit(stateDir, entries)
+  }
+
+  /** Current joined view across all buckets. Columns: `__key` (B's pk
+    * map), `b_after`, `a_after` — callers project through the relations'
+    * typed views. */
+  def joinViewState(spark: SparkSession, stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val dirs = manifest.collect {
+      case (k, v) if k.startsWith("j") => s"$stateDir/$v"
+    }.toSeq
+    if (dirs.isEmpty)
+      throw new IllegalStateException(s"no committed join view under $stateDir")
+    spark.read.parquet(dirs: _*).select(col("__key"), col("b_after"), col("a_after"))
+  }
+
   /** Incrementally-maintained TOP-K view, streaming form: the state is the
     * full (group, value, net) net-count table — distributed by group and
     * sized by live DISTINCT values, which is exactly what makes retraction

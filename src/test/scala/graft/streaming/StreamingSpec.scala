@@ -805,6 +805,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotM.toSeq === expM.toSeq)
   }
 
+  test("two-sided join view sink across micro-batches equals the batch join") {
+    val dir = Files.createTempDirectory("joinview")
+    val p = dir.resolve("log.bin").toString
+    // one slot, two publications: orders + lineitem interleaved; WAL order
+    val frames = graft.cdc.CdcPipeline.jointOrdersLineitemFrames(spark, sfDir,
+      graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
+      .collect().sortBy(_._1).iterator
+      .map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // small batches cut mid-table on both sides: B rows arrive before and
+    // after their A partner's update/delete — the cross-batch Δ⋈state paths
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(5000))
+    val q = Streams.incrementalJoinViewSink(env,
+      graft.cdc.CdcPipeline.ordersRelation, graft.cdc.CdcPipeline.lineitemRelation,
+      "o_orderkey", "l_orderkey",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString, nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val got = Streams.joinViewState(spark, dir.resolve("state").toString)
+      .select(
+        element_at(col("b_after"), "l_orderkey").cast("long"),
+        element_at(col("b_after"), "l_linenumber").cast("int"),
+        element_at(col("b_after"), "l_partkey").cast("long"),
+        element_at(col("b_after"), "l_suppkey").cast("long"),
+        element_at(col("b_after"), "l_quantity").cast("double"),
+        element_at(col("b_after"), "l_returnflag"),
+        element_at(col("a_after"), "o_totalprice").cast("double"),
+        element_at(col("a_after"), "o_orderpriority"))
+      .collect()
+      .map(r => (key(r), (r.getDouble(4), r.getString(5), r.getDouble(6), r.getString(7))))
+      .sortBy(_._1)
+    val expected = graft.SparkEntry.queries("cdc_join_view")(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("double"),
+        col("l_returnflag"), col("o_totalprice").cast("double"),
+        col("o_orderpriority"))
+      .collect()
+      .map(r => (key(r), (r.getDouble(4), r.getString(5), r.getDouble(6), r.getString(7))))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("bounded MIN/MAX sink across micro-batches equals the batch delta form (rescans included)") {
     val dir = Files.createTempDirectory("minmaxsink")
     val p = dir.resolve("log.bin").toString
