@@ -386,6 +386,30 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Triangle census of the mutual-kNN graph — the local-density signal
+    // (clustering coefficient numerator) that separates tight semantic
+    // clusters from hub-chained sprawl before trusting graph dedup. Scale
+    // shape: edges are oriented by id (each triangle counted once) and the
+    // two-hop join keys on a shared vertex — cost Σ deg², bounded because
+    // kNN degree ≤ k by construction (the reason triangle counting is
+    // tractable on kNN graphs and hopeless on raw similarity graphs); at
+    // larger scale the standard refinement orients by degree instead.
+    "sim_triangles" -> ((s, d) => {
+      val knn = knnEdges(s, d).select(col("src"), col("dst"))
+      val mutual = knn.as("x").join(knn.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .filter(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("a"), col("x.dst").as("b"))
+      val tri = mutual.as("e1")
+        .join(mutual.as("e2"), col("e1.b") === col("e2.a"))
+        .join(mutual.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("vec_id"))
+    }),
+
     "sim_silhouette" -> ((s, d) => {
       val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
@@ -672,6 +696,32 @@ object SimilarityQueries {
            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster
          FROM reach GROUP BY u ORDER BY vec_id""",
+
+    "sim_triangles" ->
+      s"""WITH knn AS (
+           SELECT src, dst FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+                 AS rank
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id) t
+           WHERE rank <= 3),
+         pairs AS (
+           SELECT x.src AS a, x.dst AS b FROM knn x JOIN knn y
+             ON x.src = y.dst AND x.dst = y.src
+           WHERE x.src < x.dst),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM pairs e1
+           JOIN pairs e2 ON e1.b = e2.a
+           JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+         verts AS (
+           SELECT x AS vec_id FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+         SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM verts GROUP BY vec_id ORDER BY vec_id""",
 
     "sim_knn_graph" ->
       s"""SELECT src, rank, dst, cos_sim FROM (

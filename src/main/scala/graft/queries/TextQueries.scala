@@ -987,6 +987,47 @@ object TextQueries {
     // carry ~32 tokens each, so the shuffle is corpus-sized but narrow —
     // the standard shape of passage-level dedup (hash the chunk instead
     // of shipping its text when bytes dominate).
+    // CONTENT-DEFINED chunking (the Rabin/FastCDC family, word-grained):
+    // a chunk boundary falls after any word whose polynomial hash ≡ 0
+    // mod 16, so boundaries derive from content alone — inserting a word
+    // shifts only its own chunk, not every chunk after it (the property
+    // fixed-size chunking lacks, and the reason storage/near-dup systems
+    // chunk this way). Per doc: chunk census + how many of its chunks
+    // recur elsewhere in the corpus + an order-pinned digest of the chunk
+    // sequence. Scale shape: one narrow posexplode + ONE doc-keyed window
+    // (boundary cumsum) + hash aggs keyed on (doc, chunk) and chunk_hash —
+    // chunk text never joins, only 16-byte hashes shuffle.
+    "text_cdc_chunks" -> ((s, d) => {
+      val wordHash = expr(
+        """aggregate(transform(split(word, ''), c -> CAST(ascii(c) AS BIGINT)),
+                     0L, (acc, x) -> (acc * 131 + x) % 1000000007)""")
+      val wp = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .withColumn("h", wordHash)
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val chunks = wp
+        .withColumn("chunk_id", coalesce(
+          sum(when(col("h") % 16 === 0, 1L).otherwise(0L)).over(wPrev), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("wpz"))
+        .select(col("doc_id"), col("chunk_id"), size(col("wpz")).as("n_words"),
+          md5(expr("cast(array_join(transform(wpz, x -> x.word), ' ') as binary)"))
+            .as("chunk_hash"))
+      val occ = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("n_occ"))
+      chunks.join(occ, "chunk_hash")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          max(col("n_words")).as("max_chunk_words"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+          md5(expr("cast(array_join(transform(" +
+              "sort_array(collect_list(struct(chunk_id, chunk_hash))), " +
+              "x -> x.chunk_hash), '') as binary)")).as("chunks_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_chunk_dedup" -> ((s, d) => {
       val ch = withWords(Tables.documents(s, d))
         .withColumn("n", size(col("ws")))
@@ -1210,6 +1251,38 @@ object TextQueries {
            round(abs(CAST(n_ref AS DOUBLE) / tot_ref - CAST(n_cur AS DOUBLE) / tot_cur), 6)
              AS share_shift
          FROM g CROSS JOIN t ORDER BY lang""",
+
+    "text_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         wp AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS word
+           FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+           WHERE length(ws[CAST(i AS INT)]) > 0),
+         h AS (
+           SELECT doc_id, pos, word,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(word, ''), c -> ord(c)::BIGINT)),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS h
+           FROM wp),
+         ck AS (
+           SELECT doc_id, pos, word,
+             COALESCE(SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           FROM h),
+         chunks AS (
+           SELECT doc_id, chunk_id, COUNT(*) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+           FROM ck GROUP BY doc_id, chunk_id),
+         occ AS (SELECT chunk_hash, COUNT(*) AS n_occ
+                 FROM chunks GROUP BY chunk_hash)
+         SELECT c.doc_id, COUNT(*) AS n_chunks,
+           CAST(MAX(n_words) AS BIGINT) AS max_chunk_words,
+           CAST(SUM(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           md5(string_agg(c.chunk_hash, '' ORDER BY c.chunk_id)) AS chunks_digest
+         FROM chunks c JOIN occ o USING (chunk_hash)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
 
     "text_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
