@@ -406,6 +406,46 @@ object Cdc {
       .withColumn("is_current", col("valid_to_lsn").isNull)
   }
 
+  /** DBLog-style chunked-snapshot merge (Netflix DBLog §3 / Debezium
+    * "incremental snapshot"): reconcile pk-range chunk reads taken WHILE
+    * the WAL streams — no lock, no single consistent snapshot — into the
+    * same state a locked snapshot + tail would give.
+    *
+    * The watermark rule: a chunk row is DROPPED when its key saw any WAL
+    * event inside the chunk's watermark window (lo, hi] — the chunk select
+    * raced that event, so its value is unordered against the stream and
+    * the WAL's full-image event is authoritative. Surviving chunk rows
+    * become synthetic inserts positioned AT the high watermark: WAL events
+    * before lo are already reflected in the read (the chunk event at hi
+    * correctly outranks them), events after hi outrank the chunk event and
+    * override it; last-LSN-wins compaction then yields the consistent
+    * state. Requires REPLICA IDENTITY FULL updates (an in-window update's
+    * WAL image must reconstruct the row the drop discarded).
+    *
+    * Scale shape: the window-drop is ONE pk-keyed anti join (chunk reads
+    * are the table scan, arriving chunk-at-a-time; the WAL side is the
+    * tail, batch-sized), followed by the standard one-shuffle compaction —
+    * a 100 TB table backfills chunk by chunk while the stream keeps
+    * flowing, which is the entire point of the algorithm. */
+  def dblogMerge(walEvents: DataFrame, chunkReads: DataFrame,
+      keyColumns: Seq[String]): DataFrame = {
+    val walKeyed = walEvents.filter(col("op").isin("I", "U", "D"))
+      .select(col("key").as("__w_key"), col("lsn").as("__w_lsn"))
+    val keyEq = keyColumns.map(k =>
+      element_at(col("key"), k) === element_at(col("__w_key"), k)).reduce(_ && _)
+    val surviving = chunkReads.filter(col("after").isNotNull).join(walKeyed,
+      keyEq && col("__w_lsn") > col("lo_lsn") && col("__w_lsn") <= col("hi_lsn"),
+      "left_anti")
+    // One chunk row per key and watermark ties only with dropped rows, so
+    // the constant seq never decides a comparison that matters.
+    val chunkEvents = surviving.select(
+      lit("I").as("op"), col("hi_lsn").as("lsn"), lit(0L).as("seq"),
+      col("key"), col("after"))
+    val wal = walEvents.select(
+      col("op"), col("lsn"), col("seq"), col("key"), col("after"))
+    compact(chunkEvents.unionByName(wal), keyColumns)
+  }
+
   /** Typed current-state view: compact then project through the relation
     * schema from the registry. */
   def materialize(

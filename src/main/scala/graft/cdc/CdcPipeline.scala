@@ -62,6 +62,10 @@ object CdcPipeline {
       deletes: Boolean = false,
       toastPriorityOnUpdate: Boolean = false,
       truncateAtLsn: Option[Long] = None,
+      // Tail-only WAL: the table pre-exists (its rows arrive via snapshot
+      // chunks, not the stream), so no insert transactions are emitted —
+      // the DBLog/incremental-snapshot wire shape.
+      inserts: Boolean = true,
       // REPLICA IDENTITY FULL: updates carry an 'O' old image, deletes a
       // full 'O' image of the current row (post-update value when both
       // apply) — what incremental aggregate maintenance requires.
@@ -101,11 +105,12 @@ object CdcPipeline {
           if (pattern.originOnMod3 && k % 3 == 0)
             Seq(base -> PgOutputEncoder.encode(Origin(base + 2, "upstream")))
           else Nil
-        val insertTxn = Seq(
+        val insertTxn = if (pattern.inserts) Seq(
           base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt))) ++
           originFrame ++ Seq(
           (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, fullTuple(price, toastPrio = false))),
           (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, commitTs)))
+        else Nil
 
         val updateTxn = if (pattern.updates && k % 10 == 0) Seq(
           (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, commitTs, k.toInt)),
@@ -447,6 +452,49 @@ object CdcPipeline {
       }
       rel ++ dml
     }
+  }
+
+  /** Snapshot of orders taken in pk-range CHUNKS while the WAL streams —
+    * the read side of the DBLog / Debezium "incremental snapshot"
+    * algorithm. Chunk i covers keys [i·C, (i+1)·C); its select runs in a
+    * transaction whose snapshot pins at the LOW watermark lo_i = 8C·i − 4C
+    * (values reflect exactly the events with lsn ≤ lo_i — the racy read),
+    * and the chunk is published at the HIGH watermark hi_i = lo_i + 8C.
+    * With the update/delete WAL pattern (8k+4 / 8k+7), each chunk's first
+    * half sees its keys' events INSIDE the window (the rows the watermark
+    * rule must drop) and its second half sees them after hi (chunk row
+    * later overridden by the WAL) — both interleavings exercised.
+    * Output: (chunk_id, lo_lsn, hi_lsn, key, after) with wire-text maps,
+    * `after` = null for rows already deleted at lo. */
+  def ordersSnapshotChunks(
+      spark: SparkSession, sfDir: String, nChunks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+    val c = maxKey / nChunks + 1
+    orders.as[(Long, Long, String, Double, Long, String)]
+      .flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val chunk = k / c
+        val hi = 8 * c * chunk + 4 * c
+        val lo = hi - 8 * c
+        val updatedAtLo = k % 10 == 0 && 8 * k + 4 <= lo
+        val deletedAtLo = k % 7 == 0 && 8 * k + 7 <= lo
+        if (deletedAtLo) None
+        else {
+          val p = if (updatedAtLo) price + 1.0 else price
+          Some((chunk, lo, hi,
+            Map("o_orderkey" -> k.toString),
+            Map("o_orderkey" -> k.toString, "o_custkey" -> cust.toString,
+              "o_orderstatus" -> status, "o_totalprice" -> p.toString,
+              "o_orderdate" -> pgTimestampText(dateUs),
+              "o_orderpriority" -> prio)))
+        }
+      }
+      .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
   }
 
   /** Two publications in ONE replication slot: orders and lineitem frames

@@ -248,6 +248,23 @@ object CdcQueries {
         .orderBy(col("n_name"))
     }),
 
+    // DBLog-style chunked snapshot (the Debezium "incremental snapshot"
+    // algorithm): the table backfills in pk-range chunks WHILE update/
+    // delete WAL streams (tail-only wire, inserts = false), each chunk
+    // read racing the stream inside its watermark window — the watermark
+    // rule (drop chunk rows whose key saw in-window WAL) is what makes the
+    // merged state consistent; see Cdc.dblogMerge. The final state must
+    // equal what a locked snapshot + full tail would give — the same
+    // oracle as cdc_upsert_delete, reached by a completely different path.
+    "cdc_chunked_snapshot" -> ((s, d) => {
+      val wal = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true,
+          inserts = false))).toDF()
+      val chunks = CdcPipeline.ordersSnapshotChunks(s, d, nChunks = 8)
+      val merged = graft.cdc.Cdc.dblogMerge(wal, chunks, Seq("o_orderkey"))
+      finish(graft.decode.TypedView.ofAfter(merged, CdcPipeline.ordersRelation))
+    }),
+
     // Materialized two-sided JOIN view: orders AND lineitem stream through
     // ONE replication slot (interleaved LSN axis), each side compacts to
     // its current state, and the view is their inner join on the order key
@@ -569,6 +586,14 @@ object CdcQueries {
            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
            o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+
+    "cdc_chunked_snapshot" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 0
+         ORDER BY o_orderkey""",
 
     "cdc_join_view" ->
       """WITH li AS (

@@ -238,4 +238,43 @@ class CdcSpec extends AnyFunSuite {
       .select("g").distinct().collect().map(_.getString(0)).toSeq
     assert(deltaGroups === Seq("5.0"))
   }
+
+  test("dblog merge: watermark rule drops racy chunk rows; naive merge is provably wrong") {
+    import spark.implicits._
+    // Chunk read pinned at lo=10 (sees OLD values), window (10, 20].
+    //  key 1: WAL update at 15 — IN window  → chunk row must drop, WAL wins
+    //  key 2: WAL update at 25 — after hi   → chunk row emitted, WAL overrides later
+    //  key 3: WAL delete at 18 — IN window  → chunk row drops, key gone
+    //  key 4: no WAL            → chunk row IS the state
+    val wal = spark.createDataset(Seq(
+      ev("U", 15, 1, "1", Map("id" -> "1", "v" -> "new1")),
+      ev("U", 25, 2, "2", Map("id" -> "2", "v" -> "new2")),
+      ev("D", 18, 3, "3", null))).toDF()
+    val chunks = Seq(
+      (0L, 10L, 20L, Map("id" -> "1"), Map("id" -> "1", "v" -> "old1")),
+      (0L, 10L, 20L, Map("id" -> "2"), Map("id" -> "2", "v" -> "old2")),
+      (0L, 10L, 20L, Map("id" -> "3"), Map("id" -> "3", "v" -> "old3")),
+      (0L, 10L, 20L, Map("id" -> "4"), Map("id" -> "4", "v" -> "old4")))
+      .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
+    def state(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      val m = r.getMap[String, String](r.fieldIndex("after"))
+      m("id") -> m.getOrElse("v", null)
+    }.toMap
+    val merged = state(Cdc.dblogMerge(wal, chunks, Seq("id")))
+    assert(merged === Map("1" -> "new1", "2" -> "new2", "4" -> "old4"))
+    // WITHOUT the watermark rule the chunk events (positioned at hi=20)
+    // outrank the in-window WAL: key 1 regresses to old1 and deleted key 3
+    // resurrects — the exact anomalies DBLog's rule exists to prevent.
+    val naiveChunkEvents = chunks.select(
+      org.apache.spark.sql.functions.lit("I").as("op"),
+      org.apache.spark.sql.functions.col("hi_lsn").as("lsn"),
+      org.apache.spark.sql.functions.lit(0L).as("seq"),
+      org.apache.spark.sql.functions.col("key"),
+      org.apache.spark.sql.functions.col("after"))
+    val naive = state(Cdc.compact(naiveChunkEvents.unionByName(
+      wal.select(naiveChunkEvents.columns.map(
+        org.apache.spark.sql.functions.col): _*)), Seq("id")))
+    assert(naive("1") === "old1")
+    assert(naive.contains("3"))
+  }
 }
