@@ -379,4 +379,33 @@ class PlanSpec extends AnyFunSuite {
     val windows = p.linesIterator.filter(_.contains("Window")).mkString("\n")
     assert(!windows.contains("row_number"), windows)
   }
+
+  test("cdc_chunked_snapshot: the watermark rule is one anti join, no cross product") {
+    val p = plan("cdc_chunked_snapshot")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_triangles: two-hop closure joins on edge endpoints — no cross product") {
+    val p = plan("sim_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    // triangle counting ends in a two-phase count over the exploded corners
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("text_cdc_chunks: one doc-keyed window (boundary cumsum), chunk text never joins") {
+    val p = plan("text_cdc_chunks")
+    // the boundary cumsum is the only window pass, keyed by doc
+    val windows = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windows.nonEmpty, p)
+    // the recurrence join carries 16-byte hashes, not chunk text: no
+    // sort-merge join on a text column
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q62 EWMA: one user-keyed window pass, integer terms, no join") {
+    val p = plan("q62_ewma")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
