@@ -1066,6 +1066,112 @@ object Streams {
     StateStore.commit(stateDir, entries)
   }
 
+  /** Streaming DBLog backfill (Cdc.dblogMerge's incremental form): the
+    * table's pk-range snapshot chunks merge into the live upsert state AS
+    * the WAL stream's watermark passes each chunk's high-water LSN — the
+    * shape the algorithm actually runs in production (Debezium incremental
+    * snapshots): backfill and tail make progress together, no stop-the-
+    * world snapshot phase.
+    *
+    * Per micro-batch: (1) WAL events merge into table state (the normal
+    * compaction merge); (2) for every chunk not yet applied, the batch's
+    * keys with lsn inside that chunk's (lo, hi] window append to its
+    * COLLISION set (the watermark rule's evidence — state alone cannot
+    * supply it, a delete leaves no row to carry its LSN); (3) chunks whose
+    * hi the stream has now passed FINALIZE: their rows minus collision
+    * keys enter the same merge as synthetic inserts at hi. Collision sets,
+    * applied-chunk list, watermark, and table state flip in ONE manifest
+    * commit; replayed batches re-derive the same collisions and the
+    * applied guard keeps finalization exactly-once. Per-batch cost is
+    * O(batch + state touched + pending-chunk collisions) — pending chunks
+    * are few (one or two in flight) by construction of the chunk reader. */
+  def dblogBackfillSink(envelope: DataFrame, rel: Relation, chunks: DataFrame,
+      stateDir: String, checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeDblogBatch(batch, rel, chunks, stateDir)
+      }
+      .start()
+
+  private[graft] def mergeDblogBatch(batch0: DataFrame, rel: Relation,
+      chunks: DataFrame, stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val keys = rel.keyColumnNames
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val manifest = StateStore.load(stateDir)
+    val hw = manifest.get("hw").map(_.toLong).getOrElse(Long.MinValue)
+    val applied = manifest.get("applied").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toLong).toSet
+    val probe = batch.agg(max(col("lsn"))).first()
+    val batchMax = if (probe.isNullAt(0)) Long.MinValue else probe.getLong(0)
+    val newHw = math.max(hw, batchMax)
+    // chunk bounds are the tiny driver-side model (one row per chunk)
+    val bounds = chunks.select(col("chunk_id"), col("lo_lsn"), col("hi_lsn"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filterNot { case (id, _, _) => applied.contains(id) }
+    if (batchMax == Long.MinValue && bounds.forall(_._3 > newHw)) return
+    // (2) collision evidence: this batch's keys inside any pending window
+    val boundsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bounds.toSeq.map(b => org.apache.spark.sql.Row(b._1, b._2, b._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_lo", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_hi", org.apache.spark.sql.types.LongType))))
+    // collision keys persist as EXTRACTED strings (MapType supports
+    // neither set ops nor cheap equality joins)
+    val newColl = batch.filter(col("op").isin("I", "U", "D"))
+      .join(broadcast(boundsDf),
+        col("lsn") > col("c_lo") && col("lsn") <= col("c_hi"))
+      .select(col("c_id").as("chunk_id") +:
+        keys.map(k => element_at(col("key"), k).as(s"k_$k")): _*)
+    val existingColl = manifest.get("coll")
+      .map(v => spark.read.parquet(s"$stateDir/$v"))
+    val coll = existingColl.map(_.unionByName(newColl)).getOrElse(newColl)
+      .distinct()
+    // (3) chunks the stream has passed finalize now
+    val toApply = bounds.filter(_._3 <= newHw).map(_._1).toSet
+    val chunkEvents =
+      if (toApply.isEmpty) None
+      else {
+        val eligible = chunks.filter(col("chunk_id").isin(toApply.toSeq: _*))
+          .filter(col("after").isNotNull)
+        val keyEq = keys.map(k =>
+          element_at(col("key"), k) === col(s"k_$k")).reduce(_ && _)
+        val survivors = eligible.join(
+          coll.withColumnRenamed("chunk_id", "x_id"),
+          col("chunk_id") === col("x_id") && keyEq, "left_anti")
+        Some(survivors.select(
+          lit("I").as("op"),
+          concat_ws("-", col("hi_lsn"), lit(0)).as("message_id"),
+          col("hi_lsn").as("lsn"), lit(0L).as("seq"),
+          lit(-1).as("tx_id"), lit(-1L).as("begin_lsn"), lit(-1L).as("commit_ts_us"),
+          lit(rel.namespace).as("namespace"), lit(rel.name).as("table"),
+          lit(rel.relationId).as("relation_id"),
+          col("key"),
+          lit(null).cast(batch.schema("before").dataType).as("before"),
+          col("after"),
+          lit(null).cast(batch.schema("before_toasted").dataType).as("before_toasted"),
+          lit(null).cast(batch.schema("after_toasted").dataType).as("after_toasted"),
+          lit(null).cast("string").as("origin")))
+      }
+    val events = chunkEvents.map(batch.unionByName(_)).getOrElse(batch)
+    val existing = manifest.get("data")
+      .map(v => spark.read.parquet(s"$stateDir/$v"))
+    val compacted = mergeCompact(events, existing, rel, keys)
+    val nextData = StateStore.newVersion("data")
+    compacted.write.mode("overwrite").parquet(s"$stateDir/$nextData")
+    // prune collision rows of now-applied chunks; keep the rest pending
+    val nextColl = StateStore.newVersion("coll")
+    coll.filter(!col("chunk_id").isin(toApply.toSeq: _*))
+      .write.mode("overwrite").parquet(s"$stateDir/$nextColl")
+    StateStore.commit(stateDir, Map(
+      "data" -> nextData, "coll" -> nextColl, "hw" -> newHw.toString,
+      "applied" -> (applied ++ toApply).toSeq.sorted.mkString(",")))
+  }
+
   /** Current joined view across all buckets. Columns: `__key` (B's pk
     * map), `b_after`, `a_after` — callers project through the relations'
     * typed views. */

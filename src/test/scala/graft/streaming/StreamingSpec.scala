@@ -805,6 +805,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotM.toSeq === expM.toSeq)
   }
 
+  test("dblog backfill sink: chunks finalize as the watermark passes; state equals the batch merge") {
+    val dir = Files.createTempDirectory("dblog")
+    val p = dir.resolve("log.bin").toString
+    // tail-only WAL: the table pre-exists, only updates/deletes stream
+    val pat = graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true,
+      fullImages = true, inserts = false)
+    val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
+      .collect().sortBy(_._1).iterator
+      .map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val chunks = graft.cdc.CdcPipeline.ordersSnapshotChunks(spark, sfDir, 8)
+    // small triggers: several chunks straddle micro-batch boundaries, so
+    // collision evidence accumulates across batches before finalization
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(200))
+    val q = Streams.dblogBackfillSink(env, graft.cdc.CdcPipeline.ordersRelation,
+      chunks, dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val manifest = StateStore.load(dir.resolve("state").toString)
+    assert(manifest("applied").split(",").length === 8) // every chunk landed
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("o_totalprice").cast("double"),
+          col("o_orderpriority"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sortBy(_._1)
+    val got = rows(Streams.materializedState(spark,
+      graft.cdc.CdcPipeline.ordersRelation, dir.resolve("state").toString))
+    val expected = rows(graft.SparkEntry.queries("cdc_chunked_snapshot")(spark, sfDir))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("two-sided join view sink across micro-batches equals the batch join") {
     val dir = Files.createTempDirectory("joinview")
     val p = dir.resolve("log.bin").toString
