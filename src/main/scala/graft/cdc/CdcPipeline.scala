@@ -505,13 +505,24 @@ object CdcPipeline {
     * CDC tables actually sees. */
   def jointOrdersLineitemFrames(
       spark: SparkSession, sfDir: String,
+      pattern: DmlPattern): Dataset[(Long, Array[Byte])] =
+    jointOrdersFrames(spark, sfDir, pattern)
+      .union(jointLineitemFrames(spark, sfDir))
+
+  /** The joint log's even-LSN half (orders), byte-identical to filtering
+    * the union by parity — consumers needing one relation generate only
+    * its half instead of encoding both and discarding one. */
+  def jointOrdersFrames(spark: SparkSession, sfDir: String,
       pattern: DmlPattern): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val a = ordersToFrames(spark, sfDir, pattern)
-      .map { case (l, bytes) => (l * 2, bytes) }
-    val b = lineitemToFrames(spark, sfDir)
-      .map { case (l, bytes) => (l * 2 + 1, bytes) }
-    a.union(b)
+    ordersToFrames(spark, sfDir, pattern).map { case (l, bytes) => (l * 2, bytes) }
+  }
+
+  /** The joint log's odd-LSN half (lineitem). */
+  def jointLineitemFrames(
+      spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    lineitemToFrames(spark, sfDir).map { case (l, bytes) => (l * 2 + 1, bytes) }
   }
 
   val DocumentsRelId = 50003

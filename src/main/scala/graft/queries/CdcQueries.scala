@@ -274,15 +274,19 @@ object CdcQueries {
     // relation + the join. Scale shape: one shuffle per side keyed on the
     // join key (what the streaming form's shared bucketing amortizes away).
     "cdc_join_view" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(
-        CdcPipeline.jointOrdersLineitemFrames(s, d,
-          DmlPattern(updates = true, deletes = true))).toDF()
+      // The shared-axis LSN parity (2L orders / 2L+1 lineitem) is the
+      // joint log's partition-pruning handle: each side builds from its
+      // own half — byte-identical to filtering the union by parity, but
+      // the other relation's frames are never encoded or parsed (the
+      // batch analog of per-publication scan pruning; the streaming sink
+      // consumes the same log UNFILTERED, spec-covered).
+      val pat = DmlPattern(updates = true, deletes = true)
       val o = graft.cdc.Cdc.materialize(
-        events.filter(col("relationId") === CdcPipeline.OrdersRelId),
+        CdcPipeline.decodeFrames(CdcPipeline.jointOrdersFrames(s, d, pat)).toDF(),
         CdcPipeline.ordersRelation)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       val li = graft.cdc.Cdc.materialize(
-        events.filter(col("relationId") === CdcPipeline.LineitemRelId),
+        CdcPipeline.decodeFrames(CdcPipeline.jointLineitemFrames(s, d)).toDF(),
         CdcPipeline.lineitemRelation)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"), col("l_returnflag"))
