@@ -653,6 +653,52 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi-flavored domain reweighting — one multiplicative-weights step
+    // of the "train on the domains the model finds hard" loop: each
+    // source's loss proxy is its average unigram-LM NLL (the corpus-fit LM
+    // of text_lm_perplexity aggregated per source), and the next mixture
+    // weight is share · exp(η · excess-loss), renormalized. Determinism:
+    // all counts integer; the two cross-row float reductions (per-source
+    // Σ k·ln c and the final weight normalization) run as SORTED folds —
+    // the order-pinned form both engines reproduce bit-for-bit; NLLs round
+    // to 6 before entering exp, matching the text_lm_perplexity precedent.
+    // Scale shape: two hash aggs (corpus→(source,term), terms→LM) + a
+    // broadcast LM join; per-source state is vocab-bounded, sources are
+    // few — the driver-sized model update a data-mixing controller runs
+    // between epochs.
+    "text_domain_reweight" -> ((s, d) => {
+      val tf = withWords(Tables.documents(s, d))
+        .select(col("source"), explode(col("ws")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
+      val lm = tf.groupBy(col("w")).agg(sum(col("k")).as("c"))
+      val tot = lm.agg(sum(col("c")).as("n_total"))
+      val docs = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val nll = tf.join(broadcast(lm), "w")
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(
+            col("k").cast("double") * log(col("c").cast("double")))).as("xs"),
+          sum(col("k")).as("len"))
+        .crossJoin(broadcast(tot))
+        .withColumn("avg_nll", round(log(col("n_total").cast("double")) -
+          aggregate(col("xs"), lit(0.0), (a, x) => a + x) /
+            col("len").cast("double"), 6))
+        .select(col("source"), col("avg_nll"))
+      val raw = nll
+        .crossJoin(broadcast(nll.agg(min(col("avg_nll")).as("min_nll"))))
+        .join(docs, "source")
+        .crossJoin(broadcast(docs.agg(sum(col("n_docs")).as("nd"))))
+        .withColumn("share", round(col("n_docs").cast("double") / col("nd"), 6))
+        .withColumn("raw_w",
+          col("share") * exp(lit(0.5) * (col("avg_nll") - col("min_nll"))))
+      raw.crossJoin(broadcast(raw.agg(
+          aggregate(sort_array(collect_list(col("raw_w"))), lit(0.0),
+            (a, x) => a + x).as("total"))))
+        .select(col("source"), col("n_docs"), col("share"), col("avg_nll"),
+          round(col("raw_w") / col("total"), 6).as("new_weight"))
+        .orderBy(col("source"))
+    }),
+
     // Tokenizer induction — the first BPE training iteration: corpus-wide
     // counts of adjacent symbol pairs (weighted by word frequency), whose
     // argmax is the first merge rule. The expensive part of BPE training
@@ -1315,6 +1361,41 @@ object TextQueries {
          SELECT p.a AS a, p.b AS b, CAST(SUM(c) AS BIGINT) AS n
          FROM pr GROUP BY p.a, p.b
          ORDER BY n DESC, a, b LIMIT 20""",
+
+    "text_domain_reweight" ->
+      """WITH tf AS (
+           SELECT source, w, COUNT(*) AS k
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY source, w),
+         lm AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM tf GROUP BY w),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM lm),
+         ps AS (
+           SELECT source,
+             list_sort(list(CAST(k AS DOUBLE) * ln(CAST(c AS DOUBLE)))) AS xs,
+             CAST(SUM(k) AS BIGINT) AS len
+           FROM tf JOIN lm USING (w) GROUP BY source),
+         nll AS (
+           SELECT source,
+             round(ln(CAST(n_total AS DOUBLE)) -
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                 (a, x) -> a + x) / CAST(len AS DOUBLE), 6) AS avg_nll
+           FROM ps CROSS JOIN tot),
+         dc AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         dt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nd FROM dc),
+         mn AS (SELECT MIN(avg_nll) AS min_nll FROM nll),
+         raw AS (
+           SELECT source, n_docs,
+             round(CAST(n_docs AS DOUBLE) / nd, 6) AS share, avg_nll,
+             round(CAST(n_docs AS DOUBLE) / nd, 6) *
+               exp(0.5 * (avg_nll - min_nll)) AS raw_w
+           FROM nll JOIN dc USING (source) CROSS JOIN dt CROSS JOIN mn),
+         tw AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_sort(list(raw_w))), (a, x) -> a + x) AS total
+           FROM raw)
+         SELECT source, n_docs, share, avg_nll,
+           round(raw_w / total, 6) AS new_weight
+         FROM raw CROSS JOIN tw ORDER BY source""",
 
     "text_lm_perplexity" ->
       """WITH tf AS (
