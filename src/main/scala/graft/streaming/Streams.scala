@@ -1603,6 +1603,28 @@ object Streams {
         col("c_ts") <= col("e_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every error enriched with the
+    * user's clicks from the preceding window, and errors with NO such
+    * click still emitted (null click columns) — but only once the
+    * watermark passes their window, because "no match" is unknowable until
+    * no matching click can arrive. That delayed null emission is the
+    * semantics a batch left join doesn't have; state for both sides is
+    * bounded by watermark + window, exactly as in the inner form. */
+  def errorsWithRecentClicksOuter(events: DataFrame,
+      watermark: String = "1 hour", window_ : String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+      .withWatermark("e_ts", watermark)
+    errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $window_") &&
+        col("c_ts") <= col("e_ts"),
+      "left_outer")
+  }
+
   /** Stream-static join: enrich a streaming source with a static dimension
     * (broadcast — the dim never shuffles, the stream never blocks). The
     * third join shape beside stream-stream (errorsWithRecentClicks) and

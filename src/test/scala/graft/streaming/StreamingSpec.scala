@@ -157,6 +157,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected) // single-batch AvailableNow: no rows past watermark
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emitted eagerly, null rows only after watermark") {
+    val batchEvents = graft.Tables.events(spark, sfDir)
+    val batchOuter = Streams.errorsWithRecentClicksOuter(batchEvents)
+    val expectMatched = batchOuter.filter(col("c_user").isNotNull).count()
+    val matchlessErrors = batchOuter.filter(col("c_user").isNull)
+      .select(col("e_id")).collect().map(_.getLong(0)).toSet
+    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.errorsWithRecentClicksOuter(src).writeStream.format("memory")
+      .queryName("ssoj_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // matched rows: exactly the batch inner-join result
+    val gotMatched = spark.sql(
+      "SELECT count(*) FROM ssoj_out WHERE c_user IS NOT NULL").first().getLong(0)
+    assert(expectMatched > 0)
+    assert(gotMatched === expectMatched)
+    // null rows: emitted ONLY for truly matchless errors (never a false
+    // null), and only those whose window the final watermark closed — so
+    // emitted ⊆ batch-matchless, not equality
+    val gotNull = spark.sql("SELECT e_id FROM ssoj_out WHERE c_user IS NULL")
+      .collect().map(_.getLong(0)).toSet
+    assert(matchlessErrors.nonEmpty)
+    assert(gotNull.subsetOf(matchlessErrors))
+  }
+
   test("stream-static dim enrichment matches the batch join") {
     val dim = graft.Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
