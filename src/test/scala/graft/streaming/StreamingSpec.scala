@@ -550,6 +550,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(versions.length === 1, versions.mkString(", "))
   }
 
+  test("join view crash between bucket promote and manifest flip publishes nothing") {
+    val relA = Relation(7, "public", "ja", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    val relB = Relation(8, "public", "jb", 'd', Vector(
+      RelationColumn(partOfKey = true, "bid", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = true, "aid", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "w", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("jvcrash")
+    val stateDir = dir.resolve("state").toString
+    def log(path: String, entries: (Long, PgOutputMessage)*): org.apache.spark.sql.DataFrame = {
+      FrameLog.write(path, entries.iterator.map { case (lsn, m) =>
+        FrameLog.Entry(lsn, PgOutputEncoder.encode(m)) })
+      spark.read.format("graft.sources.FrameReplayProvider").option("path", path).load()
+    }
+    def view(): Seq[(Long, Long, String, String)] =
+      Streams.joinViewState(spark, stateDir).collect().map { r =>
+        val b = r.getMap[String, String](r.fieldIndex("b_after"))
+        val a = r.getMap[String, String](r.fieldIndex("a_after"))
+        (b("bid").toLong, b("aid").toLong, b("w"), a("v"))
+      }.sorted.toSeq
+    val b1 = log(dir.resolve("log1.bin").toString,
+      0L -> relA, 1L -> relB,
+      11L -> Insert(7, TupleData(Vector(t("1"), t("x")))),
+      12L -> Insert(8, TupleData(Vector(t("10"), t("1"), t("p")))),
+      13L -> Insert(8, TupleData(Vector(t("11"), t("1"), t("q")))))
+    Streams.mergeJoinViewBatch(b1, relA, relB, "id", "aid", stateDir, 4)
+    assert(view() === Seq((10L, 1L, "p", "x"), (11L, 1L, "q", "x")))
+    // batch 2 crashes after its staged bucket writes but before the flip:
+    // the A update and the new B row must not surface
+    val b2 = log(dir.resolve("log2.bin").toString,
+      0L -> relA, 1L -> relB,
+      21L -> Update(7, None, None, TupleData(Vector(t("1"), t("x2")))),
+      22L -> Insert(8, TupleData(Vector(t("12"), t("1"), t("r")))))
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergeJoinViewBatch(b2, relA, relB, "id", "aid", stateDir, 4)
+    } finally StateStore.failBeforeCommit = false
+    assert(view() === Seq((10L, 1L, "p", "x"), (11L, 1L, "q", "x")),
+      "crashed merge must not publish")
+    // replay merges normally: every joined row reflects the A update
+    Streams.mergeJoinViewBatch(b2, relA, relB, "id", "aid", stateDir, 4)
+    assert(view() === Seq(
+      (10L, 1L, "p", "x2"), (11L, 1L, "q", "x2"), (12L, 1L, "r", "x2")))
+  }
+
   test("incremental aggregate crash keeps data+high-water atomic (no double apply)") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
