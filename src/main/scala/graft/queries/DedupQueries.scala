@@ -422,6 +422,32 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Asymmetric shingle CONTAINMENT C(A→B) = |S(A)∩S(B)| / |S(A)| — the
+    // subsumption detector symmetric Jaccard misses: a short document
+    // wholly quoted inside a longer one scores containment ≈ 1 while its
+    // Jaccard stays low (size mismatch inflates the union). Training
+    // pipelines use it to drop docs subsumed by a superset copy. Directed
+    // pairs (both orientations emitted); same inverted-index join and
+    // stop-shingle df cap as dedup_ngram_jaccard — the denominator is the
+    // CONTAINED side's size only, everything else shares the capped index.
+    "dedup_containment" -> ((s, d) => {
+      val idx = cappedShingleIndex(s, d, JaccardMaxDf)
+      val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = idx.as("a"); val b = idx.as("b")
+      val common = a.join(b,
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("sz", "sz_a"), "a_id")
+        .withColumn("containment", col("inter") / col("sz_a"))
+        .filter(col("containment") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("inter"), col("sz_a"),
+          col("containment"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // MinHash signatures (checks the min-wise hashing itself, every doc).
     "dedup_minhash_sig" -> ((s, d) => {
       minhashSignatures(s, d)
@@ -768,6 +794,23 @@ object DedupQueries {
          SELECT a_id, b_id, inter / (sa.sz + sb.sz - inter) AS jaccard
          FROM common JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          WHERE inter / (sa.sz + sb.sz - inter) >= 0.25
+         ORDER BY a_id, b_id""",
+
+    // same capped index as the jaccard oracle; denominator = contained
+    // side's size, directed pairs
+    "dedup_containment" ->
+      s"""WITH idx0 AS ($ShIdxSql),
+            kept AS (SELECT sh FROM idx0 GROUP BY sh HAVING COUNT(*) <= $JaccardMaxDf),
+            idx AS (SELECT i.doc_id, i.sh FROM idx0 i JOIN kept USING (sh)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+         SELECT a_id, b_id, inter, sz_a, containment FROM (
+           SELECT a_id, b_id, inter, sa.sz AS sz_a, inter / sa.sz AS containment
+           FROM common JOIN sizes sa ON sa.doc_id = a_id) t
+         WHERE containment >= 0.8
          ORDER BY a_id, b_id""",
 
     "dedup_minhash_sig" ->

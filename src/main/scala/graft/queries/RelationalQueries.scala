@@ -984,6 +984,51 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Per-column table profile — the data-quality pass a pipeline runs on
+    // every ingested table (null rates, cardinalities, value ranges drive
+    // schema checks and drift alerts). One small aggregate per column,
+    // unioned: each branch's parquet scan reads ONLY its column (columnar
+    // pruning), so the profile costs one narrow pass per column and the
+    // branches run concurrently — at 100 TB this is the shape that lets
+    // uninteresting columns be skipped entirely. min/max render through
+    // type-pinned casts (DECIMAL(28,6) for doubles, DATE for timestamps)
+    // so the string forms are cross-engine-exact.
+    "q63_table_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def prof(name: String, render: Column => Column): DataFrame =
+        o.agg(
+            count(col(name)).as("n_nonnull"),
+            sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(name)).as("n_distinct"),
+            render(min(col(name))).as("min_s"),
+            render(max(col(name))).as("max_s"))
+          .select(lit(name).as("col_name"), col("n_nonnull"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      val str = (c: Column) => c.cast("string")
+      val dec = (c: Column) => c.cast(DecimalType(28, 6)).cast("string")
+      val dt = (c: Column) => c.cast(DateType).cast("string")
+      Seq(prof("o_orderkey", str), prof("o_custkey", str),
+          prof("o_orderstatus", str), prof("o_totalprice", dec),
+          prof("o_orderdate", dt), prof("o_orderpriority", str))
+        .reduce(_ unionByName _)
+        .orderBy(col("col_name"))
+    }),
+
+    // Hopping (sliding) event-time window: 10-minute windows every 5
+    // minutes — each event lands in exactly two overlapping windows. The
+    // batch twin of `window(ts, size, slide)` in Structured Streaming;
+    // Spark expands the window set map-side (no row explosion before the
+    // hash agg's partial phase). Sums ride DECIMAL(28,6) so overlap
+    // windows stay order-independent and cross-engine exact.
+    "q64_hopping_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          col("total"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -1373,6 +1418,51 @@ object RelationalQueries {
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
          ${DSUM.format("value")} AS total
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    // each event belongs to the two 5-min-aligned window starts covering
+    // it; time_bucket origins are midnight-aligned like Spark's
+    // epoch-aligned window(), and 5 min divides a day evenly
+    "q64_hopping_window" ->
+      s"""SELECT ws, event_type, COUNT(*) AS n, ${DSUM.format("value")} AS total
+         FROM (
+           SELECT time_bucket(INTERVAL '5 minutes', ts)
+                    - INTERVAL '5 minutes' * k AS ws,
+             event_type, value
+           FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) kk) t
+         GROUP BY ws, event_type ORDER BY ws, event_type""",
+
+    "q63_table_profile" ->
+      """SELECT * FROM (
+           SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n_nonnull,
+             COUNT(*) - COUNT(o_orderkey) AS n_null,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM orders
+           UNION ALL
+           SELECT 'o_custkey', COUNT(o_custkey), COUNT(*) - COUNT(o_custkey),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', COUNT(o_orderstatus),
+             COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', COUNT(o_totalprice),
+             COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR),
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', COUNT(o_orderdate),
+             COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+             CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+             CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', COUNT(o_orderpriority),
+             COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority) FROM orders) t
+         ORDER BY col_name""",
 
     "q47_event_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
