@@ -51,6 +51,61 @@ object TextQueries {
           (lit(1.0) - col("punct") / length(col("text"))) * 0.3 +
           least(col("n_tokens") / 100.0, lit(1.0)) * 0.2)
 
+  /** The composite C4/Gopher-style keep/drop decision frame (langid +
+    * quality score + repetition + contamination + the keep boolean) — ONE
+    * definition feeding text_quality_filter AND the composed
+    * text_pipeline_e2e, so the gate cannot diverge between the standalone
+    * query and the pipeline. Unordered; callers sort. */
+  private def qualityDecisions(s: SparkSession, d: String): DataFrame = {
+    val scored = withWords(Tables.documents(s, d))
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("stop_hits", hits("en"))
+      .withColumn("punct", regexp_count(col("text"), lit("[.,;:!?]")))
+      .withColumn("en", hits("en")).withColumn("es", hits("es"))
+      .withColumn("de", hits("de")).withColumn("fr", hits("fr"))
+      .withColumn("lang_guess",
+        when(col("en") > 0 && col("en") >= col("es") && col("en") >= col("de") && col("en") >= col("fr"), "en")
+          .when(col("es") > 0 && col("es") >= col("de") && col("es") >= col("fr"), "es")
+          .when(col("de") > 0 && col("de") >= col("fr"), "de")
+          .when(col("fr") > 0, "fr")
+          .otherwise("und"))
+      .withColumn("quality_score", round(
+        col("stop_hits") / col("n_tokens") * 0.5 +
+          (lit(1.0) - col("punct") / length(col("text"))) * 0.3 +
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.2, 6))
+      .select(col("doc_id"), col("lang_guess"), col("quality_score"))
+    val rep = DedupQueries.shingleRows(s, d)
+      .groupBy(col("doc_id"))
+      .agg(round(lit(1.0) - countDistinct(col("sh")) / count(lit(1)), 6)
+        .as("rep_ratio"))
+    val w5 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams5 = withWords(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("w0"),
+        lead("w0", 1).over(w5).as("w1"), lead("w0", 2).over(w5).as("w2"),
+        lead("w0", 3).over(w5).as("w3"), lead("w0", 4).over(w5).as("w4"))
+      .filter(col("w4").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2"),
+        col("w3"), col("w4")).as("g"))
+      .distinct()
+    val bench = grams5.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val contam = grams5.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    scored
+      .join(rep, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_guess"), col("quality_score"),
+        coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("keep",
+        col("lang_guess") =!= "und" && col("quality_score") >= 0.42 &&
+          col("rep_ratio") <= 0.02 && !col("contaminated") &&
+          col("doc_id") % 97 =!= 0)
+  }
+
   /** 24-bit content hash (first 6 md5 hex digits), the shared bucketing
     * key of text_mix_sample and text_export_shards; [[Hash24Sql]] is its
     * DuckDB twin. */
@@ -428,55 +483,53 @@ object TextQueries {
           col("dup_docs"), col("dup_groups"))
     }),
 
-    "text_quality_filter" -> ((s, d) => {
-      val scored = withWords(Tables.documents(s, d))
-        .withColumn("n_tokens", size(col("ws")))
-        .withColumn("stop_hits", hits("en"))
-        .withColumn("punct", regexp_count(col("text"), lit("[.,;:!?]")))
-        .withColumn("en", hits("en")).withColumn("es", hits("es"))
-        .withColumn("de", hits("de")).withColumn("fr", hits("fr"))
-        .withColumn("lang_guess",
-          when(col("en") > 0 && col("en") >= col("es") && col("en") >= col("de") && col("en") >= col("fr"), "en")
-            .when(col("es") > 0 && col("es") >= col("de") && col("es") >= col("fr"), "es")
-            .when(col("de") > 0 && col("de") >= col("fr"), "de")
-            .when(col("fr") > 0, "fr")
-            .otherwise("und"))
-        .withColumn("quality_score", round(
-          col("stop_hits") / col("n_tokens") * 0.5 +
-            (lit(1.0) - col("punct") / length(col("text"))) * 0.3 +
-            least(col("n_tokens") / 100.0, lit(1.0)) * 0.2, 6))
+    "text_quality_filter" -> ((s, d) =>
+      qualityDecisions(s, d).orderBy(col("doc_id"))),
+
+    // End-to-end curation pipeline: quality gate → exact dedup
+    // (first-occurrence-wins among survivors) → deterministic split — the
+    // composed run a user executes as ONE job, hash-checked as one result.
+    // Each stage is the SAME definition its standalone query uses
+    // (qualityDecisions, md5 first-id dedup, the 208/232 hash-bucket
+    // split), so the composition cannot drift from the parts. Scale shape:
+    // the quality gate is narrow maps + one broadcast contamination join;
+    // dedup adds one digest-keyed shuffle over SURVIVORS only (the gate
+    // prunes before the expensive stage — pipeline ordering matters at
+    // 100 TB); the split is a narrow map.
+    "text_pipeline_e2e" -> ((s, d) => {
+      val kept = qualityDecisions(s, d).filter(col("keep"))
         .select(col("doc_id"), col("lang_guess"), col("quality_score"))
-      val rep = DedupQueries.shingleRows(s, d)
-        .groupBy(col("doc_id"))
-        .agg(round(lit(1.0) - countDistinct(col("sh")) / count(lit(1)), 6)
-          .as("rep_ratio"))
-      val w5 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val grams5 = withWords(Tables.documents(s, d))
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
-        .select(col("doc_id"), col("w0"),
-          lead("w0", 1).over(w5).as("w1"), lead("w0", 2).over(w5).as("w2"),
-          lead("w0", 3).over(w5).as("w3"), lead("w0", 4).over(w5).as("w4"))
-        .filter(col("w4").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2"),
-          col("w3"), col("w4")).as("g"))
-        .distinct()
-      val bench = grams5.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
-      val contam = grams5.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(bench), "g")
-        .select(col("doc_id")).distinct()
-        .withColumn("contaminated", lit(true))
-      scored
-        .join(rep, Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      kept.join(hashes, "doc_id")
+        .withColumn("first_id", min(col("doc_id")).over(wh))
+        .filter(col("doc_id") === col("first_id"))
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+        .withColumn("split",
+          when(col("bucket") < 208, "train")
+            .when(col("bucket") < 232, "val").otherwise("test"))
         .select(col("doc_id"), col("lang_guess"), col("quality_score"),
-          coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"),
-          coalesce(col("contaminated"), lit(false)).as("contaminated"))
-        .withColumn("keep",
-          col("lang_guess") =!= "und" && col("quality_score") >= 0.42 &&
-            col("rep_ratio") <= 0.02 && !col("contaminated") &&
-            col("doc_id") % 97 =!= 0)
+          col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    "text_pipeline_e2e_report" -> ((s, d) => {
+      // the pipeline's per-stage attrition report (docs surviving each
+      // stage) — the run summary a curation job publishes; derived from
+      // the same stage definitions as text_pipeline_e2e.
+      val q = qualityDecisions(s, d)
+      val kept = q.filter(col("keep"))
+      val hashes = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"))
+      val deduped = kept.join(hashes, "doc_id")
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      q.agg(count(lit(1)).as("n_input"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_kept"))
+        .crossJoin(broadcast(deduped.agg(count(lit(1)).as("n_deduped"))))
+        .select(col("n_input"), col("n_quality_kept"), col("n_deduped"),
+          (col("n_quality_kept") - col("n_deduped")).as("n_dup_dropped"))
     }),
 
     // Deterministic source-weighted mixture (the pretraining data-mixing
@@ -1169,6 +1222,48 @@ object TextQueries {
   private val ShinglesSql =
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
+  /** The full keep/drop decision SELECT of text_quality_filter (nested
+    * WITH — usable as a CTE body or derived table); the one SQL twin of
+    * [[qualityDecisions]], shared by the standalone oracle and both
+    * text_pipeline_e2e oracles. */
+  private lazy val QualityDecSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, $WsSql AS ws FROM documents),
+         sc AS (
+           SELECT doc_id, len(ws) AS n_tokens, ${hitsSql("en")} AS stop_hits,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+             ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
+             ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr, text
+           FROM t),
+         sc2 AS (
+           SELECT doc_id,
+             CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                  WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                  WHEN de > 0 AND de >= fr THEN 'de'
+                  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess,
+             round(stop_hits / n_tokens * 0.5 + (1.0 - punct / length(text)) * 0.3
+                   + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality_score
+           FROM sc),
+         rep AS (
+           SELECT doc_id,
+             round(1.0 - len(list_distinct(sh)) / len(sh), 6) AS rep_ratio
+           FROM (SELECT doc_id, $ShinglesSql AS sh FROM t WHERE len(ws) >= 3) r),
+         g AS (
+           SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws)-3, 1)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+           FROM t),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0)
+         SELECT doc_id, lang_guess, quality_score, rep_ratio, contaminated,
+           (lang_guess <> 'und' AND quality_score >= 0.42 AND rep_ratio <= 0.02
+            AND NOT contaminated AND doc_id % 97 <> 0) AS keep
+         FROM (
+           SELECT s.doc_id, s.lang_guess, s.quality_score,
+             COALESCE(rep.rep_ratio, 0.0) AS rep_ratio,
+             (cont.doc_id IS NOT NULL) AS contaminated
+           FROM sc2 s
+           LEFT JOIN rep ON s.doc_id = rep.doc_id
+           LEFT JOIN cont ON s.doc_id = cont.doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     "text_bpe_round2" ->
       """WITH vocab AS (
@@ -1616,43 +1711,38 @@ object TextQueries {
          ORDER BY doc_id""",
 
     "text_quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, lang, text, $WsSql AS ws FROM documents),
-         sc AS (
-           SELECT doc_id, len(ws) AS n_tokens, ${hitsSql("en")} AS stop_hits,
-             len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
-             ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
-             ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr, text
-           FROM t),
-         sc2 AS (
-           SELECT doc_id,
-             CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
-                  WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
-                  WHEN de > 0 AND de >= fr THEN 'de'
-                  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess,
-             round(stop_hits / n_tokens * 0.5 + (1.0 - punct / length(text)) * 0.3
-                   + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality_score
-           FROM sc),
-         rep AS (
-           SELECT doc_id,
-             round(1.0 - len(list_distinct(sh)) / len(sh), 6) AS rep_ratio
-           FROM (SELECT doc_id, $ShinglesSql AS sh FROM t WHERE len(ws) >= 3) r),
-         g AS (
-           SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws)-3, 1)),
-             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
-           FROM t),
-         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
-         cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0)
-         SELECT doc_id, lang_guess, quality_score, rep_ratio, contaminated,
-           (lang_guess <> 'und' AND quality_score >= 0.42 AND rep_ratio <= 0.02
-            AND NOT contaminated AND doc_id % 97 <> 0) AS keep
+      s"""SELECT * FROM ($QualityDecSql) q ORDER BY doc_id""",
+
+    "text_pipeline_e2e" ->
+      s"""WITH dec AS ($QualityDecSql),
+         kept AS (SELECT doc_id, lang_guess, quality_score FROM dec WHERE keep),
+         hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+         dd AS (
+           SELECT k.doc_id, k.lang_guess, k.quality_score
+           FROM kept k JOIN hashes USING (doc_id)
+           QUALIFY k.doc_id = MIN(k.doc_id) OVER (PARTITION BY h))
+         SELECT doc_id, lang_guess, quality_score,
+           CASE WHEN bucket < 208 THEN 'train'
+                WHEN bucket < 232 THEN 'val' ELSE 'test' END AS split
          FROM (
-           SELECT s.doc_id, s.lang_guess, s.quality_score,
-             COALESCE(rep.rep_ratio, 0.0) AS rep_ratio,
-             (cont.doc_id IS NOT NULL) AS contaminated
-           FROM sc2 s
-           LEFT JOIN rep ON s.doc_id = rep.doc_id
-           LEFT JOIN cont ON s.doc_id = cont.doc_id)
+           SELECT doc_id, lang_guess, quality_score,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+           FROM dd) t
          ORDER BY doc_id""",
+
+    "text_pipeline_e2e_report" ->
+      s"""WITH dec AS ($QualityDecSql),
+         kept AS (SELECT doc_id FROM dec WHERE keep),
+         hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+         dd AS (
+           SELECT h, MIN(doc_id) AS doc_id
+           FROM kept JOIN hashes USING (doc_id) GROUP BY h)
+         SELECT
+           (SELECT COUNT(*) FROM dec) AS n_input,
+           (SELECT COUNT(*) FROM kept) AS n_quality_kept,
+           (SELECT COUNT(*) FROM dd) AS n_deduped,
+           (SELECT COUNT(*) FROM kept) - (SELECT COUNT(*) FROM dd) AS n_dup_dropped""",
 
     "text_mixture_sample" ->
       """WITH w AS (
