@@ -1029,6 +1029,55 @@ object RelationalQueries {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // Resample each user's irregular event series onto a regular hourly
+    // grid by LINEAR interpolation — the time-series regularization step
+    // before windowed feature extraction (gap-fill q44 carries the LAST
+    // value; this computes the in-between value). Shape: events and grid
+    // points union into ONE user-partitioned stream; two window passes
+    // (forward = previous event, backward = next event) find each grid
+    // point's bracketing events without any range join or per-point scan.
+    // Determinism: cents/µs integers; the interpolation numerator
+    // v0·(t1−g) + v1·(g−t0) stays INTEGER, one final double division +
+    // round 6 (identical IEEE ops both engines). Grid bounds snap to
+    // hour multiples in integer arithmetic (no float ceil). A grid
+    // point landing exactly on an event reproduces that event's value.
+    "q65_interpolate" -> ((s, d) => {
+      val G = 3600000000L // 1 hour in µs
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+        .groupBy(col("user_id"), col("t"))
+        .agg(min_by(col("cents"), col("event_id")).as("cents"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+        .select(col("user_id"),
+          expr(s"((tmin + ${G - 1}L) div ${G}L) * ${G}L").as("gs"),
+          expr(s"(tmax div ${G}L) * ${G}L").as("ge"))
+        .filter(col("gs") <= col("ge"))
+        .select(col("user_id"), explode(expr(s"sequence(gs, ge, ${G}L)")).as("t"))
+      val u = ev.select(col("user_id"), col("t"), lit(0).as("k"), col("cents"))
+        .unionByName(grid.select(col("user_id"), col("t"), lit(1).as("k"),
+          lit(null).cast("long").as("cents")))
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("t"), col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("t").desc, col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("t0", last(when(col("k") === 0, col("t")), ignoreNulls = true).over(wf))
+        .withColumn("v0", last(when(col("k") === 0, col("cents")), ignoreNulls = true).over(wf))
+        .withColumn("t1", last(when(col("k") === 0, col("t")), ignoreNulls = true).over(wb))
+        .withColumn("v1", last(when(col("k") === 0, col("cents")), ignoreNulls = true).over(wb))
+        .filter(col("k") === 1)
+        .withColumn("v_interp", round(
+          when(col("t1") === col("t0"), col("v0").cast("double") / 100.0)
+            .otherwise(
+              (col("v0") * (col("t1") - col("t")) + col("v1") * (col("t") - col("t0")))
+                .cast("double") /
+                ((col("t1") - col("t0")).cast("double") * 100.0)), 6))
+        .select(col("user_id"), timestamp_micros(col("t")).as("ts_grid"),
+          col("v_interp"))
+        .orderBy(col("user_id"), col("ts_grid"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -1418,6 +1467,47 @@ object RelationalQueries {
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
          ${DSUM.format("value")} AS total
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    // same union + two-window bracketing as the Spark side; integer
+    // numerator, one double division
+    "q65_interpolate" ->
+      """WITH ev0 AS (
+           SELECT user_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id
+           FROM events),
+         ev AS (
+           SELECT user_id, t, arg_min(cents, event_id) AS cents
+           FROM ev0 GROUP BY user_id, t),
+         gr AS (
+           SELECT user_id,
+             ((tmin + 3599999999) // 3600000000) * 3600000000 AS gs,
+             (tmax // 3600000000) * 3600000000 AS ge
+           FROM (SELECT user_id, MIN(t) AS tmin, MAX(t) AS tmax
+                 FROM ev GROUP BY user_id) b),
+         grid AS (
+           SELECT user_id, unnest(range(gs, ge + 3600000000, 3600000000)) AS t
+           FROM gr WHERE gs <= ge),
+         u AS (
+           SELECT user_id, t, 0 AS k, cents FROM ev
+           UNION ALL
+           SELECT user_id, t, 1 AS k, NULL AS cents FROM grid),
+         w AS (
+           SELECT user_id, t, k,
+             last_value(CASE WHEN k = 0 THEN t END IGNORE NULLS) OVER fwd AS t0,
+             last_value(CASE WHEN k = 0 THEN cents END IGNORE NULLS) OVER fwd AS v0,
+             last_value(CASE WHEN k = 0 THEN t END IGNORE NULLS) OVER bwd AS t1,
+             last_value(CASE WHEN k = 0 THEN cents END IGNORE NULLS) OVER bwd AS v1
+           FROM u
+           WINDOW
+             fwd AS (PARTITION BY user_id ORDER BY t, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             bwd AS (PARTITION BY user_id ORDER BY t DESC, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, make_timestamp(t) AS ts_grid,
+           round(CASE WHEN t1 = t0 THEN CAST(v0 AS DOUBLE) / 100.0
+                 ELSE CAST(v0 * (t1 - t) + v1 * (t - t0) AS DOUBLE)
+                      / (CAST(t1 - t0 AS DOUBLE) * 100.0) END, 6) AS v_interp
+         FROM w WHERE k = 1 ORDER BY user_id, ts_grid""",
 
     // each event belongs to the two 5-min-aligned window starts covering
     // it; time_bucket origins are midnight-aligned like Spark's

@@ -1486,6 +1486,17 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
 
+  /** Event-time HOPPING window aggregate (overlapping size/slide windows)
+    * with watermark — the streaming twin of q64: each event lands in
+    * size/slide overlapping windows, expanded map-side before the keyed
+    * state update. */
+  def hoppingCounts(events: DataFrame, watermark: String = "30 minutes",
+      size: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
   /** Per-user funnel progress (view → click → purchase), streaming form of
     * q47_event_funnel: a keyed state machine via `mapGroupsWithState`. Each
     * trigger advances the user's state with the batch's events in ts order

@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= expected.size - 10) // at most the tail windows held back
   }
 
+  test("streaming hopping window + watermark matches the batch computation") {
+    val batchEvents = graft.Tables.events(spark, sfDir)
+    val expected = Streams.hoppingCounts(batchEvents.withWatermark("ts", "30 minutes"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streams.hoppingCounts(src).writeStream.format("memory")
+      .queryName("hop_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT ws, event_type, n FROM hop_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expected))
+    // every event contributes to 2 overlapping windows; only the tail can
+    // be held back by the watermark
+    assert(got.size >= expected.size - 20)
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event ids") {
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
