@@ -532,6 +532,29 @@ object TextQueries {
           (col("n_quality_kept") - col("n_deduped")).as("n_dup_dropped"))
     }),
 
+    // Pareto frontier over (quality_score, n_tokens) — multi-objective doc
+    // selection: keep documents not strictly dominated in BOTH dimensions
+    // (a doc is dropped iff some other doc has strictly higher score AND
+    // strictly more tokens). The naive dominance test is an O(n²)
+    // self-join; this is the scalable sweep: collapse to per-score max
+    // tokens (hash agg), one running-max window over DISTINCT scores (rows
+    // = |distinct scores| ≪ corpus — the only single-partition step, like
+    // q58's bucket-offset pass), then a score-keyed join back. A doc is on
+    // the frontier iff the max token count among strictly-higher scores
+    // does not exceed its own.
+    "text_pareto_frontier" -> ((s, d) => {
+      val t = scoredDocs(s, d)
+        .select(col("doc_id"), round(col("score"), 6).as("q"), col("n_tokens"))
+      val g = t.groupBy(col("q")).agg(max(col("n_tokens")).as("mt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("q").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val g2 = g.withColumn("mprev", max(col("mt")).over(w)).select(col("q"), col("mprev"))
+      t.join(g2, "q")
+        .filter(col("mprev").isNull || col("mprev") <= col("n_tokens"))
+        .select(col("doc_id"), col("q").as("quality_score"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic source-weighted mixture (the pretraining data-mixing
     // step): each source gets a sampling weight; a document yields
     // floor(w) full copies plus one more iff its content-hash bucket falls
@@ -1729,6 +1752,27 @@ object TextQueries {
              (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
              (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
            FROM dd) t
+         ORDER BY doc_id""",
+
+    "text_pareto_frontier" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             round(stop_hits / n_tokens * 0.5 + (1.0 - punct / length(text)) * 0.3
+                   + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS q,
+             n_tokens
+           FROM (
+             SELECT doc_id, text, len(ws) AS n_tokens,
+               ${hitsSql("en")} AS stop_hits,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS punct
+             FROM (SELECT doc_id, text, $WsSql AS ws FROM documents) w) s),
+         g AS (SELECT q, MAX(n_tokens) AS mt FROM t GROUP BY q),
+         g2 AS (
+           SELECT q, MAX(mt) OVER (ORDER BY q DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+           FROM g)
+         SELECT doc_id, q AS quality_score, n_tokens
+         FROM t JOIN g2 USING (q)
+         WHERE mprev IS NULL OR mprev <= n_tokens
          ORDER BY doc_id""",
 
     "text_pipeline_e2e_report" ->

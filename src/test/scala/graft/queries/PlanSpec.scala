@@ -408,4 +408,53 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("text_bm25: df/corpus stats broadcast; the corpus never cross-joins") {
+    val p = plan("text_bm25")
+    // the term-df side and the scalar (N, avgdl) row both broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_containment: stop-shingle cap is a broadcast anti join (jaccard's shape)") {
+    val p = plan("dedup_containment")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_pipeline_e2e: contamination gate broadcasts; no cross product end-to-end") {
+    val p = plan("text_pipeline_e2e")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q63 table profile: each branch's scan reads only its own column") {
+    val p = plan("q63_table_profile")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size >= 6, p)
+    // the o_orderkey branch must not drag other columns through its scan
+    assert(schemas.exists(s => s.contains("o_orderkey") && !s.contains("o_totalprice")
+      && !s.contains("o_orderdate")), schemas.mkString("\n"))
+  }
+
+  test("q64 hopping window: two-phase aggregation (map-side partial over expanded windows)") {
+    val p = plan("q64_hopping_window")
+    assert(p.contains("partial_"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q65 interpolation brackets via window passes — no range join, no cross product") {
+    val p = plan("q65_interpolate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) >= 2, p)
+  }
+
+  test("text_pareto_frontier: dominance sweep is one agg + one tiny window, no self-join of docs") {
+    val p = plan("text_pareto_frontier")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one Window (the running max over distinct scores)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
+  }
 }
