@@ -225,6 +225,46 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // Embedding OUTLIER sweep: each vector's cosine to its label centroid,
+    // flagged when it falls more than 2σ below the label's mean cosine —
+    // the mislabeled/polluted-vector detector a pipeline runs before
+    // training on an embedding store (sim_label_centroids profiles labels;
+    // this names the offending vectors). Scale shape: same narrow
+    // (label, dim) centroid agg broadcast back, one corpus scan for the
+    // cosines, label-sized stats broadcast for the gate — the corpus never
+    // shuffles. Determinism: μ and E[cos²] ride exact DECIMAL sums
+    // (order-free); σ = sqrt(max(m2 − μ², 0)) and the z-gate comparison
+    // are identical IEEE ops on both engines.
+    "sim_outliers" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      def dotMixed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables.embeddings(s, d)
+      val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), t -> t.c)")
+          .as("centroid"))
+      val withCos = e.join(broadcast(cents), "label")
+        .withColumn("cos", dotMixed(col("embedding"), col("centroid")) /
+          (sqrt(dotMixed(col("embedding"), col("embedding"))) *
+            sqrt(dotMixed(col("centroid"), col("centroid")))))
+        .select(col("vec_id"), col("label"), col("cos"))
+      val stats = withCos.groupBy(col("label"))
+        .agg((sum(col("cos").cast(dec)).cast("double") / count(lit(1))).as("mu"),
+          (sum((col("cos") * col("cos")).cast(dec)).cast("double") /
+            count(lit(1))).as("m2"))
+        .withColumn("sigma",
+          sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))))
+      withCos.join(broadcast(stats), "label")
+        .filter(col("cos") < col("mu") - lit(2.0) * col("sigma"))
+        .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cos_sim"),
+          round(col("mu") - lit(2.0) * col("sigma"), 6).as("threshold"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Scalar-quantized (int8) similarity: per-dimension [min,max] over the
     // corpus → 8-bit codes → search on the DEQUANTIZED vectors. The memory
     // path for 100 TB embedding stores: codes are 4× smaller than float32
@@ -786,6 +826,34 @@ object SimilarityQueries {
            round(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
            round(MIN(cos), 6) AS min_cos
          FROM cosr GROUP BY label, centroid ORDER BY label""",
+
+    "sim_outliers" ->
+      s"""WITH ex AS (
+           SELECT label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) ii),
+         cent AS (
+           SELECT label, i,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+           FROM ex GROUP BY label, i),
+         carr AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+         cosr AS (
+           SELECT e.vec_id, e.label,
+             ${DotSql.format("e.embedding", "c.centroid")} /
+               (sqrt(${DotSql.format("e.embedding", "e.embedding")}) *
+                sqrt(${DotSql.format("c.centroid", "c.centroid")})) AS cos
+           FROM embeddings e JOIN carr c USING (label)),
+         st AS (
+           SELECT label,
+             CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(CAST(cos * cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m2
+           FROM cosr GROUP BY label),
+         st2 AS (
+           SELECT label, mu, sqrt(greatest(m2 - mu * mu, 0.0)) AS sigma FROM st)
+         SELECT vec_id, label, round(cos, 6) AS cos_sim,
+           round(mu - 2.0 * sigma, 6) AS threshold
+         FROM cosr JOIN st2 USING (label)
+         WHERE cos < mu - 2.0 * sigma
+         ORDER BY vec_id""",
 
     "sim_silhouette" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c
