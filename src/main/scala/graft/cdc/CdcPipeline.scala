@@ -563,6 +563,48 @@ object CdcPipeline {
     }
   }
 
+  /** documents → frames with FULL DML (the corpus as a LIVING table):
+    * every doc inserts; doc_id % 7 == 0 is then UPDATED (text gains a
+    * ' zzupdate' suffix) with a REPLICA IDENTITY FULL old image;
+    * doc_id % 11 == 0 is DELETED carrying the full CURRENT image (the
+    * post-update text when both apply — deletes sort after updates).
+    * LSN = doc_id*16 + offset keeps events distinct and arrival ≡ doc
+    * order. Retraction-grade old images are what incremental index
+    * maintenance (cdc_incremental_termdf) consumes. */
+  def documentsToFramesDml(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val relFrame = PgOutputEncoder.encode(documentsRelation)
+    docs.as[(Long, String, String, String, Long)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (id, text, lang, source, nChars) =>
+        val base = id * 16
+        def tup(tx: String) = TupleData(Vector(
+          t(id.toString), t(tx), t(lang), t(source), t(nChars.toString)))
+        val ins = Seq(
+          (base + 1) -> PgOutputEncoder.encode(Begin(base + 3, 0L, id.toInt)),
+          (base + 2) -> PgOutputEncoder.encode(Insert(DocumentsRelId, tup(text))),
+          (base + 3) -> PgOutputEncoder.encode(Commit(0, base + 3, base + 3, 0L)))
+        val upd = if (id % 7 == 0) Seq(
+          (base + 4) -> PgOutputEncoder.encode(Begin(base + 6, 0L, id.toInt)),
+          (base + 5) -> PgOutputEncoder.encode(Update(DocumentsRelId,
+            Some('O'), Some(tup(text)), tup(text + " zzupdate"))),
+          (base + 6) -> PgOutputEncoder.encode(Commit(0, base + 6, base + 6, 0L)))
+        else Nil
+        val current = if (id % 7 == 0) text + " zzupdate" else text
+        val del = if (id % 11 == 0) Seq(
+          (base + 7) -> PgOutputEncoder.encode(Begin(base + 9, 0L, id.toInt)),
+          (base + 8) -> PgOutputEncoder.encode(Delete(DocumentsRelId, 'O', tup(current))),
+          (base + 9) -> PgOutputEncoder.encode(Commit(0, base + 9, base + 9, 0L)))
+        else Nil
+        ins ++ upd ++ del
+      }
+      rel ++ dml
+    }
+  }
+
   val EmbeddingsRelId = 50004
 
   /** Wire-style relation for the embedding store: the vector rides as a pg

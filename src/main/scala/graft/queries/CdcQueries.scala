@@ -144,6 +144,29 @@ object CdcQueries {
         .orderBy(col("cell"))
     }),
 
+    // Incrementally-maintained TERM-DF inverted-index statistic from a
+    // documents CDC stream — the search-index maintenance loop (df is
+    // BM25/TF-IDF's corpus side): each event contributes +1 per DISTINCT
+    // after-term and −1 per DISTINCT before-term, so the df table stays
+    // fresh from deltas alone — never a corpus rescan. Updates/deletes
+    // carry REPLICA IDENTITY FULL old images (retraction re-derives the
+    // removed terms from the before text). Scale shape: decode + explode
+    // are narrow; the ONE shuffle is the term-keyed sum, map-side
+    // combined; fully-retracted terms leave at df = 0. Must equal df over
+    // the surviving table state (the oracle recomputes from scratch).
+    "cdc_incremental_termdf" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.documentsToFramesDml(s, d)).toDF()
+      def terms(img: String, net: Int) =
+        events.filter(col("op").isin((if (net > 0) Seq("I", "U") else Seq("U", "D")): _*))
+          .select(explode(array_distinct(
+            split(element_at(col(img), "text"), " "))).as("term"),
+            lit(net.toLong).as("dv"))
+      terms("after", 1).unionByName(terms("before", -1))
+        .groupBy(col("term")).agg(sum(col("dv")).as("df"))
+        .filter(col("df") > 0)
+        .orderBy(col("term"))
+    }),
+
     // Incrementally-maintained MIN/MAX/COUNT view: extremes per priority
     // computed purely from event deltas (net per-(group,value) row counts —
     // the retraction-capable form; deletes genuinely remove extremes here,
@@ -574,6 +597,18 @@ object CdcQueries {
            d.doc_id = k.keeper_id AS is_keeper, k.keeper_id
          FROM documents d JOIN k ON md5(d.text) = k.h
          ORDER BY d.doc_id""",
+
+    // from-scratch df over the SURVIVING table state (the incremental
+    // form must land on exactly this)
+    "cdc_incremental_termdf" ->
+      """WITH survivors AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' zzupdate' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 0),
+         tf AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM survivors)
+         SELECT term, COUNT(*) AS df FROM tf GROUP BY term ORDER BY term""",
 
     "cdc_insert_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

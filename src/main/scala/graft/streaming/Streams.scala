@@ -806,6 +806,87 @@ object Streams {
       "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
   }
 
+  /** Incrementally-maintained TERM-DF view over a documents envelope
+    * stream (cdc_incremental_termdf's streaming form): per micro-batch,
+    * +1 per DISTINCT after-term and −1 per DISTINCT before-term merge
+    * into the per-term document-frequency state — the search-index corpus
+    * side (BM25/TF-IDF df) kept fresh at batch cost, never a corpus
+    * rescan. Same one-manifest discipline as [[incrementalAggSink]]: data
+    * and the (lsn, seq) replay high-water flip atomically; a newer
+    * Truncate resets the index; updates without full old images fail
+    * loudly (retraction needs the before text). */
+  def termDfSink(envelope: DataFrame, rel: Relation, textCol: String,
+      stateDir: String, checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeTermDfBatch(batch, rel, textCol, stateDir)
+      }
+      .start()
+
+  private[streaming] def mergeTermDfBatch(batch0: DataFrame, rel: Relation,
+      textCol: String, stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val manifest = StateStore.load(stateDir)
+    val (hwLsn, hwSeq) = (
+      manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
+      manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    val probe = batch.agg(
+      max(struct(col("lsn"), col("seq"))).as("mx"),
+      max(when(col("op") === "T", struct(col("lsn"), col("seq")))).as("t"),
+      sum(when(col("op") === "U" && col("before").isNull, 1L).otherwise(0L)).as("badU")
+    ).first()
+    if (probe.isNullAt(0)) return
+    require(probe.getLong(2) == 0L,
+      s"termDfSink(${rel.name}): update without a before image — " +
+        "the table needs REPLICA IDENTITY FULL for index maintenance")
+    val mx = probe.getStruct(0)
+    val truncOpt = if (probe.isNullAt(1)) None
+      else Some((probe.getStruct(1).getLong(0), probe.getStruct(1).getLong(1)))
+    val fresh0 = batch.filter(struct(col("lsn"), col("seq")) >
+      struct(lit(hwLsn), lit(hwSeq)))
+    val truncates = truncOpt.exists { case (tl, ts) =>
+      tl > hwLsn || (tl == hwLsn && ts > hwSeq) }
+    // a truncate wipes the index AND the batch's own pre-truncate events
+    val fresh = truncOpt match {
+      case Some((tl, ts)) if truncates =>
+        fresh0.filter(struct(col("lsn"), col("seq")) > struct(lit(tl), lit(ts)))
+      case _ => fresh0
+    }
+    def terms(img: String, ops: Seq[String], net: Long) =
+      fresh.filter(col("op").isin(ops: _*))
+        .select(explode(array_distinct(
+          split(element_at(col(img), textCol), " "))).as("term"),
+          lit(net).as("dv"))
+    val delta = terms("after", Seq("I", "U"), 1L)
+      .unionByName(terms("before", Seq("U", "D"), -1L))
+    val existing =
+      if (!truncates) manifest.get("data").map(v =>
+        spark.read.parquet(s"$stateDir/$v").select(col("term"), col("df").as("dv")))
+      else None
+    val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
+      .groupBy(col("term")).agg(sum(col("dv")).as("df"))
+      .filter(col("df") > 0)
+    val next = StateStore.newVersion("data")
+    merged.write.mode("overwrite").parquet(s"$stateDir/$next")
+    val newLsn = math.max(hwLsn, mx.getLong(0))
+    val newSeq =
+      if (mx.getLong(0) > hwLsn || (mx.getLong(0) == hwLsn && mx.getLong(1) > hwSeq))
+        mx.getLong(1) else hwSeq
+    StateStore.commit(stateDir, Map(
+      "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
+  /** Current term → df table of [[termDfSink]]. */
+  def termDfState(spark: SparkSession, stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed term-df state under $stateDir"))
+    spark.read.parquet(s"$stateDir/$v")
+  }
+
   /** Incrementally-maintained mean/variance view over the envelope stream:
     * per-group state is the moment sums (sx, sx2, c) in scaled-integer
     * form (Cdc.incrementalStats) — retraction-capable where Welford's

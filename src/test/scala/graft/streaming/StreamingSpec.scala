@@ -678,6 +678,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("term-df sink equals the batch incremental index across micro-batches") {
+    val dir = Files.createTempDirectory("termdf")
+    val p = dir.resolve("log.bin").toString
+    val frames = graft.cdc.CdcPipeline.documentsToFramesDml(spark, sfDir)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // micro-batch cuts land inside doc txn groups (insert/update/delete of
+    // one doc may split across batches — the retraction still nets out)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(130))
+    val q = Streams.termDfSink(env, graft.cdc.CdcPipeline.documentsRelation,
+      "text", dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.termDfState(spark, dir.resolve("state").toString)
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = graft.SparkEntry.queries("cdc_incremental_termdf")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+    // replaying the whole log on top of the final state changes nothing
+    val whole = spark.read.format("graft.sources.FrameReplayProvider")
+      .option("path", p).load()
+    Streams.mergeTermDfBatch(whole, graft.cdc.CdcPipeline.documentsRelation,
+      "text", dir.resolve("state").toString)
+    val replayed = Streams.termDfState(spark, dir.resolve("state").toString)
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(replayed.toSeq === expected.toSeq)
+  }
+
   test("incremental stats sink equals the batch moment sums across micro-batches") {
     val dir = Files.createTempDirectory("incrstats")
     val p = dir.resolve("log.bin").toString
