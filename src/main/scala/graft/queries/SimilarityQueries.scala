@@ -149,6 +149,31 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // HARD-NEGATIVE mining for contrastive training: for each query
+    // vector, the top-3 highest-cosine vectors with a DIFFERENT label —
+    // "near but wrong-class" examples, the negatives that actually teach
+    // (random negatives are trivially separable). Same broadcast-queries ×
+    // one-corpus-scan shape as sim_topk_brute with the label inequality
+    // fused into the join predicate — the corpus is filtered before
+    // ranking, never materialized per query; at index scale the ANN
+    // candidate gate runs first and this re-ranks candidates.
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cos", dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("negative_id"),
+          col("label").as("neg_label"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // LSH bucket histogram (checks the hyperplane/signature math over the
     // whole corpus — always non-empty).
     "sim_lsh_buckets" -> ((s, d) => {
@@ -713,6 +738,16 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" -> BruteAnnSql,
+
+    "sim_hard_negatives" ->
+      s"""SELECT q_id, rank, negative_id, neg_label, cos_sim FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS negative_id, e.label AS neg_label,
+             round(${cosSql("e.embedding", "q.embedding")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rank
+           FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE e.label <> q.label) t
+         WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "sim_knn_clusters" ->
       s"""WITH RECURSIVE knn AS (
