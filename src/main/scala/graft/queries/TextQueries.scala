@@ -771,6 +771,44 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM perplexity with add-one smoothing — the context-aware
+    // upgrade of text_lm_perplexity's unigram scorer (CCNet uses a real
+    // LM; a bigram model is its smallest honest form): per-doc avg
+    // negative log-likelihood of P(w1|w0) = (c(w0w1)+1)/(c(w0·)+V), where
+    // c(w0·) counts w0 as a bigram PREFIX and V is the unigram vocabulary.
+    // Scale shape: the corpus collapses to per-doc bigram counts; the
+    // bigram LM (zipf-bounded, ≪ corpus) and prefix counts broadcast
+    // back; V crosses as one row. Determinism: all counts integer; the
+    // per-doc float sum folds SORTED per-bigram terms; one final division.
+    "text_bigram_perplexity" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
+      val bi = toks.withColumn("w1", lead("w0", 1).over(w))
+        .filter(col("w1").isNotNull)
+        .select(col("doc_id"), col("w0"), col("w1"))
+      val dk = bi.groupBy(col("doc_id"), col("w0"), col("w1"))
+        .agg(count(lit(1)).as("k"))
+      val cb = dk.groupBy(col("w0"), col("w1")).agg(sum(col("k")).as("cb"))
+      val cp = bi.groupBy(col("w0")).agg(count(lit(1)).as("cp"))
+      val v = toks.agg(countDistinct(col("w0")).as("vsz"))
+      dk.join(broadcast(cb), Seq("w0", "w1"))
+        .join(broadcast(cp), Seq("w0"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+            col("k").cast("double") * (log(col("cb").cast("double") + lit(1.0)) -
+              log(col("cp").cast("double") + col("vsz").cast("double"))))).as("xs"),
+          sum(col("k")).as("n_bigrams"))
+        .withColumn("avg_nll", round(
+          -aggregate(col("xs"), lit(0.0), (a, x) => a + x) /
+            col("n_bigrams").cast("double"), 6))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          round(exp(col("avg_nll")), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DoReMi-flavored domain reweighting — one multiplicative-weights step
     // of the "train on the domains the model finds hard" loop: each
     // source's loss proxy is its average unigram-LM NLL (the corpus-fit LM
@@ -1575,6 +1613,31 @@ object TextQueries {
            FROM pd CROSS JOIN tot)
          SELECT doc_id, len AS n_tokens, ROUND(avg_nll, 6) AS avg_nll,
            ROUND(exp(avg_nll), 6) AS ppl
+         FROM sc ORDER BY doc_id""",
+
+    "text_bigram_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bi AS (
+           SELECT doc_id, ws[i] AS w0, ws[i+1] AS w1
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t) x),
+         dk AS (SELECT doc_id, w0, w1, COUNT(*) AS k FROM bi GROUP BY 1, 2, 3),
+         cb AS (SELECT w0, w1, CAST(SUM(k) AS BIGINT) AS cb FROM dk GROUP BY 1, 2),
+         cp AS (SELECT w0, COUNT(*) AS cp FROM bi GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT w) AS vsz
+               FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+         pd AS (
+           SELECT doc_id,
+             list_sort(list(CAST(k AS DOUBLE) *
+               (ln(CAST(cb AS DOUBLE) + 1.0) -
+                ln(CAST(cp AS DOUBLE) + CAST(vsz AS DOUBLE))))) AS xs,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams
+           FROM dk JOIN cb USING (w0, w1) JOIN cp USING (w0) CROSS JOIN v
+           GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id, n_bigrams,
+             round(-list_reduce(xs, (a, b) -> a + b) / n_bigrams, 6) AS avg_nll
+           FROM pd)
+         SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          FROM sc ORDER BY doc_id""",
 
     "text_entropy" ->
