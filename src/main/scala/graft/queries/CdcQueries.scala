@@ -167,6 +167,22 @@ object CdcQueries {
         .orderBy(col("term"))
     }),
 
+    // BM25 retrieval SERVED over the CDC-materialized corpus: the living
+    // documents table (inserts + %7 full-image updates + %11 deletes)
+    // streams through the wire path, compacts to current state, and the
+    // SAME bm25Of engine text_bm25 uses ranks the survivors — the
+    // "search serves fresh data" composition (cdc_incremental_termdf
+    // maintains this index's df side incrementally; here the whole query
+    // runs against materialized state). A dropped delete or a stale
+    // update anywhere in decode → compaction → typed view shifts df,
+    // avgdl, or a tf and hash-fails the ranking.
+    "cdc_bm25_serving" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.documentsToFramesDml(s, d)).toDF()
+      val docs = graft.cdc.Cdc.materialize(events, CdcPipeline.documentsRelation)
+        .select(col("doc_id"), col("text"))
+      TextQueries.bm25Of(docs, Seq("spark", "stream", "window"))
+    }),
+
     // Incrementally-maintained MIN/MAX/COUNT view: extremes per priority
     // computed purely from event deltas (net per-(group,value) row counts —
     // the retraction-capable form; deletes genuinely remove extremes here,
@@ -597,6 +613,11 @@ object CdcQueries {
            d.doc_id = k.keeper_id AS is_keeper, k.keeper_id
          FROM documents d JOIN k ON md5(d.text) = k.h
          ORDER BY d.doc_id""",
+
+    "cdc_bm25_serving" -> TextQueries.bm25Sql(
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' zzupdate' ELSE text END AS text
+         FROM documents WHERE doc_id % 11 <> 0"""),
 
     // from-scratch df over the SURVIVING table state (the incremental
     // form must land on exactly this)

@@ -106,6 +106,40 @@ object TextQueries {
           col("doc_id") % 97 =!= 0)
   }
 
+  /** BM25 (Robertson k1=1.2, b=0.75) of a fixed query term set over an
+    * arbitrary (doc_id, text) frame — text_bm25's engine, also served
+    * over the CDC-materialized corpus by cdc_bm25_serving. One
+    * definition, every consumer. Top-50 by (rounded score desc, doc_id). */
+  private[queries] def bm25Of(docs0: DataFrame, qterms: Seq[String]): DataFrame = {
+    val docs = withWords(docs0)
+    val dl = docs.select(col("doc_id"), size(col("ws")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("ts", round(
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))),
+        6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match"),
+        round(aggregate(sort_array(collect_list(col("ts"))), lit(0.0),
+          (a, x) => a + x), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_match"), col("bm25"))
+  }
+
   /** 24-bit content hash (first 6 md5 hex digits), the shared bucketing
     * key of text_mix_sample and text_export_shards; [[Hash24Sql]] is its
     * DuckDB twin. */
@@ -336,36 +370,8 @@ object TextQueries {
     // per-(doc,term) score is a fixed-operand-order double expression
     // rounded to 6, and the per-doc sum folds the ≤3 rounded terms in
     // sorted order (text_lm_perplexity's pattern).
-    "text_bm25" -> ((s, d) => {
-      val qterms = Seq("spark", "stream", "window")
-      val docs = withWords(Tables.documents(s, d))
-      val dl = docs.select(col("doc_id"), size(col("ws")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
-        .filter(col("term").isin(qterms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl",
-          col("sum_dl").cast("double") / col("n_docs").cast("double"))
-        .withColumn("idf", log(lit(1.0) +
-          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))))
-        .withColumn("ts", round(
-          col("idf") * (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))),
-          6))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_match"),
-          round(aggregate(sort_array(collect_list(col("ts"))), lit(0.0),
-            (a, x) => a + x), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(50)
-        .select(col("doc_id"), col("n_match"), col("bm25"))
-    }),
+    "text_bm25" -> ((s, d) =>
+      bm25Of(Tables.documents(s, d), Seq("spark", "stream", "window"))),
 
     // Corpus term frequency: tokenize → explode → hash agg; top 20 terms.
     "text_termfreq" -> ((s, d) => {
@@ -1283,6 +1289,33 @@ object TextQueries {
   private val ShinglesSql =
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
 
+  /** BM25 oracle SQL over an arbitrary (doc_id, text) corpus subquery —
+    * [[bm25Of]]'s DuckDB twin, shared by text_bm25 and cdc_bm25_serving. */
+  private[queries] def bm25Sql(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM corpus),
+         st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus) t
+           WHERE term IN ('spark', 'stream', 'window')
+           GROUP BY doc_id, term),
+         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         sc AS (
+           SELECT tf.doc_id,
+             ROUND(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS ts
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+         SELECT doc_id, COUNT(*) AS n_match,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_sort(list(ts))), (a, x) -> a + x), 6) AS bm25
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 50"""
+
   /** The full keep/drop decision SELECT of text_quality_filter (nested
     * WITH — usable as a CTE body or derived table); the one SQL twin of
     * [[qualityDecisions]], shared by the standalone oracle and both
@@ -1753,29 +1786,7 @@ object TextQueries {
 
     // identical operand order/parenthesization as the Spark side; per-term
     // scores round to 6 before the sorted-fold doc sum
-    "text_bm25" ->
-      s"""WITH dl AS (SELECT doc_id, len($WsSql) AS dl FROM documents),
-         st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-         tf AS (
-           SELECT doc_id, term, COUNT(*) AS tf
-           FROM (SELECT doc_id, unnest($WsSql) AS term FROM documents) t
-           WHERE term IN ('spark', 'stream', 'window')
-           GROUP BY doc_id, term),
-         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-         sc AS (
-           SELECT tf.doc_id,
-             ROUND(
-               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                        / (CAST(df AS DOUBLE) + 0.5))
-               * (CAST(tf AS DOUBLE) * 2.2)
-               / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS ts
-           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
-         SELECT doc_id, COUNT(*) AS n_match,
-           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_sort(list(ts))), (a, x) -> a + x), 6) AS bm25
-         FROM sc GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 50""",
+    "text_bm25" -> bm25Sql("SELECT doc_id, text FROM documents"),
 
     "text_decontaminate" ->
       s"""WITH g AS (
