@@ -724,7 +724,7 @@ object SimilarityQueries {
              CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
            FROM ex GROUP BY cid, i),
          c1 AS (SELECT cid, list(c ORDER BY i) AS centroid FROM c1d GROUP BY cid)"""
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"${DotSql.format(a, b)} / (sqrt(${DotSql.format(a, a)}) * sqrt(${DotSql.format(b, b)}))"
   // CAST the SUM to BIGINT: DuckDB's integer SUM yields HUGEINT (int128),
   // which pandas (the gate's comparator) widens to float64 — "211.0" vs

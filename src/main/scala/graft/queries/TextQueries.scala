@@ -1254,6 +1254,91 @@ object TextQueries {
               "x -> x.keep), x -> x.chunk), ' ') as binary)"))
             .as("cleaned_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // HYBRID retrieval with reciprocal-rank fusion (Cormack/Clarke RRF,
+    // k=60): the lexical BM25 top-50 (text_bm25's exact engine) fused
+    // with the dense cosine top-50 for one query embedding (vec_id 3 —
+    // documents and embeddings are 1:1 by id). score(d) = Σ_lists
+    // 1/(60 + rank_list(d)), absent lists contribute 0 — the standard
+    // lexical+vector fusion a retrieval stack runs over this corpus.
+    // Scale shape: each list is already a bounded top-k (BM25 ends in
+    // TakeOrdered; the dense side is ONE broadcast query row against a
+    // corpus scan collapsed by TakeOrderedAndProject) — fusion joins two
+    // 50-row frames, never the corpus. Determinism: ranks are integers;
+    // the RRF score adds two correctly-rounded double divisions in a
+    // fixed order — identical on both engines.
+    "text_hybrid_retrieval" -> ((s, d) => {
+      val lex = bm25Of(Tables.documents(s, d), Seq("spark", "stream", "window"))
+        .withColumn("lex_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lex_rank"))
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(DedupQueries.dotD(col("embedding"), col("embedding"))))
+      val q = e.filter(col("vec_id") === 3)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val dense = e.filter(col("vec_id") =!= 3)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          DedupQueries.dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .orderBy(col("cos").desc, col("vec_id")).limit(50)
+        .withColumn("dense_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("dense_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          round(col("rrf"), 6).as("rrf_score"))
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    // importance RESAMPLING in a hashed-unigram feature space. Target =
+    // the corpus's 'en' slice (the domain to match); raw = the whole
+    // corpus. A document's importance weight is Σ_b n_d(b) ·
+    // [ln p_tgt(b) − ln p_raw(b)] over B = 64 md5-hashed buckets
+    // (add-one smoothed); selection is Gumbel top-k — key = log-weight
+    // + Gumbel noise from an md5-uniform — the paper's resampling
+    // scheme made deterministic by a content-hash uniform. Scale
+    // shape: corpus → per-(doc, bucket) counts (one doc-keyed hash
+    // agg); both LMs are ≤64-row aggregates broadcast back; the
+    // per-doc fold sorts its ≤64 terms before summing; selection is
+    // TakeOrdered top-100. Nothing wide ever carries text.
+    "text_dsir_sample" -> ((s, d) => {
+      val toks = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("b",
+          conv(substring(md5(col("w").cast(BinaryType)), 1, 6), 16, 10)
+            .cast("long") % 64)
+      val perDoc = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = toks.agg(count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val lm = raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+        .select(col("b"), round(
+          log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("nt").cast("double") + lit(64.0))) -
+            log((col("cr").cast("double") + lit(1.0)) /
+              (col("nr").cast("double") + lit(64.0))), 6).as("lr"))
+      perDoc.join(broadcast(lm), "b")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("n").cast("double") * col("lr"))).as("xs"),
+          sum(col("n")).as("n_tokens"))
+        .withColumn("log_w", aggregate(col("xs"), lit(0.0), (a, x) => a + x))
+        .withColumn("u",
+          (conv(substring(md5(col("doc_id").cast("string").cast(BinaryType)), 1, 6), 16, 10)
+            .cast("double") + lit(1.0)) / lit(16777217.0))
+        .withColumn("skey", round(col("log_w") - log(-log(col("u"))), 6))
+        .orderBy(col("skey").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("log_w"), 6).as("log_w"), col("skey"))
     }))
 
   private val WsSql = "string_split(text, ' ')"
@@ -1969,5 +2054,58 @@ object TextQueries {
              ROW_NUMBER() OVER (PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents) t
-         WHERE rn <= 10 ORDER BY lang, rn""")
+         WHERE rn <= 10 ORDER BY lang, rn""",
+
+    "text_hybrid_retrieval" ->
+      s"""WITH lexb AS (${bm25Sql("SELECT doc_id, text FROM documents")}),
+         lex AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+           FROM lexb),
+         q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 3),
+         dense0 AS (
+           SELECT e.vec_id AS doc_id,
+             ${SimilarityQueries.cosSql("e.embedding", "q.q_emb")} AS cos
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 3
+           ORDER BY cos DESC, e.vec_id LIMIT 50),
+         dense AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS dense_rank
+           FROM dense0),
+         fused AS (
+           SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id, l.lex_rank, dn.dense_rank,
+             COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+               + COALESCE(1.0 / (60 + dn.dense_rank), 0.0) AS rrf
+           FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id)
+         SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf_score
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+
+    "text_dsir_sample" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, w,
+             CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b
+           FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0),
+         per_doc AS (SELECT doc_id, b, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+         raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY 1),
+         tgt AS (SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS nr,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM toks),
+         lm AS (
+           SELECT raw.b, round(
+               ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 64.0))
+             - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 64.0)), 6) AS lr
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+         wts AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list(CAST(n AS DOUBLE) * lr))), (a, x) -> a + x) AS log_w,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+           FROM per_doc JOIN lm ON per_doc.b = lm.b GROUP BY doc_id),
+         keyed AS (
+           SELECT doc_id, n_tokens, log_w,
+             round(log_w - ln(-ln(
+               (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS DOUBLE) + 1.0)
+                 / 16777217.0)), 6) AS skey
+           FROM wts)
+         SELECT doc_id, n_tokens, round(log_w, 6) AS log_w, skey
+         FROM keyed ORDER BY skey DESC, doc_id LIMIT 100""")
 }

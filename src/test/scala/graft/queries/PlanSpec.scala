@@ -457,4 +457,23 @@ class PlanSpec extends AnyFunSuite {
     // exactly one Window (the running max over distinct scores)
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
   }
+
+  test("text_hybrid_retrieval: dense top-k is a bounded heap; fusion never touches the corpus") {
+    val p = plan("text_hybrid_retrieval")
+    // the dense candidate list collapses map-side (TakeOrdered), and the
+    // single query row reaches the corpus scan as a broadcast — the scan
+    // itself is never re-partitioned for the fusion join
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_dsir_sample: bucket LMs broadcast back; selection is TakeOrdered") {
+    val p = plan("text_dsir_sample")
+    // the 64-row log-ratio table joins the per-doc counts as a broadcast,
+    // and the Gumbel top-100 is a bounded heap, not a global sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
