@@ -183,6 +183,30 @@ object CdcQueries {
       TextQueries.bm25Of(docs, Seq("spark", "stream", "window"))
     }),
 
+    // HYBRID (lexical + dense) retrieval SERVED over TWO CDC wire paths:
+    // the documents stream (inserts + %7 updates + %11 deletes) feeds the
+    // BM25 side, the embeddings stream (inserts + %9 full-image deletes,
+    // pg-array TEXT vectors) feeds the cosine side, and the SAME
+    // lexRanksOf/denseRanksOf/rrfFused engine text_hybrid_retrieval uses
+    // fuses the two survivor top-50 lists — a retrieval stack whose
+    // lexical index AND vector index both track live tables. The
+    // double-precision text rendering makes the parsed vectors equal the
+    // parquet floats bit-for-bit, so a dropped delete on EITHER stream
+    // shifts a rank and hash-fails the fusion.
+    "cdc_hybrid_serving" -> ((s, d) => {
+      val dEvents = CdcPipeline.decodeFrames(CdcPipeline.documentsToFramesDml(s, d)).toDF()
+      val docs = graft.cdc.Cdc.materialize(dEvents, CdcPipeline.documentsRelation)
+        .select(col("doc_id"), col("text"))
+      val eEvents = CdcPipeline.decodeFrames(CdcPipeline.embeddingsToFrames(s, d)).toDF()
+      val vecs = graft.cdc.Cdc.materialize(eEvents, CdcPipeline.embeddingsRelation)
+        .select(col("vec_id"),
+          expr("""transform(split(substring(embedding, 2, length(embedding) - 2), ','),
+                            x -> cast(x as double))""").as("emb"))
+      TextQueries.rrfFused(
+        TextQueries.lexRanksOf(docs, Seq("spark", "stream", "window")),
+        TextQueries.denseRanksOf(vecs, 3L))
+    }),
+
     // Incrementally-maintained MIN/MAX/COUNT view: extremes per priority
     // computed purely from event deltas (net per-(group,value) row counts —
     // the retraction-capable form; deletes genuinely remove extremes here,
@@ -618,6 +642,15 @@ object CdcQueries {
       """SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 THEN text || ' zzupdate' ELSE text END AS text
          FROM documents WHERE doc_id % 11 <> 0"""),
+
+    // both sides recomputed from the SURVIVING table states (doc DML
+    // schedule on the lexical side, embedding delete schedule on the
+    // dense side)
+    "cdc_hybrid_serving" -> TextQueries.hybridSql(
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' zzupdate' ELSE text END AS text
+         FROM documents WHERE doc_id % 11 <> 0""",
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 0"),
 
     // from-scratch df over the SURVIVING table state (the incremental
     // form must land on exactly this)

@@ -140,6 +140,51 @@ object TextQueries {
       .select(col("doc_id"), col("n_match"), col("bm25"))
   }
 
+  /** The hybrid-retrieval engine (text_hybrid_retrieval + the CDC-served
+    * cdc_hybrid_serving), split at its natural seams so both consumers run
+    * the SAME definitions: lexical ranks off [[bm25Of]]'s top-50, dense
+    * ranks from one broadcast query vector against a corpus scan (bounded
+    * by TakeOrdered), and Cormack/Clarke RRF (k=60) fusion of the two
+    * 50-row lists. [[hybridSql]] is the one DuckDB twin. */
+  private[queries] def lexRanksOf(docs: DataFrame, qterms: Seq[String]): DataFrame =
+    bm25Of(docs, qterms)
+      .withColumn("lex_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+
+  /** Dense cosine top-50 ranks for query vector `qId` over `vecs`
+    * (`vec_id`, `emb: array<double>`) — the fold is the same left-to-right
+    * double sum as [[SimilarityQueries]]'s DotSql, so parquet-float and
+    * CDC-text-parsed vectors rank identically. */
+  private[queries] def denseRanksOf(vecs: DataFrame, qId: Long): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val n = vecs.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val q = n.filter(col("vec_id") === qId)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    n.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .withColumn("dense_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+  }
+
+  /** RRF fusion: score(d) = Σ_lists 1/(60 + rank_list(d)), absent lists
+    * contribute 0; top-20 by (score, doc_id). Two correctly-rounded double
+    * divisions added in a fixed order — identical on both engines. */
+  private[queries] def rrfFused(lex: DataFrame, dense: DataFrame): DataFrame =
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        round(col("rrf"), 6).as("rrf_score"))
+
   /** 24-bit content hash (first 6 md5 hex digits), the shared bucketing
     * key of text_mix_sample and text_export_shards; [[Hash24Sql]] is its
     * DuckDB twin. */
@@ -1269,31 +1314,11 @@ object TextQueries {
     // the RRF score adds two correctly-rounded double divisions in a
     // fixed order — identical on both engines.
     "text_hybrid_retrieval" -> ((s, d) => {
-      val lex = bm25Of(Tables.documents(s, d), Seq("spark", "stream", "window"))
-        .withColumn("lex_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("bm25").desc, col("doc_id"))))
-        .select(col("doc_id"), col("lex_rank"))
-      val e = Tables.embeddings(s, d)
-        .withColumn("nrm", sqrt(DedupQueries.dotD(col("embedding"), col("embedding"))))
-      val q = e.filter(col("vec_id") === 3)
-        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      val dense = e.filter(col("vec_id") =!= 3)
-        .crossJoin(broadcast(q))
-        .withColumn("cos",
-          DedupQueries.dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-        .orderBy(col("cos").desc, col("vec_id")).limit(50)
-        .withColumn("dense_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("cos").desc, col("vec_id"))))
-        .select(col("vec_id").as("doc_id"), col("dense_rank"))
-      lex.join(dense, Seq("doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
-        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
-        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
-          round(col("rrf"), 6).as("rrf_score"))
+      val vecs = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      rrfFused(
+        lexRanksOf(Tables.documents(s, d), Seq("spark", "stream", "window")),
+        denseRanksOf(vecs, 3L))
     }),
 
     // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
@@ -1373,6 +1398,33 @@ object TextQueries {
   }.mkString(",\n         ")
   private val ShinglesSql =
     "list_transform(range(1, greatest(len(ws)-1, 1)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+
+  /** Hybrid-retrieval oracle SQL over arbitrary (doc_id, text) and
+    * (vec_id, embedding) subqueries — the one DuckDB twin of
+    * lexRanksOf → denseRanksOf → rrfFused, shared by
+    * text_hybrid_retrieval and cdc_hybrid_serving. */
+  private[queries] def hybridSql(corpusSql: String, embSql: String): String =
+    s"""WITH lexb AS (${bm25Sql(corpusSql)}),
+         lex AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+           FROM lexb),
+         esurv AS ($embSql),
+         q AS (SELECT embedding AS q_emb FROM esurv WHERE vec_id = 3),
+         dense0 AS (
+           SELECT e.vec_id AS doc_id,
+             ${SimilarityQueries.cosSql("e.embedding", "q.q_emb")} AS cos
+           FROM esurv e CROSS JOIN q WHERE e.vec_id <> 3
+           ORDER BY cos DESC, e.vec_id LIMIT 50),
+         dense AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS dense_rank
+           FROM dense0),
+         fused AS (
+           SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id, l.lex_rank, dn.dense_rank,
+             COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+               + COALESCE(1.0 / (60 + dn.dense_rank), 0.0) AS rrf
+           FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id)
+         SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf_score
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"""
 
   /** BM25 oracle SQL over an arbitrary (doc_id, text) corpus subquery —
     * [[bm25Of]]'s DuckDB twin, shared by text_bm25 and cdc_bm25_serving. */
@@ -2056,27 +2108,9 @@ object TextQueries {
            FROM documents) t
          WHERE rn <= 10 ORDER BY lang, rn""",
 
-    "text_hybrid_retrieval" ->
-      s"""WITH lexb AS (${bm25Sql("SELECT doc_id, text FROM documents")}),
-         lex AS (
-           SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
-           FROM lexb),
-         q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 3),
-         dense0 AS (
-           SELECT e.vec_id AS doc_id,
-             ${SimilarityQueries.cosSql("e.embedding", "q.q_emb")} AS cos
-           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 3
-           ORDER BY cos DESC, e.vec_id LIMIT 50),
-         dense AS (
-           SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS dense_rank
-           FROM dense0),
-         fused AS (
-           SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id, l.lex_rank, dn.dense_rank,
-             COALESCE(1.0 / (60 + l.lex_rank), 0.0)
-               + COALESCE(1.0 / (60 + dn.dense_rank), 0.0) AS rrf
-           FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id)
-         SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf_score
-         FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "text_hybrid_retrieval" -> hybridSql(
+      "SELECT doc_id, text FROM documents",
+      "SELECT vec_id, embedding FROM embeddings"),
 
     "text_dsir_sample" ->
       """WITH toks AS (
