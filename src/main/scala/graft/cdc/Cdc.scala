@@ -320,16 +320,33 @@ object Cdc {
 
   /** Weighted lower median per group of a live (g, v, net) table:
     * smallest v with 2·cum(net) ≥ n. Output `(g, median, c)`. */
-  private[graft] def medianFromNets(netTable: DataFrame): DataFrame = {
+  private[graft] def medianFromNets(netTable: DataFrame): DataFrame =
+    quantileFromNets(netTable, 1, 2).withColumnRenamed("q", "median")
+
+  /** Arbitrary-quantile view from deltas alone: the lower p-quantile
+    * (p = num/den, exact rational — no float threshold) read off the same
+    * net-count substrate as median/top-k/distinct. */
+  def incrementalQuantile(
+      events: DataFrame, groupCol: String, valueCol: String,
+      num: Int, den: Int, groupType: Option[String] = None): DataFrame =
+    quantileFromNets(netCounts(events, groupCol, valueCol, groupType)
+      .filter(col("net") > 0), num, den)
+
+  /** Weighted lower p-quantile (p = num/den) per group of a live
+    * (g, v, net) table: smallest v with den·cum(net) ≥ num·n — integer
+    * comparisons only, so the cut point is exact for any rational p.
+    * Output `(g, q, c)`. */
+  private[graft] def quantileFromNets(
+      netTable: DataFrame, num: Int, den: Int): DataFrame = {
     val cumW = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col("g"))
     netTable
       .withColumn("cum", sum(col("net")).over(cumW))
       .withColumn("n", sum(col("net")).over(totW))
-      .filter(col("cum") * 2 >= col("n"))
+      .filter(col("cum") * den >= col("n") * num)
       .groupBy(col("g"))
-      .agg(min(col("v")).as("median"), max(col("n")).as("c"))
+      .agg(min(col("v")).as("q"), max(col("n")).as("c"))
   }
 
   /** Net per-(group, value) row-count deltas of a batch (nonzero rows

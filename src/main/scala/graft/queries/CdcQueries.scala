@@ -253,6 +253,20 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Arbitrary-quantile view off the SAME net-count state the median /
+    // top-k / distinct readers share: the exact p95 (p = 19/20 as an
+    // integer comparison — no float threshold, no approx sketch) per
+    // priority, fresh under inserts, updates AND deletes. One maintained
+    // table now answers five different aggregate families.
+    "cdc_incremental_p95" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalQuantile(events, "o_orderpriority", "o_totalprice", 19, 20)
+        .select(col("g").as("o_orderpriority"),
+          col("q").cast("double").as("p95_price"), col("c").as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Consistency audit: materialized CDC state vs a fresh source snapshot
     // — the Debezium-style "incremental snapshot verifier" a 100 TB CDC
     // consumer runs to prove the pipeline lost nothing. One full-outer join
@@ -821,6 +835,25 @@ object CdcQueries {
          SELECT o_orderpriority, CAST(MIN(price) AS DOUBLE) AS median_price,
            CAST(MAX(n) AS BIGINT) AS n_rows
          FROM cum WHERE cum * 2 >= n
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_incremental_p95" ->
+      """WITH st AS (
+           SELECT o_orderpriority,
+             CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS DECIMAL(28,6)) AS price
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         nets AS (
+           SELECT o_orderpriority, price, COUNT(*) AS cnt
+           FROM st GROUP BY o_orderpriority, price),
+         cum AS (
+           SELECT o_orderpriority, price,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY price) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+           FROM nets)
+         SELECT o_orderpriority, CAST(MIN(price) AS DOUBLE) AS p95_price,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+         FROM cum WHERE cum * 20 >= n * 19
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "cdc_state_audit" ->

@@ -1317,6 +1317,17 @@ object Streams {
     Cdc.medianFromNets(spark.read.parquet(s"$stateDir/$v"))
   }
 
+  /** Arbitrary lower p-quantile (p = num/den) over the SAME net-count
+    * state — the generalization medianFromState is the num=1, den=2 case
+    * of; nothing new is maintained to serve a p95. */
+  def quantileFromState(spark: SparkSession, stateDir: String,
+      num: Int, den: Int): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed top-k state under $stateDir"))
+    Cdc.quantileFromNets(spark.read.parquet(s"$stateDir/$v"), num, den)
+  }
+
   private[graft] def mergeTopKBatch(batch0: DataFrame, rel: Relation,
       groupCol: String, valueCol: String, stateDir: String,
       groupType: Option[String]): Unit = {

@@ -924,6 +924,20 @@ class StreamingSpec extends AnyFunSuite {
       .incrementalMedian(events, "o_orderpriority", "o_totalprice"))
     assert(gotM.nonEmpty)
     assert(gotM.toSeq === expM.toSeq)
+    // ... and ANY rational quantile (p95 here): same state, one more reader
+    def qrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          r.getDecimal(r.fieldIndex("q")).toPlainString,
+          r.getLong(r.fieldIndex("c"))))
+    val gotQ = qrows(Streams.quantileFromState(spark, dir.resolve("state").toString, 19, 20))
+    val expQ = qrows(graft.cdc.Cdc
+      .incrementalQuantile(events, "o_orderpriority", "o_totalprice", 19, 20))
+    assert(gotQ.nonEmpty)
+    assert(gotQ.toSeq === expQ.toSeq)
+    // every group's p95 is ≥ its median (sanity of the generalized cut)
+    val medByG = gotM.map(t => t._1 -> BigDecimal(t._2)).toMap
+    assert(gotQ.forall(t => BigDecimal(t._2) >= medByG(t._1)))
   }
 
   test("dblog backfill sink: chunks finalize as the watermark passes; state equals the batch merge") {
