@@ -565,6 +565,27 @@ object SimilarityQueries {
         .orderBy(col("q_id"))
     }),
 
+    // PQ recall gate: recall@3 of the asymmetric-distance PQ ranking
+    // (sim_pq_adc) vs the exact brute-force ground truth — the number
+    // that tells you whether 8-byte codes are safe to serve, measured the
+    // same way the LSH and IVF paths already are (every index variant
+    // ships with its quality gate).
+    "sim_pq_recall" -> ((s, d) => {
+      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val pq = queries("sim_pq_adc")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = pq.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"), 6)
+            .as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
     // cosine re-rank within the bucket, top-3.
     "sim_lsh_ann" -> ((s, d) => {
@@ -690,6 +711,33 @@ object SimilarityQueries {
                ORDER BY ${cosSql("c.embedding", "p.q_emb")} DESC, c.vec_id) AS rank
            FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
          WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** PQ asymmetric-distance top-10 oracle SQL — shared by sim_pq_adc and
+    * its recall gate. */
+  private lazy val PqAdcSql =
+    s"""WITH jj AS (SELECT unnest(range(8)) AS j),
+         sub AS (
+           SELECT e.vec_id, j, list_slice(e.embedding, j*8+1, j*8+8) AS sv
+           FROM embeddings e CROSS JOIN jj),
+         cb AS (
+           SELECT e.vec_id AS c, j, list_slice(e.embedding, j*8+1, j*8+8) AS cv
+           FROM embeddings e CROSS JOIN jj WHERE e.vec_id < 8),
+         codes AS (
+           SELECT s.vec_id, s.j, c.cv
+           FROM sub s JOIN cb c USING (j)
+           QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY ${DistSql.format("s.sv", "c.cv")}, c.c) = 1),
+         deq AS (
+           SELECT vec_id, flatten(list(cv ORDER BY j)) AS v
+           FROM codes GROUP BY vec_id),
+         qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(${cosSql("e.v", "q.q_emb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY ${cosSql("e.v", "q.q_emb")} DESC, e.vec_id) AS rank
+           FROM deq e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) t
+         WHERE rank <= 10 ORDER BY q_id, rank"""
 
   /** LSH-bucketed ANN oracle SQL — the candidate whose recall the gate
     * measures. */
@@ -968,30 +1016,21 @@ object SimilarityQueries {
            WHERE e.vec_id <> q.vec_id) t
          WHERE rank <= 10 ORDER BY q_id, rank""",
 
-    "sim_pq_adc" ->
-      s"""WITH jj AS (SELECT unnest(range(8)) AS j),
-         sub AS (
-           SELECT e.vec_id, j, list_slice(e.embedding, j*8+1, j*8+8) AS sv
-           FROM embeddings e CROSS JOIN jj),
-         cb AS (
-           SELECT e.vec_id AS c, j, list_slice(e.embedding, j*8+1, j*8+8) AS cv
-           FROM embeddings e CROSS JOIN jj WHERE e.vec_id < 8),
-         codes AS (
-           SELECT s.vec_id, s.j, c.cv
-           FROM sub s JOIN cb c USING (j)
-           QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.j
-             ORDER BY ${DistSql.format("s.sv", "c.cv")}, c.c) = 1),
-         deq AS (
-           SELECT vec_id, flatten(list(cv ORDER BY j)) AS v
-           FROM codes GROUP BY vec_id),
-         qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5)
-         SELECT q_id, rank, neighbor_id, cos_sim FROM (
-           SELECT q.q_id, e.vec_id AS neighbor_id,
-             round(${cosSql("e.v", "q.q_emb")}, 6) AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY q.q_id
-               ORDER BY ${cosSql("e.v", "q.q_emb")} DESC, e.vec_id) AS rank
-           FROM deq e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) t
-         WHERE rank <= 10 ORDER BY q_id, rank""",
+    "sim_pq_adc" -> PqAdcSql,
+
+    "sim_pq_recall" ->
+      s"""WITH brute AS ($BruteAnnSql),
+         pq AS ($PqAdcSql),
+         p3 AS (SELECT q_id, neighbor_id FROM pq WHERE rank <= 3),
+         b3 AS (SELECT q_id, neighbor_id FROM brute WHERE rank <= 3),
+         hits AS (
+           SELECT l.q_id, COUNT(*) AS n_hits FROM p3 l
+           JOIN b3 ON l.q_id = b3.q_id AND l.neighbor_id = b3.neighbor_id
+           GROUP BY l.q_id),
+         truth AS (SELECT q_id, COUNT(*) AS n_true FROM b3 GROUP BY q_id)
+         SELECT t.q_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_true,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall_at_3
+         FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id ORDER BY t.q_id""",
 
     "sim_lsh_ann" -> LshAnnSql,
 
