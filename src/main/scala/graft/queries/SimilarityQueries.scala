@@ -58,6 +58,48 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"),
         col("m.cid").as("cid"), col("m.dist").as("dist"))
 
+  /** PQ encode→decode shared by sim_pq_adc and the composed sim_ivf_pq:
+    * 8 sub-spaces × 8 dims, codebooks = the seed embeddings' (vec_id < 8)
+    * sub-vectors; returns each vector's dequantized reconstruction
+    * `(vec_id, deq)`. The deq array is built with LITERAL subspace
+    * indexes: element_at(codes, j+1) with a non-literal j would make
+    * CollapseProject inline (and recompute) the whole 64-argmin codes
+    * array once per lambda element — 8× the encode work (measured; the
+    * NOTES.md literal-index trap). Unrolled, each subspace's argmin
+    * evaluates exactly once per row. */
+  /** The PQ codebook model: the seed embeddings' (vec_id < 8) sub-vectors,
+    * collected once (k×dims doubles — model state, broadcast-sized). */
+  private[queries] def pqSeeds(s: SparkSession, d: String): Seq[Seq[Double]] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** Appends the PQ reconstruction `deq` to any frame with an `embedding`
+    * column — a NARROW map (literal codebooks), so consumers encode in
+    * place instead of joining a side table. */
+  private[queries] def withPqDeq(df: DataFrame, seeds: Seq[Seq[Double]]): DataFrame = {
+    val m = 8; val sw = 8 // m subspaces × sw dims
+    // squared L2 of subspace j's slice to a literal codebook sub-vector
+    def subDist(j: Int, cv: Seq[Double]) =
+      aggregate(zip_with(slice(col("embedding"), j * sw + 1, sw), typedLit(cv),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def codeFor(j: Int) =
+      array_min(array((0 until 8).map { c =>
+        struct(subDist(j, seeds(c).slice(j * sw, j * sw + sw)).as("dist"),
+          lit(c).as("c")) }: _*)).getField("c")
+    val cbLit = typedLit(seeds.map(s0 => (0 until m).map(j => s0.slice(j * sw, j * sw + sw))))
+    df.withColumn("cb", cbLit)
+      .withColumn("deq", flatten(array((0 until m).map(j =>
+        element_at(element_at(col("cb"), codeFor(j) + 1), j + 1)): _*)))
+      .drop("cb")
+  }
+
+  private[queries] def pqDeq(s: SparkSession, d: String): DataFrame =
+    withPqDeq(Tables.embeddings(s, d), pqSeeds(s, d))
+      .select(col("vec_id"), col("deq"))
+
   /** One-update Lloyd centroids (k = 8, init = the embeddings of vec_id
     * 0..7): assign to the seed vectors, then per-(cluster, dim) exact
     * DECIMAL means. Centroids are MODEL state (k×dims doubles), collected
@@ -349,36 +391,12 @@ object SimilarityQueries {
     // is the documented trade. Determinism: sub-distances and dots fold
     // left-to-right in double; argmin ties break on code id.
     "sim_pq_adc" -> ((s, d) => {
-      val m = 8; val sw = 8 // m subspaces × sw dims
-      val e = Tables.embeddings(s, d)
-      val seeds = e.filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
-        .sortBy(_._1).map(_._2).toSeq
       def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
           lit(0.0), (acc, v) => acc + v)
-      // squared L2 of subspace j's slice to a literal codebook sub-vector
-      def subDist(j: Int, cv: Seq[Double]) =
-        aggregate(zip_with(slice(col("embedding"), j * sw + 1, sw), typedLit(cv),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, v) => acc + v)
-      def codeFor(j: Int) =
-        array_min(array((0 until 8).map { c =>
-          struct(subDist(j, seeds(c).slice(j * sw, j * sw + sw)).as("dist"),
-            lit(c).as("c")) }: _*)).getField("c")
-      val cbLit = typedLit(seeds.map(s0 => (0 until m).map(j => s0.slice(j * sw, j * sw + sw))))
-      // deq built with LITERAL subspace indexes: element_at(codes, j+1) with
-      // a non-literal j would make CollapseProject inline (and recompute)
-      // the whole 64-argmin codes array once per lambda element — 8× the
-      // encode work (measured; the NOTES.md literal-index trap). Unrolled,
-      // each subspace's argmin evaluates exactly once per row.
-      val coded = e
-        .withColumn("cb", cbLit)
-        .withColumn("deq", flatten(array((0 until m).map(j =>
-          element_at(element_at(col("cb"), codeFor(j) + 1), j + 1)): _*)))
-      val corpus = coded.select(col("vec_id"), col("deq"))
+      val corpus = pqDeq(s, d)
         .withColumn("dn", sqrt(dotDbl(col("deq"), col("deq"))))
-      val qs = e.filter(col("vec_id") < 5)
+      val qs = Tables.embeddings(s, d).filter(col("vec_id") < 5)
         .withColumn("qn", sqrt(dotDbl(col("embedding"), col("embedding"))))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("qn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -386,6 +404,47 @@ object SimilarityQueries {
         .withColumn("cos", dotDbl(col("deq"), col("q_emb")) / (col("dn") * col("qn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF+PQ — the composed FAISS-style serving index: the coarse
+    // quantizer routes each query to its nprobe=2 nearest cells (exactly
+    // sim_ivf_ann's assignment) and the candidates inside those cells
+    // re-rank by ASYMMETRIC distance — exact query embedding against the
+    // corpus's 8-byte PQ reconstructions (exactly sim_pq_adc's scorer).
+    // This is the memory shape a 100 TB vector store actually serves:
+    // cells bound the candidates scanned, codes bound the bytes per
+    // candidate; both components reuse the SAME shared definitions their
+    // standalone queries gate. Top-3 per query.
+    "sim_ivf_pq" -> ((s, d) => {
+      def dotDbl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("crank", row_number().over(wAssign))
+        .persist()
+      val corpus = withPqDeq(
+          assigned.filter(col("crank") === 1)
+            .select(col("vec_id"), col("c_id").as("cell"), col("embedding")),
+          pqSeeds(s, d))
+        .withColumn("dn", sqrt(dotDbl(col("deq"), col("deq"))))
+      val probes = assigned.filter(col("vec_id") < 5 && col("crank") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_id").as("q_cell"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      corpus.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dotDbl(col("deq"), col("q_emb")) / (col("dn") * col("q_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
           round(col("cos"), 6).as("cos_sim"))
         .orderBy(col("q_id"), col("rank"))
@@ -712,10 +771,10 @@ object SimilarityQueries {
            FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
          WHERE rank <= 3 ORDER BY q_id, rank"""
 
-  /** PQ asymmetric-distance top-10 oracle SQL — shared by sim_pq_adc and
-    * its recall gate. */
-  private lazy val PqAdcSql =
-    s"""WITH jj AS (SELECT unnest(range(8)) AS j),
+  /** The PQ encode→decode CTE block (jj/sub/cb/codes/deq) — [[pqDeq]]'s
+    * DuckDB twin, shared by PqAdcSql and the composed IVF+PQ oracle. */
+  private lazy val PqDeqCtes =
+    s"""jj AS (SELECT unnest(range(8)) AS j),
          sub AS (
            SELECT e.vec_id, j, list_slice(e.embedding, j*8+1, j*8+8) AS sv
            FROM embeddings e CROSS JOIN jj),
@@ -729,7 +788,12 @@ object SimilarityQueries {
              ORDER BY ${DistSql.format("s.sv", "c.cv")}, c.c) = 1),
          deq AS (
            SELECT vec_id, flatten(list(cv ORDER BY j)) AS v
-           FROM codes GROUP BY vec_id),
+           FROM codes GROUP BY vec_id)"""
+
+  /** PQ asymmetric-distance top-10 oracle SQL — shared by sim_pq_adc and
+    * its recall gate. */
+  private lazy val PqAdcSql =
+    s"""WITH $PqDeqCtes,
          qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5)
          SELECT q_id, rank, neighbor_id, cos_sim FROM (
            SELECT q.q_id, e.vec_id AS neighbor_id,
@@ -1033,6 +1097,27 @@ object SimilarityQueries {
          FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id ORDER BY t.q_id""",
 
     "sim_lsh_ann" -> LshAnnSql,
+
+    "sim_ivf_pq" ->
+      s"""WITH $PqDeqCtes,
+         cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         assigned AS (
+           SELECT e.vec_id, e.embedding, c.c_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
+           FROM embeddings e CROSS JOIN cents c),
+         corpus AS (
+           SELECT a.vec_id, dq.v, a.c_id AS cell
+           FROM assigned a JOIN deq dq USING (vec_id) WHERE crank = 1),
+         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
+                    FROM assigned WHERE vec_id < 5 AND crank <= 2)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT p.q_id, c.vec_id AS neighbor_id,
+             round(${cosSql("c.v", "p.q_emb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id
+               ORDER BY ${cosSql("c.v", "p.q_emb")} DESC, c.vec_id) AS rank
+           FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
+         WHERE rank <= 3 ORDER BY q_id, rank""",
 
     "sim_centroid_drift" ->
       """WITH ex AS (

@@ -458,6 +458,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
   }
 
+  test("sim_ivf_pq: PQ encode is a narrow map (no side-table join); probes broadcast into the cells") {
+    val p = plan("sim_ivf_pq")
+    // the encode must NOT re-join the corpus to a deq side table — one
+    // equi broadcast join (probes → cells) is the only hash join allowed
+    // (tree line only; the formatted details section repeats the name)
+    assert("BroadcastHashJoin Inner".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_hybrid_retrieval: dense top-k is a bounded heap; fusion never touches the corpus") {
     val p = plan("text_hybrid_retrieval")
     // the dense candidate list collapses map-side (TakeOrdered), and the
