@@ -332,6 +332,27 @@ object Cdc {
     quantileFromNets(netCounts(events, groupCol, valueCol, groupType)
       .filter(col("net") > 0), num, den)
 
+  /** Equi-width histogram view from deltas alone: counts are additive, so
+    * the bucketing is a pure projection of the net-count substrate —
+    * bucket = floor(cents / widthCents) on the EXACT scaled-integer value
+    * (a double division of integers < 2⁵³ floors identically on every
+    * engine). Output `(g, bucket, n)`. */
+  def incrementalHistogram(
+      events: DataFrame, groupCol: String, valueCol: String,
+      widthCents: Long, groupType: Option[String] = None): DataFrame =
+    histogramFromNets(netCounts(events, groupCol, valueCol, groupType)
+      .filter(col("net") > 0), widthCents)
+
+  /** Histogram read of a live (g, v, net) table (shared by the batch view
+    * and the state-store reader). */
+  private[graft] def histogramFromNets(
+      netTable: DataFrame, widthCents: Long): DataFrame =
+    netTable
+      .withColumn("cents", (col("v") * 100).cast("long"))
+      .groupBy(col("g"),
+        floor(col("cents") / lit(widthCents)).cast("long").as("bucket"))
+      .agg(sum(col("net")).as("n"))
+
   /** Weighted lower p-quantile (p = num/den) per group of a live
     * (g, v, net) table: smallest v with den·cum(net) ≥ num·n — integer
     * comparisons only, so the cut point is exact for any rational p.

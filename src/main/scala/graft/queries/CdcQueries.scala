@@ -253,6 +253,20 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Equi-width histogram view off the same net-count state: counts are
+    // additive, so the monitoring histogram (per-priority price
+    // distribution, $50k buckets) is a pure projection of the maintained
+    // table — fresh under inserts, updates AND deletes, no extra state.
+    "cdc_incremental_histogram" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      graft.cdc.Cdc.incrementalHistogram(
+          events, "o_orderpriority", "o_totalprice", 50000L * 100)
+        .select(col("g").as("o_orderpriority"), col("bucket"),
+          col("n").as("n_rows"))
+        .orderBy(col("o_orderpriority"), col("bucket"))
+    }),
+
     // Arbitrary-quantile view off the SAME net-count state the median /
     // top-k / distinct readers share: the exact p95 (p = 19/20 as an
     // integer comparison — no float threshold, no approx sketch) per
@@ -836,6 +850,17 @@ object CdcQueries {
            CAST(MAX(n) AS BIGINT) AS n_rows
          FROM cum WHERE cum * 2 >= n
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_incremental_histogram" ->
+      """WITH st AS (
+           SELECT o_orderpriority,
+             CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS DECIMAL(28,6)) AS price
+           FROM orders WHERE o_orderkey % 7 <> 0)
+         SELECT o_orderpriority,
+           CAST(FLOOR(CAST(price * 100 AS BIGINT) / 5000000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "cdc_incremental_p95" ->
       """WITH st AS (

@@ -645,6 +645,26 @@ object SimilarityQueries {
         .orderBy(col("q_id"))
     }),
 
+    // Recall gate for the COMPOSED index: IVF+PQ stacks two
+    // approximations (cell pruning AND code quantization), so its recall
+    // is what actually ships — gate it directly against brute ground
+    // truth like every other variant.
+    "sim_ivf_pq_recall" -> ((s, d) => {
+      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val ivfpq = queries("sim_ivf_pq")(s, d)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = ivfpq.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"), 6)
+            .as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 8-bit bucket; exact
     // cosine re-rank within the bucket, top-3.
     "sim_lsh_ann" -> ((s, d) => {
@@ -802,6 +822,29 @@ object SimilarityQueries {
                ORDER BY ${cosSql("e.v", "q.q_emb")} DESC, e.vec_id) AS rank
            FROM deq e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) t
          WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  /** Composed IVF+PQ oracle SQL — shared by sim_ivf_pq and its recall
+    * gate. */
+  private lazy val IvfPqSql =
+    s"""WITH $PqDeqCtes,
+         cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         assigned AS (
+           SELECT e.vec_id, e.embedding, c.c_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
+           FROM embeddings e CROSS JOIN cents c),
+         corpus AS (
+           SELECT a.vec_id, dq.v, a.c_id AS cell
+           FROM assigned a JOIN deq dq USING (vec_id) WHERE crank = 1),
+         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
+                    FROM assigned WHERE vec_id < 5 AND crank <= 2)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT p.q_id, c.vec_id AS neighbor_id,
+             round(${cosSql("c.v", "p.q_emb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id
+               ORDER BY ${cosSql("c.v", "p.q_emb")} DESC, c.vec_id) AS rank
+           FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
+         WHERE rank <= 3 ORDER BY q_id, rank"""
 
   /** LSH-bucketed ANN oracle SQL — the candidate whose recall the gate
     * measures. */
@@ -1098,26 +1141,20 @@ object SimilarityQueries {
 
     "sim_lsh_ann" -> LshAnnSql,
 
-    "sim_ivf_pq" ->
-      s"""WITH $PqDeqCtes,
-         cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
-         assigned AS (
-           SELECT e.vec_id, e.embedding, c.c_id,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
-           FROM embeddings e CROSS JOIN cents c),
-         corpus AS (
-           SELECT a.vec_id, dq.v, a.c_id AS cell
-           FROM assigned a JOIN deq dq USING (vec_id) WHERE crank = 1),
-         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
-                    FROM assigned WHERE vec_id < 5 AND crank <= 2)
-         SELECT q_id, rank, neighbor_id, cos_sim FROM (
-           SELECT p.q_id, c.vec_id AS neighbor_id,
-             round(${cosSql("c.v", "p.q_emb")}, 6) AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY p.q_id
-               ORDER BY ${cosSql("c.v", "p.q_emb")} DESC, c.vec_id) AS rank
-           FROM corpus c JOIN probes p ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
-         WHERE rank <= 3 ORDER BY q_id, rank""",
+    "sim_ivf_pq" -> IvfPqSql,
+
+    "sim_ivf_pq_recall" ->
+      s"""WITH brute AS ($BruteAnnSql),
+         ivfpq AS ($IvfPqSql),
+         b3 AS (SELECT q_id, neighbor_id FROM brute WHERE rank <= 3),
+         hits AS (
+           SELECT l.q_id, COUNT(*) AS n_hits FROM ivfpq l
+           JOIN b3 ON l.q_id = b3.q_id AND l.neighbor_id = b3.neighbor_id
+           GROUP BY l.q_id),
+         truth AS (SELECT q_id, COUNT(*) AS n_true FROM b3 GROUP BY q_id)
+         SELECT t.q_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_true,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall_at_3
+         FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id ORDER BY t.q_id""",
 
     "sim_centroid_drift" ->
       """WITH ex AS (

@@ -1328,6 +1328,16 @@ object Streams {
     Cdc.quantileFromNets(spark.read.parquet(s"$stateDir/$v"), num, den)
   }
 
+  /** Equi-width histogram over the SAME net-count state — counts are
+    * additive, so this is a pure projection of the maintained table. */
+  def histogramFromState(spark: SparkSession, stateDir: String,
+      widthCents: Long): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed top-k state under $stateDir"))
+    Cdc.histogramFromNets(spark.read.parquet(s"$stateDir/$v"), widthCents)
+  }
+
   private[graft] def mergeTopKBatch(batch0: DataFrame, rel: Relation,
       groupCol: String, valueCol: String, stateDir: String,
       groupType: Option[String]): Unit = {

@@ -938,6 +938,20 @@ class StreamingSpec extends AnyFunSuite {
     // every group's p95 is ≥ its median (sanity of the generalized cut)
     val medByG = gotM.map(t => t._1 -> BigDecimal(t._2)).toMap
     assert(gotQ.forall(t => BigDecimal(t._2) >= medByG(t._1)))
+    // ... and the equi-width HISTOGRAM (additive projection of the state)
+    def hrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g", "bucket").collect()
+        .map(r => (r.getString(r.fieldIndex("g")),
+          r.getLong(r.fieldIndex("bucket")), r.getLong(r.fieldIndex("n"))))
+    val gotH = hrows(Streams.histogramFromState(
+      spark, dir.resolve("state").toString, 50000L * 100))
+    val expH = hrows(graft.cdc.Cdc.incrementalHistogram(
+      events, "o_orderpriority", "o_totalprice", 50000L * 100))
+    assert(gotH.nonEmpty)
+    assert(gotH.toSeq === expH.toSeq)
+    // bucket counts per group sum to the group's live row count
+    val cByG = gotM.map(t => t._1 -> t._3).toMap
+    assert(gotH.groupBy(_._1).forall { case (g, rs) => rs.map(_._3).sum == cByG(g) })
   }
 
   test("dblog backfill sink: chunks finalize as the watermark passes; state equals the batch merge") {
