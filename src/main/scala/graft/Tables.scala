@@ -32,9 +32,25 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").withColumn("l_shipdate", ltz(col("l_shipdate")))
   def events(s: SparkSession, d: String): DataFrame = {
+    // The generator has shipped events.ts as parquet TIMESTAMP(NANOS) in
+    // some drops and TIMESTAMP(MICROS) in others — dispatch on the
+    // inferred type instead of assuming one layout:
+    //  - NANOS + nanosAsLong conf → LongType; truncate ns → µs exactly
+    //    like DuckDB does on the oracle side;
+    //  - MICROS → NTZ (or LTZ); cast to TimestampType, a wall-clock
+    //    no-op under the UTC session.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(t(s, d, "events"))
   }
+
+  /** Normalize a raw events frame's `ts` (ns-long under nanosAsLong, or a
+    * µs timestamp) to TimestampType — shared with the streaming read path,
+    * which scans the same parquet through readStream. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df.withColumn("ts", ltz(col("ts")))
+    }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

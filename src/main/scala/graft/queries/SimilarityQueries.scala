@@ -748,6 +748,119 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
           round(col("ms"), 6).as("maxsim"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // MARGIN-BASED mate mining (the ratio-margin criterion from
+    // bitext / training-pair mining): for each of 16 query vectors the
+    // best different-label mate scored by
+    //   margin(x,y) = cos(x,y) / ((avg4(x) + avg4(y)) / 2)
+    // where avg4(v) is the mean cosine of v to its 4 nearest
+    // different-label partners. Absolute-cosine thresholds can't tell a
+    // genuine match from a hub vector that is close to EVERYTHING; the
+    // ratio margin normalizes each side by its own neighborhood density,
+    // which is why mining pipelines use it instead of raw cosine.
+    // Determinism: each denominator folds the top-4 cosines in DESC-sorted
+    // order (sort_array + left fold — no data-dependent float order) and
+    // divides by a literal; DuckDB mirrors with list_sort + list_reduce.
+    // Scale shape: ONE corpus × broadcast(query-set) pair materialization
+    // feeds the forward ranks, the backward ranks, AND both denominators;
+    // at index scale the pair set comes from the IVF/LSH candidate gate
+    // instead of the cross join and everything downstream is unchanged.
+    "sim_margin_mining" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val qs = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val pairs = e.crossJoin(broadcast(qs))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cos",
+          dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+      val wF = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val wB = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("q_id"))
+      // one pair materialization, THREE consumers (forward denominator,
+      // backward denominator, candidate list) — cache it or each branch
+      // re-runs the corpus × query-set build
+      val ranked = pairs
+        .withColumn("rf", row_number().over(wF))
+        .withColumn("rb", row_number().over(wB))
+        .persist()
+      def top4Sum(c: DataFrame, key: String, out: String) =
+        c.groupBy(col(key)).agg(
+          aggregate(sort_array(collect_list(col("cos")), asc = false),
+            lit(0.0), (a, v) => a + v).as(out))
+      val denomQ = top4Sum(ranked.filter(col("rf") <= 4), "q_id", "sq")
+      val denomC = top4Sum(ranked.filter(col("rb") <= 4), "vec_id", "sc")
+      val wM = Window.partitionBy(col("q_id")).orderBy(col("margin").desc, col("vec_id"))
+      // candidates are q×8 rows — broadcast them INTO the corpus-sized
+      // backward-denominator table, never shuffle the big side
+      val cands = ranked.filter(col("rf") <= 8).join(broadcast(denomQ), "q_id")
+      denomC.join(broadcast(cands), "vec_id")
+        .withColumn("margin", col("cos") / ((col("sq") + col("sc")) / lit(8.0)))
+        .withColumn("rm", row_number().over(wM))
+        .filter(col("rm") === 1)
+        .select(col("q_id"), col("vec_id").as("mate_id"),
+          round(col("cos"), 6).as("cos_sim"), round(col("margin"), 6).as("margin"))
+        .orderBy(col("q_id"))
+    }),
+
+    // MMR diversified re-rank (maximal marginal relevance): greedy
+    // selection of 3 results from each query's top-8 cosine candidates,
+    //   pick_i = argmax over remaining c of 0.7·rel(c) − 0.3·max_{s∈S} cos(c,s)
+    // — the standard retrieval-side answer to "the top-k are 8 copies of
+    // the same document". Greedy MMR is inherently sequential per query,
+    // but k is a literal, so the loop UNROLLS into k-1 broadcast joins
+    // against the per-query winner (5 rows each) — fully distributed, no
+    // driver iteration, and the same unrolling is SQL-expressible for the
+    // oracle. pick 1's score is its raw relevance (empty penalty set).
+    // Scale shape: the candidate set is the expensive part (here brute
+    // ranks, at index scale the ANN gate); the greedy steps touch only
+    // q×8 rows regardless of corpus size.
+    "sim_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val wR = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+      val cands = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rel",
+          dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rf", row_number().over(wR))
+        .filter(col("rf") <= 8)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("rf"),
+          col("embedding"), col("nrm"))
+        .persist() // q×8 rows, consumed by every greedy step
+      val s1 = cands.filter(col("rf") === 1)
+        .select(col("q_id"), col("vec_id").as("s1_id"), col("rel").as("s1_rel"),
+          col("embedding").as("s1_emb"), col("nrm").as("s1_nrm"))
+      val rest1 = cands.filter(col("rf") > 1)
+        .join(broadcast(s1), "q_id")
+        .withColumn("pen1",
+          dotD(col("embedding"), col("s1_emb")) / (col("nrm") * col("s1_nrm")))
+        .withColumn("sc2", lit(0.7) * col("rel") - lit(0.3) * col("pen1"))
+      val w2 = Window.partitionBy(col("q_id")).orderBy(col("sc2").desc, col("vec_id"))
+      val t2 = rest1.withColumn("r2", row_number().over(w2)).persist()
+      val s2 = t2.filter(col("r2") === 1)
+        .select(col("q_id"), col("vec_id").as("s2_id"), col("sc2").as("s2_score"),
+          col("embedding").as("s2_emb"), col("nrm").as("s2_nrm"))
+      val w3 = Window.partitionBy(col("q_id")).orderBy(col("sc3").desc, col("vec_id"))
+      val s3 = t2.filter(col("r2") > 1)
+        .join(broadcast(s2), "q_id")
+        .withColumn("pen2",
+          dotD(col("embedding"), col("s2_emb")) / (col("nrm") * col("s2_nrm")))
+        .withColumn("sc3",
+          lit(0.7) * col("rel") - lit(0.3) * greatest(col("pen1"), col("pen2")))
+        .withColumn("r3", row_number().over(w3))
+        .filter(col("r3") === 1)
+      s1.select(col("q_id"), lit(1).as("pick"), col("s1_id").as("pick_id"),
+          round(col("s1_rel"), 6).as("mmr_score"))
+        .unionAll(s2.select(col("q_id"), lit(2).as("pick"), col("s2_id").as("pick_id"),
+          round(col("s2_score"), 6).as("mmr_score")))
+        .unionAll(s3.select(col("q_id"), lit(3).as("pick"), col("vec_id").as("pick_id"),
+          round(col("sc3"), 6).as("mmr_score")))
+        .orderBy(col("q_id"), col("pick"))
     }))
 
   private val DotSql =
@@ -893,6 +1006,72 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" -> BruteAnnSql,
+
+    // Ratio-margin mate mining: denominators fold the DESC-sorted top-4
+    // cosines (list_sort + list_reduce ≡ Spark's sort_array + aggregate;
+    // the 0.0 seed is fold-neutral).
+    "sim_margin_mining" ->
+      s"""WITH pairs AS (
+             SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               ${cosSql("e.embedding", "q.embedding")} AS cos
+             FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 16) q
+             WHERE e.label <> q.label),
+           ranked AS (
+             SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, q_id) AS rb
+             FROM pairs),
+           dq AS (SELECT q_id, list_reduce(list_sort(list(cos), 'DESC'), (a, b) -> a + b) AS sq
+                  FROM ranked WHERE rf <= 4 GROUP BY q_id),
+           dc AS (SELECT vec_id, list_reduce(list_sort(list(cos), 'DESC'), (a, b) -> a + b) AS sc
+                  FROM ranked WHERE rb <= 4 GROUP BY vec_id),
+           scored AS (
+             SELECT r.q_id, r.vec_id, r.cos,
+               r.cos / ((dq.sq + dc.sc) / 8.0) AS margin
+             FROM ranked r JOIN dq USING (q_id) JOIN dc USING (vec_id)
+             WHERE r.rf <= 8)
+         SELECT q_id, vec_id AS mate_id, round(cos, 6) AS cos_sim,
+           round(margin, 6) AS margin
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY margin DESC, vec_id) AS rm FROM scored) t
+         WHERE rm = 1 ORDER BY q_id""",
+
+    // Unrolled greedy MMR (k=3, lambda=0.7) over each query's top-8
+    // cosine candidates — the same fixed-k unrolling as the Spark plan.
+    "sim_mmr_rerank" ->
+      s"""WITH cands AS (
+             SELECT * FROM (
+               SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 ${cosSql("e.embedding", "q.embedding")} AS rel,
+                 e.embedding AS emb,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rf
+               FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+               WHERE e.vec_id <> q.vec_id) t
+             WHERE rf <= 8),
+           s1 AS (SELECT q_id, vec_id AS s1_id, rel AS s1_rel, emb AS s1_emb
+                  FROM cands WHERE rf = 1),
+           rest1 AS (
+             SELECT c.q_id, c.vec_id, c.rel, c.emb,
+               ${cosSql("c.emb", "s.s1_emb")} AS pen1,
+               0.7 * c.rel - 0.3 * ${cosSql("c.emb", "s.s1_emb")} AS sc2
+             FROM cands c JOIN s1 s USING (q_id) WHERE c.rf > 1),
+           t2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY sc2 DESC, vec_id) AS r2 FROM rest1),
+           s2 AS (SELECT q_id, vec_id AS s2_id, sc2 AS s2_score, emb AS s2_emb
+                  FROM t2 WHERE r2 = 1),
+           rest2 AS (
+             SELECT t.q_id, t.vec_id,
+               0.7 * t.rel - 0.3 * greatest(t.pen1, ${cosSql("t.emb", "s.s2_emb")}) AS sc3
+             FROM t2 t JOIN s2 s USING (q_id) WHERE t.r2 > 1),
+           s3 AS (SELECT q_id, vec_id, sc3,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sc3 DESC, vec_id) AS r3
+                  FROM rest2)
+         SELECT q_id, pick, pick_id, mmr_score FROM (
+           SELECT q_id, 1 AS pick, s1_id AS pick_id, round(s1_rel, 6) AS mmr_score FROM s1
+           UNION ALL SELECT q_id, 2, s2_id, round(s2_score, 6) FROM s2
+           UNION ALL SELECT q_id, 3, vec_id, round(sc3, 6) FROM s3 WHERE r3 = 1) u
+         ORDER BY q_id, pick""",
 
     "sim_hard_negatives" ->
       s"""SELECT q_id, rank, negative_id, neg_label, cos_sim FROM (

@@ -478,6 +478,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  // a cached subtree is re-printed under every InMemoryTableScan — count
+  // DISTINCT node ids, not textual occurrences
+  private def distinctNodes(p: String, op: String): Set[String] =
+    (op + """[^(\n]*\((\d+)\)""").r.findAllMatchIn(p).map(_.group(1)).toSet
+
+  test("sim_margin_mining: one pair build; denominators re-join as broadcasts, corpus never shuffle-joins") {
+    val p = plan("sim_margin_mining")
+    // the corpus × query-set pair build is the only nested-loop; both
+    // denominator re-joins (16-row forward, q×8-row backward) broadcast
+    assert(distinctNodes(p, "BroadcastNestedLoopJoin").size === 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_mmr_rerank: greedy steps are broadcast joins over q×8 rows — no shuffle join, no cross product") {
+    val p = plan("sim_mmr_rerank")
+    assert(distinctNodes(p, "BroadcastNestedLoopJoin").size === 1, p) // candidate build only
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_dsir_sample: bucket LMs broadcast back; selection is TakeOrdered") {
     val p = plan("text_dsir_sample")
     // the 64-row log-ratio table joins the per-doc counts as a broadcast,

@@ -34,15 +34,15 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming tumbling window + watermark matches the batch computation") {
-    // stream the raw parquet (ts is ns-long after nanosAsLong conf, set by
-    // Tables.events first)
+    // stream the raw parquet (ts normalized by the shared helper — ns-long or µs depending on the
+    // generator drop)
     val batchEvents = graft.Tables.events(spark, sfDir)
     val expected = Streams.windowedCounts(batchEvents.withWatermark("ts", "30 minutes"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val q = Streams.windowedCounts(src).writeStream.format("memory")
       .queryName("win_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -62,7 +62,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val q = Streams.hoppingCounts(src).writeStream.format("memory")
       .queryName("hop_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -78,7 +78,7 @@ class StreamingSpec extends AnyFunSuite {
   test("dropDuplicatesWithinWatermark removes duplicate event ids") {
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val doubled = src.union(src) // every event twice
     val q = Streams.dedupedEvents(doubled).writeStream.format("memory")
       .queryName("dedup_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -91,7 +91,7 @@ class StreamingSpec extends AnyFunSuite {
   test("session windows group events by gap per user") {
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val q = Streams.sessionCounts(src).writeStream.format("memory")
       .queryName("sess_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -168,7 +168,7 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Streams.errorsWithRecentClicks(batchEvents).count()
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val q = Streams.errorsWithRecentClicks(src).writeStream.format("memory")
       .queryName("ssj_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -185,7 +185,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("e_id")).collect().map(_.getLong(0)).toSet
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val q = Streams.errorsWithRecentClicksOuter(src).writeStream.format("memory")
       .queryName("ssoj_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -211,7 +211,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("c_mktsegment").isNotNull).count()
     val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val q = Streams.enrichedEvents(src, dim, "user_id", "c_custkey")
       .writeStream.format("memory").queryName("enrich_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
