@@ -77,6 +77,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(uncappedMax > 3, "corpus has no high-df shingles; cap test vacuous")
   }
 
+  test("normalizeEventTs handles both generator layouts (ns-long and µs timestamp)") {
+    // ns-long (TIMESTAMP(NANOS) read under nanosAsLong): truncate ns → µs
+    val a = graft.Tables.normalizeEventTs(
+        spark.sql("SELECT CAST(1719855600123456789 AS BIGINT) AS ts"))
+      .head().getTimestamp(0)
+    assert(a.getTime == 1719855600123L && a.getNanos == 123456000, a.toString)
+    // µs NTZ (newer generator drops): wall-clock-preserving cast under UTC
+    val b = graft.Tables.normalizeEventTs(
+        spark.sql("SELECT TIMESTAMP_NTZ'2024-07-01 17:00:00.123456' AS ts"))
+      .head().getTimestamp(0)
+    assert(b.getNanos == 123456000, b.toString)
+    // and the live table loads with a usable event-time column either way
+    assert(graft.Tables.events(spark, d).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("flagship entry returns rows on sf0.001 (driver t1 smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
