@@ -750,6 +750,55 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // MATRYOSHKA two-stage retrieval: coarse-rank on the FIRST 16 of 64
+    // dims (truncatable-embedding serving), keep top-50 candidates, then
+    // exact full-dim re-rank to top-3. The prefix slice is a narrow map;
+    // at scale the prefix lives as its own parquet column so the coarse
+    // scan reads 4× fewer bytes and the index (IVF/LSH) is built over
+    // 16-dim vectors — the full 64-dim read happens only for the 50
+    // survivors per query. Candidate-gate quality vs the full-dim truth
+    // is gated by sim_matryoshka_recall below.
+    "sim_matryoshka" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("pre", slice(col("embedding"), 1, 16))
+        .withColumn("pnrm", sqrt(dotD(col("pre"), col("pre"))))
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("pre").as("q_pre"),
+          col("pnrm").as("q_pnrm"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val wPre = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("vec_id"))
+      val wFull = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("pcos", dotD(col("pre"), col("q_pre")) / (col("pnrm") * col("q_pnrm")))
+        .withColumn("pr", row_number().over(wPre))
+        .filter(col("pr") <= 50)
+        .withColumn("cos", dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rank", row_number().over(wFull))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Recall@3 of the 16-dim prefix ranking vs the full-dim truth — the
+    // quality side of the 4× cost cut (the sim_ivf_recall gate pattern).
+    "sim_matryoshka_recall" -> ((s, d) => {
+      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val pre = queries("sim_matryoshka")(s, d)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = pre.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"), 6)
+            .as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
     // MARGIN-BASED mate mining (the ratio-margin criterion from
     // bitext / training-pair mining): for each of 16 query vectors the
     // best different-label mate scored by
@@ -884,6 +933,24 @@ object SimilarityQueries {
            WHERE e.vec_id <> q.vec_id) t
          WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** 16-dim-prefix coarse → exact re-rank (Matryoshka) oracle SQL —
+    * shared by sim_matryoshka and its recall gate. */
+  private lazy val MatryoshkaSql =
+    s"""SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q_id, neighbor_id,
+             round(${cosSql("emb", "qemb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ${cosSql("emb", "qemb")} DESC, neighbor_id) AS rank
+           FROM (
+             SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+               e.embedding AS emb, q.embedding AS qemb,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${cosSql("list_slice(e.embedding, 1, 16)", "list_slice(q.embedding, 1, 16)")} DESC, e.vec_id) AS pr
+             FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+             WHERE e.vec_id <> q.vec_id) c
+           WHERE pr <= 50) t
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+
   /** IVF nprobe=2 ANN oracle SQL — shared by sim_ivf_ann and its recall
     * gate. */
   private lazy val IvfAnnSql =
@@ -1006,6 +1073,21 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" -> BruteAnnSql,
+
+    "sim_matryoshka" -> MatryoshkaSql,
+
+    "sim_matryoshka_recall" ->
+      s"""WITH brute AS ($BruteAnnSql),
+         pre AS ($MatryoshkaSql),
+         b3 AS (SELECT q_id, neighbor_id FROM brute WHERE rank <= 3),
+         hits AS (
+           SELECT l.q_id, COUNT(*) AS n_hits FROM pre l
+           JOIN b3 ON l.q_id = b3.q_id AND l.neighbor_id = b3.neighbor_id
+           GROUP BY l.q_id),
+         truth AS (SELECT q_id, COUNT(*) AS n_true FROM b3 GROUP BY q_id)
+         SELECT t.q_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_true,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall_at_3
+         FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id ORDER BY t.q_id""",
 
     // Ratio-margin mate mining: denominators fold the DESC-sorted top-4
     // cosines (list_sort + list_reduce ≡ Spark's sort_array + aggregate;
