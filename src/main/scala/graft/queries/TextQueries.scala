@@ -419,6 +419,49 @@ object TextQueries {
       bm25Of(Tables.documents(s, d), Seq("spark", "stream", "window"))),
 
     // Corpus term frequency: tokenize → explode → hash agg; top 20 terms.
+    // PMI collocation mining: top bigrams by pointwise mutual information
+    //   pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )
+    // with the joint from adjacent-bigram counts and marginals from
+    // unigram counts — the classic corpus-analysis lens for "words that
+    // belong together" (multiword expressions, named entities), and the
+    // statistic behind phrase-merging in tokenizer/embedding pipelines
+    // (word2vec-style phrase detection). A c_ab >= 5 support floor drops
+    // the unstable one-off pairs that dominate raw PMI.
+    //
+    // Scale shape: one tokenize pass feeds both count tables; bigram and
+    // unigram counts are VOCABULARY-sized (Zipf-bounded), so the two
+    // marginal joins move vocab rows, never the corpus; totals ride a
+    // 1-row broadcast. Determinism: the ln argument is assembled with
+    // identical operand order on both engines; ordering is on the rounded
+    // score with a full lexicographic tiebreak.
+    "text_collocations" -> ((s, d) => {
+      val toks = withWords(Tables.documents(s, d)).select(col("ws"))
+      val uni = toks.select(explode(col("ws")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val biAll = toks
+        .select(col("ws"), posexplode(col("ws")).as(Seq("i", "a")))
+        .filter(col("i") < size(col("ws")) - 1)
+        .withColumn("b", element_at(col("ws"), col("i") + 2))
+        .filter(length(col("a")) > 0 && length(col("b")) > 0)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .persist() // vocab²-bounded counts; feeds the total AND the kept set
+      val bi = biAll.filter(col("c_ab") >= 5)
+      // joint and marginal distributions each normalize over their own
+      // universe: all valid bigram slots / all nonempty tokens
+      val totals = uni.agg(sum(col("c1")).as("n_uni"))
+        .crossJoin(biAll.agg(sum(col("c_ab")).as("n_bi")))
+      bi.join(uni.withColumnRenamed("w", "a").withColumnRenamed("c1", "c_a"), "a")
+        .join(uni.withColumnRenamed("w", "b").withColumnRenamed("c1", "c_b"), "b")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(
+          log(col("c_ab").cast("double") * col("n_uni") * col("n_uni") /
+            (col("n_bi").cast("double") * col("c_a") * col("c_b"))), 6))
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     "text_termfreq" -> ((s, d) => {
       withWords(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("ws")).as("term"))
@@ -1920,6 +1963,31 @@ object TextQueries {
          FROM (SELECT doc_id, unnest($WsSql) AS term FROM documents) t
          WHERE length(term) > 0
          GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+
+    // identical ln-argument operand order as the Spark side
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT $WsSql AS ws FROM documents),
+           uni AS (SELECT w, COUNT(*) AS c1
+                   FROM (SELECT unnest(ws) AS w FROM toks) t
+                   WHERE length(w) > 0 GROUP BY w),
+           bi_src AS (
+             SELECT unnest(list_transform(range(1, len(ws)),
+               i -> {'a': ws[i], 'b': ws[i+1]})) AS p FROM toks),
+           bi_all AS (
+             SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bi_src
+             WHERE length(p.a) > 0 AND length(p.b) > 0 GROUP BY p.a, p.b),
+           tot AS (SELECT (SELECT SUM(c1) FROM uni) AS n_uni,
+                          (SELECT SUM(c_ab) FROM bi_all) AS n_bi)
+         SELECT a, b, c_ab, c_a, c_b,
+           round(ln(CAST(c_ab AS DOUBLE) * n_uni * n_uni /
+             (CAST(n_bi AS DOUBLE) * c_a * c_b)), 6) AS pmi
+         FROM (
+           SELECT bi.a, bi.b, bi.c_ab, ua.c1 AS c_a, ub.c1 AS c_b,
+                  t.n_uni, t.n_bi
+           FROM bi_all bi JOIN uni ua ON bi.a = ua.w
+                JOIN uni ub ON bi.b = ub.w
+           CROSS JOIN tot t WHERE bi.c_ab >= 5) x
+         ORDER BY pmi DESC, a, b LIMIT 20""",
 
     // identical operand order/parenthesization as the Spark side; per-term
     // scores round to 6 before the sorted-fold doc sum
