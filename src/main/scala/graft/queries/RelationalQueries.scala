@@ -1078,6 +1078,39 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_grid"))
     }),
 
+    // CEP sequence-pattern matching (MATCH_RECOGNIZE-lite / Flink-CEP
+    // shape): every occurrence of  signup → purchase  with NO intervening
+    // error, within 30 minutes — pattern `S N* P` where N excludes
+    // 'error', plus a time bound. Differs from the funnel (q47): that
+    // reports each user's FIRST stage times; this matches ALL
+    // occurrences, with negation, per event.
+    //
+    // Plan: negation via a cumulative error count + its value AT the last
+    // signup (last IGNORE NULLS) — zero difference means no error between
+    // anchor and match. Everything is ONE user-keyed sort (all windows
+    // share the partitioning, single exchange, plan-asserted); no self
+    // joins, no per-pattern explosion — the CEP state machine becomes two
+    // window passes. Determinism: pure integer arithmetic (µs timestamps,
+    // counts) — no floats anywhere.
+    "q66_pattern_match" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("cum_err",
+          sum(when(col("event_type") === "error", 1).otherwise(0)).over(w))
+        .withColumn("signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .withColumn("signup_err",
+          last(when(col("event_type") === "signup", col("cum_err")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("signup_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("signup_ts")) <= 1800000000L &&
+          col("cum_err") === col("signup_err"))
+        .select(col("user_id"), col("signup_ts"), col("ts").as("purchase_ts"),
+          expr("(unix_micros(ts) - unix_micros(signup_ts)) div 1000000").as("gap_sec"))
+        .orderBy(col("user_id"), col("purchase_ts"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -1508,6 +1541,31 @@ object RelationalQueries {
                  ELSE CAST(v0 * (t1 - t) + v1 * (t - t0) AS DOUBLE)
                       / (CAST(t1 - t0 AS DOUBLE) * 100.0) END, 6) AS v_interp
          FROM w WHERE k = 1 ORDER BY user_id, ts_grid""",
+
+    // CEP pattern S N* P: negation via cumulative error count minus its
+    // value at the last signup; pure integer arithmetic throughout
+    "q66_pattern_match" ->
+      s"""WITH st AS (
+           SELECT user_id, event_id, ts, event_type,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS cum_err,
+             last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER w AS signup_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         st2 AS (
+           SELECT *,
+             last_value(CASE WHEN event_type = 'signup' THEN cum_err END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_err
+           FROM st)
+         SELECT user_id, signup_ts, ts AS purchase_ts,
+           (epoch_us(ts) - epoch_us(signup_ts)) // 1000000 AS gap_sec
+         FROM st2
+         WHERE event_type = 'purchase' AND signup_ts IS NOT NULL
+           AND epoch_us(ts) - epoch_us(signup_ts) <= 1800000000
+           AND cum_err = signup_err
+         ORDER BY user_id, purchase_ts""",
 
     // each event belongs to the two 5-min-aligned window starts covering
     // it; time_bucket origins are midnight-aligned like Spark's

@@ -503,6 +503,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q66 CEP pattern: every window pass shares ONE user-keyed exchange — no joins, no explosion") {
+    val p = plan("q66_pattern_match")
+    assert(p.linesIterator.count(_.contains("hashpartitioning")) <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("text_collocations: marginal joins move vocab rows; totals broadcast; no cross product beyond the 1-row totals") {
     val p = plan("text_collocations")
     // the only nested-loop joins are the 1-row totals broadcasts
