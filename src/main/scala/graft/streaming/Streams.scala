@@ -1640,6 +1640,46 @@ object Streams {
       }
   }
 
+  /** Streaming CEP twin of `q66_pattern_match`: per-user state machine
+    * for the pattern  signup (not-error)* purchase  within 30 minutes.
+    * State is the last signup's µs timestamp plus a clean flag — O(1) per
+    * user, no event retention — and each matching purchase EMITS as it
+    * arrives (flatMapGroupsWithState, append mode): the streaming form of
+    * MATCH_RECOGNIZE with negation. In-order delivery per key across
+    * batches is the log-ordered sources' contract (same as funnelStates);
+    * within a batch rows apply in (ts, event_id) order, mirroring the
+    * batch query's window order exactly. All-integer arithmetic. */
+  final case class CepState(signupUs: Option[Long], clean: Boolean)
+
+  def cepMatches(events: DataFrame): Dataset[(Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id").cast("long"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String, Long)],
+         gs: GroupState[CepState]) =>
+          var s = gs.getOption.getOrElse(CepState(None, clean = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          it.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, us, tpe, _) =>
+            tpe match {
+              case "signup" => s = CepState(Some(us), clean = true)
+              case "error"  => s = s.copy(clean = false)
+              case "purchase" =>
+                s.signupUs.foreach { su =>
+                  if (s.clean && us - su <= 1800000000L)
+                    out += ((user, su, us, (us - su) / 1000000L))
+                }
+              case _ =>
+            }
+          }
+          gs.update(s)
+          out.iterator
+      }
+  }
+
   /** Spark-4-native stateful processor (transformWithState): per-user
     * running (event count, value cents). State is ONE value per user —
     * the arbitrary-state API's replacement for mapGroupsWithState, with

@@ -137,6 +137,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming CEP state machine emits exactly the batch pattern matches across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .collect().sortBy(e => (e._2.getTime, e._4)) // in-order delivery
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String, Long)]
+    val src = ms.toDS().toDF("user_id", "ts", "event_type", "event_id")
+    val q = Streams.cepMatches(src)
+      .toDF("user_id", "signup_us", "purchase_us", "gap_sec")
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode("append").start()
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT user_id, signup_us, purchase_us, gap_sec FROM cep_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = graft.SparkEntry.queries("q66_pattern_match")(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(signup_ts)"),
+        expr("unix_micros(purchase_ts)"), col("gap_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("txn-atomic assembly emits one envelope per committed transaction") {
     val rel = Relation(7, "public", "acct", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
