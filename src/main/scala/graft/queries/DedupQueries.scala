@@ -623,6 +623,32 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ENSEMBLE near-dup agreement: pairs flagged by >= 2 of the three
+    // INDEPENDENT detectors (MinHash-LSH bands, SimHash Hamming<=3,
+    // same-label embedding cosine) — the agreement filter production
+    // pipelines apply before destructive dedup, because each detector has
+    // a different failure mode (LSH misses under banding variance,
+    // simhash under vocabulary shift, embeddings flag paraphrases that
+    // share no surface text). Composes the EXACT standalone definitions
+    // (same queries, same oracles), so this gate also cross-checks them
+    // against each other. Scale shape: the three pair lists are each
+    // ≪ corpus (bucketed generation); the vote is one pair-keyed agg
+    // over their union — never touches the corpus again.
+    "dedup_ensemble_vote" -> ((s, d) => {
+      val mh = queries("dedup_minhash_pairs")(s, d)
+        .select(col("a_id"), col("b_id"), lit("minhash").as("m"))
+      val sh = queries("dedup_simhash_pairs")(s, d)
+        .select(col("a_id"), col("b_id"), lit("simhash").as("m"))
+      val em = queries("dedup_embedding")(s, d)
+        .select(col("a_id"), col("b_id"), lit("embedding").as("m"))
+      mh.unionByName(sh).unionByName(em)
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(countDistinct(col("m")).as("n_methods"),
+          array_join(sort_array(collect_set(col("m"))), ",").as("methods"))
+        .filter(col("n_methods") >= 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Cross-modal near-dup verification: textual LSH candidates re-scored
     // by embedding cosine — the two independent signals a production dedup
     // pipeline fuses (surface n-gram overlap can be boilerplate; embedding
@@ -959,6 +985,30 @@ object DedupQueries {
          FROM embeddings a JOIN embeddings b
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
+         ORDER BY a_id, b_id""",
+
+    // the three detectors' EXACT standalone definitions, re-composed
+    "dedup_ensemble_vote" ->
+      s"""WITH sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+            mh AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                   FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            shh AS ($SimhashSql),
+            sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.simhash, b.simhash)::BIGINT) <= 3),
+            em AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                   FROM embeddings a JOIN embeddings b
+                     ON a.label = b.label AND a.vec_id < b.vec_id
+                   WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3),
+            u AS (SELECT a_id, b_id, 'minhash' AS m FROM mh
+                  UNION ALL SELECT a_id, b_id, 'simhash' AS m FROM sh
+                  UNION ALL SELECT a_id, b_id, 'embedding' AS m FROM em)
+         SELECT a_id, b_id, CAST(COUNT(DISTINCT m) AS BIGINT) AS n_methods,
+           array_to_string(list_sort(list(DISTINCT m)), ',') AS methods
+         FROM u GROUP BY a_id, b_id HAVING COUNT(DISTINCT m) >= 2
          ORDER BY a_id, b_id""",
 
     "dedup_semantic_verify" ->
