@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -110,6 +111,15 @@ object TextQueries {
     * arbitrary (doc_id, text) frame — text_bm25's engine, also served
     * over the CDC-materialized corpus by cdc_bm25_serving. One
     * definition, every consumer. Top-50 by (rounded score desc, doc_id). */
+  /** nDCG@10 model constants: the query term set and the log2 discount
+    * weights w_i = 1/log2(i+1), computed ONCE here and embedded as the
+    * SAME double literals in the Spark plan and the DuckDB oracle
+    * (Double.toString round-trips exactly on both parsers) — no libm log
+    * runs inside either query. */
+  private[queries] val NdcgTerms = Seq("spark", "stream", "window")
+  private[queries] val NdcgW: Seq[Double] =
+    (1 to 10).map(i => math.log(2) / math.log(i + 1.0))
+
   private[queries] def bm25Of(docs0: DataFrame, qterms: Seq[String]): DataFrame = {
     val docs = withWords(docs0)
     val dl = docs.select(col("doc_id"), size(col("ws")).as("dl"))
@@ -417,6 +427,46 @@ object TextQueries {
     // sorted order (text_lm_perplexity's pattern).
     "text_bm25" -> ((s, d) =>
       bm25Of(Tables.documents(s, d), Seq("spark", "stream", "window"))),
+
+    // Ranking-quality metric: nDCG@10 of the BM25 ranking against a
+    // frequency-graded relevance proxy (grade = total query-term
+    // occurrences, capped at 15 — graded relevance is conventionally
+    // capped; BM25's length normalization makes its ranking genuinely
+    // differ from the raw-frequency ideal, so the metric discriminates).
+    // DCG = Σ (2^rel − 1)·w_rank
+    // summed in rank order; IDCG re-ranks the full graded pool ideally.
+    // The log2 discount weights are PRE-COMPUTED ONCE here and embedded
+    // as identical double literals in both engines' expressions — the
+    // only libm call leaves the query entirely, so there is no
+    // platform-log determinism exposure at all. Scale shape: both
+    // rankings live on the term-filtered subset (≪ corpus, the bm25
+    // shape); the metric itself folds 10 rows.
+    "text_ndcg" -> ((s, d) => {
+      val pool = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(col("term").isin(NdcgTerms: _*))
+        .groupBy(col("doc_id")).agg(least(count(lit(1)), lit(15L)).as("rel"))
+      val wArr = typedLit(NdcgW)
+      val gain = expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
+      val ranked = bm25Of(Tables.documents(s, d), NdcgTerms)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .drop("n_match")
+        .join(pool, "doc_id") // every retrieved doc has >= 1 term, so inner is total
+        .withColumn("contrib", gain * element_at(wArr, col("rank").cast("int")))
+      val ideal = pool
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rel").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .withColumn("contrib", gain * element_at(wArr, col("rank").cast("int")))
+      def foldSum(df: DataFrame, out: String) = df.agg(
+        aggregate(sort_array(collect_list(struct(col("rank"), col("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as(out))
+      foldSum(ranked, "dcg").crossJoin(foldSum(ideal, "idcg"))
+        .select(round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+    }),
 
     // Corpus term frequency: tokenize → explode → hash agg; top 20 terms.
     // PMI collocation mining: top bigrams by pointwise mutual information
@@ -1992,6 +2042,38 @@ object TextQueries {
     // identical operand order/parenthesization as the Spark side; per-term
     // scores round to 6 before the sorted-fold doc sum
     "text_bm25" -> bm25Sql("SELECT doc_id, text FROM documents"),
+
+    // same literal discount weights as the Spark plan (NdcgW); folds in
+    // rank order via list(... ORDER BY rank)
+    "text_ndcg" -> {
+      val wList = NdcgW.mkString("[", ", ", "]")
+      s"""WITH bm AS (${bm25Sql("SELECT doc_id, text FROM documents")}),
+           pool AS (
+             SELECT doc_id, least(COUNT(*), 15) AS rel
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+             WHERE term IN ('spark', 'stream', 'window') GROUP BY doc_id),
+           ranked AS (
+             SELECT b.doc_id, p.rel,
+               ROW_NUMBER() OVER (ORDER BY b.bm25 DESC, b.doc_id) AS rank
+             FROM bm b JOIN pool p ON b.doc_id = p.doc_id),
+           ideal AS (
+             SELECT doc_id, rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+             FROM pool),
+           dcg AS (
+             SELECT list_reduce(list(
+               CAST((1 << CAST(rel AS INT)) - 1 AS DOUBLE) * list_extract(($wList)::DOUBLE[], CAST(rank AS INT))
+               ORDER BY rank), (a, b) -> a + b) AS dcg
+             FROM ranked WHERE rank <= 10),
+           idcg AS (
+             SELECT list_reduce(list(
+               CAST((1 << CAST(rel AS INT)) - 1 AS DOUBLE) * list_extract(($wList)::DOUBLE[], CAST(rank AS INT))
+               ORDER BY rank), (a, b) -> a + b) AS idcg
+             FROM ideal WHERE rank <= 10)
+         SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           round(dcg / idcg, 6) AS ndcg
+         FROM dcg CROSS JOIN idcg"""
+    },
 
     "text_decontaminate" ->
       s"""WITH g AS (
