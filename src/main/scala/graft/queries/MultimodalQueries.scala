@@ -41,6 +41,28 @@ object MultimodalQueries {
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Shot-boundary (scene cut) detection over the sampled frame stream:
+    // a cut wherever consecutive frames' probe features jump by >= 40 —
+    // the standard video preprocessing step before frame dedup/sampling
+    // in multimodal training pipelines (sample one frame per SCENE, not
+    // per second). A real codec swaps the per-frame byte probe for a
+    // histogram/embedding delta; the temporal plumbing — one doc-keyed
+    // window over the frame sequence, lag diff, per-doc census — is
+    // identical and is what's under test. Scale: frames ≪ payload bytes
+    // and only (doc_id, frame_idx, feature) rows shuffle, never media.
+    "mm_scene_cuts" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d)).toDF()
+        .withColumn("prev", lag(col("frame_byte"), 1).over(w))
+        .withColumn("cut", when(col("prev").isNotNull &&
+          abs(col("frame_byte") - col("prev")) >= 40, 1L).otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"),
+          (sum(col("cut")) + lit(1L)).as("n_scenes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Feature-extract + resize through the per-partition codec batch.
     "mm_features" -> ((s, d) => {
       Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
@@ -193,6 +215,24 @@ object MultimodalQueries {
          CROSS JOIN (SELECT unnest(range(0, 16, 4)) AS frame_idx) f
          WHERE frame_idx < octet_length(text::BLOB) % 16 + 1
          ORDER BY doc_id, frame_idx""",
+
+    "mm_scene_cuts" ->
+      """WITH f AS (
+           SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             ord(substr(text, CAST(frame_idx % octet_length(text::BLOB) AS INTEGER) + 1, 1)) AS fb
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 16, 4)) AS frame_idx) ff
+           WHERE frame_idx < octet_length(text::BLOB) % 16 + 1),
+         d AS (
+           SELECT doc_id, fb,
+             lag(fb) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+           FROM f)
+         SELECT doc_id, COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(fb - prev) >= 40
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(fb - prev) >= 40
+                    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
 
     "mm_features" ->
       """SELECT doc_id,
