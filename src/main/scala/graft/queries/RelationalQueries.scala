@@ -1111,6 +1111,36 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("purchase_ts"))
     }),
 
+    // Seasonal-baseline anomaly sweep: the top-20 events whose value most
+    // deviates from their (event_type, hour-of-day) seasonal mean — the
+    // de-seasonalized residual that catches "big for 3am" events a global
+    // z-score (q51's per-user profile) washes out. EXACT cross-engine
+    // arithmetic: residual ranks on the INTEGER cents·n − sum_cents
+    // numerator scaled by one final double division — no accumulated
+    // float order anywhere. Scale shape: the baseline is a types×24-row
+    // aggregate that BROADCASTS back over the scan; one corpus pass, one
+    // tiny agg, a bounded top-20 heap (TakeOrdered).
+    "q67_seasonal_anomaly" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), hour(col("ts")).as("hr"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val base = ev.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+      ev.join(broadcast(base), Seq("event_type", "hr"))
+        .withColumn("baseline", col("sum_cents").cast("double") /
+          (col("n").cast("double") * lit(100.0)))
+        .withColumn("residual",
+          (col("cents") * col("n") - col("sum_cents")).cast("double") /
+            (col("n").cast("double") * lit(100.0)))
+        .withColumn("abs_res", abs(col("residual")))
+        .orderBy(col("abs_res").desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id"), col("event_type"), col("hr"),
+          round(col("cents").cast("double") / lit(100.0), 2).as("value"),
+          round(col("baseline"), 6).as("baseline"),
+          round(col("residual"), 6).as("residual"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -1541,6 +1571,25 @@ object RelationalQueries {
                  ELSE CAST(v0 * (t1 - t) + v1 * (t - t0) AS DOUBLE)
                       / (CAST(t1 - t0 AS DOUBLE) * 100.0) END, 6) AS v_interp
          FROM w WHERE k = 1 ORDER BY user_id, ts_grid""",
+
+    // integer residual numerator, one final double division — same
+    // operand order as the Spark side
+    "q67_seasonal_anomaly" ->
+      s"""WITH ev AS (
+           SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         base AS (
+           SELECT event_type, hr, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             COUNT(*) AS n
+           FROM ev GROUP BY event_type, hr)
+         SELECT event_id, event_type, hr,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+           round(CAST(sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS baseline,
+           round(CAST(cents * n - sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS residual
+         FROM ev JOIN base USING (event_type, hr)
+         ORDER BY abs(CAST(cents * n - sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) DESC, event_id
+         LIMIT 20""",
 
     // CEP pattern S N* P: negation via cumulative error count minus its
     // value at the last signup; pure integer arithmetic throughout
