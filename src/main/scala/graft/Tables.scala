@@ -31,16 +31,22 @@ object Tables {
     t(s, d, "orders").withColumn("o_orderdate", ltz(col("o_orderdate")))
   def lineitem(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").withColumn("l_shipdate", ltz(col("l_shipdate")))
-  def events(s: SparkSession, d: String): DataFrame = {
-    // The generator has shipped events.ts as parquet TIMESTAMP(NANOS) in
-    // some drops and TIMESTAMP(MICROS) in others — dispatch on the
-    // inferred type instead of assuming one layout:
-    //  - NANOS + nanosAsLong conf → LongType; truncate ns → µs exactly
-    //    like DuckDB does on the oracle side;
-    //  - MICROS → NTZ (or LTZ); cast to TimestampType, a wall-clock
-    //    no-op under the UTC session.
+  // The generator has shipped events.ts as parquet TIMESTAMP(NANOS) in
+  // some drops and TIMESTAMP(MICROS) in others — dispatch on the
+  // inferred type instead of assuming one layout:
+  //  - NANOS + nanosAsLong conf → LongType; truncate ns → µs exactly
+  //    like DuckDB does on the oracle side;
+  //  - MICROS → NTZ (or LTZ); cast to TimestampType, a wall-clock
+  //    no-op under the UTC session.
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(eventsRaw(s, d))
+
+  /** Raw events read (ts NOT normalized — the schema source for
+    * readStream paths). Establishes the nanosAsLong conf BEFORE the read
+    * so a TIMESTAMP(NANOS) drop loads regardless of call order. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(t(s, d, "events"))
+    t(s, d, "events")
   }
 
   /** Normalize a raw events frame's `ts` (ns-long under nanosAsLong, or a

@@ -180,7 +180,7 @@ object CdcQueries {
       val events = CdcPipeline.decodeFrames(CdcPipeline.documentsToFramesDml(s, d)).toDF()
       val docs = graft.cdc.Cdc.materialize(events, CdcPipeline.documentsRelation)
         .select(col("doc_id"), col("text"))
-      TextQueries.bm25Of(docs, Seq("spark", "stream", "window"))
+      TextQueries.bm25Of(docs, TextQueries.QueryTerms)
     }),
 
     // HYBRID (lexical + dense) retrieval SERVED over TWO CDC wire paths:
@@ -203,7 +203,7 @@ object CdcQueries {
           expr("""transform(split(substring(embedding, 2, length(embedding) - 2), ','),
                             x -> cast(x as double))""").as("emb"))
       TextQueries.rrfFused(
-        TextQueries.lexRanksOf(docs, Seq("spark", "stream", "window")),
+        TextQueries.lexRanksOf(docs, TextQueries.QueryTerms),
         TextQueries.denseRanksOf(vecs, 3L))
     }),
 

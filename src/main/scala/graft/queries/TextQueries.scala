@@ -111,12 +111,16 @@ object TextQueries {
     * arbitrary (doc_id, text) frame — text_bm25's engine, also served
     * over the CDC-materialized corpus by cdc_bm25_serving. One
     * definition, every consumer. Top-50 by (rounded score desc, doc_id). */
-  /** nDCG@10 model constants: the query term set and the log2 discount
-    * weights w_i = 1/log2(i+1), computed ONCE here and embedded as the
-    * SAME double literals in the Spark plan and the DuckDB oracle
-    * (Double.toString round-trips exactly on both parsers) — no libm log
-    * runs inside either query. */
-  private[queries] val NdcgTerms = Seq("spark", "stream", "window")
+  /** THE retrieval query term set — single definition for the BM25
+    * family and the nDCG gate, on BOTH engines (the Spark call sites use
+    * the Seq, the oracle SQL interpolates [[QueryTermsSql]]). */
+  private[queries] val QueryTerms = Seq("spark", "stream", "window")
+  private[queries] val QueryTermsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** nDCG@10 discount weights w_i = 1/log2(i+1), computed ONCE here and
+    * embedded as the SAME double literals in the Spark plan and the
+    * DuckDB oracle (Double.toString round-trips exactly on both
+    * parsers) — no libm log runs inside either query. */
   private[queries] val NdcgW: Seq[Double] =
     (1 to 10).map(i => math.log(2) / math.log(i + 1.0))
 
@@ -426,7 +430,7 @@ object TextQueries {
     // rounded to 6, and the per-doc sum folds the ≤3 rounded terms in
     // sorted order (text_lm_perplexity's pattern).
     "text_bm25" -> ((s, d) =>
-      bm25Of(Tables.documents(s, d), Seq("spark", "stream", "window"))),
+      bm25Of(Tables.documents(s, d), QueryTerms)),
 
     // Ranking-quality metric: nDCG@10 of the BM25 ranking against a
     // frequency-graded relevance proxy (grade = total query-term
@@ -444,11 +448,11 @@ object TextQueries {
     "text_ndcg" -> ((s, d) => {
       val pool = withWords(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("ws")).as("term"))
-        .filter(col("term").isin(NdcgTerms: _*))
+        .filter(col("term").isin(QueryTerms: _*))
         .groupBy(col("doc_id")).agg(least(count(lit(1)), lit(15L)).as("rel"))
       val wArr = typedLit(NdcgW)
       val gain = expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
-      val ranked = bm25Of(Tables.documents(s, d), NdcgTerms)
+      val ranked = bm25Of(Tables.documents(s, d), QueryTerms)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))))
         .filter(col("rank") <= 10)
@@ -1410,7 +1414,7 @@ object TextQueries {
       val vecs = Tables.embeddings(s, d).select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("emb"))
       rrfFused(
-        lexRanksOf(Tables.documents(s, d), Seq("spark", "stream", "window")),
+        lexRanksOf(Tables.documents(s, d), QueryTerms),
         denseRanksOf(vecs, 3L))
     }),
 
@@ -1528,7 +1532,7 @@ object TextQueries {
          tf AS (
            SELECT doc_id, term, COUNT(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus) t
-           WHERE term IN ('spark', 'stream', 'window')
+           WHERE term IN ($QueryTermsSql)
            GROUP BY doc_id, term),
          dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          sc AS (
@@ -2051,7 +2055,7 @@ object TextQueries {
            pool AS (
              SELECT doc_id, least(COUNT(*), 15) AS rel
              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
-             WHERE term IN ('spark', 'stream', 'window') GROUP BY doc_id),
+             WHERE term IN ($QueryTermsSql) GROUP BY doc_id),
            ranked AS (
              SELECT b.doc_id, p.rel,
                ROW_NUMBER() OVER (ORDER BY b.bm25 DESC, b.doc_id) AS rank

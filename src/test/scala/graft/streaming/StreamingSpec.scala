@@ -40,7 +40,7 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Streams.windowedCounts(batchEvents.withWatermark("ts", "30 minutes"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
-    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
       .transform(graft.Tables.normalizeEventTs)
     val q = Streams.windowedCounts(src).writeStream.format("memory")
@@ -60,7 +60,7 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Streams.hoppingCounts(batchEvents.withWatermark("ts", "30 minutes"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
-    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
       .transform(graft.Tables.normalizeEventTs)
     val q = Streams.hoppingCounts(src).writeStream.format("memory")
@@ -76,7 +76,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("dropDuplicatesWithinWatermark removes duplicate event ids") {
-    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
       .transform(graft.Tables.normalizeEventTs)
     val doubled = src.union(src) // every event twice
@@ -89,7 +89,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("session windows group events by gap per user") {
-    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
       .transform(graft.Tables.normalizeEventTs)
     val q = Streams.sessionCounts(src).writeStream.format("memory")
@@ -143,7 +143,8 @@ class StreamingSpec extends AnyFunSuite {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
       .as[(Long, java.sql.Timestamp, String, Long)]
-      .collect().sortBy(e => (e._2.getTime, e._4)) // in-order delivery
+      .collect().sortBy(e => // in-order delivery at MICROSECOND precision
+        ((e._2.getTime / 1000) * 1000000L + e._2.getNanos / 1000, e._4))
     val (b1, b2) = ev.splitAt(ev.length / 2)
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String, Long)]
     val src = ms.toDS().toDF("user_id", "ts", "event_type", "event_id")
@@ -193,7 +194,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-stream interval join matches the batch computation") {
     val batchEvents = graft.Tables.events(spark, sfDir)
     val expected = Streams.errorsWithRecentClicks(batchEvents).count()
-    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
       .transform(graft.Tables.normalizeEventTs)
     val q = Streams.errorsWithRecentClicks(src).writeStream.format("memory")
@@ -210,7 +211,7 @@ class StreamingSpec extends AnyFunSuite {
     val expectMatched = batchOuter.filter(col("c_user").isNotNull).count()
     val matchlessErrors = batchOuter.filter(col("c_user").isNull)
       .select(col("e_id")).collect().map(_.getLong(0)).toSet
-    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
       .transform(graft.Tables.normalizeEventTs)
     val q = Streams.errorsWithRecentClicksOuter(src).writeStream.format("memory")
@@ -236,7 +237,7 @@ class StreamingSpec extends AnyFunSuite {
     val batchEvents = graft.Tables.events(spark, sfDir)
     val expected = Streams.enrichedEvents(batchEvents, dim, "user_id", "c_custkey")
       .filter(col("c_mktsegment").isNotNull).count()
-    val src = spark.readStream.schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
       .transform(graft.Tables.normalizeEventTs)
     val q = Streams.enrichedEvents(src, dim, "user_id", "c_custkey")
