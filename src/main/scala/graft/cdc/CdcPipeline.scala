@@ -647,6 +647,49 @@ object CdcPipeline {
     }
   }
 
+  val EventsRelId = 50005
+
+  /** Wire-style relation for the event stream feeding the incrementally
+    * maintained seasonal baseline: the grouping key `etype_hr`
+    * ("<event_type>|<hour-of-day>") ships as a MATERIALIZED column —
+    * the standard shape for views grouped on a derived key (the source
+    * computes it once; the view never re-parses timestamps) — and the
+    * value ships as integer cents so every delta is exact. */
+  val eventsRelation: Relation = Relation(
+    EventsRelId, "public", "events_agg", 'd',
+    Vector(
+      RelationColumn(partOfKey = true, "event_id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "etype_hr", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "cents", TypedView.Oid.Int8, -1)))
+
+  /** events → pgoutput frames: insert every event; event_id % 13 == 0 is
+    * later DELETED with a REPLICA IDENTITY FULL old image (late
+    * invalidation — bot/abuse traffic retracted after the fact), which is
+    * exactly the retraction the delta-maintained baseline must absorb.
+    * LSN = event_id*4 + offset keeps arrival ≡ event order. */
+  def eventsToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        concat_ws("|", col("event_type"), hour(col("ts"))).as("etype_hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val relFrame = PgOutputEncoder.encode(eventsRelation)
+    ev.as[(Long, String, Long)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (id, key, cents) =>
+        val base = id * 4
+        def tup = TupleData(Vector(t(id.toString), t(key), t(cents.toString)))
+        val ins = Seq((base + 1) -> PgOutputEncoder.encode(Insert(EventsRelId, tup)))
+        val del = if (id % 13 == 0) Seq((base + 2) -> PgOutputEncoder.encode(
+          Delete(EventsRelId, 'O', tup)))
+        else Nil
+        ins ++ del
+      }
+      rel ++ dml
+    }
+  }
+
   /** Composite-key wire slice: frames → decode → compact on the two-column
     * pk → typed state. */
   def materializedLineitem(spark: SparkSession, sfDir: String): DataFrame = {

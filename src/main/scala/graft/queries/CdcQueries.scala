@@ -86,6 +86,29 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Incrementally-maintained SEASONAL BASELINE from an event wire
+    // stream: the (event_type, hour-of-day) mean that q67's anomaly sweep
+    // reads, kept fresh purely from deltas — inserts add (cents, 1),
+    // retractions (late bot/abuse invalidation, REPLICA IDENTITY FULL)
+    // subtract — through the REAL wire path (encode → decode → envelope →
+    // Cdc.incrementalAggregate). The grouping key ships materialized
+    // ("<type>|<hour>"), so the view never re-parses timestamps. A
+    // dropped delete anywhere shifts a mean and hash-fails. Scale shape:
+    // identical to cdc_incremental_agg — one narrow delta pass + one
+    // group-keyed shuffle per batch; the streaming form is the unchanged
+    // Streams.incrementalAggSink over this relation.
+    "cdc_incremental_baseline" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.eventsToFrames(s, d)).toDF()
+      graft.cdc.Cdc.incrementalAggregate(events, "etype_hr", "cents")
+        .select(
+          split(col("g"), "\\|").getItem(0).as("event_type"),
+          split(col("g"), "\\|").getItem(1).cast("int").as("hr"),
+          col("c").as("n"),
+          round(col("v").cast("double") / (col("c").cast("double") * lit(100.0)), 6)
+            .as("baseline"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Online dedup at CDC ingest: the documents corpus arrives as
     // insert-only pgoutput frames (one txn per doc, LSN ≡ arrival order),
     // and every document gets a first-seen-wins keep/drop decision by
@@ -918,6 +941,13 @@ object CdcQueries {
          SELECT o_orderpriority, mc / 100.0 AS mean_price,
            (ex2c - mc * mc) / 10000.0 AS var_price, c AS n_rows
          FROM m ORDER BY o_orderpriority""",
+
+    "cdc_incremental_baseline" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n,
+           round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0), 6) AS baseline
+         FROM events WHERE event_id % 13 <> 0
+         GROUP BY event_type, hr ORDER BY event_type, hr""",
 
     "cdc_incremental_agg" ->
       """SELECT o_orderpriority,
