@@ -706,6 +706,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("seasonal-baseline sink equals the batch delta aggregate across micro-batches") {
+    // the events_agg wire relation through the UNCHANGED incrementalAggSink
+    val dir = Files.createTempDirectory("incrbase")
+    val p = dir.resolve("log.bin").toString
+    val frames = graft.cdc.CdcPipeline.eventsToFrames(spark, sfDir)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // cuts land between an insert and its later retraction (id % 13)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(250))
+    val q = Streams.incrementalAggSink(env, graft.cdc.CdcPipeline.eventsRelation,
+      "etype_hr", "cents",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.incrementalAggState(spark, dir.resolve("state").toString)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2)))
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.eventsToFrames(spark, sfDir)).toDF()
+    val expected = graft.cdc.Cdc.incrementalAggregate(events, "etype_hr", "cents")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString, r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("term-df sink equals the batch incremental index across micro-batches") {
     val dir = Files.createTempDirectory("termdf")
     val p = dir.resolve("log.bin").toString
