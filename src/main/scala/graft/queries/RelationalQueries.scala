@@ -1141,6 +1141,42 @@ object RelationalQueries {
           round(col("residual"), 6).as("residual"))
     }),
 
+    // Market-basket association rules: part pairs co-purchased in the
+    // same order, scored by support / confidence / lift — the classic
+    // affinity-analysis operator (recommenders, shelf placement). All
+    // three scores derive from integer basket counts with ONE double
+    // division each (exact-int numerators/denominators < 2^53 → the
+    // division is correctly rounded on every engine); ranking is on the
+    // raw lift with a (a, b) tiebreak. Scale shape: the pair explosion is
+    // bounded by basket size (k parts → k(k−1)/2 pairs per ORDER, never
+    // corpus²) on one orderkey-keyed join; per-part counts are
+    // vocabulary-sized and broadcast; the total is a 1-row broadcast.
+    "q68_market_basket" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val n = op.agg(countDistinct(col("o")).as("n_orders"))
+      val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c1"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(broadcast(pc.select(col("p").as("part_a"), col("c1").as("c_a"))), "part_a")
+        .join(broadcast(pc.select(col("p").as("part_b"), col("c1").as("c_b"))), "part_b")
+        .crossJoin(broadcast(n))
+        .withColumn("support", col("c_ab").cast("double") / col("n_orders").cast("double"))
+        .withColumn("confidence", col("c_ab").cast("double") / col("c_a").cast("double"))
+        .withColumn("lift", (col("c_ab") * col("n_orders")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(20)
+        .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"), col("c_b"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -1589,6 +1625,28 @@ object RelationalQueries {
            round(CAST(cents * n - sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS residual
          FROM ev JOIN base USING (event_type, hr)
          ORDER BY abs(CAST(cents * n - sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) DESC, event_id
+         LIMIT 20""",
+
+    // integer counts, one double division per score — identical operand
+    // order as the Spark side; rank on raw lift, (a, b) tiebreak
+    "q68_market_basket" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+           pc AS (SELECT p, COUNT(*) AS c1 FROM op GROUP BY p),
+           pairs AS (
+             SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS c_ab
+             FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             GROUP BY a.p, b.p HAVING COUNT(*) >= 3)
+         SELECT part_a, part_b, c_ab, c_a, c_b,
+           round(CAST(c_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+           round(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE), 6) AS confidence,
+           round(CAST(c_ab * n_orders AS DOUBLE) / CAST(c_a * c_b AS DOUBLE), 6) AS lift
+         FROM (
+           SELECT pr.part_a, pr.part_b, pr.c_ab, pa.c1 AS c_a, pb.c1 AS c_b, n.n_orders
+           FROM pairs pr JOIN pc pa ON pr.part_a = pa.p
+                JOIN pc pb ON pr.part_b = pb.p CROSS JOIN n) x
+         ORDER BY CAST(c_ab * n_orders AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) DESC,
+           part_a, part_b
          LIMIT 20""",
 
     // CEP pattern S N* P: negation via cumulative error count minus its
