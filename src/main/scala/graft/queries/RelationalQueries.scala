@@ -1177,6 +1177,42 @@ object RelationalQueries {
           round(col("lift"), 6).as("lift"))
     }),
 
+    // Chi-square independence test of event_type × hour-of-day — the
+    // data-profiling / drift question "is activity mix time-dependent?"
+    // as one statistic. χ² = Σ_cells (obs·n − rt·ct)² / (n·rt·ct): each
+    // cell term keeps an EXACT int64 numerator/denominator (squared diff
+    // ≤ 1.4e16, den ≤ 1.8e12 at sf0.1 — both < 2^53) so the only float
+    // op per cell is one correctly-rounded division; terms fold in
+    // (event_type, hr) sorted order on both engines. Scale shape: one
+    // corpus agg to the contingency table (types×24 rows), margins and
+    // the total derive from IT (no second scan), the fold runs on ≤ a
+    // few hundred cells.
+    "q69_chi_square" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("hr")).agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).as("n"))
+      val cells = obs.join(broadcast(rt), "event_type").join(broadcast(ct), "hr")
+        .crossJoin(broadcast(n))
+        .withColumn("num",
+          (col("o") * col("n") - col("rt") * col("ct")) *
+            (col("o") * col("n") - col("rt") * col("ct")))
+        .withColumn("term", col("num").cast("double") /
+          (col("n") * col("rt") * col("ct")).cast("double"))
+      val dof = cells.agg(
+        ((countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("hr")) - 1)).as("dof"))
+      cells.agg(
+          round(aggregate(
+            sort_array(collect_list(struct(col("event_type"), col("hr"), col("term")))),
+            lit(0.0), (a, x) => a + x.getField("term")), 6).as("chi2"),
+          sum(col("o")).as("n_events"))
+        .crossJoin(broadcast(dof))
+        .select(col("chi2"), col("dof"), col("n_events"))
+    }),
+
     // Sketch set algebra: estimate the DISTINCT-USER INTERSECTION of two
     // event types by HLL inclusion-exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) —
     // the mergeable-sketch form of an audience-overlap question that at
@@ -1626,6 +1662,29 @@ object RelationalQueries {
          FROM ev JOIN base USING (event_type, hr)
          ORDER BY abs(CAST(cents * n - sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) DESC, event_id
          LIMIT 20""",
+
+    // exact int64 cell ratios, one division per cell, sorted fold —
+    // identical operand order as the Spark side
+    "q69_chi_square" ->
+      s"""WITH obs AS (
+             SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS o
+             FROM events GROUP BY event_type, hr),
+           rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY event_type),
+           ct AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY hr),
+           n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+           cells AS (
+             SELECT obs.event_type, obs.hr, obs.o,
+               CAST((obs.o * n.n - rt.rt * ct.ct) * (obs.o * n.n - rt.rt * ct.ct) AS DOUBLE)
+                 / CAST(n.n * rt.rt * ct.ct AS DOUBLE) AS term
+             FROM obs JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN n),
+           dof AS (
+             SELECT (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1) AS dof
+             FROM cells)
+         SELECT
+           round(list_reduce(list(term ORDER BY event_type, hr), (a, b) -> a + b), 6) AS chi2,
+           (SELECT dof FROM dof) AS dof,
+           CAST(SUM(o) AS BIGINT) AS n_events
+         FROM cells""",
 
     // integer counts, one double division per score — identical operand
     // order as the Spark side; rank on raw lift, (a, b) tiebreak
