@@ -18,6 +18,31 @@ import graft.Tables
   */
 object RelationalQueries {
 
+  /** The batch CEP engine behind q66_pattern_match, on ANY frame with
+    * (user_id, event_id, ts, event_type): every  signup (not-error)*
+    * purchase  occurrence within 30 minutes, via a cumulative
+    * negation-count and its value at the last anchor — two window passes
+    * on one user-keyed sort. Factored out so the property spec can drive
+    * it with generated sequences (and `Streams.cepMatches` parity uses
+    * the same definition through the query). */
+  def cepMatchesBatch(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("cum_err",
+        sum(when(col("event_type") === "error", 1).otherwise(0)).over(w))
+      .withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .withColumn("signup_err",
+        last(when(col("event_type") === "signup", col("cum_err")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("signup_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("signup_ts")) <= 1800000000L &&
+        col("cum_err") === col("signup_err"))
+      .select(col("user_id"), col("signup_ts"), col("ts").as("purchase_ts"),
+        expr("(unix_micros(ts) - unix_micros(signup_ts)) div 1000000").as("gap_sec"))
+      .orderBy(col("user_id"), col("purchase_ts"))
+  }
+
   /** Order-independent exact sum of a double column. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,6))) AS DOUBLE)"
@@ -1092,24 +1117,9 @@ object RelationalQueries {
     // joins, no per-pattern explosion — the CEP state machine becomes two
     // window passes. Determinism: pure integer arithmetic (µs timestamps,
     // counts) — no floats anywhere.
-    "q66_pattern_match" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-        .withColumn("cum_err",
-          sum(when(col("event_type") === "error", 1).otherwise(0)).over(w))
-        .withColumn("signup_ts",
-          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
-        .withColumn("signup_err",
-          last(when(col("event_type") === "signup", col("cum_err")), ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase" && col("signup_ts").isNotNull &&
-          unix_micros(col("ts")) - unix_micros(col("signup_ts")) <= 1800000000L &&
-          col("cum_err") === col("signup_err"))
-        .select(col("user_id"), col("signup_ts"), col("ts").as("purchase_ts"),
-          expr("(unix_micros(ts) - unix_micros(signup_ts)) div 1000000").as("gap_sec"))
-        .orderBy(col("user_id"), col("purchase_ts"))
-    }),
+    "q66_pattern_match" -> ((s, d) =>
+      cepMatchesBatch(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))),
 
     // Seasonal-baseline anomaly sweep: the top-20 events whose value most
     // deviates from their (event_type, hour-of-day) seasonal mean — the
