@@ -656,7 +656,7 @@ object CdcPipeline {
     * computes it once; the view never re-parses timestamps) — and the
     * value ships as integer cents so every delta is exact. */
   val eventsRelation: Relation = Relation(
-    EventsRelId, "public", "events_agg", 'd',
+    EventsRelId, "public", "events_agg", 'f', // REPLICA IDENTITY FULL: deletes ship 'O' images
     Vector(
       RelationColumn(partOfKey = true, "event_id", TypedView.Oid.Int8, -1),
       RelationColumn(partOfKey = false, "etype_hr", TypedView.Oid.Text, -1),

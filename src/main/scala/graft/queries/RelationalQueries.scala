@@ -1164,6 +1164,7 @@ object RelationalQueries {
     "q68_market_basket" -> ((s, d) => {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .persist() // one distinct shuffle over the big table, FOUR consumers
       val n = op.agg(countDistinct(col("o")).as("n_orders"))
       val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c1"))
       val pairs = op.as("a").join(op.as("b"),
@@ -1198,28 +1199,31 @@ object RelationalQueries {
     // the total derive from IT (no second scan), the fold runs on ≤ a
     // few hundred cells.
     "q69_chi_square" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val obs = Tables.events(s, d)
         .groupBy(col("event_type"), hour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("o"))
+        .persist() // the contingency table (types×24) — 4 consumers
       val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
       val ct = obs.groupBy(col("hr")).agg(sum(col("o")).as("ct"))
       val n = obs.agg(sum(col("o")).as("n"))
+      // DECIMAL(38,0) keeps num/den exact at ANY data size (int64 wraps
+      // silently in Spark but throws in DuckDB — a cross-engine cliff);
+      // scale-0 decimal → double is correctly rounded on both engines.
       val cells = obs.join(broadcast(rt), "event_type").join(broadcast(ct), "hr")
         .crossJoin(broadcast(n))
-        .withColumn("num",
-          (col("o") * col("n") - col("rt") * col("ct")) *
-            (col("o") * col("n") - col("rt") * col("ct")))
-        .withColumn("term", col("num").cast("double") /
-          (col("n") * col("rt") * col("ct")).cast("double"))
-      val dof = cells.agg(
-        ((countDistinct(col("event_type")) - 1) *
-          (countDistinct(col("hr")) - 1)).as("dof"))
+        .withColumn("diff",
+          (col("o").cast(dec) * col("n").cast(dec) -
+            col("rt").cast(dec) * col("ct").cast(dec)).cast("double"))
+        .withColumn("term", col("diff") * col("diff") /
+          (col("n").cast(dec) * col("rt").cast(dec) * col("ct").cast(dec)).cast("double"))
       cells.agg(
           round(aggregate(
             sort_array(collect_list(struct(col("event_type"), col("hr"), col("term")))),
             lit(0.0), (a, x) => a + x.getField("term")), 6).as("chi2"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("hr")) - 1)).as("dof"),
           sum(col("o")).as("n_events"))
-        .crossJoin(broadcast(dof))
         .select(col("chi2"), col("dof"), col("n_events"))
     }),
 
@@ -1684,8 +1688,12 @@ object RelationalQueries {
            n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
            cells AS (
              SELECT obs.event_type, obs.hr, obs.o,
-               CAST((obs.o * n.n - rt.rt * ct.ct) * (obs.o * n.n - rt.rt * ct.ct) AS DOUBLE)
-                 / CAST(n.n * rt.rt * ct.ct AS DOUBLE) AS term
+               CAST(CAST(obs.o AS DECIMAL(38,0)) * CAST(n.n AS DECIMAL(38,0))
+                     - CAST(rt.rt AS DECIMAL(38,0)) * CAST(ct.ct AS DECIMAL(38,0)) AS DOUBLE)
+                 * CAST(CAST(obs.o AS DECIMAL(38,0)) * CAST(n.n AS DECIMAL(38,0))
+                     - CAST(rt.rt AS DECIMAL(38,0)) * CAST(ct.ct AS DECIMAL(38,0)) AS DOUBLE)
+                 / CAST(CAST(n.n AS DECIMAL(38,0)) * CAST(rt.rt AS DECIMAL(38,0))
+                        * CAST(ct.ct AS DECIMAL(38,0)) AS DOUBLE) AS term
              FROM obs JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN n),
            dof AS (
              SELECT (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1) AS dof

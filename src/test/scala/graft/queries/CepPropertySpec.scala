@@ -35,7 +35,7 @@ class CepPropertySpec extends AnyFunSuite {
   /** The sequential reference: per user in (ts, event_id) order, track
     * (last signup ts, clean); purchase emits when clean and within 30
     * minutes (inclusive). */
-  private def reference(evs: List[(Long, Long, Long, String)]): Set[(Long, Long, Long, Long)] =
+  private def reference(evs: List[(Long, Long, Long, String)]): Seq[(Long, Long, Long, Long)] =
     evs.groupBy(_._1).flatMap { case (user, rows) =>
       var signup: Option[Long] = None
       var clean = false
@@ -51,7 +51,7 @@ class CepPropertySpec extends AnyFunSuite {
           case _ => None
         }
       }
-    }.toSet
+    }.toSeq.sorted
 
   test("two-window-pass CEP plan equals the sequential state machine on random sequences") {
     import spark.implicits._
@@ -67,7 +67,10 @@ class CepPropertySpec extends AnyFunSuite {
         val got = RelationalQueries.cepMatchesBatch(df)
           .select(col("user_id"), expr("unix_micros(signup_ts)"),
             expr("unix_micros(purchase_ts)"), col("gap_sec"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq.sorted
+        // sorted MULTISET compare: duplicate matches (two same-ts
+        // purchases after one signup) must appear with multiplicity
         assert(got === reference(evs), s"case $i: $evs")
         checked += 1
       }
