@@ -1188,6 +1188,43 @@ object RelationalQueries {
           round(col("lift"), 6).as("lift"))
     }),
 
+    // UNIVERSE (join-key-consistent) sampling — the approximate-query
+    // trick that makes sampled JOINS work: sample BOTH sides by the same
+    // hash of the JOIN KEY (not per-row coin flips), so the join of the
+    // samples IS a p=1/16 sample of the join — independent per-side
+    // sampling would keep only p² of the pairs and destroy the estimate.
+    // The query runs the sampled join, scales by 16, and machine-checks
+    // the estimate against the exact value (error-envelope gate, the q26
+    // pattern; ~3% expected error at this scale, 15% bound).
+    // Determinism: the md5-derived keep set is identical on both engines
+    // (the Hash24 twin); sums are DECIMAL-exact before one double cast.
+    // Scale: at 100 TB the sampled join reads 1/16 of each side AFTER
+    // partition-pruned scans — the keep predicate pushes to both scans —
+    // and the technique composes with any downstream agg.
+    "q70_universe_sample" -> ((s, d) => {
+      val dec = DecimalType(28, 6)
+      def keep(c: org.apache.spark.sql.Column) =
+        (conv(substring(md5(c.cast("string").cast(BinaryType)), 1, 6), 16, 10)
+          .cast("long") % 16) === 0
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("rev_exact_d"))
+      val sampled = li.filter(keep(col("l_orderkey")))
+        .join(o.filter(keep(col("o_orderkey"))), col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("rev_s_d"),
+          count(lit(1)).as("n_lineitems_sampled"),
+          countDistinct(col("o_orderkey")).as("n_orders_sampled"))
+      sampled.crossJoin(broadcast(exact))
+        .select(
+          col("n_orders_sampled"), col("n_lineitems_sampled"),
+          round(col("rev_s_d").cast("double"), 2).as("rev_sample"),
+          round((col("rev_s_d") * 16).cast("double"), 2).as("rev_scaled"),
+          round(col("rev_exact_d").cast("double"), 2).as("rev_exact"),
+          (abs((col("rev_s_d") * 16).cast("double") - col("rev_exact_d").cast("double")) <=
+            col("rev_exact_d").cast("double") * 0.15).as("within_15pct"))
+    }),
+
     // Chi-square independence test of event_type × hour-of-day — the
     // data-profiling / drift question "is activity mix time-dependent?"
     // as one statistic. χ² = Σ_cells (obs·n − rt·ct)² / (n·rt·ct): each
@@ -1676,6 +1713,31 @@ object RelationalQueries {
          FROM ev JOIN base USING (event_type, hr)
          ORDER BY abs(CAST(cents * n - sum_cents AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) DESC, event_id
          LIMIT 20""",
+
+    // same md5-derived keep set (the Hash24 twin), DECIMAL-exact sums,
+    // identical scale/compare ops → stable boolean
+    "q70_universe_sample" ->
+      s"""WITH keepo AS (
+             SELECT * FROM orders
+             WHERE (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 16) = 0),
+           keepl AS (
+             SELECT * FROM lineitem
+             WHERE (CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 16) = 0),
+           ex AS (
+             SELECT SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS rev_exact_d
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           sm AS (
+             SELECT SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS rev_s_d,
+               COUNT(*) AS n_lineitems_sampled,
+               COUNT(DISTINCT o_orderkey) AS n_orders_sampled
+             FROM keepl JOIN keepo ON l_orderkey = o_orderkey)
+         SELECT n_orders_sampled, n_lineitems_sampled,
+           round(CAST(rev_s_d AS DOUBLE), 2) AS rev_sample,
+           round(CAST(rev_s_d * 16 AS DOUBLE), 2) AS rev_scaled,
+           round(CAST(rev_exact_d AS DOUBLE), 2) AS rev_exact,
+           abs(CAST(rev_s_d * 16 AS DOUBLE) - CAST(rev_exact_d AS DOUBLE))
+             <= CAST(rev_exact_d AS DOUBLE) * 0.15 AS within_15pct
+         FROM sm CROSS JOIN ex""",
 
     // exact int64 cell ratios, one division per cell, sorted fold —
     // identical operand order as the Spark side
