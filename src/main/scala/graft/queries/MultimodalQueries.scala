@@ -63,6 +63,29 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Scene-level frame SAMPLING — the reason shot boundaries matter in a
+    // training pipeline: keep ONE representative frame per scene instead
+    // of one per time interval (a 10-minute static shot contributes 1
+    // frame, not 150 near-identical ones). scene_id = running cut count
+    // per doc (same cut rule as mm_scene_cuts), representative = the
+    // scene's first frame. One doc-keyed window + one (doc, scene) agg;
+    // media bytes never shuffle.
+    "mm_scene_frames" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val wCum = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, d)).toDF()
+        .withColumn("prev", lag(col("frame_byte"), 1).over(wSeq))
+        .withColumn("cut", when(col("prev").isNotNull &&
+          abs(col("frame_byte") - col("prev")) >= 40, 1L).otherwise(0L))
+        .withColumn("scene_id", sum(col("cut")).over(wCum))
+        .groupBy(col("doc_id"), col("scene_id"))
+        .agg(min(col("frame_idx")).as("frame_idx"),
+          min_by(col("frame_byte"), col("frame_idx")).as("frame_byte"),
+          count(lit(1)).as("n_frames_in_scene"))
+        .orderBy(col("doc_id"), col("scene_id"))
+    }),
+
     // Feature-extract + resize through the per-partition codec batch.
     "mm_features" -> ((s, d) => {
       Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
@@ -233,6 +256,30 @@ object MultimodalQueries {
            CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(fb - prev) >= 40
                     THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes
          FROM d GROUP BY doc_id ORDER BY doc_id""",
+
+    "mm_scene_frames" ->
+      """WITH f AS (
+           SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             ord(substr(text, CAST(frame_idx % octet_length(text::BLOB) AS INTEGER) + 1, 1)) AS fb
+           FROM documents
+           CROSS JOIN (SELECT unnest(range(0, 16, 4)) AS frame_idx) ff
+           WHERE frame_idx < octet_length(text::BLOB) % 16 + 1),
+         d AS (
+           SELECT doc_id, frame_idx, fb,
+             lag(fb) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+           FROM f),
+         sc AS (
+           SELECT doc_id, frame_idx, fb,
+             SUM(CASE WHEN prev IS NOT NULL AND abs(fb - prev) >= 40
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY frame_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+           FROM d)
+         SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+           MIN(frame_idx) AS frame_idx,
+           CAST(min_by(fb, frame_idx) AS INTEGER) AS frame_byte,
+           COUNT(*) AS n_frames_in_scene
+         FROM sc GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""",
 
     "mm_features" ->
       """SELECT doc_id,
