@@ -449,6 +449,46 @@ object DedupQueries {
     }),
 
     // MinHash signatures (checks the min-wise hashing itself, every doc).
+    // LSH band/row TUNING SWEEP: the same 12-position signature table
+    // re-banded as (12×1), (6×2), (4×3), (3×4) — for each config the
+    // candidate-pair count and how many candidates the signature itself
+    // estimates as real dups (≥6 of 12 positions agree ≈ Jaccard ≥ 0.5).
+    // This is the calibration report run BEFORE committing to a banding:
+    // more rows per band moves the S-curve knee right (fewer, more
+    // precise candidates); the sweep makes the recall/cost trade a
+    // number. Bucket strings are engine-internal (only the GROUPING must
+    // match); the output counts are exact integers. Scale shape: each
+    // config is the standard band-bucket join over the shared cached
+    // signature table — work is Σ bucket² per config, never corpus².
+    "dedup_lsh_tuning" -> ((s, d) => {
+      val sigs = minhashSigsOf(Tables.documents(s, d)).persist()
+      val reports = Seq((12, 1), (6, 2), (4, 3), (3, 4)).map { case (nb, r) =>
+        val banded = sigs
+          .select(col("doc_id"), explode(expr(s"sequence(0, ${nb - 1})")).as("b"), col("sig"))
+          .withColumn("bucket", concat_ws("|", (col("b").cast(StringType) +:
+            (0 until r).map(j => expr(s"sig[$r*b+$j]"))): _*))
+          .select(col("doc_id"), col("bucket"))
+        val cands = banded.as("x").join(banded.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+        cands
+          .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+          .withColumn("mf", expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, v) -> a + v)")
+            .cast("double") / lit(12.0))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("mf") >= 0.5, 1L).otherwise(0L)).as("n_est_dup"))
+          .select(lit(nb).as("bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"), col("n_est_dup"))
+      }
+      reports.reduce(_ unionAll _)
+        .withColumn("precision_est",
+          when(col("n_candidates") > 0,
+            round(col("n_est_dup").cast("double") / col("n_candidates").cast("double"), 6)))
+        .orderBy(col("rows_per_band"))
+    }),
+
     "dedup_minhash_sig" -> ((s, d) => {
       minhashSignatures(s, d)
         .select(col("doc_id"), concat_ws("|", col("sig")).as("signature"))
@@ -986,6 +1026,35 @@ object DedupQueries {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE ${cosSql("a.embedding", "b.embedding")} > 0.3
          ORDER BY a_id, b_id""",
+
+    // re-banded from the same signature CTE; bucket strings only need to
+    // produce the same GROUPING per engine, counts are exact integers
+    "dedup_lsh_tuning" -> {
+      val blocks = Seq((12, 1), (6, 2), (4, 3), (3, 4)).map { case (nb, r) =>
+        val key = (0 until r).map(j => s"sig[$r*b+$j+1]").mkString(" || '|' || ")
+        s"""SELECT $nb AS bands, $r AS rows_per_band, COUNT(*) AS n_candidates,
+              CAST(SUM(CASE WHEN mf >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_est_dup
+            FROM (
+              SELECT CAST(list_reduce(list_transform(list_zip(xa.sig, xb.sig),
+                  p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END), (a, b) -> a + b) AS DOUBLE)
+                / 12.0 AS mf
+              FROM (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                    FROM (SELECT doc_id, CAST(b AS VARCHAR) || '|' || $key AS bucket
+                          FROM sigs CROSS JOIN (SELECT unnest(range($nb)) AS b) bb) x
+                    JOIN (SELECT doc_id, CAST(b AS VARCHAR) || '|' || $key AS bucket
+                          FROM sigs CROSS JOIN (SELECT unnest(range($nb)) AS b) bb) y
+                      ON x.bucket = y.bucket AND x.doc_id < y.doc_id) pr
+              JOIN sigs xa ON pr.a_id = xa.doc_id
+              JOIN sigs xb ON pr.b_id = xb.doc_id) t"""
+      }
+      s"""WITH sigs AS ($MinhashSql)
+         SELECT bands, rows_per_band, n_candidates, n_est_dup,
+           CASE WHEN n_candidates > 0
+                THEN round(CAST(n_est_dup AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+           END AS precision_est
+         FROM (${blocks.mkString(" UNION ALL ")}) u
+         ORDER BY rows_per_band"""
+    },
 
     // the three detectors' EXACT standalone definitions, re-composed
     "dedup_ensemble_vote" ->
