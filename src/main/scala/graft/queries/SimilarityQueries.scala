@@ -799,6 +799,60 @@ object SimilarityQueries {
         .orderBy(col("q_id"))
     }),
 
+    // BINARY (sign-bit) quantization ANN — the 1-bit compression point on
+    // the quantization ladder (float32 → int8 `sim_quantized_topk` → PQ
+    // `sim_pq_adc` → 16-dim prefix `sim_matryoshka` → 1 bit/dim here),
+    // in its production two-stage shape: dims 0..62 pack their sign bits
+    // into ONE long (63 bits — sign bit clear so the value compares
+    // cleanly as signed int64 on both engines, the mm_phash convention),
+    // the Hamming prescreen (bit_count(xor) — pure integer ops over
+    // 8-byte codes, 64 bytes/vector → 8) keeps top-50 candidates, and
+    // exact cosine re-ranks ONLY the survivors. The pack is one narrow
+    // map (a fold over the array, no 64-term codegen); candidate-gate
+    // quality vs full-precision truth is gated by sim_binary_recall.
+    "sim_binary_ann" -> ((s, d) => {
+      val packed = Tables.embeddings(s, d).withColumn("bits", expr(
+        "aggregate(transform(sequence(0, 62), " +
+          "j -> IF(element_at(embedding, j + 1) > 0F, shiftleft(1L, j), 0L)), " +
+          "0L, (a, x) -> a + x)"))
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+        .select(col("vec_id"), col("bits"), col("embedding"), col("nrm"))
+      val qs = packed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("bits").as("q_bits"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val wH = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+      val wC = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      packed.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("hamming", bit_count(col("bits").bitwiseXOR(col("q_bits"))))
+        .withColumn("hr", row_number().over(wH))
+        .filter(col("hr") <= 50)
+        .withColumn("cos", dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rank", row_number().over(wC))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Recall@3 of the 1-bit ranking vs full-precision truth — the
+    // compression/quality trade as a measured number.
+    "sim_binary_recall" -> ((s, d) => {
+      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val bin = queries("sim_binary_ann")(s, d)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = bin.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_true"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"), 6)
+            .as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
     // MARGIN-BASED mate mining (the ratio-margin criterion from
     // bitext / training-pair mining): for each of 16 query vectors the
     // best different-label mate scored by
@@ -932,6 +986,29 @@ object SimilarityQueries {
            FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
            WHERE e.vec_id <> q.vec_id) t
          WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  /** 63-sign-bit Hamming ranking oracle SQL — shared by sim_binary_ann
+    * and its recall gate. */
+  private lazy val BinaryAnnSql =
+    s"""WITH packed AS (
+           SELECT vec_id, embedding,
+             list_reduce(list_transform(range(0, 63),
+               j -> CASE WHEN embedding[CAST(j AS INT) + 1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+               (a, b) -> a + b) AS bits
+           FROM embeddings)
+         SELECT q_id, rank, neighbor_id, cos_sim FROM (
+           SELECT q_id, neighbor_id, round(${cosSql("emb", "qemb")}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ${cosSql("emb", "qemb")} DESC, neighbor_id) AS rank
+           FROM (
+             SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+               e.embedding AS emb, q.embedding AS qemb,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(e.bits, q.bits)), e.vec_id) AS hr
+             FROM packed e CROSS JOIN (SELECT * FROM packed WHERE vec_id < 5) q
+             WHERE e.vec_id <> q.vec_id) c
+           WHERE hr <= 50) t
+         WHERE rank <= 3 ORDER BY q_id, rank"""
 
   /** 16-dim-prefix coarse → exact re-rank (Matryoshka) oracle SQL —
     * shared by sim_matryoshka and its recall gate. */
@@ -1073,6 +1150,21 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" -> BruteAnnSql,
+
+    "sim_binary_ann" -> BinaryAnnSql,
+
+    "sim_binary_recall" ->
+      s"""WITH brute AS ($BruteAnnSql),
+         bin AS ($BinaryAnnSql),
+         b3 AS (SELECT q_id, neighbor_id FROM brute WHERE rank <= 3),
+         hits AS (
+           SELECT l.q_id, COUNT(*) AS n_hits FROM bin l
+           JOIN b3 ON l.q_id = b3.q_id AND l.neighbor_id = b3.neighbor_id
+           GROUP BY l.q_id),
+         truth AS (SELECT q_id, COUNT(*) AS n_true FROM b3 GROUP BY q_id)
+         SELECT t.q_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_true,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 6) AS recall_at_3
+         FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id ORDER BY t.q_id""",
 
     "sim_matryoshka" -> MatryoshkaSql,
 
