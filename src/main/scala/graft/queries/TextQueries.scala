@@ -354,6 +354,24 @@ object TextQueries {
 
     // Document fingerprinting: full-content hash + minimal shingle hash
     // (the 1-hash degenerate of winnowing — SURVEY.md §2.2 text analysis).
+    // Classifier EVALUATION: the language-ID confusion matrix against the
+    // ground-truth lang column — per (true, predicted) cell count and the
+    // cell's share of its true class (= per-class recall on the diagonal).
+    // Composes the EXACT text_langid definition, so this also regression-
+    // gates the classifier itself: any scoring change shifts a cell.
+    // Scale shape: one narrow scoring pass + one (true, pred) agg — the
+    // matrix is |langs|² rows; the share division is the only float op.
+    "text_langid_eval" -> ((s, d) => {
+      val scored = queries("text_langid")(s, d)
+        .select(col("lang"), col("lang_guess"))
+      val trueTotals = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      scored.groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+        .join(broadcast(trueTotals), "lang")
+        .select(col("lang"), col("lang_guess"), col("n"),
+          round(col("n").cast("double") / col("n_true").cast("double"), 6).as("share_of_true"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       val mins = DedupQueries.shingleRows(s, d)
         .groupBy(col("doc_id"))
@@ -1982,6 +2000,23 @@ object TextQueries {
                  ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr
                FROM (SELECT doc_id, lang, $WsSql AS ws FROM documents) t) t2
          ORDER BY doc_id""",
+
+    "text_langid_eval" ->
+      s"""WITH scored AS (
+           SELECT lang,
+             CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                  WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                  WHEN de > 0 AND de >= fr THEN 'de'
+                  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess
+           FROM (SELECT doc_id, lang, ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
+                   ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr
+                 FROM (SELECT doc_id, lang, $WsSql AS ws FROM documents) t) t2),
+         tt AS (SELECT lang, COUNT(*) AS n_true FROM scored GROUP BY lang)
+         SELECT s.lang, s.lang_guess, COUNT(*) AS n,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(tt.n_true) AS DOUBLE), 6) AS share_of_true
+         FROM scored s JOIN tt ON s.lang = tt.lang
+         GROUP BY s.lang, s.lang_guess
+         ORDER BY s.lang, s.lang_guess""",
 
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_hash,
