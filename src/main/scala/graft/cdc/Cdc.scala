@@ -257,8 +257,12 @@ object Cdc {
   def incrementalMinMax(
       events: DataFrame, groupCol: String, valueCol: String,
       groupType: Option[String] = None): DataFrame =
-    netCounts(events, groupCol, valueCol, groupType)
-      .filter(col("net") > 0)
+    minMaxFromNets(netCounts(events, groupCol, valueCol, groupType)
+      .filter(col("net") > 0))
+
+  /** MIN/MAX/COUNT read of a live (g, v, net) table. */
+  private[graft] def minMaxFromNets(netTable: DataFrame): DataFrame =
+    netTable
       .groupBy(col("g"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
         sum(col("net")).as("c"))
@@ -274,8 +278,12 @@ object Cdc {
   def incrementalDistinct(
       events: DataFrame, groupCol: String, valueCol: String,
       groupType: Option[String] = None): DataFrame =
-    netCounts(events, groupCol, valueCol, groupType)
-      .filter(col("net") > 0)
+    distinctFromNets(netCounts(events, groupCol, valueCol, groupType)
+      .filter(col("net") > 0))
+
+  /** COUNT DISTINCT read of a live (g, v, net) table. */
+  private[graft] def distinctFromNets(netTable: DataFrame): DataFrame =
+    netTable
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_distinct"), sum(col("net")).as("c"))
 
