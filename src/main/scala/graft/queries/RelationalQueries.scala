@@ -1225,6 +1225,72 @@ object RelationalQueries {
             col("rev_exact_d").cast("double") * 0.15).as("within_15pct"))
     }),
 
+    // Marketing attribution (last-touch): each purchase credits the most
+    // recent PRECEDING non-purchase touch of the same user (click / view /
+    // signup; 'direct' when nothing precedes) — the revenue-accounting
+    // query every event warehouse runs after the funnel. Scale shape: ONE
+    // user-keyed window pass (the same partitioning the funnel/retention
+    // family reuses) — no purchase×touch self-join; the IGNORE-NULLS
+    // last() over a preceding-rows frame carries the latest touch forward
+    // in-partition, and the final agg is channel-sized. Revenue sums as
+    // per-row DECIMAL(18,6) so the total is exact and order-independent
+    // on both engines; (ts, event_id) ordering pins same-instant ties.
+    "q71_attribution" -> ((s, d) => {
+      val dec = DecimalType(18, 6)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view", "signup", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast(dec)).cast("double"), 6).as("revenue"))
+        .orderBy(col("channel"))
+    }),
+
+    // Deequ-style data-quality expectation suite: the declarative audit a
+    // pipeline runs before trusting an ingest — completeness, pk
+    // uniqueness, value ranges, domain membership and referential
+    // integrity, emitted as one (check, violations, pass) report table.
+    // Scale shape: every scalar constraint FUSES into a single aggregate
+    // pass over the fact table (adding checks adds expressions, never
+    // scans); pk uniqueness rides the same pass as a distinct count on the
+    // key struct; the FK check is the only join — a left-anti on the
+    // orders key that AQE broadcasts when the dim side is small. The
+    // report itself is constraint-sized.
+    "q72_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val m = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_null_ship"),
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))).as("n_pk"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("v_flag"),
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("v_price"))
+      val fk = li.join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      m.crossJoin(broadcast(fk))
+        .select(expr(
+          """stack(6,
+               'pk_unique', n - n_pk,
+               'complete_shipdate', v_null_ship,
+               'range_quantity', v_qty,
+               'set_returnflag', v_flag,
+               'nonneg_extendedprice', v_price,
+               'fk_orders', v_fk) AS (check_name, n_violations)"""))
+        .withColumn("pass", col("n_violations") === 0)
+        .orderBy(col("check_name"))
+    }),
+
     // Chi-square independence test of event_type × hour-of-day — the
     // data-profiling / drift question "is activity mix time-dependent?"
     // as one statistic. χ² = Σ_cells (obs·n − rt·ct)² / (n·rt·ct): each
@@ -1738,6 +1804,42 @@ object RelationalQueries {
            abs(CAST(rev_s_d * 16 AS DOUBLE) - CAST(rev_exact_d AS DOUBLE))
              <= CAST(rev_exact_d AS DOUBLE) * 0.15 AS within_15pct
          FROM sm CROSS JOIN ex""",
+
+    "q71_attribution" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+           FROM events
+           WHERE event_type IN ('click', 'view', 'signup', 'purchase'))
+         SELECT COALESCE(touch, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q72_expectations" ->
+      """WITH m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_ship,
+             CAST(COUNT(DISTINCT (l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS BIGINT) AS n_pk,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+             CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+           FROM lineitem),
+         fk AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS v_fk FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+           SELECT 'pk_unique' AS check_name, n - n_pk AS n_violations FROM m
+           UNION ALL SELECT 'complete_shipdate', v_null_ship FROM m
+           UNION ALL SELECT 'range_quantity', v_qty FROM m
+           UNION ALL SELECT 'set_returnflag', v_flag FROM m
+           UNION ALL SELECT 'nonneg_extendedprice', v_price FROM m
+           UNION ALL SELECT 'fk_orders', v_fk FROM fk) r
+         ORDER BY check_name""",
 
     // exact int64 cell ratios, one division per cell, sorted fold —
     // identical operand order as the Spark side

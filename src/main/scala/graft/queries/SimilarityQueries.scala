@@ -534,6 +534,46 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // BFS shortest hop counts from the mutual-kNN graph's minimum vertex,
+    // bounded at 6 hops — the iterative traversal primitive (reachability,
+    // "how semantically far is this doc from a seed") that complements
+    // connected components (membership) and PageRank (centrality). Scale
+    // shape: classic frontier expansion — each hop is ONE join of the
+    // (tiny) frontier against the edge table plus an anti-join against
+    // visited, all distributed; the driver holds only loop control and the
+    // seed scalar, never vertex data, and the hop bound caps total work at
+    // 6 joins regardless of graph size (the persisted edge table is
+    // scanned once per hop, exactly how Pregel supersteps schedule).
+    "sim_bfs_hops" -> ((s, d) => {
+      val knn = knnEdges(s, d).select(col("src"), col("dst"))
+      val mutual = knn.as("x").join(knn.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .filter(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("a"), col("x.dst").as("b"))
+      val edges = mutual.select(col("a").as("u"), col("b").as("w"))
+        .unionByName(mutual.select(col("b").as("u"), col("a").as("w")))
+        .persist()
+      val source = edges.agg(min(col("u"))).head.getLong(0)
+      // localCheckpoint per hop: eager, truncates lineage — without it the
+      // anti-join chain re-derives every earlier hop (and the mutual join)
+      // once per level, the classic iterative-DataFrame blowup.
+      var visited = s.range(1).select(lit(source).as("v"), lit(0L).as("hops"))
+        .localCheckpoint()
+      var frontier = visited
+      for (h <- 1 to 6) {
+        val next = frontier.join(edges, frontier("v") === edges("u"))
+          .select(col("w").as("v"), lit(h.toLong).as("hops"))
+          .distinct()
+          .join(visited.select(col("v")), Seq("v"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      edges.unpersist()
+      visited.select(col("v").as("vec_id"), col("hops"))
+        .orderBy(col("vec_id"))
+    }),
+
     "sim_silhouette" -> ((s, d) => {
       val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1305,6 +1345,31 @@ object SimilarityQueries {
            UNION ALL SELECT z FROM tri)
          SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM verts GROUP BY vec_id ORDER BY vec_id""",
+
+    "sim_bfs_hops" ->
+      s"""WITH RECURSIVE knn AS (
+           SELECT src, dst FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+                 AS rank
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id) t
+           WHERE rank <= 3),
+         pairs AS (
+           SELECT x.src AS a, x.dst AS b FROM knn x JOIN knn y
+             ON x.src = y.dst AND x.dst = y.src
+           WHERE x.src < x.dst),
+         edges AS (SELECT a AS u, b AS w FROM pairs
+                   UNION SELECT b AS u, a AS w FROM pairs),
+         src AS (SELECT MIN(u) AS s FROM edges),
+         bfs AS (
+           SELECT s AS v, 0 AS h FROM src
+           UNION
+           SELECT e.w, bfs.h + 1 FROM bfs JOIN edges e ON e.u = bfs.v
+           WHERE bfs.h < 6)
+         SELECT v AS vec_id, CAST(MIN(h) AS BIGINT) AS hops
+         FROM bfs GROUP BY v ORDER BY vec_id""",
 
     "sim_knn_graph" ->
       s"""SELECT src, rank, dst, cos_sim FROM (

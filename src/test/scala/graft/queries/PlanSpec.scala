@@ -526,4 +526,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q71 attribution: one user-keyed window pass, no purchase×touch self-join") {
+    val p = plan("q71_attribution")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
+    assert(!p.contains("Join"), p)
+    // the event-type domain filter reaches the scan
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
+  }
+
+  test("q72 expectations: scalar checks fuse into one lineitem scan; FK is the only join") {
+    val p = plan("q72_expectations")
+    // exactly two lineitem scans: the fused scalar-constraint agg and the
+    // FK anti-join probe — adding scalar checks must not add scans
+    val scans = p.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans === 3, p) // lineitem ×2 + orders ×1
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -96,4 +96,24 @@ class QueriesSpec extends AnyFunSuite {
   test("flagship entry returns rows on sf0.001 (driver t1 smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("BFS invariants: unique source at hops 0, every level-h vertex has a level-(h-1) edge") {
+    val bfs = graft.SparkEntry.queries("sim_bfs_hops")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcs = bfs.filter(_._2 == 0L).keys.toSeq
+    assert(srcs.size === 1)
+    assert(srcs.head === bfs.keys.min) // seeded at the minimum vertex
+    // shortest-path property: a vertex discovered at hop h has at least
+    // one graph neighbor discovered at hop h-1 (frontier expansion), and
+    // no edge skips a level (|hops(u) - hops(v)| <= 1 for every edge)
+    val knn = graft.SparkEntry.queries("sim_knn_graph")(spark, d)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mutual = knn.toSet
+    val edges = knn.filter { case (a, b) => mutual.contains((b, a)) }
+    for ((u, v) <- edges if bfs.contains(u) && bfs.contains(v))
+      assert(math.abs(bfs(u) - bfs(v)) <= 1, s"edge ($u,$v) skips a BFS level")
+    for ((v, h) <- bfs if h > 0)
+      assert(edges.exists { case (a, b) => b == v && bfs.get(a).contains(h - 1) },
+        s"vertex $v at hop $h has no parent at hop ${h - 1}")
+  }
 }
