@@ -1680,6 +1680,38 @@ object Streams {
       }
   }
 
+  /** Streaming last-touch attribution, twin of `q71_attribution`: per-user
+    * state is the latest non-purchase touch channel (click/view/signup) —
+    * ONE string per user, no event retention — and each purchase EMITS its
+    * credited (channel, cents) as it arrives (append mode), 'direct' when
+    * no touch precedes. Rows apply in (ts, event_id) order within a batch,
+    * mirroring the batch query's window order; in-order delivery across
+    * batches is the log-ordered sources' contract (same as cepMatches).
+    * Value rides as integer CENTS so any downstream revenue sum is exact
+    * and order-independent. */
+  def attributionMatches(events: DataFrame): Dataset[(Long, Long, String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type").isin("click", "view", "signup", "purchase"))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String, Long, Long)],
+         gs: GroupState[String]) =>
+          var touch = gs.getOption.getOrElse("direct")
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+          it.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, _, tpe, id, cents) =>
+            if (tpe == "purchase") out += ((user, id, touch, cents))
+            else touch = tpe
+          }
+          gs.update(touch)
+          out.iterator
+      }
+  }
+
   /** Spark-4-native stateful processor (transformWithState): per-user
     * running (event count, value cents). State is ONE value per user —
     * the arbitrary-state API's replacement for mapGroupsWithState, with

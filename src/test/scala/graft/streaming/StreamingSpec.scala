@@ -165,6 +165,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming attribution credits exactly the batch channels across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Long, Double)]
+      .collect().sortBy(e => // in-order delivery at MICROSECOND precision
+        ((e._2.getTime / 1000) * 1000000L + e._2.getNanos / 1000, e._4))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String, Long, Double)]
+    val src = ms.toDS().toDF("user_id", "ts", "event_type", "event_id", "value")
+    val q = Streams.attributionMatches(src)
+      .toDF("user_id", "event_id", "channel", "cents")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    // integer cents sum exactly; /100.0 and the batch side's
+    // DECIMAL(18,6)-sum→double cast both round the same exact rational
+    val got = spark.sql(
+      """SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+         FROM attr_out GROUP BY channel""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = graft.SparkEntry.queries("q71_attribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("txn-atomic assembly emits one envelope per committed transaction") {
     val rel = Relation(7, "public", "acct", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
