@@ -1291,6 +1291,49 @@ object RelationalQueries {
         .orderBy(col("check_name"))
     }),
 
+    // pg_trgm-style fuzzy SELF-JOIN (record linkage): all pairs of distinct
+    // part names with character-trigram Jaccard ≥ 0.4, found by AllPairs/
+    // PPJoin PREFIX FILTERING — the exactness-preserving sub-quadratic
+    // set-similarity join. Each name keeps only its (sz − ⌈τ·sz⌉ + 1)
+    // globally-RAREST trigrams (rarest-first order by df, the classic
+    // prefix heuristic); any pair with Jaccard ≥ τ provably shares a
+    // prefix trigram, so the candidate join touches prefix posting lists
+    // only — stop-trigrams ("the"-grade df) fall out of every prefix and
+    // their df² term vanishes, which is what makes this survive where the
+    // naive shared-trigram join melts at scale. Verification is exact:
+    // sorted trigram arrays ride to the candidate pairs, one
+    // array_intersect per pair, one integer-ratio division (correctly
+    // rounded identically on both engines). Prefix length uses INTEGER
+    // arithmetic (τ = 2/5 ⇒ ⌈2·sz/5⌉ = (2·sz+4) DIV 5) — no float ceil.
+    "q73_fuzzy_join" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name").as("nm")).distinct()
+      val tg = names.select(col("nm").as("k"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(nm) - 2), i -> substring(lower(nm), i, 3))"))).as("t"))
+      val dfT = tg.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val arr = tg.groupBy(col("k"))
+        .agg(sort_array(collect_set(col("t"))).as("ts"))
+      val w = Window.partitionBy(col("k")).orderBy(col("df"), col("t"))
+      val pfx = tg.join(broadcast(dfT), "t")
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("k"))))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("sz") - expr("(sz * 2 + 4) DIV 5") + 1)
+        .select(col("k"), col("t"))
+      val cand = pfx.as("a").join(pfx.as("b"),
+          col("a.t") === col("b.t") && col("a.k") < col("b.k"))
+        .select(col("a.k").as("ka"), col("b.k").as("kb")).distinct()
+      cand
+        .join(arr.select(col("k").as("ka"), col("ts").as("ta")), "ka")
+        .join(arr.select(col("k").as("kb"), col("ts").as("tb")), "kb")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("sim",
+          col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")))
+        .filter(col("sim") >= 0.4)
+        .select(col("ka").as("name_a"), col("kb").as("name_b"),
+          col("inter").as("n_shared"), round(col("sim"), 6).as("trgm_sim"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
     // Chi-square independence test of event_type × hour-of-day — the
     // data-profiling / drift question "is activity mix time-dependent?"
     // as one statistic. χ² = Σ_cells (obs·n − rt·ct)² / (n·rt·ct): each
@@ -1840,6 +1883,26 @@ object RelationalQueries {
            UNION ALL SELECT 'nonneg_extendedprice', v_price FROM m
            UNION ALL SELECT 'fk_orders', v_fk FROM fk) r
          ORDER BY check_name""",
+
+    // the oracle generates candidates from ALL shared trigrams (naive,
+    // correct superset); the final tau filter decides membership on both
+    // engines, so the Spark side's prefix filter is proven lossless by the
+    // hash compare itself
+    "q73_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+         tg AS (
+           SELECT DISTINCT nm AS k, substr(lower(nm), CAST(i AS INT), 3) AS t
+           FROM names CROSS JOIN generate_series(1, 64) AS g(i)
+           WHERE i <= length(nm) - 2),
+         sz AS (SELECT k, COUNT(*) AS sz FROM tg GROUP BY k),
+         pairs AS (
+           SELECT a.k AS ka, b.k AS kb, COUNT(*) AS inter
+           FROM tg a JOIN tg b ON a.t = b.t AND a.k < b.k GROUP BY 1, 2)
+         SELECT ka AS name_a, kb AS name_b, CAST(inter AS BIGINT) AS n_shared,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS trgm_sim
+         FROM pairs JOIN sz sa ON ka = sa.k JOIN sz sb ON kb = sb.k
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4
+         ORDER BY name_a, name_b""",
 
     // exact int64 cell ratios, one division per cell, sorted fold —
     // identical operand order as the Spark side

@@ -527,6 +527,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q73 fuzzy join: candidates come from the rank-filtered prefix; verify is array math, no cross product") {
+    val p = plan("q73_fuzzy_join")
+    // prefix selection = a window rank over rarest-first trigrams
+    assert(p.linesIterator.exists(_.matches("\\(\\d+\\) Window.*")), p)
+    // exact verification happens on the pair rows via array_intersect —
+    // never a second posting-list join
+    assert(p.contains("array_intersect"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q71 attribution: one user-keyed window pass, no purchase×touch self-join") {
     val p = plan("q71_attribution")
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
