@@ -1334,6 +1334,41 @@ object RelationalQueries {
         .orderBy(col("name_a"), col("name_b"))
     }),
 
+    // Join-key SKEW PROFILE: the diagnosis a 100 TB operator runs BEFORE
+    // picking a join strategy (salt? broadcast? AQE skew split?) — per-key
+    // multiplicity distribution of lineitem's join key as one report row:
+    // key/row counts, max and exact p50/p99 multiplicity, the heaviest key,
+    // and the max/mean skew ratio. Scale shape: one key-keyed agg (the same
+    // shuffle the join itself would pay), then the multiplicity HISTOGRAM
+    // (m, n_keys) — a domain-sized frame (max rows per key, ~7 here) — so
+    // the unpartitioned quantile window runs over a handful of rows, never
+    // the corpus; the heavy key is a bounded TakeOrdered. All counts are
+    // exact integers; the one division is correctly rounded identically on
+    // both engines.
+    "q74_skew_profile" -> ((s, d) => {
+      val keyCounts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("m"))
+      val dist = keyCounts.groupBy(col("m")).agg(count(lit(1)).as("nk"))
+      val cumW = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy()
+      val cuts = dist
+        .withColumn("cum", sum(col("nk")).over(cumW))
+        .withColumn("n", sum(col("nk")).over(totW))
+        .agg(
+          min(when(col("cum") * 2 >= col("n"), col("m"))).as("p50_mult"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("m"))).as("p99_mult"),
+          max(col("m")).as("max_mult"),
+          sum(col("nk")).as("n_keys"),
+          sum(col("m") * col("nk")).as("n_rows"))
+      val top = keyCounts.orderBy(col("m").desc, col("l_orderkey")).limit(1)
+        .select(col("l_orderkey").as("top_key"), col("m").as("top_key_rows"))
+      cuts.crossJoin(broadcast(top))
+        .select(col("n_keys"), col("n_rows"), col("max_mult"),
+          col("p50_mult"), col("p99_mult"), col("top_key"), col("top_key_rows"),
+          round(col("max_mult") * col("n_keys") / col("n_rows"), 6).as("skew_ratio"))
+    }),
+
     // Chi-square independence test of event_type × hour-of-day — the
     // data-profiling / drift question "is activity mix time-dependent?"
     // as one statistic. χ² = Σ_cells (obs·n − rt·ct)² / (n·rt·ct): each
@@ -1903,6 +1938,29 @@ object RelationalQueries {
          FROM pairs JOIN sz sa ON ka = sa.k JOIN sz sb ON kb = sb.k
          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.4
          ORDER BY name_a, name_b""",
+
+    "q74_skew_profile" ->
+      """WITH kc AS (SELECT l_orderkey, COUNT(*) AS m FROM lineitem GROUP BY 1),
+         dist AS (SELECT m, COUNT(*) AS nk FROM kc GROUP BY m),
+         c AS (SELECT m, nk,
+             SUM(nk) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(nk) OVER () AS n
+           FROM dist),
+         cuts AS (SELECT
+             MIN(CASE WHEN cum * 2 >= n THEN m END) AS p50_mult,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN m END) AS p99_mult,
+             MAX(m) AS max_mult,
+             CAST(SUM(nk) AS BIGINT) AS n_keys,
+             CAST(SUM(m * nk) AS BIGINT) AS n_rows
+           FROM c),
+         top AS (SELECT l_orderkey AS top_key, m AS top_key_rows FROM kc
+                 ORDER BY m DESC, l_orderkey LIMIT 1)
+         SELECT n_keys, n_rows, CAST(max_mult AS BIGINT) AS max_mult,
+           CAST(p50_mult AS BIGINT) AS p50_mult,
+           CAST(p99_mult AS BIGINT) AS p99_mult,
+           top_key, CAST(top_key_rows AS BIGINT) AS top_key_rows,
+           round(CAST(max_mult * n_keys AS BIGINT) / n_rows, 6) AS skew_ratio
+         FROM cuts CROSS JOIN top""",
 
     // exact int64 cell ratios, one division per cell, sorted fold —
     // identical operand order as the Spark side
