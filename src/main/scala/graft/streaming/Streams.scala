@@ -1680,6 +1680,27 @@ object Streams {
       }
   }
 
+  /** Attach Debezium-style replication metrics to ANY envelope stream via
+    * `Dataset.observe` — the aggregates accumulate INSIDE the existing
+    * pass (no second scan, no state store) and surface per micro-batch in
+    * `StreamingQueryProgress.observedMetrics(name)` (batch: the
+    * Observation API). Tracked: event count, I/U/D/T mix, keyless DML
+    * rows (pk-extraction failures — the poison-pill alarm), TOAST-bearing
+    * updates, and the batch's LSN high-water mark. This is the zero-cost
+    * observability layer; `wireStatsSink` is the durable cross-batch
+    * counterpart. */
+  def observedEnvelope(events: DataFrame, name: String = "graft_cdc"): DataFrame =
+    events.observe(name,
+      count(lit(1)).as("n_events"),
+      sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+      sum(when(col("op") === "T", 1L).otherwise(0L)).as("n_truncates"),
+      sum(when(col("op").isin("I", "U", "D") && col("key").isNull, 1L)
+        .otherwise(0L)).as("n_keyless"),
+      sum(when(size(col("after_toasted")) > 0, 1L).otherwise(0L)).as("n_toasted"),
+      max(col("lsn")).as("max_lsn"))
+
   /** Streaming last-touch attribution, twin of `q71_attribution`: per-user
     * state is the latest non-purchase touch channel (click/view/signup) —
     * ONE string per user, no event retention — and each purchase EMITS its

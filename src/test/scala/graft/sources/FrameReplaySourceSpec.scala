@@ -70,6 +70,29 @@ class FrameReplaySourceSpec extends AnyFunSuite {
     assert(first.getAs[Int]("tx_id") === 1)
   }
 
+  test("observed metrics accumulate inside the pass and sum to the batch ground truth") {
+    val p = Files.createTempDirectory("flog").resolve("log.bin").toString
+    writeLog(p, 20) // 61 frames
+    val stream = spark.readStream.format("graft.sources.FrameReplayProvider")
+      .option("path", p).option("maxFramesPerTrigger", "7").load()
+    val q = graft.streaming.Streams.observedEnvelope(stream)
+      .writeStream.format("memory").queryName("observed_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // per-micro-batch metrics ride the progress events — no extra query ran
+    val metrics = q.recentProgress.toSeq
+      .flatMap(pr => Option(pr.observedMetrics.get("graft_cdc")))
+    assert(metrics.nonEmpty)
+    assert(metrics.map(_.getAs[Long]("n_events")).sum === 20L)
+    assert(metrics.map(_.getAs[Long]("n_inserts")).sum === 20L)
+    assert(metrics.map(_.getAs[Long]("n_updates")).sum === 0L)
+    assert(metrics.map(_.getAs[Long]("n_keyless")).sum === 0L)
+    assert(metrics.map(_.getAs[Long]("n_toasted")).sum === 0L)
+    // LSN high-water of the final batch = the log's last insert LSN
+    assert(metrics.map(_.getAs[Long]("max_lsn")).max === 201L)
+    assert(spark.sql("SELECT COUNT(*) FROM observed_out").first().getLong(0) === 20L)
+  }
+
   test("streaming with maxFramesPerTrigger: multiple batches, no loss, no dupes") {
     val p = Files.createTempDirectory("flog").resolve("log.bin").toString
     writeLog(p, 20) // 61 frames
