@@ -169,18 +169,24 @@ object Streams {
       nBuckets: Int = 64): Unit = {
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val spark = batch.sparkSession
+    val manifest = StateStore.load(stateDir)
+    // The modulus is part of the LAYOUT, so it lives in the manifest: a
+    // restart with a different nBuckets parameter (or a [[rebucketState]]
+    // migration) must never probe with a stale count — pruning under the
+    // wrong modulus would silently miss prior state and resurrect deleted
+    // keys. The parameter only seeds a fresh state.
+    val n = manifest.get("nbuckets").map(_.toInt).getOrElse(nBuckets)
     // One pass over the (small) batch: per-bucket presence + truncate flag.
     // A Truncate has no key — it clears the whole table, so it must touch
     // every bucket (the one legitimately O(state) operation).
     val probe = batch.agg(
-      collect_set(bucketOf(col("key"), keys, nBuckets)).as("bs"),
+      collect_set(bucketOf(col("key"), keys, n)).as("bs"),
       coalesce(max(when(col("op") === "T", true).otherwise(false)), lit(false)).as("hasT")).first()
     val hasTruncate = probe.getBoolean(1)
     val touched: Array[Long] =
-      if (hasTruncate) (0L until nBuckets).toArray
+      if (hasTruncate) (0L until n).toArray
       else probe.getSeq[Long](0).toArray
     if (touched.isEmpty) return
-    val manifest = StateStore.load(stateDir)
     // Pruning: only the touched buckets' version directories are opened.
     val existingDirs = touched.toSeq
       .flatMap(b => manifest.get(s"b$b")).map(v => s"$stateDir/$v")
@@ -188,7 +194,7 @@ object Streams {
       if (existingDirs.nonEmpty) Some(spark.read.parquet(existingDirs: _*))
       else None
     val compacted = mergeCompact(batch, existing, rel, keys)
-      .withColumn("__bucket", bucketOf(col("__key"), keys, nBuckets))
+      .withColumn("__bucket", bucketOf(col("__key"), keys, n))
     // Stage all recompacted buckets in one partitioned write, then promote
     // each produced bucket to its own uncommitted version directory.
     val stage = StateStore.newVersion("stage")
@@ -206,7 +212,43 @@ object Streams {
     }
     // One flip commits every touched bucket; the sweep reclaims the stage
     // remnants and the replaced bucket versions.
-    StateStore.commit(stateDir, entries)
+    StateStore.commit(stateDir, entries + ("nbuckets" -> n.toString))
+  }
+
+  /** One-shot ONLINE RE-BUCKETING of a bucketed upsert state: rewrites the
+    * layout from its current modulus to `newBuckets` and flips data +
+    * `nbuckets` in ONE manifest commit. The ops move when buckets outgrow
+    * their target size (the layout analog of a table format's
+    * re-clustering): deliberately O(state) — run rarely, between batches —
+    * while every [[mergeBatchBucketed]] before OR after it stays
+    * O(touched buckets) because the persisted `nbuckets` tells each merge
+    * which modulus the directories actually use. Crash-safe like every
+    * other state rewrite: staged dirs + promoted versions are invisible
+    * until the single manifest rename, and a crash mid-migration leaves
+    * the old layout fully live (orphans swept on the next commit). */
+  def rebucketState(spark: SparkSession, rel: Relation, stateDir: String,
+      newBuckets: Int): Unit = {
+    val keys = rel.keyColumnNames
+    val manifest = StateStore.load(stateDir)
+    val bucketEntries = manifest.filter { case (k, _) => k.matches("b\\d+") }
+    require(bucketEntries.nonEmpty, s"no bucketed state under $stateDir")
+    val st = spark.read.parquet(
+      bucketEntries.values.toSeq.sorted.map(v => s"$stateDir/$v"): _*)
+    val rebucketed = st
+      .withColumn("__bucket", bucketOf(col("__key"), keys, newBuckets))
+    val stage = StateStore.newVersion("stage")
+    rebucketed.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")
+    var entries = manifest -- bucketEntries.keys
+    (0 until newBuckets).foreach { b =>
+      val produced = new java.io.File(s"$stateDir/$stage/__bucket=$b")
+      if (produced.exists()) {
+        val v = StateStore.newVersion(s"b$b")
+        require(produced.renameTo(new java.io.File(s"$stateDir/$v")),
+          s"failed to promote re-bucketed bucket $b")
+        entries += (s"b$b" -> v)
+      }
+    }
+    StateStore.commit(stateDir, entries + ("nbuckets" -> newBuckets.toString))
   }
 
   /** [[cdcUpsertSink]] over the bucketed state layout. */

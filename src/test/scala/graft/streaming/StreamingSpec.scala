@@ -588,6 +588,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(32L) === "v32")
   }
 
+  test("re-bucketing migrates the layout atomically; later merges adopt the persisted modulus") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("rebucket")
+    val stateDir = dir.resolve("state").toString
+    val p1 = dir.resolve("log1.bin").toString
+    FrameLog.write(p1, Iterator(FrameLog.Entry(0, PgOutputEncoder.encode(rel))) ++
+      (1 to 32).iterator.map(i =>
+        FrameLog.Entry(10 + i, PgOutputEncoder.encode(
+          Insert(6, TupleData(Vector(t(i.toString), t(s"v$i"))))))))
+    val b1 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p1).load()
+    Streams.mergeBatchBucketed(b1, rel, Seq("id"), stateDir, nBuckets = 8)
+    def materialized(): Map[Long, String] =
+      Streams.materializedState(spark, rel, stateDir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val before = materialized()
+    assert(before.size === 32)
+    // migrate 8 → 16: same rows, new layout, nbuckets flips with the data
+    Streams.rebucketState(spark, rel, stateDir, newBuckets = 16)
+    assert(materialized() === before)
+    assert(StateStore.load(stateDir)("nbuckets") === "16")
+    // a later merge passing a STALE parameter (8) must adopt the persisted
+    // 16 — probing with the wrong modulus would miss key 1's bucket and
+    // resurrect the old value
+    val p2 = dir.resolve("log2.bin").toString
+    FrameLog.write(p2, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(100, PgOutputEncoder.encode(
+        Update(6, None, None, TupleData(Vector(t("1"), t("patched"))))))))
+    val b2 = spark.read.format("graft.sources.FrameReplayProvider").option("path", p2).load()
+    Streams.mergeBatchBucketed(b2, rel, Seq("id"), stateDir, nBuckets = 8)
+    val after = materialized()
+    assert(after(1L) === "patched")
+    assert(after.size === 32)
+    assert(StateStore.load(stateDir)("nbuckets") === "16")
+    // crash injected mid-migration: the 16-bucket layout stays fully live
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.rebucketState(spark, rel, stateDir, newBuckets = 4)
+    } finally StateStore.failBeforeCommit = false
+    assert(materialized() === after)
+    assert(StateStore.load(stateDir)("nbuckets") === "16")
+  }
+
   test("a crash between state write and manifest flip loses nothing (atomic swap)") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
