@@ -28,6 +28,7 @@ object StateStore {
 
   private val ManifestName = "MANIFEST"
   private val VersionPrefix = "v-"
+  private val SnapPrefix = "snap-"
 
   /** Test hook: simulate a crash after state files are written but before
     * the manifest flip (the window the protocol must make safe). */
@@ -48,24 +49,62 @@ object StateStore {
   }
 
   /** Atomically publish `entries` as the new manifest, then sweep every
-    * version directory the new manifest no longer references (previous
-    * versions and crash orphans). */
-  def commit(root: String, entries: Map[String, String]): Unit = {
+    * version directory no retained snapshot references (previous versions
+    * and crash orphans).
+    *
+    * `retain` > 1 keeps the newest `retain` committed manifests as
+    * immutable `snap-<seq>` files (written AFTER the flip — the manifest
+    * rename is always the one real commit, snapshots are its history), and
+    * the sweep spares every directory any retained snapshot still points
+    * at: [[loadSnapshot]] then reads a prior state version directly — the
+    * table-format time-travel/snapshot-isolation shape, with retention as
+    * the GC horizon. `retain = 1` (default) keeps history = current and
+    * sweeps exactly as before. */
+  def commit(root: String, entries: Map[String, String], retain: Int = 1): Unit = {
     val rootF = new File(root)
     rootF.mkdirs()
     if (failBeforeCommit)
       throw new IllegalStateException("injected crash before manifest commit")
-    val tmp = Files.createTempFile(rootF.toPath, ".manifest", ".tmp")
     val body = entries.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(rootF.toPath, ".manifest", ".tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, rootF.toPath.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val live = entries.values.toSet
+    // snapshot AFTER the commit point: a crash here costs history, never
+    // the committed state (and never exposes an uncommitted one)
+    val seq = snapshots(root).lastOption.getOrElse(0L) + 1
+    val stmp = Files.createTempFile(rootF.toPath, ".snap", ".tmp")
+    Files.writeString(stmp, body)
+    Files.move(stmp, rootF.toPath.resolve(s"$SnapPrefix$seq"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val keep = snapshots(root).takeRight(math.max(1, retain))
+    snapshots(root).filterNot(keep.contains)
+      .foreach(s => new File(rootF, s"$SnapPrefix$s").delete())
+    val live = entries.values.toSet ++
+      keep.flatMap(s => loadSnapshot(root, s).values)
     Option(rootF.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(VersionPrefix))
       .filterNot(d => live.contains(d.getName))
       .foreach(deleteRecursively)
+  }
+
+  /** Committed snapshot sequence numbers still retained, oldest first. */
+  def snapshots(root: String): Seq[Long] =
+    Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(SnapPrefix))
+      .map(_.getName.stripPrefix(SnapPrefix).toLong).sorted.toSeq
+
+  /** Manifest entries of retained snapshot `seq` (time-travel read). */
+  def loadSnapshot(root: String, seq: Long): Map[String, String] = {
+    val f = new File(root, s"$SnapPrefix$seq")
+    require(f.exists(), s"snapshot $seq not retained under $root")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.contains('=')).map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    finally src.close()
   }
 
   /** Fresh (never-reused) version directory name for a logical state name. */

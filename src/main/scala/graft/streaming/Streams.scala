@@ -35,13 +35,13 @@ object Streams {
     * the store for a format with transactional MERGE while `mergeBatch`
     * stays identical. */
   def cdcUpsertSink(envelope: DataFrame, rel: Relation, stateDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, retainSnapshots: Int = 1): StreamingQuery = {
     val keys = rel.keyColumnNames
     envelope.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, rel, keys, stateDir)
+        mergeBatch(batch, rel, keys, stateDir, retainSnapshots)
       }
       .start()
   }
@@ -87,7 +87,8 @@ object Streams {
   }
 
   private[streaming] def mergeBatch(
-      batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String): Unit = {
+      batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String,
+      retain: Int = 1): Unit = {
     // An envelope stream can interleave several relations (a frame log with
     // multiple tables) plus relation-less B/C markers (relation_id = -1);
     // merging foreign events under this table's key columns would produce
@@ -102,7 +103,7 @@ object Streams {
     val compacted = mergeCompact(batch, existing, rel, keys)
     val next = StateStore.newVersion("data")
     compacted.write.mode("overwrite").parquet(s"$stateDir/$next")
-    StateStore.commit(stateDir, Map("data" -> next))
+    StateStore.commit(stateDir, Map("data" -> next), retain)
   }
 
   /** (state rows ∪ batch events) → compacted state rows. Previous state rows
@@ -1616,6 +1617,23 @@ object Streams {
     val dirs = manifest.get("data").map(Seq(_)).getOrElse(
       manifest.collect { case (k, v) if k.startsWith("b") => v }.toSeq.sorted)
     require(dirs.nonEmpty, s"no committed state under $stateDir")
+    graft.decode.TypedView.ofAfter(
+      spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
+        .withColumnRenamed("__after", "after"), rel)
+  }
+
+  /** TIME-TRAVEL read: the materialized table as of retained snapshot
+    * `seq` (see `StateStore.commit(retain)`) — the table-format "SELECT …
+    * VERSION AS OF" shape. Snapshot manifests are immutable files and the
+    * GC spares every directory a retained snapshot references, so the read
+    * is just "load that manifest, read its dirs"; retention is the history
+    * horizon. */
+  def materializedStateAt(spark: SparkSession, rel: Relation, stateDir: String,
+      seq: Long): DataFrame = {
+    val manifest = StateStore.loadSnapshot(stateDir, seq)
+    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
+      manifest.collect { case (k, v) if k.startsWith("b") => v }.toSeq.sorted)
+    require(dirs.nonEmpty, s"snapshot $seq under $stateDir holds no data")
     graft.decode.TypedView.ofAfter(
       spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
         .withColumnRenamed("__after", "after"), rel)

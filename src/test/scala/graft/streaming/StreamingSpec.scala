@@ -634,6 +634,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(StateStore.load(stateDir)("nbuckets") === "16")
   }
 
+  test("snapshot retention enables time-travel reads; GC spares retained versions") {
+    val rel = Relation(6, "public", "m", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    def t(v: String) = ColumnData('t', Some(v))
+    val dir = Files.createTempDirectory("timetravel")
+    val stateDir = dir.resolve("state").toString
+    def log(path: String, entries: (Long, PgOutputMessage)*): org.apache.spark.sql.DataFrame = {
+      FrameLog.write(path, entries.iterator.map { case (lsn, m) =>
+        FrameLog.Entry(lsn, PgOutputEncoder.encode(m)) })
+      spark.read.format("graft.sources.FrameReplayProvider").option("path", path).load()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b1 = log(dir.resolve("l1.bin").toString, 0L -> rel,
+      11L -> Insert(6, TupleData(Vector(t("1"), t("a")))),
+      12L -> Insert(6, TupleData(Vector(t("2"), t("b")))))
+    val b2 = log(dir.resolve("l2.bin").toString, 0L -> rel,
+      21L -> Update(6, None, None, TupleData(Vector(t("1"), t("patched")))),
+      22L -> Insert(6, TupleData(Vector(t("3"), t("c")))))
+    val b3 = log(dir.resolve("l3.bin").toString, 0L -> rel,
+      31L -> Delete(6, 'K', TupleData(Vector(t("2")))))
+    Streams.mergeBatch(b1, rel, Seq("id"), stateDir, retain = 3)
+    Streams.mergeBatch(b2, rel, Seq("id"), stateDir, retain = 3)
+    Streams.mergeBatch(b3, rel, Seq("id"), stateDir, retain = 3)
+    val snaps = StateStore.snapshots(stateDir)
+    assert(snaps === Seq(1L, 2L, 3L))
+    // every retained version reads back exactly as it was committed
+    assert(rows(Streams.materializedStateAt(spark, rel, stateDir, 1L))
+      === Set((1L, "a"), (2L, "b")))
+    assert(rows(Streams.materializedStateAt(spark, rel, stateDir, 2L))
+      === Set((1L, "patched"), (2L, "b"), (3L, "c")))
+    assert(rows(Streams.materializedStateAt(spark, rel, stateDir, 3L))
+      === Set((1L, "patched"), (3L, "c")))
+    // the current read is snapshot 3
+    assert(rows(Streams.materializedState(spark, rel, stateDir))
+      === Set((1L, "patched"), (3L, "c")))
+    // three retained snapshots pin three version dirs
+    assert(new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v-")) === 3)
+    // dropping retention to 1 prunes history and sweeps the pinned dirs
+    val b4 = log(dir.resolve("l4.bin").toString, 0L -> rel,
+      41L -> Insert(6, TupleData(Vector(t("4"), t("d")))))
+    Streams.mergeBatch(b4, rel, Seq("id"), stateDir, retain = 1)
+    assert(StateStore.snapshots(stateDir) === Seq(4L))
+    assert(new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v-")) === 1)
+    assert(rows(Streams.materializedState(spark, rel, stateDir))
+      === Set((1L, "patched"), (3L, "c"), (4L, "d")))
+  }
+
   test("a crash between state write and manifest flip loses nothing (atomic swap)") {
     val rel = Relation(6, "public", "m", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
