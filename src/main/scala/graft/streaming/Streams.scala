@@ -1639,6 +1639,37 @@ object Streams {
         .withColumnRenamed("__after", "after"), rel)
   }
 
+  /** Version-to-version CHANGE EXTRACTION: the rows that differ between
+    * two retained snapshots, as (op, key columns, row image) — I for keys
+    * only in `seqB`, D for keys only in `seqA`, U where the image changed.
+    * This closes the loop with the ingest side (CDC builds the snapshots;
+    * the diff re-derives a change feed FROM them) — the "table_changes"
+    * read a downstream consumer uses when it can't tail the original
+    * stream. One full-outer pk join between two snapshot reads (same
+    * shape as cdc_state_audit), AQE-splittable; emits only divergent
+    * keys. */
+  def stateDiff(spark: SparkSession, rel: Relation, stateDir: String,
+      seqA: Long, seqB: Long): DataFrame = {
+    val keys = rel.keyColumnNames
+    val a = materializedStateAt(spark, rel, stateDir, seqA)
+    val b = materializedStateAt(spark, rel, stateDir, seqB)
+    val nonKey = rel.columns.map(_.name).filterNot(keys.contains)
+    val aP = a.select(keys.map(col) ++
+      Seq(struct(nonKey.map(col): _*).as("__a")): _*)
+    val bP = b.select(keys.map(col) ++
+      Seq(struct(nonKey.map(col): _*).as("__b")): _*)
+    aP.join(bP, keys, "full_outer")
+      .withColumn("op",
+        when(col("__a").isNull, lit("I"))
+          .when(col("__b").isNull, lit("D"))
+          // null-safe struct compare: a null FIELD inside an image must
+          // count as a difference, not poison the predicate to null
+          .when(!(col("__a") <=> col("__b")), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: keys.map(col) :+
+        coalesce(col("__b"), col("__a")).as("image"): _*)
+  }
+
   /** Event-time tumbling window aggregate with watermark (late data beyond
     * the watermark is dropped) — the streaming twin of q21. */
   def windowedCounts(events: DataFrame, watermark: String = "30 minutes",

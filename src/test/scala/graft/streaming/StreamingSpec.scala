@@ -674,6 +674,15 @@ class StreamingSpec extends AnyFunSuite {
     // three retained snapshots pin three version dirs
     assert(new java.io.File(stateDir).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("v-")) === 3)
+    // version-to-version change extraction re-derives the feed: between
+    // snapshot 1 and 3 key 1 changed, key 2 vanished, key 3 appeared
+    val diff = Streams.stateDiff(spark, rel, stateDir, 1L, 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getStruct(2)).map(_.getString(0)))).toSet
+    assert(diff === Set(("U", 1L, Some("patched")), ("D", 2L, Some("b")),
+      ("I", 3L, Some("c"))))
+    // identical versions diff to nothing
+    assert(Streams.stateDiff(spark, rel, stateDir, 3L, 3L).isEmpty)
     // dropping retention to 1 prunes history and sweeps the pinned dirs
     val b4 = log(dir.resolve("l4.bin").toString, 0L -> rel,
       41L -> Insert(6, TupleData(Vector(t("4"), t("d")))))
