@@ -726,4 +726,44 @@ object CdcPipeline {
     val fillToast = pattern.toastPriorityOnUpdate
     Cdc.materialize(events, ordersRelation, fillToast)
   }
+
+  /** Kafka-style LOG COMPACTION: reduce a decoded change log to ONE
+    * synthetic insert transaction per SURVIVING key — the final
+    * TOAST-repaired image, positioned at the key's last LSN — dropping
+    * superseded updates and collapsing deleted keys entirely (tombstone
+    * GC). The compaction contract: replaying the compacted log through the
+    * normal decode→compact pipeline materializes the SAME state as the
+    * full log (oracle-checked end-to-end by `cdc_compacted_replay`), while
+    * the log shrinks from O(history) to O(live keys) — what lets a new
+    * consumer bootstrap without reading a year of WAL. Scale shape:
+    * decode+compact is the standard one-pk-shuffle pipeline; re-encoding
+    * is a narrow per-partition map, each output partition self-contained
+    * behind its own leading Relation frame (decodeFrames' contract). LSNs
+    * rescale ×4 to make room for Begin/Commit framing while preserving the
+    * original total order. */
+  def compactFrames(events: DataFrame, rel: Relation): Dataset[(Long, Array[Byte])] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val names = rel.columns.map(_.name)
+    val st = Cdc.compactFillingToast(
+        events.filter(col("relationId") === rel.relationId), rel.keyColumnNames)
+      .select(col("lsn"), col("after")).as[(Long, Map[String, String])]
+    val relFrame = PgOutputEncoder.encode(rel)
+    st.mapPartitions { rows =>
+      val dml = rows.flatMap { case (lsn, after) =>
+        val tuple = TupleData(names.toVector.map { n =>
+          after.get(n) match {
+            case Some(v) if v != null => ColumnData('t', Some(v))
+            case _ => ColumnData('n', None)
+          }
+        })
+        val base = lsn * 4
+        Iterator(
+          base -> PgOutputEncoder.encode(Begin(base + 2, 0L, 1)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(rel.relationId, tuple)),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, 0L)))
+      }
+      Iterator.single(0L -> relFrame) ++ dml
+    }
+  }
 }

@@ -612,6 +612,21 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Log compaction round-trip: the full updates+deletes+TOAST log is
+    // compacted to one synthetic insert per surviving key (tombstones
+    // collapse, TOAST images repair), RE-ENCODED as pgoutput frames, and
+    // replayed through the untouched decode→compact pipeline. The final
+    // state must equal the full log's — the Kafka-compaction contract that
+    // lets a new consumer bootstrap from O(live keys) instead of
+    // O(history).
+    "cdc_compacted_replay" -> ((s, d) => {
+      val full = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
+        DmlPattern(updates = true, deletes = true, toastPriorityOnUpdate = true))).toDF()
+      val compacted = CdcPipeline.compactFrames(full, CdcPipeline.ordersRelation)
+      val events = CdcPipeline.decodeFrames(compacted).toDF()
+      finish(graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation))
+    }),
+
     "cdc_wire_stats" -> ((s, d) => {
       val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
         DmlPattern(updates = true, deletes = true))).toDF()
@@ -744,6 +759,12 @@ object CdcQueries {
            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
            o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+
+    "cdc_compacted_replay" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""",
 
     "cdc_chunked_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -36,6 +36,30 @@ class CdcSpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("log compaction: one txn per surviving key, tombstones collapse, TOAST repairs in the frames") {
+    import spark.implicits._
+    // id 1: insert + TOASTed update (v unchanged on the wire) → survives
+    //       with v repaired from the insert image
+    // id 2: insert + delete → tombstone-collapsed, no frames at all
+    // id 3: insert + two updates → one txn carrying only the LAST value
+    val events = Seq(
+      ev("I", 10, 0, "1", Map("id" -> "1", "v" -> "a")),
+      ev("U", 11, 0, "1", Map("id" -> "1"), toasted = Seq("v")),
+      ev("I", 20, 0, "2", Map("id" -> "2", "v" -> "b")),
+      ev("D", 21, 0, "2", null),
+      ev("I", 30, 0, "3", Map("id" -> "3", "v" -> "c")),
+      ev("U", 31, 0, "3", Map("id" -> "3", "v" -> "c2")),
+      ev("U", 32, 0, "3", Map("id" -> "3", "v" -> "c3")))
+    val compacted = CdcPipeline.compactFrames(spark.createDataset(events).toDF(), rel)
+    // 1 Relation frame per partition + 3 frames per surviving key (2 keys)
+    val frames = compacted.collect()
+    assert(frames.count(_._1 != 0L) === 6)
+    val replayed = Cdc.materialize(
+      CdcPipeline.decodeFrames(compacted).toDF(), rel)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(replayed === Map(1L -> "a", 3L -> "c3"))
+  }
+
   test("last-LSN-wins upsert; deleted keys disappear") {
     val out = compactIds(Seq(
       ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "a")),
