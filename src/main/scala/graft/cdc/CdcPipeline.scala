@@ -454,6 +454,42 @@ object CdcPipeline {
     }
   }
 
+  /** Poison-frame wire path: insert-only orders frames where deterministic
+    * keys carry values the typed view cannot accept — k % 13 == 0 renders
+    * o_totalprice as non-numeric text (uncoercible to float8), k % 17 == 0
+    * sends o_custkey as SQL NULL (a NOT NULL violation downstream). The
+    * dead-letter query routes these through `TypedView.ofAfterValidated`'s
+    * per-row error channel (T4) and keeps the pipeline running — where the
+    * reference's pydantic validation raises and stops its single-threaded
+    * callback loop (reference reader.py:274-292). */
+  def ordersToFramesCorrupted(
+      spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val commitTs = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        val priceCol = if (k % 13 == 0) t(s"bad-price-$k") else t(price.toString)
+        val custCol = if (k % 17 == 0) ColumnData('n', None) else t(cust.toString)
+        val tuple = TupleData(Vector(
+          t(k.toString), custCol, t(status), priceCol,
+          t(pgTimestampText(dateUs)), t(prio)))
+        Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, tuple)),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, commitTs)))
+      }
+      rel ++ dml
+    }
+  }
+
   /** Snapshot of orders taken in pk-range CHUNKS while the WAL streams —
     * the read side of the DBLog / Debezium "incremental snapshot"
     * algorithm. Chunk i covers keys [i·C, (i+1)·C); its select runs in a

@@ -59,6 +59,30 @@ object CdcQueries {
       finish(CdcPipeline.materializedOrders(s, d,
         DmlPattern(updates = true, deletes = true)))),
 
+    // Dead-letter channel end-to-end (T4 error routing): a wire path where
+    // k % 13 == 0 rows carry a non-numeric o_totalprice (cast error) and
+    // k % 17 == 0 rows a NULL o_custkey (NOT NULL violation). The typed
+    // view's validated projection (`TypedView.ofAfterValidated`) surfaces
+    // BOTH channels per row — typed values (null where uncoercible) plus a
+    // sorted error list — so bad rows quarantine to a dead-letter sink
+    // while clean rows keep flowing; the reference's pydantic validation
+    // (reader.py:274-292) instead raises and halts the whole loop. The
+    // oracle reconstructs typed values AND error strings from the source
+    // table, so a mis-flagged OR mis-typed row hash-fails. Scale shape:
+    // validation is a narrow codegen'd projection (try_cast per column) —
+    // no shuffle until the final presentation sort.
+    "cdc_dead_letter" -> ((s, d) => {
+      val env = CdcPipeline.decodeFrames(
+          CdcPipeline.ordersToFramesCorrupted(s, d)).toDF()
+        .filter(col("op") === "I")
+      graft.decode.TypedView.ofAfterValidated(env, CdcPipeline.ordersRelation,
+          notNull = Set("o_orderkey", "o_custkey"), toastedCol = "afterToasted")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          array_join(sort_array(col("_errors")), ",").as("errors"),
+          (size(col("_errors")) > 0).as("quarantined"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Updates whose new image TOASTs o_orderpriority ('u' category — value
     // not on the wire): compaction must repair it from the prior image
     // instead of conflating with NULL (SURVEY.md §7.2, the reference's bug).
@@ -640,6 +664,18 @@ object CdcQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Typed values null out exactly where the wire value was uncoercible;
+    // error strings concat in sorted order (cast_error < not_null).
+    "cdc_dead_letter" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+           concat_ws(',',
+             CASE WHEN o_orderkey % 13 = 0 THEN 'cast_error:o_totalprice' END,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'not_null:o_custkey' END) AS errors,
+           (o_orderkey % 13 = 0 OR o_orderkey % 17 = 0) AS quarantined
+         FROM orders ORDER BY o_orderkey""",
+
     "cdc_incremental_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct,
            COUNT(*) AS c

@@ -125,11 +125,20 @@ object TextQueries {
     (1 to 10).map(i => math.log(2) / math.log(i + 1.0))
 
   private[queries] def bm25Of(docs0: DataFrame, qterms: Seq[String]): DataFrame = {
+    import docs0.sparkSession.implicits._
+    bm25OverTerms(docs0, qterms.toDF("term"))
+  }
+
+  /** [[bm25Of]] with the query term set as a DataFrame (`term` column) —
+    * the form a data-dependent term set (pseudo-relevance-feedback
+    * expansion) needs: the tiny term table broadcasts into the tf filter,
+    * so no term list ever collects to the driver. */
+  private[queries] def bm25OverTerms(docs0: DataFrame, qterms: DataFrame): DataFrame = {
     val docs = withWords(docs0)
     val dl = docs.select(col("doc_id"), size(col("ws")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
-      .filter(col("term").isin(qterms: _*))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df_), "term")
@@ -975,6 +984,92 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser–Ney bigram perplexity (absolute discount
+    // D = 0.75) — the smoothing family real LM-based quality filters use
+    // (KenLM/CCNet are modified-KN): P(w1|w0) = max(c(w0w1)−D, 0)/c(w0·)
+    // + λ(w0)·P_cont(w1), λ(w0) = D·N1+(w0·)/c(w0·), P_cont(w1) =
+    // N1+(·w1)/|bigram types|. Scoring the training corpus itself means
+    // every scored bigram has c ≥ 1, so the discounted term is positive
+    // and the back-off interpolation is exercised on every term. Scale
+    // shape: corpus collapses to per-doc bigram counts; the four count
+    // tables (cb/cp/N1+pre/N1+post) are vocab-bounded and broadcast; the
+    // type total crosses as one row. Determinism: counts integer; p is a
+    // fixed-order chain of correctly-rounded double ops on both engines;
+    // per-doc terms fold SORTED; one division; round 6.
+    "text_kneser_ney" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = withWords(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
+      val bi = toks.withColumn("w1", lead("w0", 1).over(w))
+        .filter(col("w1").isNotNull)
+        .select(col("doc_id"), col("w0"), col("w1"))
+      val dk = bi.groupBy(col("doc_id"), col("w0"), col("w1"))
+        .agg(count(lit(1)).as("k"))
+      val cb = dk.groupBy(col("w0"), col("w1")).agg(sum(col("k")).as("cb"))
+      val cp = bi.groupBy(col("w0")).agg(count(lit(1)).as("cp"))
+      val n1pre = cb.groupBy(col("w0")).agg(count(lit(1)).as("n1pre"))
+      val n1post = cb.groupBy(col("w1")).agg(count(lit(1)).as("n1post"))
+      val nbt = cb.agg(count(lit(1)).as("nbt"))
+      val p = (col("cb").cast("double") - lit(0.75)) / col("cp").cast("double") +
+        lit(0.75) * col("n1pre").cast("double") / col("cp").cast("double") *
+          (col("n1post").cast("double") / col("nbt").cast("double"))
+      dk.join(broadcast(cb), Seq("w0", "w1"))
+        .join(broadcast(cp), Seq("w0"))
+        .join(broadcast(n1pre), Seq("w0"))
+        .join(broadcast(n1post), Seq("w1"))
+        .crossJoin(broadcast(nbt))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("k").cast("double") * log(p))).as("xs"),
+          sum(col("k")).as("n_bigrams"))
+        .withColumn("avg_nll", round(
+          -aggregate(col("xs"), lit(0.0), (a, x) => a + x) /
+            col("n_bigrams").cast("double"), 6))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          round(exp(col("avg_nll")), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Pseudo-relevance-feedback query expansion (Rocchio/RM flavor): BM25
+    // top-10 for the base query is the feedback set; its terms (minus the
+    // query's own) rank by feedback-tf × corpus-idf and the top-5 join the
+    // query; the corpus re-ranks under the expanded term set. All three
+    // stages are the SAME engines the retrieval family already gates
+    // (bm25Of / bm25OverTerms), so the expansion loop is fully distributed
+    // — the term set travels as a broadcast table, never a driver collect.
+    // Scale shape: feedback docs ≪ corpus (left-semi join on 10 ids);
+    // candidate terms are feedback-vocab-bounded; corpus df for candidates
+    // is one distinct+agg semi-joined down to that vocab; the re-rank is
+    // one more bm25 pass. Determinism: weights round 6, ties break on the
+    // term; both engines pick identical expansion sets or hash-fail.
+    "text_prf_expand" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val fb = bm25Of(docs, QueryTerms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"))
+      val words = withWords(docs)
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(length(col("term")) > 0)
+      val ft = words.join(broadcast(fb), Seq("doc_id"), "left_semi")
+        .filter(!col("term").isin(QueryTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt_fb"))
+      val cdf = words.select(col("doc_id"), col("term")).distinct()
+        .join(broadcast(ft.select(col("term"))), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val expTerms = ft.join(cdf, Seq("term")).crossJoin(broadcast(nDocs))
+        .withColumn("wt", round(col("cnt_fb").cast("double") *
+          log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))), 6))
+        .orderBy(col("wt").desc, col("term")).limit(5)
+        .select(col("term"))
+      val allTerms = QueryTerms.toDF("term").unionByName(expTerms)
+      bm25OverTerms(docs, allTerms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    }),
+
     // DoReMi-flavored domain reweighting — one multiplicative-weights step
     // of the "train on the domains the model finds hard" loop: each
     // source's loss proxy is its average unigram-LM NLL (the corpus-fit LM
@@ -1542,15 +1637,19 @@ object TextQueries {
          FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"""
 
   /** BM25 oracle SQL over an arbitrary (doc_id, text) corpus subquery —
-    * [[bm25Of]]'s DuckDB twin, shared by text_bm25 and cdc_bm25_serving. */
-  private[queries] def bm25Sql(corpusSql: String): String =
+    * [[bm25Of]]'s DuckDB twin, shared by text_bm25 and cdc_bm25_serving;
+    * `termsPred` swaps the query-term membership test (text_prf_expand
+    * filters against its expansion CTE instead of the literal list). */
+  private[queries] def bm25Sql(
+      corpusSql: String,
+      termsPred: String = s"term IN ($QueryTermsSql)"): String =
     s"""WITH corpus AS ($corpusSql),
          dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM corpus),
          st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
          tf AS (
            SELECT doc_id, term, COUNT(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus) t
-           WHERE term IN ($QueryTermsSql)
+           WHERE $termsPred
            GROUP BY doc_id, term),
          dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          sc AS (
@@ -1924,6 +2023,69 @@ object TextQueries {
            FROM pd)
          SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          FROM sc ORDER BY doc_id""",
+
+    // Same count tables as the Spark side; p's arithmetic is written in
+    // the exact same association so both engines round identically.
+    "text_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bi AS (
+           SELECT doc_id, ws[i] AS w0, ws[i+1] AS w1
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t) x),
+         dk AS (SELECT doc_id, w0, w1, COUNT(*) AS k FROM bi GROUP BY 1, 2, 3),
+         cb AS (SELECT w0, w1, CAST(SUM(k) AS BIGINT) AS cb FROM dk GROUP BY 1, 2),
+         cp AS (SELECT w0, COUNT(*) AS cp FROM bi GROUP BY 1),
+         n1pre AS (SELECT w0, COUNT(*) AS n1pre FROM cb GROUP BY 1),
+         n1post AS (SELECT w1, COUNT(*) AS n1post FROM cb GROUP BY 1),
+         nbt AS (SELECT COUNT(*) AS nbt FROM cb),
+         pd AS (
+           SELECT doc_id,
+             list_sort(list(CAST(k AS DOUBLE) * ln(
+               (CAST(cb AS DOUBLE) - 0.75) / CAST(cp AS DOUBLE) +
+               0.75 * CAST(n1pre AS DOUBLE) / CAST(cp AS DOUBLE) *
+                 (CAST(n1post AS DOUBLE) / CAST(nbt AS DOUBLE))))) AS xs,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams
+           FROM dk JOIN cb USING (w0, w1) JOIN cp USING (w0)
+             JOIN n1pre USING (w0) JOIN n1post USING (w1) CROSS JOIN nbt
+           GROUP BY doc_id),
+         sc AS (
+           SELECT doc_id, n_bigrams,
+             round(-list_reduce(xs, (a, b) -> a + b) / n_bigrams, 6) AS avg_nll
+           FROM pd)
+         SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
+         FROM sc ORDER BY doc_id""",
+
+    "text_prf_expand" ->
+      s"""WITH fb AS (
+           SELECT doc_id
+           FROM (${bm25Sql("SELECT doc_id, text FROM documents")}) p1
+           ORDER BY bm25 DESC, doc_id LIMIT 10),
+         words AS (
+           SELECT doc_id, term
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents) t
+           WHERE length(term) > 0),
+         ft AS (
+           SELECT term, COUNT(*) AS cnt_fb FROM words
+           WHERE doc_id IN (SELECT doc_id FROM fb)
+             AND term NOT IN ($QueryTermsSql)
+           GROUP BY term),
+         cdf AS (
+           SELECT term, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM words) dt
+           WHERE term IN (SELECT term FROM ft) GROUP BY term),
+         nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         ranked AS (
+           SELECT term, ROUND(CAST(cnt_fb AS DOUBLE) *
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5)), 6) AS wt
+           FROM ft JOIN cdf USING (term) CROSS JOIN nn),
+         expt AS (SELECT term FROM ranked ORDER BY wt DESC, term LIMIT 5),
+         allt AS (SELECT term FROM expt
+                  UNION SELECT unnest([$QueryTermsSql]) AS term)
+         SELECT doc_id, n_match, bm25
+         FROM (${bm25Sql("SELECT doc_id, text FROM documents",
+                          "term IN (SELECT term FROM allt)")}) p2
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
 
     "text_entropy" ->
       """WITH tf AS (

