@@ -492,6 +492,32 @@ object Cdc {
     compact(chunkEvents.unionByName(wal), keyColumns)
   }
 
+  /** Conflict resolution for ACTIVE-ACTIVE (multi-origin) replication:
+    * last-writer-wins by COMMIT TIMESTAMP, not LSN. When two sites both
+    * publish changes to one table, their LSNs live in unrelated WAL spaces
+    * — ordering across sites must come from commit time (the same clock
+    * Postgres's own `track_commit_timestamp` conflict resolution and
+    * BDR-style LWW use). Exact commit-ts ties (clock granularity) break
+    * deterministically toward the LOCAL node (null origin), then by
+    * (lsn, seq) within a site; a winning Delete removes the key.
+    *
+    * Scale shape: identical to [[compact]] — one pk-keyed shuffle, one
+    * row_number window over the merged streams; the only change is the
+    * ordering tuple. No cross-stream join: the union of the two WAL scans
+    * feeds one window, so merging N sites costs the same single shuffle. */
+  def lwwCompact(events: DataFrame, keyColumns: Seq[String]): DataFrame = {
+    val keyExprs = keyColumns.map(k => element_at(col("key"), k).as(s"__k_$k"))
+    val localFirst = when(col("origin").isNull, lit(1)).otherwise(lit(0))
+    val w = Window.partitionBy(keyColumns.map(k => col(s"__k_$k")): _*)
+      .orderBy(col("commitTsUs").desc, localFirst.desc,
+        col("lsn").desc, col("seq").desc)
+    events.filter(col("op").isin("I", "U", "D"))
+      .select(col("*") +: keyExprs: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .drop((keyColumns.map(k => s"__k_$k") :+ "__rn"): _*)
+  }
+
   /** Typed current-state view: compact then project through the relation
     * schema from the registry. */
   def materialize(

@@ -307,6 +307,64 @@ object CdcPipeline {
     }
   }
 
+  /** Active-active (bidirectional) replication wire shape: TWO sites
+    * publish changes to the same table and the subscriber merges both WAL
+    * streams. Site A (local, no Origin frame) inserts every row and
+    * updates k % 4 == 0 keys (+1.0) at commit ts +100µs (k % 8 == 0) or
+    * +300µs; site B (every txn marked Origin "site_b", its frames in a
+    * disjoint LSN region — LSNs are per-node WAL positions and NOT
+    * comparable across sites) updates k % 6 == 0 keys (+2.0) at +300µs
+    * (k % 12 == 0) or +200µs. The schedule is engineered so the merged log
+    * exercises every conflict case: remote-newer (k%24==0 → B wins),
+    * exact commit-ts TIE (k%12==0, k%24≠0 → both at +300µs — resolved by
+    * the deterministic site tiebreak), remote-only and local-only updates.
+    * Generation is one per-partition map over orders; both sites' frames
+    * for a key are rendered together, ordered into their own LSN spaces. */
+  def ordersToFramesBiDir(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    val SiteBBase = 1L << 41 // site B's WAL region, disjoint from site A's
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val baseA = k * 8
+        val baseB = SiteBBase + k * 8
+        val ts0 = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        def full(p: Double) = TupleData(Vector(
+          t(k.toString), t(cust.toString), t(status), t(p.toString),
+          t(pgTimestampText(dateUs)), t(prio)))
+        val insA = Seq(
+          baseA -> PgOutputEncoder.encode(Begin(baseA + 2, ts0, k.toInt)),
+          (baseA + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, full(price))),
+          (baseA + 2) -> PgOutputEncoder.encode(Commit(0, baseA + 2, baseA + 2, ts0)))
+        val updA = if (k % 4 == 0) {
+          val tsA = ts0 + (if (k % 8 == 0) 100L else 300L)
+          Seq(
+            (baseA + 3) -> PgOutputEncoder.encode(Begin(baseA + 5, tsA, k.toInt)),
+            (baseA + 4) -> PgOutputEncoder.encode(
+              Update(OrdersRelId, None, None, full(price + 1.0))),
+            (baseA + 5) -> PgOutputEncoder.encode(Commit(0, baseA + 5, baseA + 5, tsA)))
+        } else Nil
+        val updB = if (k % 6 == 0) {
+          val tsB = ts0 + (if (k % 12 == 0) 300L else 200L)
+          Seq(
+            baseB -> PgOutputEncoder.encode(Begin(baseB + 3, tsB, k.toInt)),
+            (baseB + 1) -> PgOutputEncoder.encode(Origin(baseB + 3, "site_b")),
+            (baseB + 2) -> PgOutputEncoder.encode(
+              Update(OrdersRelId, None, None, full(price + 2.0))),
+            (baseB + 3) -> PgOutputEncoder.encode(Commit(0, baseB + 3, baseB + 3, tsB)))
+        } else Nil
+        insA ++ updA ++ updB
+      }
+      rel ++ dml
+    }
+  }
+
   /** Two-phase-commit slice (protocol v3, PG 15 `two_phase on`): k % 6 == 0
     * rows arrive via PREPARE TRANSACTION later resolved by COMMIT PREPARED
     * (survive); k % 6 == 3 via PREPARE later ROLLBACK PREPARED (vanish);

@@ -651,6 +651,29 @@ object CdcQueries {
       finish(graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation))
     }),
 
+    // Active-active replication merge (bidirectional CDC, the BDR/pglogical
+    // deployment shape): two sites' WAL streams — site A local, site B
+    // origin-marked, in DISJOINT LSN spaces — merge under last-writer-wins
+    // by commit timestamp with a deterministic local-wins tiebreak
+    // (Cdc.lwwCompact). The generated schedule covers every conflict case:
+    // remote newer (k%24==0 → site B's +2.0 wins), exact-tie (k%12==0,
+    // k%24≠0: both commit at +300µs → local +1.0 wins), remote-only
+    // (k%6==0) and local-only (k%4==0) updates. `winner` records which
+    // site's write survived — the conflict-audit column an active-active
+    // deployment logs. A compaction that compared raw LSNs instead of
+    // commit time would let site B's huge WAL offsets win every conflict
+    // and hash-fail the tie/local-newer cases.
+    "cdc_multi_origin_lww" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesBiDir(s, d)).toDF()
+      graft.cdc.Cdc.lwwCompact(events, Seq("o_orderkey"))
+        .select(
+          element_at(col("after"), "o_orderkey").cast("bigint").as("o_orderkey"),
+          element_at(col("after"), "o_totalprice").cast("double").as("o_totalprice"),
+          coalesce(col("origin"), lit("local")).as("winner"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "cdc_wire_stats" -> ((s, d) => {
       val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
         DmlPattern(updates = true, deletes = true))).toDF()
@@ -681,6 +704,23 @@ object CdcQueries {
            COUNT(*) AS c
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Winner per key from the engineered conflict schedule (site A: k%4
+    // updates +1.0 at ts+100/+300; site B: k%6 updates +2.0 at ts+300 for
+    // k%12 else +200; ties → local): k%24 → B newer; k%12 → tie, local;
+    // k%6 → B only; k%4 → A only; else the insert stands.
+    "cdc_multi_origin_lww" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 24 = 0 THEN o_totalprice + 2.0
+                WHEN o_orderkey % 12 = 0 THEN o_totalprice + 1.0
+                WHEN o_orderkey % 6 = 0 THEN o_totalprice + 2.0
+                WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 24 = 0 THEN 'site_b'
+                WHEN o_orderkey % 12 = 0 THEN 'local'
+                WHEN o_orderkey % 6 = 0 THEN 'site_b'
+                ELSE 'local' END AS winner
+         FROM orders ORDER BY o_orderkey""",
 
     // Re-derives the wire schedule: each key k emits its insert at lsn
     // 8k+1 (own txn, xid k), k%10=0 an update at 8k+4, k%7=0 a delete at

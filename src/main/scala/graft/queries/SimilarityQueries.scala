@@ -258,6 +258,43 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Greedy k-center CORESET selection (Gonzalez farthest-point
+    // traversal): pick 8 maximally-spread vectors — seed = vec_id 0, then
+    // repeatedly the vector FARTHEST (squared L2) from every already-
+    // selected center (ties → min vec_id). The classic diversity/coverage
+    // subset selector for training-data curation (active-learning coreset,
+    // "don't fine-tune on 1M near-identical examples") with a 2-approx
+    // guarantee on the k-center objective. Each step's max-min distance
+    // (the covering radius as selection proceeds) is the output — the
+    // radius curve a curation run reports. Scale shape: k passes over the
+    // corpus, each a NARROW literal-centroid map + one all-reduce max (no
+    // shuffle at all — partial max map-side); centers are driver-held
+    // model state (k×dims doubles), exactly the lloydCentroids convention.
+    // Determinism: same left-to-right double fold as the oracle's DistSql;
+    // argmax tiebreak by min vec_id via lexicographic struct max.
+    "sim_kcenter" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seed = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      var centers = Vector[(Long, Seq[Double], Double)]((0L, seed, 0.0))
+      for (_ <- 2 to 8) {
+        val dmin = array_min(array(centers.map { case (_, c, _) => sqDist(c) }: _*))
+        val top = e
+          .agg(max(struct(dmin.as("d"), (lit(0L) - col("vec_id")).as("nid"),
+            col("embedding").as("emb")))).head().getStruct(0)
+        centers = centers :+ ((-top.getLong(1),
+          top.getSeq[Float](2).map(_.toDouble).toSeq, top.getDouble(0)))
+      }
+      val spark = s
+      import spark.implicits._
+      centers.zipWithIndex
+        .map { case ((id, _, dist), i) => (i + 1, id, dist) }
+        .toDF("step", "vec_id", "d0")
+        // Spark round ≡ DuckDB round on doubles (same half-away-from-zero)
+        .select(col("step"), col("vec_id"), round(col("d0"), 6).as("dist"))
+        .orderBy(col("step"))
+    }),
+
     // Embedding-corpus health: per-label centroids + cosine dispersion (the
     // drift/quality profile a pipeline runs before training on an embedding
     // store — collapsed or polluted labels show as low avg/min cosine).
@@ -1190,6 +1227,32 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" -> BruteAnnSql,
+
+    // unrolled farthest-point traversal: d_t = running min distance to the
+    // selected set (LEAST chain ≡ Spark's fresh array_min over all centers
+    // — min is associative over exact doubles), p_t = argmax with the
+    // min-vec_id tiebreak
+    "sim_kcenter" -> {
+      val steps = (2 to 8).map { t =>
+        val prev = s"d${t - 1}"
+        s""", p$t AS (SELECT vec_id, embedding, d FROM $prev
+               ORDER BY d DESC, vec_id LIMIT 1),
+             d$t AS (SELECT x.vec_id, x.embedding,
+                 LEAST(x.d, ${DistSql.format("x.embedding", "p.embedding")}) AS d
+               FROM $prev x CROSS JOIN p$t p)"""
+      }.mkString
+      val sel = (2 to 8).map(t =>
+        s"UNION ALL SELECT $t, vec_id, round(d, 6) FROM p$t").mkString("\n")
+      s"""WITH c1 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            d1 AS (SELECT e.vec_id, e.embedding,
+                ${DistSql.format("e.embedding", "c1.embedding")} AS d
+              FROM embeddings e CROSS JOIN c1)
+            $steps
+         SELECT * FROM (
+           SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id,
+             CAST(0.0 AS DOUBLE) AS dist
+           $sel) t ORDER BY step"""
+    },
 
     "sim_binary_ann" -> BinaryAnnSql,
 

@@ -543,6 +543,47 @@ object TextQueries {
         .limit(20)
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph — vertices are corpus terms, edges
+    // connect ADJACENT words (window 2) weighted by corpus-wide
+    // co-occurrence count — surfacing the terms most central to the
+    // corpus's phrase structure (keyword/keyphrase labeling for curation,
+    // topical tagging). Weighted power iteration in the same FIXED-POINT
+    // integer arithmetic as dedup_pagerank (1e12-scaled BIGINT ranks,
+    // contribution = (rank·w) div weighted-degree, floor division): every
+    // op is exact on both engines, so the 6-iteration numeric fixpoint is
+    // hash-exact — no float summation-order terms. Scale shape: the graph
+    // is VOCABULARY-sized (Zipf-bounded), not corpus-sized — one tokenize
+    // pass builds edge counts, then each iteration is one vocab-keyed join
+    // + agg; the corpus is scanned exactly once.
+    "text_textrank" -> ((s, d) => {
+      val toks = withWords(Tables.documents(s, d)).select(col("ws"))
+      val adj = toks.select(col("ws"), posexplode(col("ws")).as(Seq("i", "a")))
+        .filter(col("i") < size(col("ws")) - 1)
+        .withColumn("b", element_at(col("ws"), col("i") + 2))
+        .filter(length(col("a")) > 0 && length(col("b")) > 0 && col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+      val edges = adj.select(col("a").as("s"), col("b").as("t"))
+        .unionByName(adj.select(col("b").as("s"), col("a").as("t")))
+        .groupBy(col("s"), col("t")).agg(count(lit(1)).as("w"))
+      val wdeg = edges.groupBy(col("s")).agg(sum(col("w")).as("wd"))
+      val n = wdeg.count()
+      val base = 1000000000000L / math.max(n, 1L)
+      val tele = (15L * base) / 100L
+      val edgesD = edges.join(wdeg, "s").persist()
+      var r = wdeg.select(col("s").as("v"), lit(base).as("r"))
+      for (i <- 1 to 6) {
+        r = edgesD.join(r, edgesD("s") === r("v"))
+          .select(col("t"), expr("(r * w) div wd").as("c"))
+          .groupBy(col("t")).agg(sum(col("c")).as("sc"))
+          .select(col("t").as("v"), (lit(tele) + expr("(85 * sc) div 100")).as("r"))
+        if (i % 3 == 0) r = r.localCheckpoint()
+      }
+      edgesD.unpersist()
+      r.select(col("v").as("term"), col("r").cast("long").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("term")).limit(20)
+    }),
+
     "text_termfreq" -> ((s, d) => {
       withWords(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("ws")).as("term"))
@@ -2208,6 +2249,40 @@ object TextQueries {
            FROM tf JOIN df USING (term) CROSS JOIN n)
          SELECT doc_id, rn, term, tf, df, round(score, 6) AS tfidf
          FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    // weighted fixed-point power iteration, 6 steps unrolled as chained
+    // CTEs (the dedup_pagerank pattern); `//` and Spark's `div` agree on
+    // truncated division for non-negative operands
+    "text_textrank" -> {
+      val iters = (1 to 6).map { i =>
+        s""", tr$i AS (
+             SELECT e.t AS v,
+               CAST(tele.tp + (85 * SUM((p.r * e.w) // dd.wd)) // 100 AS BIGINT) AS r
+             FROM tr${i - 1} p
+             JOIN edges e ON p.v = e.s
+             JOIN wdeg dd ON dd.s = p.v
+             CROSS JOIN tele
+             GROUP BY e.t, tele.tp)"""
+      }.mkString
+      s"""WITH toks AS (SELECT $WsSql AS ws FROM documents),
+            adj AS (
+              SELECT p.a AS a, p.b AS b
+              FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> {'a': ws[i], 'b': ws[i+1]})) AS p FROM toks) t0
+              WHERE length(p.a) > 0 AND length(p.b) > 0 AND p.a <> p.b),
+            edges AS (
+              SELECT s, t, COUNT(*) AS w FROM (
+                SELECT a AS s, b AS t FROM adj
+                UNION ALL SELECT b AS s, a AS t FROM adj) u
+              GROUP BY s, t),
+            wdeg AS (SELECT s, CAST(SUM(w) AS BIGINT) AS wd FROM edges GROUP BY s),
+            nn AS (SELECT COUNT(*) AS n FROM wdeg),
+            tele AS (SELECT (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
+            tr0 AS (SELECT s AS v, (1000000000000 // n) AS r FROM wdeg CROSS JOIN nn)
+            $iters
+         SELECT v AS term, r AS rank_fp FROM tr6
+         ORDER BY rank_fp DESC, term LIMIT 20"""
+    },
 
     "text_termfreq" ->
       s"""SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs

@@ -76,6 +76,51 @@ class CdcSpec extends AnyFunSuite {
     assert(out === Map("1" -> "second"))
   }
 
+  // --- multi-origin last-writer-wins (active-active merge) ---
+
+  private def evAt(op: String, lsn: Long, tsUs: Long, origin: String,
+      id: String, after: Map[String, String]): ChangeEvent =
+    ChangeEvent(op, s"lww-$lsn", lsn, 0, 1, lsn, tsUs, "public", "t", 1,
+      Map("id" -> id), null, after, Nil, Nil, origin)
+
+  private def lwwIds(events: Seq[ChangeEvent]): Map[String, String] = {
+    import spark.implicits._
+    Cdc.lwwCompact(spark.createDataset(events).toDF(), Seq("id"))
+      .collect().map { r =>
+        val m = r.getMap[String, String](r.fieldIndex("after"))
+        m("id") -> m.getOrElse("v", null)
+      }.toMap
+  }
+
+  test("lww: commit timestamp outranks LSN across origins") {
+    // remote write at a HUGE lsn but an older commit ts must lose
+    val out = lwwIds(Seq(
+      evAt("I", 10, 1000L, null, "1", Map("id" -> "1", "v" -> "local-new")),
+      evAt("U", 1L << 50, 500L, "site_b", "1", Map("id" -> "1", "v" -> "remote-old"))))
+    assert(out === Map("1" -> "local-new"))
+    // and a remote write with a NEWER commit ts must win despite any lsn
+    val out2 = lwwIds(Seq(
+      evAt("I", 1L << 50, 500L, null, "1", Map("id" -> "1", "v" -> "local-old")),
+      evAt("U", 10, 1000L, "site_b", "1", Map("id" -> "1", "v" -> "remote-new"))))
+    assert(out2 === Map("1" -> "remote-new"))
+  }
+
+  test("lww: exact commit-ts tie breaks toward the local (null-origin) write") {
+    val out = lwwIds(Seq(
+      evAt("U", 10, 1000L, null, "1", Map("id" -> "1", "v" -> "local")),
+      evAt("U", 20, 1000L, "site_b", "1", Map("id" -> "1", "v" -> "remote"))))
+    assert(out === Map("1" -> "local"))
+  }
+
+  test("lww: a winning delete removes the key; a losing delete does not") {
+    val out = lwwIds(Seq(
+      evAt("I", 10, 1000L, null, "1", Map("id" -> "1", "v" -> "a")),
+      evAt("D", 20, 2000L, "site_b", "1", null),
+      evAt("I", 11, 3000L, null, "2", Map("id" -> "2", "v" -> "b")),
+      evAt("D", 21, 2500L, "site_b", "2", null)))
+    assert(out === Map("2" -> "b"))
+  }
+
   test("delete then re-insert at higher LSN resurrects the key") {
     val out = compactIds(Seq(
       ev("I", 10, 1, "1", Map("id" -> "1", "v" -> "a")),
