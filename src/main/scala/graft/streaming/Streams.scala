@@ -141,6 +141,75 @@ object Streams {
         ).as("__key"))
   }
 
+  /** ACTIVE-ACTIVE upsert sink: [[cdcUpsertSink]] with conflicts resolved
+    * by COMMIT TIMESTAMP instead of LSN ([[Cdc.lwwCompact]]) — the
+    * subscriber side of bidirectional replication, where several sites'
+    * streams merge into one table and LSNs live in unrelated per-site WAL
+    * spaces. State persists each key's winning (commit_ts, origin, lsn,
+    * seq) so a later micro-batch from EITHER site resolves against the
+    * stored winner exactly as it would against the live event; a winning
+    * delete removes the key. Images must be full rows (active-active
+    * update streams ship full images — unchanged-TOAST repair has no
+    * cross-site meaning). Same StateStore manifest crash safety as
+    * [[cdcUpsertSink]]; replay is idempotent — re-resolving an
+    * already-won conflict picks the same winner. */
+  def lwwUpsertSink(envelope: DataFrame, rel: Relation, stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val keys = rel.keyColumnNames
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeLwwBatch(batch, rel, keys, stateDir)
+      }
+      .start()
+  }
+
+  private[streaming] def mergeLwwBatch(batch0: DataFrame, rel: Relation,
+      keys: Seq[String], stateDir: String): Unit = {
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val spark = batch.sparkSession
+    val existing = StateStore.load(stateDir).get("data")
+      .map(v => spark.read.parquet(s"$stateDir/$v"))
+    // State rows re-enter as events carrying their WINNING ordering tuple
+    // (ts, origin, lsn, seq) — not a synthetic low-water mark: LWW must
+    // compare the stored winner against new events on the real clock.
+    val stateAsEvents = existing.map { st =>
+      st.select(
+        lit("I").as("op"),
+        concat_ws("-", col("__lsn"), col("__seq")).as("message_id"),
+        col("__lsn").as("lsn"), col("__seq").as("seq"),
+        lit(-1).as("tx_id"), lit(-1L).as("begin_lsn"),
+        col("__ts").as("commit_ts_us"),
+        lit(rel.namespace).as("namespace"), lit(rel.name).as("table"),
+        lit(rel.relationId).as("relation_id"),
+        col("__key").as("key"),
+        lit(null).cast(batch.schema("before").dataType).as("before"),
+        col("__after").as("after"),
+        lit(null).cast(batch.schema("before_toasted").dataType).as("before_toasted"),
+        lit(null).cast(batch.schema("after_toasted").dataType).as("after_toasted"),
+        col("__origin").as("origin"))
+    }
+    val all = stateAsEvents.map(_.unionByName(batch)).getOrElse(batch)
+    val renamed = all
+      .withColumnRenamed("tx_id", "txId").withColumnRenamed("begin_lsn", "beginLsn")
+      .withColumnRenamed("commit_ts_us", "commitTsUs")
+      .withColumnRenamed("relation_id", "relationId")
+      .withColumnRenamed("before_toasted", "beforeToasted")
+      .withColumnRenamed("after_toasted", "afterToasted")
+    val won = Cdc.lwwCompact(renamed, keys)
+      .select(
+        col("commitTsUs").as("__ts"), col("origin").as("__origin"),
+        col("lsn").as("__lsn"), col("seq").as("__seq"), col("after").as("__after"),
+        map_from_arrays(
+          expr("array(" + keys.map(k => s"'$k'").mkString(",") + ")"),
+          expr("array(" + keys.map(k => s"element_at(after, '$k')").mkString(",") + ")")
+        ).as("__key"))
+    val next = StateStore.newVersion("data")
+    won.write.mode("overwrite").parquet(s"$stateDir/$next")
+    StateStore.commit(stateDir, Map("data" -> next))
+  }
+
   /** Deterministic state bucket of a pk: xxhash64 over the key columns in
     * relation order, mod `nBuckets`. Any deterministic hash works (a
     * collision only co-locates keys); xxhash64 is codegen'd and cheap. */

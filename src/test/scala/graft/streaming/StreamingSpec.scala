@@ -479,6 +479,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("LWW sink across micro-batches equals the batch multi-origin merge") {
+    val dir = Files.createTempDirectory("cdclww")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val rel = graft.cdc.CdcPipeline.ordersRelation
+    // both sites' WAL interleaved in one replay log; small trigger cap so
+    // site B's conflicting updates land in LATER micro-batches and must
+    // resolve against persisted winners (ts compare, not lsn)
+    val frames = graft.cdc.CdcPipeline.ordersToFramesBiDir(spark, sfDir)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(1500))
+    val q = Streams.lwwUpsertSink(env, rel, stateDir, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.materializedState(spark, rel, stateDir)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.ordersToFramesBiDir(spark, sfDir)).toDF()
+    val expected = graft.cdc.Cdc.lwwCompact(events, Seq("o_orderkey"))
+      .select(element_at(col("after"), "o_orderkey").cast("long").as("k"),
+        element_at(col("after"), "o_totalprice").cast("double").as("p"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("seeded state + tail stream equals the backfill-then-tail batch union (S2 end-to-end)") {
     val dir = Files.createTempDirectory("cdcseed")
     val p = dir.resolve("log.bin").toString
