@@ -651,6 +651,31 @@ object CdcQueries {
       finish(graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation))
     }),
 
+    // Cross-table referential-integrity audit over TWO CDC-materialized
+    // states (the replication-drift monitor a multi-table deployment runs:
+    // logical replication applies tables independently, so a parent delete
+    // can leave child orphans in the subscriber's materialized views —
+    // there is no FK enforcement on the apply side). Orders arrive with
+    // k % 7 == 0 deleted; lineitem compacts its own update/delete pattern;
+    // the audit reports every surviving lineitem whose parent order no
+    // longer exists, with exact DECIMAL quantity totals (order-free sum).
+    // A dropped delete, resurrected key, or missed lineitem tombstone on
+    // EITHER wire path shifts a count and hash-fails. Scale shape: both
+    // states are the standard one-pk-shuffle compactions; the audit is one
+    // FK-keyed left-anti join + one hash agg — the same plan at any state
+    // size, incrementalizable via the join-view machinery if run per batch.
+    "cdc_fk_orphans" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val orders = CdcPipeline.materializedOrders(s, d, DmlPattern(deletes = true))
+        .select(col("o_orderkey"))
+      val items = CdcPipeline.materializedLineitem(s, d)
+      items.join(orders, items("l_orderkey") === orders("o_orderkey"), "left_anti")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_orphan_lines"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("orphan_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Active-active replication merge (bidirectional CDC, the BDR/pglogical
     // deployment shape): two sites' WAL streams — site A local, site B
     // origin-marked, in DISJOINT LSN spaces — merge under last-writer-wins
@@ -704,6 +729,18 @@ object CdcQueries {
            COUNT(*) AS c
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Orphans = surviving lineitems (own delete pattern applied) whose
+    // parent order was deleted (k % 7 == 0); quantities carry lineitem's
+    // own update pattern, summed as exact DECIMAL before the double cast.
+    "cdc_fk_orphans" ->
+      """SELECT l_orderkey, COUNT(*) AS n_orphan_lines,
+           CAST(SUM(CAST(CASE WHEN (l_orderkey + l_linenumber) % 5 = 0
+                              THEN l_quantity + 1.0 ELSE l_quantity END
+                         AS DECIMAL(28,6))) AS DOUBLE) AS orphan_qty
+         FROM lineitem
+         WHERE l_orderkey % 7 = 0 AND (l_orderkey + l_linenumber) % 9 <> 0
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
 
     // Winner per key from the engineered conflict schedule (site A: k%4
     // updates +1.0 at ts+100/+300; site B: k%6 updates +2.0 at ts+300 for

@@ -545,6 +545,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
   }
 
+  test("cdc_fk_orphans: the audit is one FK-keyed anti join, no cross product") {
+    val p = plan("cdc_fk_orphans")
+    assert(p.contains("LeftAnti"), p)
+    // the only nested-loop joins are the two compactions' 1-row truncate
+    // high-water broadcasts (by design); the audit itself must not add one
+    assert(!p.contains("CartesianProduct"), p)
+    // (formatted explain names each operator twice: tree + detail section)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("sim_kcenter: each greedy pass is a narrow literal-centroid map + all-reduce max (no shuffle join)") {
+    // The query runs its k-1 selection jobs at construction time; assert the
+    // per-pass aggregation shape directly: distance map over literals feeds
+    // a two-phase (partial + final) max — no join in the pass at all.
+    val e = graft.Tables.embeddings(spark, d)
+    val seed = Seq.fill(64)(0.1)
+    val dmin = org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.typedLit(seed),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      org.apache.spark.sql.functions.lit(0.0), (acc, v) => acc + v)
+    val pass = e.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.struct(
+        dmin.as("d"), (org.apache.spark.sql.functions.lit(0L) -
+          org.apache.spark.sql.functions.col("vec_id")).as("nid"))))
+    val p = pass.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), p)
+    // two-phase all-reduce: partial max per partition, final on one row/part
+    assert(p.contains("partial_max"), p)
+    assert("(Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q72 expectations: scalar checks fuse into one lineitem scan; FK is the only join") {
     val p = plan("q72_expectations")
     // exactly two lineitem scans: the fused scalar-constraint agg and the
