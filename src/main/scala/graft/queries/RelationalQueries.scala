@@ -1369,6 +1369,31 @@ object RelationalQueries {
           round(col("max_mult") * col("n_keys") / col("n_rows"), 6).as("skew_ratio"))
     }),
 
+    // First-order Markov transition matrix of user behavior: P(next event
+    // type | current event type) from per-user event sequences — the
+    // behavioral model behind next-action prediction, anomaly scoring
+    // ("this session's transitions are improbable"), and simulation. One
+    // user-keyed window pass (ts, event_id deterministic order) emits
+    // consecutive pairs; the (from, to) counts are DOMAIN-sized (|types|²),
+    // and row totals derive from the count table itself — the corpus is
+    // scanned once and shuffled once (the window's user partitioning).
+    // Determinism: probability is one correctly-rounded division of exact
+    // int64 counts, then round 6.
+    "q75_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("a"))
+        .withColumn("b", lead(col("a"), 1).over(w))
+        .filter(col("b").isNotNull)
+      val cnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val tot = cnt.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+      cnt.join(broadcast(tot), "a")
+        .select(col("a").as("from_type"), col("b").as("to_type"),
+          col("c_ab"), col("c_a"),
+          round(col("c_ab").cast("double") / col("c_a"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Chi-square independence test of event_type × hour-of-day — the
     // data-profiling / drift question "is activity mix time-dependent?"
     // as one statistic. χ² = Σ_cells (obs·n − rt·ct)² / (n·rt·ct): each
@@ -1961,6 +1986,20 @@ object RelationalQueries {
            top_key, CAST(top_key_rows AS BIGINT) AS top_key_rows,
            round(CAST(max_mult * n_keys AS BIGINT) / n_rows, 6) AS skew_ratio
          FROM cuts CROSS JOIN top""",
+
+    // one correctly-rounded division of exact int64 counts per cell
+    "q75_markov_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+           FROM events),
+         cnt AS (SELECT a, b, COUNT(*) AS c_ab FROM seq
+                 WHERE b IS NOT NULL GROUP BY a, b),
+         tot AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY a)
+         SELECT cnt.a AS from_type, cnt.b AS to_type, c_ab, c_a,
+           round(CAST(c_ab AS DOUBLE) / c_a, 6) AS p
+         FROM cnt JOIN tot ON cnt.a = tot.a
+         ORDER BY from_type, to_type""",
 
     // exact int64 cell ratios, one division per cell, sorted fold —
     // identical operand order as the Spark side

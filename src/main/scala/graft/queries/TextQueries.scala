@@ -543,6 +543,40 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Count-Min-Sketch term-frequency estimation (Cormode & Muthukrishnan):
+    // the BOUNDED-MEMORY point-frequency path for corpora whose vocabulary
+    // no longer fits a hash agg — the sketch is width×depth int64 counters
+    // REGARDLESS of corpus size, and Spark's count_min_sketch aggregate
+    // merges per-partition sketches map-side (TypedImperativeAggregate
+    // partial merge), so the full corpus is one narrow pass + a
+    // constant-size all-reduce. Verified with the error-envelope pattern
+    // (NOTES #6): for the top-20 exact terms, the one-sided CMS guarantee
+    // est ≥ exact must hold ALWAYS, and est ≤ exact + ε·N (ε = 0.001) holds
+    // with the sketch's confidence — both emitted as booleans the oracle
+    // expects TRUE (deterministic: fixed seed 42, fixed corpus). The exact
+    // counts themselves are hash-checked, so the gate carries real content.
+    "text_cms_freq" -> ((s, d) => {
+      val terms = withWords(Tables.documents(s, d))
+        .select(explode(col("ws")).as("term")).filter(length(col("term")) > 0)
+      val row = terms.agg(
+        count_min_sketch(col("term"), lit(0.001), lit(0.999), lit(42)).as("sk"),
+        count(lit(1)).as("n")).head()
+      val sketch = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(row.getAs[Array[Byte]](0))
+      val nTotal = row.getLong(1)
+      val top = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(20).collect()
+      val checked = top.toSeq.map { r =>
+        val t = r.getString(0); val ex = r.getLong(1)
+        val est = sketch.estimateCount(t)
+        (t, ex, est >= ex, est <= ex + 0.001 * nTotal)
+      }
+      val spark = s
+      import spark.implicits._
+      checked.toDF("term", "n_exact", "est_ge_exact", "est_within_eps")
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     // the word co-occurrence graph — vertices are corpus terms, edges
     // connect ADJACENT words (window 2) weighted by corpus-wide
@@ -2249,6 +2283,18 @@ object TextQueries {
            FROM tf JOIN df USING (term) CROSS JOIN n)
          SELECT doc_id, rn, term, tf, df, round(score, 6) AS tfidf
          FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    // error-envelope gate: exact top-20 counts + the CMS guarantees as
+    // booleans (the sketch itself is Spark-side state DuckDB cannot build;
+    // the oracle pins the exact counts and expects both bounds to hold)
+    "text_cms_freq" ->
+      s"""SELECT term, n_exact, TRUE AS est_ge_exact, TRUE AS est_within_eps
+         FROM (
+           SELECT term, COUNT(*) AS n_exact
+           FROM (SELECT unnest($WsSql) AS term FROM documents) t
+           WHERE length(term) > 0
+           GROUP BY term ORDER BY n_exact DESC, term LIMIT 20) x
+         ORDER BY n_exact DESC, term""",
 
     // weighted fixed-point power iteration, 6 steps unrolled as chained
     // CTEs (the dedup_pagerank pattern); `//` and Spark's `div` agree on
