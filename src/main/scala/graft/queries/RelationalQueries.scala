@@ -1369,6 +1369,39 @@ object RelationalQueries {
           round(col("max_mult") * col("n_keys") / col("n_rows"), 6).as("skew_ratio"))
     }),
 
+    // KLL quantile sketch (Karnin-Lang-Liberty, via Spark 4's datasketches
+    // integration): the MERGEABLE bounded-memory quantile path — per-group
+    // sketches build in one pass with map-side partial merges
+    // (kll_sketch_agg_double), hold O(k log n) values regardless of group
+    // size, and would merge across days/partitions with kll_sketch_merge —
+    // what replaces exact percentile's O(group) buffering at 100 TB (the
+    // q28 scale-path story, now with a second, merge-oriented sketch
+    // family). The sketch is RANDOMIZED (compaction coin flips), so its
+    // outputs never enter the hash; instead the gate re-ranks the sketch's
+    // p50/p95 against the data — one broadcast join of 3 rows back over
+    // the corpus — and asserts the normalized-rank error ≤ 0.05 (3× the
+    // k=400 sketch's 99%-confidence envelope: deterministic-in-practice).
+    // Hash-carried content: group sizes and the exact interpolated
+    // median (the q28 cross-engine percentile convention).
+    "q76_kll_quantiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(kll_sketch_agg_double(col("l_quantity"), lit(400)).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("q50"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.95)).as("q95"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("exact_p50"),
+          (abs(sum(when(col("l_quantity") <= col("q50"), 1L).otherwise(0L))
+            .cast("double") / first(col("n")) - 0.5) <= 0.05).as("p50_rank_ok"),
+          (abs(sum(when(col("l_quantity") <= col("q95"), 1L).otherwise(0L))
+            .cast("double") / first(col("n")) - 0.95) <= 0.05).as("p95_rank_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // First-order Markov transition matrix of user behavior: P(next event
     // type | current event type) from per-user event sequences — the
     // behavioral model behind next-action prediction, anomaly scoring
@@ -1986,6 +2019,15 @@ object RelationalQueries {
            top_key, CAST(top_key_rows AS BIGINT) AS top_key_rows,
            round(CAST(max_mult * n_keys AS BIGINT) / n_rows, 6) AS skew_ratio
          FROM cuts CROSS JOIN top""",
+
+    // envelope gate: the randomized sketch's outputs stay out of the hash;
+    // exact group sizes + interpolated median are pinned, the rank-error
+    // booleans must be TRUE
+    "q76_kll_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // one correctly-rounded division of exact int64 counts per cell
     "q75_markov_transitions" ->
