@@ -651,6 +651,39 @@ object CdcQueries {
       finish(graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation))
     }),
 
+    // TEMPORAL TABLE JOIN (the Flink `FOR SYSTEM_TIME AS OF` shape) served
+    // from CDC-maintained SCD2 history: each fact row carries its own
+    // event-time position (probe_lsn — here a per-line function of the key
+    // that lands before the dim's update, between update and delete, and
+    // after the delete), and the join picks the dim VERSION valid at that
+    // position — v1 prices for early probes, post-update prices mid-window,
+    // NULL after the delete closed the key's history. The dim versions come
+    // off the orders half of the joint wire log via scd2History. Scale
+    // shape: an equi-join on the dim key with the validity interval as a
+    // RESIDUAL predicate — versions per key are bounded (update count), so
+    // there is no row explosion and no range-join machinery; the history is
+    // the same one-pk-shuffle lead-window build every SCD2 consumer pays.
+    "cdc_temporal_join" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(CdcPipeline.jointOrdersFrames(s, d,
+        DmlPattern(updates = true, deletes = true))).toDF()
+      val hist = graft.cdc.Cdc.scd2History(events, Seq("o_orderkey"))
+        .select(col("__key_o_orderkey").cast("bigint").as("h_key"),
+          element_at(col("after"), "o_totalprice").cast("double").as("price"),
+          col("valid_from_lsn"), col("valid_to_lsn"))
+      val facts = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .withColumn("probe_lsn",
+          col("l_orderkey") * 16 + (col("l_linenumber") % 3) * 8 + lit(4))
+      facts.join(hist,
+          facts("l_orderkey") === hist("h_key") &&
+          hist("valid_from_lsn") <= col("probe_lsn") &&
+          (hist("valid_to_lsn").isNull || col("probe_lsn") < hist("valid_to_lsn")),
+          "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("probe_lsn"),
+          col("price").as("price_at_probe"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Cross-table referential-integrity audit over TWO CDC-materialized
     // states (the replication-drift monitor a multi-table deployment runs:
     // logical replication applies tables independently, so a parent delete
@@ -729,6 +762,22 @@ object CdcQueries {
            COUNT(*) AS c
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Version-at-probe is a pure function of the two key schedules: probes
+    // land before the update (v1), in the update-delete window, or after
+    // the delete (no valid version → NULL).
+    "cdc_temporal_join" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_orderkey * 16 + (l_linenumber % 3) * 8 + 4 AS probe_lsn,
+           CASE WHEN (l_linenumber % 3) = 0 THEN o_totalprice
+                WHEN (l_linenumber % 3) = 1 THEN
+                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END
+                WHEN o_orderkey % 7 = 0 THEN NULL
+                WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS price_at_probe
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber""",
 
     // Orphans = surviving lineitems (own delete pattern applied) whose
     // parent order was deleted (k % 7 == 0); quantities carry lineitem's
