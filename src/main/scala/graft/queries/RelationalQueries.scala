@@ -1369,6 +1369,33 @@ object RelationalQueries {
           round(col("max_mult") * col("n_keys") / col("n_rows"), 6).as("skew_ratio"))
     }),
 
+    // MERGEABLE distinct counting (datasketches HLL): per-(type, week)
+    // user sketches built in one pass (hll_sketch_agg), then the per-type
+    // total distinct answered by MERGING the weekly sketches
+    // (hll_union_agg) — the OLAP-cube pattern approx_count_distinct cannot
+    // express: precompute fine-grained sketch STATE once, answer any
+    // coarser rollup by union without touching raw data again (at 100 TB:
+    // daily sketches persist as bytes columns; month/quarter queries merge
+    // kilobytes). Verification: exact distincts are hash-pinned; the
+    // merged estimate must land within 5% (3× the lgK=12 sketch's 99%
+    // envelope; DataSketches HLL is hash-deterministic — no RNG).
+    "q77_hll_mergeable" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"), col("user_id"))
+      val weekly = ev
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = weekly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_weeks"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_weeks"), col("exact_distinct"),
+          (abs(col("est").cast("double") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("est_within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
     // KLL quantile sketch (Karnin-Lang-Liberty, via Spark 4's datasketches
     // integration): the MERGEABLE bounded-memory quantile path — per-group
     // sketches build in one pass with map-side partial merges
@@ -2019,6 +2046,15 @@ object RelationalQueries {
            top_key, CAST(top_key_rows AS BIGINT) AS top_key_rows,
            round(CAST(max_mult * n_keys AS BIGINT) / n_rows, 6) AS skew_ratio
          FROM cuts CROSS JOIN top""",
+
+    // exact distincts pinned; the sketch-union estimate rides only in the
+    // gated boolean (DuckDB cannot build DataSketches HLL bytes)
+    "q77_hll_mergeable" ->
+      """SELECT event_type,
+           COUNT(DISTINCT date_trunc('week', ts)) AS n_weeks,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS est_within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // envelope gate: the randomized sketch's outputs stay out of the hash;
     // exact group sizes + interpolated median are pinned, the rank-error

@@ -340,6 +340,95 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Random multi-origin mix: three sites (local + two remotes), heavy
+    * commit-ts collisions so every tiebreak level gets exercised. */
+  private def randomLwwEvents(rnd: Random, n: Int, keySpace: Int): Seq[ChangeEvent] = {
+    var seq = 0L
+    (1 to n).map { i =>
+      seq += 1
+      val key = (rnd.nextInt(keySpace) + 1).toString
+      val origin = rnd.nextInt(3) match {
+        case 0 => null
+        case 1 => "site_b"
+        case 2 => "site_c"
+      }
+      val lsn = i.toLong
+      val ts = rnd.nextInt(50).toLong // dense → many exact-ts conflicts
+      val op =
+        if (rnd.nextInt(5) == 0) "D" else if (rnd.nextBoolean()) "U" else "I"
+      val after = if (op == "D") null else Map("id" -> key, "v" -> s"v$i")
+      ChangeEvent(op, s"$lsn-$seq", lsn, seq, 1, lsn, ts, "public", "t", 1,
+        Map("id" -> key), null, after, Nil, Nil, origin)
+    }
+  }
+
+  /** Sequential LWW reference: apply in (commit_ts, local-first, lsn, seq)
+    * order; the last applied event per key is the winner. */
+  private def lwwInterpret(events: Seq[ChangeEvent]): Map[String, String] = {
+    val state = scala.collection.mutable.Map.empty[String, String]
+    events.sortBy(e =>
+        (e.commitTsUs, if (e.origin == null) 1 else 0, e.lsn, e.seq))
+      .foreach { e =>
+        e.op match {
+          case "D" => state.remove(e.key("id"))
+          case _ => state(e.key("id")) = e.after("v")
+        }
+      }
+    state.toMap
+  }
+
+  test("lwwCompact equals sequential commit-ts interpretation over random multi-origin mixes") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val rnd = new Random(500 + trial)
+      val events = randomLwwEvents(rnd, n = 400, keySpace = 30)
+      val expected = lwwInterpret(events)
+      val df = spark.createDataset(rnd.shuffle(events)).repartition(7).toDF()
+      val got = Cdc.lwwCompact(df, Seq("id")).collect().map { r =>
+        val m = r.getMap[String, String](r.fieldIndex("after"))
+        m("id") -> m("v")
+      }.toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("LWW state merge across random micro-batch splits equals the one-shot compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rel = Relation(1, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    (1 to 3).foreach { trial =>
+      val rnd = new Random(600 + trial)
+      val events = randomLwwEvents(rnd, n = 300, keySpace = 20)
+      val expected = lwwInterpret(events)
+      // arbitrary batch boundaries over arbitrary arrival order: LWW is a
+      // per-key max (a semilattice), so any split must converge to the
+      // same winners the one-shot compaction picks
+      val shuffled = rnd.shuffle(events)
+      val cuts = (Seq(0, shuffled.size) ++
+        Seq.fill(3)(rnd.nextInt(shuffled.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail)
+        .map { case (a, b) => shuffled.slice(a, b) }.filter(_.nonEmpty)
+      val stateDir = java.nio.file.Files.createTempDirectory(s"lwwprop$trial")
+        .resolve("state").toString
+      batches.foreach { b =>
+        val env = spark.createDataset(b).toDF()
+          .withColumnRenamed("messageId", "message_id")
+          .withColumnRenamed("txId", "tx_id")
+          .withColumnRenamed("beginLsn", "begin_lsn")
+          .withColumnRenamed("commitTsUs", "commit_ts_us")
+          .withColumnRenamed("relationId", "relation_id")
+          .withColumnRenamed("beforeToasted", "before_toasted")
+          .withColumnRenamed("afterToasted", "after_toasted")
+        graft.streaming.Streams.mergeLwwBatch(env, rel, Seq("id"), stateDir)
+      }
+      val got = graft.streaming.Streams.materializedState(spark, rel, stateDir)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("plain compact agrees on which keys survive (ignoring TOAST repair)") {
     import spark.implicits._
     val rnd = new Random(7)

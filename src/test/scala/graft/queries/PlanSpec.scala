@@ -555,6 +555,16 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
   }
 
+  test("cdc_temporal_join: versioned lookup is one equi-join with a residual validity predicate") {
+    val p = plan("cdc_temporal_join")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is scd2History's 1-row truncate broadcast
+    // (formatted explain names each operator twice: tree + detail)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("sim_kcenter: each greedy pass is a narrow literal-centroid map + all-reduce max (no shuffle join)") {
     // The query runs its k-1 selection jobs at construction time; assert the
     // per-pass aggregation shape directly: distance map over literals feeds
