@@ -504,17 +504,27 @@ object Cdc {
     * Scale shape: identical to [[compact]] — one pk-keyed shuffle, one
     * row_number window over the merged streams; the only change is the
     * ordering tuple. No cross-stream join: the union of the two WAL scans
-    * feeds one window, so merging N sites costs the same single shuffle. */
-  def lwwCompact(events: DataFrame, keyColumns: Seq[String]): DataFrame = {
+    * feeds one window, so merging N sites costs the same single shuffle.
+    *
+    * `keepTombstones = true` keeps a winning Delete as a row (op 'D',
+    * null after) instead of dropping the key — REQUIRED for incremental
+    * merging: sites' streams arrive with arbitrary relative timing, so an
+    * older-clock write can surface in a later batch than the delete it
+    * lost to; only a persisted tombstone lets that comparison happen
+    * (the classic LWW-element-set rule; reclaim tombstones only after the
+    * deployment's maximum cross-site lag). */
+  def lwwCompact(events: DataFrame, keyColumns: Seq[String],
+      keepTombstones: Boolean = false): DataFrame = {
     val keyExprs = keyColumns.map(k => element_at(col("key"), k).as(s"__k_$k"))
     val localFirst = when(col("origin").isNull, lit(1)).otherwise(lit(0))
     val w = Window.partitionBy(keyColumns.map(k => col(s"__k_$k")): _*)
       .orderBy(col("commitTsUs").desc, localFirst.desc,
         col("lsn").desc, col("seq").desc)
-    events.filter(col("op").isin("I", "U", "D"))
+    val winners = events.filter(col("op").isin("I", "U", "D"))
       .select(col("*") +: keyExprs: _*)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .filter(col("__rn") === 1)
+    (if (keepTombstones) winners else winners.filter(col("op") =!= "D"))
       .drop((keyColumns.map(k => s"__k_$k") :+ "__rn"): _*)
   }
 

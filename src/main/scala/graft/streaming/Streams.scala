@@ -165,18 +165,33 @@ object Streams {
       .start()
   }
 
-  private[streaming] def mergeLwwBatch(batch0: DataFrame, rel: Relation,
+  private[graft] def mergeLwwBatch(batch0: DataFrame, rel: Relation,
       keys: Seq[String], stateDir: String): Unit = {
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val spark = batch.sparkSession
     val existing = StateStore.load(stateDir).get("data")
       .map(v => spark.read.parquet(s"$stateDir/$v"))
-    // State rows re-enter as events carrying their WINNING ordering tuple
-    // (ts, origin, lsn, seq) — not a synthetic low-water mark: LWW must
-    // compare the stored winner against new events on the real clock.
+    val won = mergeLwwCompact(batch, existing, rel, keys)
+    val next = StateStore.newVersion("data")
+    won.write.mode("overwrite").parquet(s"$stateDir/$next")
+    StateStore.commit(stateDir, Map("data" -> next))
+  }
+
+  /** (LWW state rows ∪ batch events) → re-resolved winners. State rows
+    * re-enter as events carrying their WINNING ordering tuple (ts, origin,
+    * lsn, seq) — not a synthetic low-water mark: LWW must compare the
+    * stored winner against new events on the real commit clock. Winning
+    * DELETES persist as TOMBSTONE rows (__op 'D', null image): sites'
+    * streams interleave with arbitrary relative timing, so an older-clock
+    * write for a deleted key can arrive in a LATER micro-batch — without
+    * the tombstone it would resurrect the key (caught by the random-split
+    * property test). Tombstone GC belongs to ops policy: safe to reclaim
+    * once older than the deployment's maximum cross-site replication lag. */
+  private def mergeLwwCompact(batch: DataFrame, existing: Option[DataFrame],
+      rel: Relation, keys: Seq[String]): DataFrame = {
     val stateAsEvents = existing.map { st =>
       st.select(
-        lit("I").as("op"),
+        col("__op").as("op"),
         concat_ws("-", col("__lsn"), col("__seq")).as("message_id"),
         col("__lsn").as("lsn"), col("__seq").as("seq"),
         lit(-1).as("tx_id"), lit(-1L).as("begin_lsn"),
@@ -197,17 +212,84 @@ object Streams {
       .withColumnRenamed("relation_id", "relationId")
       .withColumnRenamed("before_toasted", "beforeToasted")
       .withColumnRenamed("after_toasted", "afterToasted")
-    val won = Cdc.lwwCompact(renamed, keys)
+    // __key comes from the envelope's key column (present on D events too —
+    // an after-image projection would lose tombstone keys)
+    Cdc.lwwCompact(renamed, keys, keepTombstones = true)
       .select(
+        col("op").as("__op"),
         col("commitTsUs").as("__ts"), col("origin").as("__origin"),
         col("lsn").as("__lsn"), col("seq").as("__seq"), col("after").as("__after"),
-        map_from_arrays(
-          expr("array(" + keys.map(k => s"'$k'").mkString(",") + ")"),
-          expr("array(" + keys.map(k => s"element_at(after, '$k')").mkString(",") + ")")
-        ).as("__key"))
-    val next = StateStore.newVersion("data")
-    won.write.mode("overwrite").parquet(s"$stateDir/$next")
-    StateStore.commit(stateDir, Map("data" -> next))
+        col("key").as("__key"))
+  }
+
+  /** Current LIVE rows of an LWW-merged state (either layout): tombstones
+    * filtered, images typed through the relation schema. */
+  def lwwState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
+      manifest.collect { case (k, v) if k.startsWith("b") && k != "nbuckets" => v }.toSeq.sorted)
+    require(dirs.nonEmpty, s"no committed state under $stateDir")
+    graft.decode.TypedView.ofAfter(
+      spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
+        .filter(col("__op") =!= "D")
+        .withColumnRenamed("__after", "after"), rel)
+  }
+
+  /** [[lwwUpsertSink]] over the bucketed state layout — the scale path:
+    * same pruning, staging, and one-flip manifest protocol as
+    * [[mergeBatchBucketed]] (per-batch cost O(touched buckets), modulus
+    * persisted in the manifest), with the LWW lift/compact swapped in.
+    * No Truncate fan-out here: active-active merge defines no cross-site
+    * truncate semantics (a truncate is not attributable to one writer's
+    * clock), so 'T' events are rejected up front rather than silently
+    * mis-merged. */
+  def lwwUpsertSinkBucketed(envelope: DataFrame, rel: Relation, stateDir: String,
+      checkpointDir: String, nBuckets: Int = 64): StreamingQuery = {
+    val keys = rel.keyColumnNames
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeLwwBatchBucketed(batch, rel, keys, stateDir, nBuckets)
+      }
+      .start()
+  }
+
+  private[graft] def mergeLwwBatchBucketed(
+      batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String,
+      nBuckets: Int = 64): Unit = {
+    val batch = batch0.filter(col("relation_id") === rel.relationId)
+    val spark = batch.sparkSession
+    val manifest = StateStore.load(stateDir)
+    val n = manifest.get("nbuckets").map(_.toInt).getOrElse(nBuckets)
+    val probe = batch.agg(
+      collect_set(bucketOf(col("key"), keys, n)).as("bs"),
+      coalesce(max(when(col("op") === "T", true).otherwise(false)), lit(false)).as("hasT")).first()
+    require(!probe.getBoolean(1),
+      "Truncate has no cross-site LWW semantics; filter 'T' events before the sink")
+    val touched: Array[Long] = probe.getSeq[Long](0).toArray
+    if (touched.isEmpty) return
+    val existingDirs = touched.toSeq
+      .flatMap(b => manifest.get(s"b$b")).map(v => s"$stateDir/$v")
+    val existing =
+      if (existingDirs.nonEmpty) Some(spark.read.parquet(existingDirs: _*))
+      else None
+    val won = mergeLwwCompact(batch, existing, rel, keys)
+      .withColumn("__bucket", bucketOf(col("__key"), keys, n))
+    val stage = StateStore.newVersion("stage")
+    won.write.mode("overwrite").partitionBy("__bucket").parquet(s"$stateDir/$stage")
+    var entries = manifest
+    touched.foreach { b =>
+      val produced = new java.io.File(s"$stateDir/$stage/__bucket=$b")
+      entries -= s"b$b"
+      if (produced.exists()) {
+        val v = StateStore.newVersion(s"b$b")
+        require(produced.renameTo(new java.io.File(s"$stateDir/$v")),
+          s"failed to promote staged bucket $b")
+        entries += (s"b$b" -> v)
+      }
+    }
+    StateStore.commit(stateDir, entries + ("nbuckets" -> n.toString))
   }
 
   /** Deterministic state bucket of a pk: xxhash64 over the key columns in

@@ -423,7 +423,7 @@ class CdcPropertySpec extends AnyFunSuite {
           .withColumnRenamed("afterToasted", "after_toasted")
         graft.streaming.Streams.mergeLwwBatch(env, rel, Seq("id"), stateDir)
       }
-      val got = graft.streaming.Streams.materializedState(spark, rel, stateDir)
+      val got = graft.streaming.Streams.lwwState(spark, rel, stateDir)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(got === expected, s"trial $trial")
     }

@@ -493,7 +493,7 @@ class StreamingSpec extends AnyFunSuite {
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(1500))
     val q = Streams.lwwUpsertSink(env, rel, stateDir, dir.resolve("ckpt").toString)
     q.processAllAvailable(); q.stop()
-    val got = Streams.materializedState(spark, rel, stateDir)
+    val got = Streams.lwwState(spark, rel, stateDir)
       .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val events = graft.cdc.CdcPipeline.decodeFrames(
@@ -505,6 +505,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.length === expected.length)
     assert(got.toSeq === expected.toSeq)
+  }
+
+  test("bucketed LWW sink equals the batch multi-origin merge; only touched buckets rewrite") {
+    val dir = Files.createTempDirectory("cdclwwb")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val rel = graft.cdc.CdcPipeline.ordersRelation
+    val frames = graft.cdc.CdcPipeline.ordersToFramesBiDir(spark, sfDir)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(1500))
+    val q = Streams.lwwUpsertSinkBucketed(env, rel, stateDir,
+      dir.resolve("ckpt").toString, nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.lwwState(spark, rel, stateDir)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val events = graft.cdc.CdcPipeline.decodeFrames(
+      graft.cdc.CdcPipeline.ordersToFramesBiDir(spark, sfDir)).toDF()
+    val expected = graft.cdc.Cdc.lwwCompact(events, Seq("o_orderkey"))
+      .select(element_at(col("after"), "o_orderkey").cast("long").as("k"),
+        element_at(col("after"), "o_totalprice").cast("double").as("p"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+    // a follow-up single-bucket batch must leave the other buckets' state
+    // directories untouched in the manifest
+    val before = StateStore.load(stateDir)
+    val oneKey = expected.head._1
+    val extra = graft.cdc.CdcPipeline.decodeFrames(
+        graft.cdc.CdcPipeline.ordersToFramesBiDir(spark, sfDir)).toDF()
+      .filter(col("op") === "I" &&
+        element_at(col("key"), "o_orderkey") === oneKey.toString)
+      .withColumnRenamed("messageId", "message_id")
+      .withColumnRenamed("txId", "tx_id")
+      .withColumnRenamed("beginLsn", "begin_lsn")
+      .withColumnRenamed("commitTsUs", "commit_ts_us")
+      .withColumnRenamed("relationId", "relation_id")
+      .withColumnRenamed("beforeToasted", "before_toasted")
+      .withColumnRenamed("afterToasted", "after_toasted")
+    Streams.mergeLwwBatchBucketed(extra, rel, Seq("o_orderkey"), stateDir, 8)
+    val after = StateStore.load(stateDir)
+    val changed = (0 until 8).count(b => before.get(s"b$b") != after.get(s"b$b"))
+    assert(changed === 1, s"expected exactly one bucket rewrite, got $changed")
   }
 
   test("seeded state + tail stream equals the backfill-then-tail batch union (S2 end-to-end)") {
