@@ -543,6 +543,43 @@ object TextQueries {
         .limit(20)
     }),
 
+    // T5-style SPAN CORRUPTION (Raffel et al.): turn each document into a
+    // denoising (input, target) training pair — 3-token spans are replaced
+    // by <extra_id_k> sentinels in the input, and the target lists each
+    // sentinel followed by the tokens it hid. Spans here are DETERMINISTIC
+    // (every 5th 3-token span, i.e. ~20% corruption rate at the T5-paper
+    // granularity) so both engines derive identical pairs — production
+    // would hash (doc_id, position) for pseudo-randomness with the same
+    // narrow-map shape. Scale: pure per-row array arithmetic over the
+    // token positions — no shuffle, no state, trivially parallel; exactly
+    // the shape a 100 TB pretraining-pair generation job wants.
+    "text_span_corrupt" -> ((s, d) => {
+      val docs = withWords(Tables.documents(s, d))
+        .withColumn("n", size(col("ws")))
+      // position p (0-based): span = p div 3; masked ⇔ span % 5 == 0;
+      // sentinel id = span div 5 (== p div 15)
+      val inputExpr = expr(
+        """array_join(filter(transform(sequence(0, n - 1), p ->
+             CASE WHEN ((p div 3) % 5) = 0 THEN
+               CASE WHEN p % 3 = 0
+                 THEN concat('<extra_id_', cast(p div 15 as string), '>')
+                 ELSE NULL END
+             ELSE element_at(ws, p + 1) END), x -> x IS NOT NULL), ' ')""")
+      val targetExpr = expr(
+        """array_join(flatten(filter(transform(sequence(0, n - 1), p ->
+             CASE WHEN ((p div 3) % 5) = 0 THEN
+               CASE WHEN p % 3 = 0
+                 THEN array(concat('<extra_id_', cast(p div 15 as string), '>'),
+                   element_at(ws, p + 1))
+                 ELSE array(element_at(ws, p + 1)) END
+             ELSE NULL END), x -> x IS NOT NULL)), ' ')""")
+      val nMaskedExpr = expr(
+        "size(filter(sequence(0, n - 1), p -> ((p div 3) % 5) = 0))")
+      docs.select(col("doc_id"), inputExpr.as("input"), targetExpr.as("target"),
+          nMaskedExpr.as("n_masked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Count-Min-Sketch term-frequency estimation (Cormode & Muthukrishnan):
     // the BOUNDED-MEMORY point-frequency path for corpora whose vocabulary
     // no longer fits a hash agg — the sketch is width×depth int64 counters
@@ -2283,6 +2320,29 @@ object TextQueries {
            FROM tf JOIN df USING (term) CROSS JOIN n)
          SELECT doc_id, rn, term, tf, df, round(score, 6) AS tfidf
          FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    // identical 0-based position arithmetic (p // 3, % 5, // 15); DuckDB
+    // lists are 1-indexed hence ws[p + 1]
+    "text_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, $WsSql AS ws, len($WsSql) AS n FROM documents)
+         SELECT doc_id,
+           COALESCE(array_to_string(list_filter(list_transform(range(0, n), p ->
+             CASE WHEN ((p // 3) % 5) = 0 THEN
+               CASE WHEN p % 3 = 0
+                 THEN '<extra_id_' || CAST(p // 15 AS VARCHAR) || '>'
+                 ELSE NULL END
+             ELSE ws[CAST(p AS INT) + 1] END), x -> x IS NOT NULL), ' '), '')
+             AS input,
+           COALESCE(array_to_string(flatten(list_filter(list_transform(range(0, n), p ->
+             CASE WHEN ((p // 3) % 5) = 0 THEN
+               CASE WHEN p % 3 = 0
+                 THEN ['<extra_id_' || CAST(p // 15 AS VARCHAR) || '>',
+                   ws[CAST(p AS INT) + 1]]
+                 ELSE [ws[CAST(p AS INT) + 1]] END
+             ELSE NULL END), x -> x IS NOT NULL)), ' '), '') AS target,
+           CAST(len(list_filter(range(0, n), p -> ((p // 3) % 5) = 0)) AS INT)
+             AS n_masked
+         FROM t ORDER BY doc_id""",
 
     // error-envelope gate: exact top-20 counts + the CMS guarantees as
     // booleans (the sketch itself is Spark-side state DuckDB cannot build;
