@@ -201,6 +201,59 @@ object CdcPipeline {
     }
   }
 
+  /** The orders relation after an `ALTER TABLE … DROP COLUMN
+    * o_orderpriority`: Postgres re-sends the Relation without the column. */
+  val ordersRelationV3: Relation = Relation(
+    OrdersRelId, "public", "orders", 'd',
+    ordersRelation.columns.filterNot(_.name == "o_orderpriority"))
+
+  /** Schema evolution, DROP COLUMN form: 6-column v1 inserts, then the
+    * 5-column Relation re-send, then k % 4 == 0 keys updated with 5-column
+    * images (totalprice + 2). Decode must NARROW the tuple→named-row
+    * projection at the re-send point; pre-drop rows still carry the dropped
+    * column in their stored images, and the post-drop typed view simply
+    * never projects it — no rewrite of historical state is needed (the
+    * same lazy-projection property that makes ADD COLUMN free). */
+  def ordersToFramesDropping(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relV1 = PgOutputEncoder.encode(ordersRelation)
+    val relV3 = PgOutputEncoder.encode(ordersRelationV3)
+
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rs = rows.toVector
+      val inserts = rs.iterator.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val commitTs = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, TupleData(Vector(
+            t(k.toString), t(cust.toString), t(status), t(price.toString),
+            t(pgTimestampText(dateUs)), t(prio))))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, commitTs)))
+      }
+      val updates = rs.iterator.filter(_._1 % 4 == 0)
+        .flatMap { case (k, cust, status, price, dateUs, _) =>
+          val base = k * 8
+          val commitTs = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+          Seq(
+            (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, commitTs, k.toInt)),
+            (base + 4) -> PgOutputEncoder.encode(Update(OrdersRelId, None, None,
+              TupleData(Vector(
+                t(k.toString), t(cust.toString), t(status), t((price + 2.0).toString),
+                t(pgTimestampText(dateUs)))))),
+            (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, commitTs)))
+        }
+      Iterator.single(0L -> relV1) ++ inserts ++
+        Iterator.single(1L -> relV3) ++ updates
+    }
+  }
+
   /** Protocol-v2 streamed-transaction slice: two large transactions stream
     * in INTERLEAVED segments (the wire shape `streaming on` produces when
     * concurrent bulk writes exceed `logical_decoding_work_mem`), one of them

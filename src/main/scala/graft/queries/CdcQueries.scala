@@ -481,6 +481,20 @@ object CdcQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Schema evolution, DROP COLUMN form: the 5-column Relation re-send
+    // narrows decode mid-stream; pre-drop rows keep the dropped column in
+    // their stored images and the post-drop typed view simply never
+    // projects it — no historical-state rewrite (the lazy-projection
+    // property that also makes ADD COLUMN free).
+    "cdc_schema_drop" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesDropping(s, d)).toDF()
+      graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelationV3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // SCD2 over the composite primary key (4-column pk through the wire
     // path): multi-column key extraction drives the history's per-key
     // window; LSNs COLLIDE across keys by construction (harmless — version
@@ -762,6 +776,13 @@ object CdcQueries {
            COUNT(*) AS c
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_schema_drop" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 2.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate
+         FROM orders ORDER BY o_orderkey""",
 
     // Version-at-probe is a pure function of the two key schedules: probes
     // land before the update (v1), in the update-delete window, or after
