@@ -565,6 +565,27 @@ object Streams {
     spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
   }
 
+  /** TEMPORAL TABLE LOOKUP served from [[scd2Sink]]-maintained state (the
+    * streaming-state half of `cdc_temporal_join`): each fact row's
+    * `probeLsn` picks the dim version whose validity interval covers it —
+    * Flink's `FOR SYSTEM_TIME AS OF` with the version store being the
+    * history this engine already maintains. Same scale shape as the batch
+    * twin: equi-join on the dim key, validity as a residual predicate,
+    * versions per key bounded. Facts probing past the open version's start
+    * see the open version; facts probing after a delete see nothing. */
+  def temporalLookup(facts: DataFrame, rel: Relation, stateDir: String,
+      factKey: org.apache.spark.sql.Column,
+      probeLsn: org.apache.spark.sql.Column): DataFrame = {
+    val keys = rel.keyColumnNames
+    require(keys.size == 1, "temporalLookup joins on a single-column dim key")
+    val hist = scd2State(facts.sparkSession, stateDir)
+    facts.join(hist,
+      element_at(hist("__key"), keys.head) === factKey.cast("string") &&
+        hist("valid_from_lsn") <= probeLsn &&
+        (hist("valid_to_lsn").isNull || probeLsn < hist("valid_to_lsn")),
+      "left")
+  }
+
   /** Online (at-ingest) exact dedup over a CDC document stream: every
     * arriving document gets a keep/drop decision against ALL previously
     * ingested content — the streaming twin of the batch dedup_exact /

@@ -507,6 +507,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("temporal lookup over scd2 sink state equals the batch temporal join") {
+    val dir = Files.createTempDirectory("cdctemporal")
+    val p = dir.resolve("log.bin").toString
+    val stateDir = dir.resolve("state").toString
+    val rel = graft.cdc.CdcPipeline.ordersRelation
+    val frames = graft.cdc.CdcPipeline.jointOrdersFrames(spark, sfDir,
+      graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(5000))
+    val q = Streams.scd2Sink(env, rel, stateDir, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val facts = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("probe_lsn",
+        col("l_orderkey") * 16 + (col("l_linenumber") % 3) * 8 + lit(4))
+    val got = Streams.temporalLookup(facts, rel, stateDir,
+        col("l_orderkey"), col("probe_lsn"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("probe_lsn"),
+        element_at(col("__after"), "o_totalprice").cast("double").as("price_at_probe"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).sortBy(t => (t._1, t._2, t._3))
+    val expected = graft.SparkEntry.queries("cdc_temporal_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).sortBy(t => (t._1, t._2, t._3))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("bucketed LWW sink equals the batch multi-origin merge; only touched buckets rewrite") {
     val dir = Files.createTempDirectory("cdclwwb")
     val p = dir.resolve("log.bin").toString
