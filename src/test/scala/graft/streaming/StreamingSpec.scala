@@ -837,6 +837,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(versions.length === 1, versions.mkString(", "))
   }
 
+  test("LWW merge crash publishes nothing; tombstones outlive the crash and block stale writes") {
+    import spark.implicits._
+    val rel = Relation(9, "public", "lw", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    val dir = Files.createTempDirectory("lwwcrash")
+    val stateDir = dir.resolve("state").toString
+    var seq = 0L
+    def ev(op: String, lsn: Long, ts: Long, origin: String, id: String,
+        v: String): ChangeEvent = {
+      seq += 1
+      val after = if (op == "D") null else Map("id" -> id, "v" -> v)
+      ChangeEvent(op, s"$lsn-$seq", lsn, seq, 1, lsn, ts, "public", "lw", 9,
+        Map("id" -> id), null, after, Nil, Nil, origin)
+    }
+    def env(events: ChangeEvent*): org.apache.spark.sql.DataFrame =
+      spark.createDataset(events).toDF()
+        .withColumnRenamed("messageId", "message_id")
+        .withColumnRenamed("txId", "tx_id")
+        .withColumnRenamed("beginLsn", "begin_lsn")
+        .withColumnRenamed("commitTsUs", "commit_ts_us")
+        .withColumnRenamed("relationId", "relation_id")
+        .withColumnRenamed("beforeToasted", "before_toasted")
+        .withColumnRenamed("afterToasted", "after_toasted")
+    def state(): Seq[(String, String)] =
+      Streams.lwwState(spark, rel, stateDir)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+
+    Streams.mergeLwwBatch(env(
+      ev("I", 10, 100, null, "1", "a"),
+      ev("I", 11, 200, "site_b", "2", "b")), rel, Seq("id"), stateDir)
+    assert(state() === Seq(("1", "a"), ("2", "b")))
+    // crash after the new version is written, before the manifest flip
+    val b2 = env(
+      ev("D", 1000, 300, "site_b", "2", null),
+      ev("I", 12, 50, null, "1", "stale"))
+    StateStore.failBeforeCommit = true
+    try intercept[IllegalStateException] {
+      Streams.mergeLwwBatch(b2, rel, Seq("id"), stateDir)
+    } finally StateStore.failBeforeCommit = false
+    assert(state() === Seq(("1", "a"), ("2", "b")), "crashed swap must not publish")
+    // replay resolves identically: stale write loses, delete tombstones 2
+    Streams.mergeLwwBatch(b2, rel, Seq("id"), stateDir)
+    assert(state() === Seq(("1", "a")))
+    // a pre-delete-clock write cannot resurrect the key; a newer one can
+    Streams.mergeLwwBatch(env(ev("I", 13, 250, null, "2", "res")),
+      rel, Seq("id"), stateDir)
+    assert(state() === Seq(("1", "a")), "tombstone must block the older write")
+    Streams.mergeLwwBatch(env(ev("I", 14, 400, null, "2", "new")),
+      rel, Seq("id"), stateDir)
+    assert(state() === Seq(("1", "a"), ("2", "new")))
+  }
+
   test("join view crash between bucket promote and manifest flip publishes nothing") {
     val relA = Relation(7, "public", "ja", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
