@@ -95,6 +95,21 @@ final class PgCdcTable(opts: Map[String, String]) extends Table with SupportsRea
   }
 }
 
+/** Postgres LSN text form ("XXXXXXXX/XXXXXXXX", e.g. "0/16B3748"): the
+  * notation `pg_current_wal_lsn()`, slot catalogs, and every PG doc use.
+  * The hi word is the xlog file id, the lo word the offset; both hex. The
+  * source accepts either this or a plain decimal in `startLsn`, so users
+  * can paste values straight from `pg_replication_slots`. */
+object PgLsn {
+  def parse(s: String): Long = s.split('/') match {
+    case Array(hi, lo) =>
+      (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+    case _ => s.toLong
+  }
+  def format(lsn: Long): String =
+    f"${lsn >>> 32}%X/${lsn & 0xffffffffL}%X"
+}
+
 final class PgCdcScan(opts: Map[String, String]) extends Scan {
   override def readSchema(): StructType = Envelope.schema
   override def description(): String = s"PgCdcScan(${opts.getOrElse("producer", "framelog")})"
@@ -110,7 +125,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
         PgJdbcReplication.requireDriver()
         new PgCdcMicroBatch(
           PgJdbcConduit.open(opts("dsn"), opts("slot"), opts("publication")),
-          opts.get("startLsn").map(_.toLong).getOrElse(0L),
+          opts.get("startLsn").map(PgLsn.parse).getOrElse(0L),
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,
@@ -118,7 +133,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
       case "conduit" =>
         new PgCdcMicroBatch(
           PgCdcConduits.acquire(opts("conduit.name")),
-          opts.get("startLsn").map(_.toLong).getOrElse(0L),
+          opts.get("startLsn").map(PgLsn.parse).getOrElse(0L),
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,

@@ -37,6 +37,20 @@ class PgCdcSourceSpec extends AnyFunSuite {
       "slot" -> "s", "publication" -> "p"))
   }
 
+  test("startLsn accepts Postgres X/Y text and plain decimal (PgLsn round trip)") {
+    // the notation pg_current_wal_lsn() / pg_replication_slots print
+    assert(PgLsn.parse("0/16B3748") === 0x16B3748L)
+    assert(PgLsn.parse("A/0") === (0xAL << 32))
+    assert(PgLsn.parse("FFFFFFFF/FFFFFFFF") === -1L) // full 64-bit range
+    assert(PgLsn.parse("12345") === 12345L)          // plain decimal too
+    assert(PgLsn.format(0x16B3748L) === "0/16B3748")
+    assert(PgLsn.format((0xAL << 32) | 0x1L) === "A/1")
+    // round trip over representative values
+    Seq(0L, 1L, 0x16B3748L, (0x7FFFL << 32) | 0xDEADBEEFL).foreach { l =>
+      assert(PgLsn.parse(PgLsn.format(l)) === l, s"round trip $l")
+    }
+  }
+
   test("pgcdc format with framelog producer streams envelope rows end-to-end") {
     val rel = Relation(3, "public", "t", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
