@@ -543,6 +543,32 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Tokenizer VOCAB-SIZING curve: what fraction of corpus token
+    // occurrences the top-k vocabulary covers, at k ∈ {5, 10, 20, 30}
+    // (sized to the synthetic corpus's vocab) — the OOV-rate estimate that decides vocab size before BPE
+    // training (the complement of coverage is the byte-fallback rate).
+    // Scale shape: one corpus tokenize pass collapses to VOCABULARY-sized
+    // counts; the rank window runs over vocab rows only (Zipf-bounded,
+    // the q74 domain-sized-window justification), and the total rides a
+    // 1-row broadcast. Determinism: running sums of exact int64 counts
+    // under a full (count desc, term) tiebreak; one division at the end.
+    "text_vocab_coverage" -> ((s, d) => {
+      val counts = withWords(Tables.documents(s, d))
+        .select(explode(col("ws")).as("term")).filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("term"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = counts.agg(sum(col("c")).as("n"))
+      ranked.filter(col("rk").isin(5, 10, 20, 30))
+        .crossJoin(broadcast(total))
+        .select(col("rk").as("vocab_k"), col("cum").as("n_covered"),
+          round(col("cum").cast("double") / col("n"), 6).as("coverage"))
+        .orderBy(col("vocab_k"))
+    }),
+
     // T5-style SPAN CORRUPTION (Raffel et al.): turn each document into a
     // denoising (input, target) training pair — 3-token spans are replaced
     // by <extra_id_k> sentinels in the input, and the target lists each
@@ -2320,6 +2346,23 @@ object TextQueries {
            FROM tf JOIN df USING (term) CROSS JOIN n)
          SELECT doc_id, rn, term, tf, df, round(score, 6) AS tfidf
          FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    // same full (count desc, term) tiebreak drives rank and running sum
+    "text_vocab_coverage" ->
+      s"""WITH c AS (
+           SELECT term, COUNT(*) AS c
+           FROM (SELECT unnest($WsSql) AS term FROM documents) t
+           WHERE length(term) > 0 GROUP BY term),
+         r AS (SELECT term, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM c),
+         t AS (SELECT SUM(c) AS n FROM c)
+         SELECT rk AS vocab_k, CAST(cum AS BIGINT) AS n_covered,
+           round(CAST(cum AS DOUBLE) / n, 6) AS coverage
+         FROM r CROSS JOIN t
+         WHERE rk IN (5, 10, 20, 30) ORDER BY vocab_k""",
 
     // identical 0-based position arithmetic (p // 3, % 5, // 15); DuckDB
     // lists are 1-indexed hence ws[p + 1]
