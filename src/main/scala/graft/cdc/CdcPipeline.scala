@@ -201,6 +201,53 @@ object CdcPipeline {
     }
   }
 
+  val OrdersP0RelId = 50011
+  val OrdersP1RelId = 50012
+
+  /** PARTITIONED-TABLE wire shape (PG ≤ 12 always, later versions unless
+    * `publish_via_partition_root`): each partition publishes under its OWN
+    * relation id/name (`orders_p0`, `orders_p1`), and the subscriber must
+    * union the children back into the logical parent. Keys route by
+    * parity; k % 10 == 0 rows are updated through their own partition's
+    * relation. The logical table's state is the union compacted on the
+    * shared pk — exactly what a consumer of a hash/range-partitioned
+    * upstream does. */
+  def ordersToFramesPartitioned(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    def childRel(id: Int, name: String) =
+      Relation(id, "public", name, 'd', ordersRelation.columns)
+    val rel0 = PgOutputEncoder.encode(childRel(OrdersP0RelId, "orders_p0"))
+    val rel1 = PgOutputEncoder.encode(childRel(OrdersP1RelId, "orders_p1"))
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rels = Iterator((0L, rel0), (0L, rel1))
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val relId = if (k % 2 == 0) OrdersP0RelId else OrdersP1RelId
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        def full(p: Double) = TupleData(Vector(
+          t(k.toString), t(cust.toString), t(status), t(p.toString),
+          t(pgTimestampText(dateUs)), t(prio)))
+        val ins = Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, ts, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(relId, full(price))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, ts)))
+        val upd = if (k % 10 == 0) Seq(
+          (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, ts, k.toInt)),
+          (base + 4) -> PgOutputEncoder.encode(
+            Update(relId, None, None, full(price + 1.0))),
+          (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, ts)))
+        else Nil
+        ins ++ upd
+      }
+      rels ++ dml
+    }
+  }
+
   /** The orders relation after an `ALTER TABLE … DROP COLUMN
     * o_orderpriority`: Postgres re-sends the Relation without the column. */
   val ordersRelationV3: Relation = Relation(

@@ -481,6 +481,21 @@ object CdcQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Partitioned upstream table: children publish under their OWN
+    // relation ids (orders_p0/orders_p1 — PG's pre-13 behavior, and later
+    // without publish_via_partition_root); the subscriber unions the child
+    // streams and compacts on the SHARED pk to materialize the logical
+    // parent. A consumer that keyed state by relation id instead of the
+    // logical table would split each key's history across two states and
+    // hash-fail the updates.
+    "cdc_partitioned_table" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+          CdcPipeline.ordersToFramesPartitioned(s, d)).toDF()
+        .filter(col("relationId").isin(
+          CdcPipeline.OrdersP0RelId, CdcPipeline.OrdersP1RelId))
+      finish(graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelation))
+    }),
+
     // Schema evolution, DROP COLUMN form: the 5-column Relation re-send
     // narrows decode mid-stream; pre-drop rows keep the dropped column in
     // their stored images and the post-drop typed view simply never
@@ -776,6 +791,13 @@ object CdcQueries {
            COUNT(*) AS c
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_partitioned_table" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
 
     "cdc_schema_drop" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
