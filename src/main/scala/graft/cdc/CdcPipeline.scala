@@ -201,6 +201,46 @@ object CdcPipeline {
     }
   }
 
+  /** orders with o_totalprice as NUMERIC(12,2) — the wire shape when the
+    * upstream column is a money-like decimal. atttypmod for numeric(p,s)
+    * is `((p << 16) | s) + 4` (public pg headers); TypedView must surface
+    * DecimalType(12,2), NOT the reference's lossy float (reader.py:69-70). */
+  val ordersRelationNumeric: Relation = Relation(
+    OrdersRelId, "public", "orders", 'd',
+    ordersRelation.columns.map(c =>
+      if (c.name == "o_totalprice")
+        RelationColumn(partOfKey = false, "o_totalprice",
+          TypedView.Oid.Numeric, ((12 << 16) | 2) + 4)
+      else c))
+
+  /** Insert-only wire path rendering o_totalprice as a scale-2 decimal
+    * string (what Postgres sends for NUMERIC(12,2)). */
+  def ordersToFramesNumeric(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelationNumeric)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        val priceTxt = java.math.BigDecimal.valueOf(price)
+          .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+        Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, ts, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, TupleData(Vector(
+            t(k.toString), t(cust.toString), t(status), t(priceTxt),
+            t(pgTimestampText(dateUs)), t(prio))))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, ts)))
+      }
+      rel ++ dml
+    }
+  }
+
   val OrdersP0RelId = 50011
   val OrdersP1RelId = 50012
 

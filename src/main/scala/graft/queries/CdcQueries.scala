@@ -481,6 +481,20 @@ object CdcQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // NUMERIC(p,s) through the typed view: the atttypmod carried on the
+    // Relation frame ((p<<16|s)+4) must surface as DecimalType(12,2) —
+    // exact money semantics — where the reference coerces every numeric to
+    // lossy float (reader.py:69-70). The oracle's DECIMAL(12,2) cast
+    // hash-matches only if the wire text, the typmod decode, and the
+    // Catalyst decimal all agree to the cent.
+    "cdc_numeric_typed" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesNumeric(s, d)).toDF()
+      graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelationNumeric)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Partitioned upstream table: children publish under their OWN
     // relation ids (orders_p0/orders_p1 — PG's pre-13 behavior, and later
     // without publish_via_partition_root); the subscriber unions the child
@@ -791,6 +805,10 @@ object CdcQueries {
            COUNT(*) AS c
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "cdc_numeric_typed" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+         FROM orders ORDER BY o_orderkey""",
 
     "cdc_partitioned_table" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
