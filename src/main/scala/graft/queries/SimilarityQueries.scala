@@ -295,6 +295,56 @@ object SimilarityQueries {
         .orderBy(col("step"))
     }),
 
+    // IVF nprobe TUNING SWEEP (the dedup_lsh_tuning pattern for the vector
+    // index): candidate volume and recall@3 at nprobe ∈ {1, 2, 4} from ONE
+    // shared assignment pass — the measured cost/recall curve that picks
+    // the serving operating point (more probed cells = linearly more scan,
+    // diminishing recall). Ground truth is the brute-force top-3. Scale
+    // shape: assignment is the usual broadcast-centroid pass; each sweep
+    // point reuses the persisted assignment and differs only in its probe
+    // filter — no re-scan of the corpus per point.
+    "sim_nprobe_sweep" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("crank", row_number().over(wAssign))
+        .persist()
+      val corpus = assigned.filter(col("crank") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"), col("embedding"), col("nrm"))
+      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val nTrue = brute.count()
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val rows = Seq(1, 2, 4).map { np =>
+        val probes = assigned.filter(col("vec_id") < 5 && col("crank") <= np)
+          .select(col("vec_id").as("q_id"), col("c_id").as("q_cell"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val cand = corpus.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        val top3 = cand
+          .withColumn("cos",
+            dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        (np, cand.count(),
+          top3.join(brute, Seq("q_id", "neighbor_id"), "left_semi").count(), nTrue)
+      }
+      assigned.unpersist()
+      val spark = s
+      import spark.implicits._
+      rows.toDF("nprobe", "n_candidates", "n_hits", "n_true")
+        .select(col("nprobe"), col("n_candidates"), col("n_hits"), col("n_true"),
+          round(col("n_hits").cast("double") / col("n_true"), 6).as("recall_at_3"))
+        .orderBy(col("nprobe"))
+    }),
+
     // Embedding-corpus health: per-label centroids + cosine dispersion (the
     // drift/quality profile a pipeline runs before training on an embedding
     // store — collapsed or polluted labels show as low avg/min cosine).
@@ -1476,6 +1526,43 @@ object SimilarityQueries {
          FROM ($SigSql) t GROUP BY sig ORDER BY sig""",
 
     "sim_ivf_ann" -> s"$IvfAnnSql",
+
+    // one assigned table, three probe filters; each sweep point re-ranks
+    // inside its probed cells exactly as IvfAnnSql does
+    "sim_nprobe_sweep" -> {
+      def block(np: Int) =
+        s"""SELECT $np AS nprobe,
+             (SELECT COUNT(*) FROM corpus c JOIN probes$np p
+                ON c.cell = p.q_cell AND c.vec_id <> p.q_id) AS n_candidates,
+             (SELECT COUNT(*) FROM (
+                SELECT p.q_id, c.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY p.q_id
+                    ORDER BY ${cosSql("c.embedding", "p.q_emb")} DESC, c.vec_id) AS rank
+                FROM corpus c JOIN probes$np p
+                  ON c.cell = p.q_cell AND c.vec_id <> p.q_id) t
+              JOIN b3 ON t.q_id = b3.q_id AND t.vec_id = b3.neighbor_id
+              WHERE t.rank <= 3) AS n_hits,
+             (SELECT COUNT(*) FROM b3) AS n_true"""
+      def probes(np: Int) =
+        s"""probes$np AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell
+             FROM assigned WHERE vec_id < 5 AND crank <= $np)"""
+      s"""WITH brute AS ($BruteAnnSql),
+           b3 AS (SELECT q_id, neighbor_id FROM brute WHERE rank <= 3),
+           cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+                     FROM embeddings WHERE vec_id < 8),
+           assigned AS (
+             SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
+             FROM embeddings e CROSS JOIN cents c),
+           corpus AS (SELECT vec_id, embedding, c_id AS cell
+                      FROM assigned WHERE crank = 1),
+           ${probes(1)}, ${probes(2)}, ${probes(4)}
+         SELECT nprobe, n_candidates, n_hits, n_true,
+           round(CAST(n_hits AS DOUBLE) / n_true, 6) AS recall_at_3
+         FROM (${block(1)} UNION ALL ${block(2)} UNION ALL ${block(4)}) u
+         ORDER BY nprobe"""
+    },
 
     "sim_label_centroids" ->
       s"""WITH ex AS (
