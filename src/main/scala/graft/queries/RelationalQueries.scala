@@ -1396,6 +1396,90 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Large×large interval OVERLAP join via BINNING — the scale path for
+    // range/interval joins where NEITHER side fits a broadcast (q29's
+    // broadcast form stops at fact-sized interval tables). An overlap
+    // predicate has no equi-key, so the naive plan is a nested-loop /
+    // cartesian — O(n²) and a non-starter at 100 TB. Instead every
+    // session interval emits the 1-hour grid cells it covers and the join
+    // becomes an EQUI-join on the cell id: a plain shuffled hash join
+    // whose cost is Σ cells + Σ per-cell pairs (bounded by instantaneous
+    // concurrency, not corpus size). The classic duplicate problem (a
+    // pair of long intervals shares many cells) is solved WITHOUT a
+    // distinct: a pair is kept only in the single cell containing the
+    // overlap's start (greatest(starts) div cell) — exactly one cell
+    // qualifies, so no dedup shuffle exists in the plan. Intervals =
+    // per-user 30-min-gap sessions [first event, last event]; result =
+    // the user co-presence matrix (who is online with whom, how long).
+    // Determinism: all interval math in integer µs; the DuckDB oracle
+    // runs the NAIVE overlap self-join over the same gaps-and-islands
+    // sessions, so the hash match proves the binned plan lossless (no
+    // pair dropped, none double-counted).
+    "q78_interval_bin_join" -> ((s, d) => {
+      val binUs = 3600000000L // 1-hour cells; sessions are minutes-scale
+      val sess = Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+        .select(col("user_id"), col("s_us"), col("e_us"))
+      val binned = sess.select(col("user_id"), col("s_us"), col("e_us"),
+        explode(expr(s"sequence(s_us div ${binUs}L, e_us div ${binUs}L)")).as("bin"))
+      val a = binned.select(col("bin"), col("user_id").as("user_a"),
+        col("s_us").as("sa"), col("e_us").as("ea"))
+      val b = binned.select(col("bin"), col("user_id").as("user_b"),
+        col("s_us").as("sb"), col("e_us").as("eb"))
+      a.join(b, Seq("bin"))
+        .filter(col("user_a") < col("user_b") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea") &&
+          expr(s"greatest(sa, sb) div ${binUs}L") === col("bin"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("ov_us"))
+        .select(col("user_a"), col("user_b"), col("n_overlaps"),
+          expr("ov_us div 1000000L").as("overlap_s"))
+        .orderBy(col("user_a"), col("user_b"))
+    }),
+
+    // Sample autocorrelation function of the hourly event-count series at
+    // lags {1,2,3,6,12,24} — the time-series diagnostic behind
+    // seasonality detection (a 24h peak ⇒ daily cycle) and forecasting
+    // model selection. The series itself is DOMAIN-sized (one row per
+    // observed hour — ~720 at any sf, since more data means denser hours,
+    // not more of them), so the global-ordered window is cheap by
+    // construction; the only corpus-sized work is the one hourly
+    // count agg. Cross-engine exactness: with S = Σx and n = series
+    // length, r_k = Σ(n·x_t−S)(n·x_{t+k}−S) / Σ(n·x_t−S)² — numerator
+    // and denominator are EXACT integer sums (DECIMAL(38,0) here,
+    // HUGEINT in DuckDB), cast to double (correctly rounded on both
+    // engines) for one final division. Lag pairs are row-lags over the
+    // observed-hour sequence (missing hours drop pairs on both engines
+    // identically).
+    "q79_acf" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val lags = Seq(1, 2, 3, 6, 12, 24)
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("h"))
+      val tot = hourly.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val centered = lags.foldLeft(hourly)((df, k) =>
+          df.withColumn(s"x$k", lead(col("x"), k).over(w)))
+        .crossJoin(broadcast(tot))
+        .withColumn("cx", (col("n") * col("x") - col("sx")).cast(dec))
+      val byLag = lags.map { k =>
+        centered
+          .withColumn("ck", (col("n") * col(s"x$k") - col("sx")).cast(dec))
+          .agg(count(col("ck")).as("n_pairs"),
+            sum(col("cx") * col("ck")).as("num"),
+            sum(col("cx") * col("cx")).as("den"))
+          .select(lit(k).as("lag"), col("n_pairs"),
+            round(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6)
+              .as("acf"))
+      }
+      byLag.reduce(_.union(_)).orderBy(col("lag"))
+    }),
+
     // KLL quantile sketch (Karnin-Lang-Liberty, via Spark 4's datasketches
     // integration): the MERGEABLE bounded-memory quantile path — per-group
     // sketches build in one pass with map-side partial merges
@@ -2055,6 +2139,60 @@ object RelationalQueries {
            COUNT(DISTINCT user_id) AS exact_distinct,
            TRUE AS est_within_5pct
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the NAIVE overlap self-join over the same gaps-and-islands sessions;
+    // the hash match proves the binned Spark plan lossless
+    "q78_interval_bin_join" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+           FROM g GROUP BY user_id, sid)
+         SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlaps,
+           CAST(SUM(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)) // 1000000 AS BIGINT) AS overlap_s
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+         GROUP BY 1, 2 ORDER BY user_a, user_b""",
+
+    // exact integer numerator/denominator (HUGEINT), one double division
+    "q79_acf" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+           FROM events GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM hourly),
+         c AS (
+           SELECT n * x - sx AS cx,
+             n * lead(x, 1) OVER w - sx AS c1,
+             n * lead(x, 2) OVER w - sx AS c2,
+             n * lead(x, 3) OVER w - sx AS c3,
+             n * lead(x, 6) OVER w - sx AS c6,
+             n * lead(x, 12) OVER w - sx AS c12,
+             n * lead(x, 24) OVER w - sx AS c24
+           FROM hourly, tot WINDOW w AS (ORDER BY h)),
+         d AS (SELECT SUM(CAST(cx AS HUGEINT) * cx) AS den FROM c)
+         SELECT * FROM (
+           SELECT 1 AS lag, COUNT(c1) AS n_pairs,
+             round(CAST(SUM(CAST(cx AS HUGEINT) * c1) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf FROM c, d GROUP BY den
+           UNION ALL SELECT 2, COUNT(c2),
+             round(CAST(SUM(CAST(cx AS HUGEINT) * c2) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
+           UNION ALL SELECT 3, COUNT(c3),
+             round(CAST(SUM(CAST(cx AS HUGEINT) * c3) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
+           UNION ALL SELECT 6, COUNT(c6),
+             round(CAST(SUM(CAST(cx AS HUGEINT) * c6) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
+           UNION ALL SELECT 12, COUNT(c12),
+             round(CAST(SUM(CAST(cx AS HUGEINT) * c12) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
+           UNION ALL SELECT 24, COUNT(c24),
+             round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
+         ) ORDER BY lag""",
 
     // envelope gate: the randomized sketch's outputs stay out of the hash;
     // exact group sizes + interpolated median are pinned, the rank-error

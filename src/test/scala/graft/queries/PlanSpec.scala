@@ -597,4 +597,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q78 binned interval join: overlap runs as an EQUI-join on the cell id, never a nested loop") {
+    val p = plan("q78_interval_bin_join")
+    // the whole point of binning: no cartesian / broadcast-nested-loop
+    // anywhere in the plan — the overlap predicate rides an equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the equi-key is the grid cell: join keys show `bin`
+    assert(p.contains("bin"), p)
+    // the first-overlap-cell rule replaces dedup: no Distinct/dedup agg
+    // between the join and the pair aggregation (HashAggregate keys are
+    // the user pair, not a distinct over emitted rows)
+    assert(!p.contains("Deduplicate"), p)
+  }
+
+  test("runtime bloom filter: a selective dim predicate injects might_contain on the fact side") {
+    // The 100 TB story for selective star joins that DON'T broadcast:
+    // Spark's InjectRuntimeFilter builds a bloom filter from the filtered
+    // creation side and semi-filters the fact scan before the shuffle.
+    // Thresholds are sized for clusters, so lower them to demonstrate the
+    // plan shape at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val ord = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
