@@ -661,6 +661,55 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Top principal direction of the embedding corpus by POWER ITERATION —
+    // the dimensionality-reduction / whitening primitive (dominant
+    // variance axis; uncentered Gram, i.e. the top right-singular vector
+    // of A). Three iterations of v ← AᵀAv, each TWO distributed passes
+    // with NO d×d matrix ever formed: (1) s_i = ⟨a_i, v⟩ — a narrow map
+    // with v as a broadcast literal (the lloydCentroids model-state
+    // convention); (2) u_j = Σ_i a_ij·s_i — posexplode + per-position
+    // DECIMAL-exact sums (64 groups; the 64-column agg alternative is the
+    // janino-compile trap NOTES.md pins). Normalization is by the
+    // ∞-norm — the component of max |u|, sign kept so the leading loading
+    // is exactly 1.0 — which needs only exact selection + one division +
+    // round(9) quantization, so every iteration's v is bit-identical on
+    // both engines (no sqrt, no float summation anywhere). The growth
+    // factor |m| of the last step estimates the top eigenvalue of AᵀA.
+    // Scale shape: cost = 3 × (corpus scan + n·d-row shuffle into d
+    // groups); model state (64 doubles) lives on the driver exactly like
+    // the kmeans centroids. Oracle: the same three iterations unrolled as
+    // DuckDB CTEs — identical fold order, decimal sums, and rounding.
+    "sim_pca_power" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val e = Tables.embeddings(s, d)
+      def step(v: Seq[Double]): (Seq[Double], Double) = {
+        val vArr = array(v.map(lit): _*)
+        val scored = e.withColumn("s",
+          aggregate(zip_with(col("embedding"), vArr,
+            (x, y) => x.cast("double") * y), lit(0.0), (acc, t) => acc + t))
+        val u = scored
+          .select(posexplode(col("embedding")).as(Seq("j", "x")), col("s"))
+          .groupBy(col("j"))
+          .agg(sum((col("x").cast("double") * col("s")).cast(dec))
+            .cast("double").as("u"))
+        val m = u.orderBy(abs(col("u")).desc, col("j")).select(col("u"))
+          .head.getDouble(0)
+        val vn = u.select(col("j"), round(col("u") / lit(m), 9).as("v"))
+          .orderBy(col("j")).collect().map(_.getDouble(1)).toSeq
+        (vn, m)
+      }
+      val v0 = Seq.fill(64)(0.125) // 1/√64 — exactly representable
+      val (v1, _) = step(v0)
+      val (v2, _) = step(v1)
+      val (v3, m3) = step(v2)
+      import s.implicits._
+      v3.zipWithIndex
+        .map { case (v, j) => (j, v) }.toDF("j", "loading")
+        .withColumn("loading", round(col("loading"), 6))
+        .withColumn("growth", round(lit(m3), 6))
+        .orderBy(col("j"))
+    }),
+
     "sim_silhouette" -> ((s, d) => {
       val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1612,6 +1661,29 @@ object SimilarityQueries {
          FROM cosr JOIN st2 USING (label)
          WHERE cos < mu - 2.0 * sigma
          ORDER BY vec_id""",
+
+    // the same three power iterations unrolled: identical fold order for
+    // the dot, identical per-position DECIMAL sums, identical ∞-norm
+    // quantization (round 9) between steps
+    "sim_pca_power" -> {
+      def it(n: Int, prev: String): String =
+        s"""va$n AS (SELECT list(v ORDER BY j) AS va FROM $prev),
+         s$n AS (SELECT vec_id, embedding,
+             ${DotSql.format("embedding", s"(SELECT va FROM va$n)")} AS s
+           FROM embeddings),
+         u$n AS (SELECT j,
+             CAST(SUM(CAST(CAST(embedding[j+1] AS DOUBLE) * s AS DECIMAL(28,12))) AS DOUBLE) AS u
+           FROM s$n CROSS JOIN (SELECT unnest(range(64)) AS j) jj$n GROUP BY j),
+         m$n AS (SELECT u AS m FROM u$n ORDER BY abs(u) DESC, j LIMIT 1),
+         v$n AS (SELECT j, round(u / (SELECT m FROM m$n), 9) AS v FROM u$n)"""
+      s"""WITH v0 AS (SELECT unnest(range(64)) AS j, 0.125 AS v),
+         ${it(1, "v0")},
+         ${it(2, "v1")},
+         ${it(3, "v2")}
+         SELECT CAST(j AS INT) AS j, round(v, 6) AS loading,
+           (SELECT round(m, 6) FROM m3) AS growth
+         FROM v3 ORDER BY j"""
+    },
 
     "sim_silhouette" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c
