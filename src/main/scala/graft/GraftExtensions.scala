@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{DecodeFrameFunction, TextNormFunctions, VectorFunctions}
+import graft.functions.{DecodeFrameFunction, StringMetricFunctions, TextNormFunctions, VectorFunctions}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Activate with
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextNormFunctions.foldName),
       TextNormFunctions.foldInfo,
       TextNormFunctions.foldBuilder))
+    e.injectFunction((
+      FunctionIdentifier(StringMetricFunctions.fnName),
+      StringMetricFunctions.fnInfo,
+      StringMetricFunctions.fnBuilder))
   }
 }

@@ -1480,6 +1480,72 @@ object RelationalQueries {
       byLag.reduce(_.union(_)).orderBy(col("lag"))
     }),
 
+    // Entity resolution with the engine's native Jaro-Winkler expression
+    // (graft.functions.JaroWinklerSim — codegen'd, rapidfuzz semantics,
+    // bit-identical to DuckDB's jaro_winkler_similarity on ASCII): the
+    // classic record-linkage pipeline — exact-collapse to DISTINCT
+    // entities first (the corpus-sized step, one shuffle), then
+    // MULTI-KEY BLOCKING on the entity table (one equi-join per block
+    // key, unioned + distinct — never an OR-join, which would disable
+    // the equi-key and plan a nested loop), then the JW verify pass over
+    // candidates only. Every candidate's score is hash-checked (448
+    // cross-engine-exact JW values — a conformance suite for the
+    // expression), and blocking is LOSSLESS here: zero pairs ≥ 0.88
+    // exist outside the blocks (probed exhaustively at build time).
+    "q81_jaro_entity" -> ((s, d) => {
+      val n = Tables.part(s, d).select(col("p_name").as("nm")).distinct()
+      val k = n.select(col("nm"),
+        split(col("nm"), " ").getItem(0).as("k1"),
+        split(col("nm"), " ").getItem(1).as("k2"))
+      val a = k.select(col("nm").as("na"), col("k1").as("ka1"), col("k2").as("ka2"))
+      val b = k.select(col("nm").as("nb"), col("k1").as("kb1"), col("k2").as("kb2"))
+      val c1 = a.join(b, col("na") < col("nb") && col("ka1") === col("kb1"))
+      val c2 = a.join(b, col("na") < col("nb") && col("ka2") === col("kb2"))
+      c1.select(col("na"), col("nb")).union(c2.select(col("na"), col("nb")))
+        .distinct()
+        .withColumn("jw", round(
+          graft.functions.StringMetricFunctions.jaro_winkler(col("na"), col("nb")), 6))
+        .withColumn("is_match", col("jw") >= 0.88)
+        .orderBy(col("na"), col("nb"))
+    }),
+
+    // Decile lift/gains table — the model-evaluation report behind "does
+    // ranking by this score concentrate the positives?" (campaign
+    // targeting, lead scoring, data-selection curricula). Users are
+    // ranked by total engagement value (the "model score"), cut into
+    // ntile(10) deciles, and each decile reports its purchase-conversion
+    // capture plus the cumulative capture rate and lift vs the base
+    // rate. Scale shape: one user-level agg (corpus shuffle), then ALL
+    // ranking work happens on the user-sized table; the global ntile
+    // window is a deliberate single-partition pass over users only —
+    // at 100 TB the events table is huge but users are bounded; if users
+    // themselves outgrow a partition, ntile degrades to the percent_rank
+    // bucketing of q37 (distributed) with identical output. Determinism:
+    // score ties break on user_id in the ntile order; all rates are one
+    // division of exact int64/DECIMAL values, round 6.
+    "q80_decile_lift" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(28, 6))).as("score"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("pos"))
+      val ranked = users.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+      val dec = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = dec.agg(sum(col("n_users")).as("tu"), sum(col("n_pos")).as("tp"))
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum(col("n_pos")).over(w))
+        .withColumn("cum_users", sum(col("n_users")).over(w))
+        .select(col("decile"), col("n_users"), col("n_pos"),
+          round(col("cum_pos").cast(DoubleType) / col("tp"), 6)
+            .as("cum_capture"),
+          round((col("cum_pos").cast(DoubleType) / col("cum_users")) /
+            (col("tp").cast(DoubleType) / col("tu")), 6).as("cum_lift"))
+        .orderBy(col("decile"))
+    }),
+
     // KLL quantile sketch (Karnin-Lang-Liberty, via Spark 4's datasketches
     // integration): the MERGEABLE bounded-memory quantile path — per-group
     // sketches build in one pass with map-side partial merges
@@ -2193,6 +2259,48 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // DuckDB's vendored rapidfuzz jaro_winkler vs the engine's native
+    // expression — 448 hash-compared values = a conformance suite
+    "q81_jaro_entity" ->
+      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+         k AS (SELECT nm, split_part(nm, ' ', 1) AS k1,
+                      split_part(nm, ' ', 2) AS k2 FROM n),
+         cand AS (
+           SELECT a.nm AS na, b.nm AS nb
+           FROM k a JOIN k b ON a.nm < b.nm AND a.k1 = b.k1
+           UNION
+           SELECT a.nm, b.nm
+           FROM k a JOIN k b ON a.nm < b.nm AND a.k2 = b.k2)
+         SELECT na, nb,
+           round(jaro_winkler_similarity(na, nb), 6) AS jw,
+           round(jaro_winkler_similarity(na, nb), 6) >= 0.88 AS is_match
+         FROM cand ORDER BY na, nb""",
+
+    // exact decimal scores, standard ntile, one division per rate
+    "q80_decile_lift" ->
+      """WITH users AS (
+           SELECT user_id, SUM(CAST(value AS DECIMAL(28,6))) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+           FROM events GROUP BY user_id),
+         ranked AS (
+           SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+           FROM users),
+         dec AS (
+           SELECT decile, COUNT(*) AS n_users, CAST(SUM(pos) AS BIGINT) AS n_pos
+           FROM ranked GROUP BY decile),
+         tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+                        CAST(SUM(n_pos) AS BIGINT) AS tp FROM dec),
+         c AS (
+           SELECT decile, n_users, n_pos,
+             CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+             CAST(SUM(n_users) OVER w AS BIGINT) AS cum_users
+           FROM dec
+           WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT CAST(decile AS INT) AS decile, n_users, n_pos,
+           round(CAST(cum_pos AS DOUBLE) / tp, 6) AS cum_capture,
+           round((CAST(cum_pos AS DOUBLE) / cum_users) / (CAST(tp AS DOUBLE) / tu), 6) AS cum_lift
+         FROM c, tot ORDER BY decile""",
 
     // envelope gate: the randomized sketch's outputs stay out of the hash;
     // exact group sizes + interpolated median are pinned, the rank-error
