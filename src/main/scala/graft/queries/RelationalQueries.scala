@@ -1480,6 +1480,54 @@ object RelationalQueries {
       byLag.reduce(_.union(_)).orderBy(col("lag"))
     }),
 
+    // Welch's two-sample t-test over a deterministic 50/50 A/B split —
+    // the experimentation primitive (is arm A's per-user spend different
+    // from arm B's?). Assignment is the md5-bucket convention
+    // (text_sample_split), so the split reproduces on any cluster and in
+    // the oracle. Exactness: per-user metric in integer cents; per-arm
+    // moments as exact int64/DECIMAL(38,0) sums (Σx, Σx²) so mean and
+    // variance are each ONE correctly-rounded division of exact
+    // integers — s² = (n·Σx² − (Σx)²)/(n·(n−1)); t and the
+    // Welch–Satterthwaite dof are short fixed-order chains of IEEE ops,
+    // written token-identically in the oracle. Scale shape: one corpus
+    // shuffle (user agg), then two 1-row arm frames cross-joined — every
+    // statistic derives from six numbers.
+    "q82_ab_ttest" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val users = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("m"))
+        .withColumn("arm", when(
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10) as int)") < 128,
+          "A").otherwise("B"))
+      val arms = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("sx"),
+          sum(col("m").cast(dec) * col("m").cast(dec)).as("sxx"))
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n").as("na"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+      val b = arms.filter(col("arm") === "B")
+        .select(col("n").as("nb"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+      a.crossJoin(b)
+        .withColumn("mean_a", col("sxa").cast(DoubleType) / col("na"))
+        .withColumn("mean_b", col("sxb").cast(DoubleType) / col("nb"))
+        .withColumn("va",
+          (col("na").cast(dec) * col("sxxa") - col("sxa").cast(dec) * col("sxa").cast(dec))
+            .cast(DoubleType) / (col("na").cast(DoubleType) * (col("na") - 1)))
+        .withColumn("vb",
+          (col("nb").cast(dec) * col("sxxb") - col("sxb").cast(dec) * col("sxb").cast(dec))
+            .cast(DoubleType) / (col("nb").cast(DoubleType) * (col("nb") - 1)))
+        .withColumn("aa", col("va") / col("na"))
+        .withColumn("bb", col("vb") / col("nb"))
+        .withColumn("t_stat", (col("mean_a") - col("mean_b")) / sqrt(col("aa") + col("bb")))
+        .withColumn("dof", (col("aa") + col("bb")) * (col("aa") + col("bb")) /
+          (col("aa") * col("aa") / (col("na") - 1) + col("bb") * col("bb") / (col("nb") - 1)))
+        .select(col("na"), col("nb"),
+          round(col("mean_a"), 6).as("mean_a"), round(col("mean_b"), 6).as("mean_b"),
+          round(col("t_stat"), 6).as("t_stat"), round(col("dof"), 6).as("dof"),
+          (abs(col("t_stat")) > 1.96).as("significant"))
+    }),
+
     // Entity resolution with the engine's native Jaro-Winkler expression
     // (graft.functions.JaroWinklerSim — codegen'd, rapidfuzz semantics,
     // bit-identical to DuckDB's jaro_winkler_similarity on ASCII): the
@@ -2259,6 +2307,45 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // token-identical formula chain over six exact integers
+    "q82_ab_ttest" ->
+      """WITH u AS (
+           SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS m
+           FROM events GROUP BY user_id),
+         ub AS (
+           SELECT m, CASE WHEN
+             (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) < 128
+             THEN 'A' ELSE 'B' END AS arm
+           FROM u),
+         arms AS (
+           SELECT arm, COUNT(*) AS n, CAST(SUM(m) AS BIGINT) AS sx,
+             SUM(CAST(m AS HUGEINT) * m) AS sxx
+           FROM ub GROUP BY arm),
+         a AS (SELECT n AS na, sx AS sxa, sxx AS sxxa FROM arms WHERE arm = 'A'),
+         b AS (SELECT n AS nb, sx AS sxb, sxx AS sxxb FROM arms WHERE arm = 'B'),
+         c AS (
+           SELECT na, nb,
+             CAST(sxa AS DOUBLE) / na AS mean_a,
+             CAST(sxb AS DOUBLE) / nb AS mean_b,
+             CAST(CAST(na AS HUGEINT) * sxxa - CAST(sxa AS HUGEINT) * sxa AS DOUBLE)
+               / (CAST(na AS DOUBLE) * (na - 1)) AS va,
+             CAST(CAST(nb AS HUGEINT) * sxxb - CAST(sxb AS HUGEINT) * sxb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (nb - 1)) AS vb
+           FROM a, b),
+         e AS (
+           SELECT na, nb, mean_a, mean_b, va / na AS aa, vb / nb AS bb FROM c),
+         f AS (
+           SELECT na, nb, mean_a, mean_b,
+             (mean_a - mean_b) / sqrt(aa + bb) AS t_stat,
+             (aa + bb) * (aa + bb) /
+               (aa * aa / (na - 1) + bb * bb / (nb - 1)) AS dof
+           FROM e)
+         SELECT na, nb, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(t_stat, 6) AS t_stat, round(dof, 6) AS dof,
+           abs(t_stat) > 1.96 AS significant
+         FROM f""",
 
     // DuckDB's vendored rapidfuzz jaro_winkler vs the engine's native
     // expression — 448 hash-compared values = a conformance suite
