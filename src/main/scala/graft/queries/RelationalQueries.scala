@@ -43,6 +43,28 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("purchase_ts"))
   }
 
+  /** The binned interval-overlap engine behind q78_interval_bin_join:
+    * input (user_id, s_us, e_us) closed µs intervals; output one row per
+    * overlapping cross-user pair — emitted EXACTLY once, in the grid cell
+    * containing the overlap's start — with both intervals' bounds. An
+    * equi-join on the cell id replaces the nested loop an overlap
+    * predicate would otherwise plan; OverlapJoinPropertySpec proves the
+    * emit-once rule against the naive join on adversarial intervals
+    * (multi-cell spans, shared endpoints, cell-boundary touches). */
+  def binnedOverlapPairs(sess: DataFrame, binUs: Long): DataFrame = {
+    val binned = sess.select(col("user_id"), col("s_us"), col("e_us"),
+      explode(expr(s"sequence(s_us div ${binUs}L, e_us div ${binUs}L)")).as("bin"))
+    val a = binned.select(col("bin"), col("user_id").as("user_a"),
+      col("s_us").as("sa"), col("e_us").as("ea"))
+    val b = binned.select(col("bin"), col("user_id").as("user_b"),
+      col("s_us").as("sb"), col("e_us").as("eb"))
+    a.join(b, Seq("bin"))
+      .filter(col("user_a") < col("user_b") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        expr(s"greatest(sa, sb) div ${binUs}L") === col("bin"))
+      .drop("bin")
+  }
+
   /** Order-independent exact sum of a double column. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,6))) AS DOUBLE)"
@@ -1416,22 +1438,13 @@ object RelationalQueries {
     // sessions, so the hash match proves the binned plan lossless (no
     // pair dropped, none double-counted).
     "q78_interval_bin_join" -> ((s, d) => {
-      val binUs = 3600000000L // 1-hour cells; sessions are minutes-scale
       val sess = Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(min(unix_micros(col("ts"))).as("s_us"),
           max(unix_micros(col("ts"))).as("e_us"))
         .select(col("user_id"), col("s_us"), col("e_us"))
-      val binned = sess.select(col("user_id"), col("s_us"), col("e_us"),
-        explode(expr(s"sequence(s_us div ${binUs}L, e_us div ${binUs}L)")).as("bin"))
-      val a = binned.select(col("bin"), col("user_id").as("user_a"),
-        col("s_us").as("sa"), col("e_us").as("ea"))
-      val b = binned.select(col("bin"), col("user_id").as("user_b"),
-        col("s_us").as("sb"), col("e_us").as("eb"))
-      a.join(b, Seq("bin"))
-        .filter(col("user_a") < col("user_b") &&
-          col("sa") <= col("eb") && col("sb") <= col("ea") &&
-          expr(s"greatest(sa, sb) div ${binUs}L") === col("bin"))
+      // 1-hour cells; sessions are minutes-scale
+      binnedOverlapPairs(sess, 3600000000L)
         .groupBy(col("user_a"), col("user_b"))
         .agg(count(lit(1)).as("n_overlaps"),
           sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
@@ -1478,6 +1491,69 @@ object RelationalQueries {
               .as("acf"))
       }
       byLag.reduce(_.union(_)).orderBy(col("lag"))
+    }),
+
+    // OHLC candlestick bars — the time-series downsampling primitive
+    // (tick stream → hourly open/high/low/close/volume bars that feed
+    // charting and technical features). Open/close are order statistics,
+    // not extremes: first/last value in the bar by the total (ts,
+    // event_id) order, computed as two rank columns over ONE hour
+    // partitioning (no self-join, no collect). Scale shape: windows and
+    // the agg all key on the bar — embarrassingly parallel across bars;
+    // high/low/count are plain min/max, volume is the decimal-exact sum.
+    "q83_ohlc_bars" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          col("ts"), col("event_id"), col("value"))
+      val wAsc = Window.partitionBy(col("h")).orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("h")).orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rna", row_number().over(wAsc))
+        .withColumn("rnd", row_number().over(wDesc))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_trades"),
+          max(when(col("rna") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rnd") === 1, col("value"))).as("close"),
+          dsum(col("value")).as("volume"))
+        .orderBy(col("h"))
+    }),
+
+    // Median-absolute-deviation robust outlier sweep — the heavy-tail-safe
+    // alternative to q51's z-scores (one whale purchase inflates a mean
+    // and σ; it cannot move a median). Both medians use the DISTRIBUTED
+    // lower-median cut — per-(group, value) counts, cumulative sum over
+    // the value-ordered distribution, first value where 2·cum ≥ n — so
+    // per-group memory is O(distinct values), never a collect_list of the
+    // group (the q57 frame trick is for bounded windows, not whole
+    // groups). Everything is integer cents: med, MAD, and the
+    // |x−med| > 3·MAD outlier test involve no float arithmetic at all;
+    // the only division is the final outlier share, round 6.
+    "q84_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val wcum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy(col("event_type"))
+        df.groupBy(col("event_type"), col(valueCol)).agg(count(lit(1)).as("nk"))
+          .withColumn("cum", sum(col("nk")).over(wcum))
+          .withColumn("n", sum(col("nk")).over(wall))
+          .filter(col("cum") * 2 >= col("n"))
+          .groupBy(col("event_type")).agg(min(col(valueCol)).as(out))
+      }
+      val med = lowerMedian(ev, "cents", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = lowerMedian(dev, "adev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), first(col("med")).as("med_cents"),
+          first(col("mad")).as("mad_cents"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_share",
+          round(col("n_outliers").cast(DoubleType) / col("n"), 6))
+        .orderBy(col("event_type"))
     }),
 
     // Welch's two-sample t-test over a deterministic 50/50 A/B split —
@@ -2307,6 +2383,56 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // first/last by (ts, event_id) rank, decimal-exact volume
+    "q83_ohlc_bars" ->
+      s"""WITH r AS (
+           SELECT date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rnd
+           FROM events)
+         SELECT CAST(h AS TIMESTAMP) AS h, COUNT(*) AS n_trades,
+           MAX(CASE WHEN rna = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+           ${DSUM.format("value")} AS volume
+         FROM r GROUP BY h ORDER BY h""",
+
+    // integer cents throughout; the same 2·cum ≥ n lower-median cut on
+    // both the value and the absolute-deviation distributions
+    "q84_mad_outliers" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         d1 AS (SELECT event_type, cents, COUNT(*) AS nk FROM ev GROUP BY 1, 2),
+         c1 AS (
+           SELECT event_type, cents,
+             SUM(nk) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(nk) OVER (PARTITION BY event_type) AS n
+           FROM d1),
+         med AS (SELECT event_type, CAST(MIN(cents) AS BIGINT) AS med
+                 FROM c1 WHERE cum * 2 >= n GROUP BY event_type),
+         dev AS (
+           SELECT ev.event_type, cents, med, abs(cents - med) AS adev
+           FROM ev JOIN med ON ev.event_type = med.event_type),
+         d2 AS (SELECT event_type, adev, COUNT(*) AS nk FROM dev GROUP BY 1, 2),
+         c2 AS (
+           SELECT event_type, adev,
+             SUM(nk) OVER (PARTITION BY event_type ORDER BY adev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(nk) OVER (PARTITION BY event_type) AS n
+           FROM d2),
+         mad AS (SELECT event_type, CAST(MIN(adev) AS BIGINT) AS mad
+                 FROM c2 WHERE cum * 2 >= n GROUP BY event_type)
+         SELECT dev.event_type, COUNT(*) AS n, MIN(med) AS med_cents,
+           CAST(MIN(mad) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN adev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(SUM(CASE WHEN adev > mad * 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS outlier_share
+         FROM dev JOIN mad ON dev.event_type = mad.event_type
+         GROUP BY dev.event_type ORDER BY dev.event_type""",
 
     // token-identical formula chain over six exact integers
     "q82_ab_ttest" ->
