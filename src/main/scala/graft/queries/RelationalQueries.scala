@@ -1493,6 +1493,43 @@ object RelationalQueries {
       byLag.reduce(_.union(_)).orderBy(col("lag"))
     }),
 
+    // AQP with an honest error bar: a deterministic 1/16 simple random
+    // sample (md5 of the row key — reproducible on any cluster and in
+    // the oracle) estimates mean lineitem revenue, and the CI comes from
+    // the SAMPLE'S OWN moments (SE = s/√n) — the estimator ships its own
+    // uncertainty, which is what separates approximate query processing
+    // from guessing. Gate: the sample CI must cover the exact mean
+    // (computed alongside), plus exact/estimate/half-width pinned. All
+    // moments are exact int64/DECIMAL(38,0) cents sums; the CI chain is
+    // token-identical IEEE on both engines. Scale shape: the sample agg
+    // reads 1/16 of the rows behind a hash predicate (at a real lake the
+    // sample would be a materialized bucket — the predicate documents
+    // the semantics); everything else is six numbers.
+    "q85_sample_ci" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      val keep = (conv(substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber")).cast(BinaryType)), 1, 6), 16, 10)
+        .cast("long") % 16) === 0
+      val pop = li.agg(count(lit(1)).as("n_total"), sum(col("cents")).as("sx_t"))
+      val smp = li.filter(keep)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(col("cents").cast(dec) * col("cents").cast(dec)).as("sxx"))
+      smp.crossJoin(broadcast(pop))
+        .withColumn("exact_mean", col("sx_t").cast(DoubleType) / col("n_total"))
+        .withColumn("est_mean", col("sx").cast(DoubleType) / col("n"))
+        .withColumn("s2",
+          (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+            .cast(DoubleType) / (col("n").cast(DoubleType) * (col("n") - 1)))
+        .withColumn("half", lit(1.96) * sqrt(col("s2") / col("n")))
+        .select(col("n_total"), col("n"),
+          round(col("exact_mean"), 6).as("exact_mean_cents"),
+          round(col("est_mean"), 6).as("est_mean_cents"),
+          round(col("half"), 6).as("half_width_cents"),
+          (abs(col("est_mean") - col("exact_mean")) <= col("half")).as("ci_covers_exact"))
+    }),
+
     // OHLC candlestick bars — the time-series downsampling primitive
     // (tick stream → hourly open/high/low/close/volume bars that feed
     // charting and technical features). Open/close are order statistics,
@@ -2383,6 +2420,32 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // same sample predicate, same six exact integers, same IEEE chain
+    "q85_sample_ci" ->
+      """WITH li AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             (CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+                CAST(l_linenumber AS VARCHAR))), 1, 6)) AS BIGINT) % 16) = 0 AS keep
+           FROM lineitem),
+         pop AS (SELECT COUNT(*) AS n_total, CAST(SUM(cents) AS BIGINT) AS sx_t FROM li),
+         smp AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sx,
+                   SUM(CAST(cents AS HUGEINT) * cents) AS sxx
+                 FROM li WHERE keep),
+         c AS (
+           SELECT n_total, n,
+             CAST(sx_t AS DOUBLE) / n_total AS exact_mean,
+             CAST(sx AS DOUBLE) / n AS est_mean,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS s2
+           FROM smp, pop),
+         f AS (SELECT *, 1.96 * sqrt(s2 / n) AS half FROM c)
+         SELECT n_total, n,
+           round(exact_mean, 6) AS exact_mean_cents,
+           round(est_mean, 6) AS est_mean_cents,
+           round(half, 6) AS half_width_cents,
+           abs(est_mean - exact_mean) <= half AS ci_covers_exact
+         FROM f""",
 
     // first/last by (ts, event_id) rank, decimal-exact volume
     "q83_ohlc_bars" ->

@@ -1862,6 +1862,28 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
 
+  /** Event-time OHLC candlestick bars with watermark — the streaming twin
+    * of q83_ohlc_bars. The batch form ranks within the bar; ranks don't
+    * merge across micro-batches, but argmin/argmax DO: open/close are
+    * `min_by`/`max_by` over the total (ts, event_id) order — an aggregate
+    * whose state is one (key, value) pair per bar, updated incrementally
+    * as late events arrive within the watermark. High/low/count and the
+    * decimal-exact volume ride the same keyed state; bars finalize
+    * (append-mode emit) when the watermark passes the bar end. */
+  def ohlcBars(events: DataFrame, watermark: String = "30 minutes",
+      size: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size))
+      .agg(count(lit(1)).as("n_trades"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("volume"))
+      .select(col("window.start").as("h"), col("n_trades"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"))
+
   /** Per-user funnel progress (view → click → purchase), streaming form of
     * q47_event_funnel: a keyed state machine via `mapGroupsWithState`. Each
     * trigger advances the user's state with the batch's events in ts order

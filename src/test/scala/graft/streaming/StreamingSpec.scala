@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size >= expected.size - 20)
   }
 
+  test("streaming OHLC bars match the batch candlestick query") {
+    // batch twin: the rank-based q83; streaming uses min_by/max_by over
+    // the same (ts, event_id) total order — identical bars
+    val expected = graft.SparkEntry.queries("q83_ohlc_bars")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+
+    val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
+      .parquet(eventsDir)
+      .transform(graft.Tables.normalizeEventTs)
+    val q = Streams.ohlcBars(src).writeStream.format("memory")
+      .queryName("ohlc_out").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT * FROM ohlc_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expected), "streaming bar disagrees with batch")
+    assert(got.size >= expected.size - 5) // watermark may hold the tail bar
+  }
+
   test("dropDuplicatesWithinWatermark removes duplicate event ids") {
     val src = spark.readStream.schema(graft.Tables.eventsRaw(spark, sfDir).schema)
       .parquet(eventsDir)
