@@ -171,6 +171,35 @@ object SimilarityQueries {
       .filter(col("rank") <= 3)
   }
 
+  /** The power-iteration engine behind sim_pca_power / sim_pca_deflate:
+    * n iterations of v ← AᵀAv over any (vec_id, embedding) frame
+    * (float or double arrays), each one narrow broadcast-literal dot
+    * pass + one posexplode per-position DECIMAL-exact sum; ∞-norm
+    * normalization with round-9 quantization between iterations keeps
+    * every step bit-identical cross-engine. Returns (v_n, last growth
+    * factor ≈ the dominant eigenvalue of AᵀA). */
+  private def powerIterate(e: DataFrame, iters: Int): (Seq[Double], Double) = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def step(v: Seq[Double]): (Seq[Double], Double) = {
+      val vArr = array(v.map(lit): _*)
+      val scored = e.withColumn("s",
+        aggregate(zip_with(col("embedding"), vArr,
+          (x, y) => x.cast("double") * y), lit(0.0), (acc, t) => acc + t))
+      val u = scored
+        .select(posexplode(col("embedding")).as(Seq("j", "x")), col("s"))
+        .groupBy(col("j"))
+        .agg(sum((col("x").cast("double") * col("s")).cast(dec))
+          .cast("double").as("u"))
+      val m = u.orderBy(abs(col("u")).desc, col("j")).select(col("u"))
+        .head.getDouble(0)
+      val vn = u.select(col("j"), round(col("u") / lit(m), 9).as("v"))
+        .orderBy(col("j")).collect().map(_.getDouble(1)).toSeq
+      (vn, m)
+    }
+    val v0 = Seq.fill(64)(0.125) // 1/√64 — exactly representable
+    (1 to iters).foldLeft((v0, 0.0)) { case ((v, _), _) => step(v) }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 cosine neighbors for 5 query vectors:
     // broadcast the queries, scan the corpus once (norms precomputed per
@@ -680,33 +709,51 @@ object SimilarityQueries {
     // the kmeans centroids. Oracle: the same three iterations unrolled as
     // DuckDB CTEs — identical fold order, decimal sums, and rounding.
     "sim_pca_power" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-      val e = Tables.embeddings(s, d)
-      def step(v: Seq[Double]): (Seq[Double], Double) = {
-        val vArr = array(v.map(lit): _*)
-        val scored = e.withColumn("s",
-          aggregate(zip_with(col("embedding"), vArr,
-            (x, y) => x.cast("double") * y), lit(0.0), (acc, t) => acc + t))
-        val u = scored
-          .select(posexplode(col("embedding")).as(Seq("j", "x")), col("s"))
-          .groupBy(col("j"))
-          .agg(sum((col("x").cast("double") * col("s")).cast(dec))
-            .cast("double").as("u"))
-        val m = u.orderBy(abs(col("u")).desc, col("j")).select(col("u"))
-          .head.getDouble(0)
-        val vn = u.select(col("j"), round(col("u") / lit(m), 9).as("v"))
-          .orderBy(col("j")).collect().map(_.getDouble(1)).toSeq
-        (vn, m)
-      }
-      val v0 = Seq.fill(64)(0.125) // 1/√64 — exactly representable
-      val (v1, _) = step(v0)
-      val (v2, _) = step(v1)
-      val (v3, m3) = step(v2)
+      val (v3, m3) = powerIterate(Tables.embeddings(s, d), 3)
       import s.implicits._
       v3.zipWithIndex
         .map { case (v, j) => (j, v) }.toDF("j", "loading")
         .withColumn("loading", round(col("loading"), 6))
         .withColumn("growth", round(lit(m3), 6))
+        .orderBy(col("j"))
+    }),
+
+    // Second principal direction by DEFLATION — the loop that turns one
+    // power iteration into a full truncated decomposition: project the
+    // trained PC1 out of every vector (a NARROW per-row map — one dot
+    // against the broadcast literal v1, one fused subtract, nothing
+    // shuffles) and run the SAME three-iteration engine on the residual
+    // corpus. Emits PC2's loadings + growth (≈ λ₂ of AᵀA) and an
+    // orthogonality audit: ⟨v1, v2⟩ over the round-9 quantized models is
+    // a 64-term fold, identical on both engines, asserted ≈ 0. The
+    // oracle unrolls all SIX iterations plus the deflation map.
+    "sim_pca_deflate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (v1, _) = powerIterate(e, 3)
+      // ∞-norm iterates are NOT unit-L2, so the projection must divide by
+      // v·v: a ← a − ((a·v)/(v·v))·v. (The orthogonality audit below
+      // caught the unnormalized form producing a non-orthogonal "PC2".)
+      val vv1 = v1.foldLeft(0.0)((acc, a) => acc + a * a)
+      val v1Arr = array(v1.map(lit): _*)
+      val deflated = e.withColumn("s",
+          aggregate(zip_with(col("embedding"), v1Arr,
+            (x, y) => x.cast("double") * y), lit(0.0), (acc, t) => acc + t))
+        .withColumn("c", col("s") / lit(vv1))
+        .withColumn("embedding",
+          zip_with(col("embedding"), v1Arr,
+            (x, vj) => x.cast("double") - col("c") * vj))
+        .select(col("vec_id"), col("embedding"))
+      val (v2, m2) = powerIterate(deflated, 3)
+      // cosine audit (models are not unit vectors): |cos(v1,v2)| < 0.05
+      val dot = v1.zip(v2).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+      val vv2 = v2.foldLeft(0.0)((acc, a) => acc + a * a)
+      val ortho = dot * dot < 0.0025 * (vv1 * vv2)
+      import s.implicits._
+      v2.zipWithIndex
+        .map { case (v, j) => (j, v) }.toDF("j", "loading2")
+        .withColumn("loading2", round(col("loading2"), 6))
+        .withColumn("growth2", round(lit(m2), 6))
+        .withColumn("orthogonal", lit(ortho))
         .orderBy(col("j"))
     }),
 
@@ -1144,6 +1191,27 @@ object SimilarityQueries {
 
   private val DotSql =
     "list_reduce(list_transform(list_zip(%s, %s), r -> CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  /** One unrolled power-iteration block (DuckDB): va$n = the previous
+    * iterate as a list, s$n = per-vector dot, u$n = per-position exact
+    * DECIMAL sums of AᵀAv, m$n = the ∞-norm pivot, v$n = the round-9
+    * quantized next iterate. `src` is the corpus CTE/table (embeddings
+    * or the deflated residuals). Every block is MATERIALIZED: DuckDB
+    * inlines plain CTEs, so a per-row scalar subquery like
+    * `(SELECT va FROM va_n)` would re-run the ENTIRE upstream iteration
+    * chain once per corpus row — exponential in the number of unrolled
+    * iterations (the 7-block deflate oracle never finished without
+    * the hint). */
+  private def pcaIterSql(n: Int, prev: String, src: String): String =
+    s"""va$n AS MATERIALIZED (SELECT list(v ORDER BY j) AS va FROM $prev),
+         s$n AS MATERIALIZED (SELECT vec_id, embedding,
+             ${DotSql.format("embedding", s"(SELECT va FROM va$n)")} AS s
+           FROM $src),
+         u$n AS MATERIALIZED (SELECT j,
+             CAST(SUM(CAST(CAST(embedding[j+1] AS DOUBLE) * s AS DECIMAL(28,12))) AS DOUBLE) AS u
+           FROM s$n CROSS JOIN (SELECT unnest(range(64)) AS j) jj$n GROUP BY j),
+         m$n AS MATERIALIZED (SELECT u AS m FROM u$n ORDER BY abs(u) DESC, j LIMIT 1),
+         v$n AS MATERIALIZED (SELECT j, round(u / (SELECT m FROM m$n), 9) AS v FROM u$n)"""
   // Squared L2 distance with the same left-to-right double fold as Spark's
   // zip_with+aggregate (0.0-seeded fold ≡ first-element-seeded: 0.0+x = x).
   private[queries] val DistSql =
@@ -1665,25 +1733,45 @@ object SimilarityQueries {
     // the same three power iterations unrolled: identical fold order for
     // the dot, identical per-position DECIMAL sums, identical ∞-norm
     // quantization (round 9) between steps
-    "sim_pca_power" -> {
-      def it(n: Int, prev: String): String =
-        s"""va$n AS (SELECT list(v ORDER BY j) AS va FROM $prev),
-         s$n AS (SELECT vec_id, embedding,
-             ${DotSql.format("embedding", s"(SELECT va FROM va$n)")} AS s
-           FROM embeddings),
-         u$n AS (SELECT j,
-             CAST(SUM(CAST(CAST(embedding[j+1] AS DOUBLE) * s AS DECIMAL(28,12))) AS DOUBLE) AS u
-           FROM s$n CROSS JOIN (SELECT unnest(range(64)) AS j) jj$n GROUP BY j),
-         m$n AS (SELECT u AS m FROM u$n ORDER BY abs(u) DESC, j LIMIT 1),
-         v$n AS (SELECT j, round(u / (SELECT m FROM m$n), 9) AS v FROM u$n)"""
+    "sim_pca_power" ->
       s"""WITH v0 AS (SELECT unnest(range(64)) AS j, 0.125 AS v),
-         ${it(1, "v0")},
-         ${it(2, "v1")},
-         ${it(3, "v2")}
+         ${pcaIterSql(1, "v0", "embeddings")},
+         ${pcaIterSql(2, "v1", "embeddings")},
+         ${pcaIterSql(3, "v2", "embeddings")}
          SELECT CAST(j AS INT) AS j, round(v, 6) AS loading,
            (SELECT round(m, 6) FROM m3) AS growth
-         FROM v3 ORDER BY j"""
-    },
+         FROM v3 ORDER BY j""",
+
+    // PC1's three iterations, the narrow deflation map, then PC2's three
+    // iterations over the residuals — all unrolled; the orthogonality
+    // audit folds the two quantized models left-to-right like the engine
+    "sim_pca_deflate" ->
+      s"""WITH v0 AS (SELECT unnest(range(64)) AS j, 0.125 AS v),
+         ${pcaIterSql(1, "v0", "embeddings")},
+         ${pcaIterSql(2, "v1", "embeddings")},
+         ${pcaIterSql(3, "v2", "embeddings")},
+         va4 AS MATERIALIZED (SELECT list(v ORDER BY j) AS va FROM v3),
+         vv1 AS MATERIALIZED (SELECT ${DotSql.format("(SELECT va FROM va4)", "(SELECT va FROM va4)")} AS vv),
+         defl AS MATERIALIZED (
+           SELECT vec_id,
+             list_transform(list_zip(embedding, (SELECT va FROM va4)),
+               r -> CAST(r[1] AS DOUBLE) - c * CAST(r[2] AS DOUBLE)) AS embedding
+           FROM (SELECT vec_id, embedding,
+                   ${DotSql.format("embedding", "(SELECT va FROM va4)")} / (SELECT vv FROM vv1) AS c
+                 FROM embeddings)),
+         ${pcaIterSql(5, "v0", "defl")},
+         ${pcaIterSql(6, "v5", "defl")},
+         ${pcaIterSql(7, "v6", "defl")},
+         va8 AS MATERIALIZED (SELECT list(v ORDER BY j) AS va FROM v7),
+         ortho AS MATERIALIZED (SELECT
+           ${DotSql.format("(SELECT va FROM va4)", "(SELECT va FROM va8)")} *
+           ${DotSql.format("(SELECT va FROM va4)", "(SELECT va FROM va8)")} <
+           0.0025 * ((SELECT vv FROM vv1) *
+             ${DotSql.format("(SELECT va FROM va8)", "(SELECT va FROM va8)")}) AS ok)
+         SELECT CAST(j AS INT) AS j, round(v, 6) AS loading2,
+           (SELECT round(m, 6) FROM m7) AS growth2,
+           (SELECT ok FROM ortho) AS orthogonal
+         FROM v7 ORDER BY j""",
 
     "sim_silhouette" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS c
