@@ -1493,6 +1493,103 @@ object RelationalQueries {
       byLag.reduce(_.union(_)).orderBy(col("lag"))
     }),
 
+    // Difference-in-differences — the causal-inference estimator layered
+    // on q82's experimentation machinery: did = (Ā_post − Ā_pre) −
+    // (B̄_post − B̄_pre) cancels both the arms' baseline difference and
+    // the common time trend, which a naive post-only comparison cannot.
+    // Observations are per-(user, period) spend totals; the four cells'
+    // moments are exact int64/DECIMAL(38,0) sums, each mean/variance one
+    // correctly-rounded division, SE = √(Σ var_c/n_c) in a fixed
+    // left-assoc order — token-identical chains on both engines. Scale
+    // shape: one corpus shuffle to (user, arm, period), then everything
+    // derives from 12 numbers.
+    "q86_diff_in_diff" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val cut = lit("2024-01-16").cast(TimestampType)
+      val obs = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("period", when(col("ts") < cut, "pre").otherwise("post"))
+        .withColumn("arm", when(
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10) as int)") < 128,
+          "A").otherwise("B"))
+        .groupBy(col("user_id"), col("arm"), col("period"))
+        .agg(sum(col("cents")).as("m"))
+      val cells = obs.groupBy(col("arm"), col("period"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("sx"),
+          sum(col("m").cast(dec) * col("m").cast(dec)).as("sxx"))
+      def cell(a: String, p: String, c: String) =
+        max(when(col("arm") === a && col("period") === p, col(c)))
+      def mean(sx: String, n: String) = col(sx).cast(DoubleType) / col(n)
+      def vr(n: String, sx: String, sxx: String) =
+        (col(n).cast(dec) * col(sxx) - col(sx).cast(dec) * col(sx).cast(dec))
+          .cast(DoubleType) / (col(n).cast(DoubleType) * (col(n) - 1))
+      cells.agg(
+          cell("A", "pre", "n").as("n_ap"), cell("A", "pre", "sx").as("sx_ap"),
+          cell("A", "pre", "sxx").as("sxx_ap"),
+          cell("A", "post", "n").as("n_aq"), cell("A", "post", "sx").as("sx_aq"),
+          cell("A", "post", "sxx").as("sxx_aq"),
+          cell("B", "pre", "n").as("n_bp"), cell("B", "pre", "sx").as("sx_bp"),
+          cell("B", "pre", "sxx").as("sxx_bp"),
+          cell("B", "post", "n").as("n_bq"), cell("B", "post", "sx").as("sx_bq"),
+          cell("B", "post", "sxx").as("sxx_bq"))
+        .withColumn("m_ap", mean("sx_ap", "n_ap"))
+        .withColumn("m_aq", mean("sx_aq", "n_aq"))
+        .withColumn("m_bp", mean("sx_bp", "n_bp"))
+        .withColumn("m_bq", mean("sx_bq", "n_bq"))
+        .withColumn("v_ap", vr("n_ap", "sx_ap", "sxx_ap"))
+        .withColumn("v_aq", vr("n_aq", "sx_aq", "sxx_aq"))
+        .withColumn("v_bp", vr("n_bp", "sx_bp", "sxx_bp"))
+        .withColumn("v_bq", vr("n_bq", "sx_bq", "sxx_bq"))
+        .withColumn("did", (col("m_aq") - col("m_ap")) - (col("m_bq") - col("m_bp")))
+        .withColumn("se", sqrt(
+          col("v_ap") / col("n_ap") + col("v_aq") / col("n_aq") +
+            col("v_bp") / col("n_bp") + col("v_bq") / col("n_bq")))
+        .select(col("n_ap"), col("n_aq"), col("n_bp"), col("n_bq"),
+          round(col("m_ap"), 6).as("mean_a_pre"),
+          round(col("m_aq"), 6).as("mean_a_post"),
+          round(col("m_bp"), 6).as("mean_b_pre"),
+          round(col("m_bq"), 6).as("mean_b_post"),
+          round(col("did"), 6).as("did"), round(col("se"), 6).as("se"),
+          (abs(col("did")) > col("se") * 1.96).as("significant"))
+    }),
+
+    // CUPED variance reduction — the technique that makes A/B tests
+    // converge faster: regress each user's post-period ("experiment")
+    // spend on their pre-period ("covariate") spend, θ = cov(p,q)/var(p),
+    // and report how much of the outcome variance the adjustment removes
+    // (var_cuped = var_q − cov²/var_p). High pre/post correlation ⇒ big
+    // reduction ⇒ smaller sample needed for the same power. All six
+    // co-moments are exact int64/DECIMAL(38,0) sums off ONE user-level
+    // pass; θ and the variances are fixed-order division chains, token-
+    // identical in the oracle. Composes with q82/q86: same split, same
+    // period cut, same moment machinery.
+    "q87_cuped" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val cut = lit("2024-01-16").cast(TimestampType)
+      val u = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < cut, col("cents")).otherwise(0L)).as("p"),
+          sum(when(col("ts") >= cut, col("cents")).otherwise(0L)).as("q"))
+      def vr(spp: String, sp1: String, sp2: String) =
+        (col("n").cast(dec) * col(spp) - col(sp1).cast(dec) * col(sp2).cast(dec))
+          .cast(DoubleType) / (col("n").cast(DoubleType) * (col("n") - 1))
+      u.agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("q")).as("sq"),
+          sum(col("p").cast(dec) * col("p").cast(dec)).as("spp"),
+          sum(col("q").cast(dec) * col("q").cast(dec)).as("sqq"),
+          sum(col("p").cast(dec) * col("q").cast(dec)).as("spq"))
+        .withColumn("var_p", vr("spp", "sp", "sp"))
+        .withColumn("var_q", vr("sqq", "sq", "sq"))
+        .withColumn("cov_pq", vr("spq", "sp", "sq"))
+        .withColumn("theta", col("cov_pq") / col("var_p"))
+        .withColumn("var_adj",
+          col("var_q") - col("cov_pq") * col("cov_pq") / col("var_p"))
+        .select(col("n"), round(col("theta"), 6).as("theta"),
+          round(col("var_q"), 6).as("var_post"),
+          round(col("var_adj"), 6).as("var_cuped"),
+          round(lit(1.0) - col("var_adj") / col("var_q"), 6).as("var_reduction"))
+    }),
+
     // AQP with an honest error bar: a deterministic 1/16 simple random
     // sample (md5 of the row key — reproducible on any cluster and in
     // the oracle) estimates mean lineitem revenue, and the CI comes from
@@ -2420,6 +2517,95 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // six exact co-moments, fixed-order theta/variance chains
+    "q87_cuped" ->
+      """WITH u AS (
+           SELECT user_id,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS p,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS q
+           FROM events GROUP BY user_id),
+         mo AS (
+           SELECT COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS sp, CAST(SUM(q) AS BIGINT) AS sq,
+             SUM(CAST(p AS HUGEINT) * p) AS spp, SUM(CAST(q AS HUGEINT) * q) AS sqq,
+             SUM(CAST(p AS HUGEINT) * q) AS spq
+           FROM u),
+         st AS (
+           SELECT n,
+             CAST(CAST(n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_p,
+             CAST(CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_q,
+             CAST(CAST(n AS HUGEINT) * spq - CAST(sp AS HUGEINT) * sq AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cov_pq
+           FROM mo),
+         f AS (
+           SELECT n, cov_pq / var_p AS theta, var_q,
+             var_q - cov_pq * cov_pq / var_p AS var_adj
+           FROM st)
+         SELECT n, round(theta, 6) AS theta, round(var_q, 6) AS var_post,
+           round(var_adj, 6) AS var_cuped,
+           round(1.0 - var_adj / var_q, 6) AS var_reduction
+         FROM f""",
+
+    // the four cells' exact moments, token-identical mean/var/did/se chains
+    "q86_diff_in_diff" ->
+      """WITH obs AS (
+           SELECT user_id,
+             CASE WHEN
+               (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) < 128
+               THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END AS period,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS m
+           FROM events GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT arm, period, COUNT(*) AS n, CAST(SUM(m) AS BIGINT) AS sx,
+             SUM(CAST(m AS HUGEINT) * m) AS sxx
+           FROM obs GROUP BY arm, period),
+         one AS (
+           SELECT
+             MAX(CASE WHEN arm = 'A' AND period = 'pre' THEN n END) AS n_ap,
+             MAX(CASE WHEN arm = 'A' AND period = 'pre' THEN sx END) AS sx_ap,
+             MAX(CASE WHEN arm = 'A' AND period = 'pre' THEN sxx END) AS sxx_ap,
+             MAX(CASE WHEN arm = 'A' AND period = 'post' THEN n END) AS n_aq,
+             MAX(CASE WHEN arm = 'A' AND period = 'post' THEN sx END) AS sx_aq,
+             MAX(CASE WHEN arm = 'A' AND period = 'post' THEN sxx END) AS sxx_aq,
+             MAX(CASE WHEN arm = 'B' AND period = 'pre' THEN n END) AS n_bp,
+             MAX(CASE WHEN arm = 'B' AND period = 'pre' THEN sx END) AS sx_bp,
+             MAX(CASE WHEN arm = 'B' AND period = 'pre' THEN sxx END) AS sxx_bp,
+             MAX(CASE WHEN arm = 'B' AND period = 'post' THEN n END) AS n_bq,
+             MAX(CASE WHEN arm = 'B' AND period = 'post' THEN sx END) AS sx_bq,
+             MAX(CASE WHEN arm = 'B' AND period = 'post' THEN sxx END) AS sxx_bq
+           FROM cells),
+         st AS (
+           SELECT n_ap, n_aq, n_bp, n_bq,
+             CAST(sx_ap AS DOUBLE) / n_ap AS m_ap,
+             CAST(sx_aq AS DOUBLE) / n_aq AS m_aq,
+             CAST(sx_bp AS DOUBLE) / n_bp AS m_bp,
+             CAST(sx_bq AS DOUBLE) / n_bq AS m_bq,
+             CAST(CAST(n_ap AS HUGEINT) * sxx_ap - CAST(sx_ap AS HUGEINT) * sx_ap AS DOUBLE)
+               / (CAST(n_ap AS DOUBLE) * (n_ap - 1)) AS v_ap,
+             CAST(CAST(n_aq AS HUGEINT) * sxx_aq - CAST(sx_aq AS HUGEINT) * sx_aq AS DOUBLE)
+               / (CAST(n_aq AS DOUBLE) * (n_aq - 1)) AS v_aq,
+             CAST(CAST(n_bp AS HUGEINT) * sxx_bp - CAST(sx_bp AS HUGEINT) * sx_bp AS DOUBLE)
+               / (CAST(n_bp AS DOUBLE) * (n_bp - 1)) AS v_bp,
+             CAST(CAST(n_bq AS HUGEINT) * sxx_bq - CAST(sx_bq AS HUGEINT) * sx_bq AS DOUBLE)
+               / (CAST(n_bq AS DOUBLE) * (n_bq - 1)) AS v_bq
+           FROM one),
+         f AS (
+           SELECT n_ap, n_aq, n_bp, n_bq, m_ap, m_aq, m_bp, m_bq,
+             (m_aq - m_ap) - (m_bq - m_bp) AS did,
+             sqrt(v_ap / n_ap + v_aq / n_aq + v_bp / n_bp + v_bq / n_bq) AS se
+           FROM st)
+         SELECT n_ap, n_aq, n_bp, n_bq,
+           round(m_ap, 6) AS mean_a_pre, round(m_aq, 6) AS mean_a_post,
+           round(m_bp, 6) AS mean_b_pre, round(m_bq, 6) AS mean_b_post,
+           round(did, 6) AS did, round(se, 6) AS se,
+           abs(did) > se * 1.96 AS significant
+         FROM f""",
 
     // same sample predicate, same six exact integers, same IEEE chain
     "q85_sample_ci" ->

@@ -55,6 +55,11 @@ class StringMetricsSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
+    // getOrCreate may return another suite's session (one JVM, shared
+    // SparkContext) where the extensions never applied — register through
+    // the same builder the extension uses (VectorExpressionsSpec pattern).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      StringMetricFunctions.fnName, StringMetricFunctions.fnBuilder, "built-in")
     val r = spark.sql(
       """SELECT jaro_winkler_sim('MARTHA', 'MARHTA') AS a,
                 jaro_winkler_sim(NULL, 'x') AS b""").head
