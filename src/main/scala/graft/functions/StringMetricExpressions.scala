@@ -23,9 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * empties). Float ops mirror rapidfuzz's association:
   * (m/l1 + m/l2 + (m−t)/m)/3, then sim + (0.1·l)·(1−sim) — every
   * operation correctly rounded and identically ordered, so values are
-  * bit-identical to DuckDB's on ASCII inputs (comparison is per UTF-16
-  * unit here vs bytes there — identical on ASCII; non-BMP text may
-  * differ, irrelevant to the gated corpus and documented). */
+  * bit-identical to DuckDB's on ASCII inputs. The comparison unit is the
+  * UTF-16 code unit here vs the UTF-8 byte there — identical only on
+  * ASCII; ANY non-ASCII character ('é' is 1 unit / 2 bytes) changes the
+  * match counts between engines, so the cross-engine contract is
+  * ASCII-scoped (the gated corpus is ASCII). */
 object StringMetrics {
 
   /** Static so generated code can call it. */

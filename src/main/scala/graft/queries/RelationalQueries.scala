@@ -65,6 +65,25 @@ object RelationalQueries {
       .drop("bin")
   }
 
+  /** 8-bit md5 bucket (0..255) of a key — the deterministic, engine-
+    * reproducible assignment primitive (DuckDB twin: the two-strpos hex
+    * digit decode). Shared by the experimentation family (q82/q86 arms)
+    * so the split provably composes across queries. */
+  private def md5Bucket256(c: Column): Column =
+    conv(substring(md5(c.cast(StringType).cast(BinaryType)), 1, 2), 16, 10)
+      .cast("int")
+
+  /** Deterministic 50/50 A/B arm off the md5 bucket. */
+  private def armOf(c: Column): Column =
+    when(md5Bucket256(c) < 128, "A").otherwise("B")
+
+  /** Deterministic 1/16 universe-sample predicate (24-bit md5 prefix mod
+    * 16) — shared by q70 (join-consistent order sampling) and q85 (row
+    * sampling with CI). */
+  private def sampleKeep16(c: Column): Column =
+    (conv(substring(md5(c.cast(StringType).cast(BinaryType)), 1, 6), 16, 10)
+      .cast("long") % 16) === 0
+
   /** Order-independent exact sum of a double column. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,6))) AS DOUBLE)"
@@ -1225,15 +1244,12 @@ object RelationalQueries {
     // and the technique composes with any downstream agg.
     "q70_universe_sample" -> ((s, d) => {
       val dec = DecimalType(28, 6)
-      def keep(c: org.apache.spark.sql.Column) =
-        (conv(substring(md5(c.cast("string").cast(BinaryType)), 1, 6), 16, 10)
-          .cast("long") % 16) === 0
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
       val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .agg(sum(col("l_extendedprice").cast(dec)).as("rev_exact_d"))
-      val sampled = li.filter(keep(col("l_orderkey")))
-        .join(o.filter(keep(col("o_orderkey"))), col("l_orderkey") === col("o_orderkey"))
+      val sampled = li.filter(sampleKeep16(col("l_orderkey")))
+        .join(o.filter(sampleKeep16(col("o_orderkey"))), col("l_orderkey") === col("o_orderkey"))
         .agg(sum(col("l_extendedprice").cast(dec)).as("rev_s_d"),
           count(lit(1)).as("n_lineitems_sampled"),
           countDistinct(col("o_orderkey")).as("n_orders_sampled"))
@@ -1509,9 +1525,7 @@ object RelationalQueries {
       val obs = Tables.events(s, d)
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .withColumn("period", when(col("ts") < cut, "pre").otherwise("post"))
-        .withColumn("arm", when(
-          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10) as int)") < 128,
-          "A").otherwise("B"))
+        .withColumn("arm", armOf(col("user_id")))
         .groupBy(col("user_id"), col("arm"), col("period"))
         .agg(sum(col("cents")).as("m"))
       val cells = obs.groupBy(col("arm"), col("period"))
@@ -1606,9 +1620,8 @@ object RelationalQueries {
       val dec = DecimalType(38, 0)
       val li = Tables.lineitem(s, d)
         .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
-      val keep = (conv(substring(md5(concat_ws("-",
-        col("l_orderkey"), col("l_linenumber")).cast(BinaryType)), 1, 6), 16, 10)
-        .cast("long") % 16) === 0
+      val keep = sampleKeep16(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber")))
       val pop = li.agg(count(lit(1)).as("n_total"), sum(col("cents")).as("sx_t"))
       val smp = li.filter(keep)
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
@@ -1708,9 +1721,7 @@ object RelationalQueries {
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .groupBy(col("user_id"))
         .agg(sum(col("cents")).as("m"))
-        .withColumn("arm", when(
-          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10) as int)") < 128,
-          "A").otherwise("B"))
+        .withColumn("arm", armOf(col("user_id")))
       val arms = users.groupBy(col("arm"))
         .agg(count(lit(1)).as("n"), sum(col("m")).as("sx"),
           sum(col("m").cast(dec) * col("m").cast(dec)).as("sxx"))
@@ -1752,9 +1763,12 @@ object RelationalQueries {
     // exist outside the blocks (probed exhaustively at build time).
     "q81_jaro_entity" -> ((s, d) => {
       val n = Tables.part(s, d).select(col("p_name").as("nm")).distinct()
+      // coalesce to '' so a one-token name matches DuckDB's split_part
+      // (which returns '' past the end, where getItem yields NULL and
+      // would silently drop the row from the k2 block)
       val k = n.select(col("nm"),
         split(col("nm"), " ").getItem(0).as("k1"),
-        split(col("nm"), " ").getItem(1).as("k2"))
+        coalesce(split(col("nm"), " ").getItem(1), lit("")).as("k2"))
       val a = k.select(col("nm").as("na"), col("k1").as("ka1"), col("k2").as("ka2"))
       val b = k.select(col("nm").as("nb"), col("k1").as("kb1"), col("k2").as("kb2"))
       val c1 = a.join(b, col("na") < col("nb") && col("ka1") === col("kb1"))

@@ -185,15 +185,19 @@ object SimilarityQueries {
       val scored = e.withColumn("s",
         aggregate(zip_with(col("embedding"), vArr,
           (x, y) => x.cast("double") * y), lit(0.0), (acc, t) => acc + t))
+      // ONE action per iteration: collect the 64-row u vector, then pick
+      // the pivot and quantize locally (a second Spark action would
+      // re-run the whole corpus pass — nothing here is cached).
       val u = scored
         .select(posexplode(col("embedding")).as(Seq("j", "x")), col("s"))
         .groupBy(col("j"))
         .agg(sum((col("x").cast("double") * col("s")).cast(dec))
           .cast("double").as("u"))
-      val m = u.orderBy(abs(col("u")).desc, col("j")).select(col("u"))
-        .head.getDouble(0)
-      val vn = u.select(col("j"), round(col("u") / lit(m), 9).as("v"))
         .orderBy(col("j")).collect().map(_.getDouble(1)).toSeq
+      val m = u.zipWithIndex.maxBy { case (x, j) => (math.abs(x), -j) }._1
+      // driver-side ≡ Spark round(x, 9): shortest-repr BigDecimal, HALF_UP
+      val vn = u.map(x => java.math.BigDecimal.valueOf(x / m)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
       (vn, m)
     }
     val v0 = Seq.fill(64)(0.125) // 1/√64 — exactly representable
