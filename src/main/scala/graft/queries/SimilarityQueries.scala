@@ -611,6 +611,78 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos_sim"))
         .orderBy(col("src"), col("rank"))),
 
+    // Greedy NSW graph search — the navigable-small-world walk that HNSW
+    // layers stack: start from a fixed entry point and repeatedly move to
+    // the neighbor (from the k-NN graph's adjacency lists) closest to the
+    // query, stopping at a local optimum. This is the third ANN *search
+    // strategy* in the suite (scan-based LSH/IVF buckets, code-based PQ,
+    // now graph-traversal) — at index scale the walk touches O(hops·k)
+    // vectors instead of a cell scan. Walk state is queries-sized (5
+    // rows); each of the 6 unrolled hops is one state⋈edges join + one
+    // state-sized rank — the corpus is only probed for candidate
+    // embeddings. Entry = the cell's minimum vec_id (deterministic, no
+    // oracle leakage); the result reports whether the greedy walk reached
+    // the cell's true top-1 (it can honestly stall at a local optimum —
+    // that's the known NSW trade-off the recall column measures).
+    "sim_nsw_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val corpus = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+      val scoredCell = corpus.join(broadcast(qs),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+      // walk graph: within-cell top-8 out-edges (the search graph is
+      // denser than the top-3 analysis graph — degree is the NSW
+      // navigability knob, like HNSW's M)
+      val wEdges = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          (dotD(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("ecos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))))
+        .filter(col("rk") <= 8).select(col("src"), col("dst"))
+      val entry = scoredCell.groupBy(col("q_id")).agg(min(col("vec_id")).as("cur"))
+      def hop(state: DataFrame): DataFrame = {
+        val cand = state.join(wEdges, state("cur") === wEdges("src"))
+          .select(col("q_id"), col("dst").as("cand"))
+          .union(state.select(col("q_id"), col("cur").as("cand")))
+          .distinct()
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand"))
+        cand.join(scoredCell,
+            cand("q_id") === scoredCell("q_id") && col("cand") === col("vec_id"))
+          .select(cand("q_id"), col("cand"), col("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3) // beam width (HNSW's ef)
+          .select(col("q_id"), col("cand").as("cur"))
+      }
+      val beam = (1 to 6).foldLeft(entry)((st, _) => hop(st))
+      val w1 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cur"))
+      val found = beam.join(scoredCell,
+          beam("q_id") === scoredCell("q_id") && col("cur") === col("vec_id"))
+        .select(beam("q_id"), col("cur"), col("cos"))
+        .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+        .select(col("q_id"), col("cur").as("found_id"), col("cos").as("found_cos"))
+      val best = scoredCell
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("best_id"), col("cos").as("best_cos"))
+      found
+        .join(entry.select(col("q_id"), col("cur").as("entry_id")), Seq("q_id"))
+        .join(best, Seq("q_id"))
+        .select(col("q_id"), col("entry_id"), col("found_id"),
+          round(col("found_cos"), 6).as("found_cos"),
+          (col("found_id") === col("best_id")).as("reached_cell_best"),
+          round(col("found_cos") / col("best_cos"), 6).as("quality_ratio"))
+        .orderBy(col("q_id"))
+    }),
+
     // Semantic clusters (the SemDeDup shape): MUTUAL top-3 neighbors form
     // the undirected edge set — mutuality is the standard symmetrization
     // that keeps hub vectors from chaining unrelated regions — and
@@ -1604,6 +1676,56 @@ object SimilarityQueries {
            WHERE bfs.h < 6)
          SELECT v AS vec_id, CAST(MIN(h) AS BIGINT) AS hops
          FROM bfs GROUP BY v ORDER BY vec_id""",
+
+    // the same 6 greedy hops unrolled (MATERIALIZED — the pcaIterSql trap);
+    // identical cosine chains and (cos DESC, cand) tie-break per hop
+    "sim_nsw_search" -> {
+      def hopSql(n: Int): String =
+        s"""h$n AS MATERIALIZED (
+           SELECT q_id, cand AS cur FROM (
+             SELECT c.q_id, c.cand,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY s.cos DESC, c.cand) AS rk
+             FROM (
+               SELECT s.q_id, e.dst AS cand FROM h${n - 1} s JOIN wedges e ON e.src = s.cur
+               UNION SELECT q_id, cur FROM h${n - 1}) c
+             JOIN scored s ON s.q_id = c.q_id AND s.vec_id = c.cand) t
+           WHERE rk <= 3)"""
+      s"""WITH wedges AS MATERIALIZED (
+           SELECT src, dst FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+             FROM embeddings a JOIN embeddings b
+               ON a.label = b.label AND a.vec_id <> b.vec_id) t
+           WHERE rank <= 8),
+         scored AS MATERIALIZED (
+           SELECT q.vec_id AS q_id, c.vec_id,
+             ${cosSql("c.embedding", "q.embedding")} AS cos
+           FROM embeddings q JOIN embeddings c
+             ON q.vec_id < 5 AND c.label = q.label AND c.vec_id <> q.vec_id),
+         h0 AS MATERIALIZED (SELECT q_id, MIN(vec_id) AS cur FROM scored GROUP BY q_id),
+         ${hopSql(1)}, ${hopSql(2)}, ${hopSql(3)},
+         ${hopSql(4)}, ${hopSql(5)}, ${hopSql(6)},
+         fnd AS MATERIALIZED (
+           SELECT q_id, cur AS found_id, cos AS found_cos FROM (
+             SELECT h6.q_id, h6.cur, s.cos,
+               ROW_NUMBER() OVER (PARTITION BY h6.q_id ORDER BY s.cos DESC, h6.cur) AS rk
+             FROM h6 JOIN scored s ON s.q_id = h6.q_id AND s.vec_id = h6.cur) t
+           WHERE rk = 1),
+         best AS MATERIALIZED (
+           SELECT q_id, vec_id AS best_id, cos AS best_cos FROM (
+             SELECT q_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+             FROM scored) t
+           WHERE rk = 1)
+         SELECT fnd.q_id AS q_id, h0.cur AS entry_id, fnd.found_id,
+           round(fnd.found_cos, 6) AS found_cos,
+           fnd.found_id = best.best_id AS reached_cell_best,
+           round(fnd.found_cos / best.best_cos, 6) AS quality_ratio
+         FROM fnd JOIN h0 ON fnd.q_id = h0.q_id
+         JOIN best ON best.q_id = fnd.q_id
+         ORDER BY fnd.q_id"""
+    },
 
     "sim_knn_graph" ->
       s"""SELECT src, rank, dst, cos_sim FROM (
