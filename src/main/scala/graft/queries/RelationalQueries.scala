@@ -1567,6 +1567,64 @@ object RelationalQueries {
           (abs(col("did")) > col("se") * 1.96).as("significant"))
     }),
 
+    // CUSUM change-point detection — "did the daily level shift, and
+    // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
+    // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
+    // cumulative-sum drift test). Everything is exact int64 until the
+    // two reported means — the argmax, the statistic, and the tie-break
+    // (earliest day) are pure integer comparisons, so the detected day
+    // is bit-determined. Scale shape: one corpus agg to daily totals,
+    // then all window work runs on the DOMAIN-sized day series.
+    "q88_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("cents")).as("x"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = daily
+        .withColumn("i", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("s_i", sum(col("x")).over(w))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s_n"))))
+        .withColumn("stat", abs(col("n") * col("s_i") - col("i") * col("s_n")))
+      c.orderBy(col("stat").desc, col("day")).limit(1)
+        .select(col("day").as("change_day"), col("n").as("n_days"),
+          col("i").as("k"), col("stat").as("max_stat"),
+          round(col("s_i").cast(DoubleType) / col("i"), 6).as("mean_before"),
+          round((col("s_n") - col("s_i")).cast(DoubleType) / (col("n") - col("i")), 6)
+            .as("mean_after"))
+    }),
+
+    // Benford first-digit audit — the forensic data-quality screen for
+    // fabricated or truncated numeric columns: leading-digit shares of
+    // revenue vs the Benford expectation. The digit comes from the
+    // integer cents' STRING head (no log10 anywhere — libm differs
+    // across engines; the nine expected shares are embedded as IDENTICAL
+    // double literals on both sides, the text_ndcg convention), and the
+    // output is per-digit rows so no cross-row float summation exists.
+    // One corpus agg to 9 rows.
+    "q89_benford" -> ((s, d) => {
+      val expected = Seq( // log10(1 + 1/d), precomputed once, shared text
+        0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+        0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+        0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+      val exp = expected.zipWithIndex.tail
+        .foldLeft(when(col("digit") === "1", expected.head)) {
+          case (acc, (e, i)) => acc.when(col("digit") === (i + 1).toString, e)
+        }
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("digit", substring(col("cents").cast(StringType), 1, 1))
+      li.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("total"))))
+        .withColumn("share", round(col("n").cast(DoubleType) / col("total"), 6))
+        .withColumn("expected", round(exp, 6))
+        .withColumn("abs_dev",
+          round(abs(col("n").cast(DoubleType) / col("total") - exp), 6))
+        .select(col("digit"), col("n"), col("share"), col("expected"), col("abs_dev"))
+        .orderBy(col("digit"))
+    }),
+
     // CUPED variance reduction — the technique that makes A/B tests
     // converge faster: regress each user's post-period ("experiment")
     // spend on their pre-period ("covariate") spend, θ = cov(p,q)/var(p),
@@ -2531,6 +2589,56 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // integer-scaled CUSUM argmax, earliest-day tie-break
+    "q88_cusum" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+             COUNT(*) OVER () AS n,
+             SUM(x) OVER () AS s_n
+           FROM daily),
+         t AS (
+           SELECT day, CAST(i AS BIGINT) AS i, CAST(n AS BIGINT) AS n,
+             CAST(s_i AS BIGINT) AS s_i, CAST(s_n AS BIGINT) AS s_n,
+             CAST(abs(n * s_i - i * s_n) AS BIGINT) AS stat
+           FROM c)
+         SELECT CAST(day AS TIMESTAMP) AS change_day, n AS n_days, i AS k,
+           stat AS max_stat,
+           round(CAST(s_i AS DOUBLE) / i, 6) AS mean_before,
+           round(CAST(s_n - s_i AS DOUBLE) / (n - i), 6) AS mean_after
+         FROM t ORDER BY stat DESC, day LIMIT 1""",
+
+    // identical expected-share double literals on both engines (the
+    // text_ndcg convention — no libm log10 inside either query)
+    "q89_benford" ->
+      """WITH li AS (
+           SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+           FROM lineitem),
+         cnt AS (SELECT digit, COUNT(*) AS n FROM li GROUP BY digit),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+         e AS (
+           SELECT digit, n, total,
+             CASE digit WHEN '1' THEN 0.3010299956639812
+               WHEN '2' THEN 0.17609125905568124
+               WHEN '3' THEN 0.12493873660829993
+               WHEN '4' THEN 0.09691001300805642
+               WHEN '5' THEN 0.07918124604762482
+               WHEN '6' THEN 0.06694678963061322
+               WHEN '7' THEN 0.05799194697768673
+               WHEN '8' THEN 0.05115252244738129
+               WHEN '9' THEN 0.04575749056067514 END AS exp
+           FROM cnt, tot)
+         SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(exp, 6) AS expected,
+           round(abs(CAST(n AS DOUBLE) / total - exp), 6) AS abs_dev
+         FROM e ORDER BY digit""",
 
     // six exact co-moments, fixed-order theta/variance chains
     "q87_cuped" ->

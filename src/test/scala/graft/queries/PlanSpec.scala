@@ -612,6 +612,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Deduplicate"), p)
   }
 
+  test("q84 MAD: both median cuts run on the distribution table, never a per-group collect") {
+    val p = plan("q84_mad_outliers")
+    // the lower-median cut is per-(group, value) counts + cumulative
+    // window — a collect_list would mean O(group) per-group buffers
+    assert(!p.contains("collect_list"), p)
+    // per-(type, cents) distribution agg is two-phase
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
+  test("experimentation family (q82/q86/q87): moments reduce two-phase; final stats are 1-row math") {
+    for (q <- Seq("q82_ab_ttest", "q86_diff_in_diff", "q87_cuped")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("sim_nsw_search: every join is equi (cell or key) — no nested loop anywhere in the walk") {
+    val p = plan("sim_nsw_search")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row-per-query state joins broadcast; corpus pair join keys on label
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("runtime bloom filter: a selective dim predicate injects might_contain on the fact side") {
     // The 100 TB story for selective star joins that DON'T broadcast:
     // Spark's InjectRuntimeFilter builds a bloom filter from the filtered
