@@ -84,6 +84,17 @@ object RelationalQueries {
     (conv(substring(md5(c.cast(StringType).cast(BinaryType)), 1, 6), 16, 10)
       .cast("long") % 16) === 0
 
+  /** Exact-moment (co)variance chain shared by the experimentation
+    * family (q82/q86/q87): (n·Σxy − Σx·Σy) / (n·(n−1)) with the product
+    * terms in DECIMAL(38,0) (HUGEINT on the oracle side) and ONE
+    * correctly-rounded division — the token-identical form both engines
+    * must compute. Variance = coMoment(n, Σx², Σx, Σx). */
+  private def exactCoMoment(n: Column, sxy: Column, sx: Column, sy: Column): Column = {
+    val dec = DecimalType(38, 0)
+    (n.cast(dec) * sxy - sx.cast(dec) * sy.cast(dec)).cast(DoubleType) /
+      (n.cast(DoubleType) * (n - lit(1)))
+  }
+
   /** Order-independent exact sum of a double column. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,6))) AS DOUBLE)"
@@ -1535,8 +1546,7 @@ object RelationalQueries {
         max(when(col("arm") === a && col("period") === p, col(c)))
       def mean(sx: String, n: String) = col(sx).cast(DoubleType) / col(n)
       def vr(n: String, sx: String, sxx: String) =
-        (col(n).cast(dec) * col(sxx) - col(sx).cast(dec) * col(sx).cast(dec))
-          .cast(DoubleType) / (col(n).cast(DoubleType) * (col(n) - 1))
+        exactCoMoment(col(n), col(sxx), col(sx), col(sx))
       cells.agg(
           cell("A", "pre", "n").as("n_ap"), cell("A", "pre", "sx").as("sx_ap"),
           cell("A", "pre", "sxx").as("sxx_ap"),
@@ -1586,10 +1596,15 @@ object RelationalQueries {
         .withColumn("i", row_number().over(Window.orderBy(col("day"))))
         .withColumn("s_i", sum(col("x")).over(w))
         .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s_n"))))
-        .withColumn("stat", abs(col("n") * col("s_i") - col("i") * col("s_n")))
+        // products of day-count x cumulative-cents overflow int64 at the
+        // design scale (n*S_i ~ 1e19 for 3e16 total cents) - compute the
+        // statistic in DECIMAL(38,0) like every other moment product in
+        // the suite (the oracle's window sums are HUGEINT already)
+        .withColumn("stat", abs(col("n").cast(DecimalType(38, 0)) * col("s_i") -
+          col("i").cast(DecimalType(38, 0)) * col("s_n")))
       c.orderBy(col("stat").desc, col("day")).limit(1)
         .select(col("day").as("change_day"), col("n").as("n_days"),
-          col("i").as("k"), col("stat").as("max_stat"),
+          col("i").as("k"), col("stat").cast("long").as("max_stat"),
           round(col("s_i").cast(DoubleType) / col("i"), 6).as("mean_before"),
           round((col("s_n") - col("s_i")).cast(DoubleType) / (col("n") - col("i")), 6)
             .as("mean_after"))
@@ -1615,8 +1630,9 @@ object RelationalQueries {
       val li = Tables.lineitem(s, d)
         .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
         .withColumn("digit", substring(col("cents").cast(StringType), 1, 1))
-      li.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(li.agg(count(lit(1)).as("total"))))
+      val cnt = li.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      cnt
+        .crossJoin(broadcast(cnt.agg(sum(col("n")).as("total"))))
         .withColumn("share", round(col("n").cast(DoubleType) / col("total"), 6))
         .withColumn("expected", round(exp, 6))
         .withColumn("abs_dev",
@@ -1644,8 +1660,7 @@ object RelationalQueries {
         .agg(sum(when(col("ts") < cut, col("cents")).otherwise(0L)).as("p"),
           sum(when(col("ts") >= cut, col("cents")).otherwise(0L)).as("q"))
       def vr(spp: String, sp1: String, sp2: String) =
-        (col("n").cast(dec) * col(spp) - col(sp1).cast(dec) * col(sp2).cast(dec))
-          .cast(DoubleType) / (col("n").cast(DoubleType) * (col("n") - 1))
+        exactCoMoment(col("n"), col(spp), col(sp1), col(sp2))
       u.agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("q")).as("sq"),
           sum(col("p").cast(dec) * col("p").cast(dec)).as("spp"),
           sum(col("q").cast(dec) * col("q").cast(dec)).as("sqq"),
@@ -1790,12 +1805,8 @@ object RelationalQueries {
       a.crossJoin(b)
         .withColumn("mean_a", col("sxa").cast(DoubleType) / col("na"))
         .withColumn("mean_b", col("sxb").cast(DoubleType) / col("nb"))
-        .withColumn("va",
-          (col("na").cast(dec) * col("sxxa") - col("sxa").cast(dec) * col("sxa").cast(dec))
-            .cast(DoubleType) / (col("na").cast(DoubleType) * (col("na") - 1)))
-        .withColumn("vb",
-          (col("nb").cast(dec) * col("sxxb") - col("sxb").cast(dec) * col("sxb").cast(dec))
-            .cast(DoubleType) / (col("nb").cast(DoubleType) * (col("nb") - 1)))
+        .withColumn("va", exactCoMoment(col("na"), col("sxxa"), col("sxa"), col("sxa")))
+        .withColumn("vb", exactCoMoment(col("nb"), col("sxxb"), col("sxb"), col("sxb")))
         .withColumn("aa", col("va") / col("na"))
         .withColumn("bb", col("vb") / col("nb"))
         .withColumn("t_stat", (col("mean_a") - col("mean_b")) / sqrt(col("aa") + col("bb")))
@@ -2606,10 +2617,10 @@ object RelationalQueries {
          t AS (
            SELECT day, CAST(i AS BIGINT) AS i, CAST(n AS BIGINT) AS n,
              CAST(s_i AS BIGINT) AS s_i, CAST(s_n AS BIGINT) AS s_n,
-             CAST(abs(n * s_i - i * s_n) AS BIGINT) AS stat
+             abs(CAST(n AS HUGEINT) * s_i - CAST(i AS HUGEINT) * s_n) AS stat
            FROM c)
          SELECT CAST(day AS TIMESTAMP) AS change_day, n AS n_days, i AS k,
-           stat AS max_stat,
+           CAST(stat AS BIGINT) AS max_stat,
            round(CAST(s_i AS DOUBLE) / i, 6) AS mean_before,
            round(CAST(s_n - s_i AS DOUBLE) / (n - i), 6) AS mean_after
          FROM t ORDER BY stat DESC, day LIMIT 1""",

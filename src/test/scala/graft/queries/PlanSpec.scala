@@ -629,11 +629,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("sim_nsw_search: every join is equi (cell or key) — no nested loop anywhere in the walk") {
-    val p = plan("sim_nsw_search")
-    assert(!p.contains("CartesianProduct"), p)
-    // the 1-row-per-query state joins broadcast; corpus pair join keys on label
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  test("sim_nsw_search: the walk navigates (quality vs cell-best bounded below)") {
+    // The walk's internals localCheckpoint per hop, so their joins never
+    // appear in the final explained plan — a plan assertion over them
+    // would be vacuous. Gate the BEHAVIOR instead: building the query
+    // runs the walk; every query must land within 60% of its cell's true
+    // best cosine (degree-8/beam-3 measured 4/5 exact, worst 0.83 — a
+    // stalled walk like the degree-3/beam-1 variant fails this).
+    val rows = graft.SparkEntry.queries("sim_nsw_search")(spark, d).collect()
+    assert(rows.length >= 3, rows.mkString("\n"))
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("quality_ratio")
+      assert(ratio >= 0.6, s"walk stalled far from cell best: $r")
+    }
   }
 
   test("runtime bloom filter: a selective dim predicate injects might_contain on the fact side") {
