@@ -1577,6 +1577,42 @@ object RelationalQueries {
           (abs(col("did")) > col("se") * 1.96).as("significant"))
     }),
 
+    // Revenue-concentration report — the two standard inequality
+    // metrics side by side: the Gini coefficient of per-customer revenue
+    // (G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) over rank-ordered totals) and
+    // the Herfindahl–Hirschman index of supplier market share
+    // (HHI = Σshare²·10000 = Σc²/(Σc)²·10000). Whale-dependence and
+    // supply-concentration risk are the first questions any revenue
+    // warehouse gets asked. Exactness: both numerators are pure
+    // DECIMAL(38,0)/HUGEINT integer sums over integer cents (the rank
+    // weight rides the sum, Σc² likewise), one division each. Scale
+    // shape: one corpus agg per side to entity-sized tables; the Gini
+    // rank window runs over customers only (domain-sized — the q80
+    // ntile argument).
+    "q90_concentration" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val cr = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      val r = cr.withColumn("i",
+        row_number().over(Window.orderBy(col("cents"), col("o_custkey"))))
+      val g = r.agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("s"),
+          sum(col("i").cast(dec) * col("cents").cast(dec)).as("ws"))
+        .select(col("n_customers"),
+          round((col("ws") * 2 - (col("n_customers") + 1).cast(dec) * col("s").cast(dec))
+            .cast(DoubleType) /
+            (col("n_customers").cast(DoubleType) * col("s")), 6).as("gini"))
+      val sr = Tables.lineitem(s, d)
+        .withColumn("c", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy(col("l_suppkey")).agg(sum(col("c")).as("c"))
+      val h = sr.agg(count(lit(1)).as("n_suppliers"), sum(col("c")).as("s2"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+        .select(col("n_suppliers"),
+          round(col("ss").cast(DoubleType) /
+            (col("s2").cast(DoubleType) * col("s2")) * 10000, 6).as("hhi"))
+      g.crossJoin(broadcast(h))
+    }),
+
     // CUSUM change-point detection — "did the daily level shift, and
     // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
     // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
@@ -2600,6 +2636,33 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // pure integer numerators (rank-weighted sum, sum of squares), one
+    // division per metric
+    "q90_concentration" ->
+      """WITH cr AS (
+           SELECT o_custkey AS ck,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, ck) AS i FROM cr),
+         m AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+                 SUM(CAST(i AS HUGEINT) * cents) AS ws FROM r),
+         g AS (
+           SELECT n AS n_customers,
+             round(CAST(ws * 2 - CAST((n + 1) AS HUGEINT) * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * s), 6) AS gini
+           FROM m),
+         sr AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+         m2 AS (SELECT COUNT(*) AS n2, CAST(SUM(c) AS BIGINT) AS s2,
+                  SUM(CAST(c AS HUGEINT) * c) AS ss FROM sr),
+         h AS (
+           SELECT n2 AS n_suppliers,
+             round(CAST(ss AS DOUBLE) / (CAST(s2 AS DOUBLE) * s2) * 10000, 6) AS hhi
+           FROM m2)
+         SELECT n_customers, gini, n_suppliers, hhi FROM g, h""",
 
     // integer-scaled CUSUM argmax, earliest-day tie-break
     "q88_cusum" ->
