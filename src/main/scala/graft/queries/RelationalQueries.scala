@@ -1613,6 +1613,34 @@ object RelationalQueries {
       g.crossJoin(broadcast(h))
     }),
 
+    // Lorenz operating point — q90's Gini gives the inequality INTEGRAL;
+    // this gives the curve's actionable points: the smallest customer
+    // count carrying 80% of revenue (the "80/20" k) and the revenue
+    // share of the top decile. All threshold tests are integer
+    // cross-multiplications (cum·5 ≥ total·4, i·10 ≤ n) so the selected
+    // ranks are bit-determined; the two output shares are one division
+    // each. Same customer-sized rank window as q90.
+    "q91_pareto_revenue" -> ((s, d) => {
+      val cr = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+      val r = cr.withColumn("i", row_number().over(w))
+        .withColumn("cum", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = cr.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val j = r.crossJoin(broadcast(tot))
+      val k80 = j.filter(col("cum") * 5 >= col("s") * 4)
+        .agg(min(col("i")).as("k80"))
+      val c10 = j.filter(col("i") * 10 <= col("n"))
+        .agg(max(col("cum")).as("c10"))
+      k80.crossJoin(c10).crossJoin(broadcast(tot))
+        .select(col("n").as("n_customers"), col("k80"),
+          round(col("k80").cast(DoubleType) / col("n"), 6).as("k80_share"),
+          round(col("c10").cast(DoubleType) / col("s"), 6)
+            .as("top10pct_revenue_share"))
+    }),
+
     // CUSUM change-point detection — "did the daily level shift, and
     // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
     // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
@@ -2636,6 +2664,28 @@ object RelationalQueries {
            UNION ALL SELECT 24, COUNT(c24),
              round(CAST(SUM(CAST(cx AS HUGEINT) * c24) AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM c, d GROUP BY den
          ) ORDER BY lag""",
+
+    // integer cross-multiplied thresholds pick the ranks; one division
+    // per share
+    "q91_pareto_revenue" ->
+      """WITH cr AS (
+           SELECT o_custkey AS ck,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC, ck) AS i,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM cr),
+         tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM cr),
+         k80 AS (SELECT CAST(MIN(i) AS BIGINT) AS k80 FROM r, tot
+                 WHERE cum * 5 >= s * 4),
+         c10 AS (SELECT CAST(MAX(cum) AS BIGINT) AS c10 FROM r, tot
+                 WHERE i * 10 <= n)
+         SELECT n AS n_customers, k80,
+           round(CAST(k80 AS DOUBLE) / n, 6) AS k80_share,
+           round(CAST(c10 AS DOUBLE) / s, 6) AS top10pct_revenue_share
+         FROM k80, c10, tot""",
 
     // pure integer numerators (rank-weighted sum, sum of squares), one
     // division per metric
