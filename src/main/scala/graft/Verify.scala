@@ -26,6 +26,20 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // Refuse DecimalType in dumped output: the driver's gate hashes
+        // the Spark parquet through pandas (python Decimal objects) but
+        // the DuckDB oracle side through float64, so a decimal column
+        // hash-mismatches even when every value is identical (bit us on
+        // cdc_numeric_typed in r3). Queries must cast decimals to
+        // double/string in their final projection — failing loudly here
+        // keeps the dev loop from re-tripping the driver-only path.
+        val decCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decCols.isEmpty,
+          s"query output has DecimalType column(s) ${decCols.mkString(",")} — " +
+          "cast to double/string in the final projection (gate hashes decimals as " +
+          "python objects on the Spark side but float64 on the oracle side)")
         // Write TIMESTAMP columns as NTZ: under the UTC session this is the
         // same wall-clock instant, and DuckDB then reads them as naive
         // timestamps — directly comparable with the oracle's naive values

@@ -36,8 +36,7 @@ object CdcQueries {
 
   private def liveOrderNets(s: SparkSession, d: String, valueCol: String): DataFrame =
     netsCache.getOrElseUpdate((s, d, valueCol), {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
-        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      val events = CdcPipeline.ordersEventsUDFI(s, d)
       graft.cdc.Cdc.netCounts(events, "o_orderpriority", valueCol, None)
         .filter(col("net") > 0).persist()
     })
@@ -52,7 +51,8 @@ object CdcQueries {
 
   private def lineitemState(s: SparkSession, d: String): DataFrame =
     liStateCache.getOrElseUpdate((s, d),
-      CdcPipeline.materializedLineitem(s, d).persist())
+      graft.cdc.Cdc.materialize(
+        CdcPipeline.lineitemEvents(s, d), CdcPipeline.lineitemRelation).persist())
 
   /** Drop cached net-count state (test hook / memory release). */
   def clearCache(): Unit = {
@@ -60,6 +60,7 @@ object CdcQueries {
     netsCache.clear()
     liStateCache.values.foreach(_.unpersist())
     liStateCache.clear()
+    CdcPipeline.clearSharedEvents()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,8 +71,8 @@ object CdcQueries {
     // Inserts + updates (key%10==0: totalprice+1, no old image on the wire)
     // + key-only deletes (key%7==0): last-LSN-wins upsert semantics.
     "cdc_upsert_delete" -> ((s, d) =>
-      finish(CdcPipeline.materializedOrders(s, d,
-        DmlPattern(updates = true, deletes = true)))),
+      finish(graft.cdc.Cdc.materialize(
+        CdcPipeline.ordersEventsUD(s, d), CdcPipeline.ordersRelation))),
 
     // Dead-letter channel end-to-end (T4 error routing): a wire path where
     // k % 13 == 0 rows carry a non-numeric o_totalprice (cast error) and
@@ -117,8 +118,7 @@ object CdcQueries {
     // IDENTITY FULL images) — never materializing the table. Must equal
     // aggregating the oracle's final state.
     "cdc_incremental_agg" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
-        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      val events = CdcPipeline.ordersEventsUDFI(s, d)
       graft.cdc.Cdc.incrementalAggregate(events, "o_orderpriority", "o_totalprice")
         .select(col("g").as("o_orderpriority"),
           col("v").cast("double").as("sum_price"), col("c").as("n_rows"))
@@ -136,8 +136,7 @@ object CdcQueries {
     // shape as cdc_incremental_agg: one narrow delta pass, one group-keyed
     // shuffle — the 100 TB table is never rescanned.
     "cdc_incremental_stats" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
-        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      val events = CdcPipeline.ordersEventsUDFI(s, d)
       graft.cdc.Cdc.incrementalStats(events, "o_orderpriority", "o_totalprice")
         .select(col("g").as("o_orderpriority"),
           (col("sx").cast("double") / col("c")).as("mc"),
@@ -209,7 +208,7 @@ object CdcQueries {
     // retraction re-derives the cell from the before image. Must equal the
     // from-scratch assignment histogram of the surviving vectors.
     "cdc_incremental_ivf" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.embeddingsToFrames(s, d)).toDF()
+      val events = CdcPipeline.embeddingsEvents(s, d)
       val cents = graft.Tables.embeddings(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
@@ -242,7 +241,7 @@ object CdcQueries {
     // combined; fully-retracted terms leave at df = 0. Must equal df over
     // the surviving table state (the oracle recomputes from scratch).
     "cdc_incremental_termdf" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.documentsToFramesDml(s, d)).toDF()
+      val events = CdcPipeline.docsDmlEvents(s, d)
       def terms(img: String, net: Int) =
         events.filter(col("op").isin((if (net > 0) Seq("I", "U") else Seq("U", "D")): _*))
           .select(explode(array_distinct(
@@ -264,7 +263,7 @@ object CdcQueries {
     // update anywhere in decode → compaction → typed view shifts df,
     // avgdl, or a tf and hash-fails the ranking.
     "cdc_bm25_serving" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.documentsToFramesDml(s, d)).toDF()
+      val events = CdcPipeline.docsDmlEvents(s, d)
       val docs = graft.cdc.Cdc.materialize(events, CdcPipeline.documentsRelation)
         .select(col("doc_id"), col("text"))
       TextQueries.bm25Of(docs, TextQueries.QueryTerms)
@@ -281,10 +280,10 @@ object CdcQueries {
     // parquet floats bit-for-bit, so a dropped delete on EITHER stream
     // shifts a rank and hash-fails the fusion.
     "cdc_hybrid_serving" -> ((s, d) => {
-      val dEvents = CdcPipeline.decodeFrames(CdcPipeline.documentsToFramesDml(s, d)).toDF()
+      val dEvents = CdcPipeline.docsDmlEvents(s, d)
       val docs = graft.cdc.Cdc.materialize(dEvents, CdcPipeline.documentsRelation)
         .select(col("doc_id"), col("text"))
-      val eEvents = CdcPipeline.decodeFrames(CdcPipeline.embeddingsToFrames(s, d)).toDF()
+      val eEvents = CdcPipeline.embeddingsEvents(s, d)
       val vecs = graft.cdc.Cdc.materialize(eEvents, CdcPipeline.embeddingsRelation)
         .select(col("vec_id"),
           expr("""transform(split(substring(embedding, 2, length(embedding) - 2), ','),
@@ -367,8 +366,8 @@ object CdcQueries {
     // DML pattern (updated keys mismatch, deleted keys missing), so the
     // audit report itself has an exact oracle.
     "cdc_state_audit" -> ((s, d) => {
-      val state = CdcPipeline.materializedOrders(s, d,
-        DmlPattern(updates = true, deletes = true))
+      val state = graft.cdc.Cdc.materialize(
+        CdcPipeline.ordersEventsUD(s, d), CdcPipeline.ordersRelation)
         .select(col("o_orderkey"), col("o_totalprice"))
       val snap = graft.Tables.orders(s, d)
         .select(col("o_orderkey").as("s_key"), col("o_totalprice").as("s_price"))
@@ -394,8 +393,7 @@ object CdcQueries {
     // at the cost of the batch, not the table. Must equal aggregating the
     // oracle's final joined state.
     "cdc_incremental_join_agg" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
-        DmlPattern(updates = true, deletes = true, fullImages = true))).toDF()
+      val events = CdcPipeline.ordersEventsUDFI(s, d)
       val dec = org.apache.spark.sql.types.DecimalType(28, 6)
       val plus = events.filter(col("op").isin("I", "U"))
         .select(element_at(col("after"), "o_custkey").cast("long").as("custkey"),
@@ -447,15 +445,17 @@ object CdcQueries {
       // own half — byte-identical to filtering the union by parity, but
       // the other relation's frames are never encoded or parsed (the
       // batch analog of per-publication scan pruning; the streaming sink
-      // consumes the same log UNFILTERED, spec-covered).
-      val pat = DmlPattern(updates = true, deletes = true)
+      // consumes the same log UNFILTERED, spec-covered). One step
+      // further: the joint halves are ORDER-ISOMORPHIC to the plain logs
+      // (lsn → 2·lsn(+1) is monotone) and compaction depends only on
+      // within-key LSN order, so each side materializes from the suite's
+      // SHARED plain envelope — the joint axis itself is exercised by
+      // cdc_temporal_join (which reads absolute joint LSNs) and the
+      // streaming join-view sink.
       val o = graft.cdc.Cdc.materialize(
-        CdcPipeline.decodeFrames(CdcPipeline.jointOrdersFrames(s, d, pat)).toDF(),
-        CdcPipeline.ordersRelation)
+        CdcPipeline.ordersEventsUD(s, d), CdcPipeline.ordersRelation)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      val li = graft.cdc.Cdc.materialize(
-        CdcPipeline.decodeFrames(CdcPipeline.jointLineitemFrames(s, d)).toDF(),
-        CdcPipeline.lineitemRelation)
+      val li = lineitemState(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"), col("l_returnflag"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -471,8 +471,7 @@ object CdcQueries {
     // (insert 8k+1, update 8k+4, delete 8k+7), so the full history table is
     // expressible in ANSI SQL over the source table.
     "cdc_scd2_history" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
-        DmlPattern(updates = true, deletes = true))).toDF()
+      val events = CdcPipeline.ordersEventsUD(s, d)
       graft.cdc.Cdc.scd2History(events, Seq("o_orderkey"))
         .select(
           element_at(col("after"), "o_orderkey").cast("long").as("o_orderkey"),
@@ -498,14 +497,20 @@ object CdcQueries {
     // NUMERIC(p,s) through the typed view: the atttypmod carried on the
     // Relation frame ((p<<16|s)+4) must surface as DecimalType(12,2) —
     // exact money semantics — where the reference coerces every numeric to
-    // lossy float (reader.py:69-70). The oracle's DECIMAL(12,2) cast
-    // hash-matches only if the wire text, the typmod decode, and the
-    // Catalyst decimal all agree to the cent.
+    // lossy float (reader.py:69-70). The DECIMAL(12,2) cast agrees to the
+    // cent only if the wire text, the typmod decode, and the Catalyst
+    // decimal all agree (the DecimalType itself is pinned in
+    // TypedViewSpec). The FINAL projection re-casts to double for the
+    // gate: both engines convert the identical cents-exact decimal, and a
+    // raw DecimalType column would hash as python Decimal objects on the
+    // Spark side but float64 on the oracle side (Verify refuses decimal
+    // outputs for exactly this reason).
     "cdc_numeric_typed" -> ((s, d) => {
       val events = CdcPipeline.decodeFrames(
         CdcPipeline.ordersToFramesNumeric(s, d)).toDF()
       graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelationNumeric)
-        .select(col("o_orderkey"), col("o_totalprice"))
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -543,7 +548,7 @@ object CdcQueries {
     // window; LSNs COLLIDE across keys by construction (harmless — version
     // ordering is within-key only, same property compaction relies on).
     "cdc_scd2_composite" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.lineitemToFrames(s, d)).toDF()
+      val events = CdcPipeline.lineitemEvents(s, d)
       graft.cdc.Cdc.scd2History(events,
           Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
         .select(
@@ -564,8 +569,7 @@ object CdcQueries {
     // midpoint don't exist yet; updates/deletes after it are invisible.
     // Scale: one filter over the history — no recompaction, no event replay.
     "cdc_scd2_asof" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
-        DmlPattern(updates = true, deletes = true))).toDF()
+      val events = CdcPipeline.ordersEventsUD(s, d)
       val asof = graft.Tables.orders(s, d)
         .agg(max(col("o_orderkey"))).head().getLong(0) * 4
       graft.cdc.Cdc.scd2History(events, Seq("o_orderkey"))
@@ -790,8 +794,7 @@ object CdcQueries {
     }),
 
     "cdc_wire_stats" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(s, d,
-        DmlPattern(updates = true, deletes = true))).toDF()
+      val events = CdcPipeline.ordersEventsUD(s, d)
       events.filter(col("op").isin("I", "U", "D"))
         .groupBy(col("op"))
         .agg(count(lit(1)).as("n_events"),
@@ -821,7 +824,8 @@ object CdcQueries {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "cdc_numeric_typed" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+      """SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
          FROM orders ORDER BY o_orderkey""",
 
     "cdc_partitioned_table" ->

@@ -487,6 +487,11 @@ object RelationalQueries {
     // Session windows in batch mode (same expression the streaming variant
     // uses): per-user gap-based sessions, checked against a gaps-and-islands
     // SQL oracle.
+    // Cross-engine contract (q31/q52/q78): Spark's session_window merges
+    // events whose gap is STRICTLY less than the gap duration (window end
+    // is exclusive), so an exactly-30-min gap starts a NEW session. The
+    // gaps-and-islands oracles therefore break on `gap >= 30 min`, not
+    // `>` — the two conventions diverge only on a µs-exact 30-min gap.
     "q31_session_window" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -1630,7 +1635,12 @@ object RelationalQueries {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val tot = cr.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
       val j = r.crossJoin(broadcast(tot))
-      val k80 = j.filter(col("cum") * 5 >= col("s") * 4)
+      // cum and s are total-revenue-sized (~3e18 cents at the design
+      // point): cum*5 / s*4 overflow int64, and non-ANSI Spark would wrap
+      // silently — cross-multiply in DECIMAL(38,0) (HUGEINT in the
+      // oracle), the q88 convention
+      val d38 = DecimalType(38, 0)
+      val k80 = j.filter(col("cum").cast(d38) * 5 >= col("s").cast(d38) * 4)
         .agg(min(col("i")).as("k80"))
       val c10 = j.filter(col("i") * 10 <= col("n"))
         .agg(max(col("cum")).as("c10"))
@@ -1666,9 +1676,14 @@ object RelationalQueries {
         // the suite (the oracle's window sums are HUGEINT already)
         .withColumn("stat", abs(col("n").cast(DecimalType(38, 0)) * col("s_i") -
           col("i").cast(DecimalType(38, 0)) * col("s_n")))
+      // max_stat can reach ~(n-1)*S_n ~ 1e19 at the design scale — a long
+      // cast would null (Spark) / error (DuckDB) at exactly the scale the
+      // DECIMAL(38,0) statistic was widened for. Emit it as double: a
+      // scale-0 decimal is an exact integer and exact-int -> double is
+      // correctly rounded on both engines (the suite's moment convention)
       c.orderBy(col("stat").desc, col("day")).limit(1)
         .select(col("day").as("change_day"), col("n").as("n_days"),
-          col("i").as("k"), col("stat").cast("long").as("max_stat"),
+          col("i").as("k"), col("stat").cast(DoubleType).as("max_stat"),
           round(col("s_i").cast(DoubleType) / col("i"), 6).as("mean_before"),
           round((col("s_n") - col("s_i")).cast(DoubleType) / (col("n") - col("i")), 6)
             .as("mean_after"))
@@ -2237,7 +2252,7 @@ object RelationalQueries {
       s"""WITH o AS (
            SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          g AS (
@@ -2617,7 +2632,7 @@ object RelationalQueries {
       """WITH o AS (
            SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          g AS (
            SELECT user_id, ts,
@@ -2679,7 +2694,7 @@ object RelationalQueries {
            FROM cr),
          tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM cr),
          k80 AS (SELECT CAST(MIN(i) AS BIGINT) AS k80 FROM r, tot
-                 WHERE cum * 5 >= s * 4),
+                 WHERE CAST(cum AS HUGEINT) * 5 >= CAST(s AS HUGEINT) * 4),
          c10 AS (SELECT CAST(MAX(cum) AS BIGINT) AS c10 FROM r, tot
                  WHERE i * 10 <= n)
          SELECT n AS n_customers, k80,
@@ -2733,7 +2748,7 @@ object RelationalQueries {
              abs(CAST(n AS HUGEINT) * s_i - CAST(i AS HUGEINT) * s_n) AS stat
            FROM c)
          SELECT CAST(day AS TIMESTAMP) AS change_day, n AS n_days, i AS k,
-           CAST(stat AS BIGINT) AS max_stat,
+           CAST(stat AS DOUBLE) AS max_stat,
            round(CAST(s_i AS DOUBLE) / i, 6) AS mean_before,
            round(CAST(s_n - s_i AS DOUBLE) / (n - i), 6) AS mean_after
          FROM t ORDER BY stat DESC, day LIMIT 1""",
@@ -3366,7 +3381,7 @@ object RelationalQueries {
       """WITH o AS (
            SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          g AS (
