@@ -57,7 +57,7 @@ class PgCdcProvider extends TableProvider with DataSourceRegister {
 
 /** Parsed + validated options for the pgcdc source. */
 object PgCdcOptions {
-  val Producers = Set("framelog", "pgjdbc", "conduit")
+  val Producers = Set("framelog", "pgjdbc", "conduit", "pgwire")
 
   def validate(opts: Map[String, String]): Unit = {
     val producer = opts.getOrElse("producer", "framelog")
@@ -79,6 +79,13 @@ object PgCdcOptions {
           throw new IllegalArgumentException(
             "pgcdc: producer=conduit requires option 'conduit.name' " +
               "(a conduit registered via PgCdcConduits.register)")
+      case "pgwire" =>
+        Seq("slot", "publication").filterNot(opts.contains) match {
+          case Nil => ()
+          case missing => throw new IllegalArgumentException(
+            s"pgcdc: producer=pgwire requires options ${missing.mkString(", ")} " +
+              "(plus host/port/database/user, defaulting to 127.0.0.1:5432 postgres/postgres)")
+        }
     }
   }
 }
@@ -133,6 +140,17 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
       case "conduit" =>
         new PgCdcMicroBatch(
           PgCdcConduits.acquire(opts("conduit.name")),
+          opts.get("startLsn").map(PgLsn.parse).getOrElse(0L),
+          opts.get("maxFramesPerTrigger").map(_.toLong),
+          opts.get("txn.markers").exists(_.toBoolean),
+          checkpointLocation,
+          opts.get("messages").exists(_.toBoolean))
+      case "pgwire" =>
+        // Driverless live path: the in-repo protocol-v3 client (PgWire).
+        // Same micro-batch machinery as pgjdbc — only the socket layer
+        // differs, and this one ships with the library.
+        new PgCdcMicroBatch(
+          PgWireConduit.fromOptions(opts),
           opts.get("startLsn").map(PgLsn.parse).getOrElse(0L),
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
@@ -299,14 +317,28 @@ final class PgCdcMicroBatch(
       started = true
     }
 
-  /** Drain up to `cap` frames (Long.MaxValue = all available now). */
+  /** Drain up to `cap` frames (Long.MaxValue = all available now).
+    *
+    * Offset monotonization: a REAL walsender does not deliver strictly
+    * increasing walStart values — observed live (PG 15): Relation frames
+    * arrive with walStart = 0, Begin shares its first change's LSN, and a
+    * Commit and the NEXT transaction's Begin/Update can carry the SAME
+    * position. Offsets however must totally order frames (batch boundaries
+    * cut between them), so each frame is assigned
+    * `max(walStart, previous + 1)` — real LSNs wherever they already
+    * ascend, nudged by single bytes inside an equal-LSN run. Consecutive
+    * WAL records are ≥ 24 bytes apart, so a nudged offset never overtakes
+    * the next real record's position: flush feedback and restart
+    * (`START_REPLICATION` at a nudged offset) land inside the same
+    * inter-record gap they describe. Re-sent tails after a restart
+    * re-monotonize identically (same frames, same starting offset), so
+    * replays mint identical message ids — the at-least-once contract. */
   private def drain(cap: Long): Unit = {
     var n = 0L
     var more = true
     while (n < cap && more) conduit.read() match {
-      case Some((lsn, payload)) =>
-        require(lsn > bufferedThrough,
-          s"pgcdc: conduit delivered non-monotonic lsn $lsn (≤ $bufferedThrough)")
+      case Some((rawLsn, payload)) =>
+        val lsn = math.max(rawLsn, bufferedThrough + 1)
         buffered.append((lsn, builder.processRaw(lsn, payload)))
         bufferedThrough = lsn
         n += 1
@@ -437,6 +469,11 @@ final class PgJdbcConduit(dsn: String, slot: String, publication: String)
 
   private var conn: java.sql.Connection = _
   private var stream: AnyRef = _ // org.postgresql.replication.PGReplicationStream
+  // PGReplicationStream is not thread-safe; the idle-keepalive thread and
+  // the poll loop both touch it, so every stream call holds this.
+  private val streamLock = new Object
+  @volatile private var running = false
+  private var keepalive: Thread = _
 
   private def call(obj: AnyRef, name: String, args: (Class[_], AnyRef)*): AnyRef = {
     val m = obj.getClass.getMethod(name, args.map(_._1): _*)
@@ -465,10 +502,30 @@ final class PgJdbcConduit(dsn: String, slot: String, publication: String)
       (classOf[String], "proto_version"), (classOf[Object], "1"))
     b = call(b, "withSlotOption",
       (classOf[String], "publication_names"), (classOf[Object], publication))
+    // Status updates at most every 10s while read()s are flowing — pgjdbc
+    // only sends them from inside read calls, so this alone is not enough…
+    b = call(b, "withStatusInterval",
+      (java.lang.Integer.TYPE, java.lang.Integer.valueOf(10)),
+      (classOf[java.util.concurrent.TimeUnit], java.util.concurrent.TimeUnit.SECONDS))
     stream = call(b, "start")
+    // …so an idle daemon forces one between micro-batches too: with no
+    // read()/feedback traffic, a default wal_sender_timeout=60s server
+    // would otherwise drop the connection (psycopg2's C consume loop did
+    // this implicitly for the reference, reader.py:116-123).
+    running = true
+    keepalive = new Thread(() => {
+      while (running) {
+        try Thread.sleep(10000L) catch { case _: InterruptedException => () }
+        if (running) streamLock.synchronized {
+          try call(stream, "forceUpdateStatus") catch { case _: Throwable => () }
+        }
+      }
+    }, "pgjdbc-keepalive")
+    keepalive.setDaemon(true)
+    keepalive.start()
   }
 
-  override def read(): Option[(Long, Array[Byte])] =
+  override def read(): Option[(Long, Array[Byte])] = streamLock.synchronized {
     Option(call(stream, "readPending")).map { buf0 =>
       val buf = buf0.asInstanceOf[java.nio.ByteBuffer]
       val bytes = new Array[Byte](buf.remaining())
@@ -477,15 +534,20 @@ final class PgJdbcConduit(dsn: String, slot: String, publication: String)
         .asInstanceOf[java.lang.Long].longValue()
       (lsn, bytes)
     }
+  }
 
-  override def setFlushedLSN(lsn: Long): Unit = {
+  override def setFlushedLSN(lsn: Long): Unit = streamLock.synchronized {
     call(stream, "setFlushedLSN", lsnOf(lsn))
     call(stream, "setAppliedLSN", lsnOf(lsn))
     call(stream, "forceUpdateStatus")
   }
 
   override def close(): Unit = {
-    if (stream != null) call(stream, "close")
+    running = false
+    if (keepalive != null) keepalive.interrupt()
+    streamLock.synchronized {
+      if (stream != null) call(stream, "close")
+    }
     if (conn != null) conn.close()
   }
 }
