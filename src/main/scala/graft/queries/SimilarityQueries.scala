@@ -829,7 +829,12 @@ object SimilarityQueries {
           zip_with(col("embedding"), v1Arr,
             (x, vj) => x.cast("double") - col("c") * vj))
         .select(col("vec_id"), col("embedding"))
+        // 3 iterations re-scan this frame; the residual is a flat
+        // (long, array<double>) — cheap to cache, unlike the MapType
+        // envelopes (NOTES) — so the parquet scan + deflation map run once
+        .persist()
       val (v2, m2) = powerIterate(deflated, 3)
+      deflated.unpersist(false)
       // cosine audit (models are not unit vectors): |cos(v1,v2)| < 0.05
       val dot = v1.zip(v2).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
       val vv2 = v2.foldLeft(0.0)((acc, a) => acc + a * a)

@@ -154,19 +154,19 @@ object Streams {
     * [[cdcUpsertSink]]; replay is idempotent — re-resolving an
     * already-won conflict picks the same winner. */
   def lwwUpsertSink(envelope: DataFrame, rel: Relation, stateDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, retainSnapshots: Int = 1): StreamingQuery = {
     val keys = rel.keyColumnNames
     envelope.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeLwwBatch(batch, rel, keys, stateDir)
+        mergeLwwBatch(batch, rel, keys, stateDir, retainSnapshots)
       }
       .start()
   }
 
   private[graft] def mergeLwwBatch(batch0: DataFrame, rel: Relation,
-      keys: Seq[String], stateDir: String): Unit = {
+      keys: Seq[String], stateDir: String, retainSnapshots: Int = 1): Unit = {
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val spark = batch.sparkSession
     val existing = StateStore.load(stateDir).get("data")
@@ -174,7 +174,7 @@ object Streams {
     val won = mergeLwwCompact(batch, existing, rel, keys)
     val next = StateStore.newVersion("data")
     won.write.mode("overwrite").parquet(s"$stateDir/$next")
-    StateStore.commit(stateDir, Map("data" -> next))
+    StateStore.commit(stateDir, Map("data" -> next), retainSnapshots)
   }
 
   /** (LWW state rows ∪ batch events) → re-resolved winners. State rows
@@ -235,6 +235,24 @@ object Streams {
         .withColumnRenamed("__after", "after"), rel)
   }
 
+  /** AS-OF read of an LWW-merged state: live rows as of a retained manifest
+    * snapshot `seq` — the time-travel symmetry [[materializedStateAt]]
+    * already gives the plain upsert states. Same mechanics (snapshot
+    * manifests pin every bucket's version dir at commit time), plus the
+    * LWW tombstone filter, so a conflict-audit can replay "what did this
+    * site's merged view say N batches ago". */
+  def lwwStateAt(spark: SparkSession, rel: Relation, stateDir: String,
+      seq: Long): DataFrame = {
+    val manifest = StateStore.loadSnapshot(stateDir, seq)
+    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
+      manifest.collect { case (k, v) if k.startsWith("b") && k != "nbuckets" => v }.toSeq.sorted)
+    require(dirs.nonEmpty, s"snapshot $seq under $stateDir holds no data")
+    graft.decode.TypedView.ofAfter(
+      spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
+        .filter(col("__op") =!= "D")
+        .withColumnRenamed("__after", "after"), rel)
+  }
+
   /** [[lwwUpsertSink]] over the bucketed state layout — the scale path:
     * same pruning, staging, and one-flip manifest protocol as
     * [[mergeBatchBucketed]] (per-batch cost O(touched buckets), modulus
@@ -244,20 +262,21 @@ object Streams {
     * clock), so 'T' events are rejected up front rather than silently
     * mis-merged. */
   def lwwUpsertSinkBucketed(envelope: DataFrame, rel: Relation, stateDir: String,
-      checkpointDir: String, nBuckets: Int = 64): StreamingQuery = {
+      checkpointDir: String, nBuckets: Int = 64,
+      retainSnapshots: Int = 1): StreamingQuery = {
     val keys = rel.keyColumnNames
     envelope.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeLwwBatchBucketed(batch, rel, keys, stateDir, nBuckets)
+        mergeLwwBatchBucketed(batch, rel, keys, stateDir, nBuckets, retainSnapshots)
       }
       .start()
   }
 
   private[graft] def mergeLwwBatchBucketed(
       batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, retainSnapshots: Int = 1): Unit = {
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val spark = batch.sparkSession
     val manifest = StateStore.load(stateDir)
@@ -289,7 +308,7 @@ object Streams {
         entries += (s"b$b" -> v)
       }
     }
-    StateStore.commit(stateDir, entries + ("nbuckets" -> n.toString))
+    StateStore.commit(stateDir, entries + ("nbuckets" -> n.toString), retainSnapshots)
   }
 
   /** Deterministic state bucket of a pk: xxhash64 over the key columns in

@@ -911,6 +911,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === Seq(("1", "a"), ("2", "new")))
   }
 
+  test("LWW AS-OF reads: retained snapshots replay the merged view batch by " +
+      "batch, tombstoned keys stay dead in their snapshots") {
+    import spark.implicits._
+    val rel = Relation(19, "public", "lwt", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "v", TypedView.Oid.Text, -1)))
+    val dir = Files.createTempDirectory("lwwasof")
+    val stateDir = dir.resolve("state").toString
+    var seq = 0L
+    def ev(op: String, lsn: Long, ts: Long, origin: String, id: String,
+        v: String): ChangeEvent = {
+      seq += 1
+      val after = if (op == "D") null else Map("id" -> id, "v" -> v)
+      ChangeEvent(op, s"$lsn-$seq", lsn, seq, 1, lsn, ts, "public", "lwt", 19,
+        Map("id" -> id), null, after, Nil, Nil, origin)
+    }
+    def env(events: ChangeEvent*): org.apache.spark.sql.DataFrame =
+      spark.createDataset(events).toDF()
+        .withColumnRenamed("messageId", "message_id")
+        .withColumnRenamed("txId", "tx_id")
+        .withColumnRenamed("beginLsn", "begin_lsn")
+        .withColumnRenamed("commitTsUs", "commit_ts_us")
+        .withColumnRenamed("relationId", "relation_id")
+        .withColumnRenamed("beforeToasted", "before_toasted")
+        .withColumnRenamed("afterToasted", "after_toasted")
+    def rowsAt(s: Long): Seq[(String, String)] =
+      Streams.lwwStateAt(spark, rel, stateDir, s)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+
+    // batch 1: two sites insert; batch 2: remote-newer update wins on key 1;
+    // batch 3: delete tombstones key 2
+    Streams.mergeLwwBatch(env(
+      ev("I", 10, 100, null, "1", "a"),
+      ev("I", 11, 100, "site_b", "2", "b")), rel, Seq("id"), stateDir, 3)
+    Streams.mergeLwwBatch(env(
+      ev("U", 12, 300, "site_b", "1", "a2")), rel, Seq("id"), stateDir, 3)
+    Streams.mergeLwwBatch(env(
+      ev("D", 13, 400, null, "2", null)), rel, Seq("id"), stateDir, 3)
+
+    assert(StateStore.snapshots(stateDir) === Seq(1L, 2L, 3L))
+    assert(rowsAt(1L) === Seq(("1", "a"), ("2", "b")))
+    assert(rowsAt(2L) === Seq(("1", "a2"), ("2", "b")))
+    assert(rowsAt(3L) === Seq(("1", "a2")), "tombstone must hide key 2 in its snapshot")
+    // the AS-OF read of the latest snapshot ≡ the live read
+    assert(rowsAt(3L) === Streams.lwwState(spark, rel, stateDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
+
+    // bucketed layout: same AS-OF surface over per-bucket version entries
+    val bDir = dir.resolve("state-bucketed").toString
+    Streams.mergeLwwBatchBucketed(env(
+      ev("I", 20, 100, null, "1", "x"),
+      ev("I", 21, 100, null, "2", "y")), rel, Seq("id"), bDir, 8, 2)
+    Streams.mergeLwwBatchBucketed(env(
+      ev("D", 22, 200, "site_b", "1", null)), rel, Seq("id"), bDir, 8, 2)
+    def bRowsAt(s: Long): Seq[(String, String)] =
+      Streams.lwwStateAt(spark, rel, bDir, s)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(bRowsAt(1L) === Seq(("1", "x"), ("2", "y")))
+    assert(bRowsAt(2L) === Seq(("2", "y")))
+  }
+
   test("join view crash between bucket promote and manifest flip publishes nothing") {
     val relA = Relation(7, "public", "ja", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
