@@ -193,7 +193,14 @@ final class PgWireConduit(
     host: String, port: Int, db: String, user: String,
     password: Option[String], slot: String, publication: String,
     createSlot: Boolean, temporarySlot: Boolean,
-    statusIntervalMs: Long = 10000L)
+    statusIntervalMs: Long = 10000L,
+    // pgoutput protocol surface (public docs, protocol-logical-replication):
+    // proto_version 2 + streaming for in-progress transaction streaming
+    // (PG 14), proto_version 3 + twoPhase for prepared transactions (PG 15;
+    // the slot itself must also be created TWO_PHASE).
+    protoVersion: Int = 1,
+    streaming: Boolean = false,
+    twoPhase: Boolean = false)
   extends ReplicationConduit {
 
   private var conn: PgWireConnection = _
@@ -226,14 +233,19 @@ final class PgWireConduit(
     conn.handshake()
     if (createSlot) {
       val kind = if (temporarySlot) "TEMPORARY LOGICAL" else "LOGICAL"
-      try conn.simpleQuery(s"""CREATE_REPLICATION_SLOT "$slot" $kind pgoutput""")
+      val slotOpts = if (twoPhase) " (TWO_PHASE)" else ""
+      try conn.simpleQuery(s"""CREATE_REPLICATION_SLOT "$slot" $kind pgoutput$slotOpts""")
       catch {
         case e: java.sql.SQLException if e.getMessage.contains("42710") => () // already exists
       }
     }
+    val opts = Seq(
+      Some(s"proto_version '$protoVersion'"),
+      Some(s"publication_names '$publication'"),
+      if (streaming) Some("streaming 'on'") else None,
+      if (twoPhase) Some("two_phase 'true'") else None).flatten.mkString(", ")
     conn.enterCopyBoth(
-      s"""START_REPLICATION SLOT "$slot" LOGICAL ${PgLsn.format(afterLsn)} """ +
-        s"""(proto_version '1', publication_names '$publication')""")
+      s"""START_REPLICATION SLOT "$slot" LOGICAL ${PgLsn.format(afterLsn)} ($opts)""")
     flushed = afterLsn
     running = true
     keepalive = new Thread(() => {
@@ -316,5 +328,8 @@ object PgWireConduit {
       opts("publication"),
       createSlot = opts.get("createSlot").forall(_.toBoolean),
       temporarySlot = opts.get("temporarySlot").exists(_.toBoolean),
-      statusIntervalMs = opts.get("statusIntervalMs").map(_.toLong).getOrElse(10000L))
+      statusIntervalMs = opts.get("statusIntervalMs").map(_.toLong).getOrElse(10000L),
+      protoVersion = opts.get("protoVersion").map(_.toInt).getOrElse(1),
+      streaming = opts.get("streaming").exists(_.toBoolean),
+      twoPhase = opts.get("twoPhase").exists(_.toBoolean))
 }

@@ -81,7 +81,11 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         "-c wal_level=logical", "-c max_wal_senders=8", "-c max_replication_slots=8",
         "-c listen_addresses=127.0.0.1", s"-c port=$port",
         s"-c unix_socket_directories=${workDir.getAbsolutePath}",
-        "-c wal_sender_timeout=2s", "-c fsync=off").mkString(" ")
+        "-c wal_sender_timeout=2s", "-c fsync=off",
+        // streamed-txn test: a bulk txn must exceed the decode work memory
+        // to stream in v2 segments; 2PC test needs prepared-txn slots
+        "-c logical_decoding_work_mem=64kB", "-c max_prepared_transactions=8")
+        .mkString(" ")
       if (asPostgres(s"pg_ctl -D ${dataDir.getAbsolutePath} -o '$opts' " +
           s"-l ${workDir.getAbsolutePath}/server.log -w start") != 0) {
         unavailableReason = "pg_ctl start failed"; return
@@ -220,6 +224,99 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       catch { case _: Throwable => () }
       sql.close()
     }
+  }
+
+  test("protocol v2 live: a bulk transaction STREAMS in segments off a real " +
+      "walsender and reassembles to exact state") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_s", "graft_pub_s", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L,
+      protoVersion = 2, streaming = true)
+    try {
+      sql.simpleQuery("CREATE TABLE ts (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_s FOR TABLE ts")
+      conduit.start(0L)
+      // ~2000 x 200B rows >> logical_decoding_work_mem=64kB → the server
+      // must emit StreamStart/StreamStop segments (protocol v2)
+      sql.simpleQuery(
+        "INSERT INTO ts SELECT g, repeat('x', 200) || g FROM generate_series(1, 2000) g")
+      // a second, small transaction commits ordinarily after the stream
+      sql.simpleQuery("INSERT INTO ts VALUES (9001, 'small')")
+
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val rawTypes = scala.collection.mutable.ArrayBuffer.empty[Char]
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (events.count(_.op == "I") < 2001 && System.nanoTime() < deadline) {
+        conduit.read() match {
+          case Some((lsn, payload)) =>
+            rawTypes += payload(0).toChar
+            events ++= builder.processRaw(lsn, payload)
+          case None => Thread.sleep(20)
+        }
+      }
+      // the server REALLY streamed: v2 segment framing on the wire
+      assert(rawTypes.contains('S'), s"no StreamStart seen — wire types: ${rawTypes.distinct}")
+      assert(rawTypes.contains('E'), "no StreamStop seen")
+      assert(rawTypes.contains('c'), "no StreamCommit seen")
+      // and reassembly (spill-buffered, xid-prefixed in-stream frames)
+      // reproduced the exact table: 2000 bulk rows + 1 ordinary row
+      val inserts = events.filter(_.op == "I")
+      assert(inserts.size === 2001)
+      assert(inserts.map(_.after("id").toLong).toSet === ((1L to 2000L).toSet + 9001L))
+      assert(inserts.find(_.after("id") == "17").get.after("v") === "x" * 200 + "17")
+      // streamed events surface AT StreamCommit, after the stream closes
+      val streamCommitPos = rawTypes.indexOf('c')
+      assert(streamCommitPos > rawTypes.indexOf('S'))
+    } finally { conduit.close(); sql.close() }
+  }
+
+  test("protocol v3 live: two-phase commit — prepared transactions hold under " +
+      "their gid, COMMIT PREPARED lands them, ROLLBACK PREPARED erases them") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_2pc", "graft_pub_2pc", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L,
+      protoVersion = 3, twoPhase = true)
+    try {
+      sql.simpleQuery("CREATE TABLE t2pc (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_2pc FOR TABLE t2pc")
+      conduit.start(0L)
+      sql.simpleQuery(
+        "BEGIN; INSERT INTO t2pc VALUES (1, 'committed'); PREPARE TRANSACTION 'graft_gid_a'")
+      sql.simpleQuery(
+        "BEGIN; INSERT INTO t2pc VALUES (2, 'rolled-back'); PREPARE TRANSACTION 'graft_gid_b'")
+      sql.simpleQuery("COMMIT PREPARED 'graft_gid_a'")
+      sql.simpleQuery("ROLLBACK PREPARED 'graft_gid_b'")
+
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val rawTypes = scala.collection.mutable.ArrayBuffer.empty[Char]
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      // drain until the rollback resolution ('r') has arrived
+      while (!rawTypes.contains('r') && System.nanoTime() < deadline) {
+        conduit.read() match {
+          case Some((lsn, payload)) =>
+            rawTypes += payload(0).toChar
+            events ++= builder.processRaw(lsn, payload)
+          case None => Thread.sleep(20)
+        }
+      }
+      // real v3 framing: BeginPrepare / Prepare / CommitPrepared / RollbackPrepared
+      assert(rawTypes.contains('b'), s"no BeginPrepare — wire types: ${rawTypes.distinct}")
+      assert(rawTypes.contains('P'), "no Prepare")
+      assert(rawTypes.contains('K'), "no CommitPrepared")
+      assert(rawTypes.contains('r'), "no RollbackPrepared")
+      // only the committed gid's rows surface; the rolled-back one vanishes
+      val inserts = events.filter(_.op == "I")
+      assert(inserts.map(e => (e.after("id"), e.after("v"))).toSeq
+        === Seq(("1", "committed")))
+    } finally { conduit.close(); sql.close() }
   }
 
   private var sparkStarted: SparkSession = null
