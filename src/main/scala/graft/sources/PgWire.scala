@@ -132,9 +132,15 @@ final class PgWireConnection(
 
   /** Simple-query protocol: rows as text (null → null), errors thrown AFTER
     * the backend reaches ReadyForQuery so the connection stays usable. */
-  def simpleQuery(sql: String): Vector[Vector[String]] = {
+  def simpleQuery(sql: String): Vector[Vector[String]] =
+    simpleQueryWithCols(sql)._2
+
+  /** Like [[simpleQuery]] but also returns the column names of the (last)
+    * RowDescription — what a schema-carrying snapshot read needs. */
+  def simpleQueryWithCols(sql: String): (Vector[String], Vector[Vector[String]]) = {
     sendQuery(sql)
     val rows = Vector.newBuilder[Vector[String]]
+    var cols: Vector[String] = Vector.empty
     var err: String = null
     var ready = false
     while (!ready) receive() match {
@@ -146,13 +152,25 @@ final class PgWireConnection(
           if (len < 0) null
           else { val b = new Array[Byte](len); buf.get(b); new String(b, UTF_8) }
         }
+      case ('T', p) =>
+        // RowDescription: int16 nfields, then per field a cstring name +
+        // 18 bytes of table/type metadata this text-mode client skips
+        val buf = ByteBuffer.wrap(p)
+        val n = buf.getShort.toInt
+        cols = Vector.fill(n) {
+          val name = new StringBuilder
+          var b = buf.get()
+          while (b != 0) { name.append(b.toChar); b = buf.get() }
+          buf.position(buf.position() + 18)
+          name.toString
+        }
       case ('E', p) => err = errorText(p)
       case ('Z', _) => ready = true
-      case ('T' | 'C' | 'I' | 'N' | 'S', _) => ()
+      case ('C' | 'I' | 'N' | 'S', _) => ()
       case (t, _) => throw new IllegalStateException(s"pgwire: unexpected '$t' in query response")
     }
     if (err != null) throw new java.sql.SQLException("pgwire: " + err)
-    rows.result()
+    (cols, rows.result())
   }
 
   /** Issue a command expected to flip the session into CopyBoth mode
@@ -312,6 +330,80 @@ final class PgWireConduit(
     running = false
     if (keepalive != null) keepalive.interrupt()
     if (conn != null) conn.close()
+  }
+}
+
+/** Driverless consistent-snapshot initial sync (the S2 backfill half,
+  * without the JDBC driver [[PgSnapshotSync]] needs): CREATE_REPLICATION_SLOT
+  * exports a snapshot name alongside the slot's consistent point; any number
+  * of OTHER connections can pin transactions to that snapshot (`SET
+  * TRANSACTION SNAPSHOT`) — the mechanism parallel pg_dump uses — so the
+  * base-table read distributes across executors in pk-range chunks while
+  * the slot guarantees the tail starts exactly where every chunk's view
+  * ends: no gap, no overlap (public docs: logicaldecoding-snapshot,
+  * protocol-replication CREATE_REPLICATION_SLOT).
+  *
+  * Rows come back as wire-text maps (column name → text value), the same
+  * currency the CDC envelope uses, so `TypedView.ofAfter` types snapshot
+  * rows and streamed rows through the IDENTICAL machinery. */
+object PgWireSnapshot {
+
+  /** Create a (persistent) slot and return (consistentPoint, snapshotName).
+    * The returned connection must stay OPEN, idle, until every snapshot
+    * chunk transaction has begun — closing it invalidates the export. */
+  def createSlotWithSnapshot(conn: PgWireConnection, slot: String,
+      twoPhase: Boolean = false): (Long, String) = {
+    val slotOpts = if (twoPhase) " (TWO_PHASE)" else ""
+    val row = conn.simpleQuery(
+      s"""CREATE_REPLICATION_SLOT "$slot" LOGICAL pgoutput$slotOpts""").head
+    // columns: slot_name, consistent_point, snapshot_name, output_plugin
+    (PgLsn.parse(row(1)), row(2))
+  }
+
+  /** Distributed snapshot read: pk-range chunks, one wire connection per
+    * partition, every chunk pinned to the SAME exported snapshot. Returns
+    * (pk, after-map) rows; type through `TypedView.ofAfter`. */
+  def snapshotEvents(spark: org.apache.spark.sql.SparkSession,
+      host: String, port: Int, db: String, user: String, password: Option[String],
+      snapshotName: String, table: String, pkCol: String,
+      nChunks: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val qTable = table.split('.').map(PgSnapshotSync.quoteIdent).mkString(".")
+    val qPk = PgSnapshotSync.quoteIdent(pkCol)
+    val snapLit = PgCatalog.sqlLiteral(snapshotName)
+    def pinned(c: PgWireConnection, sql: String) = c.simpleQueryWithCols(
+      "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
+        s"SET TRANSACTION SNAPSHOT $snapLit; " + sql + "; COMMIT")
+    // driver: pk bounds under the snapshot → chunk ranges
+    val bounds = {
+      val c = new PgWireConnection(host, port, db, user, password)
+      try {
+        c.handshake()
+        pinned(c, s"SELECT min($qPk), max($qPk) FROM $qTable")._2.head
+      } finally c.close()
+    }
+    if (bounds(0) == null) return spark.emptyDataset[(String, Map[String, String])]
+      .toDF("pk", "after")
+    val (lo, hi) = (bounds(0).toLong, bounds(1).toLong)
+    val step = math.max(1L, (hi - lo) / nChunks + 1)
+    val ranges = (0 until nChunks).map(i => (lo + i * step, lo + (i + 1) * step))
+      .filter { case (a, _) => a <= hi }
+    spark.createDataset(ranges).repartition(ranges.size)
+      .mapPartitions { it =>
+        it.flatMap { case (a, b) =>
+          val c = new PgWireConnection(host, port, db, user, password)
+          try {
+            c.handshake()
+            val (cols, rows) = pinned(c,
+              s"SELECT * FROM $qTable WHERE $qPk >= $a AND $qPk < $b")
+            rows.map { r =>
+              val m = cols.zip(r).toMap
+              (m(pkCol), m)
+            }
+          } finally c.close()
+        }
+      }
+      .toDF("pk", "after")
   }
 }
 

@@ -319,6 +319,82 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conduit.close(); sql.close() }
   }
 
+  test("S2 live: exported-snapshot backfill + tail from the consistent point " +
+      "— no gap, no overlap") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tsnap (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_snap FOR TABLE tsnap")
+      sql.simpleQuery(
+        "INSERT INTO tsnap SELECT g, 'base' || g FROM generate_series(1, 1000) g")
+
+      // slot pins the consistent point and exports the snapshot
+      val repl = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+        None, replication = true)
+      repl.handshake()
+      val (consistentPoint, snapName) =
+        PgWireSnapshot.createSlotWithSnapshot(repl, "graft_slot_snap")
+      assert(consistentPoint > 0L && snapName.nonEmpty)
+
+      // concurrent writes AFTER the slot: invisible to the snapshot,
+      // guaranteed on the tail
+      sql.simpleQuery("UPDATE tsnap SET v = 'post' || id WHERE id <= 10")
+      sql.simpleQuery(
+        "INSERT INTO tsnap SELECT g, 'late' || g FROM generate_series(1001, 1010) g")
+
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      // distributed chunked read, every chunk pinned to the SAME snapshot
+      val snap = PgWireSnapshot.snapshotEvents(spark, "127.0.0.1", port,
+        "postgres", "postgres", None, snapName, "tsnap", "id", nChunks = 4)
+        .collect().map(r => r.getString(0).toLong ->
+          r.getMap[String, String](1).get("v").orNull).toMap
+      repl.close() // export no longer needed once chunk txns finished
+      assert(snap.size === 1000, "snapshot must see exactly the pre-slot rows")
+      assert(snap(5L) === "base5", "post-slot update must be invisible to the snapshot")
+      assert(!snap.contains(1001L), "post-slot insert must be invisible to the snapshot")
+
+      // tail from the consistent point delivers EXACTLY the post-slot writes
+      val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_snap", "graft_pub_snap", createSlot = false,
+        temporarySlot = false, statusIntervalMs = 500L)
+      try {
+        conduit.start(0L) // server resumes at the slot's consistent point
+        val registry = new SchemaRegistry
+        val builder = new ChangeEventBuilder(registry)
+        val tail = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (tail.count(e => "IUD".contains(e.op)) < 20 && System.nanoTime() < deadline) {
+          conduit.read() match {
+            case Some((lsn, payload)) => tail ++= builder.processRaw(lsn, payload)
+            case None => Thread.sleep(20)
+          }
+        }
+        val dml = tail.filter(e => "IUD".contains(e.op))
+        assert(dml.size === 20, s"tail must carry exactly the 20 post-slot writes, got ${dml.size}")
+        assert(dml.count(_.op == "U") === 10)
+        assert(dml.count(_.op == "I") === 10)
+        assert(dml.filter(_.op == "I").map(_.after("id").toLong).toSet
+          === (1001L to 1010L).toSet, "no overlap: base rows never re-delivered")
+
+        // merged view (snapshot ∪ tail, last-writer-wins) ≡ the live table
+        val merged = dml.foldLeft(snap) { (st, e) =>
+          st + (e.after("id").toLong -> e.after("v"))
+        }
+        val current = sql.simpleQuery("SELECT id, v FROM tsnap")
+          .map(r => r(0).toLong -> r(1)).toMap
+        assert(merged === current, "backfill + tail must equal the live table")
+      } finally conduit.close()
+    } finally {
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_snap')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   private var sparkStarted: SparkSession = null
 
   test("pgcdc producer=pgwire: the full Spark micro-batch source over live DML " +
