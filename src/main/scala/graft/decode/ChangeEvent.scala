@@ -387,23 +387,43 @@ final class ChangeEventBuilder(
 
     case Update(relId, oldKind, oldTuple, newTuple) =>
       val rel = registry.getOrThrow(relId)
-      val (after, afterToasted) = imageOf(newTuple, rel)
+      val (after0, afterToasted0) = imageOf(newTuple, rel)
       val (before, beforeToasted) = oldKind match {
         case Some('O') => imageOf(oldTuple.get, rel) // REPLICA IDENTITY FULL
         case Some('K') => (keyImage(oldTuple.get, rel), Nil) // key-only old image
         case _ => (null, Nil) // key unchanged; old image not sent
       }
+      // Decode-time unchanged-TOAST repair: 'u' means "same value as the
+      // old row", and when a full 'O' old image rides the same frame that
+      // value is RIGHT HERE — fill it now so the emitted after image is
+      // complete. Observed live (PG 15, REPLICA IDENTITY FULL): updates
+      // pair a full old image WITH 'u' markers in the new tuple. Columns
+      // the old image doesn't cover stay marked for the compaction-time
+      // repair (compactFillingToast).
+      val repairable =
+        if (before == null) Nil
+        else afterToasted0.filter(c => before.get(c).exists(_ != null))
+      val after =
+        if (repairable.isEmpty) after0
+        else after0 ++ repairable.map(c => c -> before(c))
+      val afterToasted = afterToasted0.filterNot(repairable.contains)
       val newPk = pkProjection(after, rel)
       val oldPk = if (before != null) pkProjection(before, rel) else newPk
       if (before != null && oldPk.nonEmpty && oldPk != newPk) {
-        // Primary-key-changing update (the old image 'K'/'O' was sent
-        // precisely because the key changed): a single 'U' keyed by either
-        // key would strand or duplicate a pk in last-LSN-wins compaction.
-        // Emit Debezium-style 'D'(old key) + 'I'(new key) instead; seq
-        // ordering makes the delete sort strictly before the insert.
-        // Note the 'I' carries afterToasted as-is — a TOASTed column of a
-        // key-changing update has no prior state under the NEW key to fill
-        // from, which mirrors Debezium's incomplete-new-row behavior.
+        // Replica-identity-changing update: a single 'U' keyed by either
+        // key would strand or duplicate a key in last-LSN-wins compaction,
+        // so emit Debezium-style 'D'(old key) + 'I'(new key); seq ordering
+        // makes the delete sort strictly before the insert. Under identity
+        // DEFAULT/'K' this fires exactly on pk changes. Under REPLICA
+        // IDENTITY FULL (observed live: Relation flags EVERY column as
+        // key), any value change re-keys the row, so identity-full updates
+        // split too — the representation PG's own apply model (old-image
+        // lookup, rewrite) is equivalent to, and the only one that stays
+        // correct when the true pk DID change (the wire cannot reveal it).
+        // The TOAST repair above makes both images complete first.
+        // A still-TOASTed column of a key-changing update has no prior
+        // state under the NEW key to fill from; the remaining markers
+        // mirror Debezium's incomplete-new-row behavior.
         Seq(
           event("D", lsn, rel, before, before, null, beforeToasted, Nil),
           event("I", lsn, rel, newPk, null, after, Nil, afterToasted))

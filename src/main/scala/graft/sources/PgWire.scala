@@ -218,7 +218,8 @@ final class PgWireConduit(
     // the slot itself must also be created TWO_PHASE).
     protoVersion: Int = 1,
     streaming: Boolean = false,
-    twoPhase: Boolean = false)
+    twoPhase: Boolean = false,
+    messages: Boolean = false)
   extends ReplicationConduit {
 
   private var conn: PgWireConnection = _
@@ -261,7 +262,8 @@ final class PgWireConduit(
       Some(s"proto_version '$protoVersion'"),
       Some(s"publication_names '$publication'"),
       if (streaming) Some("streaming 'on'") else None,
-      if (twoPhase) Some("two_phase 'true'") else None).flatten.mkString(", ")
+      if (twoPhase) Some("two_phase 'true'") else None,
+      if (messages) Some("messages 'true'") else None).flatten.mkString(", ")
     conn.enterCopyBoth(
       s"""START_REPLICATION SLOT "$slot" LOGICAL ${PgLsn.format(afterLsn)} ($opts)""")
     flushed = afterLsn
@@ -423,5 +425,6 @@ object PgWireConduit {
       statusIntervalMs = opts.get("statusIntervalMs").map(_.toLong).getOrElse(10000L),
       protoVersion = opts.get("protoVersion").map(_.toInt).getOrElse(1),
       streaming = opts.get("streaming").exists(_.toBoolean),
-      twoPhase = opts.get("twoPhase").exists(_.toBoolean))
+      twoPhase = opts.get("twoPhase").exists(_.toBoolean),
+      messages = opts.get("messages").exists(_.toBoolean))
 }

@@ -319,6 +319,76 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conduit.close(); sql.close() }
   }
 
+  test("content semantics live: unchanged-TOAST markers, REPLICA IDENTITY FULL " +
+      "old images, and logical messages off a real server") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_t", "graft_pub_t", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L, messages = true)
+    try {
+      sql.simpleQuery("CREATE TABLE tt (id bigint primary key, big text, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_t FOR TABLE tt")
+      conduit.start(0L)
+      // a genuinely TOASTed value: ~64k chars of md5 hex resists pglz
+      // enough to go out of line (threshold ~2kB)
+      sql.simpleQuery(
+        "INSERT INTO tt SELECT 1, string_agg(md5(g::text), ''), 'v1' FROM generate_series(1, 2000) g")
+      // update NOT touching the TOAST column → the wire new-tuple carries
+      // the 'u' unchanged-TOAST marker for `big` (T5: 'u' ≠ NULL — the
+      // reference silently corrupts exactly this, reader.py:52-58)
+      sql.simpleQuery("UPDATE tt SET v = 'v2' WHERE id = 1")
+      // REPLICA IDENTITY FULL: subsequent update/delete ship full 'O' old images
+      sql.simpleQuery("ALTER TABLE tt REPLICA IDENTITY FULL")
+      sql.simpleQuery("UPDATE tt SET v = 'v3' WHERE id = 1")
+      // transactional logical message rides the WAL ('M', PG14 pg_logical_emit_message)
+      sql.simpleQuery(
+        "BEGIN; SELECT pg_logical_emit_message(true, 'graft', 'hello-live'); " +
+          "INSERT INTO tt VALUES (2, 'small', 'v1'); COMMIT")
+
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry, emitMessages = true)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!events.exists(_.op == "M") && System.nanoTime() < deadline) {
+        conduit.read() match {
+          case Some((lsn, payload)) => events ++= builder.processRaw(lsn, payload)
+          case None => Thread.sleep(20)
+        }
+      }
+      // update 1 (default replica identity): no old image, TOAST column
+      // arrives as the 'u' marker — listed in afterToasted, ABSENT from the
+      // after map (never conflated with NULL)
+      val u1 = events.filter(_.op == "U")
+      assert(u1.size === 1)
+      assert(u1(0).before == null || u1(0).before.isEmpty)
+      assert(u1(0).afterToasted === Seq("big"),
+        s"expected unchanged-TOAST marker for 'big', got ${u1(0).afterToasted}")
+      assert(!u1(0).after.contains("big"))
+      assert(u1(0).after("v") === "v2")
+      // update 2 (REPLICA IDENTITY FULL): the Relation re-send flags EVERY
+      // column as key, so the value change re-keys the row and the builder
+      // splits D(old)+I(new) — with the new image's unchanged-TOAST column
+      // REPAIRED from the full 'O' old image riding the same frame, so the
+      // emitted images are lossless (the reference corrupts exactly this)
+      val d = events.filter(e => e.op == "D" && e.table == "tt")
+      val i2 = events.filter(e => e.op == "I" && e.after.get("v").contains("v3"))
+      assert(d.size === 1 && i2.size === 1,
+        s"identity-full update must split D+I, ops=${events.map(_.op)}")
+      assert(d(0).before("v") === "v2")
+      val toastVal = d(0).before("big")
+      assert(toastVal != null && toastVal.length >= 60000, "old image must carry the TOAST value")
+      assert(i2(0).after("big") === toastVal,
+        "unchanged-TOAST column must be repaired from the same-frame old image")
+      assert(i2(0).afterToasted.isEmpty)
+      // the logical message decoded with its prefix + content, transactional
+      val m = events.find(_.op == "M").get
+      assert(m.after("prefix") === "graft")
+      assert(m.after("content") === "hello-live")
+      assert(m.after("transactional") === "true")
+    } finally { conduit.close(); sql.close() }
+  }
+
   test("S2 live: exported-snapshot backfill + tail from the consistent point " +
       "— no gap, no overlap") {
     live()
