@@ -269,6 +269,38 @@ object CdcQueries {
       TextQueries.bm25Of(docs, TextQueries.QueryTerms)
     }),
 
+    // Incrementally-maintained RAG CHUNK INDEX from the documents CDC
+    // stream — the retrieval-index maintenance loop one level up from
+    // cdc_incremental_termdf (chunk-level, the unit vector stores embed,
+    // vs term-level df): each event contributes +1 per after-image chunk
+    // and −1 per before-image chunk (REPLICA IDENTITY FULL old images —
+    // an update retracts the old text's chunks and inserts the new
+    // text's; a delete clears the doc's chunks), so the chunk table stays
+    // fresh from deltas alone — the 100 TB corpus is never re-chunked.
+    // Chunks are content-addressed (md5) via the SAME engine
+    // text_rag_chunks uses, so an unchanged chunk of an updated doc
+    // retracts and re-adds the identical key — net unchanged. Scale
+    // shape: decode + chunk-explode are narrow; the ONE shuffle is the
+    // (doc, chunk, md5)-keyed sum, map-side combined. Must equal chunking
+    // the surviving table state from scratch.
+    "cdc_incremental_chunks" -> ((s, d) => {
+      val events = CdcPipeline.docsDmlEvents(s, d)
+      def chunksOf(img: String, net: Int) = TextQueries.ragChunksOf(
+        events.filter(col("op").isin((if (net > 0) Seq("I", "U") else Seq("U", "D")): _*))
+          .filter(col(img).isNotNull)
+          .select(element_at(col(img), "doc_id").cast("long").as("doc_id"),
+            split(element_at(col(img), "text"), " ").as("ws")))
+        .withColumn("net", lit(net.toLong))
+      chunksOf("after", 1).unionByName(chunksOf("before", -1))
+        .groupBy(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tokens"), col("chunk_md5"))
+        .agg(sum(col("net")).as("net"))
+        .filter(col("net") > 0)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tokens"), col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // HYBRID (lexical + dense) retrieval SERVED over TWO CDC wire paths:
     // the documents stream (inserts + %7 updates + %11 deletes) feeds the
     // BM25 side, the embeddings stream (inserts + %9 full-image deletes,
@@ -960,6 +992,13 @@ object CdcQueries {
          ORDER BY d.doc_id""",
 
     "cdc_bm25_serving" -> TextQueries.bm25Sql(
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' zzupdate' ELSE text END AS text
+         FROM documents WHERE doc_id % 11 <> 0"""),
+
+    // from-scratch chunking of the SURVIVING table state (the incremental
+    // view must converge to exactly this)
+    "cdc_incremental_chunks" -> TextQueries.ragChunkSql(
       """SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 THEN text || ' zzupdate' ELSE text END AS text
          FROM documents WHERE doc_id % 11 <> 0"""),

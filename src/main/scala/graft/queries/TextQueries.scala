@@ -907,6 +907,22 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // RAG-style OVERLAPPING chunking (size 32, stride 24 → 8-token
+    // overlap): retrieval chunks carry context across boundaries, so the
+    // sentence that answers a query isn't severed from its lead-in — the
+    // standard retrieval-index preprocessing (vs text_chunks' disjoint
+    // training windows; text_pack_* are the packing forms). Chunk starts
+    // are 0, 24, 48, …; a trailing start is emitted only while the
+    // previous chunk did not already reach the end (i ≤ ceil((n−32)/24) in
+    // exact integer arithmetic — no float ceil), so every token is covered
+    // exactly once by a chunk's FRESH tail and no fully-contained
+    // duplicate chunk exists. Chunks are content-addressed (md5) — the
+    // currency dedup and the incremental CDC chunk index share. One
+    // narrow explode, no shuffle before the final sort.
+    "text_rag_chunks" -> ((s, d) =>
+      ragChunksOf(withWords(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // GPT-style sequence packing (concatenate-and-chunk): documents are
     // laid end-to-end in deterministic order and cut into fixed 256-token
     // training sequences; a document may straddle a cut (the standard
@@ -1713,6 +1729,37 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"),
           round(col("log_w"), 6).as("log_w"), col("skey"))
     }))
+
+  /** Shared overlapping-chunk expansion (size 32, stride 24) over any
+    * frame carrying (doc_id, ws): the engine of text_rag_chunks and the
+    * CDC-maintained chunk index (cdc_incremental_chunks). */
+  private[queries] def ragChunksOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n", size(col("ws")))
+      .withColumn("maxi",
+        when(col("n") <= 32, lit(0)).otherwise(expr("(n - 32 + 23) div 24")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr("sequence(0, maxi)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        (col("chunk_id") * 24).cast(LongType).as("start_tok"),
+        least(col("n") - col("chunk_id") * 24, lit(32)).cast(LongType).as("n_tokens"),
+        md5(expr("array_join(slice(ws, chunk_id * 24 + 1, 32), ' ')")).as("chunk_md5"))
+
+  /** DuckDB twin of [[ragChunksOf]] over any `(doc_id, text)` source. */
+  private[queries] def ragChunkSql(docsSrc: String): String =
+    s"""WITH src AS ($docsSrc),
+       d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+       n AS (SELECT doc_id, ws, len(ws) AS nt FROM d),
+       c AS (
+         SELECT doc_id, ws, nt,
+           unnest(range(0,
+             1 + CASE WHEN nt <= 32 THEN 0 ELSE (nt - 32 + 23) // 24 END)) AS chunk_id
+         FROM n)
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+         CAST(least(nt - chunk_id * 24, 32) AS BIGINT) AS n_tokens,
+         md5(array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_md5
+       FROM c ORDER BY doc_id, chunk_id"""
 
   private val WsSql = "string_split(text, ' ')"
 
@@ -2597,6 +2644,8 @@ object TextQueries {
                  unnest(range(0, CAST(ceil(len(ws) / 32.0) AS INT))) AS chunk_id
                FROM (SELECT doc_id, $WsSql AS ws FROM documents) t) t2
          ORDER BY doc_id, chunk_id""",
+
+    "text_rag_chunks" -> ragChunkSql("SELECT doc_id, text FROM documents"),
 
     "text_pack_sequences" ->
       s"""WITH d AS (
