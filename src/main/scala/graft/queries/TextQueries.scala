@@ -1733,7 +1733,7 @@ object TextQueries {
   /** Shared overlapping-chunk expansion (size 32, stride 24) over any
     * frame carrying (doc_id, ws): the engine of text_rag_chunks and the
     * CDC-maintained chunk index (cdc_incremental_chunks). */
-  private[queries] def ragChunksOf(docs: DataFrame): DataFrame =
+  private[graft] def ragChunksOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("n", size(col("ws")))
       .withColumn("maxi",

@@ -1060,7 +1060,23 @@ object Streams {
       .start()
 
   private[streaming] def mergeTermDfBatch(batch0: DataFrame, rel: Relation,
-      textCol: String, stateDir: String): Unit = {
+      textCol: String, stateDir: String): Unit =
+    mergeDerivedViewBatch(batch0, rel, stateDir, "termDfSink",
+      Seq("term"), "df",
+      (rows, img) => rows.select(explode(array_distinct(
+        split(element_at(col(img), textCol), " "))).as("term")))
+
+  /** The merge engine behind every DERIVED NET-COUNT view (term-df, the
+    * RAG chunk index): `derive(imageRows, imgCol)` expands one image into
+    * its derived keys; each event then contributes +1 per after-key and
+    * −1 per before-key, and the state is the keyed sum of nets (> 0).
+    * Everything else — replay high-water, truncate reset (wipes the view
+    * AND the batch's own pre-truncate events), loud failure on updates
+    * without old images, one-manifest atomic flip — is shared verbatim. */
+  private def mergeDerivedViewBatch(batch0: DataFrame, rel: Relation,
+      stateDir: String, sinkName: String,
+      keyCols: Seq[String], countCol: String,
+      derive: (DataFrame, String) => DataFrame): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val manifest = StateStore.load(stateDir)
@@ -1074,7 +1090,7 @@ object Streams {
     ).first()
     if (probe.isNullAt(0)) return
     require(probe.getLong(2) == 0L,
-      s"termDfSink(${rel.name}): update without a before image — " +
+      s"$sinkName(${rel.name}): update without a before image — " +
         "the table needs REPLICA IDENTITY FULL for index maintenance")
     val mx = probe.getStruct(0)
     val truncOpt = if (probe.isNullAt(1)) None
@@ -1083,26 +1099,25 @@ object Streams {
       struct(lit(hwLsn), lit(hwSeq)))
     val truncates = truncOpt.exists { case (tl, ts) =>
       tl > hwLsn || (tl == hwLsn && ts > hwSeq) }
-    // a truncate wipes the index AND the batch's own pre-truncate events
+    // a truncate wipes the view AND the batch's own pre-truncate events
     val fresh = truncOpt match {
       case Some((tl, ts)) if truncates =>
         fresh0.filter(struct(col("lsn"), col("seq")) > struct(lit(tl), lit(ts)))
       case _ => fresh0
     }
-    def terms(img: String, ops: Seq[String], net: Long) =
-      fresh.filter(col("op").isin(ops: _*))
-        .select(explode(array_distinct(
-          split(element_at(col(img), textCol), " "))).as("term"),
-          lit(net).as("dv"))
-    val delta = terms("after", Seq("I", "U"), 1L)
-      .unionByName(terms("before", Seq("U", "D"), -1L))
+    def keysOf(img: String, ops: Seq[String], net: Long) =
+      derive(fresh.filter(col("op").isin(ops: _*)), img)
+        .withColumn("__dv", lit(net))
+    val delta = keysOf("after", Seq("I", "U"), 1L)
+      .unionByName(keysOf("before", Seq("U", "D"), -1L))
     val existing =
       if (!truncates) manifest.get("data").map(v =>
-        spark.read.parquet(s"$stateDir/$v").select(col("term"), col("df").as("dv")))
+        spark.read.parquet(s"$stateDir/$v")
+          .select(keyCols.map(col) :+ col(countCol).as("__dv"): _*))
       else None
     val merged = existing.map(_.unionByName(delta)).getOrElse(delta)
-      .groupBy(col("term")).agg(sum(col("dv")).as("df"))
-      .filter(col("df") > 0)
+      .groupBy(keyCols.map(col): _*).agg(sum(col("__dv")).as(countCol))
+      .filter(col(countCol) > 0)
     val next = StateStore.newVersion("data")
     merged.write.mode("overwrite").parquet(s"$stateDir/$next")
     val newLsn = math.max(hwLsn, mx.getLong(0))
@@ -1111,6 +1126,39 @@ object Streams {
         mx.getLong(1) else hwSeq
     StateStore.commit(stateDir, Map(
       "data" -> next, "hwLsn" -> newLsn.toString, "hwSeq" -> newSeq.toString))
+  }
+
+  /** Incrementally-maintained RAG CHUNK INDEX over a documents envelope
+    * stream (cdc_incremental_chunks' streaming form): per micro-batch,
+    * +1 per after-image chunk and −1 per before-image chunk merge into
+    * the content-addressed chunk table — the retrieval corpus kept fresh
+    * at batch cost, never a re-chunk of the corpus. Derived keys come
+    * from the SAME chunking engine text_rag_chunks uses. */
+  def chunkIndexSink(envelope: DataFrame, rel: Relation, textCol: String,
+      stateDir: String, checkpointDir: String): StreamingQuery =
+    envelope.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeChunkIndexBatch(batch, rel, textCol, stateDir)
+      }
+      .start()
+
+  private[streaming] def mergeChunkIndexBatch(batch0: DataFrame, rel: Relation,
+      textCol: String, stateDir: String): Unit =
+    mergeDerivedViewBatch(batch0, rel, stateDir, "chunkIndexSink",
+      Seq("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_md5"), "n",
+      (rows, img) => graft.queries.TextQueries.ragChunksOf(
+        rows.select(
+          element_at(col(img), "doc_id").cast("long").as("doc_id"),
+          split(element_at(col(img), textCol), " ").as("ws"))))
+
+  /** Current chunk table of [[chunkIndexSink]]. */
+  def chunkIndexState(spark: SparkSession, stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed chunk-index state under $stateDir"))
+    spark.read.parquet(s"$stateDir/$v")
   }
 
   /** Current term → df table of [[termDfSink]]. */

@@ -1133,6 +1133,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.toSeq === expected.toSeq)
   }
 
+  test("chunk-index sink equals the batch incremental chunk view across " +
+      "micro-batches; replay is idempotent") {
+    val dir = Files.createTempDirectory("chunkidx")
+    val p = dir.resolve("log.bin").toString
+    val frames = graft.cdc.CdcPipeline.documentsToFramesDml(spark, sfDir)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // cuts land inside doc txn groups: an update's retraction (+new chunks,
+    // −old chunks) may split across batches and must still net out
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(130))
+    val q = Streams.chunkIndexSink(env, graft.cdc.CdcPipeline.documentsRelation,
+      "text", dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "chunk_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+    val got = rows(Streams.chunkIndexState(spark, dir.resolve("state").toString)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_md5"))
+    val expected = rows(graft.SparkEntry.queries("cdc_incremental_chunks")(spark, sfDir))
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+    // full-log replay on top of the final state changes nothing
+    val whole = spark.read.format("graft.sources.FrameReplayProvider")
+      .option("path", p).load()
+    Streams.mergeChunkIndexBatch(whole, graft.cdc.CdcPipeline.documentsRelation,
+      "text", dir.resolve("state").toString)
+    val replayed = rows(Streams.chunkIndexState(spark, dir.resolve("state").toString)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_md5"))
+    assert(replayed.toSeq === expected.toSeq)
+  }
+
   test("incremental stats sink equals the batch moment sums across micro-batches") {
     val dir = Files.createTempDirectory("incrstats")
     val p = dir.resolve("log.bin").toString
