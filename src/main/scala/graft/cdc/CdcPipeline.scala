@@ -43,15 +43,25 @@ object CdcPipeline {
     * intermediate once" pattern, not a driver collect. */
   private val sharedEventsCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
-  private lazy val spillRoot =
+  private lazy val localSpillRoot =
     java.nio.file.Files.createTempDirectory("graft-wire-spill").toString
+
+  /** Spill base: local[: a JVM tmpdir works (driver and executors share the
+    * node). On a real cluster set `spark.graft.wireSpillDir` (or env
+    * SPARK_GRAFT_SPILL_DIR) to a SHARED path (object store / DFS) — a
+    * node-local path would be written by executors and unreadable to the
+    * tasks of the next consumer. */
+  private def spillRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.wireSpillDir")
+      .orElse(sys.env.get("SPARK_GRAFT_SPILL_DIR"))
+      .getOrElse(localSpillRoot)
 
   def sharedEvents(spark: SparkSession, sfDir: String, key: String)(
       build: => DataFrame): DataFrame =
     sharedEventsCache.getOrElseUpdate((spark, sfDir, key), {
       // dir is unique per cache entry (session identity included) so two
       // live sessions over the same sfDir can never cross-write a spill
-      val dir = s"$spillRoot/${Integer.toHexString(System.identityHashCode(spark))}-" +
+      val dir = s"${spillRoot(spark)}/${Integer.toHexString(System.identityHashCode(spark))}-" +
         s"${Integer.toHexString(sfDir.hashCode)}/$key"
       build.write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)

@@ -337,7 +337,7 @@ object Streams {
     * MERGE format with the same bucketing. */
   private[streaming] def mergeBatchBucketed(
       batch0: DataFrame, rel: Relation, keys: Seq[String], stateDir: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, retainSnapshots: Int = 1): Unit = {
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val spark = batch.sparkSession
     val manifest = StateStore.load(stateDir)
@@ -382,8 +382,9 @@ object Streams {
       }
     }
     // One flip commits every touched bucket; the sweep reclaims the stage
-    // remnants and the replaced bucket versions.
-    StateStore.commit(stateDir, entries + ("nbuckets" -> n.toString))
+    // remnants and the replaced bucket versions (retained snapshots pin
+    // theirs — time-travel, and concurrent readers never race the GC).
+    StateStore.commit(stateDir, entries + ("nbuckets" -> n.toString), retainSnapshots)
   }
 
   /** One-shot ONLINE RE-BUCKETING of a bucketed upsert state: rewrites the
@@ -424,13 +425,14 @@ object Streams {
 
   /** [[cdcUpsertSink]] over the bucketed state layout. */
   def cdcUpsertSinkBucketed(envelope: DataFrame, rel: Relation, stateDir: String,
-      checkpointDir: String, nBuckets: Int = 64): StreamingQuery = {
+      checkpointDir: String, nBuckets: Int = 64,
+      retainSnapshots: Int = 1): StreamingQuery = {
     val keys = rel.keyColumnNames
     envelope.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatchBucketed(batch, rel, keys, stateDir, nBuckets)
+        mergeBatchBucketed(batch, rel, keys, stateDir, nBuckets, retainSnapshots)
       }
       .start()
   }

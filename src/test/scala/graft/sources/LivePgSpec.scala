@@ -464,6 +464,76 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("live ingest end-to-end: pgwire source → bucketed upsert sink tracks " +
+      "the live table through two DML rounds") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tl (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_l FOR TABLE tl")
+      val pin = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_l", "graft_pub_l", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      pin.start(0L); pin.close()
+      // the sink keys state by the WIRE relation id — for a live table
+      // that is the server-assigned oid, discovered from the catalog
+      val oid = sql.simpleQuery("SELECT 'tl'::regclass::oid").head.head.toInt
+      val rel = Relation(oid, "public", "tl", 'd', Vector(
+        RelationColumn(partOfKey = true, "id", graft.decode.TypedView.Oid.Int8, -1),
+        RelationColumn(partOfKey = false, "v", graft.decode.TypedView.Oid.Text, -1)))
+
+      sql.simpleQuery("INSERT INTO tl SELECT g, 'a' || g FROM generate_series(1, 200) g")
+      sql.simpleQuery("UPDATE tl SET v = 'u' || id WHERE id % 10 = 0")
+      sql.simpleQuery("DELETE FROM tl WHERE id % 7 = 0")
+
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      val dir = Files.createTempDirectory("livepg-sink")
+      val stateDir = dir.resolve("state").toString
+      val env = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "pgwire")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("database", "postgres").option("user", "postgres")
+        .option("slot", "graft_slot_l").option("publication", "graft_pub_l")
+        .option("statusIntervalMs", "500")
+        .load()
+      // retain snapshots so the polling reader below never races the GC
+      // of a just-replaced bucket version (retain=1 sweeps immediately)
+      val q = graft.streaming.Streams.cdcUpsertSinkBucketed(
+        env, rel, stateDir, dir.resolve("ckpt").toString, nBuckets = 8,
+        retainSnapshots = 4)
+      try {
+        def stateRows(): Set[(Long, String)] =
+          try graft.streaming.Streams.materializedState(spark, rel, stateDir)
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          catch { case _: Throwable => Set.empty } // no committed state yet
+        def tableRows(): Set[(Long, String)] =
+          sql.simpleQuery("SELECT id, v FROM tl").map(r => (r(0).toLong, r(1))).toSet
+
+        val want1 = tableRows()
+        val d1 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateRows() != want1 && System.nanoTime() < d1) Thread.sleep(250)
+        assert(stateRows() === want1, "sink state must converge to the live table")
+
+        // second round WHILE the stream runs — including a truncate-free
+        // mixed wave touching existing and new keys
+        sql.simpleQuery("INSERT INTO tl SELECT g, 'b' || g FROM generate_series(201, 250) g")
+        sql.simpleQuery("UPDATE tl SET v = 'u2' || id WHERE id % 9 = 0")
+        sql.simpleQuery("DELETE FROM tl WHERE id % 11 = 0")
+        val want2 = tableRows()
+        val d2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateRows() != want2 && System.nanoTime() < d2) Thread.sleep(250)
+        assert(stateRows() === want2, "sink state must track round-2 DML")
+      } finally q.stop()
+    } finally {
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_l')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("S2 live: exported-snapshot backfill + tail from the consistent point " +
       "— no gap, no overlap") {
     live()
