@@ -42,14 +42,19 @@ object Bench {
     val firstPass = selected.map { case (name, fn) => name -> timeOne(fn) }
     // Contention guard: single-shot timings of the suite tail inflate 6-37x
     // under host contention (r3 driver capture vs identical local run).
-    // Re-time every query whose first pass exceeded 5s and keep the MIN of
-    // the two runs — the achievable time, insensitive to a one-off noisy
-    // window. Cheap: only the slow set pays a second run.
+    // Re-time every query whose first pass exceeded 5s and report the MIN
+    // of the two runs per query — the achievable time, insensitive to a
+    // one-off noisy window. The headline TOTAL stays the FIRST-pass sum:
+    // min-of-2 would silently drop one-time costs the suite genuinely paid
+    // (a retimed first consumer of a shared cache measures warm-cache
+    // time), so the total reports the real suite cost and the per-query
+    // map reports the repeatable cost; `retimed_total` carries the min sum.
     val results = firstPass.map { case (name, t1) =>
       if (t1 <= 5.0) name -> t1
       else name -> math.min(t1, timeOne(SparkEntry.queries(name)))
     }
-    val total = results.map(_._2).sum
+    val total = firstPass.map(_._2).sum
+    val retimedTotal = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     // The driver captures only the last ~2000 chars of stdout and parses
     // the metric line from that TAIL; a full line over ~80 queries cannot
@@ -73,11 +78,12 @@ object Bench {
       },"unit":"sec","queries":${
         rs.map { case (k, v) => entry(k, v, p) }.mkString("{", ",", "}")
       }$extra,"sf":"$sfName"}"""
+    val retimed = entry("retimed_total", retimedTotal, 2)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      line(results, 9, "") + "\n")
+      line(results, 9, "," + retimed) + "\n")
     catch { case _: Throwable => () } // read-only checkout: stdout still has it
-    println(line(results, 3, ""))
+    println(line(results, 3, "," + retimed))
     // The final bounded line must survive a ~2KB stdout-tail capture even
     // when the capture window clips mid-stream (BENCH_r03's tail ended
     // mid-line despite rc=0): keep it WELL under the window — total + the
@@ -86,7 +92,7 @@ object Bench {
     val omitted = results.size - slowest.size
     Console.out.flush()
     println(line(slowest, 2,
-      s""","queries_omitted":$omitted,"full_detail":"BENCH_LOCAL.json""""))
+      s""",$retimed,"queries_omitted":$omitted,"full_detail":"BENCH_LOCAL.json""""))
     Console.out.flush()
     spark.stop()
   }

@@ -33,8 +33,18 @@ object Verify {
         // cdc_numeric_typed in r3). Queries must cast decimals to
         // double/string in their final projection — failing loudly here
         // keeps the dev loop from re-tripping the driver-only path.
+        def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+          import org.apache.spark.sql.types._
+          dt match {
+            case _: DecimalType => true
+            case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+            case a: ArrayType => hasDecimal(a.elementType)
+            case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+            case _ => false
+          }
+        }
         val decCols = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+          case f if hasDecimal(f.dataType) => f.name
         }
         require(decCols.isEmpty,
           s"query output has DecimalType column(s) ${decCols.mkString(",")} — " +

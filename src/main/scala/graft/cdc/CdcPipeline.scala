@@ -58,14 +58,22 @@ object CdcPipeline {
 
   def sharedEvents(spark: SparkSession, sfDir: String, key: String)(
       build: => DataFrame): DataFrame =
-    sharedEventsCache.getOrElseUpdate((spark, sfDir, key), {
-      // dir is unique per cache entry (session identity included) so two
-      // live sessions over the same sfDir can never cross-write a spill
-      val dir = s"${spillRoot(spark)}/${Integer.toHexString(System.identityHashCode(spark))}-" +
-        s"${Integer.toHexString(sfDir.hashCode)}/$key"
-      build.write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
-    })
+    // coarse lock: getOrElseUpdate may evaluate a racing build twice, and
+    // two racers would overwrite the same spill dir mid-read; builds are
+    // rare (once per generator per session) so serializing them is free
+    sharedEventsCache.synchronized {
+      sharedEventsCache.getOrElseUpdate((spark, sfDir, key), {
+        // dir is unique per cache entry: session identity + a DIGEST of
+        // the full sfDir (hashCode collisions across two sfDirs would
+        // silently serve one generator's events for the other)
+        val sfTag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        val dir = s"${spillRoot(spark)}/" +
+          s"${Integer.toHexString(System.identityHashCode(spark))}-$sfTag/$key"
+        build.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      })
+    }
 
   /** Drop the shared-envelope spill handles (test hook; files stay in the
     * JVM tmpdir and are overwritten on rebuild). */

@@ -319,28 +319,41 @@ final class PgCdcMicroBatch(
 
   /** Drain up to `cap` frames (Long.MaxValue = all available now).
     *
-    * Offset monotonization: a REAL walsender does not deliver strictly
+    * Offset assignment: a REAL walsender does not deliver strictly
     * increasing walStart values — observed live (PG 15): Relation frames
     * arrive with walStart = 0, Begin shares its first change's LSN, and a
     * Commit and the NEXT transaction's Begin/Update can carry the SAME
-    * position. Offsets however must totally order frames (batch boundaries
-    * cut between them), so each frame is assigned
-    * `max(walStart, previous + 1)` — real LSNs wherever they already
-    * ascend, nudged by single bytes inside an equal-LSN run. Consecutive
-    * WAL records are ≥ 24 bytes apart, so a nudged offset never overtakes
-    * the next real record's position: flush feedback and restart
-    * (`START_REPLICATION` at a nudged offset) land inside the same
-    * inter-record gap they describe. Re-sent tails after a restart
-    * re-monotonize identically (same frames, same starting offset), so
-    * replays mint identical message ids — the at-least-once contract. */
+    * position. Offsets must totally order DELIVERED EVENTS (batch
+    * boundaries cut between them) and stay REPLAY-STABLE (a crash-replan
+    * re-drains the same frames and must land on the same offsets), so:
+    *  - an EVENT-BEARING frame takes `max(walStart, previous + 1)`: the
+    *    real WAL record position in practice (each DML change is its own
+    *    record at a distinct position), with the +1 nudge as a safety net
+    *    that keeps offsets total even if positions repeat. Consecutive
+    *    records are ≥ 24 bytes apart, so a nudge never overtakes the next
+    *    record's position;
+    *  - a NO-EVENT frame only lifts the watermark to its RAW position —
+    *    it never consumes a nudge slot. This is what keeps offsets stable
+    *    across restart: a new walsender session re-sends Relation frames
+    *    (walStart 0) and Begin/Commit markers; if those consumed +1 slots,
+    *    replayed events would shift offsets and the crash-replan drain
+    *    contract (`bufferedThrough >= e`) could never be met. Commit
+    *    frames still advance the offset to their real position, so flush
+    *    feedback covers the commit record (the slot resumes at txn
+    *    boundaries, not mid-transaction). */
   private def drain(cap: Long): Unit = {
     var n = 0L
     var more = true
     while (n < cap && more) conduit.read() match {
       case Some((rawLsn, payload)) =>
         val lsn = math.max(rawLsn, bufferedThrough + 1)
-        buffered.append((lsn, builder.processRaw(lsn, payload)))
-        bufferedThrough = lsn
+        val events = builder.processRaw(lsn, payload)
+        if (events.nonEmpty) {
+          buffered.append((lsn, events))
+          bufferedThrough = lsn
+        } else {
+          bufferedThrough = math.max(bufferedThrough, rawLsn)
+        }
         n += 1
       case None => more = false
     }

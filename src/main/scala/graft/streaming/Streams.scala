@@ -222,12 +222,19 @@ object Streams {
         col("key").as("__key"))
   }
 
+  /** Version directories holding a state's data: the flat layout's single
+    * `data` entry, else every bucketed `b<idx>` entry (digits only — never
+    * other manifest scalars), sorted. The ONE place the layout convention
+    * lives; every state reader resolves through it. */
+  private def manifestDataDirs(manifest: Map[String, String]): Seq[String] =
+    manifest.get("data").map(Seq(_)).getOrElse(
+      manifest.collect { case (k, v) if k.matches("b\\d+") => v }.toSeq.sorted)
+
   /** Current LIVE rows of an LWW-merged state (either layout): tombstones
     * filtered, images typed through the relation schema. */
   def lwwState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame = {
     val manifest = StateStore.load(stateDir)
-    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
-      manifest.collect { case (k, v) if k.startsWith("b") && k != "nbuckets" => v }.toSeq.sorted)
+    val dirs = manifestDataDirs(manifest)
     require(dirs.nonEmpty, s"no committed state under $stateDir")
     graft.decode.TypedView.ofAfter(
       spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
@@ -244,8 +251,7 @@ object Streams {
   def lwwStateAt(spark: SparkSession, rel: Relation, stateDir: String,
       seq: Long): DataFrame = {
     val manifest = StateStore.loadSnapshot(stateDir, seq)
-    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
-      manifest.collect { case (k, v) if k.startsWith("b") && k != "nbuckets" => v }.toSeq.sorted)
+    val dirs = manifestDataDirs(manifest)
     require(dirs.nonEmpty, s"snapshot $seq under $stateDir holds no data")
     graft.decode.TypedView.ofAfter(
       spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
@@ -1855,8 +1861,7 @@ object Streams {
   /** Current typed state of the materialized table (either state layout). */
   def materializedState(spark: SparkSession, rel: Relation, stateDir: String): DataFrame = {
     val manifest = StateStore.load(stateDir)
-    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
-      manifest.collect { case (k, v) if k.startsWith("b") => v }.toSeq.sorted)
+    val dirs = manifestDataDirs(manifest)
     require(dirs.nonEmpty, s"no committed state under $stateDir")
     graft.decode.TypedView.ofAfter(
       spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)
@@ -1872,8 +1877,7 @@ object Streams {
   def materializedStateAt(spark: SparkSession, rel: Relation, stateDir: String,
       seq: Long): DataFrame = {
     val manifest = StateStore.loadSnapshot(stateDir, seq)
-    val dirs = manifest.get("data").map(Seq(_)).getOrElse(
-      manifest.collect { case (k, v) if k.startsWith("b") => v }.toSeq.sorted)
+    val dirs = manifestDataDirs(manifest)
     require(dirs.nonEmpty, s"snapshot $seq under $stateDir holds no data")
     graft.decode.TypedView.ofAfter(
       spark.read.parquet(dirs.map(v => s"$stateDir/$v"): _*)

@@ -37,6 +37,17 @@ class PgCdcSourceSpec extends AnyFunSuite {
       "slot" -> "s", "publication" -> "p"))
   }
 
+  test("CdcDemo.parseDsn: first-colon password split, percent-decoding, defaults") {
+    val m = graft.CdcDemo.parseDsn("postgres://app:p%40:ss@db.example:5433/prod")
+    assert(m("user") === "app")
+    assert(m("password") === "p@:ss") // ':' inside the password survives
+    assert(m("host") === "db.example" && m("port") === "5433")
+    assert(m("database") === "prod")
+    val d = graft.CdcDemo.parseDsn("postgresql://localhost")
+    assert(d("user") === "postgres" && !d.contains("password"))
+    assert(d("port") === "5432" && d("database") === "postgres")
+  }
+
   test("startLsn accepts Postgres X/Y text and plain decimal (PgLsn round trip)") {
     // the notation pg_current_wal_lsn() / pg_replication_slots print
     assert(PgLsn.parse("0/16B3748") === 0x16B3748L)
