@@ -27,7 +27,11 @@ final class PgCatalog(runQuery: String => Seq[Seq[Any]]) extends Serializable {
   def notNullColumns(namespace: String, table: String): Set[String] =
     notNulls.getOrElseUpdate((namespace, table),
       runQuery(PgCatalog.attNotNullSql(namespace, table))
-        .filter(r => r(1).toString.toBoolean).map(_.head.toString).toSet)
+        // JDBC runners yield java.lang.Boolean ("true"); a raw-protocol
+        // runner yields Postgres's TEXT form 't'/'f' — accept both
+        // (caught live: toBoolean rejects "t")
+        .filter(r => Set("true", "t", "1").contains(r(1).toString.toLowerCase))
+        .map(_.head.toString).toSet)
 
   def cachedTypeCount: Int = typeNames.size
 }

@@ -124,6 +124,24 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("PgCatalog (U1) over the wire client: live format_type and NOT NULL " +
+      "resolution, cached per distinct type") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery(
+        "CREATE TABLE tcat (id bigint NOT NULL, price numeric(12,2), note text)")
+      val cat = new PgCatalog(q => sql.simpleQuery(q))
+      assert(cat.typeName(20, -1) === "bigint")
+      assert(cat.typeName(1700, ((12 << 16) | 2) + 4) === "numeric(12,2)")
+      assert(cat.notNullColumns("public", "tcat") === Set("id"))
+      // cache: a second lookup is served without a round-trip (same count)
+      val n = cat.cachedTypeCount
+      cat.typeName(20, -1)
+      assert(cat.cachedTypeCount === n)
+    } finally sql.close()
+  }
+
   test("live replication: real pgoutput frames decode, state materializes, " +
       "flush feedback advances confirmed_flush_lsn") {
     live()
