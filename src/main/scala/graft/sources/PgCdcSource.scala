@@ -324,35 +324,44 @@ final class PgCdcMicroBatch(
     * arrive with walStart = 0, Begin shares its first change's LSN, and a
     * Commit and the NEXT transaction's Begin/Update can carry the SAME
     * position. Offsets must totally order DELIVERED EVENTS (batch
-    * boundaries cut between them) and stay REPLAY-STABLE (a crash-replan
-    * re-drains the same frames and must land on the same offsets), so:
-    *  - an EVENT-BEARING frame takes `max(walStart, previous + 1)`: the
-    *    real WAL record position in practice (each DML change is its own
-    *    record at a distinct position), with the +1 nudge as a safety net
-    *    that keeps offsets total even if positions repeat. Consecutive
-    *    records are ≥ 24 bytes apart, so a nudge never overtakes the next
-    *    record's position;
-    *  - a NO-EVENT frame only lifts the watermark to its RAW position —
-    *    it never consumes a nudge slot. This is what keeps offsets stable
-    *    across restart: a new walsender session re-sends Relation frames
-    *    (walStart 0) and Begin/Commit markers; if those consumed +1 slots,
-    *    replayed events would shift offsets and the crash-replan drain
-    *    contract (`bufferedThrough >= e`) could never be met. Commit
-    *    frames still advance the offset to their real position, so flush
-    *    feedback covers the commit record (the slot resumes at txn
-    *    boundaries, not mid-transaction). */
+    * boundaries cut between them) and stay REPLAY-STABLE: after a crash
+    * the server re-sends from the last flushed TRANSACTION boundary, so
+    * already-committed events re-arrive and must land on their ORIGINAL
+    * offsets to be excluded by the `(start, end]` batch filter — any
+    * offset derived from the restart point itself (the old
+    * `max(walStart, bufferedThrough+1)`) re-bases the re-sent prefix and
+    * turns it into duplicates. Hence:
+    *  - an EVENT-BEARING frame's offset is a pure function of the frame
+    *    stream: its raw position if that exceeds the PREVIOUS EVENT's
+    *    offset (the normal case — each DML change is its own WAL record
+    *    at a distinct position), else previous-event + 1 (anomalous
+    *    equal-position runs reproduce identically on re-send);
+    *  - a NO-EVENT frame (Relation@0, Begin/Commit markers, in-stream
+    *    segments) only lifts the batch watermark to `raw − 1`: one byte
+    *    BELOW its position, because the next transaction's first change
+    *    can be reported AT a commit record's position (observed live) —
+    *    a watermark at the full position would fence that event out of
+    *    every future batch. Flush feedback therefore sits just below the
+    *    last commit record; on restart the server re-sends that (already
+    *    consumed, offset-stable, filter-excluded) transaction — the
+    *    at-least-once protocol cost, paid without duplicates. */
+  private var lastEventLsn: Long = Long.MinValue
   private def drain(cap: Long): Unit = {
     var n = 0L
     var more = true
     while (n < cap && more) conduit.read() match {
       case Some((rawLsn, payload)) =>
-        val lsn = math.max(rawLsn, bufferedThrough + 1)
-        val events = builder.processRaw(lsn, payload)
+        val assigned = if (rawLsn > lastEventLsn) rawLsn else lastEventLsn + 1
+        val events = builder.processRaw(assigned, payload)
         if (events.nonEmpty) {
-          buffered.append((lsn, events))
-          bufferedThrough = lsn
-        } else {
-          bufferedThrough = math.max(bufferedThrough, rawLsn)
+          require(assigned > bufferedThrough,
+            s"pgcdc: event offset $assigned not past watermark $bufferedThrough " +
+              s"(raw $rawLsn) — conduit delivered positions out of WAL order")
+          lastEventLsn = assigned
+          buffered.append((assigned, events))
+          bufferedThrough = assigned
+        } else if (rawLsn > 0) {
+          bufferedThrough = math.max(bufferedThrough, rawLsn - 1)
         }
         n += 1
       case None => more = false

@@ -170,10 +170,14 @@ class PgCdcSourceSpec extends AnyFunSuite {
     // protocol sequencing: replication started from the initial offset; the
     // flush feedback for an offset comes strictly AFTER every read at or
     // below it (never before the engine durably owns the frames — K2); the
-    // flushed sequence is nondecreasing and ends at the commit frame's LSN
+    // flushed sequence is nondecreasing and ends ONE BYTE BELOW the commit
+    // record: the next transaction's first change can be reported AT a
+    // commit's position (observed live), so the watermark for no-event
+    // frames stops at raw-1 — restart re-reads the commit record, never
+    // a data record
     assert(mc.startedAfter === 0L)
     val fl = mc.flushes
-    assert(fl.nonEmpty && fl.last === 14L)
+    assert(fl.nonEmpty && fl.last === 13L)
     assert(fl.zip(fl.tail).forall { case (a, b) => a <= b }, fl)
     fl.foreach { f =>
       val flushIdx = mc.log.indexOf(s"flush($f)")
@@ -221,7 +225,10 @@ class PgCdcSourceSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .start()
     q.processAllAvailable()
-    mc.append(26, PgType(20, "pg_catalog", "int8")) // commit-cycle nudge
+    // commit-cycle nudge: raw 28 lifts the watermark to 27, PAST the last
+    // event offset 25, so the extra trigger that commits the final batch
+    // runs (a lift to raw-1 = 25 would not move the offset)
+    mc.append(28, PgType(20, "pg_catalog", "int8"))
     q.processAllAvailable(); q.stop()
     val rows = spark.sql(
       "SELECT after['id'] AS id, tx_id, commit_ts_us FROM conduit_v2v3 ORDER BY CAST(id AS INT)")
@@ -230,9 +237,9 @@ class PgCdcSourceSpec extends AnyFunSuite {
     // arrival order; the prepared txn carries its COMMIT PREPARED ts
     assert(rows.toSeq === Seq(("1", 70, 1000L), ("2", 70, 1000L), ("4", 90, 3000L)))
     // K2 unchanged by the new frame kinds: flushes nondecreasing, ending
-    // at the resolution frame
+    // just below the resolution frame (raw-1 watermark convention)
     val fl = mc.flushes
-    assert(fl.nonEmpty && fl.last >= 25L)
+    assert(fl.nonEmpty && fl.last >= 24L)
     assert(fl.zip(fl.tail).forall { case (a, b) => a <= b }, fl)
   }
 
@@ -281,7 +288,7 @@ class PgCdcSourceSpec extends AnyFunSuite {
     PgCdcConduits.register("mc_restart", mc)
     val ckpt = Files.createTempDirectory("conduit_ckpt2").toString
     val got = scala.collection.mutable.ArrayBuffer.empty[String]
-    def run(): Unit = {
+    def run(nudgeLsn: Option[Long] = None): Unit = {
       // memory sink cannot recover from a checkpoint; foreachBatch can
       val q = spark.readStream.format("graft.sources.PgCdcProvider")
         .option("producer", "conduit").option("conduit.name", "mc_restart")
@@ -294,7 +301,14 @@ class PgCdcSourceSpec extends AnyFunSuite {
           ()
         }
         .start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      // commit-cycle nudge AFTER the data batch (source.commit is one
+      // trigger late): a no-event frame whose raw-1 lift moves the offset
+      nudgeLsn.foreach { l =>
+        mc.append(l, PgType(20, "pg_catalog", "int8"))
+        q.processAllAvailable()
+      }
+      q.stop()
     }
     run()
     assert(got.toSeq === Seq("1"))
@@ -305,12 +319,13 @@ class PgCdcSourceSpec extends AnyFunSuite {
     mc.append(21, Begin(23, 2000, 8))
     mc.append(22, Insert(3, TupleData(Vector(t("2")))))
     mc.append(23, Commit(0, 23, 23, 2000))
-    run()
-    // resumed exactly at the durably-committed offset: no re-delivery
-    assert(mc.startedAfter === 14L)
+    run(nudgeLsn = Some(26))
+    // resumed exactly at the durably-committed offset (one byte below the
+    // first commit record): no re-delivery
+    assert(mc.startedAfter === 13L)
     assert(got.toSeq === Seq("1", "2"))
     assert(mc.flushes.nonEmpty && mc.flushes.max <= 23L)
-    assert(mc.flushes.max >= 14L, mc.flushes)
+    assert(mc.flushes.max >= 22L, mc.flushes)
   }
 
   test("conduit machinery: a logged-but-uncommitted batch re-plans by draining the conduit (crash replay)") {
