@@ -1651,6 +1651,62 @@ object RelationalQueries {
             .as("top10pct_revenue_share"))
     }),
 
+    // Multi-touch ATTRIBUTION — the marketing-analytics workhorse: each
+    // purchase's revenue is credited to the view/click touches of the SAME
+    // user inside a 24h lookback window, under three models at once —
+    // first-touch (all credit to the earliest touch), last-touch (the
+    // latest), and linear (split evenly across the window's touches);
+    // touchless purchases report under 'none'. Scale shape: ONE user-keyed
+    // equi-join with the window as a residual predicate (touches per user
+    // window are bounded — never a time-range cross join), then
+    // conversion-keyed aggregates; first/last are min/max over a
+    // (ts, event_id) struct — no per-model rescan. Determinism: credits
+    // are exact integer cents for first/last; linear shares are one
+    // fixed-order double expression rounded to 6dp per row, summed as
+    // DECIMAL(28,6) (order-independent), one final division — the suite's
+    // float convention.
+    "q92_attribution" -> ((s, d) => {
+      val dec = DecimalType(28, 6)
+      val ev = Tables.events(s, d)
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("t_type"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val paired = convs.join(touches, Seq("user_id"), "left")
+        .withColumn("inwin", col("t_ts").isNotNull &&
+          col("t_ts") < col("c_ts") &&
+          col("t_ts") >= col("c_ts") - expr("INTERVAL 24 HOURS"))
+      val perConv = paired.groupBy(col("c_id"), col("cents"))
+        .agg(
+          sum(when(col("inwin"), 1L).otherwise(0L)).as("n"),
+          min(when(col("inwin"),
+            struct(col("t_ts"), col("t_id"), col("t_type")))).as("f"),
+          max(when(col("inwin"),
+            struct(col("t_ts"), col("t_id"), col("t_type")))).as("l"))
+      val perConvType = paired.filter(col("inwin"))
+        .groupBy(col("c_id"), col("t_type")).agg(count(lit(1)).as("k"))
+      val ft = perConv.select(lit("first_touch").as("model"),
+        coalesce(col("f.t_type"), lit("none")).as("touch_type"),
+        col("cents").cast(DoubleType).as("rev"))
+      val lt = perConv.select(lit("last_touch").as("model"),
+        coalesce(col("l.t_type"), lit("none")).as("touch_type"),
+        col("cents").cast(DoubleType).as("rev"))
+      val lin = perConvType
+        .join(perConv.select(col("c_id"), col("cents"), col("n")), "c_id")
+        .select(lit("linear").as("model"), col("t_type").as("touch_type"),
+          round(col("cents").cast(DoubleType) * col("k") / col("n"), 6).as("rev"))
+      val linNone = perConv.filter(col("n") === 0)
+        .select(lit("linear").as("model"), lit("none").as("touch_type"),
+          col("cents").cast(DoubleType).as("rev"))
+      ft.unionByName(lt).unionByName(lin).unionByName(linNone)
+        .groupBy(col("model"), col("touch_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("rev").cast(dec)).cast(DoubleType) / 100, 6).as("revenue"))
+        .orderBy(col("model"), col("touch_type"))
+    }),
+
     // CUSUM change-point detection — "did the daily level shift, and
     // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
     // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
@@ -2728,6 +2784,43 @@ object RelationalQueries {
              round(CAST(ss AS DOUBLE) / (CAST(s2 AS DOUBLE) * s2) * 10000, 6) AS hhi
            FROM m2)
          SELECT n_customers, gini, n_suppliers, hhi FROM g, h""",
+
+    // exact integer credits for first/last; linear shares are the same
+    // fixed-order double expression rounded per row, decimal-summed
+    "q92_attribution" ->
+      """WITH t AS (
+           SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS t_type
+           FROM events WHERE event_type IN ('view', 'click')),
+         c AS (
+           SELECT user_id, ts AS c_ts, event_id AS c_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         p AS (
+           SELECT c.c_id, c.cents, c.c_ts, t.t_ts, t.t_id, t.t_type,
+             (t.t_ts IS NOT NULL AND t.t_ts < c.c_ts
+              AND t.t_ts >= c.c_ts - INTERVAL 24 HOUR) AS inwin
+           FROM c LEFT JOIN t ON c.user_id = t.user_id),
+         pc AS (
+           SELECT c_id, cents,
+             SUM(CASE WHEN inwin THEN 1 ELSE 0 END) AS n,
+             (ARRAY_AGG(t_type ORDER BY t_ts, t_id) FILTER (WHERE inwin))[1] AS f_type,
+             (ARRAY_AGG(t_type ORDER BY t_ts DESC, t_id DESC) FILTER (WHERE inwin))[1] AS l_type
+           FROM p GROUP BY 1, 2),
+         pct AS (SELECT c_id, t_type, COUNT(*) AS k FROM p WHERE inwin GROUP BY 1, 2),
+         contrib AS (
+           SELECT 'first_touch' AS model, COALESCE(f_type, 'none') AS touch_type,
+             CAST(cents AS DOUBLE) AS rev FROM pc
+           UNION ALL
+           SELECT 'last_touch', COALESCE(l_type, 'none'), CAST(cents AS DOUBLE) FROM pc
+           UNION ALL
+           SELECT 'linear', pt.t_type,
+             round(CAST(pc2.cents AS DOUBLE) * pt.k / pc2.n, 6)
+           FROM pct pt JOIN pc pc2 USING (c_id)
+           UNION ALL
+           SELECT 'linear', 'none', CAST(cents AS DOUBLE) FROM pc WHERE n = 0)
+         SELECT model, touch_type, COUNT(*) AS n_rows,
+           round(CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) / 100, 6) AS revenue
+         FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // integer-scaled CUSUM argmax, earliest-day tie-break
     "q88_cusum" ->

@@ -100,6 +100,8 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (serverUp)
       asPostgres(s"pg_ctl -D ${dataDir.getAbsolutePath} -m immediate stop")
     if (sparkStarted != null) sparkStarted.stop()
+    // scratch clusters are ~40MB each — don't let suite runs pile them up
+    new ProcessBuilder("rm", "-rf", workDir.getAbsolutePath).start().waitFor()
   }
 
   private def live(): Unit =
