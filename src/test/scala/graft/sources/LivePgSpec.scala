@@ -554,6 +554,63 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DR story live: RecordingConduit tees real walsender traffic to a frame " +
+      "log that replays to the identical event stream offline") {
+    live()
+    val sql = sqlConn()
+    val logPath = Files.createTempDirectory("livepg-rec").resolve("wal.bin").toString
+    val conduit = new RecordingConduit(
+      new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_rec", "graft_pub_rec", createSlot = true,
+        temporarySlot = true, statusIntervalMs = 500L),
+      logPath, flushEvery = 8)
+    try {
+      sql.simpleQuery("CREATE TABLE trec (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_rec FOR TABLE trec")
+      conduit.start(0L)
+      sql.simpleQuery("INSERT INTO trec SELECT g, 'x' || g FROM generate_series(1, 20) g")
+      sql.simpleQuery("UPDATE trec SET v = 'y' || id WHERE id % 4 = 0")
+      sql.simpleQuery("DELETE FROM trec WHERE id % 5 = 0")
+
+      // live pass: decode while the tee records raw wire bytes
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val liveEvents = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (liveEvents.count(e => "IUD".contains(e.op)) < 29 && System.nanoTime() < deadline) {
+        conduit.read() match {
+          case Some((lsn, payload)) => liveEvents ++= builder.processRaw(lsn, payload)
+          case None => Thread.sleep(20)
+        }
+      }
+      conduit.setFlushedLSN(1L) // flush-before-feedback forces the tee to disk
+      val live29 = liveEvents.filter(e => "IUD".contains(e.op))
+        .map(e => (e.op, Option(e.after).flatMap(_.get("id"))
+          .orElse(Option(e.key).flatMap(_.get("id"))).orNull,
+          Option(e.after).flatMap(_.get("v")).orNull))
+      assert(live29.size === 29) // 20 I + 5 U + 4 D
+
+      // offline replay of the recorded log through the REAL replay source:
+      // raw wire lsns are non-monotone (Relation@0, shared positions) —
+      // the frame-index-offset replay source must not care
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      val q = spark.readStream.format("graft.sources.FrameReplayProvider")
+        .option("path", logPath).load()
+        .writeStream.format("memory").queryName("rec_replay")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val replayed = spark.sql(
+        """SELECT op, coalesce(after['id'], key['id']) AS id, after['v'] AS v
+           FROM rec_replay WHERE op IN ('I','U','D') ORDER BY lsn, seq""")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(replayed.toSeq === live29.toSeq,
+        "offline replay of recorded live traffic must reproduce the event stream")
+    } finally { conduit.close(); sql.close() }
+  }
+
   test("S2 live: exported-snapshot backfill + tail from the consistent point " +
       "— no gap, no overlap") {
     live()
