@@ -3,7 +3,7 @@ SF_CORRECTNESS ?= /root/testdata/sf0.01
 SF_BENCH ?= /root/testdata/sf0.1
 OUT ?= /tmp/graft_verify
 
-.PHONY: compile test verify bench smoke demo all
+.PHONY: compile test verify bench smoke demo livetest all
 
 compile:
 	sbt compile
@@ -21,6 +21,11 @@ bench:
 
 smoke:
 	sbt "runMain graft.Smoke"
+
+# live-Postgres validation: initdb's + runs a scratch PG 15 cluster itself
+# (self-cancels where initdb/pg_ctl or the postgres user are absent)
+livetest:
+	sbt "testOnly graft.sources.LivePgSpec"
 
 demo:
 	sbt "runMain graft.CdcDemo /root/testdata/sf0.001 1000"
