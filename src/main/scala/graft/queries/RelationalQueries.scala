@@ -1651,12 +1651,14 @@ object RelationalQueries {
             .as("top10pct_revenue_share"))
     }),
 
-    // Multi-touch ATTRIBUTION — the marketing-analytics workhorse: each
-    // purchase's revenue is credited to the view/click touches of the SAME
-    // user inside a 24h lookback window, under three models at once —
-    // first-touch (all credit to the earliest touch), last-touch (the
-    // latest), and linear (split evenly across the window's touches);
-    // touchless purchases report under 'none'. Scale shape: ONE user-keyed
+    // Multi-touch ATTRIBUTION with a bounded lookback — q71 answers the
+    // single-model form (last preceding touch, unbounded, one window
+    // carry-forward); this is the model-comparison report marketers
+    // actually reconcile: the SAME 24h-lookback touch set credited under
+    // three models at once — first-touch (earliest), last-touch (latest),
+    // and LINEAR (fractional credit split evenly across the window's
+    // touches — inexpressible as a carry-forward window, hence the
+    // touch-join shape); touchless purchases report under 'none'. Scale shape: ONE user-keyed
     // equi-join with the window as a residual predicate (touches per user
     // window are bounded — never a time-range cross join), then
     // conversion-keyed aggregates; first/last are min/max over a
@@ -1665,7 +1667,7 @@ object RelationalQueries {
     // fixed-order double expression rounded to 6dp per row, summed as
     // DECIMAL(28,6) (order-independent), one final division — the suite's
     // float convention.
-    "q92_attribution" -> ((s, d) => {
+    "q92_multitouch_attribution" -> ((s, d) => {
       val dec = DecimalType(28, 6)
       val ev = Tables.events(s, d)
       val touches = ev.filter(col("event_type").isin("view", "click"))
@@ -2787,7 +2789,7 @@ object RelationalQueries {
 
     // exact integer credits for first/last; linear shares are the same
     // fixed-order double expression rounded per row, decimal-summed
-    "q92_attribution" ->
+    "q92_multitouch_attribution" ->
       """WITH t AS (
            SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS t_type
            FROM events WHERE event_type IN ('view', 'click')),
