@@ -1662,11 +1662,11 @@ object RelationalQueries {
     // equi-join with the window as a residual predicate (touches per user
     // window are bounded — never a time-range cross join), then
     // conversion-keyed aggregates; first/last are min/max over a
-    // (ts, event_id) struct — no per-model rescan. Determinism: credits
-    // are exact integer cents for first/last; linear shares are one
-    // fixed-order double expression rounded to 6dp per row, summed as
-    // DECIMAL(28,6) (order-independent), one final division — the suite's
-    // float convention.
+    // (ts, event_id) struct — no per-model rescan. Determinism: every
+    // credit is an exact INTEGER in micro-cents — linear shares use
+    // floor(cents·k·10⁶ / n) (identical integer floor-division on both
+    // engines; per-row double rounding would expose engine rounding-mode
+    // differences) — summed as DECIMAL(38,0) with ONE final division.
     "q92_multitouch_attribution" -> ((s, d) => {
       val dec = DecimalType(28, 6)
       val ev = Tables.events(s, d)
@@ -1689,23 +1689,25 @@ object RelationalQueries {
             struct(col("t_ts"), col("t_id"), col("t_type")))).as("l"))
       val perConvType = paired.filter(col("inwin"))
         .groupBy(col("c_id"), col("t_type")).agg(count(lit(1)).as("k"))
+      // all credits in MICRO-CENTS (×10⁶): exact int64, max ~1e13 per row
       val ft = perConv.select(lit("first_touch").as("model"),
         coalesce(col("f.t_type"), lit("none")).as("touch_type"),
-        col("cents").cast(DoubleType).as("rev"))
+        (col("cents") * 1000000L).as("rev"))
       val lt = perConv.select(lit("last_touch").as("model"),
         coalesce(col("l.t_type"), lit("none")).as("touch_type"),
-        col("cents").cast(DoubleType).as("rev"))
+        (col("cents") * 1000000L).as("rev"))
       val lin = perConvType
         .join(perConv.select(col("c_id"), col("cents"), col("n")), "c_id")
         .select(lit("linear").as("model"), col("t_type").as("touch_type"),
-          round(col("cents").cast(DoubleType) * col("k") / col("n"), 6).as("rev"))
+          expr("(cents * k * 1000000L) div n").as("rev"))
       val linNone = perConv.filter(col("n") === 0)
         .select(lit("linear").as("model"), lit("none").as("touch_type"),
-          col("cents").cast(DoubleType).as("rev"))
+          (col("cents") * 1000000L).as("rev"))
       ft.unionByName(lt).unionByName(lin).unionByName(linNone)
         .groupBy(col("model"), col("touch_type"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("rev").cast(dec)).cast(DoubleType) / 100, 6).as("revenue"))
+          round(sum(col("rev").cast(DecimalType(38, 0))).cast(DoubleType)
+            / 100000000L, 6).as("revenue"))
         .orderBy(col("model"), col("touch_type"))
     }),
 
@@ -2811,17 +2813,17 @@ object RelationalQueries {
          pct AS (SELECT c_id, t_type, COUNT(*) AS k FROM p WHERE inwin GROUP BY 1, 2),
          contrib AS (
            SELECT 'first_touch' AS model, COALESCE(f_type, 'none') AS touch_type,
-             CAST(cents AS DOUBLE) AS rev FROM pc
+             cents * 1000000 AS rev FROM pc
            UNION ALL
-           SELECT 'last_touch', COALESCE(l_type, 'none'), CAST(cents AS DOUBLE) FROM pc
+           SELECT 'last_touch', COALESCE(l_type, 'none'), cents * 1000000 FROM pc
            UNION ALL
            SELECT 'linear', pt.t_type,
-             round(CAST(pc2.cents AS DOUBLE) * pt.k / pc2.n, 6)
+             (pc2.cents * pt.k * 1000000) // pc2.n
            FROM pct pt JOIN pc pc2 USING (c_id)
            UNION ALL
-           SELECT 'linear', 'none', CAST(cents AS DOUBLE) FROM pc WHERE n = 0)
+           SELECT 'linear', 'none', cents * 1000000 FROM pc WHERE n = 0)
          SELECT model, touch_type, COUNT(*) AS n_rows,
-           round(CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) / 100, 6) AS revenue
+           round(CAST(SUM(CAST(rev AS HUGEINT)) AS DOUBLE) / 100000000, 6) AS revenue
          FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // integer-scaled CUSUM argmax, earliest-day tie-break

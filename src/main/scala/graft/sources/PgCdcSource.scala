@@ -346,6 +346,12 @@ final class PgCdcMicroBatch(
     *    consumed, offset-stable, filter-excluded) transaction — the
     *    at-least-once protocol cost, paid without duplicates. */
   private var lastEventLsn: Long = Long.MinValue
+  /** Drain until `cap` NEW frames are buffered (Long.MaxValue = all
+    * available now). The cap counts DELIVERED work only: marker frames and
+    * a re-sent transaction prefix consume no admission budget — otherwise
+    * a restart whose re-sent prefix exceeds the cap would drain frames
+    * without ever advancing the offset, and the stream would stall as
+    * "no new data" forever. */
   private def drain(cap: Long): Unit = {
     var n = 0L
     var more = true
@@ -354,16 +360,23 @@ final class PgCdcMicroBatch(
         val assigned = if (rawLsn > lastEventLsn) rawLsn else lastEventLsn + 1
         val events = builder.processRaw(assigned, payload)
         if (events.nonEmpty) {
-          require(assigned > bufferedThrough,
-            s"pgcdc: event offset $assigned not past watermark $bufferedThrough " +
-              s"(raw $rawLsn) — conduit delivered positions out of WAL order")
           lastEventLsn = assigned
-          buffered.append((assigned, events))
-          bufferedThrough = assigned
+          if (assigned > bufferedThrough) {
+            buffered.append((assigned, events))
+            bufferedThrough = assigned
+            n += 1
+          }
+          // else: the re-sent prefix of a transaction the checkpoint
+          // already covers — when a restart offset lands MID-transaction
+          // (stop/crash partway through a txn larger than one batch), the
+          // walsender re-sends the WHOLE transaction, so events at or
+          // below the watermark re-arrive on their original offsets and
+          // are dropped here, having been delivered before the restart.
+          // (lastEventLsn still advanced above: the assignment chain must
+          // consume the same slots the original run did.)
         } else if (rawLsn > 0) {
           bufferedThrough = math.max(bufferedThrough, rawLsn - 1)
         }
-        n += 1
       case None => more = false
     }
     // K3: the registry is a monotone schema cache — persist it as soon as

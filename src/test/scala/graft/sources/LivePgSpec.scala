@@ -484,6 +484,77 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MID-TRANSACTION restart live: a checkpoint inside a big transaction " +
+      "resumes without a crash loop and without duplicates") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tmid (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_mid FOR TABLE tmid")
+      val pin = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_mid", "graft_pub_mid", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      pin.start(0L); pin.close()
+      // ONE transaction of 500 rows with maxFramesPerTrigger=100: batch
+      // boundaries are guaranteed to land inside the transaction, so
+      // stopping after the first rows leaves a mid-txn checkpoint and the
+      // walsender re-sends the WHOLE transaction on restart
+      sql.simpleQuery("INSERT INTO tmid SELECT g, 'v' || g FROM generate_series(1, 500) g")
+
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      val ckpt = Files.createTempDirectory("livepg-midtxn-ckpt").toString
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (offset, id)
+      def runQuery(): org.apache.spark.sql.streaming.StreamingQuery =
+        spark.readStream.format("graft.sources.PgCdcProvider")
+          .option("producer", "pgwire")
+          .option("host", "127.0.0.1").option("port", port.toString)
+          .option("database", "postgres").option("user", "postgres")
+          .option("slot", "graft_slot_mid").option("publication", "graft_pub_mid")
+          .option("maxFramesPerTrigger", "100")
+          .option("statusIntervalMs", "500")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.filter(org.apache.spark.sql.functions.col("op") === "I")
+              .selectExpr("lsn", "after['id']").collect()
+              .map(r => (r.getLong(0), r.getString(1).toLong))
+            seen.synchronized { seen ++= rows }
+            ()
+          }
+          .start()
+      val q1 = runQuery()
+      val d1 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (seen.synchronized(seen.isEmpty) && System.nanoTime() < d1) Thread.sleep(50)
+      Thread.sleep(300) // a couple more batches, still mid-transaction
+      q1.stop()
+      val afterRun1 = seen.synchronized(seen.size)
+      assume(afterRun1 < 500, "stop landed after the whole txn — timing miss, cannot pin mid-txn")
+
+      val q2 = runQuery()
+      val d2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (seen.synchronized(seen.map(_._2).distinct.size) < 500 && System.nanoTime() < d2)
+        Thread.sleep(200)
+      q2.stop()
+      val all = seen.synchronized(seen.toVector)
+      assert(all.map(_._2).distinct.size === 500,
+        s"restart must deliver the transaction tail (got ${all.map(_._2).distinct.size})")
+      // re-sent rows (at-least-once across the crash point) must land on
+      // their ORIGINAL offsets — a shifted duplicate means the offset
+      // assignment re-based the re-sent prefix
+      val shifted = all.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
+        .filter(_._2.size > 1)
+      assert(shifted.isEmpty, s"shifted duplicate offsets: ${shifted.take(3)}")
+    } finally {
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_mid')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("live ingest end-to-end: pgwire source → bucketed upsert sink tracks " +
       "the live table through two DML rounds") {
     live()

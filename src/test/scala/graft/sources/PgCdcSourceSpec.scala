@@ -139,11 +139,13 @@ class PgCdcSourceSpec extends AnyFunSuite {
   test("conduit machinery: begin→relation→insert→commit decode + flush strictly after the batch (K2)") {
     def t(v: String) = ColumnData('t', Some(v))
     val mc = new MockConduit
-    mc.append(11, Begin(14, 1000, 7))
+    mc.append(11, Begin(16, 1000, 7))
     mc.append(12, Relation(3, "public", "t", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1))))
     mc.append(13, Insert(3, TupleData(Vector(t("42")))))
-    mc.append(14, Commit(0, 14, 14, 1000))
+    mc.append(14, Insert(3, TupleData(Vector(t("43")))))
+    mc.append(15, Insert(3, TupleData(Vector(t("44")))))
+    mc.append(16, Commit(0, 16, 16, 1000))
     PgCdcConduits.register("mc_seq", mc)
     val ckpt = Files.createTempDirectory("conduit_ckpt").toString
     val q = spark.readStream.format("graft.sources.PgCdcProvider")
@@ -157,16 +159,16 @@ class PgCdcSourceSpec extends AnyFunSuite {
     // Spark delivers source.commit one trigger behind the batch; a trailing
     // no-row frame (PgType pre-warm) forces the cycle that commits the
     // insert's batch — deterministic without sleeping
-    mc.append(15, PgType(20, "pg_catalog", "int8"))
+    mc.append(18, PgType(20, "pg_catalog", "int8"))
     q.processAllAvailable(); q.stop()
     val rows = spark.sql(
-      "SELECT op, `table`, after['id'], tx_id, begin_lsn FROM conduit_out").collect()
-    assert(rows.length === 1)
-    assert(rows.head.getString(0) === "I")
-    assert(rows.head.getString(1) === "t")
-    assert(rows.head.getString(2) === "42")
+      "SELECT op, `table`, after['id'], tx_id, begin_lsn FROM conduit_out ORDER BY lsn")
+      .collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getString(2)).toSeq === Seq("42", "43", "44"))
+    assert(rows.forall(r => r.getString(0) == "I" && r.getString(1) == "t"))
     assert(rows.head.getInt(3) === 7)
-    assert(rows.head.getLong(4) === 14L)
+    assert(rows.head.getLong(4) === 16L)
     // protocol sequencing: replication started from the initial offset; the
     // flush feedback for an offset comes strictly AFTER every read at or
     // below it (never before the engine durably owns the frames — K2); the
@@ -177,7 +179,7 @@ class PgCdcSourceSpec extends AnyFunSuite {
     // a data record
     assert(mc.startedAfter === 0L)
     val fl = mc.flushes
-    assert(fl.nonEmpty && fl.last === 13L)
+    assert(fl.nonEmpty && fl.last === 15L)
     assert(fl.zip(fl.tail).forall { case (a, b) => a <= b }, fl)
     fl.foreach { f =>
       val flushIdx = mc.log.indexOf(s"flush($f)")
@@ -187,7 +189,7 @@ class PgCdcSourceSpec extends AnyFunSuite {
       assert(readsBelow.forall(_ < flushIdx),
         s"flush($f) preceded a read it covers: ${mc.log.mkString(", ")}")
     }
-    // admission control bounded each micro-batch to 2 frames → two commits
+    // admission control bounded each micro-batch to 2 EVENTS → ≥ 2 commits
     assert(fl.size >= 2, fl)
   }
 
@@ -326,6 +328,92 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("1", "2"))
     assert(mc.flushes.nonEmpty && mc.flushes.max <= 23L)
     assert(mc.flushes.max >= 22L, mc.flushes)
+  }
+
+  /** Faithful walsender restart model: `start(afterLsn)` re-sends from the
+    * boundary of the first transaction whose COMMIT lies beyond `afterLsn`
+    * — i.e. the whole enclosing transaction when the position lands
+    * mid-txn — which is what a real server does (MockConduit's
+    * frame-filtering start() models the opposite and cannot exercise the
+    * re-sent-prefix path). */
+  private final class TxnResendConduit(
+      frames: Seq[(Long, PgOutputMessage)]) extends ReplicationConduit {
+    private val encoded = frames.map { case (l, m) => (l, PgOutputEncoder.encode(m)) }
+    // start index of each transaction (frame after the previous Commit)
+    private val txnStarts: Seq[(Long, Int)] = {
+      var starts = Vector.empty[(Long, Int)] // (commitLsn, startIdx)
+      var cur = 0
+      frames.zipWithIndex.foreach {
+        case ((l, _: Commit), i) => starts :+= ((l, cur)); cur = i + 1
+        case _ => ()
+      }
+      starts
+    }
+    private var cursor = 0
+    @volatile var available: Int = Int.MaxValue // frames visible (crash point)
+    override def start(afterLsn: Long): Unit = synchronized {
+      cursor = txnStarts.find(_._1 > afterLsn).map(_._2).getOrElse(encoded.size)
+    }
+    override def read(): Option[(Long, Array[Byte])] = synchronized {
+      if (cursor < math.min(encoded.size, available)) {
+        val f = encoded(cursor); cursor += 1; Some(f)
+      } else None
+    }
+    override def setFlushedLSN(lsn: Long): Unit = ()
+    override def close(): Unit = ()
+  }
+
+  test("restart with a MID-TRANSACTION checkpoint: the re-sent transaction " +
+      "prefix is skipped, the tail delivers, no crash loop (live-confirmed bug)") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val rel = Relation(3, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def ins(i: Int) = Insert(3, TupleData(Vector(t(i.toString))))
+    // one 9-row transaction (frames 2..10) + a later 2-row transaction;
+    // maxFramesPerTrigger=4 puts batch boundaries inside the big txn
+    val frames: Seq[(Long, PgOutputMessage)] =
+      Seq(0L -> (rel: PgOutputMessage), 99L -> Begin(110, 1000, 5)) ++
+        (1 to 9).map(i => (99L + i) -> (ins(i): PgOutputMessage)) ++
+        Seq(110L -> Commit(0, 110, 110, 1000),
+          200L -> Begin(203, 2000, 6),
+          201L -> ins(10), 202L -> ins(11),
+          203L -> Commit(0, 203, 203, 2000))
+    val mc = new TxnResendConduit(frames)
+    PgCdcConduits.register("mc_midtxn", mc)
+    val ckpt = Files.createTempDirectory("conduit_midtxn").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def run(avail: Int): Unit = {
+      mc.available = avail
+      val q = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "conduit").option("conduit.name", "mc_midtxn")
+        .option("maxFramesPerTrigger", "4")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.selectExpr("lsn", "after['id']").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // run 1 "crashes" with only 8 frames visible: rel + Begin + 6 inserts —
+    // the committed offset lands mid-transaction
+    run(avail = 8)
+    val run1 = got.synchronized(got.toVector)
+    assert(run1.nonEmpty && run1.map(_._2).distinct.size < 11)
+    // run 2 sees everything; the conduit re-sends the WHOLE big txn from
+    // its Begin (commit 110 > any mid-txn offset)
+    run(avail = Int.MaxValue)
+    val all = got.synchronized(got.toVector)
+    // every row delivered; re-deliveries (at-least-once across the crash
+    // point) carry IDENTICAL offsets — never shifted duplicates
+    assert(all.map(_._2).toSet === (1 to 11).map(_.toString).toSet)
+    val byId = all.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
+    val shifted = byId.filter(_._2.size > 1)
+    assert(shifted.isEmpty, s"re-sent rows landed on shifted offsets: ${shifted.take(3)}")
   }
 
   test("conduit machinery: a logged-but-uncommitted batch re-plans by draining the conduit (crash replay)") {
