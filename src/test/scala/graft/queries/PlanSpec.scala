@@ -480,6 +480,32 @@ class PlanSpec extends AnyFunSuite {
 
   // a cached subtree is re-printed under every InMemoryTableScan — count
   // DISTINCT node ids, not textual occurrences
+  test("text_rag_chunks: narrow chunk explosion — no shuffle except the final sort") {
+    val p = plan("text_rag_chunks")
+    // the chunk expansion (split + sequence + explode + slice + md5) is a
+    // narrow map over the scan; the only exchange is the output orderBy
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).size
+    assert(exchanges <= 1, p)
+    assert(p.contains("Generate"), p) // the explode is really there
+  }
+
+  test("cdc_incremental_chunks: delta explode + ONE keyed net-count shuffle " +
+      "(plus the output sort)") {
+    val p = plan("cdc_incremental_chunks")
+    val exchanges = "(?<!Broadcast)Exchange \\(\\d+\\)".r.findAllIn(p).size
+    // one shuffle for the (doc, chunk, md5)-keyed sum, one for the orderBy
+    assert(exchanges <= 2, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q92 multi-touch attribution: the touch join is a real equi-join " +
+      "(never a time-range nested loop), aggregates are partial") {
+    val p = plan("q92_multitouch_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // conversion-keyed and model-keyed aggs both run map-side partials
+    assert(p.contains("HashAggregate"), p)
+  }
+
   private def distinctNodes(p: String, op: String): Set[String] =
     (op + """[^(\n]*\((\d+)\)""").r.findAllMatchIn(p).map(_.group(1)).toSet
 
