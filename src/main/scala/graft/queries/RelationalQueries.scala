@@ -1711,6 +1711,43 @@ object RelationalQueries {
         .orderBy(col("model"), col("touch_type"))
     }),
 
+    // TIME-TO-CONVERT distribution — the latency companion to q47's
+    // funnel counts and q92's credit assignment: per user, the µs gap
+    // between the FIRST view and the first purchase after it, reported as
+    // exact mean / median / p90 in seconds. Scale shape: two user-keyed
+    // aggs + one user equi-join; the order statistics use the suite's
+    // exact integer cut (2·cum ≥ n / 10·cum ≥ 9n) over per-value counts —
+    // at warehouse scale the deltas would pre-bucket into a histogram
+    // before the cut (q42's machinery), same cut arithmetic. The sum
+    // accumulates DECIMAL(38,0) (Σ user-latencies overflows int64 at the
+    // design point); mean is exact-int → double, one division chain.
+    "q93_time_to_convert" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val pch = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_p"), max(col("t_view")).as("t_view"))
+      val deltas = pch.select(
+        (unix_micros(col("t_p")) - unix_micros(col("t_view"))).as("d_us"))
+      val agg = deltas.agg(count(lit(1)).as("n"),
+        sum(col("d_us").cast(dec)).as("ssum"))
+      val cum = deltas.groupBy(col("d_us")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("d_us"))))
+        .crossJoin(broadcast(agg))
+      val med = cum.filter(col("cum") * 2 >= col("n"))
+        .agg(min(col("d_us")).as("med_us"))
+      val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
+        .agg(min(col("d_us")).as("p90_us"))
+      agg.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+        .select(col("n").as("n_converters"),
+          round(col("ssum").cast(DoubleType) / col("n") / 1000000.0, 6).as("mean_s"),
+          round(col("med_us").cast(DoubleType) / 1000000.0, 6).as("median_s"),
+          round(col("p90_us").cast(DoubleType) / 1000000.0, 6).as("p90_s"))
+    }),
+
     // CUSUM change-point detection — "did the daily level shift, and
     // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
     // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
@@ -2825,6 +2862,29 @@ object RelationalQueries {
          SELECT model, touch_type, COUNT(*) AS n_rows,
            round(CAST(SUM(CAST(rev AS HUGEINT)) AS DOUBLE) / 100000000, 6) AS revenue
          FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // exact integer µs deltas; order statistics via the 2·cum ≥ n cut
+    "q93_time_to_convert" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         pch AS (
+           SELECT e.user_id, MIN(e.ts) AS t_p, MAX(v.t_view) AS t_view
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY 1),
+         d AS (SELECT epoch_us(t_p) - epoch_us(t_view) AS d_us FROM pch),
+         agg AS (SELECT COUNT(*) AS n, SUM(CAST(d_us AS HUGEINT)) AS ssum FROM d),
+         w AS (
+           SELECT d_us, SUM(c) OVER (ORDER BY d_us) AS cum
+           FROM (SELECT d_us, COUNT(*) AS c FROM d GROUP BY 1) t),
+         med AS (SELECT MIN(d_us) AS med_us FROM w, agg WHERE cum * 2 >= n),
+         p90 AS (SELECT MIN(d_us) AS p90_us FROM w, agg WHERE cum * 10 >= n * 9)
+         SELECT n AS n_converters,
+           round(CAST(ssum AS DOUBLE) / n / 1000000.0, 6) AS mean_s,
+           round(CAST(med_us AS DOUBLE) / 1000000.0, 6) AS median_s,
+           round(CAST(p90_us AS DOUBLE) / 1000000.0, 6) AS p90_s
+         FROM agg, med, p90""",
 
     // integer-scaled CUSUM argmax, earliest-day tie-break
     "q88_cusum" ->
