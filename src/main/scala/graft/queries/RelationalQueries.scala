@@ -1592,15 +1592,18 @@ object RelationalQueries {
     // DECIMAL(38,0)/HUGEINT integer sums over integer cents (the rank
     // weight rides the sum, Σc² likewise), one division each. Scale
     // shape: one corpus agg per side to entity-sized tables; the Gini
-    // rank window runs over customers only (domain-sized — the q80
-    // ntile argument).
+    // rank is the DISTRIBUTED two-level bucketed prefix sum
+    // (operators.DistributedRank — the q58 machinery), so even a
+    // 100×-grown customer table never funnels through one partition;
+    // ranks are a pure function of the (cents, custkey) total order, so
+    // the output is bit-identical to the single-window form.
     "q90_concentration" -> ((s, d) => {
       val dec = DecimalType(38, 0)
       val cr = Tables.orders(s, d)
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
         .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
-      val r = cr.withColumn("i",
-        row_number().over(Window.orderBy(col("cents"), col("o_custkey"))))
+      val r = graft.operators.DistributedRank.withGlobalRank(
+        cr, col("cents"), Seq(col("o_custkey")), 256, "i")
       val g = r.agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("s"),
           sum(col("i").cast(dec) * col("cents").cast(dec)).as("ws"))
         .select(col("n_customers"),
@@ -1624,15 +1627,17 @@ object RelationalQueries {
     // share of the top decile. All threshold tests are integer
     // cross-multiplications (cum·5 ≥ total·4, i·10 ≤ n) so the selected
     // ranks are bit-determined; the two output shares are one division
-    // each. Same customer-sized rank window as q90.
+    // each. Rank + running revenue both come from the distributed
+    // bucketed prefix sum (operators.DistributedRank, q90's machinery)
+    // over the (cents DESC, custkey) order — DESC is the negated key —
+    // so no customer-sized single partition exists.
     "q91_pareto_revenue" -> ((s, d) => {
       val cr = Tables.orders(s, d)
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
         .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-      val r = cr.withColumn("i", row_number().over(w))
-        .withColumn("cum", sum(col("cents")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val r = graft.operators.DistributedRank.withGlobalRank(
+        cr, -col("cents"), Seq(col("o_custkey")), 256, "i",
+        Seq((col("cents"), "cum")))
       val tot = cr.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
       val j = r.crossJoin(broadcast(tot))
       // cum and s are total-revenue-sized (~3e18 cents at the design
@@ -1716,9 +1721,12 @@ object RelationalQueries {
     // between the FIRST view and the first purchase after it, reported as
     // exact mean / median / p90 in seconds. Scale shape: two user-keyed
     // aggs + one user equi-join; the order statistics use the suite's
-    // exact integer cut (2·cum ≥ n / 10·cum ≥ 9n) over per-value counts —
-    // at warehouse scale the deltas would pre-bucket into a histogram
-    // before the cut (q42's machinery), same cut arithmetic. The sum
+    // exact integer cut (2·cum ≥ n / 10·cum ≥ 9n) over per-value counts,
+    // whose cumulative count comes from the distributed bucketed prefix
+    // sum (operators.DistributedRank) — no converter-sized single
+    // partition; at warehouse scale the deltas would additionally
+    // pre-bucket into a histogram before the cut (q42's machinery), and
+    // q94 carries the mergeable KLL sketch twin of the same cut. The sum
     // accumulates DECIMAL(38,0) (Σ user-latencies overflows int64 at the
     // design point); mean is exact-int → double, one division chain.
     "q93_time_to_convert" -> ((s, d) => {
@@ -1734,8 +1742,10 @@ object RelationalQueries {
         (unix_micros(col("t_p")) - unix_micros(col("t_view"))).as("d_us"))
       val agg = deltas.agg(count(lit(1)).as("n"),
         sum(col("d_us").cast(dec)).as("ssum"))
-      val cum = deltas.groupBy(col("d_us")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("d_us"))))
+      val cum = graft.operators.DistributedRank.withGlobalRank(
+          deltas.groupBy(col("d_us")).agg(count(lit(1)).as("c")),
+          col("d_us"), Nil, 256, "__i", Seq((col("c"), "cum")))
+        .drop("__i")
         .crossJoin(broadcast(agg))
       val med = cum.filter(col("cum") * 2 >= col("n"))
         .agg(min(col("d_us")).as("med_us"))
@@ -2033,20 +2043,37 @@ object RelationalQueries {
     // ntile(10) deciles, and each decile reports its purchase-conversion
     // capture plus the cumulative capture rate and lift vs the base
     // rate. Scale shape: one user-level agg (corpus shuffle), then ALL
-    // ranking work happens on the user-sized table; the global ntile
-    // window is a deliberate single-partition pass over users only —
-    // at 100 TB the events table is huge but users are bounded; if users
-    // themselves outgrow a partition, ntile degrades to the percent_rank
-    // bucketing of q37 (distributed) with identical output. Determinism:
-    // score ties break on user_id in the ntile order; all rates are one
-    // division of exact int64/DECIMAL values, round 6.
+    // ranking work happens on the user-sized table — and the ranking
+    // itself is the DISTRIBUTED bucketed prefix sum
+    // (operators.DistributedRank): global row number i over
+    // (score DESC, user_id), then ntile's closed form decile(i, n)
+    // (first n%10 tiles get ⌈n/10⌉ rows, the rest ⌊n/10⌋ — exactly
+    // Spark's and DuckDB's NTILE semantics), so no user-sized single
+    // partition exists even when users outgrow one task. The score key
+    // is DECIMAL(28,6) — ×10⁶ makes it an exact long for the range
+    // bucketing; negation gives DESC. Determinism: score ties break on
+    // user_id in the rank order; all rates are one division of exact
+    // int64/DECIMAL values, round 6.
     "q80_decile_lift" -> ((s, d) => {
       val users = Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(sum(col("value").cast(DecimalType(28, 6))).as("score"),
           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("pos"))
-      val ranked = users.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("score").desc, col("user_id"))))
+      val nTot = users.agg(count(lit(1)).as("nn"))
+      val ranked = graft.operators.DistributedRank.withGlobalRank(
+          users, -(col("score") * 1000000).cast("long"), Seq(col("user_id")),
+          256, "i")
+        .crossJoin(broadcast(nTot))
+        // ntile(10) closed form: q=⌊n/10⌋, r=n mod 10; rows 1..r·(q+1)
+        // fall in the first r (size q+1) tiles, the rest in size-q tiles.
+        // n<10 ⇒ every i takes the first branch, so the q=0 division in
+        // the second branch is never evaluated (CaseWhen short-circuits).
+        .withColumn("decile",
+          when(col("i") <= (col("nn") % 10) * (expr("nn div 10") + 1),
+            expr("(i + nn div 10) div (nn div 10 + 1)"))
+          .otherwise(expr(
+            "nn % 10 + (i - (nn % 10) * (nn div 10 + 1) + nn div 10 - 1) div (nn div 10)"))
+          .cast("int"))
       val dec = ranked.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
       val w = Window.orderBy(col("decile"))

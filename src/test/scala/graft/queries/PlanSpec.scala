@@ -264,6 +264,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p)
   }
 
+  // q80/q90/q91/q93: every row-level window must ride DistributedRank's
+  // bucket partitioning — the only permissible unpartitioned windows are
+  // the O(buckets) offset prefix (first spec column __bucket) and, for q80,
+  // the 10-row decile cum. A windowspecdefinition opening on any other
+  // column means an entity-sized table funneled through one task.
+  private def assertBucketedWindows(name: String, alsoAllowed: Set[String] = Set.empty): Unit = {
+    val p = plan(name)
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    val allowed = Set("__bucket") ++ alsoAllowed
+    assert(specHeads.forall(allowed), s"$name window spec heads=$specHeads\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q90 Gini rank is bucket-partitioned — no customer-sized single-partition window") {
+    assertBucketedWindows("q90_concentration")
+  }
+
+  test("q91 Pareto rank+cum are bucket-partitioned — no customer-sized single-partition window") {
+    assertBucketedWindows("q91_pareto_revenue")
+  }
+
+  test("q80 decile rank is bucket-partitioned; only the 10-row decile cum is unpartitioned") {
+    assertBucketedWindows("q80_decile_lift", alsoAllowed = Set("decile"))
+  }
+
+  test("q93 latency cum is bucket-partitioned — no converter-sized single-partition window") {
+    assertBucketedWindows("q93_time_to_convert")
+  }
+
   test("q58 interval sweep: event-level window is bucket-partitioned, offsets broadcast") {
     val p = plan("q58_peak_concurrency")
     // the O(events) running sum must be partitioned by hour bucket — a
