@@ -16,21 +16,60 @@ import java.nio.charset.StandardCharsets.UTF_8
   * path is exercisable in this offline build where pgjdbc
   * ([[PgJdbcConduit]]) cannot even load.
   *
-  * Scope is deliberately narrow: trust or cleartext-password auth, text
-  * result format, simple query protocol only — the subset a replication
-  * client needs (walsender connections don't speak the extended protocol
-  * at all). Not a general-purpose driver.
+  * Scope is deliberately narrow: trust, cleartext-password, or
+  * SCRAM-SHA-256 auth (RFC 5802/7677 — the PG ≥ 14 `password_encryption`
+  * default, so a default-configured server is reachable), optional TLS
+  * (SSLRequest upgrade at `sslmode=require` trust level — see
+  * [[negotiateTls]]), text result format, simple query protocol only —
+  * the subset a replication client needs (walsender connections don't
+  * speak the extended protocol at all). Not a general-purpose driver.
   */
 final class PgWireConnection(
     host: String, port: Int, db: String, user: String,
-    password: Option[String] = None, replication: Boolean = false)
+    password: Option[String] = None, replication: Boolean = false,
+    ssl: Boolean = false)
   extends AutoCloseable {
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), 10000)
-  socket.setTcpNoDelay(true)
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), 10000)
+    plain.setTcpNoDelay(true)
+    if (ssl) negotiateTls(plain) else plain
+  }
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+
+  /** SSLRequest dance (protocol docs §55.2.10): int32 len 8 + magic
+    * 80877103 on the RAW socket, one response byte — 'S' upgrades to TLS,
+    * 'N' means the server won't. Runs BEFORE any buffered reader exists so
+    * no handshake byte can be swallowed into a read-ahead buffer.
+    * Certificate validation is libpq `sslmode=require` level: the channel
+    * is encrypted but the peer is authenticated by SCRAM's mutual proof
+    * (the server signature), not by certificate chain — the offline env
+    * has no CA infrastructure to verify against. */
+  private def negotiateTls(plain: Socket): Socket = {
+    val rawOut = new DataOutputStream(plain.getOutputStream)
+    rawOut.writeInt(8); rawOut.writeInt(80877103); rawOut.flush()
+    val resp = plain.getInputStream.read()
+    if (resp != 'S') throw new UnsupportedOperationException(
+      s"pgwire: server declined SSL (response ${if (resp < 0) "EOF" else resp.toChar.toString})")
+    val trustAll = new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+        Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll),
+      new java.security.SecureRandom())
+    val tls = ctx.getSocketFactory.createSocket(plain, host, port, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    tls.setUseClientMode(true)
+    tls.startHandshake()
+    tls
+  }
   // Writes can come from the poll loop AND the idle-keepalive thread; the
   // stream itself is not thread-safe, so every outbound message holds this.
   private val writeLock = new Object
@@ -75,14 +114,20 @@ final class PgWireConnection(
 
   /** Next backend message, or None if no message STARTS within `ms`. Once a
     * type byte arrives the remainder is read blocking, so a timeout can
-    * never leave a partially-consumed frame on the wire. */
+    * never leave a partially-consumed frame on the wire. EOF (the server
+    * closed the connection — walsender killed, server restarted) throws
+    * rather than returning None: a poll loop must see a RETRYABLE error,
+    * not an eternal "no data yet". */
   def receiveTimeout(ms: Int): Option[(Char, Array[Byte])] = {
     socket.setSoTimeout(ms)
     val t0 =
       try in.read()
-      catch { case _: SocketTimeoutException => -1 }
+      catch { case _: SocketTimeoutException => -2 }
       finally socket.setSoTimeout(0)
-    if (t0 < 0) None else Some(readRest(t0.toChar))
+    if (t0 == -2) None
+    else if (t0 < 0) throw new java.io.EOFException(
+      "pgwire: connection closed by server")
+    else Some(readRest(t0.toChar))
   }
 
   private def readRest(msgType: Char): (Char, Array[Byte]) = {
@@ -93,14 +138,22 @@ final class PgWireConnection(
   }
 
   private def errorText(payload: Array[Byte]): String = {
-    // ErrorResponse: (code byte, cstring) fields until a 0 terminator
+    // ErrorResponse: (code byte, cstring) fields until a 0 terminator. A
+    // truncated/malformed payload (no NUL after a field) ends the loop with
+    // whatever fields parsed so far rather than masking the server's error
+    // with an index exception.
     val fields = scala.collection.mutable.Map[Char, String]()
     var i = 0
     while (i < payload.length && payload(i) != 0) {
       val code = payload(i).toChar
       val end = payload.indexOf(0.toByte, i + 1)
-      fields(code) = new String(payload, i + 1, end - i - 1, UTF_8)
-      i = end + 1
+      if (end < 0) {
+        fields(code) = new String(payload, i + 1, payload.length - i - 1, UTF_8)
+        i = payload.length
+      } else {
+        fields(code) = new String(payload, i + 1, end - i - 1, UTF_8)
+        i = end + 1
+      }
     }
     fields.getOrElse('S', "ERROR") + ": " + fields.getOrElse('M', "unknown") +
       fields.get('C').map(c => s" (SQLSTATE $c)").getOrElse("")
@@ -109,19 +162,45 @@ final class PgWireConnection(
   /** Auth + parameter burst until ReadyForQuery. */
   def handshake(): Unit = {
     sendStartup()
+    var scram: ScramClient = null
+    def pwd: String = password.getOrElse(
+      throw new IllegalStateException("pgwire: server wants a password, none configured"))
     var ready = false
     while (!ready) receive() match {
       case ('R', p) =>
-        ByteBuffer.wrap(p).getInt match {
+        val buf = ByteBuffer.wrap(p)
+        buf.getInt match {
           case 0 => () // AuthenticationOk
           case 3 => // CleartextPassword
             val b = new ByteArrayOutputStream()
-            cstr(b, password.getOrElse(
-              throw new IllegalStateException("pgwire: server wants a password, none configured")))
+            cstr(b, pwd)
             send('p', b.toByteArray)
+          case 10 => // AuthenticationSASL: cstring mechanism list
+            val mechs = Iterator.continually {
+              val m = new ByteArrayOutputStream()
+              var c = buf.get()
+              while (c != 0) { m.write(c); c = buf.get() }
+              new String(m.toByteArray, UTF_8)
+            }.takeWhile(_.nonEmpty).toList
+            if (!mechs.contains("SCRAM-SHA-256"))
+              throw new UnsupportedOperationException(
+                s"pgwire: no shared SASL mechanism (server offers ${mechs.mkString(",")})")
+            scram = new ScramClient(pwd)
+            val b = new ByteArrayOutputStream()
+            cstr(b, "SCRAM-SHA-256")
+            val first = scram.clientFirstMessage.getBytes(UTF_8)
+            b.write(ByteBuffer.allocate(4).putInt(first.length).array())
+            b.write(first)
+            send('p', b.toByteArray)
+          case 11 => // AuthenticationSASLContinue: server-first-message
+            val serverFirst = new String(p, 4, p.length - 4, UTF_8)
+            val finalMsg = scram.clientFinalMessage(serverFirst).getBytes(UTF_8)
+            send('p', finalMsg)
+          case 12 => // AuthenticationSASLFinal: v=<server signature>
+            scram.verifyServerFinal(new String(p, 4, p.length - 4, UTF_8))
           case other =>
             throw new UnsupportedOperationException(
-              s"pgwire: unsupported auth request $other (only trust/cleartext)")
+              s"pgwire: unsupported auth request $other (only trust/cleartext/SCRAM-SHA-256)")
         }
       case ('Z', _) => ready = true
       case ('E', p) => throw new java.sql.SQLException("pgwire: " + errorText(p))
@@ -158,11 +237,14 @@ final class PgWireConnection(
         val buf = ByteBuffer.wrap(p)
         val n = buf.getShort.toInt
         cols = Vector.fill(n) {
-          val name = new StringBuilder
+          // Accumulate the cstring's BYTES and decode once as UTF-8 —
+          // per-byte toChar would mangle multi-byte identifiers, and the
+          // snapshot reader keys row maps by these names.
+          val name = new ByteArrayOutputStream()
           var b = buf.get()
-          while (b != 0) { name.append(b.toChar); b = buf.get() }
+          while (b != 0) { name.write(b); b = buf.get() }
           buf.position(buf.position() + 18)
-          name.toString
+          new String(name.toByteArray, UTF_8)
         }
       case ('E', p) => err = errorText(p)
       case ('Z', _) => ready = true
@@ -194,6 +276,71 @@ final class PgWireConnection(
   }
 }
 
+/** SCRAM-SHA-256 client state machine (RFC 5802 mechanics, RFC 7677 hash
+  * suite) — the PG ≥ 14 default password auth. One instance per handshake:
+  * `clientFirstMessage` → (server-first) → `clientFinalMessage` →
+  * (server-final) → `verifyServerFinal`, which authenticates the SERVER to
+  * us via the v= signature before any query is trusted. PG ignores the
+  * SCRAM-layer username (the startup-packet user wins), so `n=` is sent
+  * empty, as libpq does; channel binding is not offered (`n,,` gs2 header —
+  * this client never speaks TLS, so there is no channel to bind).
+  *
+  * The password is NFKC-normalized (the interoperable core of SASLprep;
+  * RFC 4013's prohibited-table checks are the server's to enforce).
+  * `nonceOverride`/`username` exist for the RFC 7677 §3 test vector. */
+private[sources] final class ScramClient(password: String,
+    username: String = "", nonceOverride: Option[String] = None) {
+  import javax.crypto.Mac
+  import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+  private val b64e = java.util.Base64.getEncoder
+  private val b64d = java.util.Base64.getDecoder
+  private val clientNonce = nonceOverride.getOrElse {
+    val raw = new Array[Byte](18)
+    new java.security.SecureRandom().nextBytes(raw)
+    b64e.encodeToString(raw)
+  }
+  private val clientFirstBare = s"n=$username,r=$clientNonce"
+  private var expectedServerSig: Array[Byte] = _
+
+  val clientFirstMessage: String = "n,," + clientFirstBare
+
+  private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(new SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg.getBytes(UTF_8))
+  }
+
+  def clientFinalMessage(serverFirst: String): String = {
+    val attrs = serverFirst.split(",").map(a => a.charAt(0) -> a.drop(2)).toMap
+    val serverNonce = attrs('r')
+    if (!serverNonce.startsWith(clientNonce))
+      throw new SecurityException("pgwire scram: server nonce does not extend client nonce")
+    val salt = b64d.decode(attrs('s'))
+    val iterations = attrs('i').toInt
+    val normalized = java.text.Normalizer
+      .normalize(password, java.text.Normalizer.Form.NFKC)
+    val spec = new PBEKeySpec(normalized.toCharArray, salt, iterations, 256)
+    val saltedPassword = javax.crypto.SecretKeyFactory
+      .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+    val clientKey = hmac(saltedPassword, "Client Key")
+    val storedKey = java.security.MessageDigest.getInstance("SHA-256").digest(clientKey)
+    val withoutProof = s"c=biws,r=$serverNonce" // biws = b64("n,,")
+    val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val clientSig = hmac(storedKey, authMessage)
+    val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+    expectedServerSig = hmac(hmac(saltedPassword, "Server Key"), authMessage)
+    s"$withoutProof,p=${b64e.encodeToString(proof)}"
+  }
+
+  def verifyServerFinal(serverFinal: String): Unit = {
+    val v = serverFinal.split(",").collectFirst { case a if a.startsWith("v=") => a.drop(2) }
+      .getOrElse(throw new SecurityException("pgwire scram: server-final carries no v= signature"))
+    if (!java.security.MessageDigest.isEqual(b64d.decode(v), expectedServerSig))
+      throw new SecurityException("pgwire scram: server signature mismatch")
+  }
+}
+
 /** [[ReplicationConduit]] over [[PgWireConnection]] — the live production
   * face of S1/K2 with zero driver dependency. Speaks the replication
   * sub-protocol: XLogData ('w') frames carry raw pgoutput payloads to the
@@ -219,12 +366,16 @@ final class PgWireConduit(
     protoVersion: Int = 1,
     streaming: Boolean = false,
     twoPhase: Boolean = false,
-    messages: Boolean = false)
+    messages: Boolean = false,
+    ssl: Boolean = false)
   extends ReplicationConduit {
 
   private var conn: PgWireConnection = _
   @volatile private var received = 0L
   @volatile private var flushed = 0L
+  /** Max walStart of any DATA ('w') frame handed to the consumer — the
+    * guard for confirming keepalive sentPtr positions (see the 'k' branch). */
+  @volatile private var lastDataWal = 0L
   @volatile private var running = false
   private var keepalive: Thread = _
 
@@ -248,7 +399,8 @@ final class PgWireConduit(
   }
 
   override def start(afterLsn: Long): Unit = {
-    conn = new PgWireConnection(host, port, db, user, password, replication = true)
+    conn = new PgWireConnection(host, port, db, user, password,
+      replication = true, ssl = ssl)
     conn.handshake()
     if (createSlot) {
       val kind = if (temporarySlot) "TEMPORARY LOGICAL" else "LOGICAL"
@@ -299,6 +451,7 @@ final class PgWireConduit(
               val bytes = new Array[Byte](buf.remaining())
               buf.get(bytes)
               received = math.max(received, math.max(walStart, walEnd))
+              lastDataWal = math.max(lastDataWal, walStart)
               result = Some((walStart, bytes))
               continue = false
             case 'k' =>
@@ -308,6 +461,21 @@ final class PgWireConduit(
               buf.getLong // clock
               val replyRequested = buf.get() == 1
               received = math.max(received, walEnd)
+              // Shutdown-unblock discipline: at fast shutdown the logical
+              // walsender will not exit until the client CONFIRMS everything
+              // sent (walsender.c WalSndDone compares sentPtr to the
+              // standby's reported flush), and a flush pinned one byte
+              // below the last commit never reaches a keepalive's sentPtr —
+              // the server would wait on us forever. When every DELIVERED
+              // data frame is already covered by the consumer's flush
+              // point, confirming the keepalive's walEnd is safe: the
+              // server sent nothing event-bearing past lastDataWal, and an
+              // in-progress streamed txn re-decodes in full on restart
+              // because its COMMIT lies beyond walEnd. A consumer that is
+              // legitimately behind keeps the shutdown waiting — that's
+              // the at-least-once contract, not a hang.
+              if (walEnd > flushed && flushed >= lastDataWal - 1)
+                flushed = walEnd
               if (replyRequested) sendStatus(replyRequested = false)
             // keep polling: a keepalive is not data
             case other =>
@@ -316,6 +484,16 @@ final class PgWireConduit(
         case Some(('E', p)) =>
           throw new java.sql.SQLException("pgwire: stream error " + new String(p, UTF_8))
         case Some(('N', _)) => () // notice — keep polling
+        case Some(('c', _)) | Some(('C', _)) | Some(('Z', _)) =>
+          // Graceful end of the COPY stream — a cleanly shutting-down
+          // walsender (pg_ctl stop/restart) sends CopyDone once the client
+          // has confirmed sentPtr, then CommandComplete/ReadyForQuery.
+          // Acknowledge the CopyDone and surface end-of-stream as the same
+          // RETRYABLE error class a severed socket produces: the consumer's
+          // reconnect loop resumes from the flushed LSN either way.
+          try conn.send('c', Array.emptyByteArray) catch { case _: Throwable => () }
+          throw new java.io.EOFException(
+            "pgwire: replication stream closed by server (clean walsender shutdown)")
         case Some((t, _)) =>
           throw new IllegalStateException(s"pgwire: unexpected '$t' in copy stream")
       }
@@ -426,5 +604,6 @@ object PgWireConduit {
       protoVersion = opts.get("protoVersion").map(_.toInt).getOrElse(1),
       streaming = opts.get("streaming").exists(_.toBoolean),
       twoPhase = opts.get("twoPhase").exists(_.toBoolean),
-      messages = opts.get("messages").exists(_.toBoolean))
+      messages = opts.get("messages").exists(_.toBoolean),
+      ssl = opts.get("ssl").exists(_.toBoolean))
 }

@@ -814,4 +814,343 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       sql.close()
     }
   }
+
+  /** Poll `conduit` into `builder`, appending decoded events, until `done`
+    * over the accumulated events holds or ~60s passes. */
+  private def drainUntil(conduit: PgWireConduit, builder: ChangeEventBuilder,
+      events: scala.collection.mutable.ArrayBuffer[ChangeEvent],
+      rawTypes: scala.collection.mutable.ArrayBuffer[Char] = null)(
+      done: Seq[ChangeEvent] => Boolean): Long = {
+    var maxLsn = 0L
+    def step(): Boolean = conduit.read() match {
+      case Some((lsn, payload)) =>
+        maxLsn = math.max(maxLsn, lsn)
+        if (rawTypes != null) rawTypes += payload(0).toChar
+        events ++= builder.processRaw(lsn, payload)
+        true
+      case None => false
+    }
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!done(events.toSeq) && System.nanoTime() < deadline) {
+      if (!step()) Thread.sleep(20)
+    }
+    // Consume the already-sent residue (the final Commit frame lands AFTER
+    // the last DML event the predicate fires on) so the returned maxLsn
+    // covers the whole transaction — an ack at a mid-txn position pins
+    // lastDataWal beyond the flush and (correctly) blocks the keepalive
+    // sentPtr confirmation that a clean server shutdown waits for.
+    while (step()) ()
+    maxLsn
+  }
+
+  /** LWW fold of DML events to (id → row) — the state a sink materializes. */
+  private def foldState(events: Seq[ChangeEvent]): Map[String, Map[String, String]] =
+    events.filter(e => "IUD".contains(e.op))
+      .foldLeft(Map.empty[String, Map[String, String]]) { (st, e) =>
+        val k = Option(e.key).flatMap(_.get("id"))
+          .orElse(Option(e.after).flatMap(_.get("id"))).orNull
+        e.op match {
+          case "D" => st - k
+          case _ => st + (k -> e.after)
+        }
+      }
+
+  test("SCRAM-SHA-256 live: a role behind a scram-only pg_hba rule " +
+      "authenticates (RFC 7677 against a real verifier), wrong/missing " +
+      "passwords fail cleanly, and replication works under scram auth") {
+    live()
+    val sql = sqlConn()
+    try {
+      // a role whose stored secret is a real server-minted SCRAM verifier
+      sql.simpleQuery("SET password_encryption = 'scram-sha-256'")
+      sql.simpleQuery(
+        "CREATE ROLE scram_user LOGIN REPLICATION SUPERUSER PASSWORD 'correct-horse'")
+      assert(sql.simpleQuery(
+        "SELECT substring(rolpassword, 1, 13) FROM pg_authid WHERE rolname = 'scram_user'"
+      ).head.head === "SCRAM-SHA-256")
+      // pg_hba is first-match: the scram rule must PRECEDE initdb's trust
+      // rules, so scram_user cannot sneak in over trust
+      assert(asPostgres(s"cd ${dataDir.getAbsolutePath} && " +
+        "{ echo 'host all scram_user 127.0.0.1/32 scram-sha-256'; " +
+        "echo 'host replication scram_user 127.0.0.1/32 scram-sha-256'; " +
+        "cat pg_hba.conf; } > pg_hba.new && mv pg_hba.new pg_hba.conf") === 0)
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      Thread.sleep(500)
+
+      // no password configured → loud local failure at the SASL request
+      intercept[IllegalStateException] {
+        val c = new PgWireConnection("127.0.0.1", port, "postgres", "scram_user")
+        try c.handshake() finally c.close()
+      }
+      // wrong password → the server rejects the client proof
+      intercept[java.sql.SQLException] {
+        val c = new PgWireConnection("127.0.0.1", port, "postgres", "scram_user",
+          Some("wrong-staple"))
+        try c.handshake() finally c.close()
+      }
+      // right password → full SASL exchange incl. server-signature check
+      val c = new PgWireConnection("127.0.0.1", port, "postgres", "scram_user",
+        Some("correct-horse"))
+      try {
+        c.handshake()
+        assert(c.simpleQuery("SELECT current_user").head.head === "scram_user")
+      } finally c.close()
+
+      // and the REPLICATION path authenticates the same way end-to-end
+      sql.simpleQuery("CREATE TABLE tscram (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_scram FOR TABLE tscram")
+      val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "scram_user",
+        Some("correct-horse"), "graft_slot_scram", "graft_pub_scram",
+        createSlot = true, temporarySlot = true, statusIntervalMs = 500L)
+      try {
+        conduit.start(0L)
+        sql.simpleQuery("INSERT INTO tscram VALUES (1, 'via-scram')")
+        val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+        drainUntil(conduit, new ChangeEventBuilder(new SchemaRegistry), events)(
+          _.exists(_.op == "I"))
+        assert(events.exists(e => e.op == "I" && e.after("v") == "via-scram"))
+      } finally conduit.close()
+    } finally {
+      try sql.simpleQuery("DROP ROLE IF EXISTS scram_user")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
+  test("protocol v1 downgrade live: the v1 option set (no streaming / " +
+      "two-phase / messages) yields the IDENTICAL materialized state as the " +
+      "v2-streaming leg, with plain framing on the wire") {
+    live()
+    val sql = sqlConn()
+    val v1 = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_v1", "graft_pub_v1", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L, protoVersion = 1)
+    val v2 = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_v2", "graft_pub_v1", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L,
+      protoVersion = 2, streaming = true)
+    try {
+      sql.simpleQuery("CREATE TABLE tv1 (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_v1 FOR TABLE tv1")
+      v1.start(0L); v2.start(0L)
+      // small ordinary txns + one bulk txn far over logical_decoding_work_mem
+      // (64kB): the v2 leg must STREAM it, the v1 leg must still deliver it
+      // (the server spills and sends the whole txn at commit in v1 framing)
+      sql.simpleQuery("INSERT INTO tv1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      sql.simpleQuery("UPDATE tv1 SET v = 'b2' WHERE id = 2")
+      sql.simpleQuery("DELETE FROM tv1 WHERE id = 3")
+      sql.simpleQuery(
+        "INSERT INTO tv1 SELECT g, repeat('y', 200) || g FROM generate_series(10, 2009) g")
+
+      val expectDml = 3 + 1 + 1 + 2000
+      val ev1 = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val ev2 = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val raw1 = scala.collection.mutable.ArrayBuffer.empty[Char]
+      val raw2 = scala.collection.mutable.ArrayBuffer.empty[Char]
+      drainUntil(v1, new ChangeEventBuilder(new SchemaRegistry), ev1, raw1)(
+        _.count(e => "IUD".contains(e.op)) >= expectDml)
+      drainUntil(v2, new ChangeEventBuilder(new SchemaRegistry), ev2, raw2)(
+        _.count(e => "IUD".contains(e.op)) >= expectDml)
+
+      // the wire really downgraded: v1 never frames stream segments, the
+      // v2 leg streamed the bulk transaction
+      assert(!raw1.exists("SEcA".contains(_)),
+        s"v1 leg saw stream framing: ${raw1.distinct}")
+      assert(raw2.contains('S') && raw2.contains('c'),
+        s"v2 leg did not stream — wire types: ${raw2.distinct}")
+      // identical op multiset and IDENTICAL materialized state either way
+      val d1 = ev1.filter(e => "IUD".contains(e.op))
+      val d2 = ev2.filter(e => "IUD".contains(e.op))
+      assert(d1.size === expectDml)
+      assert(d1.map(_.op).groupBy(identity).view.mapValues(_.size).toMap ===
+        d2.map(_.op).groupBy(identity).view.mapValues(_.size).toMap)
+      val s1 = foldState(d1.toSeq)
+      assert(s1 === foldState(d2.toSeq))
+      assert(s1.keySet.size === 2 + 2000)
+      assert(s1("2")("v") === "b2")
+      assert(s1("17")("v") === "y" * 200 + "17")
+    } finally { v1.close(); v2.close(); sql.close() }
+  }
+
+  test("server bounce live: a kill -9'd walsender and a full pg_ctl restart " +
+      "each surface a clean retryable error (no silent hang); a reconnected " +
+      "conduit resumes from the flushed LSN to identical state") {
+    live()
+    var sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tbn (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_bn FOR TABLE tbn")
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      def conduit(): PgWireConduit =
+        new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+          None, "graft_slot_bn", "graft_pub_bn", createSlot = true,
+          temporarySlot = false, statusIntervalMs = 500L)
+      // Reconnect-with-retry — the production story for both bounce legs:
+      // a kill -9'd backend sends the WHOLE cluster through crash recovery
+      // (the postmaster reinitializes), during which the postmaster accepts
+      // TCP but answers 57P03 "not yet accepting connections", and a normal
+      // session can be admitted a beat before a walsender.
+      def retryUp[T](what: String)(f: => T): T = {
+        val d = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var out: Option[T] = None
+        var last: Throwable = null
+        while (out.isEmpty && System.nanoTime() < d) {
+          try out = Some(f)
+          catch { case e: Throwable => last = e; Thread.sleep(250) }
+        }
+        out.getOrElse(throw new AssertionError(
+          s"$what did not come back after the bounce", last))
+      }
+      def reconnectConduit(afterLsn: Long): PgWireConduit =
+        retryUp("replication conduit") {
+          val c = conduit()
+          try { c.start(afterLsn); c }
+          catch { case e: Throwable => c.close(); throw e }
+        }
+      var flushed = 0L
+      val c1 = conduit()
+      c1.start(0L)
+      sql.simpleQuery("INSERT INTO tbn SELECT g, 'a' || g FROM generate_series(1, 20) g")
+      flushed = drainUntil(c1, builder, events)(_.count(_.op == "I") >= 20)
+      c1.setFlushedLSN(flushed)
+      Thread.sleep(200) // let the status update reach the slot catalog
+
+      // -- leg 1: the walsender process dies hard (kill -9) ----------------
+      val walPid = sql.simpleQuery(
+        "SELECT pid FROM pg_stat_replication WHERE application_name = 'graft-pgwire'"
+      ).head.head
+      new ProcessBuilder("kill", "-9", walPid).start().waitFor()
+      // the poll loop must surface a clean retryable error, not hang/None
+      val err1 = intercept[Exception] {
+        val d = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < d) { c1.read(); Thread.sleep(10) }
+      }
+      assert(err1.isInstanceOf[java.io.IOException] ||
+        err1.isInstanceOf[java.sql.SQLException],
+        s"expected a clean IO/SQL error, got ${err1.getClass}: ${err1.getMessage}")
+      c1.close()
+
+      // reconnect, resume from the flushed point: the tail re-sends at most
+      // the unacked suffix; the LWW fold stays exactly the live table.
+      // (the kill -9 crash recovery also severed the SQL session)
+      try sql.close() catch { case _: Throwable => () }
+      sql = retryUp("sql connection")(sqlConn())
+      val c2 = reconnectConduit(flushed)
+      sql.simpleQuery("INSERT INTO tbn SELECT g, 'b' || g FROM generate_series(21, 30) g")
+      flushed = math.max(flushed, drainUntil(c2, builder, events)(
+        evs => foldState(evs).size >= 30))
+      c2.setFlushedLSN(flushed)
+      Thread.sleep(200)
+      assert(foldState(events.toSeq).keySet === (1 to 30).map(_.toString).toSet)
+
+      // -- leg 2: the whole server bounces under the stream ----------------
+      // pg_ctl runs ASYNC while the conduit keeps polling: a fast shutdown
+      // waits for the logical walsender to hand its remaining WAL to the
+      // client, so the consumer must keep draining for the shutdown to
+      // complete — exactly the live-consumer-under-bounce shape.
+      val restartPb = new ProcessBuilder("su", "postgres", "-s", "/bin/bash", "-c",
+        s"pg_ctl -D ${dataDir.getAbsolutePath} -m fast -w restart " +
+          s"-l ${workDir.getAbsolutePath}/server.log")
+      restartPb.directory(new File("/tmp")) // su as postgres can't chdir into the repo cwd
+      restartPb.redirectErrorStream(true)
+      val restartProc = restartPb.start()
+      val err2 = intercept[Exception] {
+        val d = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < d) { c2.read(); Thread.sleep(10) }
+      }
+      assert(err2.isInstanceOf[java.io.IOException] ||
+        err2.isInstanceOf[java.sql.SQLException],
+        s"expected a clean IO/SQL error, got ${err2.getClass}: ${err2.getMessage}")
+      c2.close()
+      try sql.close() catch { case _: Throwable => () }
+      val restartOut = new String(restartProc.getInputStream.readAllBytes())
+      assert(restartProc.waitFor() === 0, s"pg_ctl restart failed:\n$restartOut")
+
+      // server back up: reconnect SQL + replication, resume, verify state
+      sql = retryUp("sql connection")(sqlConn())
+      val c3 = reconnectConduit(flushed)
+      sql.simpleQuery("INSERT INTO tbn SELECT g, 'c' || g FROM generate_series(31, 40) g")
+      drainUntil(c3, builder, events)(evs => foldState(evs).size >= 40)
+      c3.close()
+      val state = foldState(events.toSeq)
+      assert(state.keySet === (1 to 40).map(_.toString).toSet)
+      assert(state("35")("v") === "c35")
+    } finally {
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_bn')")
+      catch { case _: Throwable => () }
+      try sql.close() catch { case _: Throwable => () }
+    }
+  }
+
+  test("TLS live: a hostssl-only role connects over the SSLRequest upgrade " +
+      "(TLS + SCRAM together), plaintext is rejected by pg_hba, and " +
+      "replication streams through the encrypted channel") {
+    live()
+    val sql = sqlConn()
+    try {
+      // server cert (self-signed, CN=localhost) minted in the data dir by
+      // the server user; key must be 0600 for the postmaster to accept it
+      assert(asPostgres(s"cd ${dataDir.getAbsolutePath} && " +
+        "openssl req -new -x509 -days 2 -nodes -out server.crt " +
+        "-keyout server.key -subj '/CN=localhost' && chmod 600 server.key") === 0)
+      sql.simpleQuery("ALTER SYSTEM SET ssl = 'on'")
+      sql.simpleQuery("ALTER SYSTEM SET ssl_cert_file = 'server.crt'")
+      sql.simpleQuery("ALTER SYSTEM SET ssl_key_file = 'server.key'")
+      sql.simpleQuery("SET password_encryption = 'scram-sha-256'")
+      sql.simpleQuery(
+        "CREATE ROLE tls_user LOGIN REPLICATION SUPERUSER PASSWORD 'over-tls-only'")
+      // first-match hba: tls_user may ONLY arrive over SSL (and then still
+      // has to pass SCRAM); a plaintext attempt falls through to reject
+      assert(asPostgres(s"cd ${dataDir.getAbsolutePath} && " +
+        "{ echo 'hostssl all tls_user 127.0.0.1/32 scram-sha-256'; " +
+        "echo 'hostssl replication tls_user 127.0.0.1/32 scram-sha-256'; " +
+        "echo 'host all tls_user 127.0.0.1/32 reject'; " +
+        "echo 'host replication tls_user 127.0.0.1/32 reject'; " +
+        "cat pg_hba.conf; } > pg_hba.new && mv pg_hba.new pg_hba.conf") === 0)
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      Thread.sleep(500)
+
+      // plaintext → pg_hba reject (the hostssl-only posture holds)
+      intercept[java.sql.SQLException] {
+        val c = new PgWireConnection("127.0.0.1", port, "postgres", "tls_user",
+          Some("over-tls-only"))
+        try c.handshake() finally c.close()
+      }
+      // TLS + SCRAM → in; pg_stat_ssl confirms the channel is encrypted
+      val c = new PgWireConnection("127.0.0.1", port, "postgres", "tls_user",
+        Some("over-tls-only"), ssl = true)
+      try {
+        c.handshake()
+        assert(c.simpleQuery("SELECT current_user").head.head === "tls_user")
+        assert(c.simpleQuery(
+          "SELECT ssl::text, version FROM pg_stat_ssl WHERE pid = pg_backend_pid()"
+        ).head.head === "true")
+      } finally c.close()
+
+      // and replication end-to-end over the encrypted channel
+      sql.simpleQuery("CREATE TABLE ttls (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_tls FOR TABLE ttls")
+      val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "tls_user",
+        Some("over-tls-only"), "graft_slot_tls", "graft_pub_tls",
+        createSlot = true, temporarySlot = true, statusIntervalMs = 500L,
+        ssl = true)
+      try {
+        conduit.start(0L)
+        sql.simpleQuery("INSERT INTO ttls VALUES (1, 'via-tls')")
+        val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+        drainUntil(conduit, new ChangeEventBuilder(new SchemaRegistry), events)(
+          _.exists(_.op == "I"))
+        assert(events.exists(e => e.op == "I" && e.after("v") == "via-tls"))
+      } finally conduit.close()
+    } finally {
+      try {
+        sql.simpleQuery("ALTER SYSTEM SET ssl = 'off'")
+        sql.simpleQuery("SELECT pg_reload_conf()")
+        sql.simpleQuery("DROP ROLE IF EXISTS tls_user")
+      } catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
 }
