@@ -314,8 +314,17 @@ final class PgCdcMicroBatch(
     if (!started) {
       conduit.start(afterLsn)
       bufferedThrough = afterLsn
+      replayHorizon = afterLsn
       started = true
     }
+
+  /** The watermark at conduit (re)start — the highest offset a re-sent
+    * transaction prefix can legitimately re-deliver. Sub-watermark events
+    * AT or BELOW this are the expected at-least-once re-send and are
+    * dropped quietly; one ABOVE it arriving below the current watermark
+    * means the conduit itself is misordering mid-stream, which must fail
+    * loudly instead of silently losing events. */
+  private var replayHorizon: Long = Long.MinValue
 
   /** Drain up to `cap` frames (Long.MaxValue = all available now).
     *
@@ -373,7 +382,13 @@ final class PgCdcMicroBatch(
           // below the watermark re-arrive on their original offsets and
           // are dropped here, having been delivered before the restart.
           // (lastEventLsn still advanced above: the assignment chain must
-          // consume the same slots the original run did.)
+          // consume the same slots the original run did.) Only offsets at
+          // or below the replay horizon qualify: a sub-watermark event
+          // BEYOND it is a conduit misordering, not a re-send — fail.
+          else require(assigned <= replayHorizon,
+            s"pgcdc: conduit delivered out-of-order event at $assigned " +
+              s"(watermark $bufferedThrough, replay horizon $replayHorizon) — " +
+              "refusing to drop events outside the restart re-send window")
         } else if (rawLsn > 0) {
           bufferedThrough = math.max(bufferedThrough, rawLsn - 1)
         }

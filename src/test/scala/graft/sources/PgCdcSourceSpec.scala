@@ -416,6 +416,30 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(shifted.isEmpty, s"re-sent rows landed on shifted offsets: ${shifted.take(3)}")
   }
 
+  test("drain fails loudly on a mid-stream misordered event beyond the " +
+      "restart re-send window (r4 advice: no silent sub-watermark drops)") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val mc = new MockConduit
+    mc.append(10, Relation(6, "public", "w", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1))))
+    mc.append(100, Begin(103, 1000, 11))
+    mc.append(101, Insert(6, TupleData(Vector(t("1")))))
+    mc.append(103, Commit(0, 103, 103, 1000))
+    // a frame no healthy walsender produces: an EVENT below the watermark
+    // with no restart in between (the commit marker lifted the watermark
+    // to 102; this event chains to offset 102 ≤ watermark, and the replay
+    // horizon is still the session's start point 0)
+    mc.append(50, Insert(6, TupleData(Vector(t("2")))))
+    val mb = new PgCdcMicroBatch(mc, 0L, None, false,
+      Files.createTempDirectory("conduit_misorder").toString)
+    val e = intercept[IllegalArgumentException] {
+      mb.latestOffset(LsnOffset(0L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    mb.stop()
+  }
+
   test("conduit machinery: a logged-but-uncommitted batch re-plans by draining the conduit (crash replay)") {
     def t(v: String) = ColumnData('t', Some(v))
     val mc = new MockConduit
