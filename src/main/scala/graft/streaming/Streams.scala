@@ -1070,7 +1070,7 @@ object Streams {
   private[streaming] def mergeTermDfBatch(batch0: DataFrame, rel: Relation,
       textCol: String, stateDir: String): Unit =
     mergeDerivedViewBatch(batch0, rel, stateDir, "termDfSink",
-      Seq("term"), "df",
+      Seq("term"), "df", textCol,
       (rows, img) => rows.select(explode(array_distinct(
         split(element_at(col(img), textCol), " "))).as("term")))
 
@@ -1083,7 +1083,7 @@ object Streams {
     * without old images, one-manifest atomic flip — is shared verbatim. */
   private def mergeDerivedViewBatch(batch0: DataFrame, rel: Relation,
       stateDir: String, sinkName: String,
-      keyCols: Seq[String], countCol: String,
+      keyCols: Seq[String], countCol: String, deriveCol: String,
       derive: (DataFrame, String) => DataFrame): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0.filter(col("relation_id") === rel.relationId)
@@ -1091,14 +1091,21 @@ object Streams {
     val (hwLsn, hwSeq) = (
       manifest.get("hwLsn").map(_.toLong).getOrElse(Long.MinValue),
       manifest.get("hwSeq").map(_.toLong).getOrElse(Long.MinValue))
+    // The retraction probe must catch BOTH shapes a non-FULL replica
+    // identity produces: an update with no old image at all, AND a
+    // delete/update whose key-only old image simply LACKS the derive
+    // column (map_contains_key, not element_at — a genuine NULL value in
+    // a FULL image derives nothing on both sides and is legal).
+    val badImg = col("op").isin("U", "D") &&
+      (col("before").isNull || !map_contains_key(col("before"), lit(deriveCol)))
     val probe = batch.agg(
       max(struct(col("lsn"), col("seq"))).as("mx"),
       max(when(col("op") === "T", struct(col("lsn"), col("seq")))).as("t"),
-      sum(when(col("op") === "U" && col("before").isNull, 1L).otherwise(0L)).as("badU")
+      sum(when(badImg, 1L).otherwise(0L)).as("badImg")
     ).first()
     if (probe.isNullAt(0)) return
     require(probe.getLong(2) == 0L,
-      s"$sinkName(${rel.name}): update without a before image — " +
+      s"$sinkName(${rel.name}): delete/update whose old image lacks '$deriveCol' — " +
         "the table needs REPLICA IDENTITY FULL for index maintenance")
     val mx = probe.getStruct(0)
     val truncOpt = if (probe.isNullAt(1)) None
@@ -1155,7 +1162,7 @@ object Streams {
   private[streaming] def mergeChunkIndexBatch(batch0: DataFrame, rel: Relation,
       textCol: String, stateDir: String): Unit =
     mergeDerivedViewBatch(batch0, rel, stateDir, "chunkIndexSink",
-      Seq("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_md5"), "n",
+      Seq("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_md5"), "n", textCol,
       (rows, img) => graft.queries.TextQueries.ragChunksOf(
         rows.select(
           element_at(col(img), "doc_id").cast("long").as("doc_id"),
@@ -2087,6 +2094,60 @@ object Streams {
             else touch = tpe
           }
           gs.update(touch)
+          out.iterator
+      }
+  }
+
+  /** Streaming MULTI-TOUCH attribution, twin of `q92_multitouch_attribution`:
+    * per-user state is the 24-hour lookback window of (view|click) touches —
+    * ascending (ts_us, event_id, type) triples, pruned past the window on
+    * every batch, so state is bounded by one user's 24h touch volume, never
+    * their history. Each purchase EMITS its per-model credit rows as it
+    * arrives (append mode): one first_touch row, one last_touch row, and
+    * one linear row per distinct in-window touch type carrying
+    * `cents·k·10⁶ / n` micro-cents (the batch query's exact integer split),
+    * with 'none' rows when the window is empty. Grouping the emitted rows
+    * by (model, touch_type) reproduces q92 bit-for-bit — the parity test's
+    * gate. Rows apply in (ts, event_id) order within a batch; in-order
+    * delivery across batches is the log-ordered sources' contract. */
+  def multiTouchCredits(events: DataFrame): Dataset[(Long, String, String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = 24L * 3600 * 1000000L
+    events.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[(Long, Long, String, Long, Long)],
+         gs: GroupState[List[(Long, Long, String)]]) =>
+          var touches = gs.getOption.getOrElse(Nil)
+          var maxUs = touches.lastOption.map(_._1).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+          it.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, us, tpe, id, cents) =>
+            maxUs = math.max(maxUs, us)
+            if (tpe == "purchase") {
+              val win = touches.filter(t => t._1 < us && t._1 >= us - winUs)
+              val micro = cents * 1000000L
+              if (win.isEmpty) {
+                out += ((id, "first_touch", "none", micro))
+                out += ((id, "last_touch", "none", micro))
+                out += ((id, "linear", "none", micro))
+              } else {
+                val n = win.size.toLong
+                out += ((id, "first_touch", win.head._3, micro))
+                out += ((id, "last_touch", win.last._3, micro))
+                win.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (t, g) =>
+                  out += ((id, "linear", t, cents * g.size * 1000000L / n))
+                }
+              }
+            } else touches = touches :+ ((us, id, tpe))
+          }
+          // prune: a future purchase has c_ts ≥ maxUs (in-order contract),
+          // so touches below maxUs − 24h can never enter another window
+          gs.update(touches.filter(_._1 >= maxUs - winUs))
           out.iterator
       }
   }

@@ -217,6 +217,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming multi-touch attribution matches the q92 model comparison across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Long, Double)]
+      .collect().sortBy(e => // in-order delivery at MICROSECOND precision
+        ((e._2.getTime / 1000) * 1000000L + e._2.getNanos / 1000, e._4))
+    // three cuts (not two): the 24h lookback state must survive MULTIPLE
+    // batch boundaries, including a purchase whose window spans all three
+    val (b1, rest) = ev.splitAt(ev.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String, Long, Double)]
+    val src = ms.toDS().toDF("user_id", "ts", "event_type", "event_id", "value")
+    val q = Streams.multiTouchCredits(src)
+      .toDF("event_id", "model", "touch_type", "micro")
+      .writeStream.format("memory").queryName("mt_out")
+      .outputMode("append").start()
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    ms.addData(b3.toSeq); q.processAllAvailable()
+    q.stop()
+    // identical arithmetic to the batch side: micro-cent credits summed as
+    // DECIMAL(38,0), ONE double cast, one division, round 6
+    val got = spark.sql(
+      """SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(CAST(SUM(CAST(micro AS DECIMAL(38,0))) AS DOUBLE) / 100000000, 6) AS revenue
+         FROM mt_out GROUP BY model, touch_type""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = graft.SparkEntry.queries("q92_multitouch_attribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("txn-atomic assembly emits one envelope per committed transaction") {
     val rel = Relation(7, "public", "acct", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
@@ -1131,6 +1166,39 @@ class StreamingSpec extends AnyFunSuite {
     val replayed = Streams.termDfState(spark, dir.resolve("state").toString)
       .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(replayed.toSeq === expected.toSeq)
+  }
+
+  test("derived-view sinks fail loudly on a key-only delete — its old image " +
+      "cannot retract the doc's index entries (needs REPLICA IDENTITY FULL)") {
+    val dir = Files.createTempDirectory("termdfguard")
+    val p = dir.resolve("log.bin").toString
+    val relId = graft.cdc.CdcPipeline.DocumentsRelId
+    val rel = graft.cdc.CdcPipeline.documentsRelation
+    def t(v: String) = ColumnData('t', Some(v))
+    def n = ColumnData('n', None)
+    FrameLog.write(p, Iterator(
+      FrameLog.Entry(0, PgOutputEncoder.encode(rel)),
+      FrameLog.Entry(10, PgOutputEncoder.encode(Begin(12, 1000, 1))),
+      FrameLog.Entry(11, PgOutputEncoder.encode(Insert(relId, TupleData(Vector(
+        t("1"), t("hello world"), t("en"), t("web"), t("11")))))),
+      FrameLog.Entry(12, PgOutputEncoder.encode(Commit(0, 12, 12, 1000))),
+      FrameLog.Entry(20, PgOutputEncoder.encode(Begin(22, 2000, 2))),
+      // identity-default delete: old image is the pk projection only — the
+      // r4-advice shape that previously slipped past the update-only probe
+      // and silently left doc 1's terms in the index forever
+      FrameLog.Entry(21, PgOutputEncoder.encode(Delete(relId, 'K', TupleData(Vector(
+        t("1"), n, n, n, n))))),
+      FrameLog.Entry(22, PgOutputEncoder.encode(Commit(0, 22, 22, 2000)))))
+    val whole = spark.read.format("graft.sources.FrameReplayProvider")
+      .option("path", p).load()
+    val e = intercept[IllegalArgumentException] {
+      Streams.mergeTermDfBatch(whole, rel, "text", dir.resolve("state").toString)
+    }
+    assert(e.getMessage.contains("REPLICA IDENTITY FULL"))
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.mergeChunkIndexBatch(whole, rel, "text", dir.resolve("state").toString)
+    }
+    assert(e2.getMessage.contains("REPLICA IDENTITY FULL"))
   }
 
   test("chunk-index sink equals the batch incremental chunk view across " +
