@@ -1758,6 +1758,47 @@ object RelationalQueries {
           round(col("p90_us").cast(DoubleType) / 1000000.0, 6).as("p90_s"))
     }),
 
+    // q93's MERGEABLE-sketch scale twin (the q49/q50 exact/approx pairing
+    // applied to order statistics): the same converter-latency deltas
+    // summarized by ONE KLL pass — the sketch builds with map-side partial
+    // merges, holds O(k log n) values per task regardless of converter
+    // count, and would merge across day/shard partials at 100 TB where even
+    // the bucketed exact cut's per-value count table grows with distinct
+    // latencies. The sketch is RANDOMIZED, so its p50/p90 never enter the
+    // hash; the q76 envelope gate re-ranks them against the delta table
+    // (one broadcast join of a 1-row sketch summary back over the
+    // converter-sized deltas) and asserts normalized-rank error ≤ 0.05.
+    // Hash-carried: exact converter count and exact mean (DECIMAL(38,0)
+    // sum, one division chain — q93's convention).
+    "q94_time_to_convert_kll" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val pch = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_p"), max(col("t_view")).as("t_view"))
+      val deltas = pch.select(
+        (unix_micros(col("t_p")) - unix_micros(col("t_view"))).as("d_us"))
+      val sk = deltas.agg(
+        kll_sketch_agg_double(col("d_us").cast(DoubleType), lit(400)).as("sk"),
+        count(lit(1)).as("n"), sum(col("d_us").cast(dec)).as("ssum"))
+        .select(col("n"), col("ssum"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("q50"),
+          kll_sketch_get_quantile_double(col("sk"), lit(0.9)).as("q90"))
+      deltas.crossJoin(broadcast(sk))
+        .groupBy(col("n"), col("ssum"), col("q50"), col("q90"))
+        .agg(
+          (abs(sum(when(col("d_us") <= col("q50"), 1L).otherwise(0L))
+            .cast("double") / col("n") - 0.5) <= 0.05).as("p50_rank_ok"),
+          (abs(sum(when(col("d_us") <= col("q90"), 1L).otherwise(0L))
+            .cast("double") / col("n") - 0.9) <= 0.05).as("p90_rank_ok"))
+        .select(col("n").as("n_converters"),
+          round(col("ssum").cast(DoubleType) / col("n") / 1000000.0, 6).as("mean_s"),
+          col("p50_rank_ok"), col("p90_rank_ok"))
+    }),
+
     // CUSUM change-point detection — "did the daily level shift, and
     // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
     // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
@@ -2912,6 +2953,25 @@ object RelationalQueries {
            round(CAST(med_us AS DOUBLE) / 1000000.0, 6) AS median_s,
            round(CAST(p90_us AS DOUBLE) / 1000000.0, 6) AS p90_s
          FROM agg, med, p90""",
+
+    // envelope gate (q76's convention): the randomized KLL quantiles stay
+    // out of the hash; exact converter count + exact mean are pinned, the
+    // rank-error booleans must be TRUE
+    "q94_time_to_convert_kll" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         pch AS (
+           SELECT e.user_id, MIN(e.ts) AS t_p, MAX(v.t_view) AS t_view
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY 1),
+         d AS (SELECT epoch_us(t_p) - epoch_us(t_view) AS d_us FROM pch),
+         agg AS (SELECT COUNT(*) AS n, SUM(CAST(d_us AS HUGEINT)) AS ssum FROM d)
+         SELECT n AS n_converters,
+           round(CAST(ssum AS DOUBLE) / n / 1000000.0, 6) AS mean_s,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+         FROM agg""",
 
     // integer-scaled CUSUM argmax, earliest-day tie-break
     "q88_cusum" ->
