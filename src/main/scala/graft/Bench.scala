@@ -53,6 +53,11 @@ object Bench {
       if (t1 <= 5.0) name -> t1
       else name -> math.min(t1, timeOne(SparkEntry.queries(name)))
     }
+    // Disclosure (r4 advice): a min-of-2 value is indistinguishable from a
+    // measured-once value in the queries map alone, so the retimed queries'
+    // FIRST-pass times ride along in their own map — a reader can tell
+    // single-shot from best-of-two per query.
+    val retimedFirst = firstPass.filter(_._2 > 5.0)
     val total = firstPass.map(_._2).sum
     val retimedTotal = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
@@ -79,9 +84,13 @@ object Bench {
         rs.map { case (k, v) => entry(k, v, p) }.mkString("{", ",", "}")
       }$extra,"sf":"$sfName"}"""
     val retimed = entry("retimed_total", retimedTotal, 2)
+    val firstPassJson =
+      if (retimedFirst.isEmpty) ""
+      else retimedFirst.map { case (k, v) => entry(k, v, 9) }
+        .mkString(",\"first_pass\":{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      line(results, 9, "," + retimed) + "\n")
+      line(results, 9, "," + retimed + firstPassJson) + "\n")
     catch { case _: Throwable => () } // read-only checkout: stdout still has it
     println(line(results, 3, "," + retimed))
     // The final bounded line must survive a ~2KB stdout-tail capture even

@@ -220,10 +220,10 @@ object DedupQueries {
     * (4 rows/doc) and feeds both self-join branches — recomputing the
     * signature pipeline per branch measured ~5× slower than the join. */
   private[graft] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
-    minhashCandidatePairs0(s, d)
+    cached(s, "minhashCandidatePairs", d) { minhashCandidatePairs0(s, d) }
 
   private def minhashCandidatePairs0(s: SparkSession, d: String): DataFrame = {
-    val banded = bandKeysOf(minhashSignatures(s, d)).persist()
+    val banded = cached(s, "bandedKeys", d) { bandKeysOf(minhashSignatures(s, d)) }
     banded.as("x").join(banded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -532,11 +532,19 @@ object DedupQueries {
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      // Eager localCheckpoint (not persist): materializes the symmetrized
+      // degree-annotated edge table ONCE and collapses its lineage to an
+      // RDD scan, so each of the 10 iteration plans is tiny. With persist,
+      // every iteration re-canonicalizes the full LSH-pipeline subtree
+      // against EVERY CacheManager entry accumulated by the suite — the
+      // r4 bench regression (18.96 s in-suite vs 4 s isolated) was exactly
+      // that quadratic driver-side cost, not executor work.
+      val edgesD = edges.join(deg, "src").localCheckpoint(true)
       val n = deg.count()
       val base = 1000000000000L / math.max(n, 1L)
       val tele = (15L * base) / 100L
-      val edgesD = edges.join(deg, "src").persist()
-      var r = deg.select(col("src").as("v"), lit(base).as("r"))
+      var r = edgesD.select(col("src").as("v")).distinct()
+        .select(col("v"), lit(base).as("r"))
       for (i <- 1 to 10) {
         r = edgesD.join(r, edgesD("src") === r("v"))
           .select(col("dst"), expr("r div dg").as("c"))
@@ -547,7 +555,6 @@ object DedupQueries {
         // the optimizer — 3 iterations/checkpoint measured fastest
         if (i % 3 == 0 || i == 10) r = r.localCheckpoint()
       }
-      edgesD.unpersist()
       r.select(col("v").as("doc_id"), col("r").as("rank_fp"))
         .orderBy(col("doc_id"))
     }),
