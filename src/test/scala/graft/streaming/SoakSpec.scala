@@ -197,4 +197,78 @@ class SoakSpec extends AnyFunSuite {
     val state = Streams.materializedState(spark, rel, stateDir)
     assert(state.count() === NKeys)
   }
+
+  // ---- online near-dup sink: band-key state is the interesting curve ----
+
+  private val docsRel = graft.cdc.CdcPipeline.documentsRelation
+  private def docTup(id: Long, text: String) = TupleData(Vector(
+    t(id.toString), t(text), t("en"), t("web"), t(text.length.toString)))
+
+  /** documentsToFrames' LSN discipline (base = id·4) so arrival ≡ id order. */
+  private def writeDocLog(path: String, docs: Seq[(Long, String)]): Unit = {
+    val frames = Iterator.single(FrameLog.Entry(0L, enc(docsRel))) ++
+      docs.iterator.flatMap { case (id, text) =>
+        val base = id * 4
+        Iterator(
+          FrameLog.Entry(base + 1, enc(Begin(base + 3, 0L, id.toInt))),
+          FrameLog.Entry(base + 2, enc(Insert(docsRel.relationId, docTup(id, text)))),
+          FrameLog.Entry(base + 3, enc(Commit(0, base + 3, base + 3, 0L))))
+      }
+    FrameLog.write(path, frames)
+  }
+
+  private def runNearDupSink(logPath: String, stateDir: String): Unit = {
+    val ckpt = Files.createTempDirectory("soak-nd-ckpt").toString
+    val env = Streams.envelopeStream(spark, logPath, None)
+    val q = Streams.onlineNearDupSink(env, docsRel, "text", stateDir, ckpt,
+      nBuckets = NBuckets)
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("structural: a near-dup ingest wave touches only its texts' band-key " +
+      "buckets — the LSH index grows O(batch bands), not O(state)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("soak-neardup")
+    // seed: 2000 distinct-vocabulary docs → band keys spread over the
+    // bucket space (this is the grown state a wave must NOT rewrite)
+    def seedText(id: Long) = (0 until 12).map(i => s"s${id}w$i").mkString(" ")
+    val seedLog = dir.resolve("seed.bin").toString
+    writeDocLog(seedLog, (1L to 2000L).map(id => id -> seedText(id)))
+    val stateDir = dir.resolve("state").toString
+    runNearDupSink(seedLog, stateDir)
+    val before = StateStore.load(stateDir)
+    assert(before.keys.count(_.matches("b\\d+")) > NBuckets / 2,
+      "seed should populate most band buckets")
+
+    // the wave: 300 docs sharing ONE text — its 4 band keys pin exactly
+    // which buckets the merge may open, computed with the sink's own hashing
+    val waveText = (0 until 12).map(i => s"wvTok$i").mkString(" ")
+    val expectedBuckets = graft.queries.DedupQueries
+      .bandKeysWithSig(graft.queries.DedupQueries.minhashSigsOf(
+        Seq((0L, waveText)).toDF("doc_id", "text")))
+      .select(pmod(xxhash64(col("bucket")), lit(NBuckets)).as("b"))
+      .distinct().collect().map(r => s"b${r.getLong(0)}").toSet
+    assert(expectedBuckets.nonEmpty && expectedBuckets.size <= 4)
+    val waveLog = dir.resolve("wave.bin").toString
+    writeDocLog(waveLog, (10001L to 10300L).map(id => id -> waveText))
+    runNearDupSink(waveLog, stateDir)
+    val after = StateStore.load(stateDir)
+
+    // only the wave's band buckets (and the appended decision segment +
+    // high-water) may differ; every other bucket version is untouched
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => k.matches("b\\d+") && before.get(k) != after.get(k))
+    assert(changed === expectedBuckets,
+      s"expected exactly ${expectedBuckets.mkString(",")} to flip, got $changed")
+    // decisions: the wave's first doc anchors, every later one flags to it
+    val dec = Streams.onlineNearDupDecisions(spark, stateDir)
+      .filter(col("id") >= 10001L)
+      .select(col("id").cast("long"), col("is_neardup"), col("dup_of").cast("long"))
+      .collect().map(r =>
+        (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    assert(dec.length === 300)
+    assert(dec.head === ((10001L, false, -1L)))
+    assert(dec.tail.forall { case (_, nd, d) => nd && d == 10001L })
+  }
 }
