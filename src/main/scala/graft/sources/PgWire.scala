@@ -159,6 +159,31 @@ final class PgWireConnection(
       fields.get('C').map(c => s" (SQLSTATE $c)").getOrElse("")
   }
 
+  /** RFC 5929 tls-server-end-point channel-binding data: a hash of the
+    * server's end-entity certificate — SHA-256 unless the certificate's
+    * own signature algorithm uses a stronger SHA-2 (MD5/SHA-1 map UP to
+    * SHA-256 per the RFC). Binding the SCRAM proof to this hash means the
+    * proof only verifies on the TLS session that actually terminates at
+    * the certificate holder — a relaying MITM (even one that knows no
+    * password and just forwards bytes between two TLS sessions) presents
+    * a different cert hash and the proof dies. */
+  private def tlsServerEndPoint(): Array[Byte] = socket match {
+    case s: javax.net.ssl.SSLSocket =>
+      val cert = s.getSession.getPeerCertificates()(0)
+        .asInstanceOf[java.security.cert.X509Certificate]
+      val sig = cert.getSigAlgName.toUpperCase
+      val alg =
+        if (sig.contains("SHA384")) "SHA-384"
+        else if (sig.contains("SHA512")) "SHA-512"
+        else "SHA-256"
+      java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
+    case _ => throw new IllegalStateException(
+      "pgwire: channel binding requested on a non-TLS socket")
+  }
+
+  /** SASL mechanism the handshake negotiated (None = trust/cleartext). */
+  @volatile var saslMechanismUsed: Option[String] = None
+
   /** Auth + parameter burst until ReadyForQuery. */
   def handshake(): Unit = {
     sendStartup()
@@ -182,12 +207,24 @@ final class PgWireConnection(
               while (c != 0) { m.write(c); c = buf.get() }
               new String(m.toByteArray, UTF_8)
             }.takeWhile(_.nonEmpty).toList
-            if (!mechs.contains("SCRAM-SHA-256"))
-              throw new UnsupportedOperationException(
+            // Mechanism + gs2 selection (RFC 5802 §6 downgrade protection):
+            // on TLS prefer -PLUS with the server-cert binding; a TLS
+            // session where the server "didn't offer" -PLUS gets gs2 'y',
+            // so a MITM stripping the -PLUS advertisement is caught by the
+            // real server; plaintext sends 'n' (no channel to bind).
+            val mech =
+              if (ssl && mechs.contains("SCRAM-SHA-256-PLUS")) "SCRAM-SHA-256-PLUS"
+              else if (mechs.contains("SCRAM-SHA-256")) "SCRAM-SHA-256"
+              else throw new UnsupportedOperationException(
                 s"pgwire: no shared SASL mechanism (server offers ${mechs.mkString(",")})")
-            scram = new ScramClient(pwd)
+            saslMechanismUsed = Some(mech)
+            scram =
+              if (mech == "SCRAM-SHA-256-PLUS")
+                new ScramClient(pwd, gs2Header = "p=tls-server-end-point,,",
+                  cbData = tlsServerEndPoint())
+              else new ScramClient(pwd, gs2Header = if (ssl) "y,," else "n,,")
             val b = new ByteArrayOutputStream()
-            cstr(b, "SCRAM-SHA-256")
+            cstr(b, mech)
             val first = scram.clientFirstMessage.getBytes(UTF_8)
             b.write(ByteBuffer.allocate(4).putInt(first.length).array())
             b.write(first)
@@ -289,7 +326,12 @@ final class PgWireConnection(
   * RFC 4013's prohibited-table checks are the server's to enforce).
   * `nonceOverride`/`username` exist for the RFC 7677 §3 test vector. */
 private[sources] final class ScramClient(password: String,
-    username: String = "", nonceOverride: Option[String] = None) {
+    username: String = "", nonceOverride: Option[String] = None,
+    // gs2 header + channel-binding data (RFC 5802 §6 / RFC 5929):
+    //   "n,,"                        — binding not supported by this channel
+    //   "y,,"                        — supported, server didn't offer -PLUS
+    //   "p=tls-server-end-point,,"   — bound; cbData = the server cert hash
+    gs2Header: String = "n,,", cbData: Array[Byte] = Array.emptyByteArray) {
   import javax.crypto.Mac
   import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
@@ -303,7 +345,12 @@ private[sources] final class ScramClient(password: String,
   private val clientFirstBare = s"n=$username,r=$clientNonce"
   private var expectedServerSig: Array[Byte] = _
 
-  val clientFirstMessage: String = "n,," + clientFirstBare
+  val clientFirstMessage: String = gs2Header + clientFirstBare
+
+  /** c= attribute: base64(gs2-header-bytes ++ channel-binding-data) — for
+    * the unbound "n,," header with no cb data this is the classic "biws". */
+  private val cAttr: String =
+    b64e.encodeToString(gs2Header.getBytes(UTF_8) ++ cbData)
 
   private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
     val m = Mac.getInstance("HmacSHA256")
@@ -325,7 +372,7 @@ private[sources] final class ScramClient(password: String,
       .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
     val clientKey = hmac(saltedPassword, "Client Key")
     val storedKey = java.security.MessageDigest.getInstance("SHA-256").digest(clientKey)
-    val withoutProof = s"c=biws,r=$serverNonce" // biws = b64("n,,")
+    val withoutProof = s"c=$cAttr,r=$serverNonce"
     val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
     val clientSig = hmac(storedKey, authMessage)
     val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }

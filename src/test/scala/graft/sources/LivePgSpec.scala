@@ -893,6 +893,7 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         Some("correct-horse"))
       try {
         c.handshake()
+        assert(c.saslMechanismUsed === Some("SCRAM-SHA-256")) // plaintext socket: no -PLUS
         assert(c.simpleQuery("SELECT current_user").head.head === "scram_user")
       } finally c.close()
 
@@ -1123,6 +1124,10 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         Some("over-tls-only"), ssl = true)
       try {
         c.handshake()
+        // PG advertises SCRAM-SHA-256-PLUS on SSL connections; the client
+        // must pick it and the server VERIFIES the cert-hash binding in
+        // the proof — a green login here is an end-to-end RFC 5929 check
+        assert(c.saslMechanismUsed === Some("SCRAM-SHA-256-PLUS"))
         assert(c.simpleQuery("SELECT current_user").head.head === "tls_user")
         assert(c.simpleQuery(
           "SELECT ssl::text, version FROM pg_stat_ssl WHERE pid = pg_backend_pid()"

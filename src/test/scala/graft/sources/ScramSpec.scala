@@ -52,6 +52,30 @@ class ScramSpec extends AnyFunSuite {
     }
   }
 
+  test("channel-bound client (SCRAM-SHA-256-PLUS): gs2 header rides the " +
+      "first message and c= carries header+cert-hash (RFC 5802 §6)") {
+    val cb = Array[Byte](1, 2, 3, 4)
+    val c = new ScramClient("pencil", username = "user",
+      nonceOverride = Some("rOprNGfwEbeRWgbNEkqO"),
+      gs2Header = "p=tls-server-end-point,,", cbData = cb)
+    assert(c.clientFirstMessage ===
+      "p=tls-server-end-point,,n=user,r=rOprNGfwEbeRWgbNEkqO")
+    val fin = c.clientFinalMessage(serverFirst)
+    val expectedC = java.util.Base64.getEncoder.encodeToString(
+      "p=tls-server-end-point,,".getBytes("UTF-8") ++ cb)
+    assert(fin.startsWith(s"c=$expectedC,r="))
+    // the proof differs from the unbound vector: the binding is IN the
+    // authenticated message, not a decoration
+    assert(!fin.endsWith("p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="))
+  }
+
+  test("y-form gs2 (TLS but server offered no -PLUS) encodes c=eSws") {
+    val c = new ScramClient("pencil", username = "user",
+      nonceOverride = Some("rOprNGfwEbeRWgbNEkqO"), gs2Header = "y,,")
+    assert(c.clientFirstMessage.startsWith("y,,n=user,"))
+    assert(c.clientFinalMessage(serverFirst).startsWith("c=eSws,r="))
+  }
+
   test("random-nonce client produces distinct printable nonces") {
     val a = new ScramClient("pw").clientFirstMessage
     val b = new ScramClient("pw").clientFirstMessage
