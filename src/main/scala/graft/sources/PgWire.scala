@@ -19,15 +19,22 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Scope is deliberately narrow: trust, cleartext-password, or
   * SCRAM-SHA-256 auth (RFC 5802/7677 — the PG ≥ 14 `password_encryption`
   * default, so a default-configured server is reachable), optional TLS
-  * (SSLRequest upgrade at `sslmode=require` trust level — see
-  * [[negotiateTls]]), text result format, simple query protocol only —
+  * (SSLRequest upgrade; trust levels `require`, `verify-ca` via
+  * `sslRootCert`, and `verify-full` via JSSE endpoint identification —
+  * see [[negotiateTls]]), text result format, simple query protocol only —
   * the subset a replication client needs (walsender connections don't
   * speak the extended protocol at all). Not a general-purpose driver.
   */
 final class PgWireConnection(
     host: String, port: Int, db: String, user: String,
     password: Option[String] = None, replication: Boolean = false,
-    ssl: Boolean = false)
+    ssl: Boolean = false,
+    // libpq sslmode parity above `require`: a root-cert path turns on real
+    // chain validation (verify-ca), and sslVerifyFull additionally checks
+    // the cert's SAN against `host` via JSSE endpoint identification
+    // (verify-full). Without a root cert the channel is encryption-only
+    // and the peer is authenticated by SCRAM's mutual proof.
+    sslRootCert: Option[String] = None, sslVerifyFull: Boolean = false)
   extends AutoCloseable {
 
   private val socket: Socket = {
@@ -43,30 +50,51 @@ final class PgWireConnection(
     * 80877103 on the RAW socket, one response byte — 'S' upgrades to TLS,
     * 'N' means the server won't. Runs BEFORE any buffered reader exists so
     * no handshake byte can be swallowed into a read-ahead buffer.
-    * Certificate validation is libpq `sslmode=require` level: the channel
-    * is encrypted but the peer is authenticated by SCRAM's mutual proof
-    * (the server signature), not by certificate chain — the offline env
-    * has no CA infrastructure to verify against. */
+    * Default validation is libpq `sslmode=require` level: the channel is
+    * encrypted but the peer is authenticated by SCRAM's mutual proof (the
+    * server signature) and, on -PLUS, the RFC 5929 cert-hash binding.
+    * With `sslRootCert` the chain must anchor at the given root(s)
+    * (verify-ca); `sslVerifyFull` adds SAN-vs-host checking (verify-full). */
   private def negotiateTls(plain: Socket): Socket = {
     val rawOut = new DataOutputStream(plain.getOutputStream)
     rawOut.writeInt(8); rawOut.writeInt(80877103); rawOut.flush()
     val resp = plain.getInputStream.read()
     if (resp != 'S') throw new UnsupportedOperationException(
       s"pgwire: server declined SSL (response ${if (resp < 0) "EOF" else resp.toChar.toString})")
-    val trustAll = new javax.net.ssl.X509TrustManager {
-      override def checkClientTrusted(
-          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-      override def checkServerTrusted(
-          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
-        Array.empty
+    val trust: Array[javax.net.ssl.TrustManager] = sslRootCert match {
+      case None => Array(new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(
+            c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(
+            c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      })
+      case Some(path) => // verify-ca: chain must anchor at the given root(s)
+        val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+        val in = new java.io.FileInputStream(path)
+        val certs = try cf.generateCertificates(in) finally in.close()
+        val ks = java.security.KeyStore.getInstance(
+          java.security.KeyStore.getDefaultType)
+        ks.load(null, null)
+        val it = certs.iterator()
+        var i = 0
+        while (it.hasNext) { ks.setCertificateEntry(s"root$i", it.next()); i += 1 }
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        tmf.getTrustManagers
     }
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll),
-      new java.security.SecureRandom())
+    ctx.init(null, trust, new java.security.SecureRandom())
     val tls = ctx.getSocketFactory.createSocket(plain, host, port, true)
       .asInstanceOf[javax.net.ssl.SSLSocket]
     tls.setUseClientMode(true)
+    if (sslVerifyFull) { // verify-full: SAN must cover `host` (JSSE rules)
+      val params = tls.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      tls.setSSLParameters(params)
+    }
     tls.startHandshake()
     tls
   }
@@ -414,7 +442,9 @@ final class PgWireConduit(
     streaming: Boolean = false,
     twoPhase: Boolean = false,
     messages: Boolean = false,
-    ssl: Boolean = false)
+    ssl: Boolean = false,
+    sslRootCert: Option[String] = None,
+    sslVerifyFull: Boolean = false)
   extends ReplicationConduit {
 
   private var conn: PgWireConnection = _
@@ -447,7 +477,8 @@ final class PgWireConduit(
 
   override def start(afterLsn: Long): Unit = {
     conn = new PgWireConnection(host, port, db, user, password,
-      replication = true, ssl = ssl)
+      replication = true, ssl = ssl,
+      sslRootCert = sslRootCert, sslVerifyFull = sslVerifyFull)
     conn.handshake()
     if (createSlot) {
       val kind = if (temporarySlot) "TEMPORARY LOGICAL" else "LOGICAL"
@@ -636,7 +667,16 @@ object PgWireSnapshot {
 
 object PgWireConduit {
   /** Options-driven constructor for the DSv2 source (`producer=pgwire`). */
-  def fromOptions(opts: Map[String, String]): PgWireConduit =
+  def fromOptions(opts: Map[String, String]): PgWireConduit = {
+    // libpq sslmode parity: disable (default) | require | verify-ca |
+    // verify-full; a bare ssl=true equals require. verify-* needs
+    // sslRootCert; verify-full adds JSSE hostname verification.
+    val sslMode = opts.getOrElse("sslMode",
+      if (opts.get("ssl").exists(_.toBoolean)) "require" else "disable")
+    val rootCert = opts.get("sslRootCert")
+    if ((sslMode == "verify-ca" || sslMode == "verify-full") && rootCert.isEmpty)
+      throw new IllegalArgumentException(
+        "pgcdc: sslMode=verify-ca/verify-full requires option 'sslRootCert'")
     new PgWireConduit(
       opts.getOrElse("host", "127.0.0.1"),
       opts.get("port").map(_.toInt).getOrElse(5432),
@@ -652,5 +692,8 @@ object PgWireConduit {
       streaming = opts.get("streaming").exists(_.toBoolean),
       twoPhase = opts.get("twoPhase").exists(_.toBoolean),
       messages = opts.get("messages").exists(_.toBoolean),
-      ssl = opts.get("ssl").exists(_.toBoolean))
+      ssl = sslMode != "disable",
+      sslRootCert = rootCert,
+      sslVerifyFull = sslMode == "verify-full")
+  }
 }

@@ -1158,4 +1158,94 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       sql.close()
     }
   }
+
+  test("TLS verify-ca / verify-full live: root-cert chain validation, " +
+      "SAN-vs-host verification, and rejection of an unknown CA and of a " +
+      "SAN-less cert under verify-full") {
+    live()
+    val sql = sqlConn()
+    try {
+      // two self-signed pairs: one with an IP SAN for 127.0.0.1 (the
+      // verify-full happy path), one CN-only from an unrelated "CA"
+      assert(asPostgres(s"cd ${dataDir.getAbsolutePath} && " +
+        "openssl req -new -x509 -days 2 -nodes -out san.crt -keyout san.key " +
+        "-subj '/CN=graft-pg' " +
+        "-addext 'subjectAltName=IP:127.0.0.1,DNS:localhost' && " +
+        "chmod 600 san.key && " +
+        "openssl req -new -x509 -days 2 -nodes -out other.crt -keyout other.key " +
+        "-subj '/CN=someone-else' && chmod 600 other.key") === 0)
+      sql.simpleQuery("ALTER SYSTEM SET ssl = 'on'")
+      sql.simpleQuery("ALTER SYSTEM SET ssl_cert_file = 'san.crt'")
+      sql.simpleQuery("ALTER SYSTEM SET ssl_key_file = 'san.key'")
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      Thread.sleep(500)
+      val sanRoot = s"${dataDir.getAbsolutePath}/san.crt" // self-signed = its own CA
+      val otherRoot = s"${dataDir.getAbsolutePath}/other.crt"
+
+      // verify-ca, right root → in
+      val ca = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+        None, ssl = true, sslRootCert = Some(sanRoot))
+      try {
+        ca.handshake()
+        assert(ca.simpleQuery("SELECT 1").head.head === "1")
+      } finally ca.close()
+      // verify-ca, unrelated root → TLS handshake dies before any protocol
+      intercept[javax.net.ssl.SSLException] {
+        new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+          None, ssl = true, sslRootCert = Some(otherRoot))
+      }
+      // verify-full, SAN IP:127.0.0.1 matches the endpoint → in, and the
+      // fromOptions sslMode plumbing drives REPLICATION through it
+      val full = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+        None, ssl = true, sslRootCert = Some(sanRoot), sslVerifyFull = true)
+      try {
+        full.handshake()
+        assert(full.simpleQuery("SELECT 1").head.head === "1")
+      } finally full.close()
+      sql.simpleQuery("CREATE TABLE tvf (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_vf FOR TABLE tvf")
+      val conduit = PgWireConduit.fromOptions(Map(
+        "host" -> "127.0.0.1", "port" -> port.toString,
+        "slot" -> "graft_slot_vf", "publication" -> "graft_pub_vf",
+        "temporarySlot" -> "true", "statusIntervalMs" -> "500",
+        "sslMode" -> "verify-full", "sslRootCert" -> sanRoot))
+      try {
+        conduit.start(0L)
+        sql.simpleQuery("INSERT INTO tvf VALUES (1, 'verified')")
+        val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+        drainUntil(conduit, new ChangeEventBuilder(new SchemaRegistry), events)(
+          _.exists(_.op == "I"))
+        assert(events.exists(e => e.op == "I" && e.after("v") == "verified"))
+      } finally conduit.close()
+      // verify-* without a root cert is a configuration error, caught early
+      intercept[IllegalArgumentException] {
+        PgWireConduit.fromOptions(Map("slot" -> "s", "publication" -> "p",
+          "sslMode" -> "verify-ca"))
+      }
+
+      // switch the server to the SAN-less cert: verify-full must refuse
+      // (JSSE never falls back to CN for an IP endpoint), encryption-only
+      // `require` still connects
+      sql.simpleQuery("ALTER SYSTEM SET ssl_cert_file = 'other.crt'")
+      sql.simpleQuery("ALTER SYSTEM SET ssl_key_file = 'other.key'")
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      Thread.sleep(500)
+      intercept[javax.net.ssl.SSLException] {
+        new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+          None, ssl = true, sslRootCert = Some(otherRoot), sslVerifyFull = true)
+      }
+      val req = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+        None, ssl = true)
+      try {
+        req.handshake()
+        assert(req.simpleQuery("SELECT 1").head.head === "1")
+      } finally req.close()
+    } finally {
+      try {
+        sql.simpleQuery("ALTER SYSTEM SET ssl = 'off'")
+        sql.simpleQuery("SELECT pg_reload_conf()")
+      } catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
 }

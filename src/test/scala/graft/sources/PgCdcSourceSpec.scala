@@ -46,6 +46,12 @@ class PgCdcSourceSpec extends AnyFunSuite {
     val d = graft.CdcDemo.parseDsn("postgresql://localhost")
     assert(d("user") === "postgres" && !d.contains("password"))
     assert(d("port") === "5432" && d("database") === "postgres")
+    // libpq sslmode/sslrootcert query params → source options
+    val s = graft.CdcDemo.parseDsn(
+      "postgres://u@h/db?sslmode=verify-full&sslrootcert=%2Fetc%2Froot.crt")
+    assert(s("sslMode") === "verify-full")
+    assert(s("sslRootCert") === "/etc/root.crt")
+    assert(!m.contains("sslMode")) // absent params stay absent
   }
 
   test("startLsn accepts Postgres X/Y text and plain decimal (PgLsn round trip)") {
