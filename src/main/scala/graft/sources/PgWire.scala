@@ -624,8 +624,11 @@ object PgWireSnapshot {
   def snapshotEvents(spark: org.apache.spark.sql.SparkSession,
       host: String, port: Int, db: String, user: String, password: Option[String],
       snapshotName: String, table: String, pkCol: String,
-      nChunks: Int): org.apache.spark.sql.DataFrame = {
+      nChunks: Int, ssl: Boolean = false, sslRootCert: Option[String] = None,
+      sslVerifyFull: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    def connect() = new PgWireConnection(host, port, db, user, password,
+      ssl = ssl, sslRootCert = sslRootCert, sslVerifyFull = sslVerifyFull)
     val qTable = table.split('.').map(PgSnapshotSync.quoteIdent).mkString(".")
     val qPk = PgSnapshotSync.quoteIdent(pkCol)
     val snapLit = PgCatalog.sqlLiteral(snapshotName)
@@ -634,7 +637,7 @@ object PgWireSnapshot {
         s"SET TRANSACTION SNAPSHOT $snapLit; " + sql + "; COMMIT")
     // driver: pk bounds under the snapshot → chunk ranges
     val bounds = {
-      val c = new PgWireConnection(host, port, db, user, password)
+      val c = connect()
       try {
         c.handshake()
         pinned(c, s"SELECT min($qPk), max($qPk) FROM $qTable")._2.head
@@ -649,7 +652,7 @@ object PgWireSnapshot {
     spark.createDataset(ranges).repartition(ranges.size)
       .mapPartitions { it =>
         it.flatMap { case (a, b) =>
-          val c = new PgWireConnection(host, port, db, user, password)
+          val c = connect()
           try {
             c.handshake()
             val (cols, rows) = pinned(c,

@@ -295,6 +295,16 @@ class PlanSpec extends AnyFunSuite {
     assertBucketedWindows("q93_time_to_convert")
   }
 
+  test("q94 KLL twin: one mergeable sketch pass (partial object-hash agg), " +
+      "1-row summary broadcast back, no window at all") {
+    val p = plan("q94_time_to_convert_kll")
+    assert(p.contains("kll_sketch_agg_double"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p) // map-side partial sketches merged
+    assert(!p.contains("windowspecdefinition"), p) // the point of the twin
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q58 interval sweep: event-level window is bucket-partitioned, offsets broadcast") {
     val p = plan("q58_peak_concurrency")
     // the O(events) running sum must be partitioned by hour bucket — a
