@@ -136,7 +136,12 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,
-          opts.get("messages").exists(_.toBoolean))
+          opts.get("messages").exists(_.toBoolean),
+          conduitFactory = Some(() =>
+            PgJdbcConduit.open(opts("dsn"), opts("slot"), opts("publication"))),
+          reconnectRetries = opts.get("reconnectRetries").map(_.toInt).getOrElse(0),
+          reconnectBackoffMs =
+            opts.get("reconnectBackoffMs").map(_.toLong).getOrElse(1000L))
       case "conduit" =>
         new PgCdcMicroBatch(
           PgCdcConduits.acquire(opts("conduit.name")),
@@ -144,7 +149,13 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,
-          opts.get("messages").exists(_.toBoolean))
+          opts.get("messages").exists(_.toBoolean),
+          // re-acquire under the same name: tests register a conduit whose
+          // start() re-arms it after an injected failure
+          conduitFactory = Some(() => PgCdcConduits.acquire(opts("conduit.name"))),
+          reconnectRetries = opts.get("reconnectRetries").map(_.toInt).getOrElse(0),
+          reconnectBackoffMs =
+            opts.get("reconnectBackoffMs").map(_.toLong).getOrElse(1000L))
       case "pgwire" =>
         // Driverless live path: the in-repo protocol-v3 client (PgWire).
         // Same micro-batch machinery as pgjdbc — only the socket layer
@@ -155,7 +166,11 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           opts.get("maxFramesPerTrigger").map(_.toLong),
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,
-          opts.get("messages").exists(_.toBoolean))
+          opts.get("messages").exists(_.toBoolean),
+          conduitFactory = Some(() => PgWireConduit.fromOptions(opts)),
+          reconnectRetries = opts.get("reconnectRetries").map(_.toInt).getOrElse(0),
+          reconnectBackoffMs =
+            opts.get("reconnectBackoffMs").map(_.toLong).getOrElse(1000L))
     }
 }
 
@@ -280,14 +295,22 @@ final class EnvelopeEventsReaderFactory extends PartitionReaderFactory {
 final class PgCdcMicroBatch(
     conduit: ReplicationConduit, startLsn: Long, maxFramesPerTrigger: Option[Long],
     txnMarkers: Boolean, checkpointLocation: String,
-    messages: Boolean = false)
+    messages: Boolean = false,
+    // Opt-in IN-PLACE reconnect: on a retryable conduit error (socket EOF,
+    // walsender shutdown, SQL failure) build a fresh conduit from the
+    // factory and resume from bufferedThrough — the stream survives a
+    // server bounce without a Spark query restart. 0 retries = off.
+    conduitFactory: Option[() => ReplicationConduit] = None,
+    reconnectRetries: Int = 0,
+    reconnectBackoffMs: Long = 1000L)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import graft.decode.{ChangeEvent, ChangeEventBuilder, PgOutputDecoder, SchemaRegistry}
 
+  private var activeConduit: ReplicationConduit = conduit
   private val registry: SchemaRegistry = loadRegistry()
-  private val builder = new ChangeEventBuilder(registry,
+  private var builder = new ChangeEventBuilder(registry,
     emitTxnMarkers = txnMarkers, emitMessages = messages)
   private var started = false
   // decoded, not-yet-committed events per frame LSN (ascending)
@@ -312,7 +335,7 @@ final class PgCdcMicroBatch(
 
   private def ensureStarted(afterLsn: Long): Unit =
     if (!started) {
-      conduit.start(afterLsn)
+      activeConduit.start(afterLsn)
       bufferedThrough = afterLsn
       replayHorizon = afterLsn
       started = true
@@ -361,10 +384,62 @@ final class PgCdcMicroBatch(
     * a restart whose re-sent prefix exceeds the cap would drain frames
     * without ever advancing the offset, and the stream would stall as
     * "no new data" forever. */
+  /** `read()` under the reconnect policy. A retryable error tears the
+    * conduit down and rebuilds from the factory, resuming EXACTLY as a
+    * whole-query restart would: START_REPLICATION at `bufferedThrough`,
+    * replay horizon moved there (the re-sent transaction prefix lands on
+    * its original offsets and drops quietly), and the offset-assignment
+    * chain + transaction-assembly builder RESET — a fresh session's
+    * re-sent frames must chain from their own positions, not the dead
+    * session's high-water, or the prefix re-bases into duplicates. The
+    * schema registry survives (monotone cache; the new walsender re-sends
+    * Relation frames for every touched table anyway). */
+  private def readWithReconnect(): Option[(Long, Array[Byte])] =
+    try activeConduit.read()
+    catch {
+      case e @ (_: java.io.IOException | _: java.sql.SQLException)
+          if conduitFactory.nonEmpty && reconnectRetries > 0 =>
+        reconnect(e)
+        activeConduit.read()
+    }
+
+  private def reconnect(trigger: Throwable): Unit = {
+    try activeConduit.close() catch { case _: Throwable => () }
+    var attempt = 0
+    var last: Throwable = trigger
+    var connected = false
+    while (!connected && attempt < reconnectRetries) {
+      attempt += 1
+      try Thread.sleep(math.min(reconnectBackoffMs << (attempt - 1), 30000L))
+      catch {
+        case _: InterruptedException =>
+          // query shutdown: abort the retry loop immediately so stop()
+          // never waits out the whole backoff schedule
+          Thread.currentThread().interrupt()
+          throw new java.io.IOException(
+            "pgcdc: reconnect aborted by interrupt (query stopping)", trigger)
+      }
+      try {
+        val fresh = conduitFactory.get.apply()
+        fresh.start(bufferedThrough)
+        activeConduit = fresh
+        connected = true
+      } catch { case e: Throwable => last = e }
+    }
+    if (!connected)
+      throw new java.io.IOException(
+        s"pgcdc: conduit lost and $reconnectRetries reconnect attempts failed " +
+          s"(resume point $bufferedThrough)", last)
+    replayHorizon = bufferedThrough
+    lastEventLsn = Long.MinValue
+    builder = new graft.decode.ChangeEventBuilder(registry,
+      emitTxnMarkers = txnMarkers, emitMessages = messages)
+  }
+
   private def drain(cap: Long): Unit = {
     var n = 0L
     var more = true
-    while (n < cap && more) conduit.read() match {
+    while (n < cap && more) readWithReconnect() match {
       case Some((rawLsn, payload)) =>
         val assigned = if (rawLsn > lastEventLsn) rawLsn else lastEventLsn + 1
         val events = builder.processRaw(assigned, payload)
@@ -474,11 +549,11 @@ final class PgCdcMicroBatch(
     // K2: flush feedback strictly after Spark's durable batch commit (the
     // registry was already persisted at drain time — K3 — so discarded WAL
     // can never hold schemas the engine still needs).
-    conduit.setFlushedLSN(e)
+    activeConduit.setFlushedLSN(e)
     buffered.removeHeadWhile(_._1 <= e)
   }
 
-  override def stop(): Unit = conduit.close()
+  override def stop(): Unit = activeConduit.close()
 }
 
 /** Reflection shim for the PostgreSQL JDBC replication API, so this module

@@ -357,11 +357,22 @@ class PgCdcSourceSpec extends AnyFunSuite {
     }
     private var cursor = 0
     @volatile var available: Int = Int.MaxValue // frames visible (crash point)
+    // fault injection: the Nth read() throws ONCE (a dying socket); the
+    // next start(afterLsn) re-arms the conduit like a fresh session
+    @volatile var failAfterReads: Long = Long.MaxValue
+    private var reads = 0L
+    @volatile var starts = 0
     override def start(afterLsn: Long): Unit = synchronized {
+      starts += 1
       cursor = txnStarts.find(_._1 > afterLsn).map(_._2).getOrElse(encoded.size)
     }
     override def read(): Option[(Long, Array[Byte])] = synchronized {
+      if (reads >= failAfterReads) {
+        failAfterReads = Long.MaxValue
+        throw new java.io.IOException("injected conduit failure")
+      }
       if (cursor < math.min(encoded.size, available)) {
+        reads += 1
         val f = encoded(cursor); cursor += 1; Some(f)
       } else None
     }
@@ -420,6 +431,51 @@ class PgCdcSourceSpec extends AnyFunSuite {
     val byId = all.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
     val shifted = byId.filter(_._2.size > 1)
     assert(shifted.isEmpty, s"re-sent rows landed on shifted offsets: ${shifted.take(3)}")
+  }
+
+  test("in-place reconnect: a conduit death MID-TRANSACTION is healed by " +
+      "the factory inside the same query — all rows once, offsets stable, " +
+      "no Spark restart") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val rel = Relation(8, "public", "rc", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def ins(i: Int) = Insert(8, TupleData(Vector(t(i.toString))))
+    val frames: Seq[(Long, PgOutputMessage)] =
+      Seq(0L -> (rel: PgOutputMessage), 99L -> Begin(110, 1000, 5)) ++
+        (1 to 9).map(i => (99L + i) -> (ins(i): PgOutputMessage)) ++
+        Seq(110L -> Commit(0, 110, 110, 1000),
+          200L -> Begin(203, 2000, 6),
+          201L -> ins(10), 202L -> ins(11),
+          203L -> Commit(0, 203, 203, 2000))
+    val mc = new TxnResendConduit(frames)
+    mc.failAfterReads = 7 // dies inside the 9-row transaction
+    PgCdcConduits.register("mc_reconnect", mc)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft.sources.PgCdcProvider")
+      .option("producer", "conduit").option("conduit.name", "mc_reconnect")
+      .option("maxFramesPerTrigger", "4")
+      .option("reconnectRetries", "3").option("reconnectBackoffMs", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("conduit_rc").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.selectExpr("lsn", "after['id']").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val all = got.synchronized(got.toVector)
+    // the death + factory rebuild happened (initial start + reconnect)
+    assert(mc.starts >= 2, s"expected a reconnect start, got ${mc.starts}")
+    // every row delivered; the re-sent prefix landed on its ORIGINAL
+    // offsets (dropped at the replay horizon) — never shifted duplicates
+    assert(all.map(_._2).toSet === (1 to 11).map(_.toString).toSet)
+    val byId = all.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
+    val shifted = byId.filter(_._2.size > 1)
+    assert(shifted.isEmpty, s"rows landed on shifted offsets: ${shifted.take(3)}")
+    assert(all.size === 11, s"duplicate delivery: ${all.sortBy(_._1)}")
   }
 
   test("drain fails loudly on a mid-stream misordered event beyond the " +

@@ -76,6 +76,71 @@ class ScramSpec extends AnyFunSuite {
     assert(c.clientFinalMessage(serverFirst).startsWith("c=eSws,r="))
   }
 
+  test("property: mutual authentication against an RFC-faithful server " +
+      "verifier over random unicode passwords, salts, and nonces") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import javax.crypto.Mac
+    import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+    val b64e = java.util.Base64.getEncoder
+    val b64d = java.util.Base64.getDecoder
+    def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256")); m.doFinal(msg.getBytes(UTF_8))
+    }
+    def h(b: Array[Byte]) = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    val rnd = new scala.util.Random(42)
+    def randPassword() = {
+      // printable ASCII + some multi-byte code points (NFKC-stable ones)
+      val pool = "correct horse battery staple Ωπß館日本語0123!@#".toCharArray
+      (0 until (4 + rnd.nextInt(12))).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    for (_ <- 1 to 25) {
+      val password = randPassword()
+      val salt = new Array[Byte](16); rnd.nextBytes(salt)
+      val iterations = 64 + rnd.nextInt(512)
+      // the server's stored verifier (what CREATE ROLE ... PASSWORD mints)
+      val normalized = java.text.Normalizer
+        .normalize(password, java.text.Normalizer.Form.NFKC)
+      val spec = new PBEKeySpec(normalized.toCharArray, salt, iterations, 256)
+      val saltedPassword = javax.crypto.SecretKeyFactory
+        .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+      val storedKey = h(hmac(saltedPassword, "Client Key"))
+      val serverKey = hmac(saltedPassword, "Server Key")
+
+      val client = new ScramClient(password)
+      val clientFirst = client.clientFirstMessage
+      val clientFirstBare = clientFirst.stripPrefix("n,,")
+      val serverNonce = clientFirstBare.split("r=", 2)(1) + "SRV" + rnd.nextInt(1 << 20)
+      val serverFirst =
+        s"r=$serverNonce,s=${b64e.encodeToString(salt)},i=$iterations"
+      val clientFinal = client.clientFinalMessage(serverFirst)
+      // server verifies the proof: ClientKey = proof XOR ClientSignature,
+      // H(ClientKey) must equal StoredKey (RFC 5802 §3)
+      val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+      val proof = b64d.decode(clientFinal.split(",p=", 2)(1))
+      val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+      val clientSig = hmac(storedKey, authMessage)
+      val clientKey = proof.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+      assert(java.util.Arrays.equals(h(clientKey), storedKey),
+        s"proof failed for password '$password' i=$iterations")
+      // and the client accepts the genuine server signature, rejects a fake
+      client.verifyServerFinal(
+        "v=" + b64e.encodeToString(hmac(serverKey, authMessage)))
+      val wrong = new ScramClient(password + "x")
+      val wrongBare = wrong.clientFirstMessage.stripPrefix("n,,")
+      val wrongServerFirst = // same salt/iterations, the wrong client's nonce
+        s"r=${wrongBare.split("r=", 2)(1)}SRV2," +
+          s"s=${b64e.encodeToString(salt)},i=$iterations"
+      val wf = wrong.clientFinalMessage(wrongServerFirst)
+      val wProof = b64d.decode(wf.split(",p=", 2)(1))
+      val wAuth = s"$wrongBare,$wrongServerFirst," +
+        wf.substring(0, wf.lastIndexOf(",p="))
+      val wKey = wProof.zip(hmac(storedKey, wAuth)).map { case (a, b) => (a ^ b).toByte }
+      assert(!java.util.Arrays.equals(h(wKey), storedKey),
+        "a wrong-password proof must not verify")
+    }
+  }
+
   test("random-nonce client produces distinct printable nonces") {
     val a = new ScramClient("pw").clientFirstMessage
     val b = new ScramClient("pw").clientFirstMessage
