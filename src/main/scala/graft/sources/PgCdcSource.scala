@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -195,6 +195,12 @@ trait ReplicationConduit extends AutoCloseable {
     * may be reclaimed. The engine calls this ONLY from `commit(end)` —
     * strictly after Spark checkpointed the batch (K2, at-least-once). */
   def setFlushedLSN(lsn: Long): Unit
+  /** Best-effort observability snapshot: (server WAL high-water this
+    * session has received up to — the walEnd of the latest data/keepalive
+    * message — , last flush-confirmed LSN). Feeds the source's
+    * `StreamingQueryProgress` metrics (`replicationLagBytes`); None where
+    * the transport doesn't track positions (scripted test conduits). */
+  def walPositions: Option[(Long, Long)] = None
   def close(): Unit
 }
 
@@ -304,7 +310,8 @@ final class PgCdcMicroBatch(
     reconnectRetries: Int = 0,
     reconnectBackoffMs: Long = 1000L)
     extends MicroBatchStream with SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   import graft.decode.{ChangeEvent, ChangeEventBuilder, PgOutputDecoder, SchemaRegistry}
 
@@ -434,6 +441,27 @@ final class PgCdcMicroBatch(
     lastEventLsn = Long.MinValue
     builder = new graft.decode.ChangeEventBuilder(registry,
       emitTxnMarkers = txnMarkers, emitMessages = messages)
+    reconnects += 1
+  }
+
+  private var reconnects = 0L
+
+  /** Surfaced per micro-batch in `StreamingQueryProgress.sources[i]
+    * .metrics` — the production lag dashboard: how far the server's sent
+    * WAL runs ahead of our durable flush (bytes of unconfirmed WAL the
+    * server must retain), decoded-but-uncommitted frames held on the
+    * driver, and in-place conduit reconnects since query start. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]
+    m.put("bufferedFrames", buffered.size.toString)
+    m.put("reconnects", reconnects.toString)
+    activeConduit.walPositions.foreach { case (received, flushed) =>
+      m.put("serverWalEnd", received.toString)
+      m.put("flushedLsn", flushed.toString)
+      m.put("replicationLagBytes", math.max(0L, received - flushed).toString)
+    }
+    m
   }
 
   private def drain(cap: Long): Unit = {
@@ -657,6 +685,7 @@ final class PgJdbcConduit(dsn: String, slot: String, publication: String)
       buf.get(bytes)
       val lsn = call(call(stream, "getLastReceiveLSN"), "asLong")
         .asInstanceOf[java.lang.Long].longValue()
+      lastReceived = math.max(lastReceived, lsn)
       (lsn, bytes)
     }
   }
@@ -665,7 +694,12 @@ final class PgJdbcConduit(dsn: String, slot: String, publication: String)
     call(stream, "setFlushedLSN", lsnOf(lsn))
     call(stream, "setAppliedLSN", lsnOf(lsn))
     call(stream, "forceUpdateStatus")
+    lastFlushed = math.max(lastFlushed, lsn)
   }
+
+  @volatile private var lastReceived = 0L
+  @volatile private var lastFlushed = 0L
+  override def walPositions: Option[(Long, Long)] = Some((lastReceived, lastFlushed))
 
   override def close(): Unit = {
     running = false

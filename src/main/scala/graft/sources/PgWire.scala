@@ -584,6 +584,8 @@ final class PgWireConduit(
     sendStatus(replyRequested = false)
   }
 
+  override def walPositions: Option[(Long, Long)] = Some((received, flushed))
+
   override def close(): Unit = {
     running = false
     if (keepalive != null) keepalive.interrupt()

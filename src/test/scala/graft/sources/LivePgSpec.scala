@@ -1329,6 +1329,13 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(spark.sql(
           "SELECT count(DISTINCT after['id']) FROM livepg_rc WHERE op = 'I'"
         ).head().getLong(0) === 20)
+        // the healed source reports the bounce and live lag positions in
+        // the streaming progress metrics (ReportsSourceMetrics)
+        val m = q.lastProgress.sources.head.metrics
+        assert(m.get("reconnects").toLong >= 1, s"metrics: $m")
+        assert(m.get("serverWalEnd").toLong > 0 &&
+          m.containsKey("replicationLagBytes") && m.containsKey("flushedLsn"),
+          s"missing live lag metrics: $m")
       } finally q.stop()
     } finally {
       try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_rc')")

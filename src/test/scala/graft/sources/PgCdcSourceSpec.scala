@@ -376,7 +376,10 @@ class PgCdcSourceSpec extends AnyFunSuite {
         val f = encoded(cursor); cursor += 1; Some(f)
       } else None
     }
-    override def setFlushedLSN(lsn: Long): Unit = ()
+    override def setFlushedLSN(lsn: Long): Unit = synchronized { flushedTo = math.max(flushedTo, lsn) }
+    @volatile var flushedTo = 0L
+    override def walPositions: Option[(Long, Long)] =
+      Some((encoded.lastOption.map(_._1).getOrElse(0L), flushedTo))
     override def close(): Unit = ()
   }
 
@@ -465,7 +468,17 @@ class PgCdcSourceSpec extends AnyFunSuite {
         ()
       }
       .start()
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
+    // the source reports production lag metrics in the streaming progress
+    // (ReportsSourceMetrics): reconnect count, server high-water vs durable
+    // flush, and decoded-but-uncommitted frames held on the driver
+    val metrics = q.lastProgress.sources.head.metrics
+    assert(metrics.get("reconnects") === "1", s"metrics: $metrics")
+    assert(metrics.get("serverWalEnd") === "203")
+    assert(metrics.containsKey("replicationLagBytes") &&
+      metrics.containsKey("flushedLsn") && metrics.containsKey("bufferedFrames"),
+      s"missing lag metrics: $metrics")
+    q.stop()
     val all = got.synchronized(got.toVector)
     // the death + factory rebuild happened (initial start + reconnect)
     assert(mc.starts >= 2, s"expected a reconnect start, got ${mc.starts}")
