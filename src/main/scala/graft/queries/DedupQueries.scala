@@ -587,6 +587,49 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/val/test split: the split key is the NEAR-DUP
+    // cluster representative (connected component over the banded-LSH
+    // candidate graph; singleton docs key on themselves), so every member
+    // of a dup cluster lands in the same split BY CONSTRUCTION — no
+    // near-duplicate of a held-out document can leak into train. The
+    // audit column quantifies the alternative: `naive_leaky_groups`
+    // counts clusters whose members a per-doc-id hash split would have
+    // scattered across splits (test-set contamination). Scale: the LSH
+    // candidate pipeline is the shared df-capped band join (never
+    // all-pairs), CC is the hybrid union-find/label-propagation operator,
+    // and the rest is two group-keyed hash aggs — no windows, no
+    // corpus-sized collects.
+    "dedup_leakage_split" -> ((s, d) => {
+      val clusters = graft.operators.Graph
+        .connectedComponents(minhashCandidatePairs(s, d))
+        .select(col("vertex").as("doc_id"), col("component").as("ck"))
+      val labeled = Tables.documents(s, d).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("ck"), col("doc_id")))
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(cast(grp as string)), 1, 2), 16, 10) as int)"))
+        .withColumn("split",
+          when(col("bucket") < 208, "train")
+            .when(col("bucket") < 232, "val").otherwise("test"))
+        .withColumn("nbucket", expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+        .withColumn("naive_split",
+          when(col("nbucket") < 208, "train")
+            .when(col("nbucket") < 232, "val").otherwise("test"))
+      labeled
+        .groupBy(col("grp"), col("split"))
+        .agg(count(lit(1)).as("copies"),
+          countDistinct(col("naive_split")).as("naive_splits"))
+        .groupBy(col("split"))
+        .agg(sum(col("copies")).as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("copies") > 1, col("copies")).otherwise(lit(0L)))
+            .as("clustered_docs"),
+          sum(when(col("naive_splits") > 1, 1L).otherwise(0L))
+            .as("naive_leaky_groups"))
+        .orderBy(col("split"))
+    }),
+
     // Sketch-quality gate for the MinHash estimator: over the LSH candidate
     // pairs, the signature-agreement Jaccard ESTIMATE (matching positions /
     // 12) is compared against the EXACT capped-universe Jaccard; the query
@@ -977,6 +1020,43 @@ object DedupQueries {
                   ELSE e.doc_id END AS keeper
            FROM ex e JOIN ek k USING (h) LEFT JOIN comp c ON e.doc_id = c.doc_id) t
          ORDER BY doc_id""",
+
+    "dedup_leakage_split" ->
+      s"""WITH RECURSIVE sigs AS ($MinhashSql),
+            banded AS (
+              SELECT doc_id, CAST(b AS VARCHAR) || '|' || sig[3*b+1] || '|' || sig[3*b+2] || '|' || sig[3*b+3] AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+              FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+            edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                      UNION SELECT b_id AS u, a_id AS v FROM pairs),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS ck FROM reach GROUP BY u),
+            g AS (
+              SELECT d.doc_id, COALESCE(c.ck, d.doc_id) AS grp
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+            sp AS (
+              SELECT grp,
+                CASE WHEN gb < 208 THEN 'train' WHEN gb < 232 THEN 'val' ELSE 'test' END AS split,
+                CASE WHEN nb < 208 THEN 'train' WHEN nb < 232 THEN 'val' ELSE 'test' END AS naive_split
+              FROM (
+                SELECT doc_id, grp,
+                  (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 1, 1)) - 1) * 16 +
+                  (strpos('0123456789abcdef', substr(md5(CAST(grp AS VARCHAR)), 2, 1)) - 1) AS gb,
+                  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS nb
+                FROM g) b),
+            pg AS (
+              SELECT grp, split, COUNT(*) AS copies, COUNT(DISTINCT naive_split) AS naive_splits
+              FROM sp GROUP BY 1, 2)
+         SELECT split, CAST(SUM(copies) AS BIGINT) AS n_docs, COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT) AS clustered_docs,
+           CAST(SUM(CASE WHEN naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaky_groups
+         FROM pg GROUP BY 1 ORDER BY split""",
 
     "dedup_minhash_estimate" ->
       s"""WITH sigs AS ($MinhashSql),

@@ -401,6 +401,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_leakage_split: group-keyed hash aggs only — no window, no cross product") {
+    val p = plan("dedup_leakage_split")
+    // cluster-then-split is two hash aggs over the group key: nothing may
+    // sort the corpus under a global window or multiply rows
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_pack_offsets: exactly one single-partition exchange (the bucket-offset table)") {
     val p = plan("text_pack_offsets")
     // the corpus-side running sum partitions by bucket; only the
