@@ -1343,4 +1343,107 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       try sql.close() catch { case _: Throwable => () }
     }
   }
+
+  test("secured reconnect live: the in-place rebuild RE-AUTHENTICATES — a " +
+      "TLS-only SCRAM role streams through a server bounce (the factory " +
+      "re-runs SSLRequest + SCRAM-SHA-256-PLUS from the DSv2 options)") {
+    live()
+    var sql = sqlConn()
+    try {
+      // hostssl-only SCRAM posture (same recipe as the TLS live test):
+      // cert in the data dir, ssl=on via ALTER SYSTEM (persists in
+      // postgresql.auto.conf ACROSS the bounce), first-match hba rules
+      assert(asPostgres(s"cd ${dataDir.getAbsolutePath} && " +
+        "openssl req -new -x509 -days 2 -nodes -out rc2.crt " +
+        "-keyout rc2.key -subj '/CN=localhost' && chmod 600 rc2.key") === 0)
+      sql.simpleQuery("ALTER SYSTEM SET ssl = 'on'")
+      sql.simpleQuery("ALTER SYSTEM SET ssl_cert_file = 'rc2.crt'")
+      sql.simpleQuery("ALTER SYSTEM SET ssl_key_file = 'rc2.key'")
+      sql.simpleQuery("SET password_encryption = 'scram-sha-256'")
+      sql.simpleQuery(
+        "CREATE ROLE rc2_user LOGIN REPLICATION SUPERUSER PASSWORD 'bounce-me'")
+      assert(asPostgres(s"cd ${dataDir.getAbsolutePath} && " +
+        "{ echo 'hostssl all rc2_user 127.0.0.1/32 scram-sha-256'; " +
+        "echo 'hostssl replication rc2_user 127.0.0.1/32 scram-sha-256'; " +
+        "echo 'host all rc2_user 127.0.0.1/32 reject'; " +
+        "echo 'host replication rc2_user 127.0.0.1/32 reject'; " +
+        "cat pg_hba.conf; } > pg_hba.new && mv pg_hba.new pg_hba.conf") === 0)
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      Thread.sleep(500)
+
+      sql.simpleQuery("CREATE TABLE trc2 (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_rc2 FOR TABLE trc2")
+      val pin = new PgWireConduit("127.0.0.1", port, "postgres", "rc2_user",
+        Some("bounce-me"), "graft_slot_rc2", "graft_pub_rc2", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L, ssl = true)
+      pin.start(0L); pin.close()
+      sql.simpleQuery("INSERT INTO trc2 SELECT g, 'a' || g FROM generate_series(1, 5) g")
+
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sparkStarted = spark
+      val q = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "pgwire")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("database", "postgres").option("user", "rc2_user")
+        .option("password", "bounce-me").option("ssl", "true")
+        .option("slot", "graft_slot_rc2").option("publication", "graft_pub_rc2")
+        .option("statusIntervalMs", "300")
+        .option("reconnectRetries", "10").option("reconnectBackoffMs", "500")
+        .load()
+        .writeStream.format("memory").queryName("livepg_rc2")
+        .option("checkpointLocation",
+          Files.createTempDirectory("livepg-rc2-ckpt").toString)
+        .start()
+      try {
+        def dmlCount(): Long = spark.sql(
+          "SELECT count(*) FROM livepg_rc2 WHERE op = 'I'").head().getLong(0)
+        var deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (dmlCount() < 5 && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(dmlCount() === 5)
+
+        val restartPb = new ProcessBuilder("su", "postgres", "-s", "/bin/bash", "-c",
+          s"pg_ctl -D ${dataDir.getAbsolutePath} -m immediate -w restart " +
+            s"-l ${workDir.getAbsolutePath}/server.log")
+        restartPb.directory(new File("/tmp"))
+        restartPb.redirectErrorStream(true)
+        val restartProc = restartPb.start()
+        val restartOut = new String(restartProc.getInputStream.readAllBytes())
+        assert(restartProc.waitFor() === 0, s"pg_ctl restart failed:\n$restartOut")
+
+        try sql.close() catch { case _: Throwable => () }
+        val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var sqlUp: PgWireConnection = null
+        while (sqlUp == null && System.nanoTime() < d2) {
+          try sqlUp = sqlConn()
+          catch { case _: Throwable => Thread.sleep(250) }
+        }
+        assert(sqlUp != null, "server did not come back after restart")
+        sql = sqlUp
+        sql.simpleQuery("INSERT INTO trc2 SELECT g, 'b' || g FROM generate_series(6, 10) g")
+        deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (dmlCount() < 10 && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(dmlCount() === 10,
+          "secured stream did not resume (re-auth reconnect failed)")
+        assert(spark.sql(
+          "SELECT count(DISTINCT after['id']) FROM livepg_rc2 WHERE op = 'I'"
+        ).head().getLong(0) === 10)
+        val m = q.lastProgress.sources.head.metrics
+        assert(m.get("reconnects").toLong >= 1, s"metrics: $m")
+      } finally q.stop()
+    } finally {
+      try {
+        sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_rc2')")
+      } catch { case _: Throwable => () }
+      try {
+        sql.simpleQuery("ALTER SYSTEM SET ssl = 'off'")
+        sql.simpleQuery("SELECT pg_reload_conf()")
+        sql.simpleQuery("DROP ROLE IF EXISTS rc2_user")
+      } catch { case _: Throwable => () }
+      try sql.close() catch { case _: Throwable => () }
+    }
+  }
 }
