@@ -491,6 +491,53 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(all.size === 11, s"duplicate delivery: ${all.sortBy(_._1)}")
   }
 
+  test("reconnect crash-point sweep: exactly-once and stable offsets hold " +
+      "for a conduit death after EVERY possible delivered-frame count " +
+      "(mid-txn, at txn boundaries, mid-second-txn)") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val rel = Relation(8, "public", "rcs", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def ins(i: Int) = Insert(8, TupleData(Vector(t(i.toString))))
+    val frames: Seq[(Long, PgOutputMessage)] =
+      Seq(0L -> (rel: PgOutputMessage), 99L -> Begin(110, 1000, 5)) ++
+        (1 to 9).map(i => (99L + i) -> (ins(i): PgOutputMessage)) ++
+        Seq(110L -> Commit(0, 110, 110, 1000),
+          200L -> Begin(203, 2000, 6),
+          201L -> ins(10), 202L -> ins(11),
+          203L -> Commit(0, 203, 203, 2000))
+    for (crashAfter <- 1 to 14) {
+      val mc = new TxnResendConduit(frames)
+      mc.failAfterReads = crashAfter.toLong
+      PgCdcConduits.register(s"mc_sweep_$crashAfter", mc)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "conduit").option("conduit.name", s"mc_sweep_$crashAfter")
+        .option("maxFramesPerTrigger", "4")
+        .option("reconnectRetries", "3").option("reconnectBackoffMs", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"conduit_sweep_$crashAfter").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.selectExpr("lsn", "after['id']").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val all = got.synchronized(got.toVector)
+      assert(all.map(_._2).toSet === (1 to 11).map(_.toString).toSet,
+        s"crashAfter=$crashAfter: missing rows in ${all.sortBy(_._1)}")
+      assert(all.size === 11,
+        s"crashAfter=$crashAfter: duplicate delivery ${all.sortBy(_._1)}")
+      val shifted = all.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
+        .filter(_._2.size > 1)
+      assert(shifted.isEmpty,
+        s"crashAfter=$crashAfter: shifted offsets ${shifted.take(3)}")
+    }
+  }
+
   test("drain fails loudly on a mid-stream misordered event beyond the " +
       "restart re-send window (r4 advice: no silent sub-watermark drops)") {
     def t(v: String) = ColumnData('t', Some(v))
