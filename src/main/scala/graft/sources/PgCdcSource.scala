@@ -137,6 +137,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,
           opts.get("messages").exists(_.toBoolean),
+          maxBytesPerTrigger = opts.get("maxBytesPerTrigger").map(_.toLong),
           conduitFactory = Some(() =>
             PgJdbcConduit.open(opts("dsn"), opts("slot"), opts("publication"))),
           reconnectRetries = opts.get("reconnectRetries").map(_.toInt).getOrElse(0),
@@ -150,6 +151,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,
           opts.get("messages").exists(_.toBoolean),
+          maxBytesPerTrigger = opts.get("maxBytesPerTrigger").map(_.toLong),
           // re-acquire under the same name: tests register a conduit whose
           // start() re-arms it after an injected failure
           conduitFactory = Some(() => PgCdcConduits.acquire(opts("conduit.name"))),
@@ -167,6 +169,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           opts.get("txn.markers").exists(_.toBoolean),
           checkpointLocation,
           opts.get("messages").exists(_.toBoolean),
+          maxBytesPerTrigger = opts.get("maxBytesPerTrigger").map(_.toLong),
           conduitFactory = Some(() => PgWireConduit.fromOptions(opts)),
           reconnectRetries = opts.get("reconnectRetries").map(_.toInt).getOrElse(0),
           reconnectBackoffMs =
@@ -302,6 +305,13 @@ final class PgCdcMicroBatch(
     conduit: ReplicationConduit, startLsn: Long, maxFramesPerTrigger: Option[Long],
     txnMarkers: Boolean, checkpointLocation: String,
     messages: Boolean = false,
+    // Byte-based admission (ReadLimit.maxBytes, composable with the frame
+    // cap): bounds a trigger by WIRE PAYLOAD bytes, the budget that
+    // actually tracks executor memory when row width is wildly variable
+    // (TOASTed documents vs narrow keys). Soft cap, Kafka-style: a batch
+    // always admits at least one frame, so a single over-budget row
+    // cannot stall the stream.
+    maxBytesPerTrigger: Option[Long] = None,
     // Opt-in IN-PLACE reconnect: on a retryable conduit error (socket EOF,
     // walsender shutdown, SQL failure) build a fresh conduit from the
     // factory and resume from bufferedThrough — the stream survives a
@@ -320,8 +330,10 @@ final class PgCdcMicroBatch(
   private var builder = new ChangeEventBuilder(registry,
     emitTxnMarkers = txnMarkers, emitMessages = messages)
   private var started = false
-  // decoded, not-yet-committed events per frame LSN (ascending)
-  private val buffered = scala.collection.mutable.ArrayDeque.empty[(Long, Seq[ChangeEvent])]
+  // decoded, not-yet-committed (lsn, events, wire-payload bytes) per frame,
+  // LSN-ascending; the byte size feeds ReadMaxBytes admission + metrics
+  private val buffered =
+    scala.collection.mutable.ArrayDeque.empty[(Long, Seq[ChangeEvent], Long)]
   private var bufferedThrough: Long = Long.MinValue
 
   private def registryPath: java.nio.file.Path =
@@ -455,6 +467,7 @@ final class PgCdcMicroBatch(
       : java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String]
     m.put("bufferedFrames", buffered.size.toString)
+    m.put("bufferedBytes", buffered.iterator.map(_._3).sum.toString)
     m.put("reconnects", reconnects.toString)
     activeConduit.walPositions.foreach { case (received, flushed) =>
       m.put("serverWalEnd", received.toString)
@@ -464,19 +477,23 @@ final class PgCdcMicroBatch(
     m
   }
 
-  private def drain(cap: Long): Unit = {
+  private def drain(cap: Long, capBytes: Long = Long.MaxValue): Unit = {
     var n = 0L
+    var bytes = 0L
     var more = true
-    while (n < cap && more) readWithReconnect() match {
+    // byte cap is soft (checked AFTER admitting): one over-budget frame
+    // still enters the batch, so progress is guaranteed
+    while (n < cap && bytes < capBytes && more) readWithReconnect() match {
       case Some((rawLsn, payload)) =>
         val assigned = if (rawLsn > lastEventLsn) rawLsn else lastEventLsn + 1
         val events = builder.processRaw(assigned, payload)
         if (events.nonEmpty) {
           lastEventLsn = assigned
           if (assigned > bufferedThrough) {
-            buffered.append((assigned, events))
+            buffered.append((assigned, events, payload.length.toLong))
             bufferedThrough = assigned
             n += 1
+            bytes += payload.length
           }
           // else: the re-sent prefix of a transaction the checkpoint
           // already covers — when a restart offset lands MID-transaction
@@ -518,8 +535,30 @@ final class PgCdcMicroBatch(
   override def initialOffset(): Offset = LsnOffset(startLsn)
   override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFramesPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = maxFramesPerTrigger.map(ReadLimit.maxRows).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    lims match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** (frame cap, byte cap) from a ReadLimit; composites take the tightest
+    * of each dimension. */
+  private def capsOf(limit: ReadLimit): (Long, Long) = limit match {
+    case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      (rl.maxRows(), Long.MaxValue)
+    case rb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      (Long.MaxValue, rb.maxBytes())
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(capsOf)
+        .foldLeft((Long.MaxValue, Long.MaxValue)) { case ((f1, b1), (f2, b2)) =>
+          (math.min(f1, f2), math.min(b1, b2))
+        }
+    case _ => (Long.MaxValue, Long.MaxValue)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
@@ -527,25 +566,29 @@ final class PgCdcMicroBatch(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[LsnOffset].lsn
     ensureStarted(from)
-    val cap = limit match {
-      case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => rl.maxRows()
-      case _ => Long.MaxValue
-    }
+    val (cap, capBytes) = capsOf(limit)
     if (!availableNowArmed) {
-      drain(cap)
+      drain(cap, capBytes)
       LsnOffset(math.max(from, bufferedThrough))
     } else {
       if (pinnedEnd == Long.MinValue) {
         drain(Long.MaxValue)
         pinnedEnd = bufferedThrough
       }
-      if (cap == Long.MaxValue) LsnOffset(math.max(from, pinnedEnd))
+      if (cap == Long.MaxValue && capBytes == Long.MaxValue)
+        LsnOffset(math.max(from, pinnedEnd))
       else {
-        // admission-controlled: advance at most `cap` frames toward the pin
-        val target = buffered.iterator.map(_._1)
-          .filter(l => l > from && l <= pinnedEnd)
-          .take(math.min(cap, Int.MaxValue).toInt)
-          .foldLeft(from)((_, l) => l)
+        // admission-controlled: advance toward the pin until either the
+        // frame cap or the (soft) byte budget is spent
+        var target = from
+        var nf = 0L
+        var nb = 0L
+        val it = buffered.iterator
+          .filter { case (l, _, _) => l > from && l <= pinnedEnd }
+        while (nf < cap && nb < capBytes && it.hasNext) {
+          val (l, _, b) = it.next()
+          target = l; nf += 1; nb += b
+        }
         LsnOffset(math.max(from, target))
       }
     }
@@ -563,7 +606,7 @@ final class PgCdcMicroBatch(
       s"pgcdc: conduit could not replay WAL through $e (got $bufferedThrough) — " +
         "the server/slot no longer retains the unflushed tail")
     val events = buffered.iterator
-      .filter { case (lsn, _) => lsn > s && lsn <= e }
+      .filter { case (lsn, _, _) => lsn > s && lsn <= e }
       .flatMap(_._2).toArray
     if (events.isEmpty) Array.empty
     else Array(EnvelopeEventsPartition(events))

@@ -538,6 +538,57 @@ class PgCdcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("maxBytesPerTrigger: byte-budget admission splits the backlog into " +
+      "multiple batches (soft cap — every batch admits at least one frame), " +
+      "composes with maxFramesPerTrigger, all rows exactly once") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val rel = Relation(9, "public", "bb", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def ins(i: Int) = Insert(9, TupleData(Vector(t(i.toString))))
+    val frames: Seq[(Long, PgOutputMessage)] =
+      Seq(0L -> (rel: PgOutputMessage), 99L -> Begin(110, 1000, 5)) ++
+        (1 to 9).map(i => (99L + i) -> (ins(i): PgOutputMessage)) ++
+        Seq(110L -> Commit(0, 110, 110, 1000))
+    def run(opts: Map[String, String], availableNow: Boolean = false): Vector[Int] = {
+      val name = "bb_" + opts.hashCode.abs + (if (availableNow) "_an" else "")
+      PgCdcConduits.register(name, new TxnResendConduit(frames))
+      val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var r = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "conduit").option("conduit.name", name)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      var w = r.load().writeStream
+        .option("checkpointLocation", Files.createTempDirectory("bb").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count().toInt
+          if (n > 0) batchSizes.synchronized { batchSizes += n }
+          ()
+        }
+      if (availableNow) w = w.trigger(Trigger.AvailableNow())
+      val q = w.start()
+      if (availableNow) assert(q.awaitTermination(60000), "must terminate")
+      else { q.processAllAvailable(); q.stop() }
+      batchSizes.synchronized(batchSizes.toVector)
+    }
+    // a 1-byte budget degenerates to one frame per batch (soft cap):
+    // 9 single-row batches, never a stall
+    val tiny = run(Map("maxBytesPerTrigger" -> "1"))
+    assert(tiny === Vector.fill(9)(1), s"got $tiny")
+    // a generous byte budget with a 4-frame cap: the composite takes the
+    // tighter dimension → 4+4+1
+    val framed = run(Map(
+      "maxBytesPerTrigger" -> "1000000", "maxFramesPerTrigger" -> "4"))
+    assert(framed === Vector(4, 4, 1), s"got $framed")
+    // a mid-size byte budget batches by accumulated payload; every row
+    // still arrives exactly once
+    val mid = run(Map("maxBytesPerTrigger" -> "60"))
+    assert(mid.sum === 9 && mid.size > 1 && mid.size < 9, s"got $mid")
+    // Trigger.AvailableNow under a byte budget: the pinned backlog drains
+    // in byte-bounded batches and the query TERMINATES (the pinned-advance
+    // loop spends the budget, never spins)
+    val an = run(Map("maxBytesPerTrigger" -> "60"), availableNow = true)
+    assert(an.sum === 9 && an.size > 1, s"got $an")
+  }
+
   test("drain fails loudly on a mid-stream misordered event beyond the " +
       "restart re-send window (r4 advice: no silent sub-watermark drops)") {
     def t(v: String) = ColumnData('t', Some(v))
