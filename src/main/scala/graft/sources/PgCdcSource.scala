@@ -138,6 +138,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           checkpointLocation,
           opts.get("messages").exists(_.toBoolean),
           maxBytesPerTrigger = opts.get("maxBytesPerTrigger").map(_.toLong),
+          minPartitions = opts.get("minPartitions").map(_.toInt).getOrElse(1),
           conduitFactory = Some(() =>
             PgJdbcConduit.open(opts("dsn"), opts("slot"), opts("publication"))),
           reconnectRetries = opts.get("reconnectRetries").map(_.toInt).getOrElse(0),
@@ -152,6 +153,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           checkpointLocation,
           opts.get("messages").exists(_.toBoolean),
           maxBytesPerTrigger = opts.get("maxBytesPerTrigger").map(_.toLong),
+          minPartitions = opts.get("minPartitions").map(_.toInt).getOrElse(1),
           // re-acquire under the same name: tests register a conduit whose
           // start() re-arms it after an injected failure
           conduitFactory = Some(() => PgCdcConduits.acquire(opts("conduit.name"))),
@@ -170,6 +172,7 @@ final class PgCdcScan(opts: Map[String, String]) extends Scan {
           checkpointLocation,
           opts.get("messages").exists(_.toBoolean),
           maxBytesPerTrigger = opts.get("maxBytesPerTrigger").map(_.toLong),
+          minPartitions = opts.get("minPartitions").map(_.toInt).getOrElse(1),
           conduitFactory = Some(() => PgWireConduit.fromOptions(opts)),
           reconnectRetries = opts.get("reconnectRetries").map(_.toInt).getOrElse(0),
           reconnectBackoffMs =
@@ -312,6 +315,13 @@ final class PgCdcMicroBatch(
     // always admits at least one frame, so a single over-budget row
     // cannot stall the stream.
     maxBytesPerTrigger: Option[Long] = None,
+    // Fan a batch's envelope rows out over N input partitions (Kafka's
+    // minPartitions): downstream per-batch transforms (compaction, derived
+    // views) parallelize instead of funneling through one task. Opt-in —
+    // event order across partitions is NOT preserved (Spark never
+    // guarantees inter-partition order); consumers already sequence by
+    // the lsn column.
+    minPartitions: Int = 1,
     // Opt-in IN-PLACE reconnect: on a retryable conduit error (socket EOF,
     // walsender shutdown, SQL failure) build a fresh conduit from the
     // factory and resume from bufferedThrough — the stream survives a
@@ -609,7 +619,11 @@ final class PgCdcMicroBatch(
       .filter { case (lsn, _, _) => lsn > s && lsn <= e }
       .flatMap(_._2).toArray
     if (events.isEmpty) Array.empty
-    else Array(EnvelopeEventsPartition(events))
+    else if (minPartitions <= 1) Array(EnvelopeEventsPartition(events))
+    else {
+      val per = math.max(1, (events.length + minPartitions - 1) / minPartitions)
+      events.grouped(per).map(g => EnvelopeEventsPartition(g): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -589,6 +589,38 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(an.sum === 9 && an.size > 1, s"got $an")
   }
 
+  test("minPartitions: a batch's envelope rows fan out over N input " +
+      "partitions (downstream transforms parallelize), all rows delivered") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val rel = Relation(10, "public", "mp", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    val frames: Seq[(Long, PgOutputMessage)] =
+      Seq(0L -> (rel: PgOutputMessage), 99L -> Begin(111, 1000, 5)) ++
+        (1 to 11).map(i =>
+          (99L + i) -> (Insert(10, TupleData(Vector(t(i.toString)))): PgOutputMessage)) ++
+        Seq(111L -> Commit(0, 111, 111, 1000))
+    PgCdcConduits.register("mp_fan", new TxnResendConduit(frames))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[String])]
+    val q = spark.readStream.format("graft.sources.PgCdcProvider")
+      .option("producer", "conduit").option("conduit.name", "mp_fan")
+      .option("minPartitions", "3")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("mp_fan").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.selectExpr("after['id']").collect().map(_.getString(0)).toSeq
+        if (ids.nonEmpty)
+          seen.synchronized { seen += ((b.rdd.getNumPartitions, ids)) }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batches = seen.synchronized(seen.toVector)
+    assert(batches.nonEmpty)
+    assert(batches.exists(_._1 === 3), s"partition counts: ${batches.map(_._1)}")
+    assert(batches.flatMap(_._2).sorted === (1 to 11).map(_.toString).sorted)
+  }
+
   test("drain fails loudly on a mid-stream misordered event beyond the " +
       "restart re-send window (r4 advice: no silent sub-watermark drops)") {
     def t(v: String) = ColumnData('t', Some(v))
