@@ -1799,6 +1799,67 @@ object RelationalQueries {
           col("p50_rank_ok"), col("p90_rank_ok"))
     }),
 
+    // KAPLAN-MEIER survival curve for view→purchase conversion — the
+    // censoring-aware companion to q93/q94's converter-only latency
+    // distribution: a 7-day administrative study window (cut = min ts +
+    // 7 d) right-censors users whose conversion falls outside it, and the
+    // product-limit estimator S(t) = Π_{s≤t} (1 − d_s/n_s) reports the
+    // honest conversion curve (q93's mean over converters only is biased
+    // when the un-converted are dropped). Scale shape: one corpus scan →
+    // per-user (t, status) rows (two user-keyed aggs + one left join),
+    // then ALL survival arithmetic runs on the hour-bucketed life table,
+    // whose row count is bounded by the STUDY WINDOW (≤ 169 hour rows
+    // here) — not by users — so the unpartitioned windows over it are
+    // domain-sized by construction, the same convention as q88's day
+    // series. Determinism: d_s/n_s divisions and the 1−x subtractions
+    // are single correctly-rounded IEEE ops, and the running product
+    // folds left-to-right over the frame-ordered factor list on both
+    // engines (Spark aggregate(collect_list over running frame) ≡ DuckDB
+    // list_reduce(list() over running frame)) — identical FP chains, so
+    // the rounded survival values hash-match exactly.
+    "q95_kaplan_meier" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val pch = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+      val cut = ev.agg((min(unix_micros(col("ts"))) +
+        lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
+      val users = v.join(pch, Seq("user_id"), "left")
+        .crossJoin(broadcast(cut))
+        .filter(unix_micros(col("t_view")) < col("cut_us"))
+        .withColumn("status",
+          when(col("t_p").isNotNull && unix_micros(col("t_p")) <= col("cut_us"),
+            1L).otherwise(0L))
+        .withColumn("d_us",
+          when(col("status") === 1L,
+            unix_micros(col("t_p")) - unix_micros(col("t_view")))
+            .otherwise(col("cut_us") - unix_micros(col("t_view"))))
+        .select(col("status"), expr("d_us div 3600000000").as("t"))
+      val nTot = users.agg(count(lit(1)).as("n"))
+      val tbl = users.groupBy(col("t"))
+        .agg(sum(col("status")).as("d"), sum(lit(1L) - col("status")).as("c"))
+      // life-table windows: ordered over the ≤169-row hour grid (domain-
+      // sized by the study window — see scale note above)
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl.crossJoin(broadcast(nTot))
+        .withColumn("n_risk",
+          col("n") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("factor",
+          lit(1.0) - col("d").cast(DoubleType) / col("n_risk"))
+        .withColumn("fl", collect_list(col("factor")).over(wRun))
+        .filter(col("d") > 0)
+        .select(col("t").as("t_hours"), col("n_risk"),
+          col("d").as("n_events"), col("c").as("n_censored"),
+          round(aggregate(col("fl"), lit(1.0),
+            (acc, x) => acc * x), 6).as("survival"))
+        .orderBy(col("t_hours"))
+    }),
+
     // CUSUM change-point detection — "did the daily level shift, and
     // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
     // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
@@ -2972,6 +3033,52 @@ object RelationalQueries {
            round(CAST(ssum AS DOUBLE) / n / 1000000.0, 6) AS mean_s,
            TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
          FROM agg""",
+
+    // product-limit estimator over the hour-bucketed life table; the
+    // running product folds the frame-ordered factor list left-to-right
+    // (list_reduce's first-element seed ≡ Spark's 1.0 seed: 1.0·f1 = f1
+    // exactly), matching the Spark FP chain bit-for-bit
+    "q95_kaplan_meier" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         pch AS (
+           SELECT e.user_id, MIN(e.ts) AS t_p
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY 1),
+         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events),
+         users AS (
+           SELECT CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                       THEN 1 ELSE 0 END AS status,
+             CAST((CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                   THEN epoch_us(p.t_p) - epoch_us(v.t_view)
+                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
+               AS BIGINT) AS t
+           FROM v LEFT JOIN pch p ON v.user_id = p.user_id, cut
+           WHERE epoch_us(v.t_view) < cut_us),
+         n_tot AS (SELECT COUNT(*) AS n FROM users),
+         tbl AS (
+           SELECT t, CAST(SUM(status) AS BIGINT) AS d,
+             CAST(SUM(1 - status) AS BIGINT) AS c
+           FROM users GROUP BY t),
+         r AS (
+           SELECT t, d, c,
+             CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+           FROM tbl, n_tot),
+         f AS (
+           SELECT t, d, c, n_risk,
+             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+           FROM r),
+         s AS (
+           SELECT *, list(factor) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl
+           FROM f)
+         SELECT t AS t_hours, n_risk, d AS n_events, c AS n_censored,
+           round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
+         FROM s WHERE d > 0 ORDER BY t_hours""",
 
     // integer-scaled CUSUM argmax, earliest-day tie-break
     "q88_cusum" ->

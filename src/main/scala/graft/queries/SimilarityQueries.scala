@@ -291,6 +291,60 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // kNN LABEL CLASSIFIER over the IVF-cell-blocked candidate graph —
+    // the model-based filter shape of LLM data curation (FineWeb/CCNet
+    // quality classifiers, label-noise audits): every vector is classified
+    // by the MAJORITY label of its 5 nearest same-cell neighbors
+    // (leave-one-out — the vector itself never votes), and the per-label
+    // confusion census (n, correct, accuracy) is the filter's calibration
+    // report. Ties: neighbor rank breaks on (cos DESC, vec_id), the vote
+    // on (count DESC, label ASC) — bit-determined. Scale shape: the pair
+    // join is quadratic in CELL size, never corpus size (the sim_ivf_ann
+    // blocking convention — the trained quantizer caps cell width at
+    // scale), the top-5 window group-limits per source vector, and votes
+    // collapse to ≤ labels rows per vector before the label-sized final
+    // agg; centroids broadcast, the corpus never collects.
+    "sim_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("c_id"))
+      val corpus = e.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("label"), col("c_id").as("cell"),
+          col("embedding"), col("nrm"))
+      val wRank = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id"))
+      val neigh = corpus.as("a").join(corpus.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("a.label").as("true_label"),
+          col("b.vec_id").as("b_id"), col("b.label").as("n_label"),
+          (dotD(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+      val wVote = Window.partitionBy(col("a_id"))
+        .orderBy(col("votes").desc, col("n_label"))
+      val pred = neigh
+        .groupBy(col("a_id"), col("true_label"), col("n_label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrank", row_number().over(wVote))
+        .filter(col("vrank") === 1)
+      pred.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_classified"),
+          sum(when(col("n_label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_classified"), 6))
+        .orderBy(col("true_label"))
+    }),
+
     // Greedy k-center CORESET selection (Gonzalez farthest-point
     // traversal): pick 8 maximally-spread vectors — seed = vec_id 0, then
     // repeatedly the vector FARTHEST (squared L2) from every already-
@@ -1784,6 +1838,39 @@ object SimilarityQueries {
          FROM ($SigSql) t GROUP BY sig ORDER BY sig""",
 
     "sim_ivf_ann" -> s"$IvfAnnSql",
+
+    // same assigned/corpus skeleton as IvfAnnSql, then leave-one-out
+    // majority vote (count DESC, label ASC) per source vector
+    "sim_knn_classify" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+             FROM embeddings WHERE vec_id < 8),
+           assigned AS (
+             SELECT e.vec_id, e.label, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS crank
+             FROM embeddings e CROSS JOIN cents c),
+           corpus AS (SELECT vec_id, label, embedding, c_id AS cell
+                      FROM assigned WHERE crank = 1),
+           neigh AS (
+             SELECT a.vec_id AS a_id, a.label AS true_label, b.label AS n_label,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id)
+                 AS rank
+             FROM corpus a JOIN corpus b
+               ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           votes AS (
+             SELECT a_id, true_label, n_label, COUNT(*) AS votes
+             FROM neigh WHERE rank <= 5 GROUP BY 1, 2, 3),
+           pred AS (
+             SELECT a_id, true_label, n_label FROM votes
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id
+               ORDER BY votes DESC, n_label) = 1)
+         SELECT true_label, COUNT(*) AS n_classified,
+           CAST(SUM(CASE WHEN n_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN n_label = true_label THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS accuracy
+         FROM pred GROUP BY true_label ORDER BY true_label""",
 
     // one assigned table, three probe filters; each sweep point re-ranks
     // inside its probed cells exactly as IvfAnnSql does
