@@ -47,12 +47,21 @@ object TypedView {
     case _ => StringType // text, varchar, json(b), uuid, enums, arrays, …
   }
 
+  /** bytea text → binary. A REAL server's pgoutput emits bytea through the
+    * type's text output function: `\x` + hex under the default
+    * `bytea_output = hex` (pinned live in LivePgSpec's type-matrix test).
+    * Synthetic envelopes may carry base64 instead; base64's alphabet has no
+    * backslash, so the `\x` prefix dispatches unambiguously. */
+  private def byteaColumn(raw: Column): Column =
+    when(raw.startsWith("\\x"), unhex(raw.substr(lit(3), length(raw))))
+      .otherwise(unbase64(raw))
+
   /** Text-format value → typed Column for one relation column. */
   def typedColumn(imageCol: Column, rc: RelationColumn): Column = {
     val raw = element_at(imageCol, rc.name)
     val t = sparkType(rc.typeOid, rc.typeMod)
     val typed = t match {
-      case BinaryType => unbase64(raw) // bytea carried base64 in our envelope
+      case BinaryType => byteaColumn(raw)
       case TimestampType =>
         // pgoutput text like "2021-04-20 20:13:16.867121+00" — normalize the
         // abbreviated "+00" offset so Spark's cast accepts it.
@@ -75,7 +84,7 @@ object TypedView {
     val raw = element_at(imageCol, rc.name)
     sparkType(rc.typeOid, rc.typeMod) match {
       case StringType => raw
-      case BinaryType => unbase64(raw)
+      case BinaryType => byteaColumn(raw)
       case TimestampType =>
         regexp_replace(raw, "([+-]\\d{2})$", "$100").try_cast(TimestampType)
       case other => raw.try_cast(other)

@@ -107,4 +107,22 @@ class TypedViewSpec extends AnyFunSuite {
     assert(v.filter(org.apache.spark.sql.functions.size(
       org.apache.spark.sql.functions.col("_errors")) === 0).count() === 2)
   }
+
+  test("bytea decodes BOTH live hex (\\x..., the real pgoutput text format) " +
+      "and the synthetic base64 envelope form") {
+    import spark.implicits._
+    val rel = Relation(1, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "payload", TypedView.Oid.Bytea, -1)))
+    val env = Seq(
+      Map("id" -> "1", "payload" -> "\\x00ff7a"),            // live hex
+      Map("id" -> "2", "payload" ->
+        java.util.Base64.getEncoder.encodeToString(Array[Byte](0, -1, 0x7a))),
+      Map[String, String]("id" -> "3", "payload" -> null)
+    ).toDF("after")
+    val rows = TypedView.ofAfter(env, rel).orderBy("id").collect()
+    assert(rows(0).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](0, -1, 0x7a))
+    assert(rows(1).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](0, -1, 0x7a))
+    assert(rows(2).isNullAt(1))
+  }
 }

@@ -82,6 +82,9 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         "-c listen_addresses=127.0.0.1", s"-c port=$port",
         s"-c unix_socket_directories=${workDir.getAbsolutePath}",
         "-c wal_sender_timeout=2s", "-c fsync=off",
+        // the type-matrix test pins timestamptz text output; the walsender
+        // renders it in the CLUSTER timezone, so pin it to the engine's UTC
+        "-c timezone=UTC",
         // streamed-txn test: a bulk txn must exceed the decode work memory
         // to stream in v2 segments; 2PC test needs prepared-txn slots
         "-c logical_decoding_work_mem=64kB", "-c max_prepared_transactions=8")
@@ -142,6 +145,119 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       cat.typeName(20, -1)
       assert(cat.cachedTypeCount === n)
     } finally sql.close()
+  }
+
+  test("type matrix live: a real server's text formats for 17 common types " +
+      "flow through the wire decoder into faithful typed-view values") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_tm", "graft_pub_tm", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L)
+    try {
+      sql.simpleQuery(
+        """CREATE TABLE tm (
+             id bigint primary key,
+             b boolean, s2 smallint, s4 integer, s8 bigint,
+             f4 real, f8 double precision, num numeric(12,4),
+             d date, ts timestamp, tstz timestamptz,
+             u uuid, j json, jb jsonb, by bytea,
+             txt text, vc varchar(20), arr integer[])""")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_tm FOR TABLE tm")
+      conduit.start(0L)
+      sql.simpleQuery(
+        """INSERT INTO tm VALUES
+           (1, true, -32768, 2147483647, 9223372036854775807,
+            1.5, 'NaN', -12345.67,
+            '2024-02-29', '2024-03-01 12:34:56.123456',
+            '2024-03-01 12:34:56.123456+00',
+            '550e8400-e29b-41d4-a716-446655440000',
+            '{"a":1}', '{"b":[1,2]}', '\x00ff7a',
+            'héllo — ünïcode ✓', 'vc-value', '{1,2,3}'),
+           (2, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+            NULL, NULL, NULL, NULL, NULL, NULL, NULL)""")
+
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (events.count(_.op == "I") < 2 && System.nanoTime() < deadline) {
+        conduit.read() match {
+          case Some((lsn, payload)) => events ++= builder.processRaw(lsn, payload)
+          case None => Thread.sleep(20)
+        }
+      }
+      val ins = events.filter(_.op == "I")
+      assert(ins.size === 2)
+      val rel = registry.get(ins.head.relationId).get
+
+      // the server's REAL oids/typmods map to the documented Catalyst types
+      import TypedView.Oid
+      val byName = rel.columns.map(c => c.name -> c).toMap
+      assert(byName("b").typeOid === Oid.Bool)
+      assert(byName("s2").typeOid === Oid.Int2)
+      assert(byName("s4").typeOid === Oid.Int4)
+      assert(byName("s8").typeOid === Oid.Int8)
+      assert(byName("f4").typeOid === Oid.Float4)
+      assert(byName("f8").typeOid === Oid.Float8)
+      assert(byName("num").typeOid === Oid.Numeric)
+      assert(TypedView.sparkType(Oid.Numeric, byName("num").typeMod) ===
+        org.apache.spark.sql.types.DecimalType(12, 4))
+      assert(byName("d").typeOid === Oid.Date)
+      assert(byName("ts").typeOid === Oid.Timestamp)
+      assert(byName("tstz").typeOid === Oid.Timestamptz)
+      assert(byName("u").typeOid === Oid.Uuid)
+      assert(byName("j").typeOid === Oid.Json)
+      assert(byName("jb").typeOid === Oid.Jsonb)
+      assert(byName("by").typeOid === Oid.Bytea)
+      assert(byName("txt").typeOid === Oid.Text)
+      assert(byName("vc").typeOid === Oid.Varchar)
+      // int4[] (oid 1007) falls through to the reference's text catch-all
+      assert(TypedView.sparkType(byName("arr").typeOid, -1) ===
+        org.apache.spark.sql.types.StringType)
+
+      // raw wire text: the REAL output-function formats
+      val a = ins(0).after
+      assert(a("b") === "t") // bool text is 't'/'f', not 'true'
+      assert(a("by") === "\\x00ff7a") // bytea_output=hex, NOT base64
+      assert(a("arr") === "{1,2,3}")
+      assert(a("j") === "{\"a\":1}") // json preserves input verbatim
+      assert(a("jb") === "{\"b\": [1, 2]}") // jsonb re-renders canonically
+      assert(a("num") === "-12345.6700") // numeric(12,4) pads to scale
+
+      // typed view over the live envelope rows: faithful values
+      val spark = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      import spark.implicits._
+      val env = Seq(ins(0).after, ins(1).after).toDF("after")
+      val rows = TypedView.ofAfter(env, rel).orderBy("id").collect()
+      val r1 = rows(0)
+      assert(r1.getAs[Long]("id") === 1L)
+      assert(r1.getAs[Boolean]("b") === true)
+      assert(r1.getAs[Short]("s2") === -32768.toShort)
+      assert(r1.getAs[Int]("s4") === Int.MaxValue)
+      assert(r1.getAs[Long]("s8") === Long.MaxValue)
+      assert(r1.getAs[Float]("f4") === 1.5f)
+      assert(r1.getAs[Double]("f8").isNaN)
+      assert(r1.getAs[java.math.BigDecimal]("num").toString === "-12345.6700")
+      assert(r1.getAs[java.sql.Date]("d").toString === "2024-02-29")
+      assert(r1.getAs[java.sql.Timestamp]("ts").toInstant.toString ===
+        "2024-03-01T12:34:56.123456Z")
+      assert(r1.getAs[java.sql.Timestamp]("tstz").toInstant.toString ===
+        "2024-03-01T12:34:56.123456Z")
+      assert(r1.getAs[String]("u") === "550e8400-e29b-41d4-a716-446655440000")
+      assert(r1.getAs[Array[Byte]]("by").toSeq === Seq[Byte](0, -1, 0x7a))
+      assert(r1.getAs[String]("txt") === "héllo — ünïcode ✓")
+      assert(r1.getAs[String]("vc") === "vc-value")
+      assert(r1.getAs[String]("arr") === "{1,2,3}")
+      val r2 = rows(1)
+      assert(r2.getAs[Long]("id") === 2L)
+      assert((1 until rel.columns.size).forall(r2.isNullAt),
+        "all non-pk columns of the NULL row must be typed NULLs")
+    } finally { conduit.close(); sql.close() }
   }
 
   test("live replication: real pgoutput frames decode, state materializes, " +
