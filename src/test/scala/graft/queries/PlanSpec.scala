@@ -747,4 +747,39 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q95 Kaplan-Meier: every window runs on the hour-bucketed life table " +
+      "(study-window-bounded), never on user rows; counts reduce two-phase") {
+    val p = plan("q95_kaplan_meier")
+    // all window specs open on the life-table hour column `t` — a spec on
+    // any user-level column would mean a corpus-sized single partition
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    assert(specHeads.forall(_ == "t"), s"window spec heads=$specHeads\n$p")
+    // the user table collapses via a partial (map-side) hash agg BEFORE any
+    // window sees it, and the 1-row n/cut scalars ride broadcast
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_knn_classify: the pair join is cell-keyed (never all-pairs), " +
+      "every window is per-vector partitioned, votes reduce two-phase") {
+    val p = plan("sim_knn_classify")
+    // no unpartitioned window anywhere: assignment partitions by vec_id,
+    // ranking and voting by a_id
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    assert(specHeads.forall(Set("vec_id", "a_id")),
+      s"window spec heads=$specHeads\n$p")
+    // the only nested-loop is the broadcast of the 8-row centroid table;
+    // the corpus×corpus candidate join must key on the cell id
+    assert(!p.contains("CartesianProduct"), p)
+    val joins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")).toList
+    assert(joins.exists(_.contains("cell")) || p.contains("cell#"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
