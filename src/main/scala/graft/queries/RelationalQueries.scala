@@ -1860,6 +1860,85 @@ object RelationalQueries {
         .orderBy(col("t_hours"))
     }),
 
+    // LOG-RANK TEST — "does arm B convert slower than arm A?" under
+    // censoring: the survival-curve companion to q82's Welch t-test (which
+    // compares means and ignores the un-converted). Arms = q82's md5-bucket
+    // split; per q95's 7-day administrative window, each arm gets a life
+    // table on the shared hour grid, and at every event time the observed
+    // arm-A events are compared against the hypergeometric expectation
+    // E1 = n1·d/n with variance d(n−d)n1n2 / (n²(n−1)); χ² = (O1−ΣE1)²/ΣV.
+    // Scale shape: identical to q95 — corpus → per-user rows → a
+    // study-window-bounded life table; every window and the final sorted
+    // fold run on ≤169 hour rows. Determinism: E1/V numerators and
+    // denominators ride DECIMAL(38,0) exactly (int64 wraps at design
+    // scale) with ONE double division per term, and both term sums fold
+    // left-to-right over the t-sorted list on both engines (q69's
+    // chi-square convention).
+    "q96_logrank" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val pch = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+      val cut = ev.agg((min(unix_micros(col("ts"))) +
+        lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
+      val users = v.join(pch, Seq("user_id"), "left")
+        .crossJoin(broadcast(cut))
+        .filter(unix_micros(col("t_view")) < col("cut_us"))
+        .withColumn("arm", armOf(col("user_id")))
+        .withColumn("status",
+          when(col("t_p").isNotNull && unix_micros(col("t_p")) <= col("cut_us"),
+            1L).otherwise(0L))
+        .withColumn("d_us",
+          when(col("status") === 1L,
+            unix_micros(col("t_p")) - unix_micros(col("t_view")))
+            .otherwise(col("cut_us") - unix_micros(col("t_view"))))
+        .select(col("arm"), col("status"), expr("d_us div 3600000000").as("t"))
+      val na = users.filter(col("arm") === "A").agg(count(lit(1)).as("n_a"))
+      val nb = users.filter(col("arm") === "B").agg(count(lit(1)).as("n_b"))
+      val tbl = users.groupBy(col("t")).agg(
+        sum(when(col("arm") === "A", col("status")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === "A", lit(1L) - col("status")).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === "B", col("status")).otherwise(0L)).as("d2"),
+        sum(when(col("arm") === "B", lit(1L) - col("status")).otherwise(0L)).as("c2"))
+      // at-risk windows: ordered over the ≤169-row hour grid (q95's
+      // domain-sized life-table convention)
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val terms = tbl.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .withColumn("n1",
+          col("n_a") - coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+        .withColumn("n2",
+          col("n_b") - coalesce(sum(col("d2") + col("c2")).over(wPrev), lit(0L)))
+        .withColumn("d", col("d1") + col("d2"))
+        .withColumn("nn", col("n1") + col("n2"))
+        .filter(col("d") > 0)
+        .withColumn("e1",
+          (col("n1").cast(dec) * col("d").cast(dec)).cast(DoubleType) /
+            col("nn").cast(DoubleType))
+        .withColumn("vterm", when(col("nn") > 1,
+          (col("d").cast(dec) * (col("nn") - col("d")).cast(dec) *
+            col("n1").cast(dec) * col("n2").cast(dec)).cast(DoubleType) /
+            (col("nn").cast(dec) * col("nn").cast(dec) *
+              (col("nn") - lit(1L)).cast(dec)).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      terms.agg(
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(col("d1")).as("o1"),
+          aggregate(sort_array(collect_list(struct(col("t"), col("e1")))),
+            lit(0.0), (a, x) => a + x.getField("e1")).as("e1s"),
+          aggregate(sort_array(collect_list(struct(col("t"), col("vterm")))),
+            lit(0.0), (a, x) => a + x.getField("vterm")).as("vs"))
+        .withColumn("chi2",
+          (col("o1").cast(DoubleType) - col("e1s")) *
+            (col("o1").cast(DoubleType) - col("e1s")) / col("vs"))
+        .select(col("n_a"), col("n_b"), col("o1"),
+          round(col("e1s"), 6).as("e1"), round(col("chi2"), 6).as("chi2"),
+          (col("chi2") > 3.841).as("significant"))
+    }),
+
     // CUSUM change-point detection — "did the daily level shift, and
     // when?" as one statistic: the split k maximizing |n·S_k − k·S_n|
     // (the integer-scaled form of max |S_k − (k/n)·S_n|, the classic
@@ -3079,6 +3158,69 @@ object RelationalQueries {
          SELECT t AS t_hours, n_risk, d AS n_events, c AS n_censored,
            round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
          FROM s WHERE d > 0 ORDER BY t_hours""",
+
+    // two-arm life table on the shared hour grid; E1/V ride HUGEINT-exact
+    // numerators with one double division per term (Spark's DECIMAL(38,0)
+    // twin), both sums fold t-sorted left-to-right (q69's convention)
+    "q96_logrank" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         pch AS (
+           SELECT e.user_id, MIN(e.ts) AS t_p
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY 1),
+         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events),
+         users AS (
+           SELECT CASE WHEN
+               (strpos('0123456789abcdef', substr(md5(CAST(v.user_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(md5(CAST(v.user_id AS VARCHAR)), 2, 1)) - 1) < 128
+             THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                  THEN 1 ELSE 0 END AS status,
+             CAST((CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                   THEN epoch_us(p.t_p) - epoch_us(v.t_view)
+                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
+               AS BIGINT) AS t
+           FROM v LEFT JOIN pch p ON v.user_id = p.user_id, cut
+           WHERE epoch_us(v.t_view) < cut_us),
+         na AS (SELECT COUNT(*) AS n_a FROM users WHERE arm = 'A'),
+         nb AS (SELECT COUNT(*) AS n_b FROM users WHERE arm = 'B'),
+         tbl AS (
+           SELECT t,
+             CAST(SUM(CASE WHEN arm = 'A' THEN status ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN arm = 'A' THEN 1 - status ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN arm = 'B' THEN status ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 - status ELSE 0 END) AS BIGINT) AS c2
+           FROM users GROUP BY t),
+         r AS (
+           SELECT t, d1, d2,
+             CAST(n_a - COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+             CAST(n_b - COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2
+           FROM tbl, na, nb),
+         f AS (
+           SELECT t, d1, n1, n2, d1 + d2 AS d, n1 + n2 AS nn
+           FROM r WHERE d1 + d2 > 0),
+         terms AS (
+           SELECT t, d1,
+             CAST(CAST(n1 AS HUGEINT) * d AS DOUBLE) / CAST(nn AS DOUBLE) AS e1,
+             CASE WHEN nn > 1 THEN
+               CAST(CAST(d AS HUGEINT) * (nn - d) * n1 * n2 AS DOUBLE) /
+                 CAST(CAST(nn AS HUGEINT) * nn * (nn - 1) AS DOUBLE)
+             ELSE 0.0 END AS vterm
+           FROM f),
+         agg AS (
+           SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             list_reduce(list(e1 ORDER BY t), (a, b) -> a + b) AS e1s,
+             list_reduce(list(vterm ORDER BY t), (a, b) -> a + b) AS vs
+           FROM terms)
+         SELECT n_a, n_b, o1, round(e1s, 6) AS e1,
+           round((CAST(o1 AS DOUBLE) - e1s) * (CAST(o1 AS DOUBLE) - e1s) / vs, 6) AS chi2,
+           ((CAST(o1 AS DOUBLE) - e1s) * (CAST(o1 AS DOUBLE) - e1s) / vs) > 3.841 AS significant
+         FROM agg, na, nb""",
 
     // integer-scaled CUSUM argmax, earliest-day tie-break
     "q88_cusum" ->

@@ -764,6 +764,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q96 log-rank: both arms' life tables share the hour grid — windows " +
+      "open on `t` only, user rows reduce two-phase first") {
+    val p = plan("q96_logrank")
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    assert(specHeads.forall(_ == "t"), s"window spec heads=$specHeads\n$p")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_knn_classify: the pair join is cell-keyed (never all-pairs), " +
       "every window is per-vector partitioned, votes reduce two-phase") {
     val p = plan("sim_knn_classify")
