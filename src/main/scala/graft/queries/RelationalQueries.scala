@@ -77,6 +77,35 @@ object RelationalQueries {
   private def armOf(c: Column): Column =
     when(md5Bucket256(c) < 128, "A").otherwise("B")
 
+  /** Kaplan-Meier product-limit curve over per-subject `(status: Long,
+    * t: Long)` rows (1 = event at t, 0 = censored at t) — q95's life-table
+    * tail, shared with the streaming twin's state-snapshot read
+    * (`Streams.survivalStates` parity in StreamingSpec). All windows are
+    * ordered over the hour grid, which the administrative study window
+    * bounds (domain-sized — see q95's scale note); the survival product
+    * folds the frame-ordered factor list left-to-right. */
+  private[graft] def kmCurve(users: DataFrame): DataFrame = {
+    val nTot = users.agg(count(lit(1)).as("n"))
+    val tbl = users.groupBy(col("t"))
+      .agg(sum(col("status")).as("d"), sum(lit(1L) - col("status")).as("c"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl.crossJoin(broadcast(nTot))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast(DoubleType) / col("n_risk"))
+      .withColumn("fl", collect_list(col("factor")).over(wRun))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_hours"), col("n_risk"),
+        col("d").as("n_events"), col("c").as("n_censored"),
+        round(aggregate(col("fl"), lit(1.0),
+          (acc, x) => acc * x), 6).as("survival"))
+      .orderBy(col("t_hours"))
+  }
+
   /** Deterministic 1/16 universe-sample predicate (24-bit md5 prefix mod
     * 16) — shared by q70 (join-consistent order sampling) and q85 (row
     * sampling with CI). */
@@ -1837,27 +1866,7 @@ object RelationalQueries {
             unix_micros(col("t_p")) - unix_micros(col("t_view")))
             .otherwise(col("cut_us") - unix_micros(col("t_view"))))
         .select(col("status"), expr("d_us div 3600000000").as("t"))
-      val nTot = users.agg(count(lit(1)).as("n"))
-      val tbl = users.groupBy(col("t"))
-        .agg(sum(col("status")).as("d"), sum(lit(1L) - col("status")).as("c"))
-      // life-table windows: ordered over the ≤169-row hour grid (domain-
-      // sized by the study window — see scale note above)
-      val wPrev = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tbl.crossJoin(broadcast(nTot))
-        .withColumn("n_risk",
-          col("n") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-        .withColumn("factor",
-          lit(1.0) - col("d").cast(DoubleType) / col("n_risk"))
-        .withColumn("fl", collect_list(col("factor")).over(wRun))
-        .filter(col("d") > 0)
-        .select(col("t").as("t_hours"), col("n_risk"),
-          col("d").as("n_events"), col("c").as("n_censored"),
-          round(aggregate(col("fl"), lit(1.0),
-            (acc, x) => acc * x), 6).as("survival"))
-        .orderBy(col("t_hours"))
+      kmCurve(users)
     }),
 
     // LOG-RANK TEST — "does arm B convert slower than arm A?" under

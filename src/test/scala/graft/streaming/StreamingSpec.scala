@@ -252,6 +252,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming survival states reproduce the q95 Kaplan-Meier curve across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evTable = graft.Tables.events(spark, sfDir)
+    val ev = evTable
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .collect().sortBy(e => // in-order delivery at MICROSECOND precision
+        (e._2.getTime / 1000) * 1000000L + e._2.getNanos / 1000)
+    // three cuts: first-view/first-purchase state must survive batch
+    // boundaries (a user whose view lands in batch 1 converts in batch 3)
+    val (b1, rest) = ev.splitAt(ev.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = ms.toDS().toDF("user_id", "ts", "event_type")
+    val q = Streams.survivalStates(src)
+      .toDF("user_id", "t_view_us", "t_p_us")
+      .writeStream.format("memory").queryName("surv_out")
+      .outputMode("update").start()
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    ms.addData(b3.toSeq); q.processAllAvailable()
+    q.stop()
+    // last state per user = max per field (both fields are write-once)
+    val cutUs = evTable.agg(org.apache.spark.sql.functions.min(unix_micros(col("ts"))))
+      .first().getLong(0) + 7L * 24 * 3600 * 1000000L
+    val users = spark.sql(
+      "SELECT user_id, max(t_view_us) AS tv, max(t_p_us) AS tp FROM surv_out GROUP BY user_id")
+      .filter(col("tv") >= 0 && col("tv") < cutUs)
+      .withColumn("status",
+        when(col("tp") >= 0 && col("tp") <= cutUs, 1L).otherwise(0L))
+      .withColumn("d_us", when(col("status") === 1L, col("tp") - col("tv"))
+        .otherwise(lit(cutUs) - col("tv")))
+      .select(col("status"), expr("d_us div 3600000000").as("t"))
+    val got = graft.queries.RelationalQueries.kmCurve(users)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val expected = graft.SparkEntry.queries("q95_kaplan_meier")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("txn-atomic assembly emits one envelope per committed transaction") {
     val rel = Relation(7, "public", "acct", 'd', Vector(
       RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
