@@ -260,6 +260,65 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conduit.close(); sql.close() }
   }
 
+  test("schema evolution live: ALTER TABLE add/drop column and ALTER " +
+      "PUBLICATION add table re-announce relations mid-stream") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_ev", "graft_pub_ev", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L)
+    try {
+      sql.simpleQuery("CREATE TABLE te1 (id bigint primary key, a text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_ev FOR TABLE te1")
+      conduit.start(0L)
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+
+      sql.simpleQuery("INSERT INTO te1 VALUES (1, 'a1')")
+      // a table OUTSIDE the publication must not leak into the stream
+      sql.simpleQuery("CREATE TABLE te2 (id bigint primary key, v text)")
+      sql.simpleQuery("INSERT INTO te2 VALUES (100, 'hidden')")
+      drainUntil(conduit, builder, events)(_.exists(e =>
+        e.op == "I" && e.table == "te1"))
+      assert(!events.exists(_.table == "te2"))
+
+      // publication gains te2 mid-stream: the NEXT te2 txn announces the
+      // relation and flows
+      sql.simpleQuery("ALTER PUBLICATION graft_pub_ev ADD TABLE te2")
+      sql.simpleQuery("INSERT INTO te2 VALUES (101, 'visible')")
+      drainUntil(conduit, builder, events)(_.exists(e =>
+        e.op == "I" && e.table == "te2"))
+      val te2Ins = events.filter(e => e.op == "I" && e.table == "te2")
+      assert(te2Ins.map(_.after("id")) === Seq("101"),
+        "pre-membership rows must NOT be replayed, only post-ALTER traffic")
+      assert(registry.get(te2Ins.head.relationId).get.columns.map(_.name) ===
+        Vector("id", "v"))
+
+      // ADD COLUMN: the widened relation re-announces; new rows carry it
+      sql.simpleQuery("ALTER TABLE te1 ADD COLUMN b integer")
+      sql.simpleQuery("INSERT INTO te1 VALUES (2, 'a2', 7)")
+      drainUntil(conduit, builder, events)(_.exists(e =>
+        e.op == "I" && e.table == "te1" && e.after.get("id").contains("2")))
+      val wide = events.find(e => e.op == "I" && e.after.get("id").contains("2")).get
+      assert(wide.after("b") === "7")
+      assert(registry.get(wide.relationId).get.columns.map(_.name) ===
+        Vector("id", "a", "b"))
+
+      // DROP COLUMN: the narrowed relation re-announces; the dropped column
+      // vanishes from subsequent images
+      sql.simpleQuery("ALTER TABLE te1 DROP COLUMN a")
+      sql.simpleQuery("INSERT INTO te1 VALUES (3, 9)")
+      drainUntil(conduit, builder, events)(_.exists(e =>
+        e.op == "I" && e.table == "te1" && e.after.get("id").contains("3")))
+      val narrow = events.find(e => e.op == "I" && e.after.get("id").contains("3")).get
+      assert(!narrow.after.contains("a"))
+      assert(narrow.after("b") === "9")
+      assert(registry.get(narrow.relationId).get.columns.map(_.name) ===
+        Vector("id", "b"))
+    } finally { conduit.close(); sql.close() }
+  }
+
   test("live replication: real pgoutput frames decode, state materializes, " +
       "flush feedback advances confirmed_flush_lsn") {
     live()
