@@ -49,12 +49,19 @@ object TypedView {
 
   /** bytea text → binary. A REAL server's pgoutput emits bytea through the
     * type's text output function: `\x` + hex under the default
-    * `bytea_output = hex` (pinned live in LivePgSpec's type-matrix test).
-    * Synthetic envelopes may carry base64 instead; base64's alphabet has no
-    * backslash, so the `\x` prefix dispatches unambiguously. */
+    * `bytea_output = hex` (pinned live in LivePgSpec's type-matrix test;
+    * the wire conduits additionally `SET bytea_output = hex` on their
+    * walsender session so a cluster-level `escape` override cannot reach
+    * the decoder). Synthetic envelopes may carry base64 instead; base64's
+    * alphabet has no backslash, so the `\x` prefix dispatches
+    * unambiguously. Anything else — e.g. legacy escape-format text that
+    * slipped past the session pin — yields NULL rather than the garbage
+    * bytes a lenient base64 decode would fabricate, so
+    * `ofAfterValidated`'s cast_error probe fires on it. */
   private def byteaColumn(raw: Column): Column =
     when(raw.startsWith("\\x"), unhex(raw.substr(lit(3), length(raw))))
-      .otherwise(unbase64(raw))
+      .when(raw.rlike("^[A-Za-z0-9+/]*={0,2}$"), unbase64(raw))
+      .otherwise(lit(null).cast(BinaryType))
 
   /** Text-format value → typed Column for one relation column. */
   def typedColumn(imageCol: Column, rc: RelationColumn): Column = {

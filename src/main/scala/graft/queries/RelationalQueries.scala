@@ -77,6 +77,34 @@ object RelationalQueries {
   private def armOf(c: Column): Column =
     when(md5Bucket256(c) < 128, "A").otherwise("B")
 
+  /** Per-user conversion outcome under the 7-day administrative study
+    * window (q95/q96's shared derivation): first view, first qualifying
+    * purchase (ts > first view), censor at the cutoff. Returns
+    * `(arm, status, t)` rows — status 1 = converted inside the window at
+    * hour-bucket t, 0 = censored at t = hours from view to cutoff; users
+    * whose first view falls outside the window are excluded. */
+  private def survivalUsers(ev: DataFrame): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val pch = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+    val cut = ev.agg((min(unix_micros(col("ts"))) +
+      lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
+    v.join(pch, Seq("user_id"), "left")
+      .crossJoin(broadcast(cut))
+      .filter(unix_micros(col("t_view")) < col("cut_us"))
+      .withColumn("arm", armOf(col("user_id")))
+      .withColumn("status",
+        when(col("t_p").isNotNull && unix_micros(col("t_p")) <= col("cut_us"),
+          1L).otherwise(0L))
+      .withColumn("d_us",
+        when(col("status") === 1L,
+          unix_micros(col("t_p")) - unix_micros(col("t_view")))
+          .otherwise(col("cut_us") - unix_micros(col("t_view"))))
+      .select(col("arm"), col("status"), expr("d_us div 3600000000").as("t"))
+  }
+
   /** Kaplan-Meier product-limit curve over per-subject `(status: Long,
     * t: Long)` rows (1 = event at t, 0 = censored at t) — q95's life-table
     * tail, shared with the streaming twin's state-snapshot read
@@ -1846,28 +1874,8 @@ object RelationalQueries {
     // engines (Spark aggregate(collect_list over running frame) ≡ DuckDB
     // list_reduce(list() over running frame)) — identical FP chains, so
     // the rounded survival values hash-match exactly.
-    "q95_kaplan_meier" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val pch = ev.filter(col("event_type") === "purchase")
-        .join(v, "user_id").filter(col("ts") > col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
-      val cut = ev.agg((min(unix_micros(col("ts"))) +
-        lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
-      val users = v.join(pch, Seq("user_id"), "left")
-        .crossJoin(broadcast(cut))
-        .filter(unix_micros(col("t_view")) < col("cut_us"))
-        .withColumn("status",
-          when(col("t_p").isNotNull && unix_micros(col("t_p")) <= col("cut_us"),
-            1L).otherwise(0L))
-        .withColumn("d_us",
-          when(col("status") === 1L,
-            unix_micros(col("t_p")) - unix_micros(col("t_view")))
-            .otherwise(col("cut_us") - unix_micros(col("t_view"))))
-        .select(col("status"), expr("d_us div 3600000000").as("t"))
-      kmCurve(users)
-    }),
+    "q95_kaplan_meier" -> ((s, d) =>
+      kmCurve(survivalUsers(Tables.events(s, d)).select(col("status"), col("t")))),
 
     // LOG-RANK TEST — "does arm B convert slower than arm A?" under
     // censoring: the survival-curve companion to q82's Welch t-test (which
@@ -1885,26 +1893,7 @@ object RelationalQueries {
     // chi-square convention).
     "q96_logrank" -> ((s, d) => {
       val dec = DecimalType(38, 0)
-      val ev = Tables.events(s, d)
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val pch = ev.filter(col("event_type") === "purchase")
-        .join(v, "user_id").filter(col("ts") > col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
-      val cut = ev.agg((min(unix_micros(col("ts"))) +
-        lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
-      val users = v.join(pch, Seq("user_id"), "left")
-        .crossJoin(broadcast(cut))
-        .filter(unix_micros(col("t_view")) < col("cut_us"))
-        .withColumn("arm", armOf(col("user_id")))
-        .withColumn("status",
-          when(col("t_p").isNotNull && unix_micros(col("t_p")) <= col("cut_us"),
-            1L).otherwise(0L))
-        .withColumn("d_us",
-          when(col("status") === 1L,
-            unix_micros(col("t_p")) - unix_micros(col("t_view")))
-            .otherwise(col("cut_us") - unix_micros(col("t_view"))))
-        .select(col("arm"), col("status"), expr("d_us div 3600000000").as("t"))
+      val users = survivalUsers(Tables.events(s, d))
       val na = users.filter(col("arm") === "A").agg(count(lit(1)).as("n_a"))
       val nb = users.filter(col("arm") === "B").agg(count(lit(1)).as("n_b"))
       val tbl = users.groupBy(col("t")).agg(
@@ -1933,13 +1922,20 @@ object RelationalQueries {
             (col("nn").cast(dec) * col("nn").cast(dec) *
               (col("nn") - lit(1L)).cast(dec)).cast(DoubleType))
           .otherwise(lit(0.0)))
+      // n_a/n_b ride the always-populated 1-row arm aggregates (the DuckDB
+      // twin's na/nb CTE shape) and the term sums NULL out when the life
+      // table has no event rows — both engines then emit the same
+      // (n_a, n_b, NULL, NULL, NULL, NULL) row instead of diverging
       terms.agg(
-          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          count(lit(1)).as("nt"),
           sum(col("d1")).as("o1"),
           aggregate(sort_array(collect_list(struct(col("t"), col("e1")))),
-            lit(0.0), (a, x) => a + x.getField("e1")).as("e1s"),
+            lit(0.0), (a, x) => a + x.getField("e1")).as("e1s_raw"),
           aggregate(sort_array(collect_list(struct(col("t"), col("vterm")))),
-            lit(0.0), (a, x) => a + x.getField("vterm")).as("vs"))
+            lit(0.0), (a, x) => a + x.getField("vterm")).as("vs_raw"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .withColumn("e1s", when(col("nt") > 0, col("e1s_raw")))
+        .withColumn("vs", when(col("nt") > 0, col("vs_raw")))
         .withColumn("chi2",
           (col("o1").cast(DoubleType) - col("e1s")) *
             (col("o1").cast(DoubleType) - col("e1s")) / col("vs"))

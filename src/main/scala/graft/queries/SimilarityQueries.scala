@@ -312,6 +312,9 @@ object SimilarityQueries {
           col("nrm").as("c_nrm"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("c_id"))
+      // persisted: feeds BOTH sides of the pair join (sim_ivf_ann's
+      // assignment-reuse convention) — without it the centroid cross-join
+      // and assignment window run twice
       val corpus = e.crossJoin(broadcast(cents))
         .withColumn("ccos",
           dotD(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
@@ -319,6 +322,7 @@ object SimilarityQueries {
         .filter(col("crank") === 1)
         .select(col("vec_id"), col("label"), col("c_id").as("cell"),
           col("embedding"), col("nrm"))
+        .persist()
       val wRank = Window.partitionBy(col("a_id"))
         .orderBy(col("cos").desc, col("b_id"))
       val neigh = corpus.as("a").join(corpus.as("b"),

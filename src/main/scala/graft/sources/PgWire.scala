@@ -480,6 +480,13 @@ final class PgWireConduit(
       replication = true, ssl = ssl,
       sslRootCert = sslRootCert, sslVerifyFull = sslVerifyFull)
     conn.handshake()
+    // pgoutput renders values through the type output functions under THIS
+    // session's GUCs: pin bytea to the hex form the typed views decode, so
+    // a cluster-level `bytea_output = escape` override never reaches the
+    // decoder (a database-connected walsender accepts plain SQL; tolerate
+    // refusal — the typed view then NULLs-and-flags escape text instead)
+    try conn.simpleQuery("SET bytea_output = hex")
+    catch { case _: java.sql.SQLException => () }
     if (createSlot) {
       val kind = if (temporarySlot) "TEMPORARY LOGICAL" else "LOGICAL"
       val slotOpts = if (twoPhase) " (TWO_PHASE)" else ""

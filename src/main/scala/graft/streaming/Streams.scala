@@ -2110,41 +2110,6 @@ object Streams {
     * by (model, touch_type) reproduces q92 bit-for-bit — the parity test's
     * gate. Rows apply in (ts, event_id) order within a batch; in-order
     * delivery across batches is the log-ordered sources' contract. */
-  /** Streaming twin of q95's per-user conversion state: per user, the
-    * first-view timestamp and the first qualifying purchase (ts > first
-    * view), each set at most ONCE (−1 = unset). Emits the user's state row
-    * whenever it changes (Update mode); because both fields are
-    * write-once, the LAST state per user is recoverable downstream as a
-    * plain `max` — and the Kaplan-Meier curve over a state snapshot is
-    * `RelationalQueries.kmCurve` applied to the derived (status, t) rows
-    * (parity in StreamingSpec). State is two longs per user, O(users);
-    * rows apply in (ts) order within a batch, in-order delivery across
-    * batches is the log-ordered sources' contract (funnelStates'
-    * convention — under it the first view is FINAL the moment it is seen,
-    * which is what makes two longs sufficient). */
-  def survivalStates(events: DataFrame): Dataset[(Long, Long, Long)] = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    events.filter(col("event_type").isin("view", "purchase"))
-      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
-        col("event_type"))
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, it: Iterator[(Long, Long, String)],
-         gs: GroupState[(Long, Long)]) =>
-          val before = gs.getOption.getOrElse((-1L, -1L))
-          var (tv, tp) = before
-          it.toSeq.sortBy(_._2).foreach { case (_, us, tpe) =>
-            if (tpe == "view") { if (tv < 0) tv = us }
-            else if (tv >= 0 && tp < 0 && us > tv) tp = us
-          }
-          if ((tv, tp) != before) {
-            gs.update((tv, tp)); Iterator.single((user, tv, tp))
-          } else Iterator.empty
-      }
-  }
-
   def multiTouchCredits(events: DataFrame): Dataset[(Long, String, String, Long)] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -2184,6 +2149,41 @@ object Streams {
           // so touches below maxUs − 24h can never enter another window
           gs.update(touches.filter(_._1 >= maxUs - winUs))
           out.iterator
+      }
+  }
+
+  /** Streaming twin of q95's per-user conversion state: per user, the
+    * first-view timestamp and the first qualifying purchase (ts > first
+    * view), each set at most ONCE (−1 = unset). Emits the user's state row
+    * whenever it changes (Update mode); because both fields are
+    * write-once, the LAST state per user is recoverable downstream as a
+    * plain `max` — and the Kaplan-Meier curve over a state snapshot is
+    * `RelationalQueries.kmCurve` applied to the derived (status, t) rows
+    * (parity in StreamingSpec). State is two longs per user, O(users);
+    * rows apply in (ts) order within a batch, in-order delivery across
+    * batches is the log-ordered sources' contract (funnelStates'
+    * convention — under it the first view is FINAL the moment it is seen,
+    * which is what makes two longs sufficient). */
+  def survivalStates(events: DataFrame): Dataset[(Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, String)],
+         gs: GroupState[(Long, Long)]) =>
+          val before = gs.getOption.getOrElse((-1L, -1L))
+          var (tv, tp) = before
+          it.toSeq.sortBy(_._2).foreach { case (_, us, tpe) =>
+            if (tpe == "view") { if (tv < 0) tv = us }
+            else if (tv >= 0 && tp < 0 && us > tv) tp = us
+          }
+          if ((tv, tp) != before) {
+            gs.update((tv, tp)); Iterator.single((user, tv, tp))
+          } else Iterator.empty
       }
   }
 

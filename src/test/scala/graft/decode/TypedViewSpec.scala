@@ -118,11 +118,23 @@ class TypedViewSpec extends AnyFunSuite {
       Map("id" -> "1", "payload" -> "\\x00ff7a"),            // live hex
       Map("id" -> "2", "payload" ->
         java.util.Base64.getEncoder.encodeToString(Array[Byte](0, -1, 0x7a))),
-      Map[String, String]("id" -> "3", "payload" -> null)
+      Map[String, String]("id" -> "3", "payload" -> null),
+      // legacy escape-format text (bytea_output='escape'): NULL, never the
+      // garbage a lenient base64 decode would fabricate
+      Map("id" -> "4", "payload" -> "abc\\000\\\\def")
     ).toDF("after")
     val rows = TypedView.ofAfter(env, rel).orderBy("id").collect()
     assert(rows(0).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](0, -1, 0x7a))
     assert(rows(1).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](0, -1, 0x7a))
     assert(rows(2).isNullAt(1))
+    assert(rows(3).isNullAt(1))
+    // and the validator flags the escape-format row as a cast error
+    val v = TypedView.ofAfterValidated(
+      env.withColumn("after_toasted",
+        org.apache.spark.sql.functions.array().cast("array<string>")),
+      rel, notNull = Set.empty)
+    val errs = v.orderBy("id").collect()
+      .map(_.getAs[collection.Seq[String]]("_errors").toList)
+    assert(errs(3) === List("cast_error:payload"))
   }
 }

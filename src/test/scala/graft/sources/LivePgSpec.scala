@@ -257,6 +257,31 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r2.getAs[Long]("id") === 2L)
       assert((1 until rel.columns.size).forall(r2.isNullAt),
         "all non-pk columns of the NULL row must be typed NULLs")
+
+      // a cluster-level bytea_output=escape override must NOT reach the
+      // decoder: the conduit pins hex on its own walsender session
+      sql.simpleQuery("ALTER SYSTEM SET bytea_output = 'escape'")
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      try {
+        val c2 = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+          None, "graft_slot_tm2", "graft_pub_tm", createSlot = true,
+          temporarySlot = true, statusIntervalMs = 500L)
+        try {
+          c2.start(0L)
+          sql.simpleQuery("INSERT INTO tm (id, by) VALUES (3, '\\x0102ff')")
+          val reg2 = new SchemaRegistry
+          val b2 = new ChangeEventBuilder(reg2)
+          val ev2 = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+          drainUntil(c2, b2, ev2)(_.exists(e =>
+            e.op == "I" && e.after.get("id").contains("3")))
+          val row3 = ev2.find(_.op == "I").get
+          assert(row3.after("by") === "\\x0102ff",
+            "session-level SET bytea_output=hex must override the cluster GUC")
+        } finally c2.close()
+      } finally {
+        sql.simpleQuery("ALTER SYSTEM RESET bytea_output")
+        sql.simpleQuery("SELECT pg_reload_conf()")
+      }
     } finally { conduit.close(); sql.close() }
   }
 
