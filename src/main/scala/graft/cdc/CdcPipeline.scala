@@ -993,6 +993,39 @@ object CdcPipeline {
     }
   }
 
+  val EventsUserRelId = 50006
+
+  /** User-level event stream relation (the survival/conversion wire shape:
+    * who did what when, vs [[eventsRelation]]'s pre-bucketed agg deltas). */
+  val eventsUserRelation: Relation = Relation(
+    EventsUserRelId, "public", "events_user", 'd',
+    Vector(
+      RelationColumn(partOfKey = true, "event_id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "user_id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "ts_us", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "event_type", TypedView.Oid.Text, -1)))
+
+  /** view/purchase events → insert-only pgoutput frames (an append-only
+    * behavioral log — nothing retracts a user's action), LSN = event order. */
+  def eventsUserToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val relFrame = PgOutputEncoder.encode(eventsUserRelation)
+    ev.as[(Long, Long, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.map { case (id, user, us, tpe) =>
+        (id * 2 + 1) -> PgOutputEncoder.encode(Insert(EventsUserRelId,
+          TupleData(Vector(t(id.toString), t(user.toString),
+            t(us.toString), t(tpe)))))
+      }
+      rel ++ dml
+    }
+  }
+
   /** Composite-key wire slice: frames → decode → compact on the two-column
     * pk → typed state. */
   def materializedLineitem(spark: SparkSession, sfDir: String): DataFrame = {

@@ -83,7 +83,7 @@ object RelationalQueries {
     * `(arm, status, t)` rows — status 1 = converted inside the window at
     * hour-bucket t, 0 = censored at t = hours from view to cutoff; users
     * whose first view falls outside the window are excluded. */
-  private def survivalUsers(ev: DataFrame): DataFrame = {
+  private[graft] def survivalUsers(ev: DataFrame): DataFrame = {
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
     val pch = ev.filter(col("event_type") === "purchase")

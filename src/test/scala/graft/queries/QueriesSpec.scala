@@ -97,6 +97,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Kaplan-Meier invariants: product-limit recomposition, monotone " +
+      "survival, at-risk accounting never loses subjects") {
+    val rows = graft.SparkEntry.queries("q95_kaplan_meier")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // survival_i == round(Π_{j<=i} (1 − d_j/n_j), 6): the output rows carry
+    // every factor ≠ 1 (censored-only hours contribute exactly 1.0), so the
+    // curve recomposes from the emitted life table alone
+    var prod = 1.0
+    rows.foreach { case (t, nRisk, d_, _, surv) =>
+      assert(nRisk > 0 && d_ > 0)
+      prod *= 1.0 - d_.toDouble / nRisk
+      assert(math.abs(prod - surv) < 1e-6, s"t=$t recomposed=$prod emitted=$surv")
+    }
+    // monotone non-increasing survival; at-risk strictly decreasing by at
+    // least the row's events+censored (censored-only hours may remove more)
+    rows.sliding(2).foreach {
+      case Array((_, n1, d1, c1, s1), (_, n2, _, _, s2)) =>
+        assert(s2 <= s1)
+        assert(n2 <= n1 - d1 - c1)
+      case _ => ()
+    }
+  }
+
   test("BFS invariants: unique source at hops 0, every level-h vertex has a level-(h-1) edge") {
     val bfs = graft.SparkEntry.queries("sim_bfs_hops")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
