@@ -263,6 +263,17 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       sql.simpleQuery("ALTER SYSTEM SET bytea_output = 'escape'")
       sql.simpleQuery("SELECT pg_reload_conf()")
       try {
+        // prove the override actually LANDED for new sessions first —
+        // otherwise hex output would trivially pass (hex is the default)
+        val gDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var gucSeen = ""
+        while (gucSeen != "escape" && System.nanoTime() < gDeadline) {
+          val probe = sqlConn()
+          try gucSeen = probe.simpleQuery("SHOW bytea_output").head.head
+          finally probe.close()
+          if (gucSeen != "escape") Thread.sleep(100)
+        }
+        assert(gucSeen === "escape", "cluster override never became visible")
         val c2 = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
           None, "graft_slot_tm2", "graft_pub_tm", createSlot = true,
           temporarySlot = true, statusIntervalMs = 500L)
