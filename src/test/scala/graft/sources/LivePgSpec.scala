@@ -355,6 +355,66 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conduit.close(); sql.close() }
   }
 
+  test("error paths live: a missing publication surfaces the server's error " +
+      "on decode; a second consumer of an active slot is refused cleanly") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_err", "graft_pub_missing", createSlot = true,
+      temporarySlot = false, statusIntervalMs = 500L)
+    try {
+      sql.simpleQuery("CREATE TABLE terr (id bigint primary key)")
+      conduit.start(0L)
+      // pgoutput resolves the publication lazily at first decode: the
+      // failure must surface as the server's actual error, not a hang
+      sql.simpleQuery("INSERT INTO terr VALUES (1)")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      val thrown = intercept[Exception] {
+        while (System.nanoTime() < deadline) {
+          if (conduit.read().isEmpty) Thread.sleep(20)
+        }
+      }
+      assert(thrown.getMessage.toLowerCase.contains("publication"),
+        s"expected the server's publication error, got: ${thrown.getMessage}")
+      // NB (observed live): creating the publication NOW would not rescue
+      // this slot's history — decoding runs under a HISTORIC catalog
+      // snapshot, so a publication must exist at the WAL position being
+      // decoded, not merely at connect time. The errored walsender also
+      // RELEASES the slot, so active-slot refusal needs a healthy holder:
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_err2 FOR TABLE terr")
+      sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_err')")
+      val holder = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_err2", "graft_pub_err2", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      try {
+        holder.start(0L)
+        sql.simpleQuery("INSERT INTO terr VALUES (2)")
+        val registry = new SchemaRegistry
+        val builder = new ChangeEventBuilder(registry)
+        val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+        drainUntil(holder, builder, events)(_.exists(_.op == "I"))
+        // a second consumer of the ACTIVE slot is refused with the
+        // server's error, not a protocol wedge
+        val c2 = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+          None, "graft_slot_err2", "graft_pub_err2", createSlot = false,
+          temporarySlot = false, statusIntervalMs = 500L)
+        val dup = intercept[Exception] { c2.start(0L); c2.read() }
+        assert(dup.getMessage.toLowerCase.contains("active"),
+          s"expected the active-slot refusal, got: ${dup.getMessage}")
+        c2.close()
+      } finally {
+        holder.close()
+        try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_err2')")
+        catch { case _: Throwable => () }
+      }
+    } finally {
+      conduit.close()
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_err')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("live replication: real pgoutput frames decode, state materializes, " +
       "flush feedback advances confirmed_flush_lsn") {
     live()
