@@ -1877,6 +1877,40 @@ object RelationalQueries {
     "q95_kaplan_meier" -> ((s, d) =>
       kmCurve(survivalUsers(Tables.events(s, d)).select(col("status"), col("t")))),
 
+    // SURVIVAL SUMMARY — the three headline numbers read off q95's curve:
+    // RMST (restricted mean survival time, ∫₀^H S(t)dt with H = the 168 h
+    // study horizon — "the honest average time-to-convert" that q93's
+    // converter-only mean cannot give under censoring), the Nelson-Aalen
+    // cumulative hazard Σ d/n, and the median survival hour (first t with
+    // S ≤ 0.5, NULL when the curve never crosses). All inputs are the
+    // life-table rows (event times only — S is constant between them, so
+    // censored-only hours never enter the integral), widths are exact
+    // integers, S values are the curve's round-6 doubles, and both sums
+    // fold t-sorted left-to-right on both engines. Scale: everything past
+    // the shared per-user derivation runs on ≤169 rows.
+    "q97_survival_summary" -> ((s, d) => {
+      val h = 168L
+      val km = kmCurve(survivalUsers(Tables.events(s, d))
+        .select(col("status"), col("t")))
+      val wNext = Window.orderBy(col("t_hours")) // domain-sized (≤169 rows)
+      val seg = km
+        .withColumn("next_t", lead(col("t_hours"), 1, h).over(wNext))
+        .withColumn("width",
+          greatest(least(col("next_t"), lit(h)) - col("t_hours"), lit(0L)))
+        .withColumn("contrib", col("survival") * col("width"))
+        .withColumn("hz",
+          col("n_events").cast(DoubleType) / col("n_risk"))
+      seg.agg(
+          least(min(col("t_hours")), lit(h)).cast(DoubleType).as("init"),
+          aggregate(sort_array(collect_list(struct(col("t_hours"), col("contrib")))),
+            lit(0.0), (a, x) => a + x.getField("contrib")).as("area"),
+          aggregate(sort_array(collect_list(struct(col("t_hours"), col("hz")))),
+            lit(0.0), (a, x) => a + x.getField("hz")).as("cum_hazard"),
+          min(when(col("survival") <= 0.5, col("t_hours"))).as("median_h"))
+        .select(round(col("init") + col("area"), 6).as("rmst_h"),
+          round(col("cum_hazard"), 6).as("cum_hazard"), col("median_h"))
+    }),
+
     // LOG-RANK TEST — "does arm B convert slower than arm A?" under
     // censoring: the survival-curve companion to q82's Welch t-test (which
     // compares means and ignores the un-converted). Arms = q82's md5-bucket
@@ -3163,6 +3197,65 @@ object RelationalQueries {
          SELECT t AS t_hours, n_risk, d AS n_events, c AS n_censored,
            round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
          FROM s WHERE d > 0 ORDER BY t_hours""",
+
+    // q95's life-table CTEs + the step-function integral: segment widths
+    // from lead(t) clamped at the 168 h horizon, both sums fold t-sorted
+    "q97_survival_summary" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         pch AS (
+           SELECT e.user_id, MIN(e.ts) AS t_p
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY 1),
+         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events),
+         users AS (
+           SELECT CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                       THEN 1 ELSE 0 END AS status,
+             CAST((CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                   THEN epoch_us(p.t_p) - epoch_us(v.t_view)
+                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
+               AS BIGINT) AS t
+           FROM v LEFT JOIN pch p ON v.user_id = p.user_id, cut
+           WHERE epoch_us(v.t_view) < cut_us),
+         n_tot AS (SELECT COUNT(*) AS n FROM users),
+         tbl AS (
+           SELECT t, CAST(SUM(status) AS BIGINT) AS d,
+             CAST(SUM(1 - status) AS BIGINT) AS c
+           FROM users GROUP BY t),
+         r AS (
+           SELECT t, d, c,
+             CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+           FROM tbl, n_tot),
+         f AS (
+           SELECT t, d, c, n_risk,
+             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+           FROM r),
+         s AS (
+           SELECT *, list(factor) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl
+           FROM f),
+         km AS (
+           SELECT t AS t_hours, n_risk, d AS n_events,
+             round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
+           FROM s WHERE d > 0),
+         seg AS (
+           SELECT t_hours, survival,
+             greatest(least(lead(t_hours, 1, 168) OVER (ORDER BY t_hours), 168)
+               - t_hours, 0) AS width,
+             CAST(n_events AS DOUBLE) / n_risk AS hz
+           FROM km)
+         SELECT
+           round(CAST(least(MIN(t_hours), 168) AS DOUBLE) +
+             list_reduce(list(survival * width ORDER BY t_hours),
+               (a, b) -> a + b), 6) AS rmst_h,
+           round(list_reduce(list(hz ORDER BY t_hours), (a, b) -> a + b), 6)
+             AS cum_hazard,
+           MIN(CASE WHEN survival <= 0.5 THEN t_hours END) AS median_h
+         FROM seg""",
 
     // two-arm life table on the shared hour grid; E1/V ride HUGEINT-exact
     // numerators with one double division per term (Spark's DECIMAL(38,0)

@@ -775,6 +775,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q97 survival summary: all windows on the life table's hour grid, " +
+      "user rows reduce two-phase first") {
+    val p = plan("q97_survival_summary")
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    assert(specHeads.forall(Set("t", "t_hours")),
+      s"window spec heads=$specHeads\n$p")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_knn_classify: the pair join is cell-keyed (never all-pairs), " +
       "every window is per-vector partitioned, votes reduce two-phase") {
     val p = plan("sim_knn_classify")
