@@ -2297,6 +2297,79 @@ object Streams {
   /** The reference's default sink logs each event as JSON
     * (stores.py:104-118, K1); here: envelope rows → one JSON document per
     * event, ready for console/Kafka-style value sinks. */
+  /** WRITE-BACK sink: apply a CDC envelope batch to a LIVE Postgres table
+    * over the in-repo wire client — the replication loop closed driverless
+    * (source PG → decode → transform → sink PG), the reference's actual
+    * use case (reader.py's DataStore consumer) materialized into a real
+    * database instead of a log line. Apply semantics: I/U upsert via
+    * `INSERT … ON CONFLICT (pk) DO UPDATE`, D deletes by key; both are
+    * idempotent, so Spark's at-least-once micro-batch replay is safe
+    * (exactly-once state without two-phase commit — the standard CDC-sink
+    * contract). Ordering: rows are repartitioned by PRIMARY KEY and
+    * lsn-ordered within partitions, so each key's operations apply in WAL
+    * order while distinct keys fan out over `parallelism` writers — the
+    * scale shape of every bucketed sink here. Statements batch ~100 per
+    * simple-query message; the wire's multi-statement simple query runs
+    * each batch as ONE implicit transaction (atomic batch-lets, cheap
+    * round-trips). Values are escaped as literals ('' doubling —
+    * standard_conforming_strings is the server default); identifiers are
+    * double-quoted. */
+  def pgWriteBack(batch: DataFrame, host: String, port: Int, db: String,
+      user: String, password: Option[String], table: String,
+      cols: Seq[String], keyCols: Seq[String], parallelism: Int = 4): Unit = {
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      "key columns must be a non-empty subset of cols")
+    val keyVal = (k: String) =>
+      coalesce(element_at(col("key"), k), element_at(col("after"), k))
+    val rows = batch.filter(col("op").isin("I", "U", "D"))
+      .select(col("op"), col("lsn"), col("seq"),
+        array(cols.map(c => element_at(col("after"), c)): _*).as("vals"),
+        array(keyCols.map(keyVal): _*).as("keys"),
+        concat_ws(" ", keyCols.map(keyVal): _*).as("k"))
+      .repartition(parallelism, col("k"))
+      .sortWithinPartitions(col("lsn"), col("seq"))
+    val (h, p, d, u, pw) = (host, port, db, user, password)
+    val (tbl, cs, ks) = (table, cols, keyCols)
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+      def lit(v: String) =
+        if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+      val nonKey = cs.filterNot(ks.contains)
+      val conflict = ks.map(q).mkString(", ")
+      val updates =
+        if (nonKey.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " +
+          nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      val conn = new graft.sources.PgWireConnection(h, p, d, u, pw)
+      conn.handshake()
+      try {
+        val buf = new StringBuilder
+        var n = 0
+        def flush(): Unit = if (n > 0) {
+          conn.simpleQuery(buf.toString); buf.clear(); n = 0
+        }
+        it.foreach { r =>
+          val op = r.getString(0)
+          if (buf.nonEmpty) buf.append("; ")
+          if (op == "D") {
+            val kv = r.getSeq[String](4)
+            buf.append(s"DELETE FROM ${q(tbl)} WHERE " +
+              ks.zip(kv).map { case (c, v) =>
+                s"${q(c)} = ${lit(v)}" }.mkString(" AND "))
+          } else {
+            val vs = r.getSeq[String](3)
+            buf.append(s"INSERT INTO ${q(tbl)} (${cs.map(q).mkString(", ")}) " +
+              s"VALUES (${vs.map(lit).mkString(", ")}) " +
+              s"ON CONFLICT ($conflict) $updates")
+          }
+          n += 1
+          if (n >= 100) flush()
+        }
+        flush()
+      } finally conn.close()
+    }
+  }
+
   def jsonEnvelope(envelope: DataFrame): DataFrame =
     envelope.select(to_json(struct(envelope.columns.map(col): _*)).as("value"))
 

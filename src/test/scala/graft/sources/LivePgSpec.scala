@@ -1086,6 +1086,80 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("replication loop live: source PG → pgcdc source → pgWriteBack sink " +
+      "→ sink PG converges to the source table through update/delete churn") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery(
+        "CREATE TABLE loop_src (id bigint primary key, v text, n integer)")
+      sql.simpleQuery(
+        "CREATE TABLE loop_dst (id bigint primary key, v text, n integer)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_loop FOR TABLE loop_src")
+      val pin = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_loop", "graft_pub_loop", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      pin.start(0L); pin.close()
+      sql.simpleQuery(
+        "INSERT INTO loop_src SELECT g, 'v' || g, g * 10 FROM generate_series(1, 50) g")
+      sql.simpleQuery("UPDATE loop_src SET v = v || '-u', n = n + 1 WHERE id % 3 = 0")
+      sql.simpleQuery("DELETE FROM loop_src WHERE id % 7 = 0")
+      sql.simpleQuery("INSERT INTO loop_src VALUES (1000, 'o''quote', NULL)") // literal-escaping + NULL
+
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      val applied = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "pgwire")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("database", "postgres").option("user", "postgres")
+        .option("slot", "graft_slot_loop").option("publication", "graft_pub_loop")
+        .option("statusIntervalMs", "500")
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("livepg-loop-ckpt").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val dml = b.filter(org.apache.spark.sql.functions.col("table") === "loop_src")
+          graft.streaming.Streams.pgWriteBack(dml, "127.0.0.1", port,
+            "postgres", "postgres", None, "loop_dst",
+            Seq("id", "v", "n"), Seq("id"))
+          applied.addAndGet(dml.count())
+          ()
+        }
+        .start()
+      try {
+        def snap(t: String): Seq[(String, String, String)] = {
+          val c = sqlConn()
+          try c.simpleQuery(s"SELECT id, v, n FROM $t ORDER BY id")
+            .map(r => (r(0), r(1), r(2)))
+          finally c.close()
+        }
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (applied.get() < 67 && System.nanoTime() < deadline) Thread.sleep(200)
+        // second wave AFTER the stream is live: more churn incl. a delete
+        // of an already-replicated row and an upsert-style double update
+        sql.simpleQuery("UPDATE loop_src SET n = n * 2 WHERE id % 5 = 0")
+        sql.simpleQuery("DELETE FROM loop_src WHERE id = 2")
+        sql.simpleQuery("UPDATE loop_src SET v = 'final' WHERE id = 1000")
+        var same = false
+        while (!same && System.nanoTime() < deadline) {
+          same = snap("loop_src") == snap("loop_dst") && snap("loop_src").nonEmpty
+          if (!same) Thread.sleep(300)
+        }
+        assert(snap("loop_dst") === snap("loop_src"),
+          "sink table must converge to the source table")
+      } finally q.stop()
+    } finally {
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_loop')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   /** Poll `conduit` into `builder`, appending decoded events, until `done`
     * over the accumulated events holds or ~60s passes. */
   private def drainUntil(conduit: PgWireConduit, builder: ChangeEventBuilder,
