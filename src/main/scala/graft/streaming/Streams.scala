@@ -2325,7 +2325,7 @@ object Streams {
       .select(col("op"), col("lsn"), col("seq"),
         array(cols.map(c => element_at(col("after"), c)): _*).as("vals"),
         array(keyCols.map(keyVal): _*).as("keys"),
-        concat_ws(" ", keyCols.map(keyVal): _*).as("k"))
+        concat_ws("\u0000", keyCols.map(keyVal): _*).as("k"))
       .repartition(parallelism, col("k"))
       .sortWithinPartitions(col("lsn"), col("seq"))
     val (h, p, d, u, pw) = (host, port, db, user, password)
