@@ -2331,15 +2331,6 @@ object Streams {
     val (h, p, d, u, pw) = (host, port, db, user, password)
     val (tbl, cs, ks) = (table, cols, keyCols)
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-      def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
-      def lit(v: String) =
-        if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
-      val nonKey = cs.filterNot(ks.contains)
-      val conflict = ks.map(q).mkString(", ")
-      val updates =
-        if (nonKey.isEmpty) "DO NOTHING"
-        else "DO UPDATE SET " +
-          nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
       val conn = new graft.sources.PgWireConnection(h, p, d, u, pw)
       conn.handshake()
       try {
@@ -2349,24 +2340,41 @@ object Streams {
           conn.simpleQuery(buf.toString); buf.clear(); n = 0
         }
         it.foreach { r =>
-          val op = r.getString(0)
           if (buf.nonEmpty) buf.append("; ")
-          if (op == "D") {
-            val kv = r.getSeq[String](4)
-            buf.append(s"DELETE FROM ${q(tbl)} WHERE " +
-              ks.zip(kv).map { case (c, v) =>
-                s"${q(c)} = ${lit(v)}" }.mkString(" AND "))
-          } else {
-            val vs = r.getSeq[String](3)
-            buf.append(s"INSERT INTO ${q(tbl)} (${cs.map(q).mkString(", ")}) " +
-              s"VALUES (${vs.map(lit).mkString(", ")}) " +
-              s"ON CONFLICT ($conflict) $updates")
-          }
+          buf.append(pgApplyStatement(r.getString(0), tbl, cs, ks,
+            r.getSeq[String](3), r.getSeq[String](4)))
           n += 1
           if (n >= 100) flush()
         }
         flush()
       } finally conn.close()
+    }
+  }
+
+  /** One apply statement for a CDC row (pure — spec-testable): the upsert
+    * (`I`/`U`) or key delete (`D`) [[pgWriteBack]] sends. Identifiers are
+    * double-quoted with `""` doubling; values are escaped as literals with
+    * `''` doubling (standard_conforming_strings is the server default, so
+    * backslashes carry no escape meaning); NULL values render as NULL. */
+  private[streaming] def pgApplyStatement(op: String, table: String,
+      cols: Seq[String], keyCols: Seq[String],
+      vals: Seq[String], keys: Seq[String]): String = {
+    def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    def lit(v: String) =
+      if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+    if (op == "D")
+      s"DELETE FROM ${q(table)} WHERE " +
+        keyCols.zip(keys).map { case (c, v) => s"${q(c)} = ${lit(v)}" }
+          .mkString(" AND ")
+    else {
+      val nonKey = cols.filterNot(keyCols.contains)
+      val updates =
+        if (nonKey.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " +
+          nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${vals.map(lit).mkString(", ")}) " +
+        s"ON CONFLICT (${keyCols.map(q).mkString(", ")}) $updates"
     }
   }
 

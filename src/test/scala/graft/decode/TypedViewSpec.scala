@@ -108,6 +108,27 @@ class TypedViewSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("_errors")) === 0).count() === 2)
   }
 
+  test("numeric NaN/Infinity (legal pg numeric values DecimalType cannot hold) " +
+      "route to the cast_error channel, never silent zeros") {
+    import spark.implicits._
+    val rel = Relation(1, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "amt", TypedView.Oid.Numeric, (12 << 16 | 2) + 4)))
+    val env = Seq(
+      (Map("id" -> "1", "amt" -> "12.34"), Seq.empty[String]),
+      (Map("id" -> "2", "amt" -> "NaN"), Seq.empty[String]),      // pg numeric NaN
+      (Map("id" -> "3", "amt" -> "Infinity"), Seq.empty[String]), // pg ≥ 14
+      (Map("id" -> "4", "amt" -> "-Infinity"), Seq.empty[String])
+    ).toDF("after", "after_toasted")
+    val v = TypedView.ofAfterValidated(env, rel, notNull = Set.empty)
+    val got = v.orderBy("id").collect().map(r =>
+      (r.isNullAt(1), r.getAs[collection.Seq[String]]("_errors").toList))
+    assert(got(0) === ((false, Nil)))
+    assert(got(1) === ((true, List("cast_error:amt"))))
+    assert(got(2) === ((true, List("cast_error:amt"))))
+    assert(got(3) === ((true, List("cast_error:amt"))))
+  }
+
   test("bytea decodes BOTH live hex (\\x..., the real pgoutput text format) " +
       "and the synthetic base64 envelope form") {
     import spark.implicits._

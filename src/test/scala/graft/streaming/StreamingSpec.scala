@@ -252,6 +252,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("pgWriteBack statement builder: quoting, NULLs, key deletes, all-key DO NOTHING") {
+    val cols = Seq("id", "v", "n")
+    val ks = Seq("id")
+    assert(Streams.pgApplyStatement("I", "dst", cols, ks,
+      Seq("1", "a", "10"), Seq("1")) ===
+      """INSERT INTO "dst" ("id", "v", "n") VALUES ('1', 'a', '10') """ +
+        """ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v", "n" = EXCLUDED."n"""")
+    // literal escaping ('' doubling) and NULL rendering
+    assert(Streams.pgApplyStatement("U", "dst", cols, ks,
+      Seq("2", "o'quote", null), Seq("2")) ===
+      """INSERT INTO "dst" ("id", "v", "n") VALUES ('2', 'o''quote', NULL) """ +
+        """ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v", "n" = EXCLUDED."n"""")
+    // delete by composite key
+    assert(Streams.pgApplyStatement("D", "dst", cols, Seq("id", "v"),
+      Nil, Seq("3", "x")) ===
+      """DELETE FROM "dst" WHERE "id" = '3' AND "v" = 'x'""")
+    // every column in the key → nothing to update on conflict
+    assert(Streams.pgApplyStatement("I", "dst", Seq("id"), Seq("id"),
+      Seq("4"), Seq("4")) ===
+      """INSERT INTO "dst" ("id") VALUES ('4') ON CONFLICT ("id") DO NOTHING""")
+    // identifier quoting survives embedded quotes
+    assert(Streams.pgApplyStatement("D", """we"ird""", Seq("k"), Seq("k"),
+      Nil, Seq("v")) === """DELETE FROM "we""ird" WHERE "k" = 'v'""")
+  }
+
   test("streaming survival states reproduce the q95 Kaplan-Meier curve across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
