@@ -1160,6 +1160,95 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("table clone live: distributed snapshot backfill INTO the sink PG + " +
+      "streamed tail = a zero-downtime pg-to-pg table copy that converges") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE clone_src (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE TABLE clone_dst (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_clone FOR TABLE clone_src")
+      sql.simpleQuery(
+        "INSERT INTO clone_src SELECT g, 'base' || g FROM generate_series(1, 500) g")
+
+      // slot pins the consistent point + exports the snapshot
+      val repl = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+        None, replication = true)
+      repl.handshake()
+      val (consistentPoint, snapName) =
+        PgWireSnapshot.createSlotWithSnapshot(repl, "graft_slot_clone")
+      assert(consistentPoint > 0L)
+      // churn DURING the copy: invisible to the snapshot, carried by the tail
+      sql.simpleQuery("UPDATE clone_src SET v = 'mid' || id WHERE id % 10 = 0")
+      sql.simpleQuery("DELETE FROM clone_src WHERE id % 97 = 0")
+      sql.simpleQuery(
+        "INSERT INTO clone_src SELECT g, 'mid' || g FROM generate_series(501, 520) g")
+
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      import org.apache.spark.sql.functions.{lit => slit, col => scol,
+        map => smap, monotonically_increasing_id}
+      // backfill: chunked snapshot reads reshape into insert envelopes and
+      // flow through the SAME write-back sink as the tail
+      val snapDf = PgWireSnapshot.snapshotEvents(spark, "127.0.0.1", port,
+        "postgres", "postgres", None, snapName, "clone_src", "id", nChunks = 4)
+      val backfill = snapDf.select(slit("I").as("op"), slit(0L).as("lsn"),
+        monotonically_increasing_id().as("seq"),
+        smap(slit("id"), scol("pk")).as("key"), scol("after"))
+      graft.streaming.Streams.pgWriteBack(backfill, "127.0.0.1", port,
+        "postgres", "postgres", None, "clone_dst", Seq("id", "v"), Seq("id"))
+      repl.close()
+      val baseCount = sqlConn() match { case c =>
+        try c.simpleQuery("SELECT count(*) FROM clone_dst").head.head.toLong
+        finally c.close() }
+      assert(baseCount === 500, "backfill must land exactly the pre-slot rows")
+
+      // tail from the consistent point through the SAME sink
+      val q = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "pgwire")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("database", "postgres").option("user", "postgres")
+        .option("slot", "graft_slot_clone").option("publication", "graft_pub_clone")
+        .option("statusIntervalMs", "500")
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("livepg-clone-ckpt").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.Streams.pgWriteBack(
+            b.filter(scol("table") === "clone_src"), "127.0.0.1", port,
+            "postgres", "postgres", None, "clone_dst", Seq("id", "v"), Seq("id"))
+          ()
+        }
+        .start()
+      try {
+        // more churn AFTER the tail is live
+        sql.simpleQuery("UPDATE clone_src SET v = 'late' || id WHERE id % 13 = 0")
+        sql.simpleQuery("DELETE FROM clone_src WHERE id BETWEEN 40 AND 45")
+        def snap(t: String): Seq[(String, String)] = {
+          val c = sqlConn()
+          try c.simpleQuery(s"SELECT id, v FROM $t ORDER BY id").map(r => (r(0), r(1)))
+          finally c.close()
+        }
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        var same = false
+        while (!same && System.nanoTime() < deadline) {
+          same = snap("clone_src") == snap("clone_dst")
+          if (!same) Thread.sleep(300)
+        }
+        assert(snap("clone_dst") === snap("clone_src"),
+          "clone must converge to the source through mid-copy and post-copy churn")
+      } finally q.stop()
+    } finally {
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_clone')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   /** Poll `conduit` into `builder`, appending decoded events, until `done`
     * over the accumulated events holds or ~60s passes. */
   private def drainUntil(conduit: PgWireConduit, builder: ChangeEventBuilder,
