@@ -121,6 +121,38 @@ object MultimodalQueries {
         .orderBy(col("lang"))
     }),
 
+    // Media curation QUALITY GATE — the LAION-style pre-training filter
+    // (mm's twin of text_quality_filter): decoded metadata gates on
+    // minimum pixel count (w·h ≥ 128 — the min-resolution filter),
+    // minimum width, minimum payload size, and frame count, with a
+    // per-source keep/drop attrition census (the report a pipeline reads
+    // before committing a crawl to training). Scale shape: decode is the
+    // per-partition codec batch, every gate is a narrow boolean over
+    // (width, height, bytes, frames) — the media payload never shuffles,
+    // the census is source-sized. Determinism: all gates are INTEGER
+    // comparisons (pixel cross-product, never a floating ratio).
+    "mm_quality_gate" -> ((s, d) => {
+      val meta = Multimodal.decodeMeta(Multimodal.mediaTable(s, d)).toDF()
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("source"))
+      meta.join(docs, "doc_id")
+        .withColumn("pixels_ok", col("width") * col("height") >= 128)
+        .withColumn("width_ok", col("width") >= 64)
+        .withColumn("size_ok", col("n_bytes") >= 256)
+        .withColumn("frames_ok", col("n_frames") >= 2)
+        .withColumn("keep",
+          col("pixels_ok") && col("width_ok") && col("size_ok") && col("frames_ok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("pixels_ok"), 1L).otherwise(0L)).as("drop_pixels"),
+          sum(when(!col("width_ok"), 1L).otherwise(0L)).as("drop_width"),
+          sum(when(!col("size_ok"), 1L).otherwise(0L)).as("drop_size"),
+          sum(when(!col("frames_ok"), 1L).otherwise(0L)).as("drop_frames"),
+          sum(when(col("keep"), col("n_bytes").cast("long")).otherwise(0L))
+            .as("kept_bytes"))
+        .orderBy(col("source"))
+    }),
+
     // Perceptual hash per media payload (checks the codec-stage bit math
     // on every row — the media analog of dedup_simhash).
     "mm_phash" -> ((s, d) => {
@@ -185,6 +217,34 @@ object MultimodalQueries {
   val oracleSql: Map[String, String] = Map(
     "mm_phash" ->
       s"""SELECT doc_id, phash FROM ($PhashSql) t ORDER BY doc_id""",
+
+    // FakeCodec metadata arithmetic (mm_decode_meta's formulas) + integer
+    // cross-product aspect gates
+    "mm_quality_gate" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+             CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+             CAST(octet_length(text::BLOB) % 640 AS BIGINT) AS w,
+             CAST((octet_length(text::BLOB) // 640) % 480 + 1 AS BIGINT) AS h,
+             CAST(octet_length(text::BLOB) % 16 + 1 AS BIGINT) AS fr
+           FROM documents),
+         g AS (
+           SELECT source, n_bytes,
+             (w * h >= 128) AS pixels_ok,
+             (w >= 64) AS width_ok,
+             (n_bytes >= 256) AS size_ok,
+             (fr >= 2) AS frames_ok
+           FROM m)
+         SELECT source, COUNT(*) AS n_media,
+           CAST(SUM(CASE WHEN pixels_ok AND width_ok AND size_ok AND frames_ok
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT pixels_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_pixels,
+           CAST(SUM(CASE WHEN NOT width_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_width,
+           CAST(SUM(CASE WHEN NOT size_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_size,
+           CAST(SUM(CASE WHEN NOT frames_ok THEN 1 ELSE 0 END) AS BIGINT) AS drop_frames,
+           CAST(SUM(CASE WHEN pixels_ok AND width_ok AND size_ok AND frames_ok
+                    THEN n_bytes ELSE 0 END) AS BIGINT) AS kept_bytes
+         FROM g GROUP BY source ORDER BY source""",
 
     "mm_phash_clusters" ->
       s"""WITH RECURSIVE ph AS ($PhashSql),
