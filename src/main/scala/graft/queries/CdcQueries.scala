@@ -149,17 +149,6 @@ object CdcQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // Incrementally-maintained SEASONAL BASELINE from an event wire
-    // stream: the (event_type, hour-of-day) mean that q67's anomaly sweep
-    // reads, kept fresh purely from deltas — inserts add (cents, 1),
-    // retractions (late bot/abuse invalidation, REPLICA IDENTITY FULL)
-    // subtract — through the REAL wire path (encode → decode → envelope →
-    // Cdc.incrementalAggregate). The grouping key ships materialized
-    // ("<type>|<hour>"), so the view never re-parses timestamps. A
-    // dropped delete anywhere shifts a mean and hash-fails. Scale shape:
-    // identical to cdc_incremental_agg — one narrow delta pass + one
-    // group-keyed shuffle per batch; the streaming form is the unchanged
-    // Streams.incrementalAggSink over this relation.
     // Survival-curve SERVING from the CDC wire: the user-level behavioral
     // log arrives as insert-only pgoutput frames (decode → envelope →
     // typed projection) and feeds the SAME survivalUsers→kmCurve tail as
@@ -183,6 +172,17 @@ object CdcQueries {
           .select(col("status"), col("t")))
     }),
 
+    // Incrementally-maintained SEASONAL BASELINE from an event wire
+    // stream: the (event_type, hour-of-day) mean that q67's anomaly sweep
+    // reads, kept fresh purely from deltas — inserts add (cents, 1),
+    // retractions (late bot/abuse invalidation, REPLICA IDENTITY FULL)
+    // subtract — through the REAL wire path (encode → decode → envelope →
+    // Cdc.incrementalAggregate). The grouping key ships materialized
+    // ("<type>|<hour>"), so the view never re-parses timestamps. A
+    // dropped delete anywhere shifts a mean and hash-fails. Scale shape:
+    // identical to cdc_incremental_agg — one narrow delta pass + one
+    // group-keyed shuffle per batch; the streaming form is the unchanged
+    // Streams.incrementalAggSink over this relation.
     "cdc_incremental_baseline" -> ((s, d) => {
       val events = CdcPipeline.decodeFrames(CdcPipeline.eventsToFrames(s, d)).toDF()
       graft.cdc.Cdc.incrementalAggregate(events, "etype_hr", "cents")
@@ -1280,50 +1280,13 @@ object CdcQueries {
            (ex2c - mc * mc) / 10000.0 AS var_price, c AS n_rows
          FROM m ORDER BY o_orderpriority""",
 
-    // q95's life-table SQL with the cutoff anchored to the wire-delivered
-    // view/purchase log (the insert-only frames carry only those types)
+    // q95's life-table SQL (the shared kmLifeTableCtes fragment) with the
+    // cutoff anchored to the wire-delivered view/purchase log (the
+    // insert-only frames carry only those types)
     "cdc_survival_serving" ->
-      """WITH v AS (
-           SELECT user_id, MIN(ts) AS t_view FROM events
-           WHERE event_type = 'view' GROUP BY 1),
-         pch AS (
-           SELECT e.user_id, MIN(e.ts) AS t_p
-           FROM events e JOIN v ON e.user_id = v.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
-           GROUP BY 1),
-         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events
-                 WHERE event_type IN ('view', 'purchase')),
-         users AS (
-           SELECT CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
-                       THEN 1 ELSE 0 END AS status,
-             CAST((CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
-                   THEN epoch_us(p.t_p) - epoch_us(v.t_view)
-                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
-               AS BIGINT) AS t
-           FROM v LEFT JOIN pch p ON v.user_id = p.user_id, cut
-           WHERE epoch_us(v.t_view) < cut_us),
-         n_tot AS (SELECT COUNT(*) AS n FROM users),
-         tbl AS (
-           SELECT t, CAST(SUM(status) AS BIGINT) AS d,
-             CAST(SUM(1 - status) AS BIGINT) AS c
-           FROM users GROUP BY t),
-         r AS (
-           SELECT t, d, c,
-             CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS n_risk
-           FROM tbl, n_tot),
-         f AS (
-           SELECT t, d, c, n_risk,
-             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
-           FROM r),
-         s AS (
-           SELECT *, list(factor) OVER (ORDER BY t
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl
-           FROM f)
-         SELECT t AS t_hours, n_risk, d AS n_events, c AS n_censored,
-           round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
-         FROM s WHERE d > 0 ORDER BY t_hours""",
+      s"""WITH ${RelationalQueries.kmLifeTableCtes(
+             "WHERE event_type IN ('view', 'purchase')")}
+         ${RelationalQueries.KmCurveTailSql}""",
 
     "cdc_incremental_baseline" ->
       """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n,

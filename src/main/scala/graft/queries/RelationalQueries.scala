@@ -2477,6 +2477,59 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }))
 
+  /** DuckDB CTE chain for the shared survival life table (q95/q97 and the
+    * CDC serving twin — the SQL half of [[survivalUsers]]+[[kmCurve]]):
+    * per-user first view / first qualifying purchase under the 7-day
+    * administrative window, hour-bucketed (d, c, n_risk, survival-factor)
+    * rows. `cutWhere` filters the events anchoring the cutoff (empty =
+    * whole table; the wire twin restricts to the types it carries). */
+  private[queries] def kmLifeTableCtes(cutWhere: String): String =
+    s"""v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         pch AS (
+           SELECT e.user_id, MIN(e.ts) AS t_p
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+           GROUP BY 1),
+         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events
+                 $cutWhere),
+         users AS (
+           SELECT CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                       THEN 1 ELSE 0 END AS status,
+             CAST((CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
+                   THEN epoch_us(p.t_p) - epoch_us(v.t_view)
+                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
+               AS BIGINT) AS t
+           FROM v LEFT JOIN pch p ON v.user_id = p.user_id, cut
+           WHERE epoch_us(v.t_view) < cut_us),
+         n_tot AS (SELECT COUNT(*) AS n FROM users),
+         tbl AS (
+           SELECT t, CAST(SUM(status) AS BIGINT) AS d,
+             CAST(SUM(1 - status) AS BIGINT) AS c
+           FROM users GROUP BY t),
+         r AS (
+           SELECT t, d, c,
+             CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+           FROM tbl, n_tot),
+         f AS (
+           SELECT t, d, c, n_risk,
+             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+           FROM r),
+         s AS (
+           SELECT *, list(factor) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl
+           FROM f)"""
+
+  /** The product-limit curve SELECT over [[kmLifeTableCtes]]'s `s` CTE —
+    * q95's tail, shared verbatim by the CDC serving twin. */
+  private[queries] val KmCurveTailSql: String =
+    """SELECT t AS t_hours, n_risk, d AS n_events, c AS n_censored,
+           round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
+         FROM s WHERE d > 0 ORDER BY t_hours"""
+
   val oracleSql: Map[String, String] = Map(
     "q62_ewma" ->
       """WITH ev AS (
@@ -3157,87 +3210,13 @@ object RelationalQueries {
     // (list_reduce's first-element seed ≡ Spark's 1.0 seed: 1.0·f1 = f1
     // exactly), matching the Spark FP chain bit-for-bit
     "q95_kaplan_meier" ->
-      """WITH v AS (
-           SELECT user_id, MIN(ts) AS t_view FROM events
-           WHERE event_type = 'view' GROUP BY 1),
-         pch AS (
-           SELECT e.user_id, MIN(e.ts) AS t_p
-           FROM events e JOIN v ON e.user_id = v.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
-           GROUP BY 1),
-         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events),
-         users AS (
-           SELECT CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
-                       THEN 1 ELSE 0 END AS status,
-             CAST((CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
-                   THEN epoch_us(p.t_p) - epoch_us(v.t_view)
-                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
-               AS BIGINT) AS t
-           FROM v LEFT JOIN pch p ON v.user_id = p.user_id, cut
-           WHERE epoch_us(v.t_view) < cut_us),
-         n_tot AS (SELECT COUNT(*) AS n FROM users),
-         tbl AS (
-           SELECT t, CAST(SUM(status) AS BIGINT) AS d,
-             CAST(SUM(1 - status) AS BIGINT) AS c
-           FROM users GROUP BY t),
-         r AS (
-           SELECT t, d, c,
-             CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS n_risk
-           FROM tbl, n_tot),
-         f AS (
-           SELECT t, d, c, n_risk,
-             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
-           FROM r),
-         s AS (
-           SELECT *, list(factor) OVER (ORDER BY t
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl
-           FROM f)
-         SELECT t AS t_hours, n_risk, d AS n_events, c AS n_censored,
-           round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
-         FROM s WHERE d > 0 ORDER BY t_hours""",
+      s"""WITH ${kmLifeTableCtes("")}
+         $KmCurveTailSql""",
 
     // q95's life-table CTEs + the step-function integral: segment widths
     // from lead(t) clamped at the 168 h horizon, both sums fold t-sorted
     "q97_survival_summary" ->
-      """WITH v AS (
-           SELECT user_id, MIN(ts) AS t_view FROM events
-           WHERE event_type = 'view' GROUP BY 1),
-         pch AS (
-           SELECT e.user_id, MIN(e.ts) AS t_p
-           FROM events e JOIN v ON e.user_id = v.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > v.t_view
-           GROUP BY 1),
-         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events),
-         users AS (
-           SELECT CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
-                       THEN 1 ELSE 0 END AS status,
-             CAST((CASE WHEN p.t_p IS NOT NULL AND epoch_us(p.t_p) <= cut_us
-                   THEN epoch_us(p.t_p) - epoch_us(v.t_view)
-                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
-               AS BIGINT) AS t
-           FROM v LEFT JOIN pch p ON v.user_id = p.user_id, cut
-           WHERE epoch_us(v.t_view) < cut_us),
-         n_tot AS (SELECT COUNT(*) AS n FROM users),
-         tbl AS (
-           SELECT t, CAST(SUM(status) AS BIGINT) AS d,
-             CAST(SUM(1 - status) AS BIGINT) AS c
-           FROM users GROUP BY t),
-         r AS (
-           SELECT t, d, c,
-             CAST(n - COALESCE(SUM(d + c) OVER (ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS n_risk
-           FROM tbl, n_tot),
-         f AS (
-           SELECT t, d, c, n_risk,
-             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
-           FROM r),
-         s AS (
-           SELECT *, list(factor) OVER (ORDER BY t
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl
-           FROM f),
+      s"""WITH ${kmLifeTableCtes("")},
          km AS (
            SELECT t AS t_hours, n_risk, d AS n_events,
              round(list_reduce(fl, (a, b) -> a * b), 6) AS survival

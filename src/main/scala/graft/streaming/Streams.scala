@@ -2319,46 +2319,85 @@ object Streams {
       cols: Seq[String], keyCols: Seq[String], parallelism: Int = 4): Unit = {
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       "key columns must be a non-empty subset of cols")
-    val keyVal = (k: String) =>
-      coalesce(element_at(col("key"), k), element_at(col("after"), k))
-    val rows = batch.filter(col("op").isin("I", "U", "D"))
-      .select(col("op"), col("lsn"), col("seq"),
-        array(cols.map(c => element_at(col("after"), c)): _*).as("vals"),
-        array(keyCols.map(keyVal): _*).as("keys"),
-        concat_ws("\u0000", keyCols.map(keyVal): _*).as("k"))
-      .repartition(parallelism, col("k"))
-      .sortWithinPartitions(col("lsn"), col("seq"))
     val (h, p, d, u, pw) = (host, port, db, user, password)
     val (tbl, cs, ks) = (table, cols, keyCols)
-    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-      val conn = new graft.sources.PgWireConnection(h, p, d, u, pw)
-      conn.handshake()
-      try {
-        val buf = new StringBuilder
-        var n = 0
-        def flush(): Unit = if (n > 0) {
-          conn.simpleQuery(buf.toString); buf.clear(); n = 0
+    def newConn() = {
+      val c = new graft.sources.PgWireConnection(h, p, d, u, pw)
+      c.handshake()
+      // literal escaping below relies on '' doubling alone: pin the
+      // server's default quoting semantics per session so a legacy
+      // standard_conforming_strings=off override can never turn a
+      // backslash-bearing value into statement-corrupting SQL (the
+      // conduit's bytea_output pin, applied to the write side)
+      c.simpleQuery("SET standard_conforming_strings = on")
+      c
+    }
+    def applyDml(dml: DataFrame): Unit = {
+      val keyVal = (k: String) =>
+        coalesce(element_at(col("key"), k), element_at(col("after"), k))
+      val rows = dml.select(col("op"), col("lsn"), col("seq"),
+          array(cs.map(c => element_at(col("after"), c)): _*).as("vals"),
+          array(ks.map(keyVal): _*).as("keys"),
+          coalesce(col("after_toasted"), array()).as("toasted"),
+          concat_ws("\u0000", ks.map(keyVal): _*).as("k"))
+        .repartition(parallelism, col("k"))
+        .sortWithinPartitions(col("lsn"), col("seq"))
+      rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        if (it.hasNext) { // idle micro-batches never pay a handshake
+          val conn = newConn()
+          try {
+            val buf = new StringBuilder
+            var n = 0
+            def flush(): Unit = if (n > 0) {
+              conn.simpleQuery(buf.toString); buf.clear(); n = 0
+            }
+            it.foreach { r =>
+              if (buf.nonEmpty) buf.append("; ")
+              buf.append(pgApplyStatement(r.getString(0), tbl, cs, ks,
+                r.getSeq[String](3), r.getSeq[String](4),
+                r.getSeq[String](5).toSet))
+              n += 1
+              if (n >= 100) flush()
+            }
+            flush()
+          } finally conn.close()
         }
-        it.foreach { r =>
-          if (buf.nonEmpty) buf.append("; ")
-          buf.append(pgApplyStatement(r.getString(0), tbl, cs, ks,
-            r.getSeq[String](3), r.getSeq[String](4)))
-          n += 1
-          if (n >= 100) flush()
+      }
+    }
+    // TRUNCATE is a cross-key barrier: apply the DML before each truncate
+    // position, truncate the sink, continue (truncate LSNs are a
+    // batch-bounded handful — a driver-side collect of longs, never rows)
+    val dmlAll = batch.filter(col("op").isin("I", "U", "D"))
+    val tLsns = batch.filter(col("op") === "T").select(col("lsn"))
+      .collect().map(_.getLong(0)).sorted
+    if (tLsns.isEmpty) applyDml(dmlAll)
+    else {
+      def qi(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+      val bounds = (Long.MinValue +: tLsns.toSeq) :+ Long.MaxValue
+      bounds.sliding(2).foreach { pair =>
+        val (lo, hi) = (pair(0), pair(1))
+        applyDml(dmlAll.filter(col("lsn") >= lo && col("lsn") < hi))
+        if (hi != Long.MaxValue) {
+          val c = newConn()
+          try c.simpleQuery(s"TRUNCATE ${qi(tbl)}") finally c.close()
         }
-        flush()
-      } finally conn.close()
+      }
     }
   }
 
   /** One apply statement for a CDC row (pure — spec-testable): the upsert
     * (`I`/`U`) or key delete (`D`) [[pgWriteBack]] sends. Identifiers are
     * double-quoted with `""` doubling; values are escaped as literals with
-    * `''` doubling (standard_conforming_strings is the server default, so
-    * backslashes carry no escape meaning); NULL values render as NULL. */
+    * `''` doubling (the sink session pins standard_conforming_strings=on,
+    * so backslashes carry no escape meaning); NULL values render as NULL.
+    * Columns in `toasted` (unchanged-TOAST markers — the value was NOT
+    * resent, T5's 'u' ≠ NULL distinction) are excluded from BOTH the
+    * insert column list and the DO UPDATE SET, so the sink row keeps its
+    * current value instead of being overwritten with NULL. */
   private[streaming] def pgApplyStatement(op: String, table: String,
       cols: Seq[String], keyCols: Seq[String],
-      vals: Seq[String], keys: Seq[String]): String = {
+      vals: Seq[String], keys: Seq[String],
+      toasted: Set[String] = Set.empty): String = {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
     def lit(v: String) =
       if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
@@ -2367,13 +2406,14 @@ object Streams {
         keyCols.zip(keys).map { case (c, v) => s"${q(c)} = ${lit(v)}" }
           .mkString(" AND ")
     else {
-      val nonKey = cols.filterNot(keyCols.contains)
+      val present = cols.zip(vals).filterNot { case (c, _) => toasted(c) }
+      val updCols = present.map(_._1).filterNot(keyCols.contains)
       val updates =
-        if (nonKey.isEmpty) "DO NOTHING"
+        if (updCols.isEmpty) "DO NOTHING"
         else "DO UPDATE SET " +
-          nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
-      s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
-        s"VALUES (${vals.map(lit).mkString(", ")}) " +
+          updCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      s"INSERT INTO ${q(table)} (${present.map(p => q(p._1)).mkString(", ")}) " +
+        s"VALUES (${present.map(p => lit(p._2)).mkString(", ")}) " +
         s"ON CONFLICT (${keyCols.map(q).mkString(", ")}) $updates"
     }
   }

@@ -1152,6 +1152,34 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         assert(snap("loop_dst") === snap("loop_src"),
           "sink table must converge to the source table")
+
+        // TOAST leg: an update that does NOT touch a genuinely TOASTed
+        // column ships a 'u' marker — the sink must KEEP the big value,
+        // not overwrite it with NULL
+        sql.simpleQuery("INSERT INTO loop_src SELECT 2000, " +
+          "string_agg(md5(g::text), ''), 7 FROM generate_series(1, 2000) g")
+        sql.simpleQuery("UPDATE loop_src SET n = 8 WHERE id = 2000")
+        val tDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var tSame = false
+        while (!tSame && System.nanoTime() < tDeadline) {
+          tSame = snap("loop_src") == snap("loop_dst")
+          if (!tSame) Thread.sleep(300)
+        }
+        assert(snap("loop_dst") === snap("loop_src"),
+          "sink must retain the unchanged-TOAST value through the update")
+
+        // TRUNCATE leg: the cross-key barrier reaches the sink in order
+        sql.simpleQuery("TRUNCATE loop_src")
+        sql.simpleQuery("INSERT INTO loop_src VALUES (42, 'after-truncate', 1)")
+        val uDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var uSame = false
+        while (!uSame && System.nanoTime() < uDeadline) {
+          uSame = snap("loop_src") == snap("loop_dst") && snap("loop_src").nonEmpty
+          if (!uSame) Thread.sleep(300)
+        }
+        assert(snap("loop_dst") === snap("loop_src"),
+          "sink must apply the truncate then the post-truncate insert")
+        assert(snap("loop_dst").map(_._1) === Seq("42"))
       } finally q.stop()
     } finally {
       try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_loop')")

@@ -275,6 +275,16 @@ class StreamingSpec extends AnyFunSuite {
     // identifier quoting survives embedded quotes
     assert(Streams.pgApplyStatement("D", """we"ird""", Seq("k"), Seq("k"),
       Nil, Seq("v")) === """DELETE FROM "we""ird" WHERE "k" = 'v'""")
+    // unchanged-TOAST columns ('u' markers — value NOT resent) are excluded
+    // from the column list AND the update set: the sink row keeps its value
+    assert(Streams.pgApplyStatement("U", "dst", cols, ks,
+      Seq("5", null, "50"), Seq("5"), toasted = Set("v")) ===
+      """INSERT INTO "dst" ("id", "n") VALUES ('5', '50') """ +
+        """ON CONFLICT ("id") DO UPDATE SET "n" = EXCLUDED."n"""")
+    // everything-but-key toasted → nothing to update
+    assert(Streams.pgApplyStatement("U", "dst", cols, ks,
+      Seq("6", null, null), Seq("6"), toasted = Set("v", "n")) ===
+      """INSERT INTO "dst" ("id") VALUES ('6') ON CONFLICT ("id") DO NOTHING""")
   }
 
   test("streaming survival states reproduce the q95 Kaplan-Meier curve across micro-batches") {
