@@ -2335,10 +2335,16 @@ object Streams {
     def applyDml(dml: DataFrame): Unit = {
       val keyVal = (k: String) =>
         coalesce(element_at(col("key"), k), element_at(col("after"), k))
+      // synthetic envelopes (e.g. snapshot backfill rows) may not carry
+      // the toast-marker column at all
+      val toastedCol =
+        if (dml.columns.contains("after_toasted"))
+          coalesce(col("after_toasted"), array())
+        else array()
       val rows = dml.select(col("op"), col("lsn"), col("seq"),
           array(cs.map(c => element_at(col("after"), c)): _*).as("vals"),
           array(ks.map(keyVal): _*).as("keys"),
-          coalesce(col("after_toasted"), array()).as("toasted"),
+          toastedCol.as("toasted"),
           concat_ws("\u0000", ks.map(keyVal): _*).as("k"))
         .repartition(parallelism, col("k"))
         .sortWithinPartitions(col("lsn"), col("seq"))
