@@ -2379,13 +2379,14 @@ object Streams {
     if (tLsns.isEmpty) applyDml(dmlAll)
     else {
       def qi(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+      def qt(t: String) = t.split('.').map(qi).mkString(".")
       val bounds = (Long.MinValue +: tLsns.toSeq) :+ Long.MaxValue
       bounds.sliding(2).foreach { pair =>
         val (lo, hi) = (pair(0), pair(1))
         applyDml(dmlAll.filter(col("lsn") >= lo && col("lsn") < hi))
         if (hi != Long.MaxValue) {
           val c = newConn()
-          try c.simpleQuery(s"TRUNCATE ${qi(tbl)}") finally c.close()
+          try c.simpleQuery(s"TRUNCATE ${qt(tbl)}") finally c.close()
         }
       }
     }
@@ -2407,8 +2408,11 @@ object Streams {
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
     def lit(v: String) =
       if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+    // schema-qualified names quote per segment ("public"."t"), matching
+    // the snapshot reader's convention
+    def qt(t: String) = t.split('.').map(q).mkString(".")
     if (op == "D")
-      s"DELETE FROM ${q(table)} WHERE " +
+      s"DELETE FROM ${qt(table)} WHERE " +
         keyCols.zip(keys).map { case (c, v) => s"${q(c)} = ${lit(v)}" }
           .mkString(" AND ")
     else {
@@ -2418,7 +2422,7 @@ object Streams {
         if (updCols.isEmpty) "DO NOTHING"
         else "DO UPDATE SET " +
           updCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
-      s"INSERT INTO ${q(table)} (${present.map(p => q(p._1)).mkString(", ")}) " +
+      s"INSERT INTO ${qt(table)} (${present.map(p => q(p._1)).mkString(", ")}) " +
         s"VALUES (${present.map(p => lit(p._2)).mkString(", ")}) " +
         s"ON CONFLICT (${keyCols.map(q).mkString(", ")}) $updates"
     }

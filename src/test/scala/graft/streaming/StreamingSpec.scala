@@ -275,6 +275,9 @@ class StreamingSpec extends AnyFunSuite {
     // identifier quoting survives embedded quotes
     assert(Streams.pgApplyStatement("D", """we"ird""", Seq("k"), Seq("k"),
       Nil, Seq("v")) === """DELETE FROM "we""ird" WHERE "k" = 'v'""")
+    // schema-qualified targets quote per segment
+    assert(Streams.pgApplyStatement("D", "analytics.dst", Seq("k"), Seq("k"),
+      Nil, Seq("v")) === """DELETE FROM "analytics"."dst" WHERE "k" = 'v'""")
     // unchanged-TOAST columns ('u' markers — value NOT resent) are excluded
     // from the column list AND the update set: the sink row keeps its value
     assert(Streams.pgApplyStatement("U", "dst", cols, ks,
