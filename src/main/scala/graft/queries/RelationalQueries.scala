@@ -1911,6 +1911,78 @@ object RelationalQueries {
           round(col("cum_hazard"), 6).as("cum_hazard"), col("median_h"))
     }),
 
+    // COMPETING RISKS — which outcome wins the race after first view:
+    // PURCHASE (conversion) vs ERROR (failure), the multi-outcome
+    // extension of q95 (a naive "1 − KM per cause" overstates both when
+    // causes compete). Per user, the FIRST post-view event among the two
+    // causes decides (cause, t) — ties break on (ts, event_id) — censored
+    // at the 7-day cutoff otherwise. Cumulative incidence per cause:
+    // CIF_k(t) = Σ_{t_i ≤ t} S(t_{i−1}) · d_{k,i}/n_i with S the
+    // ANY-cause KM survival (Aalen-Johansen for two terminal states).
+    // Determinism: S(t_{i−1}) folds the factor list over the
+    // PRECEDING-row frame (empty frame ⇒ the exact 1.0 seed on both
+    // engines), each CIF term is one correctly-rounded division times
+    // that product, and the CIF running sums fold frame-ordered — all on
+    // the study-window-bounded hour grid (q95's scale note).
+    "q98_competing_risks" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val firstOut = ev.filter(col("event_type").isin("purchase", "error"))
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"))
+        .agg(min(struct(unix_micros(col("ts")).as("us"),
+          col("event_id").as("eid"), col("event_type").as("tpe"))).as("f"),
+          max(unix_micros(col("t_view"))).as("tv_us"))
+      val cut = ev.agg((min(unix_micros(col("ts"))) +
+        lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
+      val users = v.select(col("user_id"), unix_micros(col("t_view")).as("tv_us"))
+        .join(firstOut.select(col("user_id"), col("f")), Seq("user_id"), "left")
+        .crossJoin(broadcast(cut))
+        .filter(col("tv_us") < col("cut_us"))
+        .withColumn("cause",
+          when(col("f").isNotNull && col("f.us") <= col("cut_us"), col("f.tpe"))
+            .otherwise(lit("censored")))
+        .withColumn("d_us",
+          when(col("cause") =!= "censored", col("f.us") - col("tv_us"))
+            .otherwise(col("cut_us") - col("tv_us")))
+        .select(col("cause"), expr("d_us div 3600000000").as("t"))
+      val nTot = users.agg(count(lit(1)).as("n"))
+      val tbl = users.groupBy(col("t")).agg(
+        sum(when(col("cause") === "purchase", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("cause") === "error", 1L).otherwise(0L)).as("d2"),
+        sum(when(col("cause") === "censored", 1L).otherwise(0L)).as("c"))
+      val wPrev = Window.orderBy(col("t")) // domain-sized hour grid
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl.crossJoin(broadcast(nTot))
+        .withColumn("n_risk",
+          col("n") - coalesce(sum(col("d1") + col("d2") + col("c")).over(wPrev),
+            lit(0L)))
+        .withColumn("factor",
+          lit(1.0) - (col("d1") + col("d2")).cast(DoubleType) / col("n_risk"))
+        .withColumn("s_prev",
+          aggregate(collect_list(col("factor")).over(wPrev),
+            lit(1.0), (a, x) => a * x))
+        .withColumn("term1",
+          col("s_prev") * (col("d1").cast(DoubleType) / col("n_risk")))
+        .withColumn("term2",
+          col("s_prev") * (col("d2").cast(DoubleType) / col("n_risk")))
+        .withColumn("cif1",
+          aggregate(collect_list(col("term1")).over(wRun),
+            lit(0.0), (a, x) => a + x))
+        .withColumn("cif2",
+          aggregate(collect_list(col("term2")).over(wRun),
+            lit(0.0), (a, x) => a + x))
+        .filter(col("d1") + col("d2") > 0)
+        .select(col("t").as("t_hours"), col("n_risk"),
+          col("d1").as("d_purchase"), col("d2").as("d_error"),
+          round(col("cif1"), 6).as("cif_purchase"),
+          round(col("cif2"), 6).as("cif_error"))
+        .orderBy(col("t_hours"))
+    }),
+
     // LOG-RANK TEST — "does arm B convert slower than arm A?" under
     // censoring: the survival-curve companion to q82's Welch t-test (which
     // compares means and ignores the un-converted). Arms = q82's md5-bucket
@@ -3235,6 +3307,67 @@ object RelationalQueries {
              AS cum_hazard,
            MIN(CASE WHEN survival <= 0.5 THEN t_hours END) AS median_h
          FROM seg""",
+
+    // Aalen-Johansen cumulative incidence: any-cause KM factors, the
+    // PRECEDING-frame product (empty frame ⇒ the exact 1.0 seed via
+    // COALESCE, matching Spark's aggregate seed), per-cause hazard terms,
+    // running-frame sums — all folds frame-ordered
+    "q98_competing_risks" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         fo AS (
+           SELECT user_id, us, tpe FROM (
+             SELECT e.user_id, epoch_us(e.ts) AS us, e.event_type AS tpe,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                 ORDER BY epoch_us(e.ts), e.event_id) AS rn
+             FROM events e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type IN ('purchase', 'error') AND e.ts > v.t_view) t
+           WHERE rn = 1),
+         cut AS (SELECT MIN(epoch_us(ts)) + 604800000000 AS cut_us FROM events),
+         users AS (
+           SELECT CASE WHEN f.us IS NOT NULL AND f.us <= cut_us THEN f.tpe
+                       ELSE 'censored' END AS cause,
+             CAST((CASE WHEN f.us IS NOT NULL AND f.us <= cut_us
+                   THEN f.us - epoch_us(v.t_view)
+                   ELSE cut_us - epoch_us(v.t_view) END) // 3600000000
+               AS BIGINT) AS t
+           FROM v LEFT JOIN fo f ON v.user_id = f.user_id, cut
+           WHERE epoch_us(v.t_view) < cut_us),
+         n_tot AS (SELECT COUNT(*) AS n FROM users),
+         tbl AS (
+           SELECT t,
+             CAST(SUM(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN cause = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN cause = 'censored' THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM users GROUP BY t),
+         r AS (
+           SELECT t, d1, d2, c,
+             CAST(n - COALESCE(SUM(d1 + d2 + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+           FROM tbl, n_tot),
+         f2 AS (
+           SELECT *, 1.0 - CAST(d1 + d2 AS DOUBLE) / n_risk AS factor FROM r),
+         sp AS (
+           SELECT *, COALESCE(list_reduce(list(factor) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             (a, b) -> a * b), 1.0) AS s_prev
+           FROM f2),
+         tm AS (
+           SELECT *, s_prev * (CAST(d1 AS DOUBLE) / n_risk) AS term1,
+             s_prev * (CAST(d2 AS DOUBLE) / n_risk) AS term2
+           FROM sp),
+         cf AS (
+           SELECT *,
+             list_reduce(list(term1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), (a, b) -> a + b) AS cif1,
+             list_reduce(list(term2) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), (a, b) -> a + b) AS cif2
+           FROM tm)
+         SELECT t AS t_hours, n_risk, d1 AS d_purchase, d2 AS d_error,
+           round(cif1, 6) AS cif_purchase, round(cif2, 6) AS cif_error
+         FROM cf WHERE d1 + d2 > 0 ORDER BY t_hours""",
 
     // two-arm life table on the shared hour grid; E1/V ride HUGEINT-exact
     // numerators with one double division per term (Spark's DECIMAL(38,0)

@@ -775,6 +775,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q98 competing risks: the per-user first-outcome window partitions " +
+      "by user; all life-table windows open on the hour grid") {
+    val p = plan("q98_competing_risks")
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    assert(specHeads.forall(Set("t")), s"window spec heads=$specHeads\n$p")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q97 survival summary: all windows on the life table's hour grid, " +
       "user rows reduce two-phase first") {
     val p = plan("q97_survival_summary")
