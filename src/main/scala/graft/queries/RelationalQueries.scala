@@ -77,33 +77,46 @@ object RelationalQueries {
   private def armOf(c: Column): Column =
     when(md5Bucket256(c) < 128, "A").otherwise("B")
 
-  /** Per-user conversion outcome under the 7-day administrative study
-    * window (q95/q96's shared derivation): first view, first qualifying
-    * purchase (ts > first view), censor at the cutoff. Returns
-    * `(arm, status, t)` rows — status 1 = converted inside the window at
-    * hour-bucket t, 0 = censored at t = hours from view to cutoff; users
-    * whose first view falls outside the window are excluded. */
-  private[graft] def survivalUsers(ev: DataFrame): DataFrame = {
+  /** Per-user FIRST OUTCOME under the 7-day administrative study window —
+    * the shared derivation of the whole survival family (q95-q98 and the
+    * CDC serving twin): first view anchors the clock, the first subsequent
+    * event among `causes` decides (cause, t) — ties break on (ts,
+    * event_id) — and anything past the cutoff censors at t = hours from
+    * view to cutoff. Returns `(arm, cause, t)` rows, cause ∈ causes ∪
+    * {"censored"}; users whose first view falls outside the window are
+    * excluded. One cause = classic survival; several = competing risks. */
+  private[graft] def survivalOutcomes(ev: DataFrame, causes: Seq[String]): DataFrame = {
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val pch = ev.filter(col("event_type") === "purchase")
+    val firstOut = ev.filter(col("event_type").isin(causes: _*))
       .join(v, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+      .groupBy(col("user_id"))
+      .agg(min(struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"), col("event_type").as("tpe"))).as("f"))
     val cut = ev.agg((min(unix_micros(col("ts"))) +
       lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
-    v.join(pch, Seq("user_id"), "left")
+    v.select(col("user_id"), unix_micros(col("t_view")).as("tv_us"))
+      .join(firstOut, Seq("user_id"), "left")
       .crossJoin(broadcast(cut))
-      .filter(unix_micros(col("t_view")) < col("cut_us"))
+      .filter(col("tv_us") < col("cut_us"))
       .withColumn("arm", armOf(col("user_id")))
-      .withColumn("status",
-        when(col("t_p").isNotNull && unix_micros(col("t_p")) <= col("cut_us"),
-          1L).otherwise(0L))
+      .withColumn("cause",
+        when(col("f").isNotNull && col("f.us") <= col("cut_us"), col("f.tpe"))
+          .otherwise(lit("censored")))
       .withColumn("d_us",
-        when(col("status") === 1L,
-          unix_micros(col("t_p")) - unix_micros(col("t_view")))
-          .otherwise(col("cut_us") - unix_micros(col("t_view"))))
-      .select(col("arm"), col("status"), expr("d_us div 3600000000").as("t"))
+        when(col("cause") =!= "censored", col("f.us") - col("tv_us"))
+          .otherwise(col("cut_us") - col("tv_us")))
+      .select(col("arm"), col("cause"), expr("d_us div 3600000000").as("t"))
   }
+
+  /** The single-cause (purchase) form of [[survivalOutcomes]], as
+    * `(arm, status, t)` with status 1 = converted / 0 = censored —
+    * q95/q96/q97's and the CDC serving twin's input. */
+  private[graft] def survivalUsers(ev: DataFrame): DataFrame =
+    survivalOutcomes(ev, Seq("purchase"))
+      .withColumn("status",
+        when(col("cause") =!= "censored", 1L).otherwise(0L))
+      .select(col("arm"), col("status"), col("t"))
 
   /** Kaplan-Meier product-limit curve over per-subject `(status: Long,
     * t: Long)` rows (1 = event at t, 0 = censored at t) — q95's life-table
@@ -1925,28 +1938,8 @@ object RelationalQueries {
     // that product, and the CIF running sums fold frame-ordered — all on
     // the study-window-bounded hour grid (q95's scale note).
     "q98_competing_risks" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val firstOut = ev.filter(col("event_type").isin("purchase", "error"))
-        .join(v, "user_id").filter(col("ts") > col("t_view"))
-        .groupBy(col("user_id"))
-        .agg(min(struct(unix_micros(col("ts")).as("us"),
-          col("event_id").as("eid"), col("event_type").as("tpe"))).as("f"),
-          max(unix_micros(col("t_view"))).as("tv_us"))
-      val cut = ev.agg((min(unix_micros(col("ts"))) +
-        lit(7L * 24 * 3600 * 1000000L)).as("cut_us"))
-      val users = v.select(col("user_id"), unix_micros(col("t_view")).as("tv_us"))
-        .join(firstOut.select(col("user_id"), col("f")), Seq("user_id"), "left")
-        .crossJoin(broadcast(cut))
-        .filter(col("tv_us") < col("cut_us"))
-        .withColumn("cause",
-          when(col("f").isNotNull && col("f.us") <= col("cut_us"), col("f.tpe"))
-            .otherwise(lit("censored")))
-        .withColumn("d_us",
-          when(col("cause") =!= "censored", col("f.us") - col("tv_us"))
-            .otherwise(col("cut_us") - col("tv_us")))
-        .select(col("cause"), expr("d_us div 3600000000").as("t"))
+      val users = survivalOutcomes(Tables.events(s, d), Seq("purchase", "error"))
+        .select(col("cause"), col("t"))
       val nTot = users.agg(count(lit(1)).as("n"))
       val tbl = users.groupBy(col("t")).agg(
         sum(when(col("cause") === "purchase", 1L).otherwise(0L)).as("d1"),

@@ -777,6 +777,15 @@ object PgSnapshotSync {
     * from config/options must not break or inject into bootstrap SQL. */
   def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
 
+  /** Possibly schema-qualified name, quoted per dot-separated segment
+    * ("public"."t") — the ONE shared convention for every SQL-emitting
+    * surface (snapshot readers, catalog bootstrap, the write-back sink).
+    * Limitation, by convention: an identifier containing a LITERAL dot is
+    * not expressible (it always splits) — true of every call site since
+    * round 4, now in one place. */
+  def quoteQualified(name: String): String =
+    name.split('.').map(quoteIdent).mkString(".")
+
   /** Postgres wire-text LSN ("16/B3748F2C") ↔ the 64-bit integer offsets
     * the engine uses (models.py keeps int LSNs; the server speaks text). */
   def lsnFromText(s: String): Long = s.split('/') match {
@@ -843,7 +852,7 @@ object PgSnapshotSync {
     spark.read.format("jdbc")
       .option("url", jdbcUrl)
       .option("dbtable",
-        s"(SELECT * FROM ${table.split('.').map(quoteIdent).mkString(".")}) AS snap")
+        s"(SELECT * FROM ${quoteQualified(table)}) AS snap")
       .option("sessionInitStatement",
         s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
           s"SET TRANSACTION SNAPSHOT ${PgCatalog.sqlLiteral(snapshotName)}")

@@ -638,7 +638,7 @@ object PgWireSnapshot {
     import spark.implicits._
     def connect() = new PgWireConnection(host, port, db, user, password,
       ssl = ssl, sslRootCert = sslRootCert, sslVerifyFull = sslVerifyFull)
-    val qTable = table.split('.').map(PgSnapshotSync.quoteIdent).mkString(".")
+    val qTable = PgSnapshotSync.quoteQualified(table)
     val qPk = PgSnapshotSync.quoteIdent(pkCol)
     val snapLit = PgCatalog.sqlLiteral(snapshotName)
     def pinned(c: PgWireConnection, sql: String) = c.simpleQueryWithCols(

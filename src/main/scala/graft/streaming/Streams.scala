@@ -2378,15 +2378,15 @@ object Streams {
       .collect().map(_.getLong(0)).sorted
     if (tLsns.isEmpty) applyDml(dmlAll)
     else {
-      def qi(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
-      def qt(t: String) = t.split('.').map(qi).mkString(".")
       val bounds = (Long.MinValue +: tLsns.toSeq) :+ Long.MaxValue
       bounds.sliding(2).foreach { pair =>
         val (lo, hi) = (pair(0), pair(1))
         applyDml(dmlAll.filter(col("lsn") >= lo && col("lsn") < hi))
         if (hi != Long.MaxValue) {
           val c = newConn()
-          try c.simpleQuery(s"TRUNCATE ${qt(tbl)}") finally c.close()
+          try c.simpleQuery(
+            s"TRUNCATE ${graft.sources.PgSnapshotSync.quoteQualified(tbl)}")
+          finally c.close()
         }
       }
     }
@@ -2405,12 +2405,10 @@ object Streams {
       cols: Seq[String], keyCols: Seq[String],
       vals: Seq[String], keys: Seq[String],
       toasted: Set[String] = Set.empty): String = {
-    def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    def q(id: String) = graft.sources.PgSnapshotSync.quoteIdent(id)
     def lit(v: String) =
       if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
-    // schema-qualified names quote per segment ("public"."t"), matching
-    // the snapshot reader's convention
-    def qt(t: String) = t.split('.').map(q).mkString(".")
+    def qt(t: String) = graft.sources.PgSnapshotSync.quoteQualified(t)
     if (op == "D")
       s"DELETE FROM ${qt(table)} WHERE " +
         keyCols.zip(keys).map { case (c, v) => s"${q(c)} = ${lit(v)}" }

@@ -775,8 +775,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q98 competing risks: the per-user first-outcome window partitions " +
-      "by user; all life-table windows open on the hour grid") {
+  test("q98 competing risks: first outcome reduces via min-struct aggregation " +
+      "(no per-user window); all life-table windows open on the hour grid") {
     val p = plan("q98_competing_risks")
     val specHeads = "windowspecdefinition\\((\\w+)".r
       .findAllMatchIn(p).map(_.group(1)).toList
