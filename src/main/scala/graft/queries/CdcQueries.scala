@@ -164,6 +164,7 @@ object CdcQueries {
       val ev = CdcPipeline.decodeFrames(CdcPipeline.eventsUserToFrames(s, d)).toDF()
         .filter(col("op") === "I")
         .select(
+          element_at(col("after"), "event_id").cast("long").as("event_id"),
           element_at(col("after"), "user_id").cast("long").as("user_id"),
           timestamp_micros(element_at(col("after"), "ts_us").cast("long")).as("ts"),
           element_at(col("after"), "event_type").as("event_type"))
