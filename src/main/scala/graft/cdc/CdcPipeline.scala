@@ -230,6 +230,50 @@ object CdcPipeline {
     * [[ordersToFrames]] (rows buffer per partition so the v2 Relation
     * precedes the first 7-column image in partition order — bounded by
     * partition size, not table size). */
+  /** Insert-only orders wire path in BINARY transfer mode (pgoutput
+    * `binary 'true'`, PG 14+ — a surface the text-only reference lacks):
+    * even keys ship every column as its type's binary send-function bytes
+    * ('b' tuple categories — int8/text/float8/timestamptz here), odd keys
+    * stay text, so one decoded stream proves both forms land on identical
+    * envelope images ([[graft.decode.PgBinary]] renders 'b' back to
+    * canonical text at the image boundary; the live twin is LivePgSpec's
+    * binary-mode leg). Same per-partition narrow generation as
+    * [[ordersToFrames]]. */
+  def ordersToFramesBinary(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      def b(oid: Int, text: String) = ColumnData('b', None,
+        Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          PgBinary.encode(oid, text))))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val commitTs = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        val tuple =
+          if (k % 2 == 0) TupleData(Vector(
+            b(PgBinary.Int8Oid, k.toString), b(PgBinary.Int8Oid, cust.toString),
+            b(PgBinary.TextOid, status), b(PgBinary.Float8Oid, price.toString),
+            b(PgBinary.TimestamptzOid, pgTimestampText(dateUs)),
+            b(PgBinary.TextOid, prio)))
+          else TupleData(Vector(
+            t(k.toString), t(cust.toString), t(status), t(price.toString),
+            t(pgTimestampText(dateUs)), t(prio)))
+        Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, commitTs, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, tuple)),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, commitTs)))
+      }
+      rel ++ dml
+    }
+  }
+
   def ordersToFramesEvolving(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     val orders = graft.Tables.orders(spark, sfDir)

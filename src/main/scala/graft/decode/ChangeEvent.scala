@@ -184,13 +184,18 @@ final class ChangeEventBuilder(
 
   /** Zip positional tuple data with schema column names (T3). Returns the
     * text image map (NULL ⇒ present with null value; unchanged-TOAST ⇒
-    * absent) and the list of TOASTed column names. */
+    * absent) and the list of TOASTed column names. Binary-mode values
+    * ('b', pgoutput `binary 'true'`) are rendered to the canonical text
+    * here — the one boundary where the relation's type oid is in hand —
+    * so every downstream consumer (envelope, typed views, compaction,
+    * sinks) is transfer-mode agnostic. */
   private def imageOf(tuple: TupleData, rel: Relation): (Map[String, String], Seq[String]) = {
     val img = Map.newBuilder[String, String]
     val toasted = Seq.newBuilder[String]
     rel.columns.iterator.zip(tuple.columns.iterator).foreach { case (col, cd) =>
       cd.category match {
         case 't' => img += col.name -> cd.data.get
+        case 'b' => img += col.name -> PgBinary.render(col.typeOid, cd.bin.get.toArray)
         case 'n' => img += col.name -> null
         case 'u' => toasted += col.name
         case _ =>

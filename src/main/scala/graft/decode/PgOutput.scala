@@ -22,8 +22,15 @@ sealed trait PgOutputMessage { def msgType: Char }
 /** One column value inside a TupleData.
   * category 't' = text value present, 'n' = SQL NULL, 'u' = unchanged TOAST
   * datum (value NOT sent — must not be conflated with NULL; the reference
-  * conflates them, reader.py:52-58, which is lossy — SURVEY.md §7.2). */
-final case class ColumnData(category: Char, data: Option[String]) {
+  * conflates them, reader.py:52-58, which is lossy — SURVEY.md §7.2),
+  * 'b' = binary value (pgoutput `binary 'true'`, PG 14+ — absent from the
+  * reference, decoders.py:125-158 is text-only). Binary payloads carry the
+  * type's send-function bytes; [[PgBinary.render]] converts them to the
+  * canonical text at the image boundary so downstream stays mode-agnostic.
+  * `bin` is an ArraySeq so case-class equality stays element-wise (the
+  * decode⇄encode round-trip property relies on it). */
+final case class ColumnData(category: Char, data: Option[String],
+    bin: Option[scala.collection.immutable.ArraySeq[Byte]] = None) {
   def isNull: Boolean = category == 'n'
   def isUnchangedToast: Boolean = category == 'u'
 }
@@ -251,8 +258,9 @@ object PgOutputDecoder {
   }
 
   /** TupleData: int16 n_columns, then per column a category byte:
-    * 'n' NULL, 'u' unchanged TOAST, 't' int32 length + that many bytes
-    * (decoders.py:125-158). */
+    * 'n' NULL, 'u' unchanged TOAST, 't'/'b' int32 length + that many bytes
+    * (decoders.py:125-158; 'b' is the PG 14+ `binary 'true'` form the
+    * reference does not speak). */
   def readTupleData(buf: ByteBuffer): TupleData = {
     val n = buf.getShort()
     val cols = Vector.newBuilder[ColumnData]
@@ -261,7 +269,7 @@ object PgOutputDecoder {
       val cat = buf.get().toChar
       cat match {
         case 'n' | 'u' => cols += ColumnData(cat, None)
-        case 't' =>
+        case 't' | 'b' =>
           val len = buf.getInt()
           // length must fit the remaining frame: garbage input must raise
           // the typed error, not NegativeArraySizeException or an OOM-sized
@@ -271,7 +279,11 @@ object PgOutputDecoder {
               s"tuple column length $len exceeds frame remainder ${buf.remaining()}")
           val bytes = new Array[Byte](len)
           buf.get(bytes)
-          cols += ColumnData('t', Some(new String(bytes, StandardCharsets.UTF_8)))
+          if (cat == 't')
+            cols += ColumnData('t', Some(new String(bytes, StandardCharsets.UTF_8)))
+          else
+            cols += ColumnData('b', None,
+              Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes)))
         case other =>
           throw new PgOutputDecodeException(s"unknown tuple column category '$other'")
       }
@@ -401,6 +413,7 @@ object PgOutputEncoder {
     t.columns.foreach { c =>
       size += 1
       if (c.category == 't') size += 4 + c.data.get.getBytes(StandardCharsets.UTF_8).length
+      if (c.category == 'b') size += 4 + c.bin.get.length
     }
     val b = buf(size)
     b.putShort(t.columns.size.toShort)
@@ -410,6 +423,10 @@ object PgOutputEncoder {
         val d = c.data.get.getBytes(StandardCharsets.UTF_8)
         b.putInt(d.length)
         b.put(d)
+      }
+      if (c.category == 'b') {
+        b.putInt(c.bin.get.length)
+        b.put(c.bin.get.toArray)
       }
     }
     b.array()

@@ -59,8 +59,16 @@ case class DecodePgOutput(child: Expression)
   private def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
   private def cats(t: TupleData): UTF8String =
     u(t.columns.map(_.category).mkString)
+  // Binary-mode ('b') values surface as base64 — this expression is
+  // stateless per-frame, so the relation's type oid needed for canonical
+  // text rendering is not in hand; the category string marks which values
+  // are base64 payloads (the stateful pipeline renders them via PgBinary).
   private def vals(t: TupleData): GenericArrayData =
-    new GenericArrayData(t.columns.map(c => u(c.data.orNull)).toArray[Any])
+    new GenericArrayData(t.columns.map { c =>
+      if (c.category == 'b')
+        u(java.util.Base64.getEncoder.encodeToString(c.bin.get.toArray))
+      else u(c.data.orNull)
+    }.toArray[Any])
 
   override def nullSafeEval(input: Any): Any = {
     val out = new Array[Any](17)

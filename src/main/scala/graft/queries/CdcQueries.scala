@@ -68,6 +68,21 @@ object CdcQueries {
     "cdc_insert_roundtrip" -> ((s, d) =>
       finish(CdcPipeline.materializedOrders(s, d, DmlPattern()))),
 
+    // BINARY transfer mode end-to-end (pgoutput `binary 'true'`, PG 14+ —
+    // absent from the text-only reference): even keys arrive as 'b' tuple
+    // columns (type send-function bytes), odd keys as text, through ONE
+    // decode → envelope → compaction → typed-view pipeline. PgBinary
+    // renders the binary halves back to canonical text at the image
+    // boundary, so a rendering bug in ANY type (int8 byte order, float8
+    // bits, timestamptz micros/format) hash-fails against the plain
+    // parquet oracle. Live twin: LivePgSpec's binary-mode leg off a real
+    // walsender. Scale shape: identical to cdc_insert_roundtrip (decode is
+    // per-partition narrow; one pk shuffle for compaction).
+    "cdc_binary_roundtrip" -> ((s, d) =>
+      finish(graft.cdc.Cdc.materialize(
+        CdcPipeline.decodeFrames(CdcPipeline.ordersToFramesBinary(s, d)).toDF(),
+        CdcPipeline.ordersRelation))),
+
     // Inserts + updates (key%10==0: totalprice+1, no old image on the wire)
     // + key-only deletes (key%7==0): last-LSN-wins upsert semantics.
     "cdc_upsert_delete" -> ((s, d) =>
@@ -1049,6 +1064,10 @@ object CdcQueries {
          SELECT term, COUNT(*) AS df FROM tf GROUP BY term ORDER BY term""",
 
     "cdc_insert_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+
+    "cdc_binary_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
 

@@ -442,6 +442,11 @@ final class PgWireConduit(
     streaming: Boolean = false,
     twoPhase: Boolean = false,
     messages: Boolean = false,
+    // binary 'true' (PG 14+): ship column values via the type send
+    // functions instead of text — cheaper on the server and smaller on the
+    // wire for numeric/timestamp-heavy rows; decoded back to canonical
+    // text at the image boundary (PgBinary), so downstream is unchanged
+    binary: Boolean = false,
     ssl: Boolean = false,
     sslRootCert: Option[String] = None,
     sslVerifyFull: Boolean = false)
@@ -500,7 +505,8 @@ final class PgWireConduit(
       Some(s"publication_names '$publication'"),
       if (streaming) Some("streaming 'on'") else None,
       if (twoPhase) Some("two_phase 'true'") else None,
-      if (messages) Some("messages 'true'") else None).flatten.mkString(", ")
+      if (messages) Some("messages 'true'") else None,
+      if (binary) Some("binary 'true'") else None).flatten.mkString(", ")
     conn.enterCopyBoth(
       s"""START_REPLICATION SLOT "$slot" LOGICAL ${PgLsn.format(afterLsn)} ($opts)""")
     flushed = afterLsn
@@ -704,6 +710,7 @@ object PgWireConduit {
       streaming = opts.get("streaming").exists(_.toBoolean),
       twoPhase = opts.get("twoPhase").exists(_.toBoolean),
       messages = opts.get("messages").exists(_.toBoolean),
+      binary = opts.get("binary").exists(_.toBoolean),
       ssl = sslMode != "disable",
       sslRootCert = rootCert,
       sslVerifyFull = sslMode == "verify-full")

@@ -168,7 +168,12 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     Gen.const(ColumnData('n', None)),
     Gen.const(ColumnData('u', None)),
     Gen.asciiPrintableStr.map(s => ColumnData('t', Some(s))),
-    Gen.const(ColumnData('t', Some("héllo wörld ✓"))))
+    Gen.const(ColumnData('t', Some("héllo wörld ✓"))),
+    // binary-mode column ('b', pgoutput binary 'true'): opaque bytes on
+    // the wire — framing must round-trip them bit-for-bit
+    Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(bs =>
+      ColumnData('b', None,
+        Some(scala.collection.immutable.ArraySeq.from(bs.take(32))))))
   private val genTuple: Gen[TupleData] =
     Gen.listOf(genColumnData).map(l => TupleData(l.take(16).toVector))
 

@@ -296,6 +296,131 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conduit.close(); sql.close() }
   }
 
+  test("binary transfer mode live: `binary 'true'` ships 'b' tuple columns " +
+      "off a real walsender and the rendered images match the text mode") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery(
+        """CREATE TABLE tb (
+             id bigint primary key,
+             b boolean, s2 smallint, s4 integer, s8 bigint,
+             f4 real, f8 double precision, num numeric(14,5),
+             d date, t time, ts timestamp, tstz timestamptz,
+             u uuid, j json, jb jsonb, by bytea,
+             txt text, vc varchar(20), arr integer[], tarr text[])""")
+      sql.simpleQuery("ALTER TABLE tb REPLICA IDENTITY FULL")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_tb FOR TABLE tb")
+
+      // one DML script, drained twice — once per transfer mode
+      def runDml(): Unit = {
+        sql.simpleQuery(
+          """INSERT INTO tb VALUES
+             (1, true, -32768, 2147483647, 9223372036854775807,
+              0.1, 1e20, -12345.67,
+              '2024-02-29', '23:59:59.000125',
+              '2024-03-01 12:34:56.123456', '2024-03-01 12:34:56.5+00',
+              '550e8400-e29b-41d4-a716-446655440000',
+              '{"a":1}', '{"b":[1,2]}', '\x00ff7a',
+              'héllo — ünïcode ✓', 'vc-value', '{1,2,3}',
+              '{plain,NULL,"a,b","say \"hi\"",""}'),
+             (2, NULL, NULL, NULL, NULL, NULL, 'NaN', '0.00012',
+              NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+              NULL, NULL, '{}', NULL)""")
+        sql.simpleQuery("UPDATE tb SET num = num + 1 WHERE id = 1")
+        sql.simpleQuery("DELETE FROM tb WHERE id = 2")
+        sql.simpleQuery("DELETE FROM tb WHERE id = 1")
+      }
+
+      /** Drain one full pass of the DML through a fresh conduit; returns
+        * the change events plus every raw frame for category inspection. */
+      def drainMode(binary: Boolean, slot: String):
+          (Seq[ChangeEvent], Seq[Array[Byte]]) = {
+        val conduit = new PgWireConduit("127.0.0.1", port, "postgres",
+          "postgres", None, slot, "graft_pub_tb", createSlot = true,
+          temporarySlot = true, statusIntervalMs = 500L, binary = binary)
+        try {
+          conduit.start(0L)
+          runDml()
+          val builder = new ChangeEventBuilder(new SchemaRegistry)
+          val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+          val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (events.count(e => e.op == "D") < 2 &&
+              System.nanoTime() < deadline) {
+            conduit.read() match {
+              case Some((lsn, payload)) =>
+                frames += payload
+                events ++= builder.processRaw(lsn, payload)
+              case None => Thread.sleep(20)
+            }
+          }
+          (events.toSeq, frames.toSeq)
+        } finally conduit.close()
+      }
+
+      val (textEvents, textFrames) = drainMode(binary = false, "graft_slot_tbt")
+      val (binEvents, binFrames) = drainMode(binary = true, "graft_slot_tbb")
+
+      // the option must actually change the wire: binary tuples carry 'b'
+      // categories, text tuples never do
+      def cats(frames: Seq[Array[Byte]]): Set[Char] = frames.collect {
+        case f if f(0) == 'I' =>
+          PgOutputDecoder.decode(f).asInstanceOf[Insert]
+            .newTuple.columns.map(_.category)
+      }.flatten.toSet
+      assert(cats(binFrames).contains('b'), "binary mode never framed a 'b' column")
+      assert(!cats(textFrames).contains('b'))
+
+      // rendered images: byte-identical to the text mode everywhere except
+      // float4/float8, which are parse-equal (documented shortest-repr gap)
+      assert(binEvents.size === textEvents.size)
+      val floatCols = Set("f4", "f8")
+      def imagePairs(img: Map[String, String], twin: Map[String, String]): Unit = {
+        if (img == null) { assert(twin === null); return }
+        assert(img.keySet === twin.keySet)
+        img.keySet.foreach { k =>
+          val (bv, tv) = (img(k), twin(k))
+          if (floatCols.contains(k) && bv != null && tv != null)
+            assert(java.lang.Double.compare(bv.toDouble, tv.toDouble) === 0,
+              s"column $k parse-differs: binary=$bv text=$tv")
+          else assert(bv === tv, s"column $k text-differs: binary=$bv text=$tv")
+        }
+      }
+      binEvents.zip(textEvents).foreach { case (bi, te) =>
+        assert(bi.op === te.op)
+        imagePairs(bi.after, te.after)
+        imagePairs(bi.before, te.before)
+        // under REPLICA IDENTITY FULL the key IS the full old image, so it
+        // carries the float columns — same parse-equal tolerance applies
+        imagePairs(bi.key, te.key)
+      }
+      // spot-pin the canonical renders the binary path produced
+      val ins1 = binEvents.find(e => e.op == "I" && e.after("id") == "1").get.after
+      assert(ins1("num") === "-12345.67000") // numeric(14,5) scale padding
+      assert(ins1("by") === "\\x00ff7a")
+      assert(ins1("tstz") === "2024-03-01 12:34:56.5+00")
+      assert(ins1("t") === "23:59:59.000125")
+      assert(ins1("tarr") === "{plain,NULL,\"a,b\",\"say \\\"hi\\\"\",\"\"}")
+      val ins2 = binEvents.find(e => e.op == "I" && e.after("id") == "2").get.after
+      assert(ins2("num") === "0.00012")
+      assert(ins2("f8") === "NaN")
+      assert(ins2("arr") === "{}")
+      // identity-full old image rides the binary path too: the UPDATE
+      // splits D+I (identity FULL re-keys on any change — pinned live by
+      // the schema-evolution test), and the D's before image is the full
+      // binary-rendered old row
+      assert(binEvents.map(_.op) === Seq("I", "I", "D", "I", "D"))
+      val updD = binEvents(2); val updI = binEvents(3)
+      assert(updD.before("num") === "-12345.67000")
+      assert(updI.after("num") === "-12344.67000")
+    } finally {
+      try sql.simpleQuery("DROP PUBLICATION graft_pub_tb") catch { case _: Throwable => () }
+      try sql.simpleQuery("DROP TABLE tb") catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("schema evolution live: ALTER TABLE add/drop column and ALTER " +
       "PUBLICATION add table re-announce relations mid-stream") {
     live()
