@@ -764,6 +764,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q99 Holt-Winters: the corpus reduces two-phase to the (type, hour) " +
+      "grid before any fold; no window, no cartesian beyond 1-row broadcasts") {
+    val p = plan("q99_holt_winters")
+    // the event scan collapses via partial hash agg — the HW recursion only
+    // ever sees the domain-sized per-type series arrays
+    assert(p.contains("partial_"), p)
+    // no Window operator anywhere: the fold is an aggregate() HOF over a
+    // study-window-bounded array, not a global sort/window
+    assert(!p.contains("Window"), p)
+    // the only nested-loop is the broadcast 1-row h0 scalar
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q96 log-rank: both arms' life tables share the hour grid — windows " +
       "open on `t` only, user rows reduce two-phase first") {
     val p = plan("q96_logrank")
