@@ -1037,6 +1037,40 @@ object CdcPipeline {
     }
   }
 
+  val EventsFullRelId = 50007
+
+  /** Full behavioral-event relation (every type, with the metric value as
+    * cents) — the forecast-serving wire shape: the hourly (type, hour)
+    * grid that feeds the Holt-Winters fold is derivable from these inserts
+    * alone. */
+  val eventsFullRelation: Relation = Relation(
+    EventsFullRelId, "public", "events_full", 'd',
+    Vector(
+      RelationColumn(partOfKey = true, "event_id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "ts_us", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "event_type", TypedView.Oid.Text, -1),
+      RelationColumn(partOfKey = false, "cents", TypedView.Oid.Int8, -1)))
+
+  /** All events → insert-only pgoutput frames (append-only log, LSN =
+    * event order) — feeds `cdc_forecast_serving`. */
+  def eventsFullToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val relFrame = PgOutputEncoder.encode(eventsFullRelation)
+    ev.as[(Long, Long, String, Long)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.map { case (id, us, tpe, cents) =>
+        (id * 2 + 1) -> PgOutputEncoder.encode(Insert(EventsFullRelId,
+          TupleData(Vector(t(id.toString), t(us.toString), t(tpe),
+            t(cents.toString)))))
+      }
+      rel ++ dml
+    }
+  }
+
   val EventsUserRelId = 50006
 
   /** User-level event stream relation (the survival/conversion wire shape:

@@ -188,6 +188,25 @@ object CdcQueries {
           .select(col("status"), col("t")))
     }),
 
+    // Forecast SERVING from the CDC wire: the full behavioral-event log
+    // arrives as insert-only pgoutput frames (decode → envelope → typed
+    // projection) and feeds the SAME holtWinters tail as q99 — the
+    // "forecast maintained off the replication stream" loop, mirroring
+    // cdc_survival_serving's sharing shape. A dropped or mis-decoded
+    // event anywhere shifts an hourly mean and hash-fails against q99's
+    // oracle. Scale shape: decode is per-partition narrow; the (type,
+    // hour) agg is the only corpus shuffle; the fold runs on the
+    // study-window-bounded series (q99's scale note).
+    "cdc_forecast_serving" -> ((s, d) => {
+      val ev = CdcPipeline.decodeFrames(CdcPipeline.eventsFullToFrames(s, d)).toDF()
+        .filter(col("op") === "I")
+        .select(
+          element_at(col("after"), "event_type").as("event_type"),
+          expr("cast(element_at(after, 'ts_us') as bigint) div 3600000000").as("hr"),
+          element_at(col("after"), "cents").cast("long").as("cents"))
+      graft.queries.RelationalQueries.holtWinters(ev)
+    }),
+
     // Incrementally-maintained SEASONAL BASELINE from an event wire
     // stream: the (event_type, hour-of-day) mean that q67's anomaly sweep
     // reads, kept fresh purely from deltas — inserts add (cents, 1),
@@ -1307,6 +1326,16 @@ object CdcQueries {
       s"""WITH ${RelationalQueries.kmLifeTableCtes(
              "WHERE event_type IN ('view', 'purchase')")}
          ${RelationalQueries.KmCurveTailSql}""",
+
+    // q99's fold SQL (the shared HoltWintersTailSql fragment) anchored to
+    // the wire-delivered full event log — the frames carry every event, so
+    // the hourly grid (and hence the whole fold) must match the table scan
+    "cdc_forecast_serving" ->
+      s"""WITH RECURSIVE ev AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         ${RelationalQueries.HoltWintersTailSql}""",
 
     "cdc_incremental_baseline" ->
       """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n,

@@ -147,6 +147,69 @@ object RelationalQueries {
       .orderBy(col("t_hours"))
   }
 
+  /** Holt-Winters additive triple exponential smoothing (season m=24) over
+    * `(event_type, hr: Long, cents: Long)` rows — the shared tail of q99
+    * and the CDC forecast-serving twin (same sharing shape as
+    * [[survivalUsers]]/[[kmCurve]]). Hourly mean series per type fold
+    * through the level/trend/seasonal recursions with DYADIC smoothing
+    * constants (0.5/0.25/0.75 — exactly representable, so the Spark
+    * aggregate() HOF and the DuckDB recursive CTE produce bit-identical
+    * IEEE doubles). Emits per type the one-step-ahead fitted values and a
+    * 24 h forecast. Scale shape: one (type × hour) two-phase agg is the
+    * only corpus work; series are study-window-bounded (≤720 points),
+    * fold state is model-sized (l, b, s[24]) — plan-asserted window-free. */
+  private[graft] def holtWinters(ev: DataFrame): DataFrame = {
+    val m = 24
+    val h0 = ev.agg(min(col("hr")).as("h0"))
+    val hourly = ev.groupBy(col("event_type"), col("hr"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(h0))
+      .select(col("event_type"), (col("hr") - col("h0")).as("t"),
+        (col("sc").cast("double") /
+          (col("n").cast("double") * lit(100.0))).as("y"))
+    val series = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("t"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 3 * m)
+      .select(col("event_type"),
+        expr("transform(pts, p -> p.t)").as("ts_l"),
+        expr("transform(pts, p -> p.y)").as("ys"))
+    val folded = series
+      .withColumn("l0",
+        expr(s"aggregate(slice(ys, 1, $m), 0.0D, (a, x) -> a + x) / 24.0D"))
+      .withColumn("m2",
+        expr(s"aggregate(slice(ys, ${m + 1}, $m), 0.0D, (a, x) -> a + x) / 24.0D"))
+      .withColumn("b0", expr("(m2 - l0) / 24.0D"))
+      .withColumn("s0", expr(s"transform(slice(ys, 1, $m), x -> x - l0)"))
+      .withColumn("st", expr(s"""
+        aggregate(
+          sequence(${m + 1}, size(ys)),
+          named_struct(
+            'l', l0, 'b', b0, 's', s0,
+            'fit', cast(array() as array<struct<t:bigint,y:double,yhat:double>>)),
+          (st, i) -> named_struct(
+            'l', 0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b),
+            'b', 0.25D * ((0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b)) - st.l) + 0.75D * st.b,
+            's', concat(slice(st.s, 2, ${m - 1}), array(
+              0.25D * (element_at(ys, i) - (0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b))) + 0.75D * element_at(st.s, 1))),
+            'fit', concat(st.fit, array(named_struct(
+              't', element_at(ts_l, i), 'y', element_at(ys, i),
+              'yhat', st.l + st.b + element_at(st.s, 1))))))"""))
+    val fits = folded
+      .select(col("event_type"), explode(col("st.fit")).as("f"))
+      .select(col("event_type"), lit("fit").as("kind"), col("f.t").as("t"),
+        round(col("f.y"), 6).as("y"), round(col("f.yhat"), 6).as("yhat"))
+    val fc = folded
+      .select(col("event_type"), explode(expr(
+        """transform(sequence(1, 24), h -> named_struct(
+             't', element_at(ts_l, size(ts_l)) + cast(h as bigint),
+             'yhat', st.l + cast(h as double) * st.b + element_at(st.s, h)))"""))
+        .as("f"))
+      .select(col("event_type"), lit("forecast").as("kind"),
+        col("f.t").as("t"), lit(null).cast("double").as("y"),
+        round(col("f.yhat"), 6).as("yhat"))
+    fits.unionByName(fc).orderBy(col("event_type"), col("kind"), col("t"))
+  }
+
   /** Deterministic 1/16 universe-sample predicate (24-bit md5 prefix mod
     * 16) — shared by q70 (join-consistent order sampling) and q85 (row
     * sampling with CI). */
@@ -1294,61 +1357,11 @@ object RelationalQueries {
     // (type × hour) agg; the per-type series is bounded by the study
     // window (≤720 points), and the fold state is model-sized
     // (l, b, s[24]) — the same domain-bounded-window argument as q95.
-    "q99_holt_winters" -> ((s, d) => {
-      val m = 24
-      val ev = Tables.events(s, d)
+    "q99_holt_winters" -> ((s, d) =>
+      holtWinters(Tables.events(s, d)
         .select(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("hr"),
-          round(col("value") * 100).cast("long").as("cents"))
-      val h0 = ev.agg(min(col("hr")).as("h0"))
-      val hourly = ev.groupBy(col("event_type"), col("hr"))
-        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
-        .crossJoin(broadcast(h0))
-        .select(col("event_type"), (col("hr") - col("h0")).as("t"),
-          (col("sc").cast("double") /
-            (col("n").cast("double") * lit(100.0))).as("y"))
-      val series = hourly.groupBy(col("event_type"))
-        .agg(array_sort(collect_list(struct(col("t"), col("y")))).as("pts"))
-        .filter(size(col("pts")) >= 3 * m)
-        .select(col("event_type"),
-          expr("transform(pts, p -> p.t)").as("ts_l"),
-          expr("transform(pts, p -> p.y)").as("ys"))
-      val folded = series
-        .withColumn("l0",
-          expr(s"aggregate(slice(ys, 1, $m), 0.0D, (a, x) -> a + x) / 24.0D"))
-        .withColumn("m2",
-          expr(s"aggregate(slice(ys, ${m + 1}, $m), 0.0D, (a, x) -> a + x) / 24.0D"))
-        .withColumn("b0", expr("(m2 - l0) / 24.0D"))
-        .withColumn("s0", expr(s"transform(slice(ys, 1, $m), x -> x - l0)"))
-        .withColumn("st", expr(s"""
-          aggregate(
-            sequence(${m + 1}, size(ys)),
-            named_struct(
-              'l', l0, 'b', b0, 's', s0,
-              'fit', cast(array() as array<struct<t:bigint,y:double,yhat:double>>)),
-            (st, i) -> named_struct(
-              'l', 0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b),
-              'b', 0.25D * ((0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b)) - st.l) + 0.75D * st.b,
-              's', concat(slice(st.s, 2, ${m - 1}), array(
-                0.25D * (element_at(ys, i) - (0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b))) + 0.75D * element_at(st.s, 1))),
-              'fit', concat(st.fit, array(named_struct(
-                't', element_at(ts_l, i), 'y', element_at(ys, i),
-                'yhat', st.l + st.b + element_at(st.s, 1))))))"""))
-      val fits = folded
-        .select(col("event_type"), explode(col("st.fit")).as("f"))
-        .select(col("event_type"), lit("fit").as("kind"), col("f.t").as("t"),
-          round(col("f.y"), 6).as("y"), round(col("f.yhat"), 6).as("yhat"))
-      val fc = folded
-        .select(col("event_type"), explode(expr(
-          """transform(sequence(1, 24), h -> named_struct(
-               't', element_at(ts_l, size(ts_l)) + cast(h as bigint),
-               'yhat', st.l + cast(h as double) * st.b + element_at(st.s, h)))"""))
-          .as("f"))
-        .select(col("event_type"), lit("forecast").as("kind"),
-          col("f.t").as("t"), lit(null).cast("double").as("y"),
-          round(col("f.yhat"), 6).as("yhat"))
-      fits.unionByName(fc).orderBy(col("event_type"), col("kind"), col("t"))
-    }),
+          round(col("value") * 100).cast("long").as("cents")))),
 
     // Market-basket association rules: part pairs co-purchased in the
     // same order, scored by support / confidence / lift — the classic
@@ -2667,6 +2680,57 @@ object RelationalQueries {
            round(list_reduce(fl, (a, b) -> a * b), 6) AS survival
          FROM s WHERE d > 0 ORDER BY t_hours"""
 
+  /** The Holt-Winters fold as DuckDB SQL, downstream of an `ev` CTE
+    * providing `(event_type, hr BIGINT, cents BIGINT)` — q99's tail,
+    * shared verbatim by the CDC forecast-serving twin (requires WITH
+    * RECURSIVE on the enclosing query). Token-for-token mirror of
+    * [[holtWinters]]: dyadic constants, left folds, identical operand
+    * order. */
+  private[queries] val HoltWintersTailSql: String =
+    """h0 AS (SELECT MIN(hr) AS h0 FROM ev),
+         hourly AS (
+           SELECT event_type, hr - (SELECT h0 FROM h0) AS t,
+             CAST(SUM(cents) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS y
+           FROM ev GROUP BY event_type, hr),
+         series AS (
+           SELECT event_type, list(t ORDER BY t) AS ts_l, list(y ORDER BY t) AS ys
+           FROM hourly GROUP BY event_type HAVING COUNT(*) >= 72),
+         init1 AS (
+           SELECT event_type, ts_l, ys,
+             list_reduce(ys[1:24], (a, b) -> a + b) / 24.0 AS l0,
+             list_reduce(ys[25:48], (a, b) -> a + b) / 24.0 AS m2
+           FROM series),
+         init AS (
+           SELECT event_type, ts_l, ys, l0, (m2 - l0) / 24.0 AS b0,
+             list_transform(ys[1:24], x -> x - l0) AS s0
+           FROM init1),
+         rec AS (
+           SELECT event_type, ts_l, ys, 24 AS i, l0 AS l, b0 AS b, s0 AS s,
+             CAST([] AS STRUCT(t BIGINT, y DOUBLE, yhat DOUBLE)[]) AS fit
+           FROM init
+           UNION ALL
+           SELECT event_type, ts_l, ys, i + 1,
+             0.5 * (ys[i + 1] - s[1]) + 0.5 * (l + b),
+             0.25 * ((0.5 * (ys[i + 1] - s[1]) + 0.5 * (l + b)) - l) + 0.75 * b,
+             s[2:24] || [0.25 * (ys[i + 1] - (0.5 * (ys[i + 1] - s[1]) + 0.5 * (l + b))) + 0.75 * s[1]],
+             fit || [struct_pack(t := ts_l[i + 1], y := ys[i + 1],
+                                 yhat := l + b + s[1])]
+           FROM rec WHERE i < len(ys)),
+         fin AS (SELECT * FROM rec WHERE i = len(ys)),
+         fits AS (
+           SELECT event_type, 'fit' AS kind, f.t AS t,
+             round(f.y, 6) AS y, round(f.yhat, 6) AS yhat
+           FROM (SELECT event_type, unnest(fit) AS f FROM fin)),
+         fc AS (
+           SELECT event_type, 'forecast' AS kind, f.t AS t,
+             CAST(NULL AS DOUBLE) AS y, round(f.yhat, 6) AS yhat
+           FROM (SELECT event_type, unnest(list_transform(generate_series(1, 24),
+               h -> struct_pack(t := ts_l[len(ts_l)] + h,
+                 yhat := l + CAST(h AS DOUBLE) * b + s[h]))) AS f
+             FROM fin))
+         SELECT * FROM fits UNION ALL SELECT * FROM fc
+         ORDER BY event_type, kind, t"""
+
   val oracleSql: Map[String, String] = Map(
     "q62_ewma" ->
       """WITH ev AS (
@@ -3050,55 +3114,15 @@ object RelationalQueries {
     // dyadic smoothing constants + left-fold recursions mirror the Spark
     // fold token-for-token; the recursive CTE steps once per series
     // element (~680 × 5 types), carrying the (l, b, s[24]) state and the
-    // accumulated fitted list
+    // accumulated fitted list. The tail below q99's ev CTE is the shared
+    // HoltWintersTailSql — cdc_forecast_serving anchors the same fold to
+    // the wire-delivered event log.
     "q99_holt_winters" ->
       s"""WITH RECURSIVE ev AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
              CAST(round(value * 100) AS BIGINT) AS cents
            FROM events),
-         h0 AS (SELECT MIN(hr) AS h0 FROM ev),
-         hourly AS (
-           SELECT event_type, hr - (SELECT h0 FROM h0) AS t,
-             CAST(SUM(cents) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS y
-           FROM ev GROUP BY event_type, hr),
-         series AS (
-           SELECT event_type, list(t ORDER BY t) AS ts_l, list(y ORDER BY t) AS ys
-           FROM hourly GROUP BY event_type HAVING COUNT(*) >= 72),
-         init1 AS (
-           SELECT event_type, ts_l, ys,
-             list_reduce(ys[1:24], (a, b) -> a + b) / 24.0 AS l0,
-             list_reduce(ys[25:48], (a, b) -> a + b) / 24.0 AS m2
-           FROM series),
-         init AS (
-           SELECT event_type, ts_l, ys, l0, (m2 - l0) / 24.0 AS b0,
-             list_transform(ys[1:24], x -> x - l0) AS s0
-           FROM init1),
-         rec AS (
-           SELECT event_type, ts_l, ys, 24 AS i, l0 AS l, b0 AS b, s0 AS s,
-             CAST([] AS STRUCT(t BIGINT, y DOUBLE, yhat DOUBLE)[]) AS fit
-           FROM init
-           UNION ALL
-           SELECT event_type, ts_l, ys, i + 1,
-             0.5 * (ys[i + 1] - s[1]) + 0.5 * (l + b),
-             0.25 * ((0.5 * (ys[i + 1] - s[1]) + 0.5 * (l + b)) - l) + 0.75 * b,
-             s[2:24] || [0.25 * (ys[i + 1] - (0.5 * (ys[i + 1] - s[1]) + 0.5 * (l + b))) + 0.75 * s[1]],
-             fit || [struct_pack(t := ts_l[i + 1], y := ys[i + 1],
-                                 yhat := l + b + s[1])]
-           FROM rec WHERE i < len(ys)),
-         fin AS (SELECT * FROM rec WHERE i = len(ys)),
-         fits AS (
-           SELECT event_type, 'fit' AS kind, f.t AS t,
-             round(f.y, 6) AS y, round(f.yhat, 6) AS yhat
-           FROM (SELECT event_type, unnest(fit) AS f FROM fin)),
-         fc AS (
-           SELECT event_type, 'forecast' AS kind, f.t AS t,
-             CAST(NULL AS DOUBLE) AS y, round(f.yhat, 6) AS yhat
-           FROM (SELECT event_type, unnest(list_transform(generate_series(1, 24),
-               h -> struct_pack(t := ts_l[len(ts_l)] + h,
-                 yhat := l + CAST(h AS DOUBLE) * b + s[h]))) AS f
-             FROM fin))
-         SELECT * FROM fits UNION ALL SELECT * FROM fc
-         ORDER BY event_type, kind, t""",
+         $HoltWintersTailSql""",
 
     // same md5-derived keep set (the Hash24 twin), DECIMAL-exact sums,
     // identical scale/compare ops → stable boolean
