@@ -1049,23 +1049,30 @@ object CdcPipeline {
       RelationColumn(partOfKey = true, "event_id", TypedView.Oid.Int8, -1),
       RelationColumn(partOfKey = false, "ts_us", TypedView.Oid.Int8, -1),
       RelationColumn(partOfKey = false, "event_type", TypedView.Oid.Text, -1),
-      RelationColumn(partOfKey = false, "cents", TypedView.Oid.Int8, -1)))
+      RelationColumn(partOfKey = false, "cents", TypedView.Oid.Int8, -1),
+      // the hourly-grid group key ships materialized ("<type>|<abs hour>",
+      // the eventsRelation convention) so the streaming grid sink never
+      // re-parses timestamps
+      RelationColumn(partOfKey = false, "etype_hr", TypedView.Oid.Text, -1)))
 
   /** All events → insert-only pgoutput frames (append-only log, LSN =
-    * event order) — feeds `cdc_forecast_serving`. */
+    * event order) — feeds `cdc_forecast_serving` and the streaming
+    * hourly-grid sink behind the Holt-Winters serving view. */
   def eventsFullToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("etype_hr",
+        concat_ws("|", col("event_type"), expr("ts_us div 3600000000")))
     val relFrame = PgOutputEncoder.encode(eventsFullRelation)
-    ev.as[(Long, Long, String, Long)].mapPartitions { rows =>
+    ev.as[(Long, Long, String, Long, String)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
       val rel = Iterator.single(0L -> relFrame)
-      val dml = rows.map { case (id, us, tpe, cents) =>
+      val dml = rows.map { case (id, us, tpe, cents, key) =>
         (id * 2 + 1) -> PgOutputEncoder.encode(Insert(EventsFullRelId,
           TupleData(Vector(t(id.toString), t(us.toString), t(tpe),
-            t(cents.toString)))))
+            t(cents.toString), t(key)))))
       }
       rel ++ dml
     }

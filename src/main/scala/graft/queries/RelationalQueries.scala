@@ -158,15 +158,22 @@ object RelationalQueries {
     * 24 h forecast. Scale shape: one (type × hour) two-phase agg is the
     * only corpus work; series are study-window-bounded (≤720 points),
     * fold state is model-sized (l, b, s[24]) — plan-asserted window-free. */
-  private[graft] def holtWinters(ev: DataFrame): DataFrame = {
-    val m = 24
-    val h0 = ev.agg(min(col("hr")).as("h0"))
-    val hourly = ev.groupBy(col("event_type"), col("hr"))
+  private[graft] def holtWinters(ev: DataFrame): DataFrame =
+    holtWintersFromGrid(ev.groupBy(col("event_type"), col("hr"))
       .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
-      .crossJoin(broadcast(h0))
-      .select(col("event_type"), (col("hr") - col("h0")).as("t"),
+      .select(col("event_type"), col("hr"),
         (col("sc").cast("double") /
-          (col("n").cast("double") * lit(100.0))).as("y"))
+          (col("n").cast("double") * lit(100.0))).as("y")))
+
+  /** The fold half of [[holtWinters]], over an already-maintained hourly
+    * grid `(event_type, hr: Long, y: Double)` — the streaming twin reads
+    * the incremental-agg sink's state straight into this (StreamingSpec
+    * pins that parity). */
+  private[graft] def holtWintersFromGrid(grid: DataFrame): DataFrame = {
+    val m = 24
+    val h0 = grid.agg(min(col("hr")).as("h0"))
+    val hourly = grid.crossJoin(broadcast(h0))
+      .select(col("event_type"), (col("hr") - col("h0")).as("t"), col("y"))
     val series = hourly.groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("t"), col("y")))).as("pts"))
       .filter(size(col("pts")) >= 3 * m)

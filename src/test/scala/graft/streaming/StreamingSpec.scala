@@ -1220,6 +1220,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("Holt-Winters serving off the stream-maintained hourly grid equals " +
+      "the q99 batch fold across micro-batch cuts") {
+    // the full event log streams through the UNCHANGED incrementalAggSink
+    // keyed on the materialized (type | abs-hour) grid key; the forecast
+    // view is holtWintersFromGrid over the state snapshot — maintained at
+    // O(batch + touched hours), never a corpus rescan
+    val dir = Files.createTempDirectory("hwgrid")
+    val p = dir.resolve("log.bin").toString
+    val frames = graft.cdc.CdcPipeline.eventsFullToFrames(spark, sfDir)
+      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    FrameLog.write(p, frames)
+    // cuts land mid-hour-bucket: partial sums must merge across batches
+    val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(700))
+    val q = Streams.incrementalAggSink(env, graft.cdc.CdcPipeline.eventsFullRelation,
+      "etype_hr", "cents",
+      dir.resolve("state").toString, dir.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    val grid = Streams.incrementalAggState(spark, dir.resolve("state").toString)
+      .select(
+        split(col("g"), "\\|").getItem(0).as("event_type"),
+        split(col("g"), "\\|").getItem(1).cast("long").as("hr"),
+        (col("sum_cents").cast("double") /
+          (col("c").cast("double") * lit(100.0))).as("y"))
+    val got = graft.queries.RelationalQueries.holtWintersFromGrid(grid)
+      .collect().map(_.toSeq)
+    val expected = graft.SparkEntry.queries("q99_holt_winters")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("term-df sink equals the batch incremental index across micro-batches") {
     val dir = Files.createTempDirectory("termdf")
     val p = dir.resolve("log.bin").toString
