@@ -691,6 +691,46 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Zipf's-law fit: OLS of ln(freq) on ln(rank) over the rank-frequency
+    // distribution — the corpus-statistics diagnostic that tells whether a
+    // crawl slice looks like natural language (slope ≈ -1) or like
+    // boilerplate/spam (flat head or cliff). Float determinism: the
+    // moments are sums of ≤vocab-many ln() products rounded at 4 decimals
+    // (engine log/summation-order drift is ~1e-12 — six orders below the
+    // rounding grain; same per-row-ln precedent as text_collocations).
+    // Scale shape: one corpus explode+agg to vocab-sized counts; the
+    // row_number window is VOCAB-sized (domain-bounded, the audited
+    // global-window class), and the fit is a 5-number aggregate.
+    "text_zipf_fit" -> ((s, d) => {
+      val uni = withWords(Tables.documents(s, d))
+        .select(explode(col("ws")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("w")) // vocab-sized: domain-bounded
+      val ranked = uni
+        .withColumn("r", row_number().over(w))
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("n").cast("double")).as("y"))
+      ranked
+        .agg(count(lit(1)).cast("double").as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("slope_raw",
+          (col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx")))
+        .select(col("k").cast("long").as("n_terms"),
+          round(col("slope_raw"), 4).as("slope"),
+          round((col("sy") - col("slope_raw") * col("sx")) / col("k"), 4)
+            .as("intercept"),
+          round(((col("k") * col("sxy") - col("sx") * col("sy")) *
+              (col("k") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("k") * col("sxx") - col("sx") * col("sx")) *
+              (col("k") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+    }),
+
     // Benchmark decontamination: flag training docs sharing any 5-gram with
     // the held-out eval set (docs with doc_id % 97 == 0 stand in for the
     // benchmark). The standard pre-training hygiene step: n-gram overlap
@@ -2485,6 +2525,27 @@ object TextQueries {
          FROM (SELECT doc_id, unnest($WsSql) AS term FROM documents) t
          WHERE length(term) > 0
          GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+
+    // same ln-moment derivation; round 4 absorbs engine log/sum-order ulps
+    "text_zipf_fit" ->
+      s"""WITH uni AS (
+           SELECT w, COUNT(*) AS n
+           FROM (SELECT unnest($WsSql) AS w FROM documents) t
+           WHERE length(w) > 0 GROUP BY w),
+         ranked AS (
+           SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+           FROM uni),
+         m AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+           FROM ranked)
+         SELECT CAST(k AS BIGINT) AS n_terms,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) AS intercept,
+           round(((k * sxy - sx * sy) * (k * sxy - sx * sy)) /
+             ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4) AS r2
+         FROM m""",
 
     // identical ln-argument operand order as the Spark side
     "text_collocations" ->
