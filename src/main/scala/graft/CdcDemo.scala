@@ -24,6 +24,8 @@ import graft.streaming.Streams
   *   GRAFT_PGCDC_SLOT         replication slot (default graft_slot)
   *   GRAFT_PGCDC_PUBLICATION  publication     (default graft_publication)
   *   GRAFT_PGCDC_LSN          start LSN, X/X text or decimal (default 0)
+  *   GRAFT_PGCDC_BINARY       1/true/yes → pgoutput binary transfer mode
+  *                            (PG 14+; values decode via PgBinary)
   *   GRAFT_PGCDC_VERBOSE      1/true/yes → INFO logs (default WARN)
   *
   * Usage: runMain graft.CdcDemo [sfDir] [maxFramesPerTrigger]
@@ -66,6 +68,8 @@ object CdcDemo {
     val slot = sys.env.getOrElse("GRAFT_PGCDC_SLOT", "graft_slot")
     val publication = sys.env.getOrElse("GRAFT_PGCDC_PUBLICATION", "graft_publication")
     val startLsn = sys.env.getOrElse("GRAFT_PGCDC_LSN", "0")
+    val binary = sys.env.get("GRAFT_PGCDC_BINARY")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true") || v.equalsIgnoreCase("yes"))
     val verbose = sys.env.get("GRAFT_PGCDC_VERBOSE")
       .exists(v => Set("1", "true", "yes").contains(v.toLowerCase))
 
@@ -87,6 +91,7 @@ object CdcDemo {
         .options(parseDsn(d))
         .option("slot", slot).option("publication", publication)
         .option("startLsn", startLsn)
+        .option("binary", binary.toString)
         .option("maxFramesPerTrigger", maxPerTrigger.toString)
         .load()
         .writeStream.format("console").option("truncate", "false")

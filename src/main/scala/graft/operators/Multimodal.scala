@@ -126,4 +126,30 @@ object Multimodal {
         it.map { case (id, p) => FakeCodec.extractFeatures(FakeCodec.decode(id, p), p) }
       }
   }
+
+  /** One audio analysis window (16 "PCM samples" = payload bytes) with its
+    * integer energy — the decode-stage output a real audio pipeline's VAD
+    * consumes. */
+  final case class AudioWindow(doc_id: Long, w: Int, energy: Long)
+
+  /** Audio windowing: treat the payload as an 8-bit PCM stream (the
+    * FakeCodec convention — a real decoder slots in behind the same
+    * signature), cut it into 16-sample windows and emit per-window
+    * integer energies. flatMap shape like [[sampleFrames]]; docs shorter
+    * than one window emit nothing. Only (doc_id, w, energy) rows ever
+    * shuffle — never the audio bytes. */
+  def audioWindows(media: DataFrame): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          Iterator.range(0, p.length / 16).map { w =>
+            var s = 0L
+            var j = 0
+            while (j < 16) { s += p(w * 16 + j) & 0xff; j += 1 }
+            AudioWindow(id, w, s)
+          }
+        }
+      }
+  }
 }

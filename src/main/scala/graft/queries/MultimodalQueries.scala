@@ -160,6 +160,39 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Voice-activity detection over the audio modality: the payload
+    // windows into 16-sample energies (decode stage, per-partition batch),
+    // a window is "speech" iff its energy exceeds the per-doc mean
+    // (integer-exact e·n_win > Σe, the aHash threshold convention), and
+    // contiguous speech runs collapse to segments — the speech-census
+    // report (n windows / speech windows / segments / longest run) that
+    // decides whether an audio blob is worth transcribing in a training
+    // pipeline. Scale shape: only (doc_id, w, energy) rows shuffle, never
+    // audio bytes; both windows are doc-partitioned; runs via the
+    // gaps-and-islands row_number trick — no self-join.
+    "mm_audio_vad" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = Multimodal.audioWindows(Multimodal.mediaTable(s, d)).toDF()
+      val tot = win.groupBy(col("doc_id"))
+        .agg(sum(col("energy")).as("te"), count(lit(1)).as("nw"))
+      val flagged = win.join(tot, "doc_id")
+        .withColumn("speech",
+          (col("energy") * col("nw") > col("te")).cast("long"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+      val runs = flagged.filter(col("speech") === 1)
+        .withColumn("island", col("w") - row_number().over(byDoc))
+        .groupBy(col("doc_id"), col("island")).agg(count(lit(1)).as("len"))
+      val ragg = runs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nseg"), max(col("len")).as("lmax"))
+      flagged.groupBy(col("doc_id"))
+        .agg(max(col("nw")).as("n_windows"), sum(col("speech")).as("n_speech"))
+        .join(ragg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"), col("n_speech"),
+          coalesce(col("nseg"), lit(0L)).as("n_segments"),
+          coalesce(col("lmax"), lit(0L)).as("longest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Media NEAR-dup pairs by perceptual-hash Hamming distance ≤ 3 — what
     // exact blob dedup (mm_blob_dedup) cannot see: re-encoded / slightly
     // altered payloads. Same sub-quadratic shape as text SimHash: 16-bit
@@ -217,6 +250,39 @@ object MultimodalQueries {
   val oracleSql: Map[String, String] = Map(
     "mm_phash" ->
       s"""SELECT doc_id, phash FROM ($PhashSql) t ORDER BY doc_id""",
+
+    // windowed byte energies + integer mean threshold + gaps-and-islands
+    "mm_audio_vad" ->
+      """WITH b0 AS (
+           SELECT doc_id, text, octet_length(text::BLOB) // 16 AS nw
+           FROM documents),
+         t0 AS (
+           SELECT doc_id, nw, list_transform(range(0, nw), w ->
+             list_reduce(list_transform(range(0, 16), j ->
+               ord(substr(text, CAST(w * 16 + j AS INT) + 1, 1))::BIGINT),
+               (a, b) -> a + b)) AS e
+           FROM b0 WHERE nw >= 1),
+         t1 AS (SELECT doc_id, nw, e, list_reduce(e, (a, b) -> a + b) AS te FROM t0),
+         w0 AS (SELECT doc_id, nw, te, e, unnest(range(0, nw)) AS w FROM t1),
+         w1 AS (
+           SELECT doc_id, nw, CAST(w AS BIGINT) AS w,
+             CASE WHEN e[CAST(w AS INT) + 1] * nw > te
+               THEN 1::BIGINT ELSE 0::BIGINT END AS speech
+           FROM w0),
+         sp AS (
+           SELECT doc_id, w,
+             w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS island
+           FROM w1 WHERE speech = 1),
+         runs AS (SELECT doc_id, island, COUNT(*) AS len FROM sp GROUP BY doc_id, island),
+         ragg AS (SELECT doc_id, COUNT(*) AS nseg, MAX(len) AS lmax FROM runs GROUP BY doc_id),
+         nsp AS (
+           SELECT doc_id, MAX(nw) AS n_windows,
+             CAST(SUM(speech) AS BIGINT) AS n_speech
+           FROM w1 GROUP BY doc_id)
+         SELECT n.doc_id, n.n_windows, n.n_speech,
+           CAST(COALESCE(r.nseg, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(r.lmax, 0) AS BIGINT) AS longest
+         FROM nsp n LEFT JOIN ragg r USING (doc_id) ORDER BY doc_id""",
 
     // FakeCodec metadata arithmetic (mm_decode_meta's formulas) + integer
     // cross-product aspect gates
