@@ -1161,7 +1161,8 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     live()
     val sql = sqlConn()
     try {
-      sql.simpleQuery("CREATE TABLE tb (id bigint primary key, v text)")
+      sql.simpleQuery(
+        "CREATE TABLE tb (id bigint primary key, v text, f double precision)")
       sql.simpleQuery("CREATE PUBLICATION graft_pub_b FOR TABLE tb")
       // Pin the slot BEFORE the DML so the stream covers it (a slot only
       // sees changes after its consistent point), then let the source's own
@@ -1170,7 +1171,8 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         None, "graft_slot_b", "graft_pub_b", createSlot = true,
         temporarySlot = false, statusIntervalMs = 500L)
       pin.start(0L); pin.close()
-      sql.simpleQuery("INSERT INTO tb VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      sql.simpleQuery(
+        "INSERT INTO tb VALUES (1, 'a', 1e20), (2, 'b', NULL), (3, 'c', NULL)")
       sql.simpleQuery("UPDATE tb SET v = 'b2' WHERE id = 2")
       sql.simpleQuery("DELETE FROM tb WHERE id = 3")
 
@@ -1186,6 +1188,9 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("database", "postgres").option("user", "postgres")
         .option("slot", "graft_slot_b").option("publication", "graft_pub_b")
         .option("statusIntervalMs", "500")
+        // binary transfer through the DSv2 option path; the float probe
+        // below proves it took (binary render "1.0E20" vs text "1e+20")
+        .option("binary", "true")
         .load()
         .writeStream.format("memory").queryName("livepg_out")
         .option("checkpointLocation",
@@ -1198,11 +1203,17 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         while (dmlCount() < 5 && System.nanoTime() < deadline) Thread.sleep(200)
         assert(dmlCount() === 5, "expected 3 inserts + 1 update + 1 delete from the live stream")
         val rows = spark.sql(
-          """SELECT op, after['id'] AS id, after['v'] AS v, key['id'] AS kid
+          """SELECT op, after['id'] AS id, after['v'] AS v, key['id'] AS kid,
+                    after['f'] AS f
              FROM livepg_out WHERE op IN ('I','U','D') ORDER BY lsn""").collect()
         assert(rows.map(_.getString(0)).toSeq === Seq("I", "I", "I", "U", "D"))
         assert(rows(3).getString(2) === "b2")
         assert(rows(4).getString(3) === "3")
+        // "1.0E20" is PgBinary's float8 render; the server's text mode says
+        // "1e+20" — seeing the former proves the binary option traversed
+        // DSv2 options → conduit → START_REPLICATION and the 'b' frames
+        // went through the renderer
+        assert(rows(0).getString(4) === "1.0E20")
       } finally q.stop()
     } finally {
       try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_b')")
