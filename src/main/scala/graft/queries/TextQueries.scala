@@ -691,6 +691,57 @@ object TextQueries {
         .limit(20)
     }),
 
+    // WordPiece INFERENCE (greedy longest-match-first, the BERT tokenizer's
+    // runtime algorithm — the subword family's third member next to BPE
+    // train/tokenize): the piece vocabulary is corpus-derived (top-30
+    // multi-char 2..4-grams by weighted frequency + every single char for
+    // totality), and each DISTINCT word greedily consumes its longest
+    // matching piece left to right. Production trick mirrored here:
+    // tokenize the DICTIONARY, not the corpus — the fold runs once per
+    // distinct word (vocab-sized), then broadcast piece lists rejoin the
+    // corpus through the word counts. Determinism: longest-match over a
+    // (length DESC, piece ASC)-sorted list has no float anywhere. Scale
+    // shape: corpus → word counts is the only corpus shuffle; the greedy
+    // fold is O(|word| × |vocab|) per DISTINCT word (a real tokenizer
+    // swaps the scan for a trie — same output, same plan shape).
+    "text_wordpiece" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("g")) // candidate-gram-vocab-sized
+      val words = withWords(Tables.documents(s, d))
+        .select(explode(col("ws")).as("w")).filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val grams = words.select(col("c"), explode(expr(
+          """flatten(transform(sequence(2, 4), n ->
+               if(length(w) >= n,
+                 transform(sequence(1, length(w) - n + 1), i -> substring(w, i, n)),
+                 cast(array() as array<string>))))""")).as("g"))
+        .groupBy(col("g")).agg(sum(col("c")).as("f"))
+      val topk = grams.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 30).select(col("g"))
+      val chars = words.select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("g"))
+        .distinct()
+      val vlist = topk.unionByName(chars).distinct()
+        .agg(array_sort(collect_list(
+          struct((lit(4) - length(col("g"))).as("lk"), col("g").as("p")))).as("vs"))
+        .select(expr("transform(vs, x -> x.p)").as("vlist"))
+      val toks = words.crossJoin(broadcast(vlist))
+        .withColumn("ps", expr("""
+          aggregate(sequence(1, length(w)),
+            named_struct('pos', 1, 'ps', cast(array() as array<string>)),
+            (st, _i) -> if(st.pos > length(w), st,
+              named_struct(
+                'pos', st.pos + length(element_at(
+                  filter(vlist, p -> substring(w, st.pos, length(p)) = p), 1)),
+                'ps', concat(st.ps, array(element_at(
+                  filter(vlist, p -> substring(w, st.pos, length(p)) = p), 1))))),
+            st -> st.ps)"""))
+      toks.select(col("w"), col("c"), explode(col("ps")).as("piece"))
+        .groupBy(col("piece"))
+        .agg(countDistinct(col("w")).as("n_words"), sum(col("c")).as("n_uses"))
+        .orderBy(col("piece"))
+    }),
+
     // Zipf's-law fit: OLS of ln(freq) on ln(rank) over the rank-frequency
     // distribution — the corpus-statistics diagnostic that tells whether a
     // crawl slice looks like natural language (slope ≈ -1) or like
@@ -2525,6 +2576,48 @@ object TextQueries {
          FROM (SELECT doc_id, unnest($WsSql) AS term FROM documents) t
          WHERE length(term) > 0
          GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+
+    // same greedy longest-match recursion: vlist sorted (length DESC,
+    // piece ASC) via list()'s ORDER BY, the per-word recursive CTE eats
+    // one piece per step, terminal rows sit at pos = length + 1
+    "text_wordpiece" ->
+      s"""WITH RECURSIVE words AS (
+           SELECT w, COUNT(*) AS c
+           FROM (SELECT unnest($WsSql) AS w FROM documents) t
+           WHERE length(w) > 0 GROUP BY w),
+         grams AS (
+           SELECT g, SUM(c) AS f FROM (
+             SELECT c, unnest(flatten(list_transform(range(2, 5), n ->
+               list_transform(range(1, greatest(length(w) - n + 2, 1)),
+                 i -> substr(w, CAST(i AS INT), CAST(n AS INT)))))) AS g
+             FROM words) t GROUP BY g),
+         topk AS (
+           SELECT g FROM (
+             SELECT g, ROW_NUMBER() OVER (ORDER BY f DESC, g) AS r FROM grams) t
+           WHERE r <= 30),
+         chars AS (
+           SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
+             i -> substr(w, CAST(i AS INT), 1))) AS g
+           FROM words),
+         vl AS (
+           SELECT list(g ORDER BY length(g) DESC, g) AS vlist
+           FROM (SELECT DISTINCT g FROM (
+             SELECT g FROM topk UNION ALL SELECT g FROM chars) u) v),
+         rec AS (
+           SELECT w, c, 1 AS pos, CAST([] AS VARCHAR[]) AS ps, vlist
+           FROM words CROSS JOIN vl
+           UNION ALL
+           SELECT w, c, pos + length(nxt), ps || [nxt], vlist
+           FROM (
+             SELECT w, c, pos, ps, vlist,
+               list_filter(vlist, p -> substr(w, pos, length(p)) = p)[1] AS nxt
+             FROM rec WHERE pos <= length(w)) s),
+         use AS (
+           SELECT w, c, unnest(ps) AS piece
+           FROM rec WHERE pos = length(w) + 1)
+         SELECT piece, COUNT(DISTINCT w) AS n_words,
+           CAST(SUM(c) AS BIGINT) AS n_uses
+         FROM use GROUP BY piece ORDER BY piece""",
 
     // same ln-moment derivation; round 4 absorbs engine log/sum-order ulps
     "text_zipf_fit" ->
