@@ -1370,6 +1370,39 @@ object RelationalQueries {
           expr("unix_micros(ts) div 3600000000").as("hr"),
           round(col("value") * 100).cast("long").as("cents")))),
 
+    // Z-order (Morton) layout key locality census — the gate query for
+    // Layout.zorderKey (LayoutSpec separately proves the write-path file
+    // pruning on both dimensions): orders interleave (custkey, epoch-day)
+    // at 16 bits each, and the 16 leading-bit buckets report their 2-D
+    // bounding boxes. Locality is visible as bounded per-bucket spans on
+    // BOTH dimensions — the property that keeps file/row-group min-max
+    // stats tight under multi-dimensional predicates at 100 TB. Pure
+    // integer bit math: the oracle reproduces the interleave exactly.
+    // Scale shape: one narrow scan + a 16-group agg; the 1-row day anchor
+    // broadcasts.
+    "q100_zorder_locality" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("day_abs"))
+      val d0 = o.agg(min(col("day_abs")).as("d0"))
+      val keyed = o.crossJoin(broadcast(d0))
+        .select(col("o_custkey"), (col("day_abs") - col("d0")).as("day"))
+        .withColumn("zkey", graft.operators.Layout.zorderKey(
+          Seq(col("o_custkey"), col("day")), 16))
+      val zmax = keyed.agg(max(col("zkey")).as("zmax"))
+      keyed.crossJoin(broadcast(zmax))
+        // 16 equal z-ranges over the OCCUPIED key space (integer division —
+        // exact on both engines; a fixed bit shift would collapse when the
+        // dims use fewer than the full 16 bits)
+        .withColumn("bucket", expr("(zkey * 16) div (zmax + 1)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+          min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+        .orderBy(col("bucket"))
+    }),
+
     // Market-basket association rules: part pairs co-purchased in the
     // same order, scored by support / confidence / lift — the classic
     // affinity-analysis operator (recommenders, shelf placement). All
@@ -3130,6 +3163,28 @@ object RelationalQueries {
              CAST(round(value * 100) AS BIGINT) AS cents
            FROM events),
          $HoltWintersTailSql""",
+
+    // exact bit-interleave mirror (bit b of custkey → 2b+1, of day → 2b)
+    "q100_zorder_locality" ->
+      s"""WITH o AS (
+           SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day_abs
+           FROM orders),
+         d0 AS (SELECT MIN(day_abs) AS d0 FROM o),
+         days AS (
+           SELECT o_custkey, day_abs - (SELECT d0 FROM d0) AS day FROM o),
+         keyed AS (
+           SELECT o_custkey, day,
+             list_reduce(list_transform(range(0, 16), b ->
+               (((o_custkey >> b) & 1) << (2 * b + 1)) |
+               (((day >> b) & 1) << (2 * b))),
+               (a, b) -> a | b) AS zkey
+           FROM days)
+         SELECT (zkey * 16) // ((SELECT MAX(zkey) FROM keyed) + 1) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(day) AS min_day, MAX(day) AS max_day,
+           MIN(zkey) AS min_z, MAX(zkey) AS max_z
+         FROM keyed GROUP BY bucket ORDER BY bucket""",
 
     // same md5-derived keep set (the Hash24 twin), DECIMAL-exact sums,
     // identical scale/compare ops → stable boolean
