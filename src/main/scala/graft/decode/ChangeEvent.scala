@@ -195,7 +195,15 @@ final class ChangeEventBuilder(
     rel.columns.iterator.zip(tuple.columns.iterator).foreach { case (col, cd) =>
       cd.category match {
         case 't' => img += col.name -> cd.data.get
-        case 'b' => img += col.name -> PgBinary.render(col.typeOid, cd.bin.get.toArray)
+        case 'b' =>
+          val text =
+            try PgBinary.render(col.typeOid, cd.bin.get.toArray)
+            catch {
+              case e: PgOutputDecodeException =>
+                throw new PgOutputDecodeException(
+                  s"${rel.namespace}.${rel.name}.${col.name}: ${e.getMessage}")
+            }
+          img += col.name -> text
         case 'n' => img += col.name -> null
         case 'u' => toasted += col.name
         case _ =>

@@ -127,6 +127,24 @@ class PgBinarySpec extends AnyFunSuite {
     assert(e.getMessage.contains("869"))
   }
 
+  test("unsupported oid at the image boundary names the relation and column") {
+    val rel = Relation(7, "public", "netlog", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", PgBinary.Int8Oid, -1),
+      RelationColumn(partOfKey = false, "addr", 869 /* inet */, -1)))
+    val tuple = TupleData(Vector(
+      ColumnData('b', None, Some(ArraySeq.unsafeWrapArray(
+        PgBinary.encode(PgBinary.Int8Oid, "1")))),
+      ColumnData('b', None, Some(ArraySeq[Byte](2, 0, 0, 4, 127, 0, 0, 1)))))
+    val builder = new ChangeEventBuilder(new SchemaRegistry)
+    builder.process(1L, rel)
+    builder.process(2L, Begin(100L, 0L, 1))
+    val e = intercept[PgOutputDecodeException] {
+      builder.process(3L, Insert(7, tuple))
+    }
+    assert(e.getMessage.contains("public.netlog.addr"), e.getMessage)
+    assert(e.getMessage.contains("869"), e.getMessage)
+  }
+
   test("binary Insert frame end-to-end: decode + builder yield the text-mode image") {
     val rel = Relation(42, "public", "typed", 'd', Vector(
       RelationColumn(partOfKey = true, "id", PgBinary.Int8Oid, -1),
