@@ -234,10 +234,14 @@ object CdcPipeline {
     * `binary 'true'`, PG 14+ — a surface the text-only reference lacks):
     * even keys ship every column as its type's binary send-function bytes
     * ('b' tuple categories — int8/text/float8/timestamptz here), odd keys
-    * stay text, so one decoded stream proves both forms land on identical
-    * envelope images ([[graft.decode.PgBinary]] renders 'b' back to
-    * canonical text at the image boundary; the live twin is LivePgSpec's
-    * binary-mode leg). Same per-partition narrow generation as
+    * stay text, so one decoded stream proves both forms land on the same
+    * TYPED state ([[graft.decode.PgBinary]] renders 'b' back to canonical
+    * text at the image boundary). Raw envelope text parity between the
+    * halves holds for every column except o_orderdate — this generator's
+    * text twin emits a fixed 6-digit fraction while PgBinary trims zero
+    * fractions the way real PG output does (the typed cast absorbs it);
+    * raw-text parity against a REAL server's text mode is what LivePgSpec's
+    * binary leg pins. Same per-partition narrow generation as
     * [[ordersToFrames]]. */
   def ordersToFramesBinary(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._

@@ -201,7 +201,7 @@ final class ChangeEventBuilder(
             catch {
               case e: PgOutputDecodeException =>
                 throw new PgOutputDecodeException(
-                  s"${rel.namespace}.${rel.name}.${col.name}: ${e.getMessage}")
+                  s"${rel.namespace}.${rel.name}.${col.name}: ${e.getMessage}", e)
             }
           img += col.name -> text
         case 'n' => img += col.name -> null

@@ -59,8 +59,23 @@ object PgBinary {
   /** Render a binary wire value to the text the type's output function
     * produces. Throws [[PgOutputDecodeException]] for an oid outside the
     * supported matrix (the caller surfaces it; disable binary mode or
-    * extend the matrix for exotic column types). */
-  def render(typeOid: Int, bytes: Array[Byte]): String = typeOid match {
+    * extend the matrix for exotic column types) AND for malformed
+    * payloads — raw JVM errors (BufferUnderflow, index bounds) from
+    * truncated/garbage bytes are converted to the typed error, the same
+    * contract readTupleData pins for frame-level garbage. */
+  def render(typeOid: Int, bytes: Array[Byte]): String =
+    try renderUnsafe(typeOid, bytes)
+    catch {
+      case e: PgOutputDecodeException => throw e
+      case e @ (_: java.nio.BufferUnderflowException |
+                _: IndexOutOfBoundsException | _: NumberFormatException |
+                _: java.time.DateTimeException) =>
+        throw new PgOutputDecodeException(
+          s"malformed binary value for type oid $typeOid " +
+            s"(${bytes.length} bytes): $e", e)
+    }
+
+  private def renderUnsafe(typeOid: Int, bytes: Array[Byte]): String = typeOid match {
     case BoolOid => if (bytes(0) == 1) "t" else "f"
     case ByteaOid =>
       val sb = new StringBuilder(2 + bytes.length * 2); sb.append("\\x")

@@ -164,7 +164,8 @@ final case class StreamPrepare(
     flags: Byte, prepareLsn: Long, endLsn: Long, prepareTs: Long, xid: Int, gid: String)
     extends PgOutputMessage { def msgType = 'p' }
 
-final class PgOutputDecodeException(msg: String) extends RuntimeException(msg)
+final class PgOutputDecodeException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
 /** Binary decoder for pgoutput frames (reference: decoders.py:86-455).
   * Pure JVM code — safe to call from executor-side `map`/`mapPartitions`

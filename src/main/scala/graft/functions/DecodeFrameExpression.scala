@@ -22,7 +22,16 @@ import graft.decode._
   * surface, not the ingest hot path.
   *
   * Malformed frames yield a struct with `error` set instead of failing the
-  * query: frame triage must not die on the frame it exists to triage. */
+  * query: frame triage must not die on the frame it exists to triage.
+  *
+  * Binary-transfer tuples (pgoutput `binary 'true'`): values whose
+  * category byte is 'b' surface as BASE64 strings in `old_values`/
+  * `new_values` — this stateless expression has no Relation in hand to
+  * resolve type oids for canonical-text rendering. Consumers MUST check
+  * `old_categories`/`new_categories` positionally before reading a value
+  * as text ('t' = canonical text, 'b' = base64 payload, 'n'/'u' = null/
+  * unsent); the stateful pipeline is the surface that renders 'b' to text
+  * (PgBinary at the image boundary). */
 case class DecodePgOutput(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -725,16 +725,21 @@ object TextQueries {
         .agg(array_sort(collect_list(
           struct((lit(4) - length(col("g"))).as("lk"), col("g").as("p")))).as("vs"))
         .select(expr("transform(vs, x -> x.p)").as("vlist"))
+      // the inner transform-over-singleton binds the matched piece ONCE per
+      // step (named_struct fields can't reference each other, and Catalyst
+      // does not CSE higher-order-function lambdas — without the binding
+      // the vocab scan would run twice per position)
       val toks = words.crossJoin(broadcast(vlist))
         .withColumn("ps", expr("""
           aggregate(sequence(1, length(w)),
             named_struct('pos', 1, 'ps', cast(array() as array<string>)),
             (st, _i) -> if(st.pos > length(w), st,
-              named_struct(
-                'pos', st.pos + length(element_at(
+              element_at(transform(
+                array(element_at(
                   filter(vlist, p -> substring(w, st.pos, length(p)) = p), 1)),
-                'ps', concat(st.ps, array(element_at(
-                  filter(vlist, p -> substring(w, st.pos, length(p)) = p), 1))))),
+                x -> named_struct(
+                  'pos', st.pos + length(x),
+                  'ps', concat(st.ps, array(x)))), 1)),
             st -> st.ps)"""))
       toks.select(col("w"), col("c"), explode(col("ps")).as("piece"))
         .groupBy(col("piece"))

@@ -492,6 +492,13 @@ final class PgWireConduit(
     // refusal — the typed view then NULLs-and-flags escape text instead)
     try conn.simpleQuery("SET bytea_output = hex")
     catch { case _: java.sql.SQLException => () }
+    // …and pin the session timezone so timestamptz TEXT output is always
+    // the +00 form regardless of the cluster's timezone — which is also
+    // what makes binary mode's fixed UTC render (PgBinary timestampText)
+    // and text mode agree on a non-UTC server (live-pinned by the binary
+    // transfer leg's Berlin sub-case)
+    try conn.simpleQuery("SET timezone = 'UTC'")
+    catch { case _: java.sql.SQLException => () }
     if (createSlot) {
       val kind = if (temporarySlot) "TEMPORARY LOGICAL" else "LOGICAL"
       val slotOpts = if (twoPhase) " (TWO_PHASE)" else ""
@@ -647,8 +654,12 @@ object PgWireSnapshot {
     val qTable = PgSnapshotSync.quoteQualified(table)
     val qPk = PgSnapshotSync.quoteIdent(pkCol)
     val snapLit = PgCatalog.sqlLiteral(snapshotName)
+    // pin the same output-format GUCs as the walsender session (hex bytea,
+    // UTC timestamptz text) so backfill rows and tail rows render
+    // identically on any cluster configuration
     def pinned(c: PgWireConnection, sql: String) = c.simpleQueryWithCols(
-      "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
+      "SET bytea_output = hex; SET timezone = 'UTC'; " +
+        "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; " +
         s"SET TRANSACTION SNAPSHOT $snapLit; " + sql + "; COMMIT")
     // driver: pk bounds under the snapshot → chunk ranges
     val bounds = {

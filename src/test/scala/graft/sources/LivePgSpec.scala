@@ -414,6 +414,53 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       val updD = binEvents(2); val updI = binEvents(3)
       assert(updD.before("num") === "-12345.67000")
       assert(updI.after("num") === "-12344.67000")
+
+      // a NON-UTC cluster timezone must not skew either mode: the conduit
+      // pins `SET timezone = 'UTC'` on its walsender session (the
+      // bytea_output discipline), so text mode keeps rendering +00 and
+      // agrees with binary mode's fixed UTC render
+      // ALTER SYSTEM cannot win here (the scratch cluster pins
+      // -c timezone=UTC on the postmaster command line, which outranks
+      // postgresql.auto.conf); a per-DATABASE setting applies at session
+      // start and DOES outrank the command line
+      sql.simpleQuery("ALTER DATABASE postgres SET timezone = 'Europe/Berlin'")
+      try {
+        val gDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var gucSeen = ""
+        while (gucSeen != "Europe/Berlin" && System.nanoTime() < gDeadline) {
+          val probe = sqlConn()
+          try gucSeen = probe.simpleQuery("SHOW timezone").head.head
+          finally probe.close()
+          if (gucSeen != "Europe/Berlin") Thread.sleep(100)
+        }
+        assert(gucSeen === "Europe/Berlin", "tz override never became visible")
+        def tstzOf(binary: Boolean, slot: String): (String, String) = {
+          val c = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+            None, slot, "graft_pub_tb", createSlot = true,
+            temporarySlot = true, statusIntervalMs = 500L, binary = binary)
+          try {
+            c.start(0L)
+            sql.simpleQuery(
+              "INSERT INTO tb (id, tstz, ts) VALUES " +
+                s"(${if (binary) 20 else 10}, '2024-06-01 08:09:10.25+00', " +
+                "'2024-06-01 08:09:10.25')")
+            val b = new ChangeEventBuilder(new SchemaRegistry)
+            val evs = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+            drainUntil(c, b, evs)(_.exists(_.op == "I"))
+            val a = evs.find(_.op == "I").get.after
+            sql.simpleQuery(s"DELETE FROM tb WHERE id = ${if (binary) 20 else 10}")
+            (a("tstz"), a("ts"))
+          } finally c.close()
+        }
+        val (tTxt, tsTxt) = tstzOf(binary = false, "graft_slot_tbz1")
+        val (tBin, tsBin) = tstzOf(binary = true, "graft_slot_tbz2")
+        assert(tTxt === "2024-06-01 08:09:10.25+00",
+          "text mode must render tstz in the pinned UTC session, not Berlin")
+        assert(tBin === tTxt)
+        assert(tsBin === tsTxt) // plain timestamp is tz-independent
+      } finally {
+        sql.simpleQuery("ALTER DATABASE postgres RESET timezone")
+      }
     } finally {
       try sql.simpleQuery("DROP PUBLICATION graft_pub_tb") catch { case _: Throwable => () }
       try sql.simpleQuery("DROP TABLE tb") catch { case _: Throwable => () }
