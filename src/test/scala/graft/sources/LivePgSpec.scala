@@ -468,6 +468,59 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("replication origin live: a txn applied under " +
+      "pg_replication_origin_session_setup — pin what a real PG 15 " +
+      "walsender ships for origin-marked WAL") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_or", "graft_pub_or", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L)
+    try {
+      sql.simpleQuery("CREATE TABLE torig (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_or FOR TABLE torig")
+      sql.simpleQuery("SELECT pg_replication_origin_create('upstream1')")
+      conduit.start(0L)
+      // origin setup is session-scoped; the multi-statement simple query
+      // runs on ONE session, so the insert's txn is origin-marked WAL
+      sql.simpleQuery(
+        "SELECT pg_replication_origin_session_setup('upstream1'); " +
+          "INSERT INTO torig VALUES (1, 'marked'); " +
+          "SELECT pg_replication_origin_session_reset()")
+      sql.simpleQuery("INSERT INTO torig VALUES (2, 'unmarked')")
+      val builder = new ChangeEventBuilder(new SchemaRegistry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val rawTypes = scala.collection.mutable.ArrayBuffer.empty[Char]
+      drainUntil(conduit, builder, events, rawTypes)(
+        _.count(_.op == "I") >= 2)
+      val ins = events.filter(_.op == "I").sortBy(_.after("id").toLong)
+      assert(ins.size === 2)
+      // Pinned live fact (PG 15): pgoutput ships an origin-marked txn
+      // like any other — NO 'O' frame appears on the wire (observed:
+      // B R I C / B I C), and the marked and unmarked transactions are
+      // indistinguishable to the subscriber. Origin visibility/filtering
+      // is a PG 16+ surface (the `origin 'none'` option); our 'O' decode
+      // path (the reference's D4 stub, fully implemented) is exercised by
+      // the synthetic gate (cdc_origin_filter) and is forward-compat for
+      // servers that do emit it. Operationally: on PG ≤ 15,
+      // bidirectional-loop prevention cannot rely on wire-level origin —
+      // it needs the v16 option or app-level marking.
+      assert(!rawTypes.contains('O'),
+        s"PG 15 unexpectedly emitted an Origin frame: ${rawTypes.mkString}")
+      assert(rawTypes.count(_ == 'B') >= 2 && rawTypes.count(_ == 'C') >= 2)
+      assert(ins(0).origin === null)
+      assert(ins(1).origin === null)
+      assert(ins(0).after("v") === "marked" && ins(1).after("v") === "unmarked")
+    } finally {
+      conduit.close()
+      try sql.simpleQuery("SELECT pg_replication_origin_drop('upstream1')")
+      catch { case _: Throwable => () }
+      try sql.simpleQuery("DROP PUBLICATION graft_pub_or") catch { case _: Throwable => () }
+      try sql.simpleQuery("DROP TABLE torig") catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("schema evolution live: ALTER TABLE add/drop column and ALTER " +
       "PUBLICATION add table re-announce relations mid-stream") {
     live()
