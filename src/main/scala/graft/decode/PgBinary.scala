@@ -42,6 +42,8 @@ object PgBinary {
   val DateOid = 1082; val TimeOid = 1083
   val TimestampOid = 1114; val TimestamptzOid = 1184
   val NumericOid = 1700; val UuidOid = 2950; val JsonbOid = 3802
+  val IntervalOid = 1186; val InetOid = 869; val CidrOid = 650
+  val MacaddrOid = 829
 
   /** array-type oid → element oid (the payload header repeats the element
     * oid; the map is what routes a column's declared type to array render). */
@@ -51,7 +53,8 @@ object PgBinary {
     1009 -> TextOid, 1014 -> BpcharOid, 1015 -> VarcharOid,
     1182 -> DateOid, 1183 -> TimeOid, 1115 -> TimestampOid,
     1185 -> TimestamptzOid, 1231 -> NumericOid, 2951 -> UuidOid,
-    199 -> JsonOid, 3807 -> JsonbOid)
+    199 -> JsonOid, 3807 -> JsonbOid,
+    1187 -> IntervalOid, 1041 -> InetOid, 651 -> CidrOid, 1040 -> MacaddrOid)
 
   private def be(bytes: Array[Byte]): ByteBuffer =
     ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
@@ -103,10 +106,98 @@ object PgBinary {
         throw new PgOutputDecodeException(
           s"jsonb binary version ${if (bytes.isEmpty) "<empty>" else bytes(0)} (expected 1)")
       new String(bytes, 1, bytes.length - 1, StandardCharsets.UTF_8)
+    case IntervalOid =>
+      val b = be(bytes); intervalText(b.getLong, b.getInt, b.getInt)
+    case InetOid | CidrOid => inetText(bytes, cidr = typeOid == CidrOid)
+    case MacaddrOid =>
+      bytes.map(x => f"${x & 0xff}%02x").mkString(":")
     case oid if ArrayElem.contains(oid) => arrayText(bytes)
     case oid =>
       throw new PgOutputDecodeException(
         s"binary value for unsupported type oid $oid — extend PgBinary or run without binary mode")
+  }
+
+  /** interval_send layout: i64 time µs, i32 days, i32 months. Text is the
+    * default `IntervalStyle = postgres` form: signed year/mon/day fields
+    * when nonzero (plural unless the value is exactly 1), then the
+    * [sign]HH:MM:SS[.ffffff] time — shown when nonzero or when nothing
+    * else printed; a positive time after a negative field gets an
+    * explicit '+' (EncodeInterval's is_before rule). */
+  private def intervalText(us: Long, days: Int, months: Int): String = {
+    val years = months / 12
+    val mons = months % 12
+    val parts = Vector.newBuilder[String]
+    def unit(v: Long, name: String): Unit =
+      if (v != 0) parts += s"$v $name${if (v == 1) "" else "s"}"
+    unit(years.toLong, "year")
+    unit(mons.toLong, "mon")
+    unit(days.toLong, "day")
+    val fields = parts.result()
+    val sb = new StringBuilder(fields.mkString(" "))
+    if (us != 0 || fields.isEmpty) {
+      if (sb.nonEmpty) sb.append(' ')
+      if (us < 0) sb.append('-')
+      else if (fields.nonEmpty && (months < 0 || days < 0)) sb.append('+')
+      val a = math.abs(us)
+      val sec = a / 1000000L
+      sb.append(f"${sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d")
+      sb.append(fracText(a % 1000000L))
+    }
+    sb.toString
+  }
+
+  /** inet_send layout: family (2 = IPv4, 3 = IPv6 in pg's private
+    * numbering), bits, is_cidr, nb, address bytes. IPv6 renders with the
+    * classic inet_ntop compression: longest ≥2-group zero run (leftmost on
+    * tie) collapses to '::'; ::/::ffff: v4-embedded tails render dotted. */
+  private def inetText(bytes: Array[Byte], cidr: Boolean): String = {
+    val b = be(bytes)
+    val family = b.get() & 0xff
+    val bits = b.get() & 0xff
+    b.get() // is_cidr flag (the declared type decides the suffix rule)
+    val nb = b.get() & 0xff
+    val addr = new Array[Byte](nb); b.get(addr)
+    val host = family match {
+      case 2 => addr.map(x => (x & 0xff).toString).mkString(".")
+      case 3 =>
+        val g = Array.tabulate(8)(i =>
+          ((addr(2 * i) & 0xff) << 8) | (addr(2 * i + 1) & 0xff))
+        // longest zero run of length >= 2, leftmost wins ties
+        var bestStart = -1; var bestLen = 0
+        var i = 0
+        while (i < 8) {
+          if (g(i) == 0) {
+            var j = i
+            while (j < 8 && g(j) == 0) j += 1
+            if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+            i = j
+          } else i += 1
+        }
+        if (bestLen < 2) { bestStart = -1; bestLen = 0 }
+        val v4Tail = bestStart == 0 &&
+          (bestLen == 6 || (bestLen == 5 && g(5) == 0xffff))
+        val sb = new StringBuilder
+        var k = 0
+        while (k < 8) {
+          if (k == bestStart) {
+            sb.append("::"); k += bestLen
+            if (v4Tail && k <= 6) {
+              if (g(5) == 0xffff && bestLen == 5) sb.append("ffff:")
+              sb.append(s"${addr(12) & 0xff}.${addr(13) & 0xff}." +
+                s"${addr(14) & 0xff}.${addr(15) & 0xff}")
+              k = 8
+            }
+          } else {
+            if (sb.nonEmpty && sb.charAt(sb.length - 1) != ':') sb.append(':')
+            sb.append(Integer.toHexString(g(k))); k += 1
+          }
+        }
+        sb.toString
+      case other =>
+        throw new PgOutputDecodeException(s"inet family $other")
+    }
+    val full = if (family == 2) 32 else 128
+    if (cidr || bits != full) s"$host/$bits" else host
   }
 
   // PG renders float special values as NaN/Infinity/-Infinity; Java agrees.
@@ -296,10 +387,53 @@ object PgBinary {
       val t = text.getBytes(StandardCharsets.UTF_8)
       val out = new Array[Byte](t.length + 1); out(0) = 1
       System.arraycopy(t, 0, out, 1, t.length); out
+    case MacaddrOid =>
+      text.split(':').map(h => Integer.parseInt(h, 16).toByte)
+    case InetOid | CidrOid =>
+      val (host, bitsOpt) = text.indexOf('/') match {
+        case -1 => (text, None)
+        case i => (text.substring(0, i), Some(text.substring(i + 1).toInt))
+      }
+      require(host.forall(c => c.isDigit || c == '.' || c == ':' ||
+        ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')),
+        s"inet text must be a literal address: $text")
+      val addr = java.net.InetAddress.getByName(host).getAddress
+      val v4 = addr.length == 4
+      val b = alloc(4 + addr.length)
+      b.put((if (v4) 2 else 3).toByte)
+      b.put(bitsOpt.getOrElse(if (v4) 32 else 128).toByte)
+      b.put((if (typeOid == CidrOid) 1 else 0).toByte)
+      b.put(addr.length.toByte); b.put(addr)
+      b.array()
+    case IntervalOid => intervalBinary(text)
     case oid if ArrayElem.contains(oid) =>
       encodeArrayText(ArrayElem(oid), text)
     case oid =>
       throw new PgOutputDecodeException(s"no binary encoder for type oid $oid")
+  }
+
+  /** Postgres-style interval text → interval_send binary form. */
+  private def intervalBinary(text: String): Array[Byte] = {
+    var months = 0; var days = 0; var us = 0L
+    val unitRe = "(-?\\d+) (year|mon|day)s?".r
+    unitRe.findAllMatchIn(text).foreach { m =>
+      val v = m.group(1).toInt
+      m.group(2) match {
+        case "year" => months += v * 12
+        case "mon" => months += v
+        case "day" => days += v
+      }
+    }
+    val timeRe = "([+-]?)(\\d+):(\\d{2}):(\\d{2})(\\.\\d+)?".r
+    timeRe.findFirstMatchIn(text).foreach { m =>
+      val sign = if (m.group(1) == "-") -1L else 1L
+      val frac = Option(m.group(5))
+        .map(f => (f.substring(1) + "0" * (6 - f.length + 1)).toLong)
+        .getOrElse(0L)
+      us = sign * (m.group(2).toLong * 3600000000L +
+        m.group(3).toLong * 60000000L + m.group(4).toLong * 1000000L + frac)
+    }
+    alloc(16).putLong(us).putInt(days).putInt(months).array()
   }
 
   /** Encode a 1-D array from element texts (null = SQL NULL element). */

@@ -120,29 +120,60 @@ class PgBinarySpec extends AnyFunSuite {
     assert(render(1007, withLb) === "[0:1]={7,8}")
   }
 
+  test("interval golden vectors (postgres IntervalStyle, is_before '+' rule)") {
+    assert(rt(PgBinary.IntervalOid, "1 year 2 mons 3 days 04:05:06.5")
+      === "1 year 2 mons 3 days 04:05:06.5")
+    assert(rt(PgBinary.IntervalOid, "-1 years -2 mons") === "-1 years -2 mons")
+    assert(rt(PgBinary.IntervalOid, "-1 days +02:00:00") === "-1 days +02:00:00")
+    assert(rt(PgBinary.IntervalOid, "00:00:00") === "00:00:00")
+    assert(rt(PgBinary.IntervalOid, "-00:00:01") === "-00:00:01")
+    // time field is unnormalized hours — 25:00:00 stays 25:00:00
+    assert(rt(PgBinary.IntervalOid, "25:00:00") === "25:00:00")
+    assert(rt(PgBinary.IntervalOid, "1 mon") === "1 mon")
+  }
+
+  test("inet / cidr / macaddr golden vectors incl. IPv6 compression") {
+    assert(rt(PgBinary.InetOid, "192.168.0.1") === "192.168.0.1")
+    assert(rt(PgBinary.InetOid, "10.0.0.0/8") === "10.0.0.0/8")
+    assert(rt(PgBinary.CidrOid, "10.0.0.0/8") === "10.0.0.0/8")
+    assert(rt(PgBinary.InetOid, "::1") === "::1")
+    assert(rt(PgBinary.InetOid, "fe80::1") === "fe80::1")
+    assert(rt(PgBinary.InetOid, "2001:db8::ff00:42:8329") === "2001:db8::ff00:42:8329")
+    assert(rt(PgBinary.InetOid, "2001:db8:1:2:3:4:5:6") === "2001:db8:1:2:3:4:5:6")
+    // single zero group is NOT compressed (inet_ntop rule)
+    assert(rt(PgBinary.InetOid, "2001:db8:0:1:1:1:1:1") === "2001:db8:0:1:1:1:1:1")
+    // v4-mapped tail renders dotted (hand-built payload: Java's getByName
+    // would collapse ::ffff:v4 to a plain Inet4Address)
+    val mapped = Array[Byte](3, 128.toByte, 0, 16) ++
+      Array.fill[Byte](10)(0) ++ Array[Byte](-1, -1) ++
+      Array[Byte](192.toByte, 168.toByte, 0, 1)
+    assert(render(PgBinary.InetOid, mapped) === "::ffff:192.168.0.1")
+    assert(rt(PgBinary.MacaddrOid, "08:00:2b:01:02:03") === "08:00:2b:01:02:03")
+  }
+
   test("unsupported oid raises the typed decode error") {
     val e = intercept[PgOutputDecodeException] {
-      render(869 /* inet */, Array[Byte](2, 0, 0, 4, 127, 0, 0, 1))
+      render(3614 /* tsvector */, Array[Byte](0, 0, 0, 0))
     }
-    assert(e.getMessage.contains("869"))
+    assert(e.getMessage.contains("3614"))
   }
 
   test("unsupported oid at the image boundary names the relation and column") {
     val rel = Relation(7, "public", "netlog", 'd', Vector(
       RelationColumn(partOfKey = true, "id", PgBinary.Int8Oid, -1),
-      RelationColumn(partOfKey = false, "addr", 869 /* inet */, -1)))
+      RelationColumn(partOfKey = false, "tsv", 3614 /* tsvector */, -1)))
     val tuple = TupleData(Vector(
       ColumnData('b', None, Some(ArraySeq.unsafeWrapArray(
         PgBinary.encode(PgBinary.Int8Oid, "1")))),
-      ColumnData('b', None, Some(ArraySeq[Byte](2, 0, 0, 4, 127, 0, 0, 1)))))
+      ColumnData('b', None, Some(ArraySeq[Byte](0, 0, 0, 0)))))
     val builder = new ChangeEventBuilder(new SchemaRegistry)
     builder.process(1L, rel)
     builder.process(2L, Begin(100L, 0L, 1))
     val e = intercept[PgOutputDecodeException] {
       builder.process(3L, Insert(7, tuple))
     }
-    assert(e.getMessage.contains("public.netlog.addr"), e.getMessage)
-    assert(e.getMessage.contains("869"), e.getMessage)
+    assert(e.getMessage.contains("public.netlog.tsv"), e.getMessage)
+    assert(e.getMessage.contains("3614"), e.getMessage)
   }
 
   test("binary Insert frame end-to-end: decode + builder yield the text-mode image") {

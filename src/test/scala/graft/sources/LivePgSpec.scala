@@ -308,7 +308,8 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
              f4 real, f8 double precision, num numeric(14,5),
              d date, t time, ts timestamp, tstz timestamptz,
              u uuid, j json, jb jsonb, by bytea,
-             txt text, vc varchar(20), arr integer[], tarr text[])""")
+             txt text, vc varchar(20), arr integer[], tarr text[],
+             iv interval, ip inet, net cidr, mac macaddr)""")
       sql.simpleQuery("ALTER TABLE tb REPLICA IDENTITY FULL")
       sql.simpleQuery("CREATE PUBLICATION graft_pub_tb FOR TABLE tb")
 
@@ -323,10 +324,13 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
               '550e8400-e29b-41d4-a716-446655440000',
               '{"a":1}', '{"b":[1,2]}', '\x00ff7a',
               'héllo — ünïcode ✓', 'vc-value', '{1,2,3}',
-              '{plain,NULL,"a,b","say \"hi\"",""}'),
+              '{plain,NULL,"a,b","say \"hi\"",""}',
+              '1 year 2 mons 3 days 04:05:06.5', '192.168.0.1',
+              '10.0.0.0/8', '08:00:2b:01:02:03'),
              (2, NULL, NULL, NULL, NULL, NULL, 'NaN', '0.00012',
               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-              NULL, NULL, '{}', NULL)""")
+              NULL, NULL, '{}', NULL,
+              '-1 days +02:00:00', '2001:db8::ff00:42:8329', NULL, NULL)""")
         sql.simpleQuery("UPDATE tb SET num = num + 1 WHERE id = 1")
         sql.simpleQuery("DELETE FROM tb WHERE id = 2")
         sql.simpleQuery("DELETE FROM tb WHERE id = 1")
@@ -402,10 +406,16 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ins1("tstz") === "2024-03-01 12:34:56.5+00")
       assert(ins1("t") === "23:59:59.000125")
       assert(ins1("tarr") === "{plain,NULL,\"a,b\",\"say \\\"hi\\\"\",\"\"}")
+      assert(ins1("iv") === "1 year 2 mons 3 days 04:05:06.5")
+      assert(ins1("ip") === "192.168.0.1")
+      assert(ins1("net") === "10.0.0.0/8")
+      assert(ins1("mac") === "08:00:2b:01:02:03")
       val ins2 = binEvents.find(e => e.op == "I" && e.after("id") == "2").get.after
       assert(ins2("num") === "0.00012")
       assert(ins2("f8") === "NaN")
       assert(ins2("arr") === "{}")
+      assert(ins2("iv") === "-1 days +02:00:00")
+      assert(ins2("ip") === "2001:db8::ff00:42:8329")
       // identity-full old image rides the binary path too: the UPDATE
       // splits D+I (identity FULL re-keys on any change — pinned live by
       // the schema-evolution test), and the D's before image is the full
