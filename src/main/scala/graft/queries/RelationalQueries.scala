@@ -1370,6 +1370,33 @@ object RelationalQueries {
           expr("unix_micros(ts) div 3600000000").as("hr"),
           round(col("value") * 100).cast("long").as("cents")))),
 
+    // Conformal-style forecast bands: the Holt-Winters 24 h horizon wrapped
+    // in EMPIRICAL residual quantiles — per type, the one-step-ahead fit
+    // residuals' exact p10/p90 order statistics (ceil-rank over the sorted
+    // domain-sized residual list — no engine quantile function, whose
+    // interpolation rules differ) shift the forecast into a [lo, hi] band.
+    // The distribution-free prediction-interval recipe (split-conformal
+    // flavor: calibration set = the in-sample one-step residuals). All
+    // arithmetic on the rounded q99 outputs → identical doubles on both
+    // engines. Scale shape: rides q99's fold; the band join broadcasts a
+    // types-sized table.
+    "q101_forecast_bands" -> ((s, d) => {
+      val hw = queries("q99_holt_winters")(s, d)
+      val res = hw.filter(col("kind") === "fit")
+        .select(col("event_type"), (col("y") - col("yhat")).as("r"))
+      val band = res.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"), count(lit(1)).as("n"))
+        .select(col("event_type"),
+          expr("element_at(rs, cast((n + 9) div 10 as int))").as("r_lo"),
+          expr("element_at(rs, cast((9 * n + 9) div 10 as int))").as("r_hi"))
+      hw.filter(col("kind") === "forecast")
+        .join(broadcast(band), "event_type")
+        .select(col("event_type"), col("t"), col("yhat"),
+          round(col("yhat") + col("r_lo"), 6).as("lo"),
+          round(col("yhat") + col("r_hi"), 6).as("hi"))
+        .orderBy(col("event_type"), col("t"))
+    }),
+
     // Z-order (Morton) layout key locality census — the gate query for
     // Layout.zorderKey (LayoutSpec separately proves the write-path file
     // pruning on both dimensions): orders interleave (custkey, epoch-day)
@@ -2771,6 +2798,13 @@ object RelationalQueries {
          SELECT * FROM fits UNION ALL SELECT * FROM fc
          ORDER BY event_type, kind, t"""
 
+  /** [[HoltWintersTailSql]] minus its final SELECT — for oracles that
+    * compose further CTEs over the fits/fc results (q101's bands). */
+  private[queries] val HoltWintersCtesSql: String =
+    HoltWintersTailSql.stripSuffix(
+      """SELECT * FROM fits UNION ALL SELECT * FROM fc
+         ORDER BY event_type, kind, t""")
+
   val oracleSql: Map[String, String] = Map(
     "q62_ewma" ->
       """WITH ev AS (
@@ -3163,6 +3197,27 @@ object RelationalQueries {
              CAST(round(value * 100) AS BIGINT) AS cents
            FROM events),
          $HoltWintersTailSql""",
+
+    // q99's CTEs + exact ceil-rank order statistics over the fit residuals
+    "q101_forecast_bands" ->
+      s"""WITH RECURSIVE ev AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         $HoltWintersCtesSql,
+         hw AS (SELECT * FROM fits UNION ALL SELECT * FROM fc),
+         res AS (
+           SELECT event_type, y - yhat AS r FROM hw WHERE kind = 'fit'),
+         band AS (
+           SELECT event_type,
+             rs[CAST((n + 9) // 10 AS INT)] AS r_lo,
+             rs[CAST((9 * n + 9) // 10 AS INT)] AS r_hi
+           FROM (SELECT event_type, list(r ORDER BY r) AS rs, COUNT(*) AS n
+                 FROM res GROUP BY event_type) q)
+         SELECT h.event_type, h.t, h.yhat,
+           round(h.yhat + b.r_lo, 6) AS lo, round(h.yhat + b.r_hi, 6) AS hi
+         FROM hw h JOIN band b USING (event_type) WHERE h.kind = 'forecast'
+         ORDER BY event_type, t""",
 
     // exact bit-interleave mirror (bit b of custkey → 2b+1, of day → 2b)
     "q100_zorder_locality" ->
