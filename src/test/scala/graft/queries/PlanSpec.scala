@@ -777,6 +777,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_wordpiece: the corpus reduces to distinct-word counts before " +
+      "the greedy fold; the vocab list rides a 1-row broadcast") {
+    val p = plan("text_wordpiece")
+    assert(p.contains("partial_"), p) // word counts combine map-side
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mm_audio_vad: both windows are doc-partitioned — no global sort") {
+    val p = plan("mm_audio_vad")
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    assert(specHeads.forall(_.startsWith("doc_id")), s"heads=$specHeads\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q100 z-order census: window-free; the day anchor and key max ride " +
+      "1-row broadcasts") {
+    val p = plan("q100_zorder_locality")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q96 log-rank: both arms' life tables share the hour grid — windows " +
       "open on `t` only, user rows reduce two-phase first") {
     val p = plan("q96_logrank")
