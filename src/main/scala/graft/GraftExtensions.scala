@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{DecodeFrameFunction, StringMetricFunctions, TextNormFunctions, VectorFunctions}
+import graft.functions.{DecodeFrameFunction, PgBinaryTextFunction, StringMetricFunctions, TextNormFunctions, VectorFunctions}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Activate with
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DecodeFrameFunction.fnName),
       DecodeFrameFunction.fnInfo,
       DecodeFrameFunction.fnBuilder))
+    e.injectFunction((
+      FunctionIdentifier(PgBinaryTextFunction.fnName),
+      PgBinaryTextFunction.fnInfo,
+      PgBinaryTextFunction.fnBuilder))
     e.injectFunction((
       FunctionIdentifier(TextNormFunctions.normName),
       TextNormFunctions.normInfo,

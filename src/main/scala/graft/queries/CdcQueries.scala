@@ -188,6 +188,44 @@ object CdcQueries {
           .select(col("status"), col("t")))
     }),
 
+    // Pure-SQL frame archaeology on a BINARY-mode stream: decode_pgoutput
+    // surfaces 'b' values as base64 (stateless — no Relation in hand), the
+    // Relation frame's per-position type oids join back in, and
+    // pg_binary_text renders each base64 payload to canonical text — the
+    // whole orders table reconstructed without touching the stateful
+    // pipeline, then hash-checked against the plain parquet oracle. This
+    // is the dead-letter/triage story for binary streams: any frame is
+    // fully inspectable at the SQL level. Scale shape: per-frame decode is
+    // narrow; the regroup is one lsn-keyed pivot over 6 known columns; the
+    // relation's column table broadcasts.
+    "cdc_binary_sql_render" -> ((s, d) => {
+      val frames = CdcPipeline.ordersToFramesBinary(s, d).toDF("lsn", "payload")
+      val dec = frames.select(col("lsn"), expr("decode_pgoutput(payload)").as("f"))
+      val rel = dec.filter(col("f.msg_type") === "R")
+        .select(posexplode(col("f.columns")).as(Seq("p", "c")))
+        .select(col("p"), col("c.name").as("cname"), col("c.type_oid").as("oid"))
+        .distinct()
+      val vals = dec.filter(col("f.msg_type") === "I")
+        .select(col("lsn"), col("f.new_categories").as("cats"),
+          posexplode(col("f.new_values")).as(Seq("p", "v")))
+        .withColumn("cat", expr("substring(cats, p + 1, 1)"))
+        .join(broadcast(rel), "p")
+        .withColumn("txt", when(col("cat") === "b",
+            expr("pg_binary_text(oid, unbase64(v))"))
+          .otherwise(col("v")))
+      vals.groupBy(col("lsn"))
+        .pivot("cname", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"))
+        .agg(first(col("txt")))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Forecast SERVING from the CDC wire: the full behavioral-event log
     // arrives as insert-only pgoutput frames (decode → envelope → typed
     // projection) and feeds the SAME holtWinters tail as q99 — the
@@ -1087,6 +1125,10 @@ object CdcQueries {
          FROM orders ORDER BY o_orderkey""",
 
     "cdc_binary_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+
+    "cdc_binary_sql_render" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
 
