@@ -1397,6 +1397,60 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("t"))
     }),
 
+    // Forecast BACKTEST: hold out the trailing 24 observed hours, fit
+    // Holt-Winters on the prefix, forecast the held-out window, and score
+    // per type — band coverage (how many actual hourly means landed inside
+    // the conformal [lo, hi]) and MAE. The model-validation loop every
+    // production forecaster runs before promoting a model; everything
+    // derives from the same bit-exact folds (MAE sums fold t-ordered —
+    // the kmCurve determinism convention). Scale shape: two (type × hour)
+    // aggs + the q99 fold; evaluation joins are types×24-sized.
+    "q102_forecast_backtest" -> ((s, d) => {
+      val evAll = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cut = evAll.agg((max(col("hr")) - 23).as("hcut"))
+      val train = evAll.crossJoin(broadcast(cut))
+        .filter(col("hr") < col("hcut"))
+        .select(col("event_type"), col("hr"), col("cents"))
+      val hw = holtWinters(train)
+      val res = hw.filter(col("kind") === "fit")
+        .select(col("event_type"), (col("y") - col("yhat")).as("r"))
+      val band = res.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("r"))).as("rs"), count(lit(1)).as("n"))
+        .select(col("event_type"),
+          expr("element_at(rs, cast((n + 9) div 10 as int))").as("r_lo"),
+          expr("element_at(rs, cast((9 * n + 9) div 10 as int))").as("r_hi"))
+      val fc = hw.filter(col("kind") === "forecast")
+        .join(broadcast(band), "event_type")
+        .select(col("event_type"), col("t"), col("yhat"),
+          (col("yhat") + col("r_lo")).as("lo"),
+          (col("yhat") + col("r_hi")).as("hi"))
+      val h0 = train.agg(min(col("hr")).as("h0"))
+      val actual = evAll.crossJoin(broadcast(cut))
+        .filter(col("hr") >= col("hcut"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(h0))
+        .select(col("event_type"), (col("hr") - col("h0")).as("t"),
+          (col("sc").cast("double") /
+            (col("n").cast("double") * lit(100.0))).as("y"))
+      fc.join(actual, Seq("event_type", "t"))
+        .select(col("event_type"), col("t"),
+          (col("y") >= col("lo") && col("y") <= col("hi"))
+            .cast("long").as("covered"),
+          abs(col("y") - col("yhat")).as("ae"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"), sum(col("covered")).as("n_covered"),
+          array_sort(collect_list(struct(col("t"), col("ae")))).as("aes"))
+        .select(col("event_type"), col("n_eval"), col("n_covered"),
+          round(expr(
+            "aggregate(transform(aes, p -> p.ae), 0.0D, (a, x) -> a + x)") /
+            col("n_eval").cast("double"), 6).as("mae"))
+        .orderBy(col("event_type"))
+    }),
+
     // Z-order (Morton) layout key locality census — the gate query for
     // Layout.zorderKey (LayoutSpec separately proves the write-path file
     // pruning on both dimensions): orders interleave (custkey, epoch-day)
@@ -3218,6 +3272,46 @@ object RelationalQueries {
            round(h.yhat + b.r_lo, 6) AS lo, round(h.yhat + b.r_hi, 6) AS hi
          FROM hw h JOIN band b USING (event_type) WHERE h.kind = 'forecast'
          ORDER BY event_type, t""",
+
+    // same truncated-prefix fold + band + t-ordered MAE fold
+    "q102_forecast_backtest" ->
+      s"""WITH RECURSIVE ev0 AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         cut AS (SELECT MAX(hr) - 23 AS hcut FROM ev0),
+         ev AS (SELECT * FROM ev0 WHERE hr < (SELECT hcut FROM cut)),
+         $HoltWintersCtesSql,
+         hw AS (SELECT * FROM fits UNION ALL SELECT * FROM fc),
+         res AS (
+           SELECT event_type, y - yhat AS r FROM hw WHERE kind = 'fit'),
+         band AS (
+           SELECT event_type,
+             rs[CAST((n + 9) // 10 AS INT)] AS r_lo,
+             rs[CAST((9 * n + 9) // 10 AS INT)] AS r_hi
+           FROM (SELECT event_type, list(r ORDER BY r) AS rs, COUNT(*) AS n
+                 FROM res GROUP BY event_type) q),
+         fcb AS (
+           SELECT h.event_type, h.t, h.yhat,
+             h.yhat + b.r_lo AS lo, h.yhat + b.r_hi AS hi
+           FROM hw h JOIN band b USING (event_type) WHERE h.kind = 'forecast'),
+         h0x AS (SELECT MIN(hr) AS h0 FROM ev),
+         actual AS (
+           SELECT event_type, hr - (SELECT h0 FROM h0x) AS t,
+             CAST(SUM(cents) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS y
+           FROM ev0 WHERE hr >= (SELECT hcut FROM cut)
+           GROUP BY event_type, hr),
+         j AS (
+           SELECT f.event_type, f.t,
+             CASE WHEN a.y >= f.lo AND a.y <= f.hi
+               THEN 1::BIGINT ELSE 0::BIGINT END AS covered,
+             abs(a.y - f.yhat) AS ae
+           FROM fcb f JOIN actual a USING (event_type, t))
+         SELECT event_type, COUNT(*) AS n_eval,
+           CAST(SUM(covered) AS BIGINT) AS n_covered,
+           round(list_reduce(list(ae ORDER BY t), (a, b) -> a + b)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mae
+         FROM j GROUP BY event_type ORDER BY event_type""",
 
     // exact bit-interleave mirror (bit b of custkey → 2b+1, of day → 2b)
     "q100_zorder_locality" ->
