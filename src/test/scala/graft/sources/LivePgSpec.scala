@@ -800,6 +800,60 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conduit.close(); sql.close() }
   }
 
+  test("binary mode composes with v2 streaming live: 'b' tuples ride inside " +
+      "stream segments and reassemble to exact rendered state") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_sb", "graft_pub_sb", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L,
+      protoVersion = 2, streaming = true, binary = true)
+    try {
+      sql.simpleQuery(
+        "CREATE TABLE tsb (id bigint primary key, price numeric(10,2), v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_sb FOR TABLE tsb")
+      conduit.start(0L)
+      sql.simpleQuery(
+        "INSERT INTO tsb SELECT g, g + 0.25, repeat('x', 200) || g " +
+          "FROM generate_series(1, 2000) g")
+      val builder = new ChangeEventBuilder(new SchemaRegistry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (events.count(_.op == "I") < 2000 && System.nanoTime() < deadline) {
+        conduit.read() match {
+          case Some((lsn, payload)) =>
+            frames += payload
+            events ++= builder.processRaw(lsn, payload)
+          case None => Thread.sleep(20)
+        }
+      }
+      val types = frames.map(_(0).toChar)
+      assert(types.contains('S'), s"no StreamStart — wire types: ${types.distinct}")
+      // in-segment Insert frames (xid-prefixed layout) carry binary columns
+      var depth = 0
+      val segBinary = frames.exists { f =>
+        f(0) match {
+          case 'S' => depth += 1; false
+          case 'E' => depth -= 1; false
+          case 'I' if depth > 0 =>
+            PgOutputDecoder.decode(f, inStream = true) match {
+              case StreamedPart(_, ins: Insert) =>
+                ins.newTuple.columns.exists(_.category == 'b')
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+      assert(segBinary, "no 'b' tuple column inside any stream segment")
+      val inserts = events.filter(_.op == "I")
+      assert(inserts.size === 2000)
+      val r17 = inserts.find(_.after("id") == "17").get.after
+      assert(r17("price") === "17.25") // numeric(10,2) rendered from base-10000
+      assert(r17("v") === "x" * 200 + "17")
+    } finally { conduit.close(); sql.close() }
+  }
+
   test("protocol v3 live: two-phase commit — prepared transactions hold under " +
       "their gid, COMMIT PREPARED lands them, ROLLBACK PREPARED erases them") {
     live()
