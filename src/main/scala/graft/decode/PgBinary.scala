@@ -121,23 +121,32 @@ object PgBinary {
     * default `IntervalStyle = postgres` form: signed year/mon/day fields
     * when nonzero (plural unless the value is exactly 1), then the
     * [sign]HH:MM:SS[.ffffff] time — shown when nonzero or when nothing
-    * else printed; a positive time after a negative field gets an
-    * explicit '+' (EncodeInterval's is_before rule). */
+    * else printed. Sign rule (EncodeInterval/AddPostgresIntPart): a
+    * POSITIVE part directly after a NEGATIVE printed part gets an explicit
+    * '+' — `is_before` carries only the PREVIOUS printed field's sign, so
+    * '-1 mons 5 days 1 hour' renders "-1 mons +5 days 01:00:00" (plus on
+    * days, none on the time, whose predecessor is the positive days). */
   private def intervalText(us: Long, days: Int, months: Int): String = {
     val years = months / 12
     val mons = months % 12
-    val parts = Vector.newBuilder[String]
-    def unit(v: Long, name: String): Unit =
-      if (v != 0) parts += s"$v $name${if (v == 1) "" else "s"}"
+    val sb = new StringBuilder
+    var isZero = true
+    var isBefore = false
+    def unit(v: Long, name: String): Unit = if (v != 0) {
+      if (!isZero) sb.append(' ')
+      if (isBefore && v > 0) sb.append('+')
+      sb.append(v).append(' ').append(name)
+      if (v != 1) sb.append('s')
+      isBefore = v < 0
+      isZero = false
+    }
     unit(years.toLong, "year")
     unit(mons.toLong, "mon")
     unit(days.toLong, "day")
-    val fields = parts.result()
-    val sb = new StringBuilder(fields.mkString(" "))
-    if (us != 0 || fields.isEmpty) {
-      if (sb.nonEmpty) sb.append(' ')
+    if (us != 0 || isZero) {
+      if (!isZero) sb.append(' ')
       if (us < 0) sb.append('-')
-      else if (fields.nonEmpty && (months < 0 || days < 0)) sb.append('+')
+      else if (isBefore) sb.append('+')
       val a = math.abs(us)
       val sec = a / 1000000L
       sb.append(f"${sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d")

@@ -217,6 +217,20 @@ object RelationalQueries {
     fits.unionByName(fc).orderBy(col("event_type"), col("kind"), col("t"))
   }
 
+  /** Conformal residual band per type over a [[holtWinters]] result:
+    * exact ceil-rank p10/p90 order statistics of the fit residuals —
+    * shared by q101 (bands on the live forecast) and q102 (hold-out
+    * backtest), token-identical with [[ConformalBandCtesSql]]. Returns
+    * `(event_type, r_lo, r_hi)` — types-sized, broadcast by callers. */
+  private[graft] def conformalBand(hw: DataFrame): DataFrame =
+    hw.filter(col("kind") === "fit")
+      .select(col("event_type"), (col("y") - col("yhat")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("element_at(rs, cast((n + 9) div 10 as int))").as("r_lo"),
+        expr("element_at(rs, cast((9 * n + 9) div 10 as int))").as("r_hi"))
+
   /** Deterministic 1/16 universe-sample predicate (24-bit md5 prefix mod
     * 16) — shared by q70 (join-consistent order sampling) and q85 (row
     * sampling with CI). */
@@ -1382,13 +1396,7 @@ object RelationalQueries {
     // types-sized table.
     "q101_forecast_bands" -> ((s, d) => {
       val hw = queries("q99_holt_winters")(s, d)
-      val res = hw.filter(col("kind") === "fit")
-        .select(col("event_type"), (col("y") - col("yhat")).as("r"))
-      val band = res.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("r"))).as("rs"), count(lit(1)).as("n"))
-        .select(col("event_type"),
-          expr("element_at(rs, cast((n + 9) div 10 as int))").as("r_lo"),
-          expr("element_at(rs, cast((9 * n + 9) div 10 as int))").as("r_hi"))
+      val band = conformalBand(hw)
       hw.filter(col("kind") === "forecast")
         .join(broadcast(band), "event_type")
         .select(col("event_type"), col("t"), col("yhat"),
@@ -1415,13 +1423,7 @@ object RelationalQueries {
         .filter(col("hr") < col("hcut"))
         .select(col("event_type"), col("hr"), col("cents"))
       val hw = holtWinters(train)
-      val res = hw.filter(col("kind") === "fit")
-        .select(col("event_type"), (col("y") - col("yhat")).as("r"))
-      val band = res.groupBy(col("event_type"))
-        .agg(sort_array(collect_list(col("r"))).as("rs"), count(lit(1)).as("n"))
-        .select(col("event_type"),
-          expr("element_at(rs, cast((n + 9) div 10 as int))").as("r_lo"),
-          expr("element_at(rs, cast((9 * n + 9) div 10 as int))").as("r_hi"))
+      val band = conformalBand(hw)
       val fc = hw.filter(col("kind") === "forecast")
         .join(broadcast(band), "event_type")
         .select(col("event_type"), col("t"), col("yhat"),
@@ -2853,11 +2855,28 @@ object RelationalQueries {
          ORDER BY event_type, kind, t"""
 
   /** [[HoltWintersTailSql]] minus its final SELECT — for oracles that
-    * compose further CTEs over the fits/fc results (q101's bands). */
-  private[queries] val HoltWintersCtesSql: String =
-    HoltWintersTailSql.stripSuffix(
-      """SELECT * FROM fits UNION ALL SELECT * FROM fc
-         ORDER BY event_type, kind, t""")
+    * compose further CTEs over the fits/fc results (q101/q102). Derived
+    * by cutting at the final SELECT's first token so a reflow of either
+    * literal fails LOUDLY here instead of producing a silent no-op. */
+  private[queries] val HoltWintersCtesSql: String = {
+    val cut = HoltWintersTailSql.lastIndexOf("SELECT * FROM fits")
+    require(cut > 0, "HoltWintersTailSql lost its final SELECT — fix the fragment split")
+    HoltWintersTailSql.substring(0, cut)
+  }
+
+  /** Conformal residual band over [[HoltWintersTailSql]]'s `hw` rows as
+    * SQL CTEs (`res` + `band`): exact ceil-rank p10/p90 order statistics
+    * of the fit residuals — shared verbatim by q101 and q102 so the
+    * quantile-index convention lives in ONE place per engine. */
+  private[queries] val ConformalBandCtesSql: String =
+    """res AS (
+           SELECT event_type, y - yhat AS r FROM hw WHERE kind = 'fit'),
+         band AS (
+           SELECT event_type,
+             rs[CAST((n + 9) // 10 AS INT)] AS r_lo,
+             rs[CAST((9 * n + 9) // 10 AS INT)] AS r_hi
+           FROM (SELECT event_type, list(r ORDER BY r) AS rs, COUNT(*) AS n
+                 FROM res GROUP BY event_type) q)"""
 
   val oracleSql: Map[String, String] = Map(
     "q62_ewma" ->
@@ -3260,14 +3279,7 @@ object RelationalQueries {
            FROM events),
          $HoltWintersCtesSql,
          hw AS (SELECT * FROM fits UNION ALL SELECT * FROM fc),
-         res AS (
-           SELECT event_type, y - yhat AS r FROM hw WHERE kind = 'fit'),
-         band AS (
-           SELECT event_type,
-             rs[CAST((n + 9) // 10 AS INT)] AS r_lo,
-             rs[CAST((9 * n + 9) // 10 AS INT)] AS r_hi
-           FROM (SELECT event_type, list(r ORDER BY r) AS rs, COUNT(*) AS n
-                 FROM res GROUP BY event_type) q)
+         $ConformalBandCtesSql
          SELECT h.event_type, h.t, h.yhat,
            round(h.yhat + b.r_lo, 6) AS lo, round(h.yhat + b.r_hi, 6) AS hi
          FROM hw h JOIN band b USING (event_type) WHERE h.kind = 'forecast'
@@ -3283,14 +3295,7 @@ object RelationalQueries {
          ev AS (SELECT * FROM ev0 WHERE hr < (SELECT hcut FROM cut)),
          $HoltWintersCtesSql,
          hw AS (SELECT * FROM fits UNION ALL SELECT * FROM fc),
-         res AS (
-           SELECT event_type, y - yhat AS r FROM hw WHERE kind = 'fit'),
-         band AS (
-           SELECT event_type,
-             rs[CAST((n + 9) // 10 AS INT)] AS r_lo,
-             rs[CAST((9 * n + 9) // 10 AS INT)] AS r_hi
-           FROM (SELECT event_type, list(r ORDER BY r) AS rs, COUNT(*) AS n
-                 FROM res GROUP BY event_type) q),
+         $ConformalBandCtesSql,
          fcb AS (
            SELECT h.event_type, h.t, h.yhat,
              h.yhat + b.r_lo AS lo, h.yhat + b.r_hi AS hi

@@ -125,6 +125,15 @@ class PgBinarySpec extends AnyFunSuite {
       === "1 year 2 mons 3 days 04:05:06.5")
     assert(rt(PgBinary.IntervalOid, "-1 years -2 mons") === "-1 years -2 mons")
     assert(rt(PgBinary.IntervalOid, "-1 days +02:00:00") === "-1 days +02:00:00")
+    // is_before carries ONLY the previous field's sign: '+' lands on days
+    // (after negative mons) but NOT on the time (after positive days)
+    assert(rt(PgBinary.IntervalOid, "-1 mons +5 days 01:00:00")
+      === "-1 mons +5 days 01:00:00")
+    // year/mon share the months field, so both always carry the same sign
+    assert(rt(PgBinary.IntervalOid, "-1 years -1 mons") === "-1 years -1 mons")
+    assert(rt(PgBinary.IntervalOid, "5 days -01:00:00") === "5 days -01:00:00")
+    assert(rt(PgBinary.IntervalOid, "-1 years -1 mons +3 days -00:00:01.5")
+      === "-1 years -1 mons +3 days -00:00:01.5")
     assert(rt(PgBinary.IntervalOid, "00:00:00") === "00:00:00")
     assert(rt(PgBinary.IntervalOid, "-00:00:01") === "-00:00:01")
     // time field is unnormalized hours — 25:00:00 stays 25:00:00

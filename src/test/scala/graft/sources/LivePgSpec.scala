@@ -330,7 +330,7 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
              (2, NULL, NULL, NULL, NULL, NULL, 'NaN', '0.00012',
               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
               NULL, NULL, '{}', NULL,
-              '-1 days +02:00:00', '2001:db8::ff00:42:8329', NULL, NULL)""")
+              '-1 mon 5 days 1 hour', '2001:db8::ff00:42:8329', NULL, NULL)""")
         sql.simpleQuery("UPDATE tb SET num = num + 1 WHERE id = 1")
         sql.simpleQuery("DELETE FROM tb WHERE id = 2")
         sql.simpleQuery("DELETE FROM tb WHERE id = 1")
@@ -414,7 +414,9 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ins2("num") === "0.00012")
       assert(ins2("f8") === "NaN")
       assert(ins2("arr") === "{}")
-      assert(ins2("iv") === "-1 days +02:00:00")
+      // mixed-sign interval: is_before '+' on days only (previous field
+      // negative), none on the time (previous field positive)
+      assert(ins2("iv") === "-1 mons +5 days 01:00:00")
       assert(ins2("ip") === "2001:db8::ff00:42:8329")
       // identity-full old image rides the binary path too: the UPDATE
       // splits D+I (identity FULL re-keys on any change — pinned live by
