@@ -480,6 +480,75 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binary render property live: seeded-random intervals / inets / " +
+      "numerics / times render byte-identical to the server's text mode") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery(
+        """CREATE TABLE tprop (id bigint primary key, iv interval, ip inet,
+             num numeric(20, 8), t time, d date)""")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_pr FOR TABLE tprop")
+      val rnd = new scala.util.Random(20260815L)
+      val rows = (1 to 60).map { i =>
+        val mo = rnd.nextInt(50) - 25
+        val dy = rnd.nextInt(60) - 30
+        val us = rnd.nextLong() % (100L * 3600 * 1000000L)
+        val iv = s"$mo mons $dy days $us microseconds"
+        val ip =
+          if (i % 2 == 0)
+            s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}." +
+              s"${rnd.nextInt(256)}/${rnd.nextInt(33)}"
+          else {
+            // random groups with zero runs sprinkled in to exercise '::'
+            val g = Array.fill(8)(if (rnd.nextInt(3) == 0) 0 else rnd.nextInt(0x10000))
+            g.map(Integer.toHexString).mkString(":") + s"/${rnd.nextInt(129)}"
+          }
+        val num = java.math.BigDecimal.valueOf(
+          rnd.nextLong() % 1000000000000L, rnd.nextInt(9)).toPlainString
+        val tm = { val v = math.abs(rnd.nextLong()) % (24L * 3600 * 1000000L)
+          val s0 = v / 1000000L
+          f"${s0 / 3600}%02d:${(s0 / 60) % 60}%02d:${s0 % 60}%02d.${v % 1000000L}%06d" }
+        val yr = 2000 + rnd.nextInt(50)
+        val dmo = rnd.nextInt(12) + 1
+        val dda = rnd.nextInt(28) + 1
+        (i, iv, ip, num, tm, f"$yr-$dmo%02d-$dda%02d")
+      }
+      def drainMode(binary: Boolean, slot: String): Map[String, Map[String, String]] = {
+        val c = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+          None, slot, "graft_pub_pr", createSlot = true,
+          temporarySlot = true, statusIntervalMs = 500L, binary = binary)
+        try {
+          c.start(0L)
+          rows.foreach { case (i, iv, ip, num, tm, d) =>
+            sql.simpleQuery(
+              s"INSERT INTO tprop VALUES ($i, '$iv', '$ip', '$num', '$tm', '$d')")
+          }
+          val b = new ChangeEventBuilder(new SchemaRegistry)
+          val evs = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+          drainUntil(c, b, evs)(_.count(_.op == "I") >= rows.size)
+          sql.simpleQuery("DELETE FROM tprop")
+          evs.filter(_.op == "I").map(e => e.after("id") -> e.after).toMap
+        } finally c.close()
+      }
+      val text = drainMode(binary = false, "graft_slot_prt")
+      val bin = drainMode(binary = true, "graft_slot_prb")
+      assert(text.size === rows.size && bin.size === rows.size)
+      // every column of every row: the binary render must equal the
+      // server's own text-mode output byte for byte
+      text.keys.foreach { id =>
+        Seq("iv", "ip", "num", "t", "d").foreach { c =>
+          assert(bin(id)(c) === text(id)(c),
+            s"row $id column $c: binary=${bin(id)(c)} text=${text(id)(c)}")
+        }
+      }
+    } finally {
+      try sql.simpleQuery("DROP PUBLICATION graft_pub_pr") catch { case _: Throwable => () }
+      try sql.simpleQuery("DROP TABLE tprop") catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("replication origin live: a txn applied under " +
       "pg_replication_origin_session_setup — pin what a real PG 15 " +
       "walsender ships for origin-marked WAL") {
