@@ -1405,6 +1405,49 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("t"))
     }),
 
+    // Classical seasonal DECOMPOSITION (additive, period 24) — the STL-
+    // style diagnostic next to q99's forecaster: trend = the ±12 h
+    // window-WEIGHTED mean (Σcents/Σn over the window — exact integer
+    // window sums, one double division, so no float-order dependence a
+    // sliding-sum would have), detrended = y − trend, and the seasonal
+    // index per (type, hour-of-day) folds the t-ordered detrended list
+    // (the kmCurve determinism convention). Output: per (type, hod) the
+    // seasonal index and its support. Scale shape: one (type × hour)
+    // two-phase agg; both windows partition by type over the domain-sized
+    // hour grid; the final agg is types×24.
+    "q103_seasonal_decompose" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val h0 = ev.agg(min(col("hr")).as("h0"))
+      val hourly = ev.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(h0))
+        .select(col("event_type"), (col("hr") - col("h0")).as("t"),
+          col("sc"), col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("t"))
+        .rangeBetween(-12, 12)
+      val dt = hourly
+        .withColumn("wsc", sum(col("sc")).over(w))
+        .withColumn("wn", sum(col("n")).over(w))
+        .withColumn("nw", count(lit(1)).over(w))
+        .filter(col("nw") === 25) // interior hours with the full window
+        .select(col("event_type"), col("t"), (col("t") % 24).as("hod"),
+          ((col("sc").cast("double") / (col("n").cast("double") * lit(100.0))) -
+            (col("wsc").cast("double") / (col("wn").cast("double") * lit(100.0))))
+            .as("detr"))
+      dt.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_obs"),
+          array_sort(collect_list(struct(col("t"), col("detr")))).as("ds"))
+        .select(col("event_type"), col("hod"), col("n_obs"),
+          round(expr(
+            "aggregate(transform(ds, p -> p.detr), 0.0D, (a, x) -> a + x)") /
+            col("n_obs").cast("double"), 6).as("seasonal"))
+        .orderBy(col("event_type"), col("hod"))
+    }),
+
     // Forecast BACKTEST: hold out the trailing 24 observed hours, fit
     // Holt-Winters on the prefix, forecast the held-out window, and score
     // per type — band coverage (how many actual hourly means landed inside
@@ -3284,6 +3327,36 @@ object RelationalQueries {
            round(h.yhat + b.r_lo, 6) AS lo, round(h.yhat + b.r_hi, 6) AS hi
          FROM hw h JOIN band b USING (event_type) WHERE h.kind = 'forecast'
          ORDER BY event_type, t""",
+
+    // exact-integer window sums (RANGE ±12 on the hour index), one double
+    // division per mean, t-ordered seasonal fold
+    "q103_seasonal_decompose" ->
+      s"""WITH ev AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         h0 AS (SELECT MIN(hr) AS h0 FROM ev),
+         hourly AS (
+           SELECT event_type, hr - (SELECT h0 FROM h0) AS t,
+             CAST(SUM(cents) AS BIGINT) AS sc, COUNT(*) AS n
+           FROM ev GROUP BY event_type, hr),
+         win AS (
+           SELECT event_type, t, sc, n,
+             CAST(SUM(sc) OVER w AS BIGINT) AS wsc,
+             CAST(SUM(n) OVER w AS BIGINT) AS wn,
+             COUNT(*) OVER w AS nw
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY t
+             RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         dt AS (
+           SELECT event_type, t, t % 24 AS hod,
+             (CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) -
+             (CAST(wsc AS DOUBLE) / (CAST(wn AS DOUBLE) * 100.0)) AS detr
+           FROM win WHERE nw = 25)
+         SELECT event_type, hod, COUNT(*) AS n_obs,
+           round(list_reduce(list(detr ORDER BY t), (a, b) -> a + b)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS seasonal
+         FROM dt GROUP BY event_type, hod ORDER BY event_type, hod""",
 
     // same truncated-prefix fold + band + t-ordered MAE fold
     "q102_forecast_backtest" ->
