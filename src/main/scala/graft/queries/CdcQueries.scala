@@ -200,7 +200,11 @@ object CdcQueries {
     // relation's column table broadcasts.
     "cdc_binary_sql_render" -> ((s, d) => {
       val frames = CdcPipeline.ordersToFramesBinary(s, d).toDF("lsn", "payload")
-      val dec = frames.select(col("lsn"), expr("decode_pgoutput(payload)").as("f"))
+      // function API (not expr strings): the query must work on sessions
+      // without GraftExtensions registered; SQL users get the same names
+      // via the extension registration
+      val dec = frames.select(col("lsn"),
+        graft.functions.DecodeFrameFunction.decode_pgoutput(col("payload")).as("f"))
       val rel = dec.filter(col("f.msg_type") === "R")
         .select(posexplode(col("f.columns")).as(Seq("p", "c")))
         .select(col("p"), col("c.name").as("cname"), col("c.type_oid").as("oid"))
@@ -211,7 +215,8 @@ object CdcQueries {
         .withColumn("cat", expr("substring(cats, p + 1, 1)"))
         .join(broadcast(rel), "p")
         .withColumn("txt", when(col("cat") === "b",
-            expr("pg_binary_text(oid, unbase64(v))"))
+            graft.functions.PgBinaryTextFunction.pg_binary_text(
+              col("oid"), unbase64(col("v"))))
           .otherwise(col("v")))
       vals.groupBy(col("lsn"))
         .pivot("cname", Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -1429,11 +1429,17 @@ object RelationalQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("t"))
         .rangeBetween(-12, 12)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
       val dt = hourly
         .withColumn("wsc", sum(col("sc")).over(w))
         .withColumn("wn", sum(col("n")).over(w))
-        .withColumn("nw", count(lit(1)).over(w))
-        .filter(col("nw") === 25) // interior hours with the full window
+        // interior hours only (full ±12 span inside the observed range);
+        // absent hours within the span just drop out of the weighted mean,
+        // so the filter holds at any grid density
+        .withColumn("tmin", min(col("t")).over(wAll))
+        .withColumn("tmax", max(col("t")).over(wAll))
+        .filter(col("t") >= col("tmin") + 12 && col("t") <= col("tmax") - 12)
         .select(col("event_type"), col("t"), (col("t") % 24).as("hod"),
           ((col("sc").cast("double") / (col("n").cast("double") * lit(100.0))) -
             (col("wsc").cast("double") / (col("wn").cast("double") * lit(100.0))))
@@ -3344,7 +3350,8 @@ object RelationalQueries {
            SELECT event_type, t, sc, n,
              CAST(SUM(sc) OVER w AS BIGINT) AS wsc,
              CAST(SUM(n) OVER w AS BIGINT) AS wn,
-             COUNT(*) OVER w AS nw
+             MIN(t) OVER (PARTITION BY event_type) AS tmin,
+             MAX(t) OVER (PARTITION BY event_type) AS tmax
            FROM hourly
            WINDOW w AS (PARTITION BY event_type ORDER BY t
              RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
@@ -3352,7 +3359,7 @@ object RelationalQueries {
            SELECT event_type, t, t % 24 AS hod,
              (CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) -
              (CAST(wsc AS DOUBLE) / (CAST(wn AS DOUBLE) * 100.0)) AS detr
-           FROM win WHERE nw = 25)
+           FROM win WHERE t >= tmin + 12 AND t <= tmax - 12)
          SELECT event_type, hod, COUNT(*) AS n_obs,
            round(list_reduce(list(detr ORDER BY t), (a, b) -> a + b)
              / CAST(COUNT(*) AS DOUBLE), 6) AS seasonal
