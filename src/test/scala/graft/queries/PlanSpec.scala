@@ -802,6 +802,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q103 seasonal decomposition: every window partitions by event_type " +
+      "over the domain-sized hour grid; the corpus reduces two-phase first") {
+    val p = plan("q103_seasonal_decompose")
+    val specHeads = "windowspecdefinition\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specHeads.nonEmpty, p)
+    assert(specHeads.forall(_.startsWith("event_type")), s"heads=$specHeads\n$p")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q96 log-rank: both arms' life tables share the hour grid — windows " +
       "open on `t` only, user rows reduce two-phase first") {
     val p = plan("q96_logrank")
