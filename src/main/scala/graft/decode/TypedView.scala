@@ -54,13 +54,20 @@ object TypedView {
     * walsender session so a cluster-level `escape` override cannot reach
     * the decoder). Synthetic envelopes may carry base64 instead; base64's
     * alphabet has no backslash, so the `\x` prefix dispatches
-    * unambiguously. Anything else — e.g. legacy escape-format text that
-    * slipped past the session pin — yields NULL rather than the garbage
-    * bytes a lenient base64 decode would fabricate, so
-    * `ofAfterValidated`'s cast_error probe fires on it. */
+    * unambiguously. The base64 branch additionally requires
+    * `length % 4 == 0` (base64 always pads to quads): legacy escape-format
+    * text that slipped past the session pin is mostly printable bytes,
+    * which the alphabet regex alone would silently mis-decode — the length
+    * gate rejects 3 in 4 such strings (plus anything with an escape
+    * sequence, whose backslash fails the alphabet check) while admitting
+    * every properly padded synthetic value. A printable escape string of
+    * quad length remains inherently ambiguous with valid base64; everything
+    * detectably non-base64 yields NULL so `ofAfterValidated`'s cast_error
+    * probe fires on it. */
   private def byteaColumn(raw: Column): Column =
     when(raw.startsWith("\\x"), unhex(raw.substr(lit(3), length(raw))))
-      .when(raw.rlike("^[A-Za-z0-9+/]*={0,2}$"), unbase64(raw))
+      .when(raw.rlike("^[A-Za-z0-9+/]*={0,2}$") && length(raw) % 4 === 0,
+        unbase64(raw))
       .otherwise(lit(null).cast(BinaryType))
 
   /** Text-format value → typed Column for one relation column. */

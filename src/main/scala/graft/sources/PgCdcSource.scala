@@ -423,14 +423,26 @@ final class PgCdcMicroBatch(
     * session's high-water, or the prefix re-bases into duplicates. The
     * schema registry survives (monotone cache; the new walsender re-sends
     * Relation frames for every touched table anyway). */
-  private def readWithReconnect(): Option[(Long, Array[Byte])] =
-    try activeConduit.read()
-    catch {
-      case e @ (_: java.io.IOException | _: java.sql.SQLException)
-          if conduitFactory.nonEmpty && reconnectRetries > 0 =>
-        reconnect(e)
-        activeConduit.read()
+  private def readWithReconnect(): Option[(Long, Array[Byte])] = {
+    // The read AFTER a successful reconnect stays under the same retry
+    // policy: a freshly restarted server commonly drops the first read
+    // (half-open accept, crash-recovery not yet at a consistent point), and
+    // an unguarded retry would kill the query with reconnect budget left.
+    // `budget` bounds reconnect() INVOCATIONS per read; each invocation has
+    // its own internal attempt loop, so the worst case is retries² dials —
+    // still finite, and each dial is backoff-paced.
+    var budget = reconnectRetries
+    while (true) {
+      try return activeConduit.read()
+      catch {
+        case e @ (_: java.io.IOException | _: java.sql.SQLException)
+            if conduitFactory.nonEmpty && budget > 0 =>
+          budget -= 1
+          reconnect(e)
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def reconnect(trigger: Throwable): Unit = {
     try activeConduit.close() catch { case _: Throwable => () }

@@ -199,11 +199,8 @@ final class PgWireConnection(
     case s: javax.net.ssl.SSLSocket =>
       val cert = s.getSession.getPeerCertificates()(0)
         .asInstanceOf[java.security.cert.X509Certificate]
-      val sig = cert.getSigAlgName.toUpperCase
-      val alg =
-        if (sig.contains("SHA384")) "SHA-384"
-        else if (sig.contains("SHA512")) "SHA-512"
-        else "SHA-256"
+      val alg = PgWireConnection.certHashAlg(
+        cert.getSigAlgName, cert.getSigAlgParams)
       java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
     case _ => throw new IllegalStateException(
       "pgwire: channel binding requested on a non-TLS socket")
@@ -341,6 +338,37 @@ final class PgWireConnection(
   }
 }
 
+object PgWireConnection {
+  /** RFC 5929 tls-server-end-point hash-algorithm selection: the hash of the
+    * certificate's own signature algorithm, with MD5/SHA-1 mapped UP to
+    * SHA-256. For classic `SHA384withRSA`-style names the hash is in the
+    * name; RSASSA-PSS certificates instead report the bare algorithm
+    * (`RSASSA-PSS`) and carry the hash inside the DER-encoded
+    * AlgorithmParameters (`sigAlgParams` → PSSParameterSpec), so a
+    * name-substring match alone would bind a PSS/SHA-384 cert to SHA-256
+    * and the -PLUS proof would fail verification. Unresolvable parameters
+    * fall back to SHA-256 — RFC 5929's floor, and with a real PSS cert the
+    * worst case is an auth failure the caller can retry without -PLUS. */
+  private[sources] def certHashAlg(sigAlgName: String,
+      sigAlgParams: Array[Byte]): String = {
+    val sig = sigAlgName.toUpperCase
+    def fromPssParams: String =
+      try {
+        val ap = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+        ap.init(sigAlgParams)
+        val d = ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
+          .getDigestAlgorithm.toUpperCase
+        if (d.contains("384")) "SHA-384"
+        else if (d.contains("512")) "SHA-512"
+        else "SHA-256" // SHA-1/SHA-224/SHA-256 all map (up) to SHA-256
+      } catch { case _: Exception => "SHA-256" }
+    if (sig.contains("PSS")) fromPssParams
+    else if (sig.contains("SHA384")) "SHA-384"
+    else if (sig.contains("SHA512")) "SHA-512"
+    else "SHA-256"
+  }
+}
+
 /** SCRAM-SHA-256 client state machine (RFC 5802 mechanics, RFC 7677 hash
   * suite) — the PG ≥ 14 default password auth. One instance per handshake:
   * `clientFirstMessage` → (server-first) → `clientFinalMessage` →
@@ -454,10 +482,10 @@ final class PgWireConduit(
 
   private var conn: PgWireConnection = _
   @volatile private var received = 0L
-  @volatile private var flushed = 0L
-  /** Max walStart of any DATA ('w') frame handed to the consumer — the
-    * guard for confirming keepalive sentPtr positions (see the 'k' branch). */
-  @volatile private var lastDataWal = 0L
+  /** Confirmation ledger — consumer flush vs keepalive auto-confirm kept in
+    * SEPARATE fields so an auto-advanced position can never satisfy its own
+    * guard (the r5-advice loss scenario; see [[AckLedger]]). */
+  private[sources] val ack = new AckLedger
   @volatile private var running = false
   private var keepalive: Thread = _
 
@@ -469,11 +497,12 @@ final class PgWireConduit(
   private def sendStatus(replyRequested: Boolean): Unit = {
     val c = conn
     if (c != null) {
+      val fl = ack.reported
       val b = ByteBuffer.allocate(34)
       b.put('r'.toByte)
       b.putLong(received)
-      b.putLong(flushed)
-      b.putLong(flushed) // applied tracks flushed: we apply before we ack
+      b.putLong(fl)
+      b.putLong(fl) // applied tracks flushed: we apply before we ack
       b.putLong(pgClockMicros())
       b.put(if (replyRequested) 1.toByte else 0.toByte)
       c.sendCopyData(b.array())
@@ -516,7 +545,9 @@ final class PgWireConduit(
       if (binary) Some("binary 'true'") else None).flatten.mkString(", ")
     conn.enterCopyBoth(
       s"""START_REPLICATION SLOT "$slot" LOGICAL ${PgLsn.format(afterLsn)} ($opts)""")
-    flushed = afterLsn
+    // The resume point is consumer ground truth by definition: the caller
+    // restarts from its durable checkpoint.
+    ack.onConsumerFlush(afterLsn)
     running = true
     keepalive = new Thread(() => {
       while (running) {
@@ -549,7 +580,7 @@ final class PgWireConduit(
               val bytes = new Array[Byte](buf.remaining())
               buf.get(bytes)
               received = math.max(received, math.max(walStart, walEnd))
-              lastDataWal = math.max(lastDataWal, walStart)
+              ack.onData(walStart)
               result = Some((walStart, bytes))
               continue = false
             case 'k' =>
@@ -565,15 +596,17 @@ final class PgWireConduit(
               // standby's reported flush), and a flush pinned one byte
               // below the last commit never reaches a keepalive's sentPtr —
               // the server would wait on us forever. When every DELIVERED
-              // data frame is already covered by the consumer's flush
-              // point, confirming the keepalive's walEnd is safe: the
-              // server sent nothing event-bearing past lastDataWal, and an
-              // in-progress streamed txn re-decodes in full on restart
-              // because its COMMIT lies beyond walEnd. A consumer that is
+              // data frame is already covered by the CONSUMER's flush
+              // point, confirming the keepalive's walEnd is safe: sentPtr
+              // only advances past a commit record's end AFTER its whole
+              // transaction entered the stream ahead of this keepalive
+              // (walsender processes a record fully before moving sentPtr),
+              // so in-order reading guarantees nothing event-bearing past
+              // lastDataWal hides below walEnd. A consumer that is
               // legitimately behind keeps the shutdown waiting — that's
-              // the at-least-once contract, not a hang.
-              if (walEnd > flushed && flushed >= lastDataWal - 1)
-                flushed = walEnd
+              // the at-least-once contract, not a hang. The
+              // consumer-vs-auto split lives in [[AckLedger]].
+              ack.onKeepalive(walEnd)
               if (replyRequested) sendStatus(replyRequested = false)
             // keep polling: a keepalive is not data
             case other =>
@@ -600,17 +633,65 @@ final class PgWireConduit(
   }
 
   override def setFlushedLSN(lsn: Long): Unit = {
-    flushed = math.max(flushed, lsn)
+    ack.onConsumerFlush(lsn)
     sendStatus(replyRequested = false)
   }
 
-  override def walPositions: Option[(Long, Long)] = Some((received, flushed))
+  override def walPositions: Option[(Long, Long)] = Some((received, ack.reported))
 
   override def close(): Unit = {
     running = false
     if (keepalive != null) keepalive.interrupt()
     if (conn != null) conn.close()
   }
+}
+
+/** WAL-confirmation ledger for [[PgWireConduit]] — the one place that decides
+  * what flush position may be reported to the server, factored out so the
+  * loss scenario is spec-pinned offline ([[graft.sources.AckLedgerSpec]]).
+  *
+  * Two flush inputs with different trust levels:
+  *  - CONSUMER flush ([[onConsumerFlush]]): sent strictly after Spark's
+  *    durable batch commit — the K2 at-least-once ground truth.
+  *  - Keepalive AUTO-CONFIRM ([[onKeepalive]]): the shutdown-unblock path.
+  *    Allowed only when the CONSUMER's flush already covers every delivered
+  *    data frame (`consumerFlushed >= lastDataWal - 1`; the one-byte slack is
+  *    the offset convention — a no-event commit marker lifts the consumer
+  *    watermark to its position MINUS ONE, because the next transaction's
+  *    first change can be reported AT a commit record's position).
+  *
+  * The guard reads `consumerFlushed`, NEVER the auto-advanced value. Letting
+  * a previous auto-confirm satisfy the guard is a ratchet that acks WAL past
+  * an unprocessed transaction: a keepalive whose sentPtr lands exactly at the
+  * next commit record's walStart (WAL records are contiguous — common)
+  * auto-advances to that position; the commit frame then arrives (events
+  * buffered, not yet checkpointed) and the next keepalive would see
+  * `flushed == lastDataWal`, pushing confirmed_flush past the commit's end —
+  * on restart the server skips the transaction (end_lsn <= confirmed_flush)
+  * and its events are silently lost. With the split, that second keepalive
+  * fails the guard until the consumer actually checkpoints the transaction. */
+final class AckLedger {
+  @volatile private var consumerFlushed = 0L
+  @volatile private var autoConfirmed = 0L
+  /** Max walStart of any DATA ('w') frame handed to the consumer. */
+  @volatile private var lastDataWal = 0L
+
+  def onData(walStart: Long): Unit =
+    lastDataWal = math.max(lastDataWal, walStart)
+
+  def onConsumerFlush(lsn: Long): Unit =
+    consumerFlushed = math.max(consumerFlushed, lsn)
+
+  /** A primary-keepalive's walEnd (sentPtr). Returns true iff the reported
+    * flush advanced (auto-confirm fired). */
+  def onKeepalive(walEnd: Long): Boolean =
+    if (walEnd > reported && consumerFlushed >= lastDataWal - 1) {
+      autoConfirmed = math.max(autoConfirmed, walEnd)
+      true
+    } else false
+
+  /** The flush position standby-status messages report. */
+  def reported: Long = math.max(consumerFlushed, autoConfirmed)
 }
 
 /** Driverless consistent-snapshot initial sync (the S2 backfill half,

@@ -2302,7 +2302,9 @@ object Streams {
     * (source PG → decode → transform → sink PG), the reference's actual
     * use case (reader.py's DataStore consumer) materialized into a real
     * database instead of a log line. Apply semantics: I/U upsert via
-    * `INSERT … ON CONFLICT (pk) DO UPDATE`, D deletes by key; both are
+    * `INSERT … ON CONFLICT (pk) DO UPDATE`, D deletes by key; an UPDATE
+    * that CHANGES key columns additionally deletes the old-key row first
+    * (driver-side barrier — see the cross-key comment below); all are
     * idempotent, so Spark's at-least-once micro-batch replay is safe
     * (exactly-once state without two-phase commit — the standard CDC-sink
     * contract). Ordering: rows are repartitioned by PRIMARY KEY and
@@ -2370,25 +2372,65 @@ object Streams {
         }
       }
     }
-    // TRUNCATE is a cross-key barrier: apply the DML before each truncate
-    // position, truncate the sink, continue (truncate LSNs are a
-    // batch-bounded handful — a driver-side collect of longs, never rows)
-    val dmlAll = batch.filter(col("op").isin("I", "U", "D"))
-    val tLsns = batch.filter(col("op") === "T").select(col("lsn"))
-      .collect().map(_.getLong(0)).sorted
-    if (tLsns.isEmpty) applyDml(dmlAll)
+    // CROSS-KEY BARRIERS, applied on the driver in (lsn, seq) order between
+    // partitioned DML spans:
+    //  - TRUNCATE resets the whole table;
+    //  - a PK-CHANGING UPDATE (the envelope's old `key` image differs from
+    //    the after-image's key columns) retires the OLD key's row and
+    //    creates the NEW key's. The upsert-by-new-key alone would leave the
+    //    old-key row behind (the r5-advice finding), and hashing the event
+    //    to either key's partition could reorder it against the OTHER key's
+    //    operations — two keys' per-partition timelines meet at one event,
+    //    so only a barrier preserves WAL order for both.
+    // Both kinds are a batch-bounded handful in practice (PK updates are
+    // rare by schema design); the collect holds barrier rows only, never
+    // the DML bulk, mirroring the pre-existing truncate collect.
+    val isPkChange = col("op") === "U" && ks.map(k =>
+      element_at(col("key"), k).isNotNull &&
+        !(element_at(col("key"), k) <=> element_at(col("after"), k)))
+      .reduce(_ || _)
+    val dmlAll = batch.filter(col("op").isin("I", "U", "D") && !isPkChange)
+    val batchToasted =
+      if (batch.columns.contains("after_toasted"))
+        coalesce(col("after_toasted"), array())
+      else array().cast("array<string>")
+    // barrier = (lsn, seq, statement): TRUNCATE, or old-key DELETE + upsert
+    // as ONE simple-query message (implicit transaction — atomic move)
+    val truncStmt = s"TRUNCATE ${graft.sources.PgSnapshotSync.quoteQualified(tbl)}"
+    val barriers: Array[(Long, Long, String)] =
+      (batch.filter(col("op") === "T")
+        .select(col("lsn"), col("seq")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), truncStmt)) ++
+      batch.filter(isPkChange)
+        .select(col("lsn"), col("seq"),
+          array(cs.map(c => element_at(col("after"), c)): _*).as("vals"),
+          array(ks.map(k => element_at(col("key"), k)): _*).as("oldKeys"),
+          batchToasted.as("toasted"))
+        .collect()
+        .map { r =>
+          (r.getLong(0), r.getLong(1),
+            pgPkChangeStatement(tbl, cs, ks, r.getSeq[String](2),
+              r.getSeq[String](3), r.getSeq[String](4).toSet))
+        }).sortBy(b => (b._1, b._2))
+    if (barriers.isEmpty) applyDml(dmlAll)
     else {
-      val bounds = (Long.MinValue +: tLsns.toSeq) :+ Long.MaxValue
-      bounds.sliding(2).foreach { pair =>
-        val (lo, hi) = (pair(0), pair(1))
-        applyDml(dmlAll.filter(col("lsn") >= lo && col("lsn") < hi))
-        if (hi != Long.MaxValue) {
-          val c = newConn()
-          try c.simpleQuery(
-            s"TRUNCATE ${graft.sources.PgSnapshotSync.quoteQualified(tbl)}")
-          finally c.close()
+      def before(l: Long, s: Long) =
+        col("lsn") < l || (col("lsn") === l && col("seq") < s)
+      def after(l: Long, s: Long) =
+        col("lsn") > l || (col("lsn") === l && col("seq") > s)
+      var prev: Option[(Long, Long)] = None
+      barriers.foreach { case (l, s, stmt) =>
+        val span = prev match {
+          case None => dmlAll.filter(before(l, s))
+          case Some((pl, ps)) => dmlAll.filter(after(pl, ps) && before(l, s))
         }
+        applyDml(span)
+        val c = newConn()
+        try c.simpleQuery(stmt) finally c.close()
+        prev = Some((l, s))
       }
+      val (pl, ps) = prev.get
+      applyDml(dmlAll.filter(after(pl, ps)))
     }
   }
 
@@ -2424,6 +2466,46 @@ object Streams {
         s"VALUES (${present.map(p => lit(p._2)).mkString(", ")}) " +
         s"ON CONFLICT (${keyCols.map(q).mkString(", ")}) $updates"
     }
+  }
+
+  /** The statement sequence a PK-CHANGING UPDATE applies (pure —
+    * spec-testable), sent as ONE simple-query message so the wire runs it
+    * in one implicit transaction (no observer sees neither-row or
+    * both-rows):
+    *  1. upsert the NEW key's row (VALUES straight from the after image;
+    *     unchanged-TOAST columns excluded, as everywhere);
+    *  2. if any column was TOAST-unchanged ('u' — value NOT resent), copy
+    *     it from the OLD key's row into the new one (the value exists only
+    *     there; a bare delete+insert would silently NULL it);
+    *  3. DELETE the old key's row.
+    * Replay-idempotent: on a second apply the old row is gone, so the copy
+    * and delete no-op while the upsert converges (its DO UPDATE SET also
+    * excludes toasted columns, so the copied value survives). Upsert-first
+    * (never UPDATE-the-key-in-place) keeps a drifted sink from aborting the
+    * transaction on a unique violation — the move self-heals instead. */
+  private[streaming] def pgPkChangeStatement(table: String, cols: Seq[String],
+      keyCols: Seq[String], vals: Seq[String], oldKeys: Seq[String],
+      toasted: Set[String]): String = {
+    def q(id: String) = graft.sources.PgSnapshotSync.quoteIdent(id)
+    def qt(t: String) = graft.sources.PgSnapshotSync.quoteQualified(t)
+    def lit(v: String) =
+      if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+    val upsert = pgApplyStatement("U", table, cols, keyCols, vals, oldKeys, toasted)
+    val del = pgApplyStatement("D", table, cols, keyCols, vals, oldKeys)
+    val toastCols = cols.filter(toasted)
+    val copy =
+      if (toastCols.isEmpty) ""
+      else {
+        val newKeys = keyCols.map(k => vals(cols.indexOf(k)))
+        s"UPDATE ${qt(table)} AS t SET " +
+          toastCols.map(c => s"${q(c)} = src.${q(c)}").mkString(", ") +
+          s" FROM ${qt(table)} src WHERE " +
+          keyCols.zip(newKeys).map { case (c, v) => s"t.${q(c)} = ${lit(v)}" }
+            .mkString(" AND ") + " AND " +
+          keyCols.zip(oldKeys).map { case (c, v) => s"src.${q(c)} = ${lit(v)}" }
+            .mkString(" AND ") + "; "
+      }
+    upsert + "; " + copy + del
   }
 
   def jsonEnvelope(envelope: DataFrame): DataFrame =

@@ -142,13 +142,17 @@ class TypedViewSpec extends AnyFunSuite {
       Map[String, String]("id" -> "3", "payload" -> null),
       // legacy escape-format text (bytea_output='escape'): NULL, never the
       // garbage a lenient base64 decode would fabricate
-      Map("id" -> "4", "payload" -> "abc\\000\\\\def")
+      Map("id" -> "4", "payload" -> "abc\\000\\\\def"),
+      // escape-format PRINTABLE bytes match the base64 alphabet but not its
+      // quad-length invariant (r5-advice low): NULL, not 3 fabricated bytes
+      Map("id" -> "5", "payload" -> "hello")
     ).toDF("after")
     val rows = TypedView.ofAfter(env, rel).orderBy("id").collect()
     assert(rows(0).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](0, -1, 0x7a))
     assert(rows(1).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](0, -1, 0x7a))
     assert(rows(2).isNullAt(1))
     assert(rows(3).isNullAt(1))
+    assert(rows(4).isNullAt(1))
     // and the validator flags the escape-format row as a cast error
     val v = TypedView.ofAfterValidated(
       env.withColumn("after_toasted",

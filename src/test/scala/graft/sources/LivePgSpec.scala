@@ -823,6 +823,149 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("publication shaping live (PG 15): row filters transform boundary-" +
+      "crossing updates into I/D, column lists narrow the wire schema, " +
+      "publish='insert' drops other ops, publish_via_partition_root re-keys " +
+      "children to the root relation") {
+    live()
+    val sql = sqlConn()
+    // Drain one conduit until `want` DML/truncate events arrived (or 30 s).
+    def drain(c: PgWireConduit, b: ChangeEventBuilder, want: Int): Seq[ChangeEvent] = {
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (events.count(e => "IUDT".contains(e.op)) < want &&
+          System.nanoTime() < deadline) {
+        c.read() match {
+          case Some((lsn, payload)) => events ++= b.processRaw(lsn, payload)
+          case None => Thread.sleep(20)
+        }
+      }
+      events.filter(e => "IUDT".contains(e.op)).toSeq
+    }
+    def conduitFor(slot: String, pub: String): (PgWireConduit, ChangeEventBuilder) = {
+      val c = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, slot, pub, createSlot = true, temporarySlot = true,
+        statusIntervalMs = 500L)
+      c.start(0L)
+      (c, new ChangeEventBuilder(new SchemaRegistry))
+    }
+    try {
+      // --- ROW FILTER (PG 15): the publication's WHERE clause is applied
+      // on the WALSENDER — and an UPDATE that crosses the filter boundary
+      // is TRANSFORMED on the wire (old in / new out → DELETE; old out /
+      // new in → INSERT), so a subscriber materializing LWW state gets
+      // exactly the filtered table with no filter logic of its own. The
+      // filter references only replica-identity columns (a PG rule for
+      // update/delete publications), here the pk itself.
+      sql.simpleQuery("CREATE TABLE rf (id bigint primary key, amt integer)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_rf FOR TABLE rf WHERE (id < 100)")
+      val (c1, b1) = conduitFor("graft_slot_rf", "graft_pub_rf")
+      try {
+        sql.simpleQuery("INSERT INTO rf VALUES (1, 10), (200, 20)") // 200: filtered out
+        sql.simpleQuery("UPDATE rf SET amt = 11 WHERE id = 1")      // in-scope U
+        sql.simpleQuery("UPDATE rf SET id = 150 WHERE id = 1")      // leaves scope → D
+        sql.simpleQuery("UPDATE rf SET id = 60 WHERE id = 200")     // enters scope → I
+        sql.simpleQuery("DELETE FROM rf WHERE id = 60")             // in-scope D
+        sql.simpleQuery("INSERT INTO rf VALUES (2, 30)")
+        val evs = drain(c1, b1, 6)
+        assert(evs.map(_.op) === Seq("I", "U", "D", "I", "D", "I"),
+          s"row-filter transform semantics; got ${evs.map(e => (e.op, e.key, e.after))}")
+        // the boundary-crossing delete carries the OLD key, the entering
+        // insert the NEW row
+        assert(evs(2).key("id") === "1")
+        assert(evs(3).after("id") === "60" && evs(3).after("amt") === "20")
+        // LWW fold == the live filtered table
+        val folded = evs.foldLeft(Map.empty[String, String]) { (st, e) =>
+          e.op match {
+            case "D" => st - e.key("id")
+            case _ => st + (e.after("id") -> e.after("amt"))
+          }
+        }
+        val expect = sql.simpleQuery("SELECT id, amt FROM rf WHERE id < 100 ORDER BY id")
+          .map(r => r(0) -> r(1)).toMap
+        assert(folded === expect && folded === Map("2" -> "30"))
+      } finally c1.close()
+
+      // --- COLUMN LIST (PG 15): only published columns ride the wire —
+      // the Relation frame itself narrows, so the subscriber's schema
+      // registry never even learns the unpublished column exists.
+      sql.simpleQuery(
+        "CREATE TABLE cl (id bigint primary key, a text, b text, secret text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_cl FOR TABLE cl (id, a, b)")
+      val reg2 = new SchemaRegistry
+      val c2 = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_cl", "graft_pub_cl", createSlot = true,
+        temporarySlot = true, statusIntervalMs = 500L)
+      c2.start(0L)
+      val b2 = new ChangeEventBuilder(reg2)
+      try {
+        sql.simpleQuery("INSERT INTO cl VALUES (1, 'a1', 'b1', 'hidden')")
+        sql.simpleQuery("UPDATE cl SET a = 'a2', secret = 'hidden2' WHERE id = 1")
+        val evs = drain(c2, b2, 2)
+        assert(evs.map(_.op) === Seq("I", "U"))
+        val rel = reg2.get(evs.head.relationId).get
+        assert(rel.columns.map(_.name) === Vector("id", "a", "b"),
+          "the Relation frame must carry only the column list")
+        assert(evs.forall(e => !e.after.contains("secret")))
+        assert(evs(1).after("a") === "a2" && evs(1).after("b") === "b1")
+      } finally c2.close()
+
+      // --- PUBLISH OP SUBSET: WITH (publish = 'insert') ships inserts
+      // ONLY — updates/deletes/truncates are filtered server-side.
+      sql.simpleQuery("CREATE TABLE ps (id bigint primary key, v text)")
+      sql.simpleQuery(
+        "CREATE PUBLICATION graft_pub_ps FOR TABLE ps WITH (publish = 'insert')")
+      val (c3, b3) = conduitFor("graft_slot_ps", "graft_pub_ps")
+      try {
+        sql.simpleQuery("INSERT INTO ps VALUES (1, 'one')")
+        sql.simpleQuery("UPDATE ps SET v = 'one-u' WHERE id = 1")
+        sql.simpleQuery("DELETE FROM ps WHERE id = 1")
+        sql.simpleQuery("TRUNCATE ps")
+        sql.simpleQuery("INSERT INTO ps VALUES (2, 'two')") // the bound marker
+        val evs = drain(c3, b3, 2)
+        assert(evs.map(_.op) === Seq("I", "I"),
+          s"publish='insert' must drop U/D/T server-side; got ${evs.map(_.op)}")
+        assert(evs.map(_.after("id")) === Seq("1", "2"))
+      } finally c3.close()
+
+      // --- PUBLISH VIA PARTITION ROOT (PG 13+): children's changes arrive
+      // under the ROOT relation (one schema, one relation id) — the
+      // subscriber needs no union-of-children logic (contrast
+      // cdc_partitioned_table, which pins the pre-via-root wire shape).
+      // A row MOVED across partitions is delete+insert inside PG, and via
+      // the root it surfaces as exactly that pair on one relation.
+      sql.simpleQuery("CREATE TABLE pt (id bigint, part int, v text, " +
+        "primary key (id, part)) PARTITION BY LIST (part)")
+      sql.simpleQuery("CREATE TABLE pt_1 PARTITION OF pt FOR VALUES IN (1)")
+      sql.simpleQuery("CREATE TABLE pt_2 PARTITION OF pt FOR VALUES IN (2)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_root FOR TABLE pt " +
+        "WITH (publish_via_partition_root = true)")
+      val (c4, b4) = conduitFor("graft_slot_root", "graft_pub_root")
+      try {
+        sql.simpleQuery("INSERT INTO pt VALUES (1, 1, 'p1'), (2, 2, 'p2')")
+        sql.simpleQuery("UPDATE pt SET v = 'p1-u' WHERE id = 1")
+        sql.simpleQuery("UPDATE pt SET part = 2 WHERE id = 1") // cross-partition move
+        val evs = drain(c4, b4, 5)
+        assert(evs.nonEmpty && evs.forall(_.table == "pt"),
+          s"all events must surface under the root relation; got ${evs.map(e => (e.op, e.table))}")
+        assert(evs.map(_.relationId).distinct.size === 1)
+        // LWW fold on the composite key == live table state
+        val folded = evs.foldLeft(Map.empty[(String, String), String]) { (st, e) =>
+          e.op match {
+            case "D" => st - ((e.key("id"), e.key("part")))
+            case _ => st + ((e.after("id"), e.after("part")) -> e.after("v"))
+          }
+        }
+        val expect = sql.simpleQuery("SELECT id, part, v FROM pt ORDER BY id")
+          .map(r => (r(0), r(1)) -> r(2)).toMap
+        assert(folded === expect)
+        assert(folded === Map(("1", "2") -> "p1-u", ("2", "2") -> "p2"))
+      } finally c4.close()
+    } finally {
+      sql.close()
+    }
+  }
+
   test("protocol v2 live: a bulk transaction STREAMS in segments off a real " +
       "walsender and reassembles to exact state") {
     live()
@@ -1551,10 +1694,96 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(snap("loop_dst") === snap("loop_src"),
           "sink must apply the truncate then the post-truncate insert")
         assert(snap("loop_dst").map(_._1) === Seq("42"))
+
+        // PK-CHANGE leg (r5-advice medium): an UPDATE that changes the
+        // PRIMARY KEY must retire the old-key row in the sink, not leave a
+        // stale duplicate. The decoder splits such updates Debezium-style
+        // into 'D'(old key) + 'I'(new key) (ChangeEvent.scala), so the
+        // write-back applies a real delete for the old key. The moved row's
+        // unchanged-TOAST column has no prior state under the NEW key to
+        // fill from — Debezium's documented incomplete-new-row behavior —
+        // so it lands NULL (asserted; the single-'U' foreign-envelope form
+        // DOES carry it across via the barrier's toast-copy, pinned in the
+        // dedicated barrier test below).
+        sql.simpleQuery("UPDATE loop_src SET id = 43 WHERE id = 42")
+        sql.simpleQuery("INSERT INTO loop_src SELECT 3000, " +
+          "string_agg(md5(g::text), ''), 9 FROM generate_series(1, 2000) g")
+        sql.simpleQuery("UPDATE loop_src SET id = 3001, n = 10 WHERE id = 3000")
+        val pDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var pSame = false
+        while (!pSame && System.nanoTime() < pDeadline) {
+          pSame = snap("loop_dst").map(_._1) == Seq("43", "3001")
+          if (!pSame) Thread.sleep(300)
+        }
+        assert(snap("loop_dst").map(_._1) === Seq("43", "3001"),
+          "sink must retire old-key rows across PK changes")
+        assert(snap("loop_dst").find(_._1 == "43").get ===
+          snap("loop_src").find(_._1 == "43").get)
+        val moved = snap("loop_dst").find(_._1 == "3001").get
+        assert(moved._2 === null && moved._3 === "10",
+          "split-update semantics: non-TOAST columns move, the unchanged-TOAST " +
+            "column has no wire value under the new key")
       } finally q.stop()
     } finally {
       try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_loop')")
       catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
+  test("pgWriteBack pk-change barrier live: a single-'U' envelope whose old " +
+      "key differs retires the old row, carries the unchanged-TOAST value " +
+      "across the move, and replays idempotently") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery(
+        "CREATE TABLE pkmove_dst (id bigint primary key, v text, n integer)")
+      val spark = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      import spark.implicits._
+      def env(rows: Seq[(String, Long, Long, Map[String, String],
+          Map[String, String], Seq[String])]) =
+        rows.toDF("op", "lsn", "seq", "key", "after", "after_toasted")
+      def apply(b: org.apache.spark.sql.DataFrame): Unit =
+        graft.streaming.Streams.pgWriteBack(b, "127.0.0.1", port, "postgres",
+          "postgres", None, "pkmove_dst", Seq("id", "v", "n"), Seq("id"))
+      def snap(): Seq[(String, String, String)] = {
+        val c = sqlConn()
+        try c.simpleQuery("SELECT id, v, n FROM pkmove_dst ORDER BY id")
+          .map(r => (r(0), r(1), r(2)))
+        finally c.close()
+      }
+      // seed: the row that will be moved, plus a bystander on another key
+      apply(env(Seq(
+        ("I", 10L, 1L, Map("id" -> "1"),
+          Map("id" -> "1", "v" -> "big-toast-payload", "n" -> "1"), Seq.empty),
+        ("I", 11L, 1L, Map("id" -> "9"),
+          Map("id" -> "9", "v" -> "other", "n" -> "0"), Seq.empty))))
+      // ONE batch: pre-barrier DML, then the pk-changing 'U' (old key 1 →
+      // new key 2, v TOAST-unchanged so NOT resent), then post-barrier DML
+      // on the NEW key — exercising the (lsn, seq) span split around the
+      // driver-side barrier
+      val moveBatch = env(Seq(
+        ("U", 20L, 1L, Map("id" -> "9"),
+          Map("id" -> "9", "v" -> "other2", "n" -> "0"), Seq.empty),
+        ("U", 21L, 1L, Map("id" -> "1"),
+          Map("id" -> "2", "v" -> null, "n" -> "5"), Seq("v")),
+        ("U", 22L, 1L, Map("id" -> "2"),
+          Map("id" -> "2", "v" -> null, "n" -> "6"), Seq("v"))))
+      apply(moveBatch)
+      assert(snap() === Seq(("2", "big-toast-payload", "6"), ("9", "other2", "0")),
+        "old-key row retired, TOAST value carried to the new key, " +
+          "post-move update applied on top")
+      // at-least-once replay of the whole batch converges to the same state
+      // (the copy and delete no-op, the upserts keep excluding the toasted
+      // column, so the carried value survives)
+      apply(moveBatch)
+      assert(snap() === Seq(("2", "big-toast-payload", "6"), ("9", "other2", "0")))
+    } finally {
+      try sql.simpleQuery("DROP TABLE pkmove_dst") catch { case _: Throwable => () }
       sql.close()
     }
   }

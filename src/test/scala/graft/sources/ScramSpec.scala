@@ -148,4 +148,35 @@ class ScramSpec extends AnyFunSuite {
     val nonce = a.stripPrefix("n,,n=,r=")
     assert(nonce.nonEmpty && !nonce.contains(",") && nonce.forall(ch => ch >= 0x21 && ch <= 0x7e))
   }
+
+  test("tls-server-end-point hash selection: classic names by substring, " +
+      "RSASSA-PSS by its DER parameters (r5-advice low)") {
+    import java.security.spec.{MGF1ParameterSpec, PSSParameterSpec}
+    def pssDer(digest: String, mgfSpec: MGF1ParameterSpec, saltLen: Int): Array[Byte] = {
+      val ap = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+      ap.init(new PSSParameterSpec(digest, "MGF1", mgfSpec, saltLen, 1))
+      ap.getEncoded
+    }
+    // classic JCA names: the hash is in the name (MD5/SHA-1 map UP per RFC 5929)
+    assert(PgWireConnection.certHashAlg("SHA256withRSA", null) === "SHA-256")
+    assert(PgWireConnection.certHashAlg("SHA384withECDSA", null) === "SHA-384")
+    assert(PgWireConnection.certHashAlg("SHA512withRSA", null) === "SHA-512")
+    assert(PgWireConnection.certHashAlg("SHA1withRSA", null) === "SHA-256")
+    assert(PgWireConnection.certHashAlg("MD5withRSA", null) === "SHA-256")
+    // PSS certs report the bare algorithm; the hash lives in the parameters —
+    // a substring match alone bound a PSS/SHA-384 cert to SHA-256 and the
+    // -PLUS proof failed verification against such servers
+    assert(PgWireConnection.certHashAlg("RSASSA-PSS",
+      pssDer("SHA-384", MGF1ParameterSpec.SHA384, 48)) === "SHA-384")
+    assert(PgWireConnection.certHashAlg("RSASSA-PSS",
+      pssDer("SHA-512", MGF1ParameterSpec.SHA512, 64)) === "SHA-512")
+    assert(PgWireConnection.certHashAlg("RSASSA-PSS",
+      pssDer("SHA-256", MGF1ParameterSpec.SHA256, 32)) === "SHA-256")
+    // SHA-1-parameterized PSS maps up, per the RFC floor
+    assert(PgWireConnection.certHashAlg("RSASSA-PSS",
+      pssDer("SHA-1", MGF1ParameterSpec.SHA1, 20)) === "SHA-256")
+    // unresolvable parameters fall back to the floor, not an exception
+    assert(PgWireConnection.certHashAlg("RSASSA-PSS", Array[Byte](0x30, 0x00)) === "SHA-256")
+    assert(PgWireConnection.certHashAlg("RSASSA-PSS", null) === "SHA-256")
+  }
 }

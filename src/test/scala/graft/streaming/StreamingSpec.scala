@@ -288,6 +288,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.pgApplyStatement("U", "dst", cols, ks,
       Seq("6", null, null), Seq("6"), toasted = Set("v", "n")) ===
       """INSERT INTO "dst" ("id") VALUES ('6') ON CONFLICT ("id") DO NOTHING""")
+    // a PK-CHANGING update upserts the NEW key's row, then retires the OLD
+    // key's (r5-advice finding: the upsert alone would leave it behind) —
+    // one message, one implicit transaction
+    assert(Streams.pgPkChangeStatement("dst", cols, ks,
+      vals = Seq("8", "b", "80"), oldKeys = Seq("7"), toasted = Set.empty) ===
+      """INSERT INTO "dst" ("id", "v", "n") VALUES ('8', 'b', '80') """ +
+        """ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v", "n" = EXCLUDED."n"; """ +
+        """DELETE FROM "dst" WHERE "id" = '7'""")
+    // PK change with an unchanged-TOAST payload column: its value was NOT
+    // resent and lives only in the old-key row, so it is COPIED across
+    // before that row is deleted (composite key, one segment changed)
+    assert(Streams.pgPkChangeStatement("dst", cols, Seq("id", "v"),
+      vals = Seq("9", "y", null), oldKeys = Seq("7", "x"), toasted = Set("n")) ===
+      """INSERT INTO "dst" ("id", "v") VALUES ('9', 'y') """ +
+        """ON CONFLICT ("id", "v") DO NOTHING; """ +
+        """UPDATE "dst" AS t SET "n" = src."n" FROM "dst" src """ +
+        """WHERE t."id" = '9' AND t."v" = 'y' """ +
+        """AND src."id" = '7' AND src."v" = 'x'; """ +
+        """DELETE FROM "dst" WHERE "id" = '7' AND "v" = 'x'""")
   }
 
   test("streaming survival states reproduce the q95 Kaplan-Meier curve across micro-batches") {
