@@ -423,6 +423,24 @@ final class PgCdcMicroBatch(
     * session's high-water, or the prefix re-bases into duplicates. The
     * schema registry survives (monotone cache; the new walsender re-sends
     * Relation frames for every touched table anyway). */
+  /** Retryable = transport-level (any IOException, incl. the EOF a clean
+    * walsender shutdown surfaces as) or a server error whose SQLSTATE class
+    * is transient: 08xxx connection exceptions, 57xxx operator intervention
+    * (admin shutdown, crash recovery), 53xxx insufficient resources — or an
+    * unknown state (conduits that can't carry one). Config/state errors —
+    * invalidated slot (55000, live-pinned message "cannot read from logical
+    * replication slot"), missing publication/slot, auth failures — are
+    * TERMINAL: a reconnect cannot fix them, so they surface immediately
+    * instead of burning the whole backoff schedule first. */
+  private def retryable(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case s: java.sql.SQLException =>
+      val st = s.getSQLState
+      st == null || st.startsWith("08") || st.startsWith("57") ||
+        st.startsWith("53")
+    case _ => false
+  }
+
   private def readWithReconnect(): Option[(Long, Array[Byte])] = {
     // The read AFTER a successful reconnect stays under the same retry
     // policy: a freshly restarted server commonly drops the first read
@@ -436,7 +454,7 @@ final class PgCdcMicroBatch(
       try return activeConduit.read()
       catch {
         case e @ (_: java.io.IOException | _: java.sql.SQLException)
-            if conduitFactory.nonEmpty && budget > 0 =>
+            if conduitFactory.nonEmpty && budget > 0 && retryable(e) =>
           budget -= 1
           reconnect(e)
       }

@@ -165,27 +165,8 @@ final class PgWireConnection(
     (msgType, payload)
   }
 
-  private def errorText(payload: Array[Byte]): String = {
-    // ErrorResponse: (code byte, cstring) fields until a 0 terminator. A
-    // truncated/malformed payload (no NUL after a field) ends the loop with
-    // whatever fields parsed so far rather than masking the server's error
-    // with an index exception.
-    val fields = scala.collection.mutable.Map[Char, String]()
-    var i = 0
-    while (i < payload.length && payload(i) != 0) {
-      val code = payload(i).toChar
-      val end = payload.indexOf(0.toByte, i + 1)
-      if (end < 0) {
-        fields(code) = new String(payload, i + 1, payload.length - i - 1, UTF_8)
-        i = payload.length
-      } else {
-        fields(code) = new String(payload, i + 1, end - i - 1, UTF_8)
-        i = end + 1
-      }
-    }
-    fields.getOrElse('S', "ERROR") + ": " + fields.getOrElse('M', "unknown") +
-      fields.get('C').map(c => s" (SQLSTATE $c)").getOrElse("")
-  }
+  private def pgError(payload: Array[Byte]): java.sql.SQLException =
+    PgWireConnection.pgError(payload)
 
   /** RFC 5929 tls-server-end-point channel-binding data: a hash of the
     * server's end-entity certificate — SHA-256 unless the certificate's
@@ -265,7 +246,7 @@ final class PgWireConnection(
               s"pgwire: unsupported auth request $other (only trust/cleartext/SCRAM-SHA-256)")
         }
       case ('Z', _) => ready = true
-      case ('E', p) => throw new java.sql.SQLException("pgwire: " + errorText(p))
+      case ('E', p) => throw pgError(p)
       case ('S' | 'K' | 'N', _) => () // ParameterStatus/BackendKeyData/Notice
       case (t, _) => throw new IllegalStateException(s"pgwire: unexpected '$t' during startup")
     }
@@ -282,7 +263,7 @@ final class PgWireConnection(
     sendQuery(sql)
     val rows = Vector.newBuilder[Vector[String]]
     var cols: Vector[String] = Vector.empty
-    var err: String = null
+    var err: java.sql.SQLException = null
     var ready = false
     while (!ready) receive() match {
       case ('D', p) =>
@@ -308,12 +289,12 @@ final class PgWireConnection(
           buf.position(buf.position() + 18)
           new String(name.toByteArray, UTF_8)
         }
-      case ('E', p) => err = errorText(p)
+      case ('E', p) => err = pgError(p)
       case ('Z', _) => ready = true
       case ('C' | 'I' | 'N' | 'S', _) => ()
       case (t, _) => throw new IllegalStateException(s"pgwire: unexpected '$t' in query response")
     }
-    if (err != null) throw new java.sql.SQLException("pgwire: " + err)
+    if (err != null) throw err
     (cols, rows.result())
   }
 
@@ -324,7 +305,7 @@ final class PgWireConnection(
     var entered = false
     while (!entered) receive() match {
       case ('W', _) => entered = true
-      case ('E', p) => throw new java.sql.SQLException("pgwire: " + errorText(p))
+      case ('E', p) => throw pgError(p)
       case ('N' | 'S', _) => ()
       case (t, _) => throw new IllegalStateException(s"pgwire: unexpected '$t' before CopyBoth")
     }
@@ -339,6 +320,32 @@ final class PgWireConnection(
 }
 
 object PgWireConnection {
+  /** ErrorResponse payload → SQLException carrying the server's SQLSTATE in
+    * the standard `getSQLState` slot, so callers (e.g. the reconnect policy)
+    * can classify retryable vs terminal without string-matching messages.
+    * Fields are (code byte, cstring) pairs until a 0 terminator; a
+    * truncated/malformed payload ends the loop with whatever parsed so far
+    * rather than masking the server's error with an index exception. */
+  private[sources] def pgError(payload: Array[Byte]): java.sql.SQLException = {
+    val fields = scala.collection.mutable.Map[Char, String]()
+    var i = 0
+    while (i < payload.length && payload(i) != 0) {
+      val code = payload(i).toChar
+      val end = payload.indexOf(0.toByte, i + 1)
+      if (end < 0) {
+        fields(code) = new String(payload, i + 1, payload.length - i - 1, UTF_8)
+        i = payload.length
+      } else {
+        fields(code) = new String(payload, i + 1, end - i - 1, UTF_8)
+        i = end + 1
+      }
+    }
+    val text = fields.getOrElse('S', "ERROR") + ": " +
+      fields.getOrElse('M', "unknown") +
+      fields.get('C').map(c => s" (SQLSTATE $c)").getOrElse("")
+    new java.sql.SQLException("pgwire: " + text, fields.get('C').orNull)
+  }
+
   /** RFC 5929 tls-server-end-point hash-algorithm selection: the hash of the
     * certificate's own signature algorithm, with MD5/SHA-1 mapped UP to
     * SHA-256. For classic `SHA384withRSA`-style names the hash is in the
@@ -613,7 +620,7 @@ final class PgWireConduit(
               throw new IllegalStateException(s"pgwire: unexpected copy sub-message '$other'")
           }
         case Some(('E', p)) =>
-          throw new java.sql.SQLException("pgwire: stream error " + new String(p, UTF_8))
+          throw PgWireConnection.pgError(p)
         case Some(('N', _)) => () // notice — keep polling
         case Some(('c', _)) | Some(('C', _)) | Some(('Z', _)) =>
           // Graceful end of the COPY stream — a cleanly shutting-down

@@ -721,6 +721,134 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("slot invalidation live: a parked slot that exceeds " +
+      "max_slot_wal_keep_size is invalidated by the checkpointer and the " +
+      "client surfaces the server's terminal error — not a hang or a " +
+      "silently empty stream") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tinv (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_inv FOR TABLE tinv")
+      // park a slot: it pins restart_lsn and consumes nothing
+      val parked = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_inv", "graft_pub_inv", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      parked.start(0L); parked.close()
+      // retention cap 0: the slot may hold back no extra WAL segments
+      sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      try {
+        // roll WAL forward across segment boundaries and checkpoint — the
+        // CHECKPOINTER performs the invalidation (public docs,
+        // runtime-config-replication: "slots holding more WAL are
+        // invalidated"); loop because the removal horizon only moves at
+        // checkpoints
+        var status = ""
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (status != "lost" && System.nanoTime() < deadline) {
+          sql.simpleQuery(
+            "SELECT pg_logical_emit_message(false, 'fill', repeat('x', 1000000))")
+          sql.simpleQuery("SELECT pg_switch_wal()")
+          sql.simpleQuery("CHECKPOINT")
+          status = sql.simpleQuery(
+            "SELECT wal_status FROM pg_replication_slots WHERE slot_name = 'graft_slot_inv'"
+          ).head.head
+          if (status != "lost") Thread.sleep(200)
+        }
+        assert(status === "lost",
+          "the catalog must report the slot's WAL as lost after invalidation")
+        // resuming the invalidated slot must fail with the server's error
+        val c = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+          None, "graft_slot_inv", "graft_pub_inv", createSlot = false,
+          temporarySlot = false, statusIntervalMs = 500L)
+        val err = intercept[Exception] {
+          c.start(0L)
+          val d2 = System.nanoTime() + 20L * 1000 * 1000 * 1000
+          while (System.nanoTime() < d2) {
+            if (c.read().isEmpty) Thread.sleep(20)
+          }
+        }
+        // PG 15 wording: `cannot read from logical replication slot "..."`
+        // (older releases said "can no longer get changes"); either way the
+        // class is 55000 object_not_in_prerequisite_state — a TERMINAL
+        // error (recreate the slot + resync), not a retryable one
+        val msg = err.getMessage.toLowerCase
+        assert(msg.contains("cannot read from logical replication slot") ||
+            msg.contains("can no longer get changes") ||
+            msg.contains("invalidat"),
+          s"expected the invalidated-slot refusal, got: ${err.getMessage}")
+        // …and the server's SQLSTATE rides in the standard slot, which is
+        // what keeps the reconnect policy from retrying a terminal state
+        err match {
+          case s: java.sql.SQLException => assert(s.getSQLState === "55000")
+          case other => fail(s"expected SQLException with SQLSTATE, got $other")
+        }
+        c.close()
+      } finally {
+        try {
+          sql.simpleQuery("ALTER SYSTEM RESET max_slot_wal_keep_size")
+          sql.simpleQuery("SELECT pg_reload_conf()")
+        } catch { case _: Throwable => () }
+      }
+    } finally {
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_inv')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
+  test("ALTER PUBLICATION live: adding a table mid-stream starts shipping " +
+      "its changes under a fresh Relation frame; dropping it stops them — " +
+      "no slot or subscriber restart involved") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_alter", "graft_pub_alter", createSlot = true,
+      temporarySlot = false, statusIntervalMs = 500L)
+    try {
+      sql.simpleQuery("CREATE TABLE pa (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE TABLE pb (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_alter FOR TABLE pa")
+      conduit.start(0L)
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      sql.simpleQuery("INSERT INTO pa VALUES (1, 'a1')")
+      sql.simpleQuery("INSERT INTO pb VALUES (1, 'b1')") // not published
+      sql.simpleQuery("INSERT INTO pa VALUES (2, 'a2')") // bound marker
+      drainUntil(conduit, builder, events)(
+        _.count(e => e.op == "I" && e.table == "pa") >= 2)
+      assert(events.forall(_.table == "pa"),
+        s"pb is not in the publication yet; got ${events.map(e => (e.op, e.table))}")
+      // ADD mid-stream: publication DDL invalidates the walsender's
+      // relation-sync cache, so pb's next change ships (with its Relation
+      // frame) on the SAME slot and session
+      sql.simpleQuery("ALTER PUBLICATION graft_pub_alter ADD TABLE pb")
+      sql.simpleQuery("INSERT INTO pb VALUES (2, 'b2')")
+      drainUntil(conduit, builder, events)(
+        _.exists(e => e.op == "I" && e.table == "pb"))
+      val pbIns = events.find(e => e.op == "I" && e.table == "pb").get
+      assert(pbIns.after("v") === "b2")
+      assert(registry.get(pbIns.relationId).get.columns.map(_.name) ===
+        Vector("id", "v"))
+      // DROP mid-stream: pb's changes stop, pa's keep flowing
+      sql.simpleQuery("ALTER PUBLICATION graft_pub_alter DROP TABLE pb")
+      sql.simpleQuery("INSERT INTO pb VALUES (3, 'b3')")
+      sql.simpleQuery("INSERT INTO pa VALUES (3, 'a3')") // bound marker
+      drainUntil(conduit, builder, events)(
+        _.exists(e => e.op == "I" && e.table == "pa" && e.after("id") == "3"))
+      assert(!events.exists(e => e.table == "pb" && e.after != null &&
+          e.after.get("id").contains("3")),
+        "a dropped table's changes must stop shipping")
+    } finally {
+      conduit.close()
+      try sql.simpleQuery("SELECT pg_drop_replication_slot('graft_slot_alter')")
+      catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("live replication: real pgoutput frames decode, state materializes, " +
       "flush feedback advances confirmed_flush_lsn") {
     live()

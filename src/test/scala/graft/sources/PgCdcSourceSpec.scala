@@ -357,9 +357,12 @@ class PgCdcSourceSpec extends AnyFunSuite {
     }
     private var cursor = 0
     @volatile var available: Int = Int.MaxValue // frames visible (crash point)
-    // fault injection: the Nth read() throws ONCE (a dying socket); the
+    // fault injection: the Nth read() throws ONCE (a dying socket by
+    // default; override failureWith to inject typed server errors); the
     // next start(afterLsn) re-arms the conduit like a fresh session
     @volatile var failAfterReads: Long = Long.MaxValue
+    @volatile var failureWith: () => Throwable =
+      () => new java.io.IOException("injected conduit failure")
     private var reads = 0L
     @volatile var starts = 0
     override def start(afterLsn: Long): Unit = synchronized {
@@ -369,7 +372,7 @@ class PgCdcSourceSpec extends AnyFunSuite {
     override def read(): Option[(Long, Array[Byte])] = synchronized {
       if (reads >= failAfterReads) {
         failAfterReads = Long.MaxValue
-        throw new java.io.IOException("injected conduit failure")
+        throw failureWith()
       }
       if (cursor < math.min(encoded.size, available)) {
         reads += 1
@@ -536,6 +539,63 @@ class PgCdcSourceSpec extends AnyFunSuite {
       assert(shifted.isEmpty,
         s"crashAfter=$crashAfter: shifted offsets ${shifted.take(3)}")
     }
+  }
+
+  test("reconnect policy is SQLSTATE-aware: a TERMINAL server error (55000, " +
+      "e.g. an invalidated slot) fails the query with ZERO reconnect dials; " +
+      "a transient 57P01 admin-shutdown error IS retried to completion") {
+    def t(v: String) = ColumnData('t', Some(v))
+    val rel = Relation(8, "public", "rp", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def ins(i: Int) = Insert(8, TupleData(Vector(t(i.toString))))
+    val frames: Seq[(Long, PgOutputMessage)] =
+      Seq(0L -> (rel: PgOutputMessage), 99L -> Begin(103, 1000, 5)) ++
+        (1 to 3).map(i => (99L + i) -> (ins(i): PgOutputMessage)) ++
+        Seq(103L -> Commit(0, 103, 103, 1000))
+    def run(name: String, failure: () => Throwable): (TxnResendConduit,
+        Either[Throwable, Vector[String]]) = {
+      val mc = new TxnResendConduit(frames)
+      mc.failAfterReads = 2
+      mc.failureWith = failure
+      PgCdcConduits.register(name, mc)
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "conduit").option("conduit.name", name)
+        .option("reconnectRetries", "3").option("reconnectBackoffMs", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"conduit_$name").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.selectExpr("after['id']").collect().map(_.getString(0))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .start()
+      val out =
+        try { q.processAllAvailable(); Right(got.synchronized(got.toVector)) }
+        catch { case e: Throwable => Left(e) }
+      q.stop()
+      (mc, out)
+    }
+    // invalidated slot: the policy must NOT burn the 3-dial backoff
+    // schedule before surfacing — the state cannot heal by reconnecting
+    val (mcT, outT) = run("rp_terminal", () => new java.sql.SQLException(
+      "pgwire: ERROR: cannot read from logical replication slot \"s\" " +
+        "(SQLSTATE 55000)", "55000"))
+    assert(outT.isLeft, "a terminal error must fail the query")
+    assert(mcT.starts === 1,
+      s"terminal error must not trigger reconnect dials, got ${mcT.starts} starts")
+    val chain = Iterator.iterate(outT.left.toOption.get)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("55000"), s"the server's error must surface: $chain")
+    // admin shutdown (57P01): transient — the factory rebuild heals it and
+    // every row still arrives exactly once
+    val (mcR, outR) = run("rp_transient", () => new java.sql.SQLException(
+      "pgwire: FATAL: terminating connection due to administrator command " +
+        "(SQLSTATE 57P01)", "57P01"))
+    assert(outR === Right(Vector("1", "2", "3")), s"got $outR")
+    assert(mcR.starts >= 2, "the transient error must have been retried")
   }
 
   test("maxBytesPerTrigger: byte-budget admission splits the backlog into " +
