@@ -471,7 +471,11 @@ object TextQueries {
     // only libm call leaves the query entirely, so there is no
     // platform-log determinism exposure at all. Scale shape: both
     // rankings live on the term-filtered subset (≪ corpus, the bm25
-    // shape); the metric itself folds 10 rows.
+    // shape) and cut to their top-10 by TakeOrdered (per-partition heaps;
+    // a common query term can match corpus-scale doc counts, so the
+    // cutoff must happen BEFORE any single-partition rank window — the
+    // row_number that assigns ranks then runs over exactly 10 rows); the
+    // metric itself folds 10 rows.
     "text_ndcg" -> ((s, d) => {
       val pool = withWords(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("ws")).as("term"))
@@ -480,16 +484,16 @@ object TextQueries {
       val wArr = typedLit(NdcgW)
       val gain = expr("cast(shiftleft(1, cast(rel as int)) - 1 as double)")
       val ranked = bm25Of(Tables.documents(s, d), QueryTerms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))))
-        .filter(col("rank") <= 10)
         .drop("n_match")
         .join(pool, "doc_id") // every retrieved doc has >= 1 term, so inner is total
         .withColumn("contrib", gain * element_at(wArr, col("rank").cast("int")))
       val ideal = pool
+        .orderBy(col("rel").desc, col("doc_id")).limit(10)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("rel").desc, col("doc_id"))))
-        .filter(col("rank") <= 10)
         .withColumn("contrib", gain * element_at(wArr, col("rank").cast("int")))
       def foldSum(df: DataFrame, out: String) = df.agg(
         aggregate(sort_array(collect_list(struct(col("rank"), col("contrib")))),
@@ -548,16 +552,21 @@ object TextQueries {
     // (sized to the synthetic corpus's vocab) — the OOV-rate estimate that decides vocab size before BPE
     // training (the complement of coverage is the byte-fallback rate).
     // Scale shape: one corpus tokenize pass collapses to VOCABULARY-sized
-    // counts; the rank window runs over vocab rows only (Zipf-bounded,
-    // the q74 domain-sized-window justification), and the total rides a
-    // 1-row broadcast. Determinism: running sums of exact int64 counts
-    // under a full (count desc, term) tiebreak; one division at the end.
+    // counts, then a TakeOrdered top-30 (distributed per-partition heaps,
+    // never a full-vocab sort through one task — a real vocabulary is
+    // millions of terms at corpus scale) feeds the rank window, which
+    // therefore runs over exactly 30 rows; the cumulative sum at rank k
+    // only reads the top-k rows, so the truncation is exact, and the
+    // total rides a 1-row broadcast. Determinism: running sums of exact
+    // int64 counts under a full (count desc, term) tiebreak; one division
+    // at the end.
     "text_vocab_coverage" -> ((s, d) => {
       val counts = withWords(Tables.documents(s, d))
         .select(explode(col("ws")).as("term")).filter(length(col("term")) > 0)
         .groupBy(col("term")).agg(count(lit(1)).as("c"))
       val ord = Window.orderBy(col("c").desc, col("term"))
       val ranked = counts
+        .orderBy(col("c").desc, col("term")).limit(30)
         .withColumn("rk", row_number().over(ord))
         .withColumn("cum", sum(col("c")).over(
           ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -358,6 +358,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_vocab_coverage: the rank window consumes a TakeOrdered top-30, " +
+      "never a full-vocabulary single-partition sort") {
+    val p = plan("text_vocab_coverage")
+    // vocab counts collapse two-phase; the coverage curve's window input is
+    // a bounded heap cut (30 rows), so the SinglePartition exchange that
+    // feeds the window moves a constant, not the vocabulary
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_ndcg: both rankings cut to top-10 via TakeOrdered before any " +
+      "rank window (a common query term can match corpus-scale doc counts)") {
+    val p = plan("text_ndcg")
+    val n = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(n >= 2, s"expected both the BM25 and ideal rankings to TakeOrdered, " +
+      s"found $n in:\n$p")
+  }
+
   test("cdc_wire_stats is one narrow filter + one two-phase agg over the stream") {
     val p = plan("cdc_wire_stats")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
