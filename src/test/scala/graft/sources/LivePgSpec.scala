@@ -721,6 +721,54 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("identity and generated-column shaping live: REPLICA IDENTITY USING " +
+      "INDEX keys old images by the INDEX columns (not the pk), and " +
+      "generated columns never ride the wire") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_ident", "graft_pub_ident", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L)
+    try {
+      // sku is NOT the pk, but a unique NOT NULL column with an index the
+      // table's replica identity points at — the common "natural key for
+      // downstream, surrogate pk for storage" shape
+      sql.simpleQuery("CREATE TABLE ti (id bigserial primary key, " +
+        "sku text not null, qty integer, " +
+        "total integer GENERATED ALWAYS AS (qty * 2) STORED)")
+      sql.simpleQuery("CREATE UNIQUE INDEX ti_sku ON ti (sku)")
+      sql.simpleQuery("ALTER TABLE ti REPLICA IDENTITY USING INDEX ti_sku")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_ident FOR TABLE ti")
+      conduit.start(0L)
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      sql.simpleQuery("INSERT INTO ti (sku, qty) VALUES ('A-1', 5), ('B-2', 7)")
+      sql.simpleQuery("UPDATE ti SET qty = 6 WHERE sku = 'A-1'")
+      sql.simpleQuery("DELETE FROM ti WHERE sku = 'B-2'")
+      drainUntil(conduit, builder, events)(_.count(e => "IUD".contains(e.op)) >= 4)
+      val dml = events.filter(e => "IUD".contains(e.op))
+      assert(dml.map(_.op).toSeq === Seq("I", "I", "U", "D"))
+      // the Relation frame flags the IDENTITY-INDEX column as the key —
+      // not the pk — and omits the generated column entirely (pgoutput
+      // skips generated columns; publication column lists can't even
+      // include them)
+      val rel = registry.get(dml.head.relationId).get
+      assert(rel.columns.filter(_.partOfKey).map(_.name) === Vector("sku"),
+        s"identity index must define the wire key; got ${rel.columns}")
+      assert(rel.columns.map(_.name) === Vector("id", "sku", "qty"),
+        "the generated column must not ride the wire")
+      assert(dml.forall(e => e.after == null || !e.after.contains("total")))
+      // key images (update old-image 'K', delete) carry the INDEX column
+      assert(dml(2).key("sku") === "A-1" && dml(2).after("qty") === "6")
+      assert(dml(3).key.get("sku").contains("B-2") && !dml(3).key.contains("qty"),
+        s"delete must be keyed by the identity index; got ${dml(3).key}")
+    } finally {
+      conduit.close()
+      sql.close()
+    }
+  }
+
   test("slot invalidation live: a parked slot that exceeds " +
       "max_slot_wal_keep_size is invalidated by the checkpointer and the " +
       "client surfaces the server's terminal error — not a hang or a " +
