@@ -483,7 +483,15 @@ final class PgCdcMicroBatch(
         fresh.start(bufferedThrough)
         activeConduit = fresh
         connected = true
-      } catch { case e: Throwable => last = e }
+      } catch {
+        // A TERMINAL state surfacing during the DIAL (START_REPLICATION on
+        // an invalidated slot, auth refusal after a credential rotation)
+        // must not burn the remaining backoff schedule either — the skip
+        // applies wherever the server says "reconnecting cannot fix this",
+        // not only to errors raised by read().
+        case e: Throwable if !retryable(e) => throw e
+        case e: Throwable => last = e
+      }
     }
     if (!connected)
       throw new java.io.IOException(

@@ -347,32 +347,34 @@ object PgWireConnection {
   }
 
   /** RFC 5929 tls-server-end-point hash-algorithm selection: the hash of the
-    * certificate's own signature algorithm, with MD5/SHA-1 mapped UP to
-    * SHA-256. For classic `SHA384withRSA`-style names the hash is in the
-    * name; RSASSA-PSS certificates instead report the bare algorithm
-    * (`RSASSA-PSS`) and carry the hash inside the DER-encoded
-    * AlgorithmParameters (`sigAlgParams` → PSSParameterSpec), so a
-    * name-substring match alone would bind a PSS/SHA-384 cert to SHA-256
-    * and the -PLUS proof would fail verification. Unresolvable parameters
-    * fall back to SHA-256 — RFC 5929's floor, and with a real PSS cert the
-    * worst case is an auth failure the caller can retry without -PLUS. */
+    * certificate's own signature algorithm, with ONLY MD5/SHA-1 mapped UP to
+    * SHA-256 — every other algorithm hashes as itself (what PostgreSQL's
+    * `be_tls_get_certificate_hash` computes on its side, so a SHA-224 cert
+    * must bind with SHA-224, not SHA-256). For classic `SHA384withRSA`-style
+    * names the hash is in the name; RSASSA-PSS certificates instead report
+    * the bare algorithm (`RSASSA-PSS`) and carry the hash inside the
+    * DER-encoded AlgorithmParameters (`sigAlgParams` → PSSParameterSpec),
+    * so a name-substring match alone would bind a PSS/SHA-384 cert to
+    * SHA-256 and the -PLUS proof would fail verification. Unresolvable
+    * parameters fall back to SHA-256 — RFC 5929's floor, and with a real
+    * PSS cert the worst case is an auth failure the caller can retry
+    * without -PLUS. */
   private[sources] def certHashAlg(sigAlgName: String,
       sigAlgParams: Array[Byte]): String = {
+    def byName(n: String): String =
+      if (n.contains("SHA384")) "SHA-384"
+      else if (n.contains("SHA512")) "SHA-512"
+      else if (n.contains("SHA224")) "SHA-224"
+      else "SHA-256" // MD5/SHA-1 map up per the RFC; SHA-256 is itself
     val sig = sigAlgName.toUpperCase
     def fromPssParams: String =
       try {
         val ap = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
         ap.init(sigAlgParams)
-        val d = ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
-          .getDigestAlgorithm.toUpperCase
-        if (d.contains("384")) "SHA-384"
-        else if (d.contains("512")) "SHA-512"
-        else "SHA-256" // SHA-1/SHA-224/SHA-256 all map (up) to SHA-256
+        byName(ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
+          .getDigestAlgorithm.toUpperCase.replace("-", ""))
       } catch { case _: Exception => "SHA-256" }
-    if (sig.contains("PSS")) fromPssParams
-    else if (sig.contains("SHA384")) "SHA-384"
-    else if (sig.contains("SHA512")) "SHA-512"
-    else "SHA-256"
+    if (sig.contains("PSS")) fromPssParams else byName(sig)
   }
 }
 

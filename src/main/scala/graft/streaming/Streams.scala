@@ -2334,22 +2334,26 @@ object Streams {
       c.simpleQuery("SET standard_conforming_strings = on")
       c
     }
+    // synthetic envelopes (e.g. snapshot backfill rows) may not carry the
+    // toast-marker column at all
+    def toastedOf(df: DataFrame) =
+      if (df.columns.contains("after_toasted"))
+        coalesce(col("after_toasted"), array())
+      else array().cast("array<string>")
     def applyDml(dml: DataFrame): Unit = {
       val keyVal = (k: String) =>
         coalesce(element_at(col("key"), k), element_at(col("after"), k))
-      // synthetic envelopes (e.g. snapshot backfill rows) may not carry
-      // the toast-marker column at all
-      val toastedCol =
-        if (dml.columns.contains("after_toasted"))
-          coalesce(col("after_toasted"), array())
-        else array()
       val rows = dml.select(col("op"), col("lsn"), col("seq"),
           array(cs.map(c => element_at(col("after"), c)): _*).as("vals"),
           array(ks.map(keyVal): _*).as("keys"),
-          toastedCol.as("toasted"),
+          toastedOf(dml).as("toasted"),
           concat_ws("\u0000", ks.map(keyVal): _*).as("k"))
         .repartition(parallelism, col("k"))
-        .sortWithinPartitions(col("lsn"), col("seq"))
+        // tertiary delete-before-upsert tiebreak: a SPLIT pk-change (below)
+        // mints a 'D' and an 'I' at the SAME (lsn, seq); when the old and
+        // new key hash to the same partition the delete must sort first
+        .sortWithinPartitions(col("lsn"), col("seq"),
+          when(col("op") === "D", 0).otherwise(1))
       rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         if (it.hasNext) { // idle micro-batches never pay a handshake
           val conn = newConn()
@@ -2372,40 +2376,49 @@ object Streams {
         }
       }
     }
-    // CROSS-KEY BARRIERS, applied on the driver in (lsn, seq) order between
-    // partitioned DML spans:
-    //  - TRUNCATE resets the whole table;
-    //  - a PK-CHANGING UPDATE (the envelope's old `key` image differs from
-    //    the after-image's key columns) retires the OLD key's row and
-    //    creates the NEW key's. The upsert-by-new-key alone would leave the
-    //    old-key row behind (the r5-advice finding), and hashing the event
-    //    to either key's partition could reorder it against the OTHER key's
-    //    operations — two keys' per-partition timelines meet at one event,
-    //    so only a barrier preserves WAL order for both.
-    // Both kinds are a batch-bounded handful in practice (PK updates are
-    // rare by schema design); the collect holds barrier rows only, never
-    // the DML bulk, mirroring the pre-existing truncate collect.
+    // PK-CHANGING UPDATES (the envelope's old `key` image differs from the
+    // after-image's key columns — only FOREIGN single-'U' envelopes: the
+    // in-repo decoder already splits pk-changes into D+I at decode,
+    // ChangeEvent.scala). The upsert-by-new-key alone would leave the
+    // old-key row behind (the r5-advice finding). Two apply paths:
+    //  - PLAIN moves (no unchanged-TOAST column) SPLIT into a 'D' row on
+    //    the old key and an 'I' row on the new key, flowing through the
+    //    partitioned path like every other event — each key's partition
+    //    sees its half in (lsn, seq) order, so per-key WAL order holds,
+    //    and a bulk key-shifting UPDATE costs nothing extra (no driver
+    //    work, no extra jobs). The move is not atomic across the two
+    //    partitions, but replay converges (same property as the decoder's
+    //    own D+I split).
+    //  - TOAST-CARRYING moves go through a driver-side (lsn, seq) BARRIER
+    //    (upsert new key, copy the unresent TOAST value from the old row,
+    //    delete it — one implicit transaction): the copy needs the old row
+    //    present and the new row just written, an ordering only a barrier
+    //    guarantees. These are rare² (a pk change AND an untouched TOAST
+    //    column in one statement), so the barrier collect stays a handful,
+    //    mirroring the pre-existing truncate collect.
     val isPkChange = col("op") === "U" && ks.map(k =>
       element_at(col("key"), k).isNotNull &&
         !(element_at(col("key"), k) <=> element_at(col("after"), k)))
       .reduce(_ || _)
+    val isToastMove = isPkChange && size(toastedOf(batch)) > 0
+    val plainMoves = batch.filter(isPkChange && size(toastedOf(batch)) === 0)
     val dmlAll = batch.filter(col("op").isin("I", "U", "D") && !isPkChange)
-    val batchToasted =
-      if (batch.columns.contains("after_toasted"))
-        coalesce(col("after_toasted"), array())
-      else array().cast("array<string>")
-    // barrier = (lsn, seq, statement): TRUNCATE, or old-key DELETE + upsert
-    // as ONE simple-query message (implicit transaction — atomic move)
+      .unionByName(plainMoves.withColumn("op", lit("D")))
+      .unionByName(plainMoves.withColumn("op", lit("I"))
+        // the insert half must key/partition by the NEW key (the after
+        // image), so the old-key image is dropped
+        .withColumn("key", lit(null).cast("map<string,string>")))
+    // barrier = (lsn, seq, statement): TRUNCATE, or the toast-carrying move
     val truncStmt = s"TRUNCATE ${graft.sources.PgSnapshotSync.quoteQualified(tbl)}"
     val barriers: Array[(Long, Long, String)] =
       (batch.filter(col("op") === "T")
         .select(col("lsn"), col("seq")).collect()
         .map(r => (r.getLong(0), r.getLong(1), truncStmt)) ++
-      batch.filter(isPkChange)
+      batch.filter(isToastMove)
         .select(col("lsn"), col("seq"),
           array(cs.map(c => element_at(col("after"), c)): _*).as("vals"),
           array(ks.map(k => element_at(col("key"), k)): _*).as("oldKeys"),
-          batchToasted.as("toasted"))
+          toastedOf(batch).as("toasted"))
         .collect()
         .map { r =>
           (r.getLong(0), r.getLong(1),
@@ -2418,19 +2431,27 @@ object Streams {
         col("lsn") < l || (col("lsn") === l && col("seq") < s)
       def after(l: Long, s: Long) =
         col("lsn") > l || (col("lsn") === l && col("seq") > s)
-      var prev: Option[(Long, Long)] = None
-      barriers.foreach { case (l, s, stmt) =>
-        val span = prev match {
-          case None => dmlAll.filter(before(l, s))
-          case Some((pl, ps)) => dmlAll.filter(after(pl, ps) && before(l, s))
+      // the span walk re-reads dmlAll once per barrier: cache it, and run
+      // every barrier statement over ONE driver connection
+      dmlAll.persist()
+      val bc = newConn()
+      try {
+        var prev: Option[(Long, Long)] = None
+        barriers.foreach { case (l, s, stmt) =>
+          val span = prev match {
+            case None => dmlAll.filter(before(l, s))
+            case Some((pl, ps)) => dmlAll.filter(after(pl, ps) && before(l, s))
+          }
+          applyDml(span)
+          bc.simpleQuery(stmt)
+          prev = Some((l, s))
         }
-        applyDml(span)
-        val c = newConn()
-        try c.simpleQuery(stmt) finally c.close()
-        prev = Some((l, s))
+        val (pl, ps) = prev.get
+        applyDml(dmlAll.filter(after(pl, ps)))
+      } finally {
+        bc.close()
+        dmlAll.unpersist()
       }
-      val (pl, ps) = prev.get
-      applyDml(dmlAll.filter(after(pl, ps)))
     }
   }
 
@@ -2443,14 +2464,22 @@ object Streams {
     * resent, T5's 'u' ≠ NULL distinction) are excluded from BOTH the
     * insert column list and the DO UPDATE SET, so the sink row keeps its
     * current value instead of being overwritten with NULL. */
+  // Shared SQL-rendering helpers for the write-back statement builders —
+  // ONE definition each so an escaping fix can never apply to one builder
+  // and miss another (identifiers: `""` doubling via PgSnapshotSync;
+  // literals: `''` doubling under the pinned standard_conforming_strings).
+  private def pgQ(id: String) = graft.sources.PgSnapshotSync.quoteIdent(id)
+  private def pgQt(t: String) = graft.sources.PgSnapshotSync.quoteQualified(t)
+  private def pgLit(v: String) =
+    if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+
   private[streaming] def pgApplyStatement(op: String, table: String,
       cols: Seq[String], keyCols: Seq[String],
       vals: Seq[String], keys: Seq[String],
       toasted: Set[String] = Set.empty): String = {
-    def q(id: String) = graft.sources.PgSnapshotSync.quoteIdent(id)
-    def lit(v: String) =
-      if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
-    def qt(t: String) = graft.sources.PgSnapshotSync.quoteQualified(t)
+    def q(id: String) = pgQ(id)
+    def lit(v: String) = pgLit(v)
+    def qt(t: String) = pgQt(t)
     if (op == "D")
       s"DELETE FROM ${qt(table)} WHERE " +
         keyCols.zip(keys).map { case (c, v) => s"${q(c)} = ${lit(v)}" }
@@ -2486,10 +2515,9 @@ object Streams {
   private[streaming] def pgPkChangeStatement(table: String, cols: Seq[String],
       keyCols: Seq[String], vals: Seq[String], oldKeys: Seq[String],
       toasted: Set[String]): String = {
-    def q(id: String) = graft.sources.PgSnapshotSync.quoteIdent(id)
-    def qt(t: String) = graft.sources.PgSnapshotSync.quoteQualified(t)
-    def lit(v: String) =
-      if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+    def q(id: String) = pgQ(id)
+    def qt(t: String) = pgQt(t)
+    def lit(v: String) = pgLit(v)
     val upsert = pgApplyStatement("U", table, cols, keyCols, vals, oldKeys, toasted)
     val del = pgApplyStatement("D", table, cols, keyCols, vals, oldKeys)
     val toastCols = cols.filter(toasted)

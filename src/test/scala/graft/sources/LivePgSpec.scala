@@ -1958,6 +1958,25 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       // column, so the carried value survives)
       apply(moveBatch)
       assert(snap() === Seq(("2", "big-toast-payload", "6"), ("9", "other2", "0")))
+      // PLAIN (non-toasted) moves take the SPLIT path: each becomes a 'D'
+      // on the old key and an 'I' on the new key through the partitioned
+      // writers — a bulk key shift costs no driver barriers. Includes a
+      // CHAINED move (102 → 103 in the same batch, after 2 → 102): the
+      // per-key (lsn, seq, D-before-upsert) ordering make both hops land.
+      val shiftBatch = env(Seq(
+        ("U", 30L, 1L, Map("id" -> "2"),
+          Map("id" -> "102", "v" -> "big-toast-payload", "n" -> "6"), Seq.empty),
+        ("U", 30L, 2L, Map("id" -> "9"),
+          Map("id" -> "109", "v" -> "other2", "n" -> "0"), Seq.empty),
+        ("U", 31L, 1L, Map("id" -> "102"),
+          Map("id" -> "103", "v" -> "big-toast-payload", "n" -> "7"), Seq.empty)))
+      apply(shiftBatch)
+      assert(snap() === Seq(("103", "big-toast-payload", "7"), ("109", "other2", "0")),
+        "split moves must retire every old key and land the chained hop")
+      // replay of the whole split batch converges (intermediate keys are
+      // re-created and re-deleted within the batch)
+      apply(shiftBatch)
+      assert(snap() === Seq(("103", "big-toast-payload", "7"), ("109", "other2", "0")))
     } finally {
       try sql.simpleQuery("DROP TABLE pkmove_dst") catch { case _: Throwable => () }
       sql.close()

@@ -175,6 +175,12 @@ class ScramSpec extends AnyFunSuite {
     // SHA-1-parameterized PSS maps up, per the RFC floor
     assert(PgWireConnection.certHashAlg("RSASSA-PSS",
       pssDer("SHA-1", MGF1ParameterSpec.SHA1, 20)) === "SHA-256")
+    // SHA-224 is NOT mapped up: RFC 5929 lifts only MD5/SHA-1, and the
+    // server (be_tls_get_certificate_hash) digests with the cert's own
+    // algorithm — binding with SHA-256 would mismatch
+    assert(PgWireConnection.certHashAlg("SHA224withRSA", null) === "SHA-224")
+    assert(PgWireConnection.certHashAlg("RSASSA-PSS",
+      pssDer("SHA-224", MGF1ParameterSpec.SHA224, 28)) === "SHA-224")
     // unresolvable parameters fall back to the floor, not an exception
     assert(PgWireConnection.certHashAlg("RSASSA-PSS", Array[Byte](0x30, 0x00)) === "SHA-256")
     assert(PgWireConnection.certHashAlg("RSASSA-PSS", null) === "SHA-256")
