@@ -1543,17 +1543,29 @@ object RelationalQueries {
     // division is correctly rounded on every engine); ranking is on the
     // raw lift with a (a, b) tiebreak. Scale shape: the pair explosion is
     // bounded by basket size (k parts → k(k−1)/2 pairs per ORDER, never
-    // corpus²) on one orderkey-keyed join; per-part counts are
-    // vocabulary-sized and broadcast; the total is a 1-row broadcast.
+    // corpus²) and runs basket-locally after the one orderkey shuffle;
+    // per-part counts are vocabulary-sized and broadcast; the total is a
+    // 1-row broadcast.
     "q68_market_basket" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .persist() // one distinct shuffle over the big table, FOUR consumers
-      val n = op.agg(countDistinct(col("o")).as("n_orders"))
-      val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c1"))
-      val pairs = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      // ONE shuffle of the big table (groupBy orderkey → sorted distinct
+      // basket arrays); pairs then explode BASKET-LOCALLY (k(k−1)/2 per
+      // order, map-side) instead of the earlier self-join, which shuffled
+      // the (o, p) table a second time and joined it against itself —
+      // at 100 TB that saves a full-table exchange + sort-merge join.
+      // sort_array makes ps ascending, so i<j ⇒ ps[i] < ps[j]: the pair
+      // set (and every count) is identical to the a.p < b.p self-join.
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+        .persist() // THREE consumers: order count, part counts, pairs
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
+      val pc = baskets.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c1"))
+      val pairs = baskets.select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS part_a, y AS part_b))))")).as("pr"))
+        .select(col("pr.part_a"), col("pr.part_b"))
         .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 3)
       pairs
