@@ -358,6 +358,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q68 market basket: pair generation is basket-local (no self-join) — " +
+      "the big table shuffles once, the count joins broadcast") {
+    val p = plan("q68_market_basket")
+    assert(!p.contains("SortMergeJoin"),
+      s"pairs must explode basket-locally, not via a self-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("text_vocab_coverage: the rank window consumes a TakeOrdered top-30, " +
       "never a full-vocabulary single-partition sort") {
     val p = plan("text_vocab_coverage")
