@@ -427,17 +427,22 @@ final class PgCdcMicroBatch(
     * walsender shutdown surfaces as) or a server error whose SQLSTATE class
     * is transient: 08xxx connection exceptions, 57xxx operator intervention
     * (admin shutdown, crash recovery), 53xxx insufficient resources — or an
-    * unknown state (conduits that can't carry one). Config/state errors —
-    * invalidated slot (55000, live-pinned message "cannot read from logical
-    * replication slot"), missing publication/slot, auth failures — are
-    * TERMINAL: a reconnect cannot fix them, so they surface immediately
-    * instead of burning the whole backoff schedule first. */
+    * unknown state (conduits that can't carry one). 55006 object_in_use is
+    * ALSO retryable even though its class is mostly terminal: after a
+    * half-open disconnect the server-side walsender holds the slot until
+    * `wal_sender_timeout` expires, so the redial's "replication slot is
+    * active for PID n" refusal clears by itself — the exact race reconnect
+    * budgets exist for. Config/state errors — invalidated slot (55000,
+    * live-pinned message "cannot read from logical replication slot"),
+    * missing publication/slot, auth failures — are TERMINAL: a reconnect
+    * cannot fix them, so they surface immediately instead of burning the
+    * whole backoff schedule first. */
   private def retryable(e: Throwable): Boolean = e match {
     case _: java.io.IOException => true
     case s: java.sql.SQLException =>
       val st = s.getSQLState
       st == null || st.startsWith("08") || st.startsWith("57") ||
-        st.startsWith("53")
+        st.startsWith("53") || st == "55006"
     case _ => false
   }
 
@@ -478,19 +483,25 @@ final class PgCdcMicroBatch(
           throw new java.io.IOException(
             "pgcdc: reconnect aborted by interrupt (query stopping)", trigger)
       }
+      var fresh: ReplicationConduit = null
       try {
-        val fresh = conduitFactory.get.apply()
+        fresh = conduitFactory.get.apply()
         fresh.start(bufferedThrough)
         activeConduit = fresh
         connected = true
       } catch {
-        // A TERMINAL state surfacing during the DIAL (START_REPLICATION on
-        // an invalidated slot, auth refusal after a credential rotation)
-        // must not burn the remaining backoff schedule either — the skip
-        // applies wherever the server says "reconnecting cannot fix this",
-        // not only to errors raised by read().
-        case e: Throwable if !retryable(e) => throw e
-        case e: Throwable => last = e
+        case e: Throwable =>
+          // a dial that got as far as a socket/walsender must release it,
+          // or each failed attempt strands a half-open connection (and a
+          // server-side walsender) until GC
+          if (fresh != null) { try fresh.close() catch { case _: Throwable => () } }
+          // A TERMINAL state surfacing during the DIAL (START_REPLICATION
+          // on an invalidated slot, auth refusal after a credential
+          // rotation) must not burn the remaining backoff schedule either —
+          // the skip applies wherever the server says "reconnecting cannot
+          // fix this", not only to errors raised by read().
+          if (!retryable(e)) throw e
+          last = e
       }
     }
     if (!connected)

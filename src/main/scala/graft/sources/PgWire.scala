@@ -361,20 +361,24 @@ object PgWireConnection {
     * without -PLUS. */
   private[sources] def certHashAlg(sigAlgName: String,
       sigAlgParams: Array[Byte]): String = {
-    def byName(n: String): String =
-      if (n.contains("SHA384")) "SHA-384"
-      else if (n.contains("SHA512")) "SHA-512"
-      else if (n.contains("SHA224")) "SHA-224"
+    // dash-stripped matching so "SHA384withRSA", "SHA-384" (PSS parameter
+    // spellings) and provider variants like "SHA-384WITHRSA" all resolve
+    def byName(n: String): String = {
+      val c = n.toUpperCase.replace("-", "")
+      if (c.contains("SHA384")) "SHA-384"
+      else if (c.contains("SHA512")) "SHA-512"
+      else if (c.contains("SHA224")) "SHA-224"
       else "SHA-256" // MD5/SHA-1 map up per the RFC; SHA-256 is itself
-    val sig = sigAlgName.toUpperCase
+    }
     def fromPssParams: String =
       try {
         val ap = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
         ap.init(sigAlgParams)
         byName(ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
-          .getDigestAlgorithm.toUpperCase.replace("-", ""))
+          .getDigestAlgorithm)
       } catch { case _: Exception => "SHA-256" }
-    if (sig.contains("PSS")) fromPssParams else byName(sig)
+    if (sigAlgName.toUpperCase.contains("PSS")) fromPssParams
+    else byName(sigAlgName)
   }
 }
 

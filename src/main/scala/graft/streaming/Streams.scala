@@ -2401,13 +2401,24 @@ object Streams {
         !(element_at(col("key"), k) <=> element_at(col("after"), k)))
       .reduce(_ || _)
     val isToastMove = isPkChange && size(toastedOf(batch)) > 0
-    val plainMoves = batch.filter(isPkChange && size(toastedOf(batch)) === 0)
-    val dmlAll = batch.filter(col("op").isin("I", "U", "D") && !isPkChange)
-      .unionByName(plainMoves.withColumn("op", lit("D")))
-      .unionByName(plainMoves.withColumn("op", lit("I"))
-        // the insert half must key/partition by the NEW key (the after
-        // image), so the old-key image is dropped
-        .withColumn("key", lit(null).cast("map<string,string>")))
+    // ONE scan of the micro-batch mints the apply rows: ordinary I/U/D rows
+    // pass through 1:1; a plain pk-move mints its 'D'(old key) + 'I'(new
+    // key — the old-key image dropped so the insert half keys/partitions by
+    // the after image) pair inline, so the common no-move batch is never
+    // re-scanned for moves that are not there (a 3-way union of filters
+    // would re-read — and for the wire path re-DECODE — the batch thrice).
+    val nullKey = lit(null).cast("map<string,string>")
+    val emitted = when(isPkChange && size(toastedOf(batch)) === 0, array(
+        struct(lit("D").as("op_"), col("key").as("key_")),
+        struct(lit("I").as("op_"), nullKey.as("key_"))))
+      .when(col("op").isin("I", "U", "D") && !isPkChange, array(
+        struct(col("op").as("op_"), col("key").as("key_"))))
+      .otherwise(array().cast("array<struct<op_:string,key_:map<string,string>>>"))
+    val dmlAll = batch
+      .select(col("*"), explode(emitted).as("e_"))
+      .withColumn("op", col("e_.op_"))
+      .withColumn("key", col("e_.key_"))
+      .drop("e_")
     // barrier = (lsn, seq, statement): TRUNCATE, or the toast-carrying move
     val truncStmt = s"TRUNCATE ${graft.sources.PgSnapshotSync.quoteQualified(tbl)}"
     val barriers: Array[(Long, Long, String)] =
@@ -2432,9 +2443,23 @@ object Streams {
       def after(l: Long, s: Long) =
         col("lsn") > l || (col("lsn") === l && col("seq") > s)
       // the span walk re-reads dmlAll once per barrier: cache it, and run
-      // every barrier statement over ONE driver connection
+      // the barrier statements over one SHARED driver connection — opened
+      // lazily (not before the first span's Spark jobs) and re-opened with
+      // ONE retry if it died while a long span applied under it
+      // (idle_session_timeout, NAT idle drops); every barrier statement is
+      // idempotent (TRUNCATE / the pk-move triple), so the retry is safe.
       dmlAll.persist()
-      val bc = newConn()
+      var bc: graft.sources.PgWireConnection = null
+      def barrierExec(stmt: String): Unit = {
+        if (bc == null) bc = newConn()
+        try bc.simpleQuery(stmt)
+        catch {
+          case _: java.io.IOException | _: java.sql.SQLException =>
+            try bc.close() catch { case _: Throwable => () }
+            bc = newConn()
+            bc.simpleQuery(stmt)
+        }
+      }
       try {
         var prev: Option[(Long, Long)] = None
         barriers.foreach { case (l, s, stmt) =>
@@ -2443,13 +2468,13 @@ object Streams {
             case Some((pl, ps)) => dmlAll.filter(after(pl, ps) && before(l, s))
           }
           applyDml(span)
-          bc.simpleQuery(stmt)
+          barrierExec(stmt)
           prev = Some((l, s))
         }
         val (pl, ps) = prev.get
         applyDml(dmlAll.filter(after(pl, ps)))
       } finally {
-        bc.close()
+        if (bc != null) { try bc.close() catch { case _: Throwable => () } }
         dmlAll.unpersist()
       }
     }
@@ -2477,12 +2502,9 @@ object Streams {
       cols: Seq[String], keyCols: Seq[String],
       vals: Seq[String], keys: Seq[String],
       toasted: Set[String] = Set.empty): String = {
-    def q(id: String) = pgQ(id)
-    def lit(v: String) = pgLit(v)
-    def qt(t: String) = pgQt(t)
     if (op == "D")
-      s"DELETE FROM ${qt(table)} WHERE " +
-        keyCols.zip(keys).map { case (c, v) => s"${q(c)} = ${lit(v)}" }
+      s"DELETE FROM ${pgQt(table)} WHERE " +
+        keyCols.zip(keys).map { case (c, v) => s"${pgQ(c)} = ${pgLit(v)}" }
           .mkString(" AND ")
     else {
       val present = cols.zip(vals).filterNot { case (c, _) => toasted(c) }
@@ -2490,10 +2512,10 @@ object Streams {
       val updates =
         if (updCols.isEmpty) "DO NOTHING"
         else "DO UPDATE SET " +
-          updCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
-      s"INSERT INTO ${qt(table)} (${present.map(p => q(p._1)).mkString(", ")}) " +
-        s"VALUES (${present.map(p => lit(p._2)).mkString(", ")}) " +
-        s"ON CONFLICT (${keyCols.map(q).mkString(", ")}) $updates"
+          updCols.map(c => s"${pgQ(c)} = EXCLUDED.${pgQ(c)}").mkString(", ")
+      s"INSERT INTO ${pgQt(table)} (${present.map(p => pgQ(p._1)).mkString(", ")}) " +
+        s"VALUES (${present.map(p => pgLit(p._2)).mkString(", ")}) " +
+        s"ON CONFLICT (${keyCols.map(pgQ).mkString(", ")}) $updates"
     }
   }
 
@@ -2515,9 +2537,6 @@ object Streams {
   private[streaming] def pgPkChangeStatement(table: String, cols: Seq[String],
       keyCols: Seq[String], vals: Seq[String], oldKeys: Seq[String],
       toasted: Set[String]): String = {
-    def q(id: String) = pgQ(id)
-    def qt(t: String) = pgQt(t)
-    def lit(v: String) = pgLit(v)
     val upsert = pgApplyStatement("U", table, cols, keyCols, vals, oldKeys, toasted)
     val del = pgApplyStatement("D", table, cols, keyCols, vals, oldKeys)
     val toastCols = cols.filter(toasted)
@@ -2525,12 +2544,12 @@ object Streams {
       if (toastCols.isEmpty) ""
       else {
         val newKeys = keyCols.map(k => vals(cols.indexOf(k)))
-        s"UPDATE ${qt(table)} AS t SET " +
-          toastCols.map(c => s"${q(c)} = src.${q(c)}").mkString(", ") +
-          s" FROM ${qt(table)} src WHERE " +
-          keyCols.zip(newKeys).map { case (c, v) => s"t.${q(c)} = ${lit(v)}" }
+        s"UPDATE ${pgQt(table)} AS t SET " +
+          toastCols.map(c => s"${pgQ(c)} = src.${pgQ(c)}").mkString(", ") +
+          s" FROM ${pgQt(table)} src WHERE " +
+          keyCols.zip(newKeys).map { case (c, v) => s"t.${pgQ(c)} = ${pgLit(v)}" }
             .mkString(" AND ") + " AND " +
-          keyCols.zip(oldKeys).map { case (c, v) => s"src.${q(c)} = ${lit(v)}" }
+          keyCols.zip(oldKeys).map { case (c, v) => s"src.${pgQ(c)} = ${pgLit(v)}" }
             .mkString(" AND ") + "; "
       }
     upsert + "; " + copy + del

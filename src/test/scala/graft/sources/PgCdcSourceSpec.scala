@@ -596,6 +596,15 @@ class PgCdcSourceSpec extends AnyFunSuite {
         "(SQLSTATE 57P01)", "57P01"))
     assert(outR === Right(Vector("1", "2", "3")), s"got $outR")
     assert(mcR.starts >= 2, "the transient error must have been retried")
+    // active slot (55006 object_in_use): retryable DESPITE the mostly-
+    // terminal class 55 — after a half-open disconnect the server-side
+    // walsender holds the slot until wal_sender_timeout, so the redial's
+    // refusal clears by itself
+    val (mcA, outA) = run("rp_active", () => new java.sql.SQLException(
+      "pgwire: ERROR: replication slot \"s\" is active for PID 123 " +
+        "(SQLSTATE 55006)", "55006"))
+    assert(outA === Right(Vector("1", "2", "3")), s"got $outA")
+    assert(mcA.starts >= 2, "the active-slot race must have been retried")
   }
 
   test("maxBytesPerTrigger: byte-budget admission splits the backlog into " +

@@ -181,6 +181,10 @@ class ScramSpec extends AnyFunSuite {
     assert(PgWireConnection.certHashAlg("SHA224withRSA", null) === "SHA-224")
     assert(PgWireConnection.certHashAlg("RSASSA-PSS",
       pssDer("SHA-224", MGF1ParameterSpec.SHA224, 28)) === "SHA-224")
+    // dash-bearing provider spellings resolve too (matching is
+    // dash-stripped on BOTH the classic-name and PSS-parameter paths)
+    assert(PgWireConnection.certHashAlg("SHA-384withRSA", null) === "SHA-384")
+    assert(PgWireConnection.certHashAlg("SHA-512WITHECDSA", null) === "SHA-512")
     // unresolvable parameters fall back to the floor, not an exception
     assert(PgWireConnection.certHashAlg("RSASSA-PSS", Array[Byte](0x30, 0x00)) === "SHA-256")
     assert(PgWireConnection.certHashAlg("RSASSA-PSS", null) === "SHA-256")
