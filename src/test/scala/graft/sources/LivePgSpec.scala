@@ -1983,6 +1983,64 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pgWriteBack randomized foreign-envelope churn live: the partitioned " +
+      "apply with split pk-moves equals a sequential per-event fold — " +
+      "key reuse after moves, destination collisions, chained moves") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery(
+        "CREATE TABLE rnd_dst (id bigint primary key, v text, n integer)")
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      import spark.implicits._
+      val rnd = new scala.util.Random(42)
+      // sequential model: what applying each event in (lsn) order yields
+      val model = scala.collection.mutable.Map.empty[String, (String, String)]
+      var lsn = 100L
+      def snap(): Map[String, (String, String)] = {
+        val c = sqlConn()
+        try c.simpleQuery("SELECT id, v, n FROM rnd_dst ORDER BY id")
+          .map(r => r(0) -> ((r(1), r(2)))).toMap
+        finally c.close()
+      }
+      for (b <- 1 to 4) {
+        val rows = (1 to 40).map { _ =>
+          lsn += 1
+          val k = rnd.nextInt(10).toString
+          rnd.nextInt(4) match {
+            case 0 | 1 => // plain upsert (key == after key)
+              val (v, n) = (s"v$lsn", rnd.nextInt(100).toString)
+              model(k) = (v, n)
+              ("U", lsn, 1L, Map("id" -> k),
+                Map("id" -> k, "v" -> v, "n" -> n), Seq.empty[String])
+            case 2 => // delete (after image absent)
+              model.remove(k)
+              ("D", lsn, 1L, Map("id" -> k),
+                null.asInstanceOf[Map[String, String]], Seq.empty[String])
+            case 3 => // pk move, destination possibly occupied (overwrite)
+              val k2 = rnd.nextInt(14).toString
+              val moved = model.remove(k)
+              val (v, n) = moved.getOrElse((s"v$lsn", "0"))
+              if (k != k2) model(k2) = (v, n) else model(k) = (v, n)
+              ("U", lsn, 1L, Map("id" -> k),
+                Map("id" -> k2, "v" -> v, "n" -> n), Seq.empty[String])
+          }
+        }
+        val batch = rows.toDF("op", "lsn", "seq", "key", "after", "after_toasted")
+        graft.streaming.Streams.pgWriteBack(batch, "127.0.0.1", port,
+          "postgres", "postgres", None, "rnd_dst",
+          Seq("id", "v", "n"), Seq("id"))
+        assert(snap() === model.toMap, s"batch $b diverged from the fold")
+      }
+    } finally {
+      try sql.simpleQuery("DROP TABLE rnd_dst") catch { case _: Throwable => () }
+      sql.close()
+    }
+  }
+
   test("table clone live: distributed snapshot backfill INTO the sink PG + " +
       "streamed tail = a zero-downtime pg-to-pg table copy that converges") {
     live()
