@@ -1520,20 +1520,19 @@ object TextQueries {
     // table that is BUCKET-count sized (broadcast back), so no global
     // single-partition sort ever happens; all arithmetic is integer.
     "text_pack_offsets" -> ((s, d) => {
+      // rides the shared DistributedRank operator: FIXED bucket COUNT (64
+      // here; width derives from the doc_id range), so the level-2 offset
+      // window is O(64) rows at ANY corpus size — the earlier fixed-WIDTH
+      // `doc_id div 64` bucketing grew the single-partition offset table
+      // with the corpus. Ranks/sums are a pure function of the doc_id
+      // order, so the output (and oracle hash) is unchanged.
       val b = withWords(Tables.documents(s, d))
         .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
-        .withColumn("bucket", expr("doc_id div 64"))
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bucket")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val offsets = b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("tot"))
-        .withColumn("off", coalesce(sum(col("tot")).over(wB), lit(0L)))
-        .select(col("bucket"), col("off"))
-      b.withColumn("run_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-        .join(broadcast(offsets), "bucket")
-        .withColumn("start_offset", col("off") + col("run_in"))
+        .persist() // 2 longs/doc; three consumers (range agg + both levels)
+      graft.operators.DistributedRank.withGlobalRank(
+          b, col("doc_id"), Nil, buckets = 64, rankName = "rk",
+          runningSums = Seq((col("n_tokens"), "cum")))
+        .withColumn("start_offset", col("cum") - col("n_tokens"))
         .withColumn("first_seq", expr("start_offset div 512"))
         .withColumn("last_seq", expr("(start_offset + n_tokens - 1) div 512"))
         .select(col("doc_id"), col("n_tokens"), col("start_offset"),

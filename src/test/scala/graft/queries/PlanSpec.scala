@@ -437,12 +437,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
-  test("text_pack_offsets: exactly one single-partition exchange (the bucket-offset table)") {
+  test("text_pack_offsets: the only ORDERED single-partition pass is the " +
+      "bucket-count-sized offset table (DistributedRank level 2)") {
     val p = plan("text_pack_offsets")
-    // the corpus-side running sum partitions by bucket; only the
-    // bucket-count-sized offsets table may pass through one partition
-    // (formatted mode renders the exchange's mode on an Arguments line)
-    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+    // 1-row min/max final aggregations may pass through one partition
+    // (bounded by partition count, not data); exactly ONE single-partition
+    // exchange may feed an ordered operator — the O(64) offset table —
+    // and none may feed a sort/window over corpus rows
+    val lines = p.linesIterator.toVector
+    val followers = lines.zipWithIndex
+      .filter(_._1.contains("SinglePartition")).map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("(")).getOrElse("")
+      }
+    assert(followers.count(_.contains("Sort")) == 1, p)
+    assert(followers.forall(f => f.contains("Sort") || f.contains("HashAggregate")), p)
   }
 
   test("dedup_substring_remove: first-occurrence is a partial-agg, no window sort or cross product") {
