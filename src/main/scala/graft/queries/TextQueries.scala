@@ -964,6 +964,9 @@ object TextQueries {
       val t = scoredDocs(s, d)
         .select(col("doc_id"), round(col("score"), 6).as("q"), col("n_tokens"))
       val g = t.groupBy(col("q")).agg(max(col("n_tokens")).as("mt"))
+      // BOUNDED DOMAIN: scores are round(·, 6) of a [0,1] quality score, so
+      // g has at most 10⁶+1 rows at ANY corpus size — a constant, not a
+      // function of the data; the partitionless window below sorts only g
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("q").desc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val g2 = g.withColumn("mprev", max(col("mt")).over(w)).select(col("q"), col("mprev"))

@@ -441,6 +441,15 @@ final class PgCdcMicroBatch(
     case _: java.io.IOException => true
     case s: java.sql.SQLException =>
       val st = s.getSQLState
+      // a null SQLSTATE (an ErrorResponse missing 'C', or an SQLException
+      // raised stateless by a conduit) cannot be classified — retrying is
+      // the conservative default, but it is LOGGED so a terminal error
+      // burning the dial budget is diagnosable from the driver log
+      if (st == null)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "pgcdc: SQLException with no SQLSTATE treated as retryable " +
+            s"(${s.getMessage}) — if this error is terminal it will burn " +
+            "the reconnect dial budget before surfacing")
       st == null || st.startsWith("08") || st.startsWith("57") ||
         st.startsWith("53") || st == "55006"
     case _ => false
@@ -451,28 +460,32 @@ final class PgCdcMicroBatch(
     // policy: a freshly restarted server commonly drops the first read
     // (half-open accept, crash-recovery not yet at a consistent point), and
     // an unguarded retry would kill the query with reconnect budget left.
-    // `budget` bounds reconnect() INVOCATIONS per read; each invocation has
-    // its own internal attempt loop, so the worst case is retries² dials —
-    // still finite, and each dial is backoff-paced.
-    var budget = reconnectRetries
+    // ONE dial budget of `reconnectRetries` total dials is SHARED across
+    // every reconnect() this read triggers — each reconnect() invocation
+    // consumes the dials it actually made — so the worst case is linear
+    // (reconnectRetries dials per read), not the retries² of a
+    // per-invocation budget. Each dial is backoff-paced.
+    var dials = reconnectRetries
     while (true) {
       try return activeConduit.read()
       catch {
         case e @ (_: java.io.IOException | _: java.sql.SQLException)
-            if conduitFactory.nonEmpty && budget > 0 && retryable(e) =>
-          budget -= 1
-          reconnect(e)
+            if conduitFactory.nonEmpty && dials > 0 && retryable(e) =>
+          dials -= reconnect(e, dials)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  private def reconnect(trigger: Throwable): Unit = {
+  /** Rebuilds the conduit in place, making at most `maxDials` connection
+    * attempts; returns the number of dials actually made so the caller's
+    * shared budget stays exact. */
+  private def reconnect(trigger: Throwable, maxDials: Int): Int = {
     try activeConduit.close() catch { case _: Throwable => () }
     var attempt = 0
     var last: Throwable = trigger
     var connected = false
-    while (!connected && attempt < reconnectRetries) {
+    while (!connected && attempt < math.min(reconnectRetries, maxDials)) {
       attempt += 1
       try Thread.sleep(math.min(reconnectBackoffMs << (attempt - 1), 30000L))
       catch {
@@ -506,13 +519,15 @@ final class PgCdcMicroBatch(
     }
     if (!connected)
       throw new java.io.IOException(
-        s"pgcdc: conduit lost and $reconnectRetries reconnect attempts failed " +
-          s"(resume point $bufferedThrough)", last)
+        s"pgcdc: conduit lost and $attempt reconnect attempts failed " +
+          s"(dial budget $reconnectRetries per read, resume point " +
+          s"$bufferedThrough)", last)
     replayHorizon = bufferedThrough
     lastEventLsn = Long.MinValue
     builder = new graft.decode.ChangeEventBuilder(registry,
       emitTxnMarkers = txnMarkers, emitMessages = messages)
     reconnects += 1
+    attempt
   }
 
   private var reconnects = 0L

@@ -358,17 +358,37 @@ object PgWireConnection {
     * SHA-256 and the -PLUS proof would fail verification. Unresolvable
     * parameters fall back to SHA-256 — RFC 5929's floor, and with a real
     * PSS cert the worst case is an auth failure the caller can retry
-    * without -PLUS. */
+    * without -PLUS. Algorithms that carry NO digest the server could match
+    * (Ed25519/Ed448 — OpenSSL's OBJ_find_sigid_algs finds none, so
+    * PostgreSQL's be_tls_get_certificate_hash itself errors out) and any
+    * name we don't recognize also floor to SHA-256, but the fallback is
+    * LOGGED so a binding failure against such a cert is diagnosable rather
+    * than a silent auth mismatch. */
   private[sources] def certHashAlg(sigAlgName: String,
       sigAlgParams: Array[Byte]): String = {
     // dash-stripped matching so "SHA384withRSA", "SHA-384" (PSS parameter
-    // spellings) and provider variants like "SHA-384WITHRSA" all resolve
+    // spellings) and provider variants like "SHA-384WITHRSA" all resolve.
+    // SHA3 families are matched FIRST: the server digests with the cert's
+    // own algorithm, so a SHA3-256 cert must bind with SHA3-256 (a
+    // MessageDigest Java 17 ships), not the SHA-2 floor.
     def byName(n: String): String = {
       val c = n.toUpperCase.replace("-", "")
-      if (c.contains("SHA384")) "SHA-384"
+      if (c.contains("SHA3224")) "SHA3-224"
+      else if (c.contains("SHA3256")) "SHA3-256"
+      else if (c.contains("SHA3384")) "SHA3-384"
+      else if (c.contains("SHA3512")) "SHA3-512"
+      else if (c.contains("SHA384")) "SHA-384"
       else if (c.contains("SHA512")) "SHA-512"
       else if (c.contains("SHA224")) "SHA-224"
-      else "SHA-256" // MD5/SHA-1 map up per the RFC; SHA-256 is itself
+      else {
+        if (!c.contains("SHA256") && !c.contains("SHA1") && !c.contains("MD5"))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn("tls-server-end-point: unrecognized certificate signature " +
+              s"algorithm '$n' — falling back to SHA-256 (RFC 5929 floor); " +
+              "if the server digests with a different algorithm, " +
+              "SCRAM-PLUS channel binding will fail")
+        "SHA-256" // MD5/SHA-1 map up per the RFC; SHA-256 is itself
+      }
     }
     def fromPssParams: String =
       try {
@@ -376,7 +396,14 @@ object PgWireConnection {
         ap.init(sigAlgParams)
         byName(ap.getParameterSpec(classOf[java.security.spec.PSSParameterSpec])
           .getDigestAlgorithm)
-      } catch { case _: Exception => "SHA-256" }
+      } catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn("tls-server-end-point: could not resolve RSASSA-PSS " +
+              s"parameters (${e.getClass.getSimpleName}) — falling back to " +
+              "SHA-256 (RFC 5929 floor)")
+          "SHA-256"
+      }
     if (sigAlgName.toUpperCase.contains("PSS")) fromPssParams
     else byName(sigAlgName)
   }

@@ -2454,7 +2454,12 @@ object Streams {
         if (bc == null) bc = newConn()
         try bc.simpleQuery(stmt)
         catch {
-          case _: java.io.IOException | _: java.sql.SQLException =>
+          // re-dial ONLY on connection-class failures (the idle-timeout /
+          // NAT-drop case the retry exists for) — a deterministic SQL error
+          // (permission, constraint, syntax) would fail identically on the
+          // fresh connection, so it propagates immediately and the stack
+          // trace names the attempt that actually produced it
+          case e if Streams.barrierRetryable(e) =>
             try bc.close() catch { case _: Throwable => () }
             bc = newConn()
             bc.simpleQuery(stmt)
@@ -2534,6 +2539,24 @@ object Streams {
     * excludes toasted columns, so the copied value survives). Upsert-first
     * (never UPDATE-the-key-in-place) keeps a drifted sink from aborting the
     * transaction on a unique violation — the move self-heals instead. */
+  /** Whether a barrier-statement failure warrants ONE re-dial+retry:
+    * transport death (IOException) or a server error whose SQLSTATE is a
+    * connection-class state — 08xxx connection exceptions, 57xxx operator
+    * intervention (admin shutdown / idle_session_timeout's 57P05) — i.e.
+    * exactly the failures a fresh connection can fix. Deterministic SQL
+    * errors (42xxx syntax/permission, 23xxx constraint, …) and stateless
+    * SQLExceptions are NOT retried: they would fail identically on the
+    * retry, and re-running them once before surfacing masks which attempt
+    * produced the error. Every barrier statement is idempotent (TRUNCATE /
+    * the pk-move triple), so the one retry is safe when it does fire. */
+  private[streaming] def barrierRetryable(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case s: java.sql.SQLException =>
+      val st = s.getSQLState
+      st != null && (st.startsWith("08") || st.startsWith("57"))
+    case _ => false
+  }
+
   private[streaming] def pgPkChangeStatement(table: String, cols: Seq[String],
       keyCols: Seq[String], vals: Seq[String], oldKeys: Seq[String],
       toasted: Set[String]): String = {

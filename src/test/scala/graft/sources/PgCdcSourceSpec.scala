@@ -607,6 +607,47 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(mcA.starts >= 2, "the active-slot race must have been retried")
   }
 
+  test("reconnect dial budget is SHARED across a read's reconnect cycles: " +
+      "worst case is reconnectRetries total dials, not retries² (r6-advice low)") {
+    // start(): the initial connection succeeds, then dials fail twice and
+    // succeed every third attempt; read(): always fails retryable. Under a
+    // per-invocation budget this burns 3 invocations × 3 dials = 9 dials
+    // (plus the initial start) before surfacing; the shared budget caps
+    // total dials at reconnectRetries = 3.
+    val startAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conduit = new ReplicationConduit {
+      override def start(afterLsn: Long): Unit = {
+        val n = startAttempts.incrementAndGet()
+        if (n > 1 && n % 3 != 1) // attempts 2,3 fail; 4 succeeds; 5,6 fail …
+          throw new java.io.IOException(s"injected dial failure #$n")
+      }
+      override def read(): Option[(Long, Array[Byte])] =
+        throw new java.io.IOException("injected read failure")
+      override def setFlushedLSN(lsn: Long): Unit = ()
+      override def walPositions: Option[(Long, Long)] = None
+      override def close(): Unit = ()
+    }
+    PgCdcConduits.register("shared_budget", conduit)
+    val q = spark.readStream.format("graft.sources.PgCdcProvider")
+      .option("producer", "conduit").option("conduit.name", "shared_budget")
+      .option("reconnectRetries", "3").option("reconnectBackoffMs", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("shared_budget").toString)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val failed = try { q.processAllAvailable(); false }
+      catch { case _: Throwable => true }
+    q.stop()
+    assert(failed, "a read that never heals must fail the query")
+    // 1 initial start + exactly 3 dials (2 failed + 1 healed, after which
+    // the budget is spent and the next read failure surfaces immediately)
+    assert(startAttempts.get === 4,
+      s"expected 4 start attempts (1 initial + 3 budgeted dials), " +
+        s"got ${startAttempts.get}")
+  }
+
   test("maxBytesPerTrigger: byte-budget admission splits the backlog into " +
       "multiple batches (soft cap — every batch admits at least one frame), " +
       "composes with maxFramesPerTrigger, all rows exactly once") {

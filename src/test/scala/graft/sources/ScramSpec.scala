@@ -189,4 +189,25 @@ class ScramSpec extends AnyFunSuite {
     assert(PgWireConnection.certHashAlg("RSASSA-PSS", Array[Byte](0x30, 0x00)) === "SHA-256")
     assert(PgWireConnection.certHashAlg("RSASSA-PSS", null) === "SHA-256")
   }
+
+  test("tls-server-end-point hash selection: SHA3 families bind as " +
+      "themselves; digest-less algorithms floor to SHA-256 (r6-advice low)") {
+    // be_tls_get_certificate_hash digests with the cert's OWN algorithm —
+    // a SHA3-256 cert must bind with SHA3-256, and SHA3 names must not be
+    // swallowed by the SHA-2 substring matches after dash-stripping
+    // ("SHA3-256withRSA" → "SHA3256WITHRSA")
+    assert(PgWireConnection.certHashAlg("SHA3-224withRSA", null) === "SHA3-224")
+    assert(PgWireConnection.certHashAlg("SHA3-256withRSA", null) === "SHA3-256")
+    assert(PgWireConnection.certHashAlg("SHA3-384withECDSA", null) === "SHA3-384")
+    assert(PgWireConnection.certHashAlg("SHA3-512withRSA", null) === "SHA3-512")
+    // every selected algorithm must be a MessageDigest this JVM can compute
+    Seq("SHA3-224", "SHA3-256", "SHA3-384", "SHA3-512").foreach { a =>
+      java.security.MessageDigest.getInstance(a)
+    }
+    // Ed25519/Ed448 carry no digest the server could match (PostgreSQL
+    // itself errors for these certs) — we floor to SHA-256 (and log), so
+    // the worst case is a diagnosable bind failure, never a crash
+    assert(PgWireConnection.certHashAlg("Ed25519", null) === "SHA-256")
+    assert(PgWireConnection.certHashAlg("Ed448", null) === "SHA-256")
+  }
 }

@@ -309,6 +309,22 @@ class StreamingSpec extends AnyFunSuite {
         """DELETE FROM "dst" WHERE "id" = '7' AND "v" = 'x'""")
   }
 
+  test("barrier retry fires only on connection-class failures; deterministic " +
+      "SQL errors propagate on the first attempt (r6-advice low)") {
+    def sql(state: String) = new java.sql.SQLException("x", state)
+    // fresh-connection-fixable: transport death, 08xxx, 57xxx
+    assert(Streams.barrierRetryable(new java.io.IOException("broken pipe")))
+    assert(Streams.barrierRetryable(sql("08006"))) // connection_failure
+    assert(Streams.barrierRetryable(sql("57P05"))) // idle_session_timeout
+    assert(Streams.barrierRetryable(sql("57P01"))) // admin_shutdown
+    // deterministic: would fail identically on the retry → surface at once
+    assert(!Streams.barrierRetryable(sql("42501"))) // insufficient_privilege
+    assert(!Streams.barrierRetryable(sql("42601"))) // syntax_error
+    assert(!Streams.barrierRetryable(sql("23505"))) // unique_violation
+    assert(!Streams.barrierRetryable(sql(null)))    // unclassifiable
+    assert(!Streams.barrierRetryable(new RuntimeException("boom")))
+  }
+
   test("streaming survival states reproduce the q95 Kaplan-Meier curve across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
