@@ -453,6 +453,83 @@ class PlanSpec extends AnyFunSuite {
     assert(followers.forall(f => f.contains("Sort") || f.contains("HashAggregate")), p)
   }
 
+  test("scale audit over the ENTIRE query map: every SinglePartition " +
+      "exchange feeds a bounded-cardinality operator (the r6 round-ritual " +
+      "grep, as a failing test)") {
+    // A SinglePartition exchange is the one plan shape that serializes rows
+    // through a single task. Harmless when its consumer is cardinality-
+    // bounded by construction (final agg of already-reduced partials, a
+    // global limit); a 100 TB hazard when it feeds a Sort/Window over rows
+    // that grow with the data. Every Sort-feeding site must therefore be on
+    // this allowlist, with the bound that makes it constant-sized stated —
+    // the same contract the per-site comments carry in main.
+    // EXACT set: a query appears here iff its plan carries a single-
+    // partition sort, with the bound that makes that sort constant-sized.
+    // A new bounded site must be added WITH its bound; a rewrite that
+    // removes one must also remove its entry (stale entries fail too).
+    val allow: Map[String, String] = Map(
+      // DistributedRank level 2: the one ordered pass runs over the offset
+      // table — one row per bucket, bucket COUNT fixed at 64 regardless of
+      // corpus size (operators/DistributedRank.scala:35)
+      "text_pack_offsets" -> "DistributedRank level-2 offset table: O(64) rows",
+      "q58_peak_concurrency" -> "DistributedRank level-2 offset table: O(64) rows",
+      "q80_decile_lift" -> "DistributedRank level-2 offset table: O(64) rows",
+      "q90_concentration" -> "DistributedRank level-2 offset table: O(64) rows",
+      "q91_pareto_revenue" -> "DistributedRank level-2 offset table: O(64) rows",
+      "q93_time_to_convert" -> "DistributedRank level-2 offset table: O(64) rows",
+      // distinct round(score, 6) values of a [0,1] score: ≤ 1e6+1 rows at
+      // any corpus size (bounded value domain, not data-sized)
+      "text_pareto_frontier" -> "distinct 6dp scores over [0,1]: ≤ 1e6+1 rows",
+      // study-window-bounded life tables / hour grids: the survival family
+      // runs all ordered arithmetic on ≤ 169 hour rows (the 7-day study
+      // window), never on user- or corpus-sized data
+      "q95_kaplan_meier" -> "hour-bucketed life table: ≤ 169 rows",
+      "q96_logrank" -> "hour-bucketed life table: ≤ 169 rows",
+      "q97_survival_summary" -> "hour-bucketed life table: ≤ 169 rows",
+      "q98_competing_risks" -> "hour-bucketed life table: ≤ 169 rows",
+      "cdc_survival_serving" -> "hour-bucketed life table: ≤ 169 rows",
+      // observed-hour series: one row per hour of the data's time span
+      // (~720), denser data adds rows per hour, not hours
+      "q79_acf" -> "observed-hour series: domain-sized (~720 rows)",
+      // per-key multiplicity histogram: rows = max join-key multiplicity
+      "q74_skew_profile" -> "multiplicity histogram: ~max-multiplicity rows",
+      // daily aggregates first; the CUSUM window runs over the day series
+      "q88_cusum" -> "daily-total series: bounded day-domain rows",
+      // Zipf slope fits over the log₂-bucketed rank histogram
+      "text_zipf_fit" -> "log-bucketed rank histogram: ~64 bucket rows"
+    )
+    val unordered = Seq("HashAggregate", "ObjectHashAggregate",
+      "SortAggregate", "GlobalLimit", "CollectLimit", "Project", "Generate",
+      "Expand", "Filter", "Coalesce", "Exchange", "Subquery", "Scan",
+      "InMemory", "Union", "AQEShuffleRead", "Join")
+    val unclassified = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flagged = scala.collection.mutable.Map.empty[String, Vector[String]]
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      val lines = p.linesIterator.toVector
+      val followers = lines.zipWithIndex
+        .filter(_._1.contains("SinglePartition")).map { case (_, i) =>
+          lines.drop(i + 1).find(_.trim.startsWith("(")).getOrElse("")
+        }
+      followers.foreach { f =>
+        val ordered = (f.contains("Sort") && !f.contains("SortAggregate")) ||
+          f.contains("Window")
+        if (ordered)
+          flagged(name) = flagged.getOrElse(name, Vector.empty) :+ f.trim
+        else if (!unordered.exists(f.contains) && f.nonEmpty)
+          unclassified += s"$name: SinglePartition feeds UNCLASSIFIED $f"
+      }
+    }
+    assert(unclassified.isEmpty, unclassified.mkString("\n"))
+    val missing = flagged.keySet -- allow.keySet // new hazards: must justify
+    val stale = allow.keySet -- flagged.keySet   // bound gone: trim the list
+    assert(missing.isEmpty && stale.isEmpty,
+      s"single-partition-sort allowlist drift —\n" +
+        s"UNALLOWLISTED (state the bound or rewrite): ${missing.toSeq.sorted
+          .map(n => s"$n ${flagged(n).mkString("; ")}").mkString(", ")}\n" +
+        s"STALE (sort no longer in plan — remove): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("dedup_substring_remove: first-occurrence is a partial-agg, no window sort or cross product") {
     val p = plan("dedup_substring_remove")
     // the corpus-sized digest pass must combine map-side (min-struct agg),
