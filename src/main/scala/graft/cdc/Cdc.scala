@@ -458,15 +458,20 @@ object Cdc {
     * same state a locked snapshot + tail would give.
     *
     * The watermark rule: a chunk row is DROPPED when its key saw any WAL
-    * event inside the chunk's watermark window (lo, hi] — the chunk select
+    * event inside the chunk's watermark window [lo, hi] — the chunk select
     * raced that event, so its value is unordered against the stream and
-    * the WAL's full-image event is authoritative. Surviving chunk rows
-    * become synthetic inserts positioned AT the high watermark: WAL events
-    * before lo are already reflected in the read (the chunk event at hi
-    * correctly outranks them), events after hi outrank the chunk event and
-    * override it; last-LSN-wins compaction then yields the consistent
-    * state. Requires REPLICA IDENTITY FULL updates (an in-window update's
-    * WAL image must reconstruct the row the drop discarded).
+    * the WAL's full-image event is authoritative. The window is CLOSED at
+    * lo: the live low watermark is `pg_current_wal_lsn()` sampled before
+    * the chunk's select — the WAL *insert* position — so the first record
+    * written after the sample starts EXACTLY at lo (live-observed: a
+    * strictly-greater test let a raced update at lsn == lo lose to the
+    * stale chunk read). Surviving chunk rows become synthetic inserts
+    * positioned AT the high watermark: WAL events strictly before lo are
+    * already reflected in the read (the chunk event at hi correctly
+    * outranks them), events after hi outrank the chunk event and override
+    * it; last-LSN-wins compaction then yields the consistent state.
+    * Requires REPLICA IDENTITY FULL updates (an in-window update's WAL
+    * image must reconstruct the row the drop discarded).
     *
     * Scale shape: the window-drop is ONE pk-keyed anti join (chunk reads
     * are the table scan, arriving chunk-at-a-time; the WAL side is the
@@ -480,7 +485,7 @@ object Cdc {
     val keyEq = keyColumns.map(k =>
       element_at(col("key"), k) === element_at(col("__w_key"), k)).reduce(_ && _)
     val surviving = chunkReads.filter(col("after").isNotNull).join(walKeyed,
-      keyEq && col("__w_lsn") > col("lo_lsn") && col("__w_lsn") <= col("hi_lsn"),
+      keyEq && col("__w_lsn") >= col("lo_lsn") && col("__w_lsn") <= col("hi_lsn"),
       "left_anti")
     // One chunk row per key and watermark ties only with dropped rows, so
     // the constant seq never decides a comparison that matters.

@@ -848,6 +848,118 @@ object CdcPipeline {
       .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
   }
 
+  /** WAL position the replacement slot is created at in the failover-
+    * recovery fixtures: two-thirds into the epoch-2 WAL space. Everything
+    * the promoted primary wrote in (epoch-2 base, this] is the LOST GAP —
+    * obtainable only via re-snapshot, never replication (README.md:9-23,
+    * the reference's motivating failure). Kept on an 8-aligned boundary so
+    * no per-key transaction straddles it (a fixture convenience; dblogMerge
+    * handles straddling WAL identically). */
+  def failoverNewSlotLsn(maxKey: Long): Long =
+    8L * (maxKey + 1) + 8L * (2L * (maxKey + 1) / 3L)
+
+  /** Post-failover DML epoch — the WAL the PROMOTED primary writes after
+    * the original slot is lost. All LSNs live above every epoch-1 position
+    * (base B = 8·(maxKey+1) + 8k per key), REPLICA IDENTITY FULL:
+    *  - k % 35 == 0: re-INSERT of a key epoch 1 deleted (price doubled);
+    *  - surviving (k % 7 ≠ 0) k % 4 == 0: UPDATE, price + 10.0;
+    *  - surviving k % 9 == 0: DELETE (after any update) —
+    * so recovery must apply inserts, value changes AND retirements against
+    * the pre-failover state. Same narrow per-partition generation as
+    * [[ordersToFrames]]. */
+  def ordersToFramesEpoch2(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+    val b0 = 8L * (maxKey + 1)
+    val relFrame = PgOutputEncoder.encode(ordersRelation)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rel = Iterator.single(0L -> relFrame)
+      val dml = rows.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = b0 + k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        def full(p: Double) = TupleData(Vector(
+          t(k.toString), t(cust.toString), t(status), t(p.toString),
+          t(pgTimestampText(dateUs)), t(prio)))
+        val p1 = if (k % 10 == 0) price + 1.0 else price // epoch-1 end state
+        val alive = k % 7 != 0
+        val reinsert = if (k % 35 == 0) Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, ts, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(
+            Insert(OrdersRelId, full(price * 2.0))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, ts)))
+        else Nil
+        val upd = if (alive && k % 4 == 0) Seq(
+          (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, ts, k.toInt)),
+          (base + 4) -> PgOutputEncoder.encode(
+            Update(OrdersRelId, Some('O'), Some(full(p1)), full(p1 + 10.0))),
+          (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, ts)))
+        else Nil
+        val pAtDelete = if (alive && k % 4 == 0) p1 + 10.0 else p1
+        val del = if (alive && k % 9 == 0) Seq(
+          (base + 6) -> PgOutputEncoder.encode(Begin(base + 8, ts, k.toInt)),
+          (base + 7) -> PgOutputEncoder.encode(
+            Delete(OrdersRelId, 'O', full(pAtDelete))),
+          (base + 8) -> PgOutputEncoder.encode(Commit(0, base + 8, base + 8, ts)))
+        else Nil
+        reinsert ++ upd ++ del
+      }
+      rel ++ dml
+    }
+  }
+
+  /** Chunked RE-snapshot for slot-loss failover recovery: pk-range chunk
+    * reads taken AFTER the replacement slot (created at
+    * [[failoverNewSlotLsn]]) starts streaming, racing its tail — watermark
+    * windows advance through the remaining epoch-2 WAL space. Chunk content
+    * is the table state at the chunk's LOW watermark: epoch 1 fully
+    * applied (it all committed before the failover), each epoch-2 event
+    * applied iff its position ≤ lo — so gap-lost changes arrive through
+    * the chunk values while tail-window races are resolved by
+    * [[Cdc.dblogMerge]]'s watermark rule, exactly as in
+    * [[ordersSnapshotChunks]]. */
+  def ordersSnapshotChunksFailover(
+      spark: SparkSession, sfDir: String, nChunks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
+    val b0 = 8L * (maxKey + 1)
+    val endLsn = b0 + 8L * (maxKey + 1) + 8L
+    val slotLsn = failoverNewSlotLsn(maxKey)
+    val c = maxKey / nChunks + 1
+    val w = (endLsn - slotLsn) / nChunks + 1L
+    orders.as[(Long, Long, String, Double, Long, String)]
+      .flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val chunk = k / c
+        val lo = slotLsn + chunk * w
+        val hi = lo + w
+        val base = b0 + k * 8
+        val p1 = if (k % 10 == 0) price + 1.0 else price
+        val stateAtLo: Option[Double] =
+          if (k % 7 == 0)
+            if (k % 35 == 0 && base + 1 <= lo) Some(price * 2.0) else None
+          else if (k % 9 == 0 && base + 7 <= lo) None
+          else Some(if (k % 4 == 0 && base + 4 <= lo) p1 + 10.0 else p1)
+        stateAtLo.map { p =>
+          (chunk, lo, hi,
+            Map("o_orderkey" -> k.toString),
+            Map("o_orderkey" -> k.toString, "o_custkey" -> cust.toString,
+              "o_orderstatus" -> status, "o_totalprice" -> p.toString,
+              "o_orderdate" -> pgTimestampText(dateUs),
+              "o_orderpriority" -> prio))
+        }
+      }
+      .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
+  }
+
   /** Two publications in ONE replication slot: orders and lineitem frames
     * interleaved on a shared LSN axis (2L for orders, 2L+1 for lineitem —
     * preserves each stream's internal order, no cross-relation LSN

@@ -564,6 +564,52 @@ object CdcQueries {
       finish(graft.decode.TypedView.ofAfter(merged, CdcPipeline.ordersRelation))
     }),
 
+    // Slot-loss FAILOVER RECOVERY — the reference's motivating problem
+    // (README.md:9-23: failover drops the replication slot; resume without
+    // a full re-sync). The composed path: the state materialized through
+    // the OLD slot survives the failover; a replacement slot starts on the
+    // promoted primary (everything the primary wrote in the gap is
+    // unobtainable by replication); a chunked re-snapshot races the new
+    // slot's tail (Cdc.dblogMerge's watermark rule resolves the races);
+    // and recovery emits only the DELTA between the old state and the
+    // converged one — upserts for gap/tail inserts and value changes,
+    // deletes for rows the gap retired. Untouched keys never appear, which
+    // is the "no full rebuild" contract: at 100 TB the re-snapshot is a
+    // read-side scan, but the state rewrite is delta-sized. The delta is
+    // N-independent (convergence must not depend on where the gap ended),
+    // so the whole report is expressible in ANSI SQL over the source
+    // table. Scale shape: one pk shuffle per side of dblogMerge's compact
+    // + one pk-keyed full-outer join — identical to cdc_state_audit.
+    "cdc_failover_resync" -> ((s, d) => {
+      val rel = CdcPipeline.ordersRelation
+      // pre-failover state: epoch 1 fully processed through the old slot
+      val oldState = graft.decode.TypedView.ofAfter(
+        graft.cdc.Cdc.compact(CdcPipeline.ordersEventsUDFI(s, d),
+          Seq("o_orderkey")), rel)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val maxKey = graft.Tables.orders(s, d)
+        .agg(max(col("o_orderkey"))).first().getLong(0)
+      val slotLsn = CdcPipeline.failoverNewSlotLsn(maxKey)
+      // the replacement slot ships only WAL past its creation point — the
+      // gap (epoch-2 base, slotLsn] is lost and must come from the chunks
+      val tail = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesEpoch2(s, d)).toDF()
+        .filter(col("lsn") > slotLsn)
+      val chunks = CdcPipeline.ordersSnapshotChunksFailover(s, d, nChunks = 8)
+      val merged = graft.decode.TypedView.ofAfter(
+        graft.cdc.Cdc.dblogMerge(tail, chunks, Seq("o_orderkey")), rel)
+        .select(col("o_orderkey").as("m_key"), col("o_totalprice").as("new_price"))
+      oldState.join(merged, col("o_orderkey") === col("m_key"), "full_outer")
+        .filter(col("m_key").isNull || col("o_orderkey").isNull ||
+          col("old_price") =!= col("new_price"))
+        .select(
+          coalesce(col("o_orderkey"), col("m_key")).as("o_orderkey"),
+          when(col("m_key").isNull, "delete").otherwise("upsert").as("action"),
+          col("old_price").cast("double").as("old_price"),
+          col("new_price").cast("double").as("new_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Materialized two-sided JOIN view: orders AND lineitem stream through
     // ONE replication slot (interleaved LSN axis), each side compacts to
     // its current state, and the view is their inner join on the order key
@@ -1161,6 +1207,28 @@ object CdcQueries {
                 ELSE o_totalprice END AS o_totalprice,
            o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 7 <> 0
+         ORDER BY o_orderkey""",
+
+    "cdc_failover_resync" ->
+      """WITH old_state AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         new_state AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END
+             + CASE WHEN o_orderkey % 4 = 0 THEN 10.0 ELSE 0.0 END AS price
+           FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 9 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2.0
+           FROM orders WHERE o_orderkey % 35 = 0)
+         SELECT COALESCE(o.k, n.k) AS o_orderkey,
+           CASE WHEN n.k IS NULL THEN 'delete' ELSE 'upsert' END AS action,
+           o.price AS old_price, n.price AS new_price
+         FROM old_state o FULL OUTER JOIN new_state n ON o.k = n.k
+         WHERE n.k IS NULL OR o.k IS NULL OR o.price <> n.price
          ORDER BY o_orderkey""",
 
     "cdc_join_view" ->

@@ -1453,8 +1453,10 @@ object Streams {
     *
     * Per micro-batch: (1) WAL events merge into table state (the normal
     * compaction merge); (2) for every chunk not yet applied, the batch's
-    * keys with lsn inside that chunk's (lo, hi] window append to its
-    * COLLISION set (the watermark rule's evidence — state alone cannot
+    * keys with lsn inside that chunk's [lo, hi] window (closed at lo —
+    * the live low watermark is the WAL insert position sampled before the
+    * chunk's select, so a raced record can start exactly AT lo; see
+    * Cdc.dblogMerge) append to its COLLISION set (the watermark rule's evidence — state alone cannot
     * supply it, a delete leaves no row to carry its LSN); (3) chunks whose
     * hi the stream has now passed FINALIZE: their rows minus collision
     * keys enter the same merge as synthetic inserts at hi. Collision sets,
@@ -1502,7 +1504,7 @@ object Streams {
     // neither set ops nor cheap equality joins)
     val newColl = batch.filter(col("op").isin("I", "U", "D"))
       .join(broadcast(boundsDf),
-        col("lsn") > col("c_lo") && col("lsn") <= col("c_hi"))
+        col("lsn") >= col("c_lo") && col("lsn") <= col("c_hi"))
       .select(col("c_id").as("chunk_id") +:
         keys.map(k => element_at(col("key"), k).as(s"k_$k")): _*)
     val existingColl = manifest.get("coll")

@@ -310,27 +310,35 @@ class CdcSpec extends AnyFunSuite {
 
   test("dblog merge: watermark rule drops racy chunk rows; naive merge is provably wrong") {
     import spark.implicits._
-    // Chunk read pinned at lo=10 (sees OLD values), window (10, 20].
+    // Chunk read pinned at lo=10 (sees OLD values), window [10, 20].
     //  key 1: WAL update at 15 — IN window  → chunk row must drop, WAL wins
     //  key 2: WAL update at 25 — after hi   → chunk row emitted, WAL overrides later
     //  key 3: WAL delete at 18 — IN window  → chunk row drops, key gone
     //  key 4: no WAL            → chunk row IS the state
+    //  key 5: WAL update AT lo=10 — IN window (closed at lo: the live low
+    //         watermark is the WAL insert position sampled before the
+    //         select, so a post-sample record starts exactly at lo —
+    //         live-observed on the failover leg, where the strict test let
+    //         a raced update lose to the stale chunk read)
     val wal = spark.createDataset(Seq(
       ev("U", 15, 1, "1", Map("id" -> "1", "v" -> "new1")),
       ev("U", 25, 2, "2", Map("id" -> "2", "v" -> "new2")),
-      ev("D", 18, 3, "3", null))).toDF()
+      ev("D", 18, 3, "3", null),
+      ev("U", 10, 5, "5", Map("id" -> "5", "v" -> "new5")))).toDF()
     val chunks = Seq(
       (0L, 10L, 20L, Map("id" -> "1"), Map("id" -> "1", "v" -> "old1")),
       (0L, 10L, 20L, Map("id" -> "2"), Map("id" -> "2", "v" -> "old2")),
       (0L, 10L, 20L, Map("id" -> "3"), Map("id" -> "3", "v" -> "old3")),
-      (0L, 10L, 20L, Map("id" -> "4"), Map("id" -> "4", "v" -> "old4")))
+      (0L, 10L, 20L, Map("id" -> "4"), Map("id" -> "4", "v" -> "old4")),
+      (0L, 10L, 20L, Map("id" -> "5"), Map("id" -> "5", "v" -> "old5")))
       .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
     def state(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       val m = r.getMap[String, String](r.fieldIndex("after"))
       m("id") -> m.getOrElse("v", null)
     }.toMap
     val merged = state(Cdc.dblogMerge(wal, chunks, Seq("id")))
-    assert(merged === Map("1" -> "new1", "2" -> "new2", "4" -> "old4"))
+    assert(merged === Map("1" -> "new1", "2" -> "new2", "4" -> "old4",
+      "5" -> "new5"))
     // WITHOUT the watermark rule the chunk events (positioned at hi=20)
     // outrank the in-window WAL: key 1 regresses to old1 and deleted key 3
     // resurrects — the exact anomalies DBLog's rule exists to prevent.

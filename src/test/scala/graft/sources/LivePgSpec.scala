@@ -1710,6 +1710,176 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var sparkStarted: SparkSession = null
 
+  test("slot-loss failover recovery live (the reference README's motivating " +
+      "problem): invalidated slot -> replacement slot -> chunked re-snapshot " +
+      "racing the new tail, merged into the EXISTING materialized state -> " +
+      "audit-clean convergence with a delta-sized rewrite, no full rebuild") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tfo (id bigint primary key, v text)")
+      sql.simpleQuery("ALTER TABLE tfo REPLICA IDENTITY FULL")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_fo FOR TABLE tfo")
+
+      // ---- epoch 1: slot A streams the pre-failover history into state ----
+      val condA = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_fo_a", "graft_pub_fo", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      condA.start(0L)
+      sql.simpleQuery(
+        "INSERT INTO tfo SELECT g, 'a' || g FROM generate_series(1, 300) g")
+      sql.simpleQuery("UPDATE tfo SET v = 'u' || id WHERE id % 10 = 0")
+      sql.simpleQuery("DELETE FROM tfo WHERE id % 7 = 0")
+      val eventsA = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      val builderA = new ChangeEventBuilder(new SchemaRegistry)
+      drainUntil(condA, builderA, eventsA)(
+        _.count(e => "IUD".contains(e.op)) >= 300 + 30 + 42)
+      condA.close() // consumer checkpointed through here, then the DC burned
+      val oldState: Map[String, String] =
+        foldState(eventsA.toSeq).map { case (k, row) => k -> row("v") }
+      assert(oldState.size === 258) // 300 − 42 deleted
+
+      // ---- the GAP: DML the promoted primary commits while no slot can
+      // ship it (slot A is about to be invalidated; its WAL is lost) ----
+      sql.simpleQuery("INSERT INTO tfo SELECT g * 35, 'r' || (g * 35) " +
+        "FROM generate_series(1, 8) g") // resurrect epoch-1-deleted keys
+      sql.simpleQuery("UPDATE tfo SET v = 'g' || id WHERE id % 20 = 0")
+      sql.simpleQuery("DELETE FROM tfo WHERE id % 33 = 0 AND id % 35 <> 0")
+
+      // ---- failover: invalidate slot A (checkpointer under a zero
+      // retention cap — same mechanics the dedicated invalidation leg pins)
+      sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      try {
+        var status = ""
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (status != "lost" && System.nanoTime() < deadline) {
+          sql.simpleQuery(
+            "SELECT pg_logical_emit_message(false, 'fill', repeat('x', 1000000))")
+          sql.simpleQuery("SELECT pg_switch_wal()")
+          sql.simpleQuery("CHECKPOINT")
+          status = sql.simpleQuery("SELECT wal_status FROM pg_replication_slots " +
+            "WHERE slot_name = 'graft_slot_fo_a'").head.head
+          if (status != "lost") Thread.sleep(200)
+        }
+        assert(status === "lost")
+      } finally {
+        try {
+          sql.simpleQuery("ALTER SYSTEM RESET max_slot_wal_keep_size")
+          sql.simpleQuery("SELECT pg_reload_conf()")
+        } catch { case _: Throwable => () }
+      }
+      // resuming the old slot is TERMINAL — this is what forces recovery
+      val resumeA = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_fo_a", "graft_pub_fo", createSlot = false,
+        temporarySlot = false, statusIntervalMs = 500L)
+      val err = intercept[Exception] {
+        resumeA.start(0L)
+        val d2 = System.nanoTime() + 20L * 1000 * 1000 * 1000
+        while (System.nanoTime() < d2) { if (resumeA.read().isEmpty) Thread.sleep(20) }
+      }
+      resumeA.close()
+      err match {
+        case s: java.sql.SQLException => assert(s.getSQLState === "55000")
+        case other => fail(s"expected the 55000 refusal, got $other")
+      }
+
+      // ---- recovery: replacement slot B on the promoted primary ----
+      val repl = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+        None, replication = true)
+      repl.handshake()
+      val (consistentPoint, _) =
+        PgWireSnapshot.createSlotWithSnapshot(repl, "graft_slot_fo_b")
+      repl.close()
+      assert(consistentPoint > 0L)
+
+      // tail DML lands AFTER slot B exists — obtainable by replication
+      sql.simpleQuery("UPDATE tfo SET v = 't' || id WHERE id % 25 = 0")
+      sql.simpleQuery(
+        "INSERT INTO tfo SELECT g, 'n' || g FROM generate_series(301, 320) g")
+      sql.simpleQuery("DELETE FROM tfo WHERE id % 41 = 0")
+
+      // chunked RE-snapshot racing the tail: DBLog watermarks around each
+      // pk-range read, with DML injected INSIDE chunk 1's window so the
+      // watermark rule (drop chunk rows whose key saw in-window WAL) is
+      // exercised against real WAL positions
+      def walLsn(): Long =
+        PgLsn.parse(sql.simpleQuery("SELECT pg_current_wal_lsn()").head.head)
+      val bounds = Seq((0L, 80L), (80L, 160L), (160L, 240L), (240L, 1000000L))
+      val chunkRows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, String, String)]
+      bounds.zipWithIndex.foreach { case ((kLo, kHi), i) =>
+        val lo = walLsn()
+        val rows = sql.simpleQuery(
+          s"SELECT id, v FROM tfo WHERE id > $kLo AND id <= $kHi")
+        if (i == 1) // the race: lands between chunk 1's select and its high
+          sql.simpleQuery("UPDATE tfo SET v = 'race' || id WHERE id = 100")
+        val hi = walLsn()
+        rows.foreach(r => chunkRows += ((i, lo, hi, r(0), r(1))))
+      }
+      // sentinel marks the end of the tail for the drain predicate
+      sql.simpleQuery("INSERT INTO tfo VALUES (999999, 'sentinel')")
+
+      val condB = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_fo_b", "graft_pub_fo", createSlot = false,
+        temporarySlot = false, statusIntervalMs = 500L)
+      val eventsB = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+      try {
+        condB.start(0L) // server resumes at slot B's consistent point
+        val builderB = new ChangeEventBuilder(new SchemaRegistry)
+        drainUntil(condB, builderB, eventsB)(
+          _.exists(e => e.op == "I" && e.after("id") == "999999"))
+      } finally condB.close()
+      assert(eventsB.forall(_.lsn > 0L) &&
+        !eventsB.exists(e => e.after != null && e.after.get("v").exists(_.startsWith("g"))),
+        "gap DML must NOT arrive by replication — that WAL is lost")
+
+      // ---- merge: dblogMerge(tail, chunks), then DELTA vs the old state ----
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, element_at}
+      val walDf = eventsB.toSeq.toDS().toDF()
+      val chunksDf = chunkRows.toSeq
+        .map { case (c, lo, hi, id, v) =>
+          (c, lo, hi, Map("id" -> id), Map("id" -> id, "v" -> v)) }
+        .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
+      val merged = graft.cdc.Cdc.dblogMerge(walDf, chunksDf, Seq("id"))
+        .select(element_at(col("after"), "id"), element_at(col("after"), "v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+      val deltaUpserts = merged.filter { case (k, v) => !oldState.get(k).contains(v) }
+      val deltaDeletes = oldState.keySet -- merged.keySet
+      // recovery applies ONLY the delta to the surviving state
+      val recovered = (oldState -- deltaDeletes) ++ deltaUpserts
+
+      val table = sql.simpleQuery("SELECT id, v FROM tfo")
+        .map(r => r(0) -> r(1)).toMap
+      assert(recovered === table,
+        "old state + resync delta must converge to the live table")
+      // the watermark rule resolved the raced row to the WAL value, not the
+      // stale chunk read (id=100: chunk saw 'g100', the race wrote 'race100')
+      assert(recovered("100") === "race100")
+      // gap changes recovered through the RE-SNAPSHOT, not replication:
+      // a gap-retired key leaves, a resurrected key returns
+      assert(oldState.contains("33") && !recovered.contains("33"))
+      assert(!oldState.contains("35") && recovered.get("35").exists(_.startsWith("r")))
+      // no full rebuild: untouched keys are carried, not rewritten — the
+      // delta is a strict minority of the surviving state
+      assert(!deltaUpserts.contains("1") && recovered("1") === "a1")
+      assert(deltaUpserts.size + deltaDeletes.size < oldState.size / 2,
+        s"delta ${deltaUpserts.size}+${deltaDeletes.size} vs state ${oldState.size}")
+    } finally {
+      Seq("graft_slot_fo_a", "graft_slot_fo_b").foreach { s =>
+        try sql.simpleQuery(s"SELECT pg_drop_replication_slot('$s')")
+        catch { case _: Throwable => () }
+      }
+      sql.close()
+    }
+  }
+
   test("pgcdc producer=pgwire: the full Spark micro-batch source over live DML " +
       "(live twin of cdc_insert_roundtrip)") {
     live()
