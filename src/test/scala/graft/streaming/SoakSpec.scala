@@ -177,6 +177,31 @@ class SoakSpec extends AnyFunSuite {
     assert(untouched === NKeys - updated.size)
   }
 
+  test("structural: the LWW bucketed sink also flips exactly its touched " +
+      "buckets — untouched bucket versions survive byte-identical (r6 advice)") {
+    val dir = Files.createTempDirectory("soak-lww-struct")
+    val seedLog = dir.resolve("seed.bin").toString
+    val stateDir = dir.resolve("state").toString
+    writeSeedLog(seedLog)
+    runSink(seedLog, stateDir, None, lww = true)
+    val before = StateStore.load(stateDir)
+    assert(before.keys.count(_.matches("b\\d+")) > 50, "seed should populate most buckets")
+
+    val waveLog = dir.resolve("wave.bin").toString
+    writeWaveLog(waveLog, 5 to 5) // wave 5 → buckets 10, 11
+    runSink(waveLog, stateDir, None, lww = true)
+    val after = StateStore.load(stateDir)
+
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => k.matches("b\\d+") && before.get(k) != after.get(k))
+    assert(changed === Set("b10", "b11"),
+      s"expected exactly buckets 10/11 to flip, got $changed")
+    (before -- Seq("b10", "b11", "nbuckets")).foreach { case (k, v) =>
+      if (k.matches("b\\d+"))
+        assert(new java.io.File(s"$stateDir/$v").exists(), s"bucket $k dir vanished")
+    }
+  }
+
   test("soak: LWW bucketed sink holds the same envelope (10 waves)") {
     val dir = Files.createTempDirectory("soak-lww")
     val seedLog = dir.resolve("seed.bin").toString
