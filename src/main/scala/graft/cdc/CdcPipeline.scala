@@ -358,6 +358,59 @@ object CdcPipeline {
     }
   }
 
+  /** ALTER COLUMN TYPE mid-stream (the third evolution form beside
+    * ADD/DROP): every order inserts under the float8-typed v1 relation,
+    * then the SAME relation id re-announces with o_totalprice retyped to
+    * NUMERIC(12,2) — new type oid AND atttypmod, both carried by the
+    * Relation frame (reference decoders.py:232-290 parses both but the
+    * reference never re-projects) — and k % 3 == 0 keys update with
+    * post-retype images (price + 1, rendered as the scale-2 decimal text
+    * PG sends for the new type). The registry must swap the column type at
+    * the re-send point, and the final typed view re-casts the PRE-retype
+    * rows' stored float8-era text under the new DecimalType(12,2). Same
+    * per-partition buffering as [[ordersToFramesEvolving]] (the retyped
+    * Relation precedes the first new-type image in partition order). */
+  def ordersToFramesRetyping(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority"))
+    val relV1 = PgOutputEncoder.encode(ordersRelation)
+    val relRetyped = PgOutputEncoder.encode(ordersRelationNumeric)
+    orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
+      def t(v: String) = ColumnData('t', Some(v))
+      val rs = rows.toVector
+      val inserts = rs.iterator.flatMap { case (k, cust, status, price, dateUs, prio) =>
+        val base = k * 8
+        val ts = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+        Seq(
+          base -> PgOutputEncoder.encode(Begin(base + 2, ts, k.toInt)),
+          (base + 1) -> PgOutputEncoder.encode(Insert(OrdersRelId, TupleData(Vector(
+            t(k.toString), t(cust.toString), t(status), t(price.toString),
+            t(pgTimestampText(dateUs)), t(prio))))),
+          (base + 2) -> PgOutputEncoder.encode(Commit(0, base + 2, base + 2, ts)))
+      }
+      val updates = rs.iterator.filter(_._1 % 3 == 0)
+        .flatMap { case (k, cust, status, price, dateUs, prio) =>
+          val base = k * 8
+          val ts = PgOutputDecoder.unixMicrosToPgMicros(dateUs)
+          val priceTxt = java.math.BigDecimal.valueOf(price + 1.0)
+            .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+          Seq(
+            (base + 3) -> PgOutputEncoder.encode(Begin(base + 5, ts, k.toInt)),
+            (base + 4) -> PgOutputEncoder.encode(Update(OrdersRelId, None, None,
+              TupleData(Vector(
+                t(k.toString), t(cust.toString), t(status), t(priceTxt),
+                t(pgTimestampText(dateUs)), t(prio))))),
+            (base + 5) -> PgOutputEncoder.encode(Commit(0, base + 5, base + 5, ts)))
+        }
+      Iterator.single(0L -> relV1) ++ inserts ++
+        Iterator.single(1L -> relRetyped) ++ updates
+    }
+  }
+
   val OrdersP0RelId = 50011
   val OrdersP1RelId = 50012
 

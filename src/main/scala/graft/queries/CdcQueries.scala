@@ -673,6 +673,22 @@ object CdcQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ALTER COLUMN TYPE mid-stream (the evolution form ADD/DROP doesn't
+    // cover): the relation re-announces with o_totalprice's type oid and
+    // atttypmod CHANGED (float8 → numeric(12,2)); the registry swaps the
+    // column type at the re-send point and the final typed view re-casts
+    // pre-retype rows' stored float8-era text under DecimalType(12,2) —
+    // one consistent typed output across the type boundary, no historical
+    // rewrite. k % 3 == 0 rows carry post-retype scale-2 images (+1.0).
+    "cdc_schema_retype" -> ((s, d) => {
+      val events = CdcPipeline.decodeFrames(
+        CdcPipeline.ordersToFramesRetyping(s, d)).toDF()
+      graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelationNumeric)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // NUMERIC(p,s) through the typed view: the atttypmod carried on the
     // Relation frame ((p<<16|s)+4) must surface as DecimalType(12,2) —
     // exact money semantics — where the reference coerces every numeric to
@@ -1005,6 +1021,13 @@ object CdcQueries {
     "cdc_numeric_typed" ->
       """SELECT o_orderkey,
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+         FROM orders ORDER BY o_orderkey""",
+
+    "cdc_schema_retype" ->
+      """SELECT o_orderkey,
+           CAST(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS DECIMAL(12,2)) AS DOUBLE)
+             AS o_totalprice
          FROM orders ORDER BY o_orderkey""",
 
     "cdc_partitioned_table" ->

@@ -661,6 +661,67 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { conduit.close(); sql.close() }
   }
 
+  test("ALTER COLUMN TYPE live: the retyped relation re-announces with the " +
+      "new type oid AND atttypmod; the registry swaps mid-stream and the " +
+      "typed view re-casts pre-retype images — materialized state " +
+      "hash-checks against the live table") {
+    live()
+    val sql = sqlConn()
+    val conduit = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+      None, "graft_slot_rt", "graft_pub_rt", createSlot = true,
+      temporarySlot = true, statusIntervalMs = 500L)
+    try {
+      sql.simpleQuery("CREATE TABLE trt (id bigint primary key, price float8)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_rt FOR TABLE trt")
+      conduit.start(0L)
+      val registry = new SchemaRegistry
+      val builder = new ChangeEventBuilder(registry)
+      val events = scala.collection.mutable.ArrayBuffer.empty[ChangeEvent]
+
+      sql.simpleQuery(
+        "INSERT INTO trt SELECT g, g * 1.5 FROM generate_series(1, 40) g")
+      drainUntil(conduit, builder, events)(_.count(_.op == "I") >= 40)
+      val relId = events.head.relationId
+      val preOid = registry.get(relId).get.columns.find(_.name == "price").get
+      assert(preOid.typeOid === TypedView.Oid.Float8)
+
+      // the retype: server rewrites the table and re-announces the relation
+      // with price's NEW oid and typmod on the next published change
+      sql.simpleQuery("ALTER TABLE trt ALTER COLUMN price TYPE numeric(12,2)")
+      sql.simpleQuery("UPDATE trt SET price = price + 1 WHERE id % 3 = 0")
+      drainUntil(conduit, builder, events)(_.count(_.op == "U") >= 13)
+      val post = registry.get(relId).get.columns.find(_.name == "price").get
+      assert(post.typeOid === TypedView.Oid.Numeric,
+        s"retyped column must re-announce as numeric, got oid ${post.typeOid}")
+      assert(post.typeMod === ((12 << 16) | 2) + 4,
+        s"atttypmod must carry (12,2), got ${post.typeMod}")
+
+      // materialize THROUGH the final (retyped) schema: pre-retype float8
+      // text images re-cast under DecimalType(12,2); the result must equal
+      // the live table's own numeric rendering, row for row
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      import spark.implicits._
+      val finalRel = registry.get(relId).get
+      val state = graft.cdc.Cdc.materialize(events.toSeq.toDS().toDF(), finalRel)
+      val priceType = state.schema("price").dataType
+      assert(priceType === org.apache.spark.sql.types.DecimalType(12, 2),
+        s"typed view must surface the retyped DecimalType(12,2), got $priceType")
+      val got = state.collect()
+        .map(r => r.getLong(r.fieldIndex("id")) ->
+          r.getDecimal(r.fieldIndex("price")).toPlainString).toMap
+      val want = sql.simpleQuery("SELECT id, price FROM trt")
+        .map(r => r(0).toLong -> r(1)).toMap
+      assert(got === want,
+        "materialized typed state must hash-match the live table across the retype")
+      // the ALTER's table rewrite does NOT re-send old rows as DML: exactly
+      // the 40 inserts + 13 updates arrived (no surprise replay)
+      assert(events.count(e => "IUD".contains(e.op)) === 53)
+    } finally { conduit.close(); sql.close() }
+  }
+
   test("error paths live: a missing publication surfaces the server's error " +
       "on decode; a second consumer of an active slot is refused cleanly") {
     live()
