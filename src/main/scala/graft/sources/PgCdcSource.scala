@@ -303,6 +303,20 @@ final class EnvelopeEventsReaderFactory extends PartitionReaderFactory {
   *  - `commit(end)` sends flush feedback and checkpoints the schema
   *    registry (K3), so a restarted stream decodes relations the server
   *    does not re-send until they change.
+  *
+  * MULTI-SLOT scale-out and the ordering contract: the replication
+  * protocol is one cursor per slot, so a single source instance cannot
+  * parallelize the tail — the 100 TB shape is N publications → N slots →
+  * N source instances `union`ed in one query (or N separate queries).
+  * Spark checkpoints each source's offset independently: one slot
+  * stalling, reconnecting, or restarting never rewinds or blocks another.
+  * Ordering holds WITHIN a slot only (events arrive in that slot's
+  * commit order, and batches cut at non-decreasing LSNs); ACROSS slots no
+  * order exists or is recoverable — each slot's LSNs are positions in the
+  * same WAL but their interleaving in the union is arbitrary per batch,
+  * exactly as with N independent consumers. Consumers needing cross-table
+  * transactional consistency must keep those tables in ONE publication on
+  * one slot (the single-cursor cost is the price of the guarantee).
   */
 final class PgCdcMicroBatch(
     conduit: ReplicationConduit, startLsn: Long, maxFramesPerTrigger: Option[Long],

@@ -607,6 +607,85 @@ class PgCdcSourceSpec extends AnyFunSuite {
     assert(mcA.starts >= 2, "the active-slot race must have been retried")
   }
 
+  test("multi-slot parallel ingestion: two sources (one per slot) union into " +
+      "ONE query with independent per-source offsets; a restart resumes BOTH " +
+      "from their own positions; order holds within a slot, never across") {
+    // The 100 TB CDC story: the protocol is one cursor per slot, so scale-out
+    // is N publications → N slots → N source instances in one Spark app.
+    // Spark's checkpoint tracks each source's offset independently — slot A
+    // stopping mid-stream must not stall or rewind slot B.
+    def t(v: String) = ColumnData('t', Some(v))
+    def mkRel(id: Int, name: String) = Relation(id, "public", name, 'd',
+      Vector(RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1)))
+    def framesOf(rel: Relation, n: Int): Seq[(Long, PgOutputMessage)] =
+      Seq(0L -> (rel: PgOutputMessage)) ++ (1 to n).flatMap { i =>
+        Seq(
+          (i * 8L) -> (Begin(i * 8L + 2, 1000, i): PgOutputMessage),
+          (i * 8L + 1) -> Insert(rel.relationId,
+            TupleData(Vector(t(i.toString)))),
+          (i * 8L + 2) -> Commit(0, i * 8L + 2, i * 8L + 2, 1000))
+      }
+    val mcA = new TxnResendConduit(framesOf(mkRel(61, "ta"), 12))
+    val mcB = new TxnResendConduit(framesOf(mkRel(62, "tb"), 9))
+    PgCdcConduits.register("ms_a", mcA)
+    PgCdcConduits.register("ms_b", mcB)
+    // phase 1: each slot's backlog cuts at a DIFFERENT point (A after key 5's
+    // txn = 1 + 5·3 frames; B after key 2's txn)
+    mcA.available = 16
+    mcB.available = 7
+    val ckpt = Files.createTempDirectory("multi_slot").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    def run(): Unit = {
+      val srcA = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "conduit").option("conduit.name", "ms_a")
+        .option("maxFramesPerTrigger", "4").load()
+      val srcB = spark.readStream.format("graft.sources.PgCdcProvider")
+        .option("producer", "conduit").option("conduit.name", "ms_b")
+        .option("maxFramesPerTrigger", "4").load()
+      val q = srcA.unionByName(srcB).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val rows = b.selectExpr("table", "after['id']", "lsn").collect()
+            .map(r => (batchId, r.getString(0), r.getString(1).toLong, r.getLong(2)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val phase1 = got.synchronized(got.toVector)
+    val p1A = phase1.filter(_._2 == "ta").map(_._3).toSet
+    val p1B = phase1.filter(_._2 == "tb").map(_._3).toSet
+    assert(p1A === (1 to 5).map(_.toLong).toSet,
+      s"slot A must deliver its own backlog independently, got $p1A")
+    assert(p1B === (1 to 2).map(_.toLong).toSet,
+      s"slot B must deliver its own backlog independently, got $p1B")
+    // phase 2: both backlogs open up; the SAME checkpoint resumes each
+    // source from its own offset — no rewind, no cross-slot interference
+    mcA.available = Int.MaxValue
+    mcB.available = Int.MaxValue
+    run()
+    val all = got.synchronized(got.toVector)
+    assert(all.filter(_._2 == "ta").map(_._3).sorted === (1L to 12L),
+      "slot A: every row exactly once across the restart")
+    assert(all.filter(_._2 == "tb").map(_._3).sorted === (1L to 9L),
+      "slot B: every row exactly once across the restart")
+    // per-slot ordering contract: WITHIN a slot, batches deliver in LSN
+    // order (max lsn of an earlier batch < min lsn of a later one); ACROSS
+    // slots no order exists — the lsn axes are unrelated WAL positions
+    Seq("ta", "tb").foreach { tbl =>
+      val byBatch = all.filter(_._2 == tbl).groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (bid, rows) => (bid, rows.map(_._4).min, rows.map(_._4).max) }
+      byBatch.sliding(2).foreach {
+        case Seq((b1, _, max1), (b2, min2, _)) =>
+          assert(max1 < min2,
+            s"$tbl: batch $b1 max lsn $max1 !< batch $b2 min lsn $min2")
+        case _ => ()
+      }
+    }
+  }
+
   test("reconnect dial budget is SHARED across a read's reconnect cycles: " +
       "worst case is reconnectRetries total dials, not retries² (r6-advice low)") {
     // start(): the initial connection succeeds, then dials fail twice and
