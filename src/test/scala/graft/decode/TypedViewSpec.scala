@@ -108,6 +108,36 @@ class TypedViewSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("_errors")) === 0).count() === 2)
   }
 
+  test("INCOMPATIBLE retype routes pre-retype images to the error channel: " +
+      "old text values that cannot coerce under the re-announced type " +
+      "surface as cast_error rows, never silent nulls") {
+    import spark.implicits._
+    // ALTER TABLE ... ALTER COLUMN code TYPE bigint USING ...: the server
+    // re-announces the relation with code's new oid. Rows decoded BEFORE
+    // the retype hold the old text-era images ('A7' — legal text, not a
+    // number); a compatible value ('17') re-casts cleanly. The validated
+    // view is where the split happens: coercible history flows on under
+    // the new type, uncoercible history routes to the error channel for
+    // the operator to reconcile (the USING expression is not on the wire).
+    val retyped = Relation(1, "public", "t", 'd', Vector(
+      RelationColumn(partOfKey = true, "id", TypedView.Oid.Int8, -1),
+      RelationColumn(partOfKey = false, "code", TypedView.Oid.Int8, -1)))
+    val env = Seq(
+      (Map("id" -> "1", "code" -> "17"), Seq.empty[String]),   // re-casts
+      (Map("id" -> "2", "code" -> "A7"), Seq.empty[String]),   // cannot
+      (Map("id" -> "3", "code" -> "9000000000"), Seq.empty[String])
+    ).toDF("after", "after_toasted")
+    val v = TypedView.ofAfterValidated(env, retyped, notNull = Set.empty)
+    val byId = v.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Seq[String]]("_errors")).toMap
+    assert(byId(1L) === Seq() && byId(3L) === Seq())
+    assert(byId(2L) === Seq("cast_error:code"),
+      "an uncoercible pre-retype image must surface, not null out")
+    assert(v.filter(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("_errors")) === 0)
+      .select("code").collect().map(_.getLong(0)).sorted === Seq(17L, 9000000000L))
+  }
+
   test("numeric NaN/Infinity (legal pg numeric values DecimalType cannot hold) " +
       "route to the cast_error channel, never silent zeros") {
     import spark.implicits._
