@@ -27,26 +27,29 @@ object Bench {
       Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
       Tables.documents _, Tables.embeddings _).foreach(f => f(spark, sfDir).schema)
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
-    // Fixture warmup: the shared wire-envelope spills (pgoutput encode →
-    // decode → parquet) are TEST-INPUT generation, not engine work, and
-    // their one-time build otherwise lands on whichever cdc_* query runs
-    // first (r6: cdc_truncate 92 s first-pass vs ~1 s retimed was pure
-    // fixture construction). Build them before the clock starts so
-    // first-pass times measure queries. Query-side shared caches (LSH
-    // signatures, trained models) are real engine work a user would pay —
-    // those stay inside the timed run.
-    Seq(
-      graft.cdc.CdcPipeline.ordersEventsUDFI _,
-      graft.cdc.CdcPipeline.ordersEventsUD _,
-      graft.cdc.CdcPipeline.lineitemEvents _,
-      graft.cdc.CdcPipeline.docsDmlEvents _,
-      graft.cdc.CdcPipeline.embeddingsEvents _
-    ).foreach(f => f(spark, sfDir))
 
     // dev hook: SPARK_GRAFT_ONLY=q01_pricing_summary,dedup_clusters restricts
     // the run (isolated per-query floors); unset = full driver-shaped bench
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Fixture warmup: the shared wire-envelope spills (pgoutput encode →
+    // decode → parquet) are TEST-INPUT generation, not engine work, and
+    // their one-time build otherwise lands on whichever cdc_* query runs
+    // first (r6: cdc_truncate 92 s first-pass vs ~1 s retimed was pure
+    // fixture construction). Build them before the clock starts so
+    // first-pass times measure queries — but only when the run includes a
+    // cdc query at all (a restricted non-CDC dev run must not pay the
+    // builds). Query-side shared caches (LSH signatures, trained models)
+    // are real engine work a user would pay — those stay inside the
+    // timed run.
+    if (only.forall(_.exists(_.startsWith("cdc_"))))
+      Seq(
+        graft.cdc.CdcPipeline.ordersEventsUDFI _,
+        graft.cdc.CdcPipeline.ordersEventsUD _,
+        graft.cdc.CdcPipeline.lineitemEvents _,
+        graft.cdc.CdcPipeline.docsDmlEvents _,
+        graft.cdc.CdcPipeline.embeddingsEvents _
+      ).foreach(f => f(spark, sfDir))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -918,15 +918,17 @@ object CdcPipeline {
     *  - surviving (k % 7 ≠ 0) k % 4 == 0: UPDATE, price + 10.0;
     *  - surviving k % 9 == 0: DELETE (after any update) —
     * so recovery must apply inserts, value changes AND retirements against
-    * the pre-failover state. Same narrow per-partition generation as
-    * [[ordersToFrames]]. */
-  def ordersToFramesEpoch2(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
+    * the pre-failover state. `maxKey` is threaded in by the caller (one
+    * scan-for-a-scalar job shared by the query, this generator, and the
+    * chunk generator — review finding). Same narrow per-partition
+    * generation as [[ordersToFrames]]. */
+  def ordersToFramesEpoch2(spark: SparkSession, sfDir: String,
+      maxKey: Long): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     val orders = graft.Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
         col("o_orderpriority"))
-    val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
     val b0 = 8L * (maxKey + 1)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
@@ -976,14 +978,14 @@ object CdcPipeline {
     * [[Cdc.dblogMerge]]'s watermark rule, exactly as in
     * [[ordersSnapshotChunks]]. */
   def ordersSnapshotChunksFailover(
-      spark: SparkSession, sfDir: String, nChunks: Int = 8): DataFrame = {
+      spark: SparkSession, sfDir: String, nChunks: Int,
+      maxKey: Long): DataFrame = {
     import spark.implicits._
     val orders = graft.Tables.orders(spark, sfDir)
       .select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
         col("o_orderpriority"))
-    val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
     val b0 = 8L * (maxKey + 1)
     val endLsn = b0 + 8L * (maxKey + 1) + 8L
     val slotLsn = failoverNewSlotLsn(maxKey)

@@ -593,9 +593,10 @@ object CdcQueries {
       // the replacement slot ships only WAL past its creation point — the
       // gap (epoch-2 base, slotLsn] is lost and must come from the chunks
       val tail = CdcPipeline.decodeFrames(
-        CdcPipeline.ordersToFramesEpoch2(s, d)).toDF()
+        CdcPipeline.ordersToFramesEpoch2(s, d, maxKey)).toDF()
         .filter(col("lsn") > slotLsn)
-      val chunks = CdcPipeline.ordersSnapshotChunksFailover(s, d, nChunks = 8)
+      val chunks = CdcPipeline.ordersSnapshotChunksFailover(s, d,
+        nChunks = 8, maxKey)
       val merged = graft.decode.TypedView.ofAfter(
         graft.cdc.Cdc.dblogMerge(tail, chunks, Seq("o_orderkey")), rel)
         .select(col("o_orderkey").as("m_key"), col("o_totalprice").as("new_price"))

@@ -474,32 +474,35 @@ final class PgCdcMicroBatch(
     // policy: a freshly restarted server commonly drops the first read
     // (half-open accept, crash-recovery not yet at a consistent point), and
     // an unguarded retry would kill the query with reconnect budget left.
-    // ONE dial budget of `reconnectRetries` total dials is SHARED across
-    // every reconnect() this read triggers — each reconnect() invocation
-    // consumes the dials it actually made — so the worst case is linear
-    // (reconnectRetries dials per read), not the retries² of a
-    // per-invocation budget. Each dial is backoff-paced.
-    var dials = reconnectRetries
+    // ONE budget of `reconnectRetries` FAILED dials is SHARED across every
+    // reconnect() this read triggers — successful dials are free, so the
+    // worst case is linear (reconnectRetries failures, interleaved with at
+    // most that many successes), not the retries² of a per-invocation
+    // budget, AND a reconnect that succeeds always leaves the follow-up
+    // read at least one retry (success requires failed < remaining, so
+    // ≥ 1 budget survives it — the guarantee the first sentence promises).
+    // Each failed dial is backoff-paced.
+    var failBudget = reconnectRetries
     while (true) {
       try return activeConduit.read()
       catch {
         case e @ (_: java.io.IOException | _: java.sql.SQLException)
-            if conduitFactory.nonEmpty && dials > 0 && retryable(e) =>
-          dials -= reconnect(e, dials)
+            if conduitFactory.nonEmpty && failBudget > 0 && retryable(e) =>
+          failBudget -= reconnect(e, failBudget)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Rebuilds the conduit in place, making at most `maxDials` connection
-    * attempts; returns the number of dials actually made so the caller's
-    * shared budget stays exact. */
-  private def reconnect(trigger: Throwable, maxDials: Int): Int = {
+  /** Rebuilds the conduit in place, tolerating at most `maxFailedDials`
+    * FAILED connection attempts; returns the number that actually failed
+    * (a success costs nothing) so the caller's shared budget stays exact. */
+  private def reconnect(trigger: Throwable, maxFailedDials: Int): Int = {
     try activeConduit.close() catch { case _: Throwable => () }
     var attempt = 0
     var last: Throwable = trigger
     var connected = false
-    while (!connected && attempt < math.min(reconnectRetries, maxDials)) {
+    while (!connected && attempt < math.min(reconnectRetries, maxFailedDials)) {
       attempt += 1
       try Thread.sleep(math.min(reconnectBackoffMs << (attempt - 1), 30000L))
       catch {
@@ -534,14 +537,14 @@ final class PgCdcMicroBatch(
     if (!connected)
       throw new java.io.IOException(
         s"pgcdc: conduit lost and $attempt reconnect attempts failed " +
-          s"(dial budget $reconnectRetries per read, resume point " +
+          s"(failed-dial budget $reconnectRetries per read, resume point " +
           s"$bufferedThrough)", last)
     replayHorizon = bufferedThrough
     lastEventLsn = Long.MinValue
     builder = new graft.decode.ChangeEventBuilder(registry,
       emitTxnMarkers = txnMarkers, emitMessages = messages)
     reconnects += 1
-    attempt
+    attempt - 1 // the last attempt connected; only the failures bill the budget
   }
 
   private var reconnects = 0L

@@ -377,6 +377,10 @@ object PgWireConnection {
       else if (c.contains("SHA3256")) "SHA3-256"
       else if (c.contains("SHA3384")) "SHA3-384"
       else if (c.contains("SHA3512")) "SHA3-512"
+      // the truncated SHA-512/t family must match BEFORE the bare SHA512
+      // substring, or a SHA-512/256 cert would silently bind with SHA-512
+      else if (c.contains("SHA512/224")) "SHA-512/224"
+      else if (c.contains("SHA512/256")) "SHA-512/256"
       else if (c.contains("SHA384")) "SHA-384"
       else if (c.contains("SHA512")) "SHA-512"
       else if (c.contains("SHA224")) "SHA-224"

@@ -2526,21 +2526,6 @@ object Streams {
     }
   }
 
-  /** The statement sequence a PK-CHANGING UPDATE applies (pure —
-    * spec-testable), sent as ONE simple-query message so the wire runs it
-    * in one implicit transaction (no observer sees neither-row or
-    * both-rows):
-    *  1. upsert the NEW key's row (VALUES straight from the after image;
-    *     unchanged-TOAST columns excluded, as everywhere);
-    *  2. if any column was TOAST-unchanged ('u' — value NOT resent), copy
-    *     it from the OLD key's row into the new one (the value exists only
-    *     there; a bare delete+insert would silently NULL it);
-    *  3. DELETE the old key's row.
-    * Replay-idempotent: on a second apply the old row is gone, so the copy
-    * and delete no-op while the upsert converges (its DO UPDATE SET also
-    * excludes toasted columns, so the copied value survives). Upsert-first
-    * (never UPDATE-the-key-in-place) keeps a drifted sink from aborting the
-    * transaction on a unique violation — the move self-heals instead. */
   /** Whether a barrier-statement failure warrants ONE re-dial+retry:
     * transport death (IOException) or a server error whose SQLSTATE is a
     * connection-class state — 08xxx connection exceptions, 57xxx operator
@@ -2559,6 +2544,21 @@ object Streams {
     case _ => false
   }
 
+  /** The statement sequence a PK-CHANGING UPDATE applies (pure —
+    * spec-testable), sent as ONE simple-query message so the wire runs it
+    * in one implicit transaction (no observer sees neither-row or
+    * both-rows):
+    *  1. upsert the NEW key's row (VALUES straight from the after image;
+    *     unchanged-TOAST columns excluded, as everywhere);
+    *  2. if any column was TOAST-unchanged ('u' — value NOT resent), copy
+    *     it from the OLD key's row into the new one (the value exists only
+    *     there; a bare delete+insert would silently NULL it);
+    *  3. DELETE the old key's row.
+    * Replay-idempotent: on a second apply the old row is gone, so the copy
+    * and delete no-op while the upsert converges (its DO UPDATE SET also
+    * excludes toasted columns, so the copied value survives). Upsert-first
+    * (never UPDATE-the-key-in-place) keeps a drifted sink from aborting the
+    * transaction on a unique violation — the move self-heals instead. */
   private[streaming] def pgPkChangeStatement(table: String, cols: Seq[String],
       keyCols: Seq[String], vals: Seq[String], oldKeys: Seq[String],
       toasted: Set[String]): String = {

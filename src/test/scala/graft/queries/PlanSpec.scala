@@ -499,25 +499,58 @@ class PlanSpec extends AnyFunSuite {
       "text_zipf_fit" -> "log-bucketed rank histogram: ~64 bucket rows"
     )
     val unordered = Seq("HashAggregate", "ObjectHashAggregate",
-      "SortAggregate", "GlobalLimit", "CollectLimit", "Project", "Generate",
-      "Expand", "Filter", "Coalesce", "Exchange", "Subquery", "Scan",
-      "InMemory", "Union", "AQEShuffleRead", "Join")
+      "SortAggregate", "GlobalLimit", "CollectLimit", "LocalLimit",
+      "Project", "Generate", "Expand", "Filter", "Coalesce", "Exchange",
+      "Subquery", "Scan", "InMemory", "Union", "AQEShuffleRead", "Join",
+      "AdaptiveSparkPlan")
     val unclassified = scala.collection.mutable.ArrayBuffer.empty[String]
     val flagged = scala.collection.mutable.Map.empty[String, Vector[String]]
+    // The consumer is resolved from the formatted plan's TREE section —
+    // the exchange's structural PARENT — not "the next detail block"
+    // (review finding: the next-listed detail can be an intermediate or a
+    // sibling subtree's leaf, hiding a data-sized sort behind it). A tree
+    // entry is `name (id)`; its parent is the nearest line above at a
+    // smaller name column within the same contiguous tree block.
+    val treeEntry = """^([\s:+\-*]*)([A-Za-z][A-Za-z0-9_]*(?:\s+[A-Za-z][A-Za-z0-9_.]*)*)\s+\((\d+)\)\s*$""".r
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       val lines = p.linesIterator.toVector
-      val followers = lines.zipWithIndex
+      // (lineNo, nameCol, opName, id) for every tree entry in every section
+      val tree = lines.zipWithIndex.flatMap {
+        case (treeEntry(prefix, op, id), i) => Some((i, prefix.length, op, id))
+        case _ => None
+      }
+      val byId = tree.map(t => t._4 -> t).toMap
+      def parentOf(id: String): Option[String] = byId.get(id).flatMap {
+        case (line, colN, _, _) =>
+          // walk up the SAME contiguous tree block (consecutive lines)
+          var i = tree.indexWhere(_._4 == id) - 1
+          var expect = line - 1
+          while (i >= 0 && tree(i)._1 == expect && tree(i)._2 >= colN) {
+            expect -= 1; i -= 1
+          }
+          if (i >= 0 && tree(i)._1 == expect && tree(i)._2 < colN)
+            Some(tree(i)._3)
+          else None
+      }
+      // each SinglePartition detail line → its exchange's node id → parent
+      val detailHeader = """^\((\d+)\)\s+\S.*$""".r
+      val consumers = lines.zipWithIndex
         .filter(_._1.contains("SinglePartition")).map { case (_, i) =>
-          lines.drop(i + 1).find(_.trim.startsWith("(")).getOrElse("")
+          val id = lines.take(i).reverseIterator.collectFirst {
+            case detailHeader(n) => n
+          }
+          id.flatMap(parentOf).getOrElse("")
         }
-      followers.foreach { f =>
+      consumers.foreach { f =>
         val ordered = (f.contains("Sort") && !f.contains("SortAggregate")) ||
           f.contains("Window")
         if (ordered)
           flagged(name) = flagged.getOrElse(name, Vector.empty) :+ f.trim
         else if (!unordered.exists(f.contains) && f.nonEmpty)
           unclassified += s"$name: SinglePartition feeds UNCLASSIFIED $f"
+        else if (f.isEmpty)
+          unclassified += s"$name: SinglePartition exchange with UNRESOLVED parent"
       }
     }
     assert(unclassified.isEmpty, unclassified.mkString("\n"))

@@ -687,12 +687,14 @@ class PgCdcSourceSpec extends AnyFunSuite {
   }
 
   test("reconnect dial budget is SHARED across a read's reconnect cycles: " +
-      "worst case is reconnectRetries total dials, not retries² (r6-advice low)") {
+      "worst case is reconnectRetries FAILED dials, not retries² — and a " +
+      "successful reconnect always leaves the next read a retry (r6-advice low)") {
     // start(): the initial connection succeeds, then dials fail twice and
     // succeed every third attempt; read(): always fails retryable. Under a
     // per-invocation budget this burns 3 invocations × 3 dials = 9 dials
     // (plus the initial start) before surfacing; the shared budget caps
-    // total dials at reconnectRetries = 3.
+    // FAILED dials at reconnectRetries = 3, successes ride free (so a
+    // reconnect that heals can never strand the follow-up read at zero).
     val startAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
     val conduit = new ReplicationConduit {
       override def start(afterLsn: Long): Unit = {
@@ -720,11 +722,14 @@ class PgCdcSourceSpec extends AnyFunSuite {
       catch { case _: Throwable => true }
     q.stop()
     assert(failed, "a read that never heals must fail the query")
-    // 1 initial start + exactly 3 dials (2 failed + 1 healed, after which
-    // the budget is spent and the next read failure surfaces immediately)
-    assert(startAttempts.get === 4,
-      s"expected 4 start attempts (1 initial + 3 budgeted dials), " +
-        s"got ${startAttempts.get}")
+    // 1 initial start + 4 dials: attempts 2,3 fail (2 budget), 4 heals
+    // (free — the follow-up read keeps its 1 remaining retry), 5 fails
+    // (3rd and last budgeted failure) → the next read failure surfaces.
+    // Exactly reconnectRetries = 3 FAILED dials, linear, with the
+    // post-success grace intact.
+    assert(startAttempts.get === 5,
+      s"expected 5 start attempts (1 initial + 2 failed + 1 healed + " +
+        s"1 failed), got ${startAttempts.get}")
   }
 
   test("maxBytesPerTrigger: byte-budget admission splits the backlog into " +

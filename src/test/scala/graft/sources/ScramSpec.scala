@@ -200,8 +200,16 @@ class ScramSpec extends AnyFunSuite {
     assert(PgWireConnection.certHashAlg("SHA3-256withRSA", null) === "SHA3-256")
     assert(PgWireConnection.certHashAlg("SHA3-384withECDSA", null) === "SHA3-384")
     assert(PgWireConnection.certHashAlg("SHA3-512withRSA", null) === "SHA3-512")
+    // truncated SHA-512/t certs bind as themselves — the bare SHA512
+    // substring must not swallow them (review finding: a SHA-512/256 cert
+    // bound with SHA-512 and, having matched a SHA-2 substring, never
+    // logged the mismatch)
+    assert(PgWireConnection.certHashAlg("SHA512/224withRSA", null) === "SHA-512/224")
+    assert(PgWireConnection.certHashAlg("SHA512/256withRSA", null) === "SHA-512/256")
+    assert(PgWireConnection.certHashAlg("SHA-512/256WITHECDSA", null) === "SHA-512/256")
     // every selected algorithm must be a MessageDigest this JVM can compute
-    Seq("SHA3-224", "SHA3-256", "SHA3-384", "SHA3-512").foreach { a =>
+    Seq("SHA3-224", "SHA3-256", "SHA3-384", "SHA3-512",
+        "SHA-512/224", "SHA-512/256").foreach { a =>
       java.security.MessageDigest.getInstance(a)
     }
     // Ed25519/Ed448 carry no digest the server could match (PostgreSQL
