@@ -1552,6 +1552,47 @@ object Streams {
       "applied" -> (applied ++ toApply).toSeq.sorted.mkString(",")))
   }
 
+  /** SLOT-LOSS FAILOVER retirement — the finisher that turns
+    * [[dblogBackfillSink]] into a full recovery path over PRE-EXISTING
+    * state (the reference README's motivating problem: the slot is gone,
+    * the gap WAL with it). Gap inserts and updates reach the state through
+    * the chunked re-snapshot, but a gap DELETE is invisible: its key is
+    * simply absent from every chunk and from the replacement slot's tail,
+    * so the merge would leave the pre-failover row in state forever.
+    *
+    * The retirement rule exploits the state's own LSN column: during
+    * recovery every SURVIVING key is refreshed to a position at or above
+    * the replacement slot's consistent point — chunk survivors land at
+    * their chunk's high watermark (sampled after the slot existed),
+    * tail-touched keys carry tail LSNs, and the re-snapshot covers the
+    * whole pk space so no survivor is skipped. A row still holding a
+    * pre-failover LSN is therefore exactly a gap-retired key: ONE narrow
+    * filter, no joins, no second scan of the table. Refuses to run while
+    * any chunk is still pending (a surviving key whose chunk has not
+    * finalized yet still holds its old LSN and would be wrongly retired).
+    * Returns the rows retired; the rewrite is the usual one-version
+    * manifest flip with every other manifest key carried forward. */
+  def failoverRetire(spark: SparkSession, stateDir: String,
+      newSlotLsn: Long, expectedChunks: Long): Long = {
+    val manifest = StateStore.load(stateDir)
+    val applied = manifest.get("applied").toSeq
+      .flatMap(_.split(",")).count(_.nonEmpty)
+    require(applied == expectedChunks,
+      s"failoverRetire needs every re-snapshot chunk applied ($applied of " +
+        s"$expectedChunks) — retiring earlier would drop surviving keys " +
+        "still waiting on their chunk")
+    val data = manifest.getOrElse("data",
+      throw new IllegalStateException(s"no committed state under $stateDir"))
+    val st = spark.read.parquet(s"$stateDir/$data")
+    val retired = st.filter(col("__lsn") < newSlotLsn).count()
+    if (retired == 0L) return 0L
+    val next = StateStore.newVersion("data")
+    st.filter(col("__lsn") >= newSlotLsn)
+      .write.mode("overwrite").parquet(s"$stateDir/$next")
+    StateStore.commit(stateDir, manifest + ("data" -> next))
+    retired
+  }
+
   /** Current joined view across all buckets. Columns: `__key` (B's pk
     * map), `b_after`, `a_after` — callers project through the relations'
     * typed views. */

@@ -1658,6 +1658,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("failover recovery at the STATE layer: dblog backfill over " +
+      "PRE-EXISTING upsert state + failoverRetire converge to the post-gap " +
+      "table — gap deletes retire, untouched and resurrected keys land right") {
+    import graft.cdc.CdcPipeline
+    val dir = Files.createTempDirectory("failover_state")
+    // ---- epoch 1: the pre-failover state through the NORMAL upsert sink
+    val p1 = dir.resolve("epoch1.bin").toString
+    FrameLog.write(p1, CdcPipeline.ordersToFrames(spark, sfDir,
+      CdcPipeline.DmlPattern(updates = true, deletes = true, fullImages = true))
+      .collect().sortBy(_._1).iterator
+      .map { case (l, b) => FrameLog.Entry(l, b) })
+    val state = dir.resolve("state").toString
+    val q1 = Streams.cdcUpsertSink(
+      Streams.envelopeStream(spark, p1, Some(5000)),
+      CdcPipeline.ordersRelation, state, dir.resolve("ckpt1").toString)
+    q1.processAllAvailable(); q1.stop()
+
+    // ---- failover: the epoch-2 gap is LOST with the slot; only events
+    // past the replacement slot's consistent point stream, and the chunked
+    // re-snapshot (racing that tail) carries the gap's effects
+    val maxKey = graft.Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderkey"))).first().getLong(0)
+    val slotLsn = CdcPipeline.failoverNewSlotLsn(maxKey)
+    val tail = CdcPipeline.ordersToFramesEpoch2(spark, sfDir, maxKey)
+      .collect().filter(f => f._1 == 0L || f._1 > slotLsn).sortBy(_._1)
+    // finalization sentinel: one insert past the LAST chunk's high
+    // watermark, so the stream's watermark passes every chunk (in
+    // production the tail simply keeps flowing; a bounded fixture needs
+    // one event beyond the re-snapshot horizon)
+    val endLsn = 8L * (maxKey + 1) + 8L * (maxKey + 1) + 8L
+    val w = (endLsn - slotLsn) / 8 + 1L
+    val sb = slotLsn + 8L * w + 64L
+    def t(v: String) = ColumnData('t', Some(v))
+    val sentinel = Seq(
+      FrameLog.Entry(sb, PgOutputEncoder.encode(Begin(sb + 2, 0L, 99))),
+      FrameLog.Entry(sb + 1, PgOutputEncoder.encode(Insert(
+        CdcPipeline.OrdersRelId, TupleData(Vector(t("999999"), t("1"),
+          t("O"), t("42.0"), t("2021-01-01 00:00:00.000000+00"), t("x")))))),
+      FrameLog.Entry(sb + 2, PgOutputEncoder.encode(Commit(0, sb + 2, sb + 2, 0L))))
+    val p2 = dir.resolve("tail.bin").toString
+    FrameLog.write(p2,
+      tail.iterator.map { case (l, b) => FrameLog.Entry(l, b) } ++ sentinel.iterator)
+    val chunks = CdcPipeline.ordersSnapshotChunksFailover(spark, sfDir, 8, maxKey)
+    val nChunks = chunks.select(col("chunk_id")).distinct().count()
+    val q2 = Streams.dblogBackfillSink(
+      Streams.envelopeStream(spark, p2, Some(1500)),
+      CdcPipeline.ordersRelation, chunks, state, dir.resolve("ckpt2").toString)
+    q2.processAllAvailable(); q2.stop()
+
+    // before retirement the gap-deleted keys are STILL in state (the merge
+    // alone cannot see a delete whose WAL is gone) — the finisher is load-
+    // bearing, not a formality
+    val preRetire = Streams.materializedState(spark,
+      CdcPipeline.ordersRelation, state).count()
+    val retired = Streams.failoverRetire(spark, state, slotLsn, nChunks)
+    assert(retired > 0, "the gap deleted keys; retirement must fire")
+    assert(preRetire - retired ===
+      Streams.materializedState(spark, CdcPipeline.ordersRelation, state).count())
+
+    // converged state == the post-gap truth (cdc_failover_resync's
+    // new_state arithmetic) + the sentinel row
+    val expected = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .flatMap { r =>
+        val k = r.getLong(0); val p = r.getDouble(1)
+        if (k % 7 != 0 && k % 9 != 0)
+          Some(k -> (p + (if (k % 10 == 0) 1.0 else 0.0) +
+            (if (k % 4 == 0) 10.0 else 0.0)))
+        else if (k % 35 == 0) Some(k -> p * 2.0)
+        else None
+      }.toMap + (999999L -> 42.0)
+    val got = Streams.materializedState(spark, CdcPipeline.ordersRelation, state)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected,
+      "existing state + backfill + retirement must equal the post-gap table")
+    // retiring again is a no-op (idempotent finisher)
+    assert(Streams.failoverRetire(spark, state, slotLsn, nChunks) === 0L)
+  }
+
   test("two-sided join view sink across micro-batches equals the batch join") {
     val dir = Files.createTempDirectory("joinview")
     val p = dir.resolve("log.bin").toString
