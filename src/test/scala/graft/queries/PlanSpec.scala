@@ -575,6 +575,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!windows.contains("row_number"), windows)
   }
 
+  test("cdc_failover_resync: watermark anti join + one full-outer pk join, " +
+      "no cross product — the recovery delta costs joins, never a rebuild") {
+    val p = plan("cdc_failover_resync")
+    assert(p.contains("LeftAnti"), p)   // the chunk-vs-tail watermark rule
+    assert(p.contains("FullOuter"), p)  // old state vs converged state
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cdc_chunked_snapshot: the watermark rule is one anti join, no cross product") {
     val p = plan("cdc_chunked_snapshot")
     assert(p.contains("LeftAnti"), p)
