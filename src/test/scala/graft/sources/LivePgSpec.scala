@@ -2032,6 +2032,157 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("failover recovery live, STREAMING form: the replacement slot feeds " +
+      "the Spark source into dblogBackfillSink over the EXISTING StateStore " +
+      "state; failoverRetire retires the gap-deleted keys — state converges " +
+      "to the live table with no state reset") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tfs (id bigint primary key, v text)")
+      sql.simpleQuery("ALTER TABLE tfs REPLICA IDENTITY FULL")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_fs FOR TABLE tfs")
+      val oid = sql.simpleQuery("SELECT 'tfs'::regclass::oid").head.head.toInt
+      val rel = Relation(oid, "public", "tfs", 'd', Vector(
+        RelationColumn(partOfKey = true, "id", graft.decode.TypedView.Oid.Int8, -1),
+        RelationColumn(partOfKey = false, "v", graft.decode.TypedView.Oid.Text, -1)))
+      val pinA = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_fs_a", "graft_pub_fs", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      pinA.start(0L); pinA.close()
+
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      val dir = Files.createTempDirectory("livepg-fs")
+      val stateDir = dir.resolve("state").toString
+      def src(slot: String) = spark.readStream
+        .format("graft.sources.PgCdcProvider")
+        .option("producer", "pgwire")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("database", "postgres").option("user", "postgres")
+        .option("slot", slot).option("publication", "graft_pub_fs")
+        .option("statusIntervalMs", "500")
+        .load()
+      def stateMap(): Map[Long, String] =
+        try graft.streaming.Streams.materializedState(spark, rel, stateDir)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+        catch { case _: Throwable => Map.empty }
+      def tableMap(): Map[Long, String] =
+        sql.simpleQuery("SELECT id, v FROM tfs").map(r => (r(0).toLong, r(1))).toMap
+
+      // ---- epoch 1: the normal ingest path builds the pre-failover state
+      sql.simpleQuery("INSERT INTO tfs SELECT g, 'a' || g FROM generate_series(1, 200) g")
+      sql.simpleQuery("UPDATE tfs SET v = 'u' || id WHERE id % 10 = 0")
+      sql.simpleQuery("DELETE FROM tfs WHERE id % 7 = 0")
+      val q1 = graft.streaming.Streams.cdcUpsertSink(
+        src("graft_slot_fs_a"), rel, stateDir, dir.resolve("ckptA").toString)
+      try {
+        val want = tableMap()
+        val d1 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateMap() != want && System.nanoTime() < d1) Thread.sleep(250)
+        assert(stateMap() === want, "epoch-1 state must track the table")
+      } finally q1.stop()
+
+      // ---- the GAP (no consumer runs; this WAL dies with slot A)
+      sql.simpleQuery("INSERT INTO tfs SELECT g * 35, 'r' || (g * 35) " +
+        "FROM generate_series(1, 5) g")
+      sql.simpleQuery("UPDATE tfs SET v = 'g' || id WHERE id % 20 = 0")
+      sql.simpleQuery("DELETE FROM tfs WHERE id % 33 = 0 AND id % 35 <> 0")
+      // invalidate slot A (the r7 batch-form leg pins the 55000 surfacing;
+      // here the invalidation just makes the gap unrecoverable for real)
+      sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
+      sql.simpleQuery("SELECT pg_reload_conf()")
+      try {
+        var status = ""
+        val dInv = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (status != "lost" && System.nanoTime() < dInv) {
+          sql.simpleQuery(
+            "SELECT pg_logical_emit_message(false, 'fill', repeat('x', 1000000))")
+          sql.simpleQuery("SELECT pg_switch_wal()")
+          sql.simpleQuery("CHECKPOINT")
+          status = sql.simpleQuery("SELECT wal_status FROM pg_replication_slots " +
+            "WHERE slot_name = 'graft_slot_fs_a'").head.head
+          if (status != "lost") Thread.sleep(200)
+        }
+        assert(status === "lost")
+      } finally {
+        try {
+          sql.simpleQuery("ALTER SYSTEM RESET max_slot_wal_keep_size")
+          sql.simpleQuery("SELECT pg_reload_conf()")
+        } catch { case _: Throwable => () }
+      }
+
+      // ---- recovery: replacement slot, tail DML, watermarked chunk reads
+      val repl = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
+        None, replication = true)
+      repl.handshake()
+      val (slotLsn, _) =
+        PgWireSnapshot.createSlotWithSnapshot(repl, "graft_slot_fs_b")
+      repl.close()
+      sql.simpleQuery("UPDATE tfs SET v = 't' || id WHERE id % 25 = 0")
+      sql.simpleQuery(
+        "INSERT INTO tfs SELECT g, 'n' || g FROM generate_series(201, 220) g")
+      sql.simpleQuery("DELETE FROM tfs WHERE id % 41 = 0")
+      def walLsn(): Long =
+        PgLsn.parse(sql.simpleQuery("SELECT pg_current_wal_lsn()").head.head)
+      val bounds = Seq((0L, 80L), (80L, 160L), (160L, 240L), (240L, 1000000L))
+      val chunkRows = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, String, String)]
+      bounds.zipWithIndex.foreach { case ((kLo, kHi), i) =>
+        val lo = walLsn()
+        val rows = sql.simpleQuery(
+          s"SELECT id, v FROM tfs WHERE id > $kLo AND id <= $kHi")
+        if (i == 1) // raced row INSIDE chunk 1's watermark window
+          sql.simpleQuery("UPDATE tfs SET v = 'race' || id WHERE id = 100")
+        val hi = walLsn()
+        rows.foreach(r => chunkRows += ((i.toLong, lo, hi, r(0), r(1))))
+      }
+      sql.simpleQuery("INSERT INTO tfs VALUES (999999, 'sentinel')")
+
+      import spark.implicits._
+      val chunksDf = chunkRows.toSeq
+        .map { case (c, lo, hi, id, v) =>
+          (c, lo, hi, Map("id" -> id), Map("id" -> id, "v" -> v)) }
+        .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
+      // an all-dead key range yields NO chunk rows (the (240, 1e6] bound is
+      // empty at read time) — what exists to finalize is the DISTINCT ids
+      val nChunks = chunksDf.select("chunk_id").distinct().count().toInt
+      val q2 = graft.streaming.Streams.dblogBackfillSink(
+        src("graft_slot_fs_b"), rel, chunksDf,
+        stateDir, dir.resolve("ckptB").toString)
+      try {
+        def applied(): Int = graft.streaming.StateStore.load(stateDir)
+          .get("applied").toSeq.flatMap(_.split(",")).count(_.nonEmpty)
+        val d2 = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while ((applied() < nChunks || !stateMap().contains(999999L)) &&
+          System.nanoTime() < d2) Thread.sleep(250)
+        assert(applied() === nChunks, "every re-snapshot chunk must finalize")
+      } finally q2.stop()
+
+      // the finisher: exactly the gap-deleted keys (33,66,99,132,165,198 —
+      // %33, not %35, alive after epoch 1) still hold pre-failover LSNs
+      val retired = graft.streaming.Streams.failoverRetire(
+        spark, stateDir, slotLsn, expectedChunks = nChunks)
+      assert(retired === 6, s"expected the 6 gap-deleted keys retired, got $retired")
+      val got = stateMap()
+      assert(got === tableMap(),
+        "existing state + streamed backfill + retirement must equal the live table")
+      // the raced row resolved to the WAL value (watermark rule, live LSNs)
+      assert(got(100L) === "race100")
+      // a second retirement is a no-op
+      assert(graft.streaming.Streams.failoverRetire(
+        spark, stateDir, slotLsn, expectedChunks = nChunks) === 0L)
+    } finally {
+      Seq("graft_slot_fs_a", "graft_slot_fs_b").foreach { s =>
+        try sql.simpleQuery(s"SELECT pg_drop_replication_slot('$s')")
+        catch { case _: Throwable => () }
+      }
+      sql.close()
+    }
+  }
+
   test("pgcdc producer=pgwire: the full Spark micro-batch source over live DML " +
       "(live twin of cdc_insert_roundtrip)") {
     live()
