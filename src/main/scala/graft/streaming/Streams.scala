@@ -1482,8 +1482,7 @@ object Streams {
     val batch = batch0.filter(col("relation_id") === rel.relationId)
     val manifest = StateStore.load(stateDir)
     val hw = manifest.get("hw").map(_.toLong).getOrElse(Long.MinValue)
-    val applied = manifest.get("applied").toSeq
-      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toLong).toSet
+    val applied = appliedChunks(manifest)
     val probe = batch.agg(max(col("lsn"))).first()
     val batchMax = if (probe.isNullAt(0)) Long.MinValue else probe.getLong(0)
     val newHw = math.max(hw, batchMax)
@@ -1552,6 +1551,13 @@ object Streams {
       "applied" -> (applied ++ toApply).toSeq.sorted.mkString(",")))
   }
 
+  /** The applied-chunk ids a dblog-backfill manifest records (shared by
+    * the merge's pending-chunk filter and the retirement guard — one parse,
+    * one format). */
+  private[graft] def appliedChunks(manifest: Map[String, String]): Set[Long] =
+    manifest.get("applied").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toLong).toSet
+
   /** SLOT-LOSS FAILOVER retirement — the finisher that turns
     * [[dblogBackfillSink]] into a full recovery path over PRE-EXISTING
     * state (the reference README's motivating problem: the slot is gone,
@@ -1566,17 +1572,28 @@ object Streams {
     * their chunk's high watermark (sampled after the slot existed),
     * tail-touched keys carry tail LSNs, and the re-snapshot covers the
     * whole pk space so no survivor is skipped. A row still holding a
-    * pre-failover LSN is therefore exactly a gap-retired key: ONE narrow
-    * filter, no joins, no second scan of the table. Refuses to run while
-    * any chunk is still pending (a surviving key whose chunk has not
-    * finalized yet still holds its old LSN and would be wrongly retired).
-    * Returns the rows retired; the rewrite is the usual one-version
-    * manifest flip with every other manifest key carried forward. */
+    * pre-failover LSN is therefore exactly a gap-retired key: one
+    * filter, no joins (one counting pass + one rewrite pass when rows
+    * retire). Refuses to run while any chunk is still pending (a surviving
+    * key whose chunk has not finalized yet still holds its old LSN and
+    * would be wrongly retired).
+    *
+    * STOP THE BACKFILL QUERY FIRST: this is a manifest read-modify-write;
+    * racing a concurrent merge commit could lose that batch's rows (an
+    * optimistic recheck below narrows the window to fail loudly rather
+    * than clobber, but only quiescence closes it — resume the tail as a
+    * plain [[cdcUpsertSink]] after retirement). On success the recovery
+    * bookkeeping (`applied`, `coll`) is CLEARED: the recovery is over, and
+    * stale applied ids would make a FUTURE recovery on this state dir
+    * silently skip chunks whose ids collide (and then mass-retire the live
+    * keys those chunks cover). A crash before the commit leaves the
+    * manifest untouched — rerun; after the commit a rerun refuses
+    * (`0 of N applied`): there is no recovery in progress. Returns the
+    * rows retired. */
   def failoverRetire(spark: SparkSession, stateDir: String,
       newSlotLsn: Long, expectedChunks: Long): Long = {
     val manifest = StateStore.load(stateDir)
-    val applied = manifest.get("applied").toSeq
-      .flatMap(_.split(",")).count(_.nonEmpty)
+    val applied = appliedChunks(manifest).size
     require(applied == expectedChunks,
       s"failoverRetire needs every re-snapshot chunk applied ($applied of " +
         s"$expectedChunks) — retiring earlier would drop surviving keys " +
@@ -1584,12 +1601,24 @@ object Streams {
     val data = manifest.getOrElse("data",
       throw new IllegalStateException(s"no committed state under $stateDir"))
     val st = spark.read.parquet(s"$stateDir/$data")
-    val retired = st.filter(col("__lsn") < newSlotLsn).count()
-    if (retired == 0L) return 0L
-    val next = StateStore.newVersion("data")
-    st.filter(col("__lsn") >= newSlotLsn)
-      .write.mode("overwrite").parquet(s"$stateDir/$next")
-    StateStore.commit(stateDir, manifest + ("data" -> next))
+    // one pass decides: total row count + how many hold pre-failover LSNs
+    val counts = st.agg(count(lit(1)),
+      sum(when(col("__lsn") < newSlotLsn, 1L).otherwise(0L))).first()
+    val retired = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val next =
+      if (retired == 0L) data
+      else {
+        val v = StateStore.newVersion("data")
+        st.filter(col("__lsn") >= newSlotLsn)
+          .write.mode("overwrite").parquet(s"$stateDir/$v")
+        v
+      }
+    // optimistic concurrency recheck: a merge commit that landed while the
+    // rewrite ran would be silently lost by our commit — fail instead
+    require(StateStore.load(stateDir) == manifest,
+      s"state under $stateDir changed during retirement — is the backfill " +
+        "query still running? Stop it, then rerun failoverRetire")
+    StateStore.commit(stateDir, manifest - "applied" - "coll" + ("data" -> next))
     retired
   }
 

@@ -844,10 +844,13 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         None, "graft_slot_inv", "graft_pub_inv", createSlot = true,
         temporarySlot = false, statusIntervalMs = 500L)
       parked.start(0L); parked.close()
-      // retention cap 0: the slot may hold back no extra WAL segments
-      sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
-      sql.simpleQuery("SELECT pg_reload_conf()")
+      // retention cap 0: the slot may hold back no extra WAL segments (the
+      // ALTER sits INSIDE the try so a failure anywhere after it — the
+      // reload included — still reaches the finally's RESET; a persisted 0
+      // would invalidate every later test's slot on WAL churn)
       try {
+        sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
+        sql.simpleQuery("SELECT pg_reload_conf()")
         // roll WAL forward across segment boundaries and checkpoint — the
         // CHECKPOINTER performs the invalidation (public docs,
         // runtime-config-replication: "slots holding more WAL are
@@ -1899,10 +1902,11 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       sql.simpleQuery("DELETE FROM tfo WHERE id % 33 = 0 AND id % 35 <> 0")
 
       // ---- failover: invalidate slot A (checkpointer under a zero
-      // retention cap — same mechanics the dedicated invalidation leg pins)
-      sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
-      sql.simpleQuery("SELECT pg_reload_conf()")
+      // retention cap — same mechanics the dedicated invalidation leg
+      // pins; ALTER inside the try so the finally's RESET always runs)
       try {
+        sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
+        sql.simpleQuery("SELECT pg_reload_conf()")
         var status = ""
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (status != "lost" && System.nanoTime() < deadline) {
@@ -2068,7 +2072,16 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       def stateMap(): Map[Long, String] =
         try graft.streaming.Streams.materializedState(spark, rel, stateDir)
           .collect().map(r => (r.getLong(0), r.getString(1))).toMap
-        catch { case _: Throwable => Map.empty }
+        catch {
+          // only the expected poll races: no committed state yet
+          // (IllegalArgument from the dirs guard, Analysis from a missing
+          // path) or a version dir swept between manifest read and scan
+          // (SparkException wrapping FileNotFound). Anything else — decode
+          // or schema bugs — must surface, not spin the wait loop.
+          case _: IllegalArgumentException | _: IllegalStateException => Map.empty
+          case _: org.apache.spark.sql.AnalysisException => Map.empty
+          case _: org.apache.spark.SparkException => Map.empty
+        }
       def tableMap(): Map[Long, String] =
         sql.simpleQuery("SELECT id, v FROM tfs").map(r => (r(0).toLong, r(1))).toMap
 
@@ -2091,10 +2104,11 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
       sql.simpleQuery("UPDATE tfs SET v = 'g' || id WHERE id % 20 = 0")
       sql.simpleQuery("DELETE FROM tfs WHERE id % 33 = 0 AND id % 35 <> 0")
       // invalidate slot A (the r7 batch-form leg pins the 55000 surfacing;
-      // here the invalidation just makes the gap unrecoverable for real)
-      sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
-      sql.simpleQuery("SELECT pg_reload_conf()")
+      // here the invalidation just makes the gap unrecoverable for real;
+      // ALTER inside the try so the finally's RESET always runs)
       try {
+        sql.simpleQuery("ALTER SYSTEM SET max_slot_wal_keep_size = 0")
+        sql.simpleQuery("SELECT pg_reload_conf()")
         var status = ""
         val dInv = System.nanoTime() + 60L * 1000 * 1000 * 1000
         while (status != "lost" && System.nanoTime() < dInv) {
@@ -2153,8 +2167,8 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         src("graft_slot_fs_b"), rel, chunksDf,
         stateDir, dir.resolve("ckptB").toString)
       try {
-        def applied(): Int = graft.streaming.StateStore.load(stateDir)
-          .get("applied").toSeq.flatMap(_.split(",")).count(_.nonEmpty)
+        def applied(): Int = graft.streaming.Streams.appliedChunks(
+          graft.streaming.StateStore.load(stateDir)).size
         val d2 = System.nanoTime() + 90L * 1000 * 1000 * 1000
         while ((applied() < nChunks || !stateMap().contains(999999L)) &&
           System.nanoTime() < d2) Thread.sleep(250)
@@ -2171,9 +2185,13 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         "existing state + streamed backfill + retirement must equal the live table")
       // the raced row resolved to the WAL value (watermark rule, live LSNs)
       assert(got(100L) === "race100")
-      // a second retirement is a no-op
-      assert(graft.streaming.Streams.failoverRetire(
-        spark, stateDir, slotLsn, expectedChunks = nChunks) === 0L)
+      // retirement cleared the recovery bookkeeping — a rerun refuses (no
+      // recovery in progress), so a FUTURE failover on this state starts
+      // with a clean applied set instead of skipping colliding chunk ids
+      intercept[IllegalArgumentException] {
+        graft.streaming.Streams.failoverRetire(
+          spark, stateDir, slotLsn, expectedChunks = nChunks)
+      }
     } finally {
       Seq("graft_slot_fs_a", "graft_slot_fs_b").foreach { s =>
         try sql.simpleQuery(s"SELECT pg_drop_replication_slot('$s')")

@@ -1734,8 +1734,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got === expected,
       "existing state + backfill + retirement must equal the post-gap table")
-    // retiring again is a no-op (idempotent finisher)
-    assert(Streams.failoverRetire(spark, state, slotLsn, nChunks) === 0L)
+    // the commit CLEARED the recovery bookkeeping (stale applied ids would
+    // make a future recovery skip colliding chunks and mass-retire their
+    // keys) — a rerun refuses: no recovery is in progress
+    val again = intercept[IllegalArgumentException] {
+      Streams.failoverRetire(spark, state, slotLsn, nChunks)
+    }
+    assert(again.getMessage.contains("0 of " + nChunks), again.getMessage)
   }
 
   test("two-sided join view sink across micro-batches equals the batch join") {
