@@ -57,7 +57,8 @@ object CdcPipeline {
       .getOrElse(localSpillRoot)
 
   def sharedEvents(spark: SparkSession, sfDir: String, key: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    if (recordAccess) accessedKeys.synchronized { accessedKeys += key }
     // coarse lock: getOrElseUpdate may evaluate a racing build twice, and
     // two racers would overwrite the same spill dir mid-read; builds are
     // rare (once per generator per session) so serializing them is free
@@ -74,10 +75,37 @@ object CdcPipeline {
         spark.read.parquet(dir)
       })
     }
+  }
 
   /** Drop the shared-envelope spill handles (test hook; files stay in the
     * JVM tmpdir and are overwritten on rebuild). */
   def clearSharedEvents(): Unit = sharedEventsCache.clear()
+
+  // --- fixture-access recording (test/bench bookkeeping, not engine work):
+  // which shared spills does a query ACTUALLY touch? The spec that pins
+  // CdcQueries.fixtureDeps records accesses here, so the Bench warmup map
+  // can never drift from real consumption without a test failing.
+  @volatile private var recordAccess = false
+  private val accessedKeys = scala.collection.mutable.Set.empty[String]
+  private[graft] def startRecordingFixtures(): Unit =
+    accessedKeys.synchronized { accessedKeys.clear(); recordAccess = true }
+  private[graft] def stopRecordingFixtures(): Set[String] =
+    accessedKeys.synchronized { recordAccess = false; accessedKeys.toSet }
+
+  /** Every shared-spill fixture by its cache key — the ONE place a new
+    * shared envelope registers, so the Bench warmup can build exactly the
+    * fixtures a restricted run's queries consume (r7-advice low: warming
+    * all five on any cdc_* selection charged unrelated builds to the
+    * selection; and the epoch-2/retype envelopes were never warmed at
+    * all). */
+  def sharedFixtureBuilders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_udfi" -> (ordersEventsUDFI _),
+    "orders_ud" -> (ordersEventsUD _),
+    "lineitem" -> (lineitemEvents _),
+    "docs_dml" -> (docsDmlEvents _),
+    "emb" -> (embeddingsEvents _),
+    "orders_epoch2" -> ((s, d) => ordersEpoch2Events(s, d, ordersMaxKey(s, d))),
+    "orders_retype" -> (ordersRetypeEvents _))
 
   /** The suite's shared decoded envelopes — one per (generator, DML
     * pattern) that more than one query consumes. */
@@ -93,6 +121,21 @@ object CdcPipeline {
     sharedEvents(s, d, "docs_dml")(decodeFrames(documentsToFramesDml(s, d)).toDF())
   def embeddingsEvents(s: SparkSession, d: String): DataFrame =
     sharedEvents(s, d, "emb")(decodeFrames(embeddingsToFrames(s, d)).toDF())
+  /** Epoch-2 decoded envelope (the failover fixture's post-gap DML). The
+    * key is stable per sfDir because maxKey is a pure function of the
+    * orders table — callers pass it so the slot-LSN math and the fixture
+    * share one derivation. */
+  def ordersEpoch2Events(s: SparkSession, d: String, maxKey: Long): DataFrame =
+    sharedEvents(s, d, "orders_epoch2")(
+      decodeFrames(ordersToFramesEpoch2(s, d, maxKey)).toDF())
+  def ordersRetypeEvents(s: SparkSession, d: String): DataFrame =
+    sharedEvents(s, d, "orders_retype")(
+      decodeFrames(ordersToFramesRetyping(s, d)).toDF())
+  /** max(o_orderkey) — the failover fixture's epoch boundary. */
+  def ordersMaxKey(s: SparkSession, d: String): Long =
+    graft.Tables.orders(s, d)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("o_orderkey"))).first().getLong(0)
 
   val OrdersRelId = 50001
 

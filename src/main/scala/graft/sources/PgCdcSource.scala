@@ -482,12 +482,25 @@ final class PgCdcMicroBatch(
     // read at least one retry (success requires failed < remaining, so
     // ≥ 1 budget survives it — the guarantee the first sentence promises).
     // Each failed dial is backoff-paced.
+    //
+    // Free successful dials need a SECOND bound, or a connect-OK/read-fail
+    // flap (a proxy or half-open server that accepts START_REPLICATION and
+    // then drops every first read — the exact case the policy exists for,
+    // gone pathological) never bills the budget and spins forever. Total
+    // reconnect() cycles per read are therefore ALSO capped at
+    // `reconnectRetries`: a read that cannot survive that many rebuilt
+    // sessions surfaces its error. Worst case stays linear —
+    // reconnectRetries failed dials OR reconnectRetries rebuilt sessions,
+    // whichever bound trips first.
     var failBudget = reconnectRetries
+    var cycles = 0
     while (true) {
       try return activeConduit.read()
       catch {
         case e @ (_: java.io.IOException | _: java.sql.SQLException)
-            if conduitFactory.nonEmpty && failBudget > 0 && retryable(e) =>
+            if conduitFactory.nonEmpty && failBudget > 0 &&
+              cycles < reconnectRetries && retryable(e) =>
+          cycles += 1
           failBudget -= reconnect(e, failBudget)
       }
     }

@@ -30,6 +30,33 @@ object StateStore {
   private val VersionPrefix = "v-"
   private val SnapPrefix = "snap-"
 
+  /** Thrown by [[commitIf]] when the manifest moved after the caller's
+    * load — the caller's rewrite was computed from a stale state and must
+    * not be published. Carries both manifests so the operator can see WHAT
+    * landed in the window (e.g. a backfill merge racing a retirement). */
+  final class ConcurrentCommitException(root: String,
+      val expected: Map[String, String], val found: Map[String, String])
+    extends IllegalStateException(
+      s"state under $root changed since it was read (expected " +
+        s"${expected.toSeq.sorted.mkString(",")}; found " +
+        s"${found.toSeq.sorted.mkString(",")}) — a concurrent commit " +
+        "landed; rerun against the current state")
+
+  /** One lock per state root (canonical path): every commit to a root is
+    * serialized through it, which is what makes [[commitIf]]'s
+    * load-compare-flip a real CAS rather than a narrower race. All
+    * committers to a root share the driver JVM (sink foreachBatch bodies
+    * and recovery verbs both run driver-side), so a JVM lock is the
+    * correct scope here; on a production object store the same role is
+    * played by the store's pointer CAS / put-if-absent (see the scale note
+    * above), with every caller unchanged. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(
+      try new File(root).getCanonicalPath catch { case _: Exception => root },
+      _ => new Object)
+
   /** Test hook: simulate a crash after state files are written but before
     * the manifest flip (the window the protocol must make safe). */
   @volatile private[streaming] var failBeforeCommit: Boolean = false
@@ -60,7 +87,28 @@ object StateStore {
     * table-format time-travel/snapshot-isolation shape, with retention as
     * the GC horizon. `retain = 1` (default) keeps history = current and
     * sweeps exactly as before. */
-  def commit(root: String, entries: Map[String, String], retain: Int = 1): Unit = {
+  def commit(root: String, entries: Map[String, String], retain: Int = 1): Unit =
+    lockFor(root).synchronized { doCommit(root, entries, retain) }
+
+  /** Compare-and-swap commit: publishes `entries` ONLY if the current
+    * manifest still equals `expected` (what the caller loaded before
+    * computing its rewrite), else throws [[ConcurrentCommitException]].
+    * The compare and the flip happen under the root's commit lock, so a
+    * concurrent commit cannot land between them — the recheck-to-commit
+    * window an optimistic pre-commit re-load leaves open is closed.
+    * Callers whose rewrite derives from a loaded manifest (retirement,
+    * backfill merges racing a retirement) use this; append-only or
+    * single-writer callers keep plain [[commit]]. */
+  def commitIf(root: String, entries: Map[String, String],
+      expected: Map[String, String], retain: Int = 1): Unit =
+    lockFor(root).synchronized {
+      val found = load(root)
+      if (found != expected)
+        throw new ConcurrentCommitException(root, expected, found)
+      doCommit(root, entries, retain)
+    }
+
+  private def doCommit(root: String, entries: Map[String, String], retain: Int): Unit = {
     val rootF = new File(root)
     rootF.mkdirs()
     if (failBeforeCommit)

@@ -1546,9 +1546,13 @@ object Streams {
     val nextColl = StateStore.newVersion("coll")
     coll.filter(!col("chunk_id").isin(toApply.toSeq: _*))
       .write.mode("overwrite").parquet(s"$stateDir/$nextColl")
-    StateStore.commit(stateDir, Map(
+    // CAS on the manifest this merge derived from: if a retirement (or any
+    // other commit) landed while this batch merged, publishing would
+    // resurrect retired rows — fail the batch loudly instead. Under normal
+    // operation the sink is the root's only committer, so this never trips.
+    StateStore.commitIf(stateDir, Map(
       "data" -> nextData, "coll" -> nextColl, "hw" -> newHw.toString,
-      "applied" -> (applied ++ toApply).toSeq.sorted.mkString(",")))
+      "applied" -> (applied ++ toApply).toSeq.sorted.mkString(",")), manifest)
   }
 
   /** The applied-chunk ids a dblog-backfill manifest records (shared by
@@ -1613,12 +1617,20 @@ object Streams {
           .write.mode("overwrite").parquet(s"$stateDir/$v")
         v
       }
-    // optimistic concurrency recheck: a merge commit that landed while the
-    // rewrite ran would be silently lost by our commit — fail instead
-    require(StateStore.load(stateDir) == manifest,
-      s"state under $stateDir changed during retirement — is the backfill " +
-        "query still running? Stop it, then rerun failoverRetire")
-    StateStore.commit(stateDir, manifest - "applied" - "coll" + ("data" -> next))
+    // CAS commit: the retirement derives from `manifest`, so it publishes
+    // only if the manifest is STILL that — a merge commit landing anywhere
+    // after our load (including the old recheck-to-commit window, now
+    // closed under the root's commit lock) fails the retirement loudly
+    // instead of being clobbered. Rerun after stopping the backfill query.
+    try StateStore.commitIf(stateDir,
+      manifest - "applied" - "coll" + ("data" -> next), manifest)
+    catch {
+      case e: StateStore.ConcurrentCommitException =>
+        throw new IllegalStateException(
+          s"state under $stateDir changed during retirement — is the " +
+            "backfill query still running? Stop it, then rerun " +
+            "failoverRetire", e)
+    }
     retired
   }
 

@@ -732,6 +732,45 @@ class PgCdcSourceSpec extends AnyFunSuite {
         s"1 failed), got ${startAttempts.get}")
   }
 
+  test("connect-OK/read-fail flap terminates: when every reconnect dial " +
+      "succeeds but read() keeps failing retryable, the read surfaces the " +
+      "error after reconnectRetries rebuilt sessions instead of spinning " +
+      "forever on a never-billed dial budget (r7-advice medium)") {
+    // start() ALWAYS succeeds (free under the shared failed-dial budget);
+    // read() ALWAYS throws retryable. Without the cycle cap the loop is
+    // infinite: failBudget never decreases and each cycle resets backoff.
+    val startAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conduit = new ReplicationConduit {
+      override def start(afterLsn: Long): Unit = { startAttempts.incrementAndGet(); () }
+      override def read(): Option[(Long, Array[Byte])] =
+        throw new java.io.IOException("injected read failure (half-open accept)")
+      override def setFlushedLSN(lsn: Long): Unit = ()
+      override def walPositions: Option[(Long, Long)] = None
+      override def close(): Unit = ()
+    }
+    PgCdcConduits.register("flap_budget", conduit)
+    val q = spark.readStream.format("graft.sources.PgCdcProvider")
+      .option("producer", "conduit").option("conduit.name", "flap_budget")
+      .option("reconnectRetries", "3").option("reconnectBackoffMs", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("flap_budget").toString)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    // must terminate — bounded, so a plain await with a generous timeout
+    val failed = try {
+      q.awaitTermination(60000) // true iff the query terminated (with error)
+    } catch { case _: Throwable => true }
+    q.stop()
+    assert(failed, "a connect-OK/read-fail flap must fail the query, not spin")
+    // 1 initial start + exactly reconnectRetries = 3 healed-but-futile
+    // sessions; the 4th read failure finds the cycle cap spent and surfaces.
+    assert(startAttempts.get === 4,
+      s"expected 4 start attempts (1 initial + 3 capped reconnect cycles), " +
+        s"got ${startAttempts.get}")
+  }
+
   test("maxBytesPerTrigger: byte-budget admission splits the backlog into " +
       "multiple batches (soft cap — every batch admits at least one frame), " +
       "composes with maxFramesPerTrigger, all rows exactly once") {
