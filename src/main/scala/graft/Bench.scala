@@ -32,26 +32,23 @@ object Bench {
     // the run (isolated per-query floors); unset = full driver-shaped bench
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Fixture warmup: the shared wire-envelope spills (pgoutput encode →
     // decode → parquet) are TEST-INPUT generation, not engine work, and
     // their one-time build otherwise lands on whichever cdc_* query runs
     // first (r6: cdc_truncate 92 s first-pass vs ~1 s retimed was pure
     // fixture construction). Build them before the clock starts so
-    // first-pass times measure queries — but only when the run includes a
-    // cdc query at all (a restricted non-CDC dev run must not pay the
-    // builds). Query-side shared caches (LSH signatures, trained models)
-    // are real engine work a user would pay — those stay inside the
-    // timed run.
-    if (only.forall(_.exists(_.startsWith("cdc_"))))
-      Seq(
-        graft.cdc.CdcPipeline.ordersEventsUDFI _,
-        graft.cdc.CdcPipeline.ordersEventsUD _,
-        graft.cdc.CdcPipeline.lineitemEvents _,
-        graft.cdc.CdcPipeline.docsDmlEvents _,
-        graft.cdc.CdcPipeline.embeddingsEvents _
-      ).foreach(f => f(spark, sfDir))
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // first-pass times measure queries — keyed on CdcQueries.fixtureDeps
+    // (pinned to real consumption by CdcFixtureDepsSpec), so a restricted
+    // run warms exactly the fixtures ITS queries consume and a full run
+    // warms all of them, epoch-2/retype included. Query-side shared caches
+    // (LSH signatures, trained models) are real engine work a user would
+    // pay — those stay inside the timed run.
+    selected.map(_._1)
+      .flatMap(n => graft.queries.CdcQueries.fixtureDeps.getOrElse(n, Set.empty))
+      .toSet.toSeq.sorted
+      .foreach(k => graft.cdc.CdcPipeline.sharedFixtureBuilders(k)(spark, sfDir))
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

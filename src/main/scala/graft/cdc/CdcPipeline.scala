@@ -58,7 +58,7 @@ object CdcPipeline {
 
   def sharedEvents(spark: SparkSession, sfDir: String, key: String)(
       build: => DataFrame): DataFrame = {
-    if (recordAccess) accessedKeys.synchronized { accessedKeys += key }
+    Option(recorder.get).foreach(_ += key)
     // coarse lock: getOrElseUpdate may evaluate a racing build twice, and
     // two racers would overwrite the same spill dir mid-read; builds are
     // rare (once per generator per session) so serializing them is free
@@ -82,15 +82,22 @@ object CdcPipeline {
   def clearSharedEvents(): Unit = sharedEventsCache.clear()
 
   // --- fixture-access recording (test/bench bookkeeping, not engine work):
-  // which shared spills does a query ACTUALLY touch? The spec that pins
-  // CdcQueries.fixtureDeps records accesses here, so the Bench warmup map
-  // can never drift from real consumption without a test failing.
-  @volatile private var recordAccess = false
-  private val accessedKeys = scala.collection.mutable.Set.empty[String]
+  // which shared spills does a query ACTUALLY touch? CdcFixtureDepsSpec
+  // records every query's accesses here and asserts them equal to
+  // CdcQueries.fixtureDeps — the map Bench's warmup is keyed on — so the
+  // warmup can never drift from real consumption without a test failing.
+  // THREAD-LOCAL on purpose: suites share one SparkSession and may build
+  // cdc queries concurrently; a recording must see only its own thread's
+  // accesses (DataFrame construction, where sharedEvents runs, is
+  // driver-side on the calling thread).
+  private val recorder = new ThreadLocal[scala.collection.mutable.Set[String]]()
   private[graft] def startRecordingFixtures(): Unit =
-    accessedKeys.synchronized { accessedKeys.clear(); recordAccess = true }
-  private[graft] def stopRecordingFixtures(): Set[String] =
-    accessedKeys.synchronized { recordAccess = false; accessedKeys.toSet }
+    recorder.set(scala.collection.mutable.Set.empty[String])
+  private[graft] def stopRecordingFixtures(): Set[String] = {
+    val got = Option(recorder.get).map(_.toSet).getOrElse(Set.empty)
+    recorder.remove()
+    got
+  }
 
   /** Every shared-spill fixture by its cache key — the ONE place a new
     * shared envelope registers, so the Bench warmup can build exactly the
@@ -104,7 +111,7 @@ object CdcPipeline {
     "lineitem" -> (lineitemEvents _),
     "docs_dml" -> (docsDmlEvents _),
     "emb" -> (embeddingsEvents _),
-    "orders_epoch2" -> ((s, d) => ordersEpoch2Events(s, d, ordersMaxKey(s, d))),
+    "orders_epoch2" -> (ordersEpoch2Events _),
     "orders_retype" -> (ordersRetypeEvents _))
 
   /** The suite's shared decoded envelopes — one per (generator, DML
@@ -122,20 +129,28 @@ object CdcPipeline {
   def embeddingsEvents(s: SparkSession, d: String): DataFrame =
     sharedEvents(s, d, "emb")(decodeFrames(embeddingsToFrames(s, d)).toDF())
   /** Epoch-2 decoded envelope (the failover fixture's post-gap DML). The
-    * key is stable per sfDir because maxKey is a pure function of the
-    * orders table — callers pass it so the slot-LSN math and the fixture
-    * share one derivation. */
-  def ordersEpoch2Events(s: SparkSession, d: String, maxKey: Long): DataFrame =
+    * epoch boundary (maxKey) is derived HERE from [[ordersMaxKey]] rather
+    * than taken from the caller: the spill cache key is (session, sfDir,
+    * "orders_epoch2"), so a caller-supplied boundary that diverged between
+    * two callers would silently share one spill. Callers needing the same
+    * boundary for slot-LSN math read [[ordersMaxKey]] — one derivation,
+    * divergence impossible. */
+  def ordersEpoch2Events(s: SparkSession, d: String): DataFrame =
     sharedEvents(s, d, "orders_epoch2")(
-      decodeFrames(ordersToFramesEpoch2(s, d, maxKey)).toDF())
+      decodeFrames(ordersToFramesEpoch2(s, d, ordersMaxKey(s, d))).toDF())
   def ordersRetypeEvents(s: SparkSession, d: String): DataFrame =
     sharedEvents(s, d, "orders_retype")(
       decodeFrames(ordersToFramesRetyping(s, d)).toDF())
-  /** max(o_orderkey) — the failover fixture's epoch boundary. */
+  /** max(o_orderkey) — the failover fixture's epoch boundary; a pure
+    * function of the orders table, memoized so the fixture builder and the
+    * queries' slot-LSN arithmetic pay the scan once per (session, sfDir). */
+  private val maxKeyCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
   def ordersMaxKey(s: SparkSession, d: String): Long =
-    graft.Tables.orders(s, d)
-      .agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("o_orderkey"))).first().getLong(0)
+    maxKeyCache.getOrElseUpdate((s, d),
+      graft.Tables.orders(s, d)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("o_orderkey"))).first().getLong(0))
 
   val OrdersRelId = 50001
 

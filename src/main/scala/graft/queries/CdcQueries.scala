@@ -56,11 +56,79 @@ object CdcQueries {
 
   /** Drop cached net-count state (test hook / memory release). */
   def clearCache(): Unit = {
+    clearQueryCaches()
+    CdcPipeline.clearSharedEvents()
+  }
+
+  /** Drop only the query-side derived caches (net counts, lineitem state),
+    * KEEPING the shared envelope spills — what CdcFixtureDepsSpec needs so
+    * each query's recorded fixture accesses reflect a cold query cache
+    * without paying an envelope rebuild per query. */
+  private[graft] def clearQueryCaches(): Unit = {
     netsCache.values.foreach(_.unpersist())
     netsCache.clear()
     liStateCache.values.foreach(_.unpersist())
     liStateCache.clear()
-    CdcPipeline.clearSharedEvents()
+  }
+
+  /** Which shared wire-envelope spills ([[CdcPipeline.sharedFixtureBuilders]]
+    * keys) each query consumes when the query-side caches are cold — the
+    * map Bench's fixture warmup is keyed on, so a restricted run warms
+    * exactly its own queries' fixtures. Pinned by CdcFixtureDepsSpec
+    * against accesses recorded during real execution: an entry here that
+    * drifts from actual consumption fails the spec. Queries absent a
+    * builder key generate their envelopes inline (one-off DML patterns). */
+  val fixtureDeps: Map[String, Set[String]] = {
+    val none = Set.empty[String]
+    Map(
+      "cdc_insert_roundtrip" -> none,
+      "cdc_binary_roundtrip" -> none,
+      "cdc_upsert_delete" -> Set("orders_ud"),
+      "cdc_dead_letter" -> none,
+      "cdc_toast_fill" -> none,
+      "cdc_composite_key" -> Set("lineitem"),
+      "cdc_incremental_agg" -> Set("orders_udfi"),
+      "cdc_incremental_stats" -> Set("orders_udfi"),
+      "cdc_survival_serving" -> none,
+      "cdc_binary_sql_render" -> none,
+      "cdc_forecast_serving" -> none,
+      "cdc_incremental_baseline" -> none,
+      "cdc_online_dedup" -> none,
+      "cdc_incremental_ivf" -> Set("emb"),
+      "cdc_incremental_termdf" -> Set("docs_dml"),
+      "cdc_bm25_serving" -> Set("docs_dml"),
+      "cdc_incremental_chunks" -> Set("docs_dml"),
+      "cdc_hybrid_serving" -> Set("docs_dml", "emb"),
+      "cdc_incremental_minmax" -> Set("orders_udfi"),
+      "cdc_incremental_topk" -> Set("orders_udfi"),
+      "cdc_incremental_median" -> Set("orders_udfi"),
+      "cdc_incremental_histogram" -> Set("orders_udfi"),
+      "cdc_incremental_p95" -> Set("orders_udfi"),
+      "cdc_state_audit" -> Set("orders_ud"),
+      "cdc_incremental_join_agg" -> Set("orders_udfi"),
+      "cdc_chunked_snapshot" -> none,
+      "cdc_failover_resync" -> Set("orders_udfi", "orders_epoch2"),
+      "cdc_join_view" -> Set("orders_ud", "lineitem"),
+      "cdc_scd2_history" -> Set("orders_ud"),
+      "cdc_schema_evolution" -> none,
+      "cdc_schema_retype" -> Set("orders_retype"),
+      "cdc_numeric_typed" -> none,
+      "cdc_partitioned_table" -> none,
+      "cdc_schema_drop" -> none,
+      "cdc_scd2_composite" -> Set("lineitem"),
+      "cdc_scd2_asof" -> Set("orders_ud"),
+      "cdc_streamed_txn" -> none,
+      "cdc_logical_messages" -> none,
+      "cdc_backfill_union" -> none,
+      "cdc_two_phase" -> none,
+      "cdc_origin_filter" -> none,
+      "cdc_truncate" -> none,
+      "cdc_incremental_distinct" -> Set("orders_udfi"),
+      "cdc_compacted_replay" -> none,
+      "cdc_temporal_join" -> none,
+      "cdc_fk_orphans" -> Set("lineitem"),
+      "cdc_multi_origin_lww" -> none,
+      "cdc_wire_stats" -> Set("orders_ud"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -587,13 +655,14 @@ object CdcQueries {
         graft.cdc.Cdc.compact(CdcPipeline.ordersEventsUDFI(s, d),
           Seq("o_orderkey")), rel)
         .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
-      val maxKey = graft.Tables.orders(s, d)
-        .agg(max(col("o_orderkey"))).first().getLong(0)
+      val maxKey = CdcPipeline.ordersMaxKey(s, d)
       val slotLsn = CdcPipeline.failoverNewSlotLsn(maxKey)
       // the replacement slot ships only WAL past its creation point — the
-      // gap (epoch-2 base, slotLsn] is lost and must come from the chunks
-      val tail = CdcPipeline.decodeFrames(
-        CdcPipeline.ordersToFramesEpoch2(s, d, maxKey)).toDF()
+      // gap (epoch-2 base, slotLsn] is lost and must come from the chunks.
+      // The epoch-2 envelope is the suite-shared spill (its boundary is
+      // ordersMaxKey's, same derivation as slotLsn's); the slot filter
+      // applies on top.
+      val tail = CdcPipeline.ordersEpoch2Events(s, d)
         .filter(col("lsn") > slotLsn)
       val chunks = CdcPipeline.ordersSnapshotChunksFailover(s, d,
         nChunks = 8, maxKey)
@@ -682,8 +751,7 @@ object CdcQueries {
     // one consistent typed output across the type boundary, no historical
     // rewrite. k % 3 == 0 rows carry post-retype scale-2 images (+1.0).
     "cdc_schema_retype" -> ((s, d) => {
-      val events = CdcPipeline.decodeFrames(
-        CdcPipeline.ordersToFramesRetyping(s, d)).toDF()
+      val events = CdcPipeline.ordersRetypeEvents(s, d)
       graft.cdc.Cdc.materialize(events, CdcPipeline.ordersRelationNumeric)
         .select(col("o_orderkey"),
           col("o_totalprice").cast("double").as("o_totalprice"))

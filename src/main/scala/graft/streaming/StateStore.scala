@@ -52,9 +52,16 @@ object StateStore {
     * above), with every caller unchanged. */
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Deterministic, non-throwing normalization (absolute + ../. collapsed):
+  // getCanonicalPath can throw on I/O, and a fallback-to-raw-string key
+  // would hand two committers to the same root DIFFERENT lock objects on
+  // an intermittent failure — silently voiding the CAS. normalize() is
+  // pure path arithmetic; symlinked aliases of one root are out of scope
+  // (no caller constructs them — state roots are literal dirs the sinks
+  // themselves create).
   private def lockFor(root: String): Object =
     rootLocks.computeIfAbsent(
-      try new File(root).getCanonicalPath catch { case _: Exception => root },
+      new File(root).toPath.toAbsolutePath.normalize.toString,
       _ => new Object)
 
   /** Test hook: simulate a crash after state files are written but before

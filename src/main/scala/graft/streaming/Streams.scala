@@ -1594,6 +1594,11 @@ object Streams {
     * manifest untouched — rerun; after the commit a rerun refuses
     * (`0 of N applied`): there is no recovery in progress. Returns the
     * rows retired. */
+  /** Test hook: runs inside [[failoverRetire]]'s load→commit window, so a
+    * spec can land a racing commit exactly where a still-running backfill
+    * merge would and pin the CAS refusal path. */
+  private[streaming] var beforeRetireCommit: () => Unit = () => ()
+
   def failoverRetire(spark: SparkSession, stateDir: String,
       newSlotLsn: Long, expectedChunks: Long): Long = {
     val manifest = StateStore.load(stateDir)
@@ -1622,6 +1627,7 @@ object Streams {
     // after our load (including the old recheck-to-commit window, now
     // closed under the root's commit lock) fails the retirement loudly
     // instead of being clobbered. Rerun after stopping the backfill query.
+    beforeRetireCommit()
     try StateStore.commitIf(stateDir,
       manifest - "applied" - "coll" + ("data" -> next), manifest)
     catch {

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CAS commit path under an ACTUAL conflict — the race `commitIf`
+  * exists for (a backfill merge and a retirement publishing against the
+  * same root). The happy paths ride the streaming suites; these pin the
+  * refusal: the loser throws, the winner's state survives untouched. */
+class StateStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("commitIf refuses when a commit landed after the caller's load; the interloper's state survives") {
+    val root = Files.createTempDirectory("cas").toString
+    StateStore.commit(root, Map("data" -> "v-data-1"))
+    val loaded = StateStore.load(root)
+    // interloper lands a plain commit behind the caller's back
+    StateStore.commit(root, Map("data" -> "v-data-interloper"))
+    val e = intercept[StateStore.ConcurrentCommitException] {
+      StateStore.commitIf(root, Map("data" -> "v-data-stale-rewrite"), loaded)
+    }
+    assert(e.expected === loaded)
+    assert(e.found === Map("data" -> "v-data-interloper"))
+    // the refused rewrite published NOTHING — the interloper's manifest is live
+    assert(StateStore.load(root) === Map("data" -> "v-data-interloper"))
+    // and a rerun computed from the CURRENT state goes through
+    StateStore.commitIf(root, Map("data" -> "v-data-rerun"),
+      StateStore.load(root))
+    assert(StateStore.load(root) === Map("data" -> "v-data-rerun"))
+  }
+
+  test("commitIf refuses against a first-ever racing commit (expected = empty manifest)") {
+    val root = Files.createTempDirectory("cas0").toString
+    val loaded = StateStore.load(root) // no manifest yet
+    assert(loaded.isEmpty)
+    StateStore.commit(root, Map("hw" -> "42"))
+    intercept[StateStore.ConcurrentCommitException] {
+      StateStore.commitIf(root, Map("hw" -> "7"), loaded)
+    }
+    assert(StateStore.load(root) === Map("hw" -> "42"))
+  }
+
+  test("failoverRetire surfaces a racing merge commit as the stop-the-backfill refusal; state unchanged") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("retire-race").toString
+    // plausible recovery-complete state: 4 rows, 1 holding a pre-failover LSN
+    val v = StateStore.newVersion("data")
+    spark.range(4).select(col("id").as("__k"),
+        when(col("id") === 0, lit(5L)).otherwise(lit(100L)).as("__lsn"))
+      .write.parquet(s"$root/$v")
+    StateStore.commit(root, Map("data" -> v, "applied" -> "0,1"))
+    val interloperV = StateStore.newVersion("data")
+    spark.range(1).select(col("id").as("__k"), lit(999L).as("__lsn"))
+      .write.parquet(s"$root/$interloperV")
+    Streams.beforeRetireCommit = () =>
+      StateStore.commit(root, Map("data" -> interloperV, "applied" -> "0,1"))
+    try {
+      val e = intercept[IllegalStateException] {
+        Streams.failoverRetire(spark, root, newSlotLsn = 50L, expectedChunks = 2)
+      }
+      assert(e.getMessage.contains("is the backfill query still running"),
+        e.getMessage)
+      assert(e.getCause.isInstanceOf[StateStore.ConcurrentCommitException])
+    } finally Streams.beforeRetireCommit = () => ()
+    // the retirement published nothing: the racing merge's commit is live
+    // and its data version is intact
+    assert(StateStore.load(root) ===
+      Map("data" -> interloperV, "applied" -> "0,1"))
+    assert(spark.read.parquet(s"$root/$interloperV").count() === 1L)
+  }
+}
