@@ -56,17 +56,25 @@ object Bench {
     }
     val firstPass = selected.map { case (name, fn) => name -> timeOne(fn) }
     // Contention guard: single-shot timings of the suite tail inflate 6-37x
-    // under host contention (r3 driver capture vs identical local run).
-    // Re-time every query whose first pass exceeded 5s and report the MIN
-    // of the two runs per query — the achievable time, insensitive to a
-    // one-off noisy window. The headline TOTAL stays the FIRST-pass sum:
-    // min-of-2 would silently drop one-time costs the suite genuinely paid
-    // (a retimed first consumer of a shared cache measures warm-cache
-    // time), so the total reports the real suite cost and the per-query
-    // map reports the repeatable cost; `retimed_total` carries the min sum.
+    // under host contention (r3 driver capture vs identical local run),
+    // and sub-second queries swing 6x+ round-over-round on UNTOUCHED code
+    // (r8 vs r7: host variance + shared-cache attribution). Two more full
+    // passes run after the first, and every query reports its MEDIAN of 3
+    // — the round-over-round comparison number (median absorbs one noisy
+    // window per query; min would hide real steady-state cost). The
+    // headline TOTAL stays the FIRST-pass sum: warm passes would silently
+    // drop one-time costs the suite genuinely paid, so the total reports
+    // the real suite cost, `queries` keeps its historical min-of-2-over-5s
+    // semantics (comparable to prior rounds), and `median` carries the
+    // stable per-query numbers.
+    val secondPass = selected.map { case (name, fn) => name -> timeOne(fn) }.toMap
+    val thirdPass = selected.map { case (name, fn) => name -> timeOne(fn) }.toMap
     val results = firstPass.map { case (name, t1) =>
       if (t1 <= 5.0) name -> t1
-      else name -> math.min(t1, timeOne(SparkEntry.queries(name)))
+      else name -> math.min(t1, secondPass(name))
+    }
+    val medians = firstPass.map { case (name, t1) =>
+      name -> Seq(t1, secondPass(name), thirdPass(name)).sorted.apply(1)
     }
     // Disclosure (r4 advice): a min-of-2 value is indistinguishable from a
     // measured-once value in the queries map alone, so the retimed queries'
@@ -98,14 +106,18 @@ object Bench {
       },"unit":"sec","queries":${
         rs.map { case (k, v) => entry(k, v, p) }.mkString("{", ",", "}")
       }$extra,"sf":"$sfName"}"""
-    val retimed = entry("retimed_total", retimedTotal, 2)
+    val medianTotal = medians.map(_._2).sum
+    val retimed = entry("retimed_total", retimedTotal, 2) + "," +
+      entry("median_total", medianTotal, 2)
+    val medianJson = medians.map { case (k, v) => entry(k, v, 9) }
+      .mkString(",\"median\":{", ",", "}")
     val firstPassJson =
       if (retimedFirst.isEmpty) ""
       else retimedFirst.map { case (k, v) => entry(k, v, 9) }
         .mkString(",\"first_pass\":{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      line(results, 9, "," + retimed + firstPassJson) + "\n")
+      line(results, 9, "," + retimed + medianJson + firstPassJson) + "\n")
     catch { case _: Throwable => () } // read-only checkout: stdout still has it
     println(line(results, 3, "," + retimed))
     // The final bounded line must survive a ~2KB stdout-tail capture even
