@@ -61,7 +61,71 @@ object CdcDemo {
       qp.get("sslrootcert").map("sslRootCert" -> _)
   }
 
+  /** `runMain graft.CdcDemo recover` — the one-call slot-loss recovery
+    * workflow as a runnable verb (U2 parity: the reference ships its
+    * recovery story as the example to run). Reads, beyond the DSN vars
+    * above:
+    *
+    *   GRAFT_PGCDC_TABLE      schema-qualified table (default public.orders)
+    *   GRAFT_PGCDC_STATE_DIR  the EXISTING upsert state to recover (required)
+    *   GRAFT_PGCDC_WORK_DIR   chunk/checkpoint scratch (default: tmpdir)
+    *   GRAFT_PGCDC_DEAD_SLOT  the lost slot to drop, best-effort (optional)
+    *   GRAFT_PGCDC_CHUNKS     re-snapshot chunk count (default 8)
+    *
+    * GRAFT_PGCDC_SLOT names the REPLACEMENT slot. After recovery the
+    * resumed tail keeps running until terminated. */
+  private def runRecover(spark: SparkSession): Unit = {
+    val dsn = sys.env.getOrElse("GRAFT_PGCDC_DSN",
+      sys.error("recover needs GRAFT_PGCDC_DSN"))
+    val stateDir = sys.env.getOrElse("GRAFT_PGCDC_STATE_DIR",
+      sys.error("recover needs GRAFT_PGCDC_STATE_DIR (the state to recover)"))
+    val workDir = sys.env.getOrElse("GRAFT_PGCDC_WORK_DIR",
+      Files.createTempDirectory("graft-recover").toString)
+    val table = sys.env.getOrElse("GRAFT_PGCDC_TABLE", "public.orders")
+    val (ns, tbl) = table.split('.') match {
+      case Array(n, t) => (n, t)
+      case Array(t)    => ("public", t)
+      case _ => sys.error(s"GRAFT_PGCDC_TABLE must be schema.table: $table")
+    }
+    val opts = parseDsn(dsn) ++ Map(
+      "producer" -> "pgwire",
+      "slot" -> sys.env.getOrElse("GRAFT_PGCDC_SLOT", "graft_slot_recovery"),
+      "publication" -> sys.env.getOrElse("GRAFT_PGCDC_PUBLICATION",
+        "graft_publication"))
+    // relation + pk straight from the live catalogs — no hand-built schema
+    val conn = new graft.sources.PgWireConnection(
+      opts("host"), opts("port").toInt, opts("database"), opts("user"),
+      opts.get("password"))
+    val rel = try {
+      conn.handshake()
+      new graft.sources.PgCatalog(sql => conn.simpleQuery(sql)).relation(ns, tbl)
+    } finally conn.close()
+    val pk = rel.keyColumnNames.headOption.getOrElse(
+      sys.error(s"$table has no primary key — chunked recovery needs one"))
+    println(s"[recover] state=$stateDir table=$table pk=$pk " +
+      s"replacement_slot=${opts("slot")}")
+    val r = Streams.recoverFromSlotLoss(spark, rel, stateDir, workDir,
+      opts, table, pk,
+      nChunks = sys.env.get("GRAFT_PGCDC_CHUNKS").map(_.toInt).getOrElse(8),
+      dropDeadSlot = sys.env.get("GRAFT_PGCDC_DEAD_SLOT"))
+    println(s"[recover] done: slot_lsn=${r.slotLsn} chunks=${r.chunks} " +
+      s"retired=${r.retired} — normal tailing resumed")
+    r.resumed.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("recover")) {
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      runRecover(spark)
+      return
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val maxPerTrigger = args.lift(1).map(_.toLong).getOrElse(5000L)
     val dsn = sys.env.get("GRAFT_PGCDC_DSN")

@@ -34,6 +34,23 @@ final class PgCatalog(runQuery: String => Seq[Seq[Any]]) extends Serializable {
         .map(_.head.toString).toSet)
 
   def cachedTypeCount: Int = typeNames.size
+
+  /** The wire [[Relation]] a Relation message would carry for a live
+    * table, built from the catalogs (pg_attribute + the primary-key index
+    * + relreplident) — so table-level entry points (snapshot clone,
+    * slot-loss recovery, the CLI recover verb) can be driven from a table
+    * NAME alone instead of a hand-built Relation. */
+  def relation(namespace: String, table: String): Relation = {
+    val rows = runQuery(PgCatalog.relationSql(namespace, table))
+    require(rows.nonEmpty, s"no such table: $namespace.$table")
+    val cols = rows.map { r =>
+      RelationColumn(
+        Set("true", "t", "1").contains(r(1).toString.toLowerCase),
+        r(0).toString, r(2).toString.toInt, r(3).toString.toInt)
+    }.toVector
+    Relation(rows.head(4).toString.toInt, namespace, table,
+      rows.head(5).toString.head, cols)
+  }
 }
 
 object PgCatalog {
@@ -53,6 +70,23 @@ object PgCatalog {
        |JOIN pg_class c ON a.attrelid = c.oid
        |JOIN pg_namespace n ON c.relnamespace = n.oid
        |WHERE n.nspname = ${sqlLiteral(namespace)} AND c.relname = ${sqlLiteral(table)} AND a.attnum > 0
+       |""".stripMargin
+
+  /** Columns (name, pk membership, type oid, typmod) + relation oid +
+    * replica identity for one table, attnum order — [[PgCatalog.relation]]'s
+    * query (standard catalogs: pg_attribute / pg_index.indisprimary). */
+  def relationSql(namespace: String, table: String): String =
+    s"""SELECT a.attname,
+       |       COALESCE((SELECT true FROM pg_index i
+       |                 WHERE i.indrelid = c.oid AND i.indisprimary
+       |                   AND a.attnum = ANY(i.indkey)), false),
+       |       a.atttypid, a.atttypmod, c.oid, c.relreplident
+       |FROM pg_attribute a
+       |JOIN pg_class c ON a.attrelid = c.oid
+       |JOIN pg_namespace n ON c.relnamespace = n.oid
+       |WHERE n.nspname = ${sqlLiteral(namespace)} AND c.relname = ${sqlLiteral(table)}
+       |  AND a.attnum > 0 AND NOT a.attisdropped
+       |ORDER BY a.attnum
        |""".stripMargin
 }
 

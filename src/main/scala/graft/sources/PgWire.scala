@@ -817,6 +817,74 @@ object PgWireSnapshot {
       }
       .toDF("pk", "after")
   }
+
+  /** DBLog-style chunked re-snapshot read (the production form of the
+    * fixture `ordersSnapshotChunksFailover`): pk-range chunks, one wire
+    * connection per task, each chunk BRACKETED by `pg_current_wal_lsn()`
+    * samples — lo before its SELECT, hi after — instead of pinned to one
+    * exported snapshot. That is exactly the shape
+    * `Streams.dblogBackfillSink` consumes: a chunk row raced by tail
+    * events inside [lo, hi] loses to the WAL (the collision rule), so the
+    * merge is correct with NO global snapshot, no long-lived transaction,
+    * and no table lock — chunk reads and the replacement slot's tail make
+    * progress together (DBLog; Debezium incremental snapshots run the
+    * same way). Call AFTER the replacement slot exists: every change is
+    * then either in a chunk or in the tail — no second gap.
+    *
+    * Output: (chunk_id, lo_lsn, hi_lsn, key, after) — key/after as
+    * text maps rendered under the same GUC pinning as the walsender
+    * session (hex bytea, UTC timestamptz). An all-dead pk range yields no
+    * rows, so callers count `distinct chunk_id` for the applied-chunk
+    * total. Scale: ranges are planned from one min/max probe; each task
+    * reads one bounded slice — O(table / nChunks) per task, fully
+    * parallel, the same layout a 1000-executor backfill wants. */
+  def dblogChunks(spark: org.apache.spark.sql.SparkSession,
+      host: String, port: Int, db: String, user: String, password: Option[String],
+      table: String, pkCol: String, nChunks: Int,
+      ssl: Boolean = false, sslRootCert: Option[String] = None,
+      sslVerifyFull: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def connect() = {
+      val c = new PgWireConnection(host, port, db, user, password,
+        ssl = ssl, sslRootCert = sslRootCert, sslVerifyFull = sslVerifyFull)
+      c.handshake()
+      c.simpleQuery("SET bytea_output = hex; SET timezone = 'UTC'")
+      c
+    }
+    val qTable = PgSnapshotSync.quoteQualified(table)
+    val qPk = PgSnapshotSync.quoteIdent(pkCol)
+    def walLsn(c: PgWireConnection): Long =
+      PgLsn.parse(c.simpleQuery("SELECT pg_current_wal_lsn()").head.head)
+    val bounds = {
+      val c = connect()
+      try c.simpleQuery(s"SELECT min($qPk), max($qPk) FROM $qTable").head
+      finally c.close()
+    }
+    if (bounds(0) == null)
+      return spark.emptyDataset[(Long, Long, Long, Map[String, String], Map[String, String])]
+        .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
+    val (lo, hi) = (bounds(0).toLong, bounds(1).toLong)
+    val step = math.max(1L, (hi - lo) / nChunks + 1)
+    val ranges = (0 until nChunks).map(i => (i.toLong, lo + i * step, lo + (i + 1) * step))
+      .filter { case (_, a, _) => a <= hi }
+    spark.createDataset(ranges).repartition(ranges.size)
+      .mapPartitions { it =>
+        it.flatMap { case (id, a, b) =>
+          val c = connect()
+          try {
+            val chunkLo = walLsn(c)
+            val (cols, rows) = c.simpleQueryWithCols(
+              s"SELECT * FROM $qTable WHERE $qPk >= $a AND $qPk < $b")
+            val chunkHi = walLsn(c)
+            rows.map { r =>
+              val m = cols.zip(r).toMap
+              (id, chunkLo, chunkHi, Map(pkCol -> m(pkCol)), m)
+            }
+          } finally c.close()
+        }
+      }
+      .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
+  }
 }
 
 object PgWireConduit {

@@ -1467,13 +1467,53 @@ object Streams {
     * are few (one or two in flight) by construction of the chunk reader. */
   def dblogBackfillSink(envelope: DataFrame, rel: Relation, chunks: DataFrame,
       stateDir: String, checkpointDir: String): StreamingQuery =
-    envelope.writeStream
+    envelope
+      // per-batch envelope stats ride StreamingQueryProgress.observedMetrics
+      // (the sink-side analog of the source's ReportsSourceMetrics lag);
+      // chunk/collision progress — manifest state, not batch rows — is read
+      // via [[backfillProgress]]/[[recoveryStatus]].
+      .observe("graft_dblog",
+        count(lit(1)).as("events"), max(col("lsn")).as("max_lsn"))
+      .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeDblogBatch(batch, rel, chunks, stateDir)
       }
       .start()
+
+  /** Recovery/backfill progress an operator can poll mid-recovery:
+    * chunks applied vs pending, collision evidence held, and the stream's
+    * replication high-water. */
+  final case class RecoveryStatus(appliedChunks: Int, pendingChunks: Int,
+      pendingCollisionRows: Long, highWater: Long)
+
+  private def normRoot(root: String): String =
+    new java.io.File(root).toPath.toAbsolutePath.normalize.toString
+
+  // Live per-root progress, refreshed by every committed dblog merge —
+  // zero-cost to read while a backfill runs (recoveryStatus is the
+  // from-disk equivalent for a fresh process).
+  private val liveBackfill =
+    new scala.collection.concurrent.TrieMap[String, RecoveryStatus]()
+
+  /** Latest committed backfill progress for `stateDir` in THIS driver, if
+    * a dblog merge has committed since startup. */
+  def backfillProgress(stateDir: String): Option[RecoveryStatus] =
+    liveBackfill.get(normRoot(stateDir))
+
+  /** [[RecoveryStatus]] reconstructed from the committed manifest — works
+    * from any process, mid-recovery or after a crash. `totalChunks` is the
+    * distinct chunk count of the re-snapshot (pending = total − applied). */
+  def recoveryStatus(spark: SparkSession, stateDir: String,
+      totalChunks: Long): RecoveryStatus = {
+    val m = StateStore.load(stateDir)
+    val applied = appliedChunks(m).size
+    val coll = m.get("coll")
+      .map(v => spark.read.parquet(s"$stateDir/$v").count()).getOrElse(0L)
+    RecoveryStatus(applied, math.max(0L, totalChunks - applied).toInt, coll,
+      m.get("hw").map(_.toLong).getOrElse(Long.MinValue))
+  }
 
   private[graft] def mergeDblogBatch(batch0: DataFrame, rel: Relation,
       chunks: DataFrame, stateDir: String): Unit = {
@@ -1550,9 +1590,19 @@ object Streams {
     // other commit) landed while this batch merged, publishing would
     // resurrect retired rows — fail the batch loudly instead. Under normal
     // operation the sink is the root's only committer, so this never trips.
+    // collision count BEFORE the commit (parquet footer of the justwritten
+    // spill — tiny): the post-commit side must run NO Spark job, because a
+    // poller that sees the manifest flip may stop the query immediately and
+    // the interrupt would kill a post-commit job before the registry update
+    // (caught live: the orchestrator's stop raced exactly that window)
+    val collCount = spark.read.parquet(s"$stateDir/$nextColl").count()
     StateStore.commitIf(stateDir, Map(
       "data" -> nextData, "coll" -> nextColl, "hw" -> newHw.toString,
       "applied" -> (applied ++ toApply).toSeq.sorted.mkString(",")), manifest)
+    // refresh live observability AFTER the commit (never report state that
+    // didn't publish) — a plain map put, interrupt-safe
+    liveBackfill(normRoot(stateDir)) = RecoveryStatus(
+      (applied ++ toApply).size, bounds.size - toApply.size, collCount, newHw)
   }
 
   /** The applied-chunk ids a dblog-backfill manifest records (shared by
@@ -1638,6 +1688,145 @@ object Streams {
             "failoverRetire", e)
     }
     retired
+  }
+
+  /** What [[recoverFromSlotLoss]] did: the replacement slot's consistent
+    * point, the re-snapshot's chunk count, the rows retirement removed,
+    * and the RESUMED normal upsert query (running; caller owns stopping
+    * it). */
+  final case class SlotLossRecovery(slotLsn: Long, chunks: Long,
+      retired: Long, resumed: StreamingQuery)
+
+  /** ONE-CALL slot-loss recovery — the production entry point for the
+    * reference README's motivating failure (the slot is gone and the gap
+    * WAL with it), sequencing the proven pieces so the operator no longer
+    * hand-orders five steps:
+    *
+    *   1. create the REPLACEMENT slot (its consistent point bounds the
+    *      gap: everything after it ships through the new tail);
+    *   2. chunked pk-range re-snapshot ([[graft.sources.PgWireSnapshot
+    *      .dblogChunks]] — per-chunk WAL watermarks, no global snapshot),
+    *      staged once to `workDir/chunks`;
+    *   3. [[dblogBackfillSink]] merges the new tail and the chunks into
+    *      the EXISTING state (no state reset — the point);
+    *   4. await every chunk's finalization, then QUIESCE the backfill
+    *      query (retirement's precondition);
+    *   5. [[failoverRetire]] removes gap-deleted keys (rows still holding
+    *      pre-failover LSNs);
+    *   6. resume normal tailing as a plain [[cdcUpsertSink]] on the same
+    *      state, returned running.
+    *
+    * `sourceOptions` is the pgcdc DSv2 option map (host/port/database/
+    * user/password/ssl…) with `slot` naming the REPLACEMENT slot and
+    * `publication` covering `table`; connection fields double as the wire
+    * endpoints for slot creation and chunk reads. `dropDeadSlot`
+    * best-effort-drops the invalidated slot first (frees its WAL pin).
+    *
+    * Finalization needs the stream's high-water to pass each chunk's hi
+    * watermark, which only events FOR THIS RELATION advance — a quiet
+    * table would wait forever, so while chunks are pending the
+    * orchestrator nudges: a no-op self-UPDATE of one surviving row
+    * (bounded, value-preserving; DBLog's own design writes watermark rows
+    * the same way — the WAL must move for watermark-based merges to
+    * converge). `nudge = false` opts out for tables with live traffic.
+    *
+    * Crash/rerun contract (inherited from the pieces): before retirement
+    * commits, rerunning with a FRESH replacement slot name restarts
+    * recovery against the same state; after it, [[failoverRetire]]'s
+    * cleared bookkeeping makes a rerun refuse loudly. A concurrent commit
+    * landing mid-retirement fails the CAS rather than clobbering. */
+  def recoverFromSlotLoss(
+      spark: SparkSession,
+      rel: Relation,
+      stateDir: String,
+      workDir: String,
+      sourceOptions: Map[String, String],
+      table: String,
+      pkCol: String,
+      nChunks: Int,
+      dropDeadSlot: Option[String] = None,
+      nudge: Boolean = true,
+      timeoutMs: Long = 10L * 60 * 1000,
+      pollMs: Long = 250L): SlotLossRecovery = {
+    import graft.sources.{PgCatalog, PgSnapshotSync, PgWireConnection, PgWireSnapshot}
+    val host = sourceOptions.getOrElse("host", "127.0.0.1")
+    val port = sourceOptions.get("port").map(_.toInt).getOrElse(5432)
+    val db = sourceOptions.getOrElse("database",
+      sourceOptions.getOrElse("dbname", "postgres"))
+    val user = sourceOptions.getOrElse("user", "postgres")
+    val password = sourceOptions.get("password")
+    val slot = sourceOptions.getOrElse("slot", throw new IllegalArgumentException(
+      "sourceOptions must name the REPLACEMENT slot under 'slot'"))
+    def sqlConn(): PgWireConnection = {
+      val c = new PgWireConnection(host, port, db, user, password)
+      c.handshake(); c
+    }
+    // 0. drop the dead slot (best-effort: it may already be gone, and a
+    //    lost slot holds a WAL pin until dropped)
+    dropDeadSlot.foreach { dead =>
+      val c = sqlConn()
+      try c.simpleQuery(
+        s"SELECT pg_drop_replication_slot(${PgCatalog.sqlLiteral(dead)})")
+      catch { case _: Exception => () }
+      finally c.close()
+    }
+    // 1. replacement slot FIRST: from its consistent point on, every
+    //    change is either in a chunk read below or in the new tail
+    val repl = new PgWireConnection(host, port, db, user, password,
+      replication = true)
+    val slotLsn =
+      try { repl.handshake(); PgWireSnapshot.createSlotWithSnapshot(repl, slot)._1 }
+      finally repl.close()
+    // 2. chunked re-snapshot, staged ONCE (the sink re-reads chunk bounds
+    //    every micro-batch — that must hit parquet, not the live server)
+    val chunksDir = s"$workDir/chunks"
+    PgWireSnapshot.dblogChunks(spark, host, port, db, user, password,
+        table, pkCol, nChunks)
+      .write.mode("overwrite").parquet(chunksDir)
+    val chunks = spark.read.parquet(chunksDir)
+    val totalChunks = chunks.select(col("chunk_id")).distinct().count()
+    // 3. backfill the gap: new tail + chunks over the existing state
+    def source(): DataFrame = spark.readStream
+      .format("graft.sources.PgCdcProvider")
+      .options(sourceOptions + ("createSlot" -> "false"))
+      .load()
+    val backfill = dblogBackfillSink(source(), rel, chunks, stateDir,
+      s"$workDir/ckpt-backfill")
+    // 4. await finalization of every chunk, nudging a quiet WAL forward
+    val nudgeSql = {
+      val qt = PgSnapshotSync.quoteQualified(table)
+      val qc = PgSnapshotSync.quoteIdent(
+        rel.columns.find(!_.partOfKey).map(_.name).getOrElse(pkCol))
+      val qpk = PgSnapshotSync.quoteIdent(pkCol)
+      s"UPDATE $qt SET $qc = $qc WHERE $qpk = (SELECT min($qpk) FROM $qt)"
+    }
+    def applied(): Int = appliedChunks(StateStore.load(stateDir)).size
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var lastNudge = 0L
+    try {
+      while (applied() < totalChunks && System.nanoTime() < deadline) {
+        if (nudge && System.nanoTime() - lastNudge > 2000000000L) {
+          val c = sqlConn()
+          try c.simpleQuery(nudgeSql)
+          catch { case _: Exception => () }
+          finally c.close()
+          lastNudge = System.nanoTime()
+        }
+        Thread.sleep(pollMs)
+      }
+      if (applied() < totalChunks)
+        throw new IllegalStateException(
+          s"slot-loss recovery timed out after ${timeoutMs}ms: " +
+            s"${recoveryStatus(spark, stateDir, totalChunks)} — the backfill " +
+            "query was stopped; rerun with a fresh replacement slot")
+    } finally backfill.stop() // QUIESCE before retirement, success or failure
+    // 5. the finisher: gap-deleted keys still hold pre-failover LSNs
+    val retired = failoverRetire(spark, stateDir, slotLsn, totalChunks)
+    // 6. recovery over — resume the normal upsert tail on the same state
+    //    (fresh checkpoint: the stream restarts from the slot's
+    //    confirmed-flush position; the merge is idempotent under replay)
+    val resumed = cdcUpsertSink(source(), rel, stateDir, s"$workDir/ckpt-resume")
+    SlotLossRecovery(slotLsn, totalChunks, retired, resumed)
   }
 
   /** Current joined view across all buckets. Columns: `__key` (B's pk

@@ -2036,10 +2036,10 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("failover recovery live, STREAMING form: the replacement slot feeds " +
-      "the Spark source into dblogBackfillSink over the EXISTING StateStore " +
-      "state; failoverRetire retires the gap-deleted keys — state converges " +
-      "to the live table with no state reset") {
+  test("failover recovery live, ONE CALL: Streams.recoverFromSlotLoss over " +
+      "the EXISTING StateStore state — replacement slot, chunked re-snapshot " +
+      "racing live DML, quiesce, retirement, resumed tailing — state " +
+      "converges to the live table with no state reset") {
     live()
     val sql = sqlConn()
     try {
@@ -2128,70 +2128,83 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
         } catch { case _: Throwable => () }
       }
 
-      // ---- recovery: replacement slot, tail DML, watermarked chunk reads
-      val repl = new PgWireConnection("127.0.0.1", port, "postgres", "postgres",
-        None, replication = true)
-      repl.handshake()
-      val (slotLsn, _) =
-        PgWireSnapshot.createSlotWithSnapshot(repl, "graft_slot_fs_b")
-      repl.close()
-      sql.simpleQuery("UPDATE tfs SET v = 't' || id WHERE id % 25 = 0")
-      sql.simpleQuery(
-        "INSERT INTO tfs SELECT g, 'n' || g FROM generate_series(201, 220) g")
-      sql.simpleQuery("DELETE FROM tfs WHERE id % 41 = 0")
-      def walLsn(): Long =
-        PgLsn.parse(sql.simpleQuery("SELECT pg_current_wal_lsn()").head.head)
-      val bounds = Seq((0L, 80L), (80L, 160L), (160L, 240L), (240L, 1000000L))
-      val chunkRows = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Long, String, String)]
-      bounds.zipWithIndex.foreach { case ((kLo, kHi), i) =>
-        val lo = walLsn()
-        val rows = sql.simpleQuery(
-          s"SELECT id, v FROM tfs WHERE id > $kLo AND id <= $kHi")
-        if (i == 1) // raced row INSIDE chunk 1's watermark window
-          sql.simpleQuery("UPDATE tfs SET v = 'race' || id WHERE id = 100")
-        val hi = walLsn()
-        rows.foreach(r => chunkRows += ((i.toLong, lo, hi, r(0), r(1))))
-      }
-      sql.simpleQuery("INSERT INTO tfs VALUES (999999, 'sentinel')")
-
-      import spark.implicits._
-      val chunksDf = chunkRows.toSeq
-        .map { case (c, lo, hi, id, v) =>
-          (c, lo, hi, Map("id" -> id), Map("id" -> id, "v" -> v)) }
-        .toDF("chunk_id", "lo_lsn", "hi_lsn", "key", "after")
-      // an all-dead key range yields NO chunk rows (the (240, 1e6] bound is
-      // empty at read time) — what exists to finalize is the DISTINCT ids
-      val nChunks = chunksDf.select("chunk_id").distinct().count().toInt
-      val q2 = graft.streaming.Streams.dblogBackfillSink(
-        src("graft_slot_fs_b"), rel, chunksDf,
-        stateDir, dir.resolve("ckptB").toString)
+      // ---- recovery: ONE CALL. The orchestrator creates the replacement
+      // slot, runs the distributed chunked re-snapshot (dblogChunks — per-
+      // chunk WAL watermarks off this very server), feeds the Spark source
+      // into dblogBackfillSink over the EXISTING state, nudges the quiet
+      // WAL so chunks finalize, quiesces, retires, and resumes tailing.
+      // The relation comes from the LIVE catalogs (PgCatalog.relation) —
+      // no hand-built schema anywhere in the recovery path.
+      val relLive = new PgCatalog(s => sql.simpleQuery(s)).relation("public", "tfs")
+      assert(relLive.relationId === oid)
+      assert(relLive.keyColumnNames === Vector("id"))
+      // live DML RACING the recovery from another connection: depending on
+      // when each batch lands it is gap DML (recovered via chunks +
+      // retirement) or tail DML (shipped through the new slot, winning
+      // over raced chunk rows via the watermark rule) — convergence must
+      // not depend on the timing
+      @volatile var dmlErr: Throwable = null
+      val racer = new Thread(() => {
+        val c = sqlConn()
+        try {
+          c.simpleQuery("UPDATE tfs SET v = 't' || id WHERE id % 25 = 0")
+          Thread.sleep(400)
+          c.simpleQuery(
+            "INSERT INTO tfs SELECT g, 'n' || g FROM generate_series(201, 220) g")
+          Thread.sleep(400)
+          c.simpleQuery("DELETE FROM tfs WHERE id % 41 = 0")
+          c.simpleQuery("UPDATE tfs SET v = 'race' || id WHERE id = 100")
+        } catch { case t: Throwable => dmlErr = t }
+        finally c.close()
+      })
+      racer.start()
+      val opts = Map(
+        "producer" -> "pgwire",
+        "host" -> "127.0.0.1", "port" -> port.toString,
+        "database" -> "postgres", "user" -> "postgres",
+        "slot" -> "graft_slot_fs_b", "publication" -> "graft_pub_fs",
+        "statusIntervalMs" -> "500")
+      val r = graft.streaming.Streams.recoverFromSlotLoss(
+        spark, relLive, stateDir, dir.resolve("work").toString,
+        opts, "public.tfs", "id", nChunks = 4,
+        dropDeadSlot = Some("graft_slot_fs_a"), timeoutMs = 120000L)
+      racer.join(30000)
+      assert(dmlErr == null, s"racing DML failed: $dmlErr")
       try {
-        def applied(): Int = graft.streaming.Streams.appliedChunks(
-          graft.streaming.StateStore.load(stateDir)).size
-        val d2 = System.nanoTime() + 90L * 1000 * 1000 * 1000
-        while ((applied() < nChunks || !stateMap().contains(999999L)) &&
-          System.nanoTime() < d2) Thread.sleep(250)
-        assert(applied() === nChunks, "every re-snapshot chunk must finalize")
-      } finally q2.stop()
-
-      // the finisher: exactly the gap-deleted keys (33,66,99,132,165,198 —
-      // %33, not %35, alive after epoch 1) still hold pre-failover LSNs
-      val retired = graft.streaming.Streams.failoverRetire(
-        spark, stateDir, slotLsn, expectedChunks = nChunks)
-      assert(retired === 6, s"expected the 6 gap-deleted keys retired, got $retired")
-      val got = stateMap()
-      assert(got === tableMap(),
-        "existing state + streamed backfill + retirement must equal the live table")
-      // the raced row resolved to the WAL value (watermark rule, live LSNs)
-      assert(got(100L) === "race100")
-      // retirement cleared the recovery bookkeeping — a rerun refuses (no
-      // recovery in progress), so a FUTURE failover on this state starts
-      // with a clean applied set instead of skipping colliding chunk ids
-      intercept[IllegalArgumentException] {
-        graft.streaming.Streams.failoverRetire(
-          spark, stateDir, slotLsn, expectedChunks = nChunks)
-      }
+        // the 6 %33 gap deletes (33,66,99,132,165,198 — alive after epoch
+        // 1, not %35) happened strictly before recovery → always retired;
+        // %41 deletes add to the count only if they landed pre-slot
+        assert(r.retired >= 6, s"gap-deleted keys must retire, got ${r.retired}")
+        assert(r.chunks >= 1 && r.chunks <= 4)
+        // observability: the last committed merge reported full application
+        val prog = graft.streaming.Streams.backfillProgress(stateDir)
+        assert(prog.exists(p => p.appliedChunks === r.chunks.toInt &&
+          p.pendingChunks === 0), s"backfillProgress: $prog")
+        // retirement CLEARED the bookkeeping (a future recovery must not
+        // skip colliding chunk ids): from-disk status shows none applied
+        val status = graft.streaming.Streams.recoveryStatus(spark, stateDir, r.chunks)
+        assert(status.appliedChunks === 0 &&
+          status.pendingCollisionRows === 0L, status.toString)
+        // a retire rerun refuses — no recovery in progress
+        intercept[IllegalArgumentException] {
+          graft.streaming.Streams.failoverRetire(
+            spark, stateDir, r.slotLsn, expectedChunks = r.chunks)
+        }
+        // converged NOW (racer DML included, whenever it landed), and the
+        // RESUMED query keeps tracking post-recovery DML on the same state
+        val d2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateMap() != tableMap() && System.nanoTime() < d2)
+          Thread.sleep(250)
+        assert(stateMap() === tableMap(),
+          "existing state + one-call recovery must equal the live table")
+        assert(stateMap()(100L) === "race100")
+        sql.simpleQuery("UPDATE tfs SET v = 'post' || id WHERE id % 11 = 0")
+        sql.simpleQuery("DELETE FROM tfs WHERE id % 13 = 0")
+        val want = tableMap()
+        val d3 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateMap() != want && System.nanoTime() < d3) Thread.sleep(250)
+        assert(stateMap() === want, "resumed tail must track post-recovery DML")
+      } finally r.resumed.stop()
     } finally {
       Seq("graft_slot_fs_a", "graft_slot_fs_b").foreach { s =>
         try sql.simpleQuery(s"SELECT pg_drop_replication_slot('$s')")

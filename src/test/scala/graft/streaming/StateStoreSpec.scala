@@ -47,6 +47,17 @@ class StateStoreSpec extends AnyFunSuite {
     assert(StateStore.load(root) === Map("hw" -> "42"))
   }
 
+  test("recoverFromSlotLoss refuses an option map without the replacement slot, before any connection") {
+    val root = Files.createTempDirectory("recover-args").toString
+    val e = intercept[IllegalArgumentException] {
+      Streams.recoverFromSlotLoss(spark, graft.cdc.CdcPipeline.ordersRelation,
+        s"$root/state", s"$root/work",
+        Map("host" -> "127.0.0.1", "publication" -> "p"), "public.orders",
+        "o_orderkey", nChunks = 4)
+    }
+    assert(e.getMessage.contains("REPLACEMENT slot"), e.getMessage)
+  }
+
   test("failoverRetire surfaces a racing merge commit as the stop-the-backfill refusal; state unchanged") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("retire-race").toString

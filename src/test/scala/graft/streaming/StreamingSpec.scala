@@ -1643,7 +1643,20 @@ class StreamingSpec extends AnyFunSuite {
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(200))
     val q = Streams.dblogBackfillSink(env, graft.cdc.CdcPipeline.ordersRelation,
       chunks, dir.resolve("state").toString, dir.resolve("ckpt").toString)
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
+    // recovery observability rides the query's progress + the two status
+    // reads: per-batch envelope stats in observedMetrics, chunk/collision
+    // state via backfillProgress (live registry) and recoveryStatus (disk)
+    val obs = q.lastProgress.observedMetrics.get("graft_dblog")
+    assert(obs != null, "observed metrics must ride StreamingQueryProgress")
+    assert(obs.getAs[Long]("events") >= 0L)
+    q.stop()
+    val prog = Streams.backfillProgress(dir.resolve("state").toString)
+    assert(prog.exists(p => p.appliedChunks === 8 && p.pendingChunks === 0),
+      s"live backfill progress: $prog")
+    val status = Streams.recoveryStatus(spark, dir.resolve("state").toString, 8)
+    assert(status.appliedChunks === 8 && status.pendingChunks === 0 &&
+      status.pendingCollisionRows === 0L, status.toString)
     val manifest = StateStore.load(dir.resolve("state").toString)
     assert(manifest("applied").split(",").length === 8) // every chunk landed
     def rows(df: org.apache.spark.sql.DataFrame) =
