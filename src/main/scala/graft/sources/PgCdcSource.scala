@@ -315,8 +315,14 @@ final class EnvelopeEventsReaderFactory extends PartitionReaderFactory {
   * order exists or is recoverable — each slot's LSNs are positions in the
   * same WAL but their interleaving in the union is arbitrary per batch,
   * exactly as with N independent consumers. Consumers needing cross-table
-  * transactional consistency must keep those tables in ONE publication on
-  * one slot (the single-cursor cost is the price of the guarantee).
+  * transactional consistency have two options: keep those tables in ONE
+  * publication on one slot (the single-cursor cost is the price of the
+  * strongest guarantee), or — since same-server slots share one WAL — run
+  * the sharded slots through `Streams.frontierGatedUnionSink`, which
+  * serves every table's state at the cross-slot frontier (min delivered
+  * LSN): the joined view then always corresponds to a single WAL
+  * position, at the cost of holding back the lead slots' backlog until
+  * the lagging slot confirms passing it.
   */
 final class PgCdcMicroBatch(
     conduit: ReplicationConduit, startLsn: Long, maxFramesPerTrigger: Option[Long],

@@ -1829,6 +1829,146 @@ object Streams {
     SlotLossRecovery(slotLsn, totalChunks, retired, resumed)
   }
 
+  // ===== CROSS-SLOT CONSISTENT READ FRONTIER =====
+  //
+  // Multi-slot scale-out (N publications → N slots → N source instances;
+  // PgCdcSource's ordering contract) delivers each slot independently, so
+  // a naive union of the per-slot states can show a combination NO single
+  // WAL position ever produced (slot A delivered through LSN 100 while B
+  // sits at 60). Same-server slots share ONE WAL, which makes a consistent
+  // cut well-defined: the FRONTIER F = min over slots of delivered LSN.
+  // The sink below maintains served state AT F continuously — events with
+  // lsn ≤ F merge, events ahead of the lagging slot are HELD BACK in a
+  // pending spill and graduate as F advances (the dataflow-frontier
+  // construction; Millwheel/Naiad-style low watermark over WAL positions).
+
+  /** One sink, N slots: union the tagged envelope streams, gate every
+    * merge at the cross-slot frontier. Serves each relation's state under
+    * `data:<relationId>`; read with [[frontierState]], current frontier
+    * with [[frontierLsn]].
+    *
+    * Granularity: event-LSN prefixes of the shared WAL. For transaction-
+    * level cuts feed txn-assembled envelopes (T7) so batches carry whole
+    * transactions; a cross-publication transaction then lands on the same
+    * side of F in every slot (one commit record, one position).
+    *
+    * An IDLE slot gates the frontier (its watermark only advances with
+    * delivered events — the classic frontier stall): operators unblock it
+    * with [[bumpSlotWatermark]] fed from the idle source's checkpointed
+    * offset (StreamingQueryProgress `endOffset` — a position the slot has
+    * delivered THROUGH, so bumping to it never claims undelivered WAL).
+    *
+    * Scale shape: per batch one tiny per-slot max collect, one graduating
+    * merge per touched relation (the same one-pk-shuffle compaction as
+    * [[cdcUpsertSink]]), and a pending spill bounded by the slot-skew
+    * window — the price of consistency is storing the lead slot's
+    * backlog, never rescanning state. Replay-idempotent: hw keys, pending,
+    * and every data version flip in ONE manifest commit. */
+  def frontierGatedUnionSink(envelopes: Seq[(String, DataFrame)],
+      rels: Seq[Relation], stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    require(envelopes.nonEmpty, "at least one (slot, envelope) stream")
+    val slots = envelopes.map(_._1)
+    require(slots.distinct.size == slots.size, s"duplicate slot names: $slots")
+    val union = envelopes
+      .map { case (s, e) => e.withColumn("__slot", lit(s)) }
+      .reduce(_ unionByName _)
+    union.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeFrontierBatch(batch, rels, slots, stateDir)
+      }
+      .start()
+  }
+
+  // operator-supplied per-(root, slot) watermark bumps for idle slots —
+  // driver-local, monotone; consumed (and persisted into the manifest's hw
+  // keys) by the next committed batch
+  private val externalWatermarks =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  /** Advance an idle slot's frontier watermark to `lsn` — a position the
+    * slot is known to have delivered through, INCLUSIVE (its checkpointed
+    * offset / a delivered event's position). Monotone; takes effect on the
+    * sink's next batch. NEVER pass a position ahead of what the slot has
+    * actually delivered: the frontier would claim WAL it hasn't seen. In
+    * particular `pg_current_wal_lsn()` is the server's INSERT position —
+    * the next record starts exactly AT it — so a caller deriving the bump
+    * from it must pass `lsn - 1`. */
+  def bumpSlotWatermark(stateDir: String, slot: String, lsn: Long): Unit = {
+    val k = (normRoot(stateDir), slot)
+    externalWatermarks.updateWith(k) {
+      case Some(prev) => Some(math.max(prev, lsn))
+      case None => Some(lsn)
+    }
+  }
+
+  private[graft] def mergeFrontierBatch(batch0: DataFrame, rels: Seq[Relation],
+      slots: Seq[String], stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    val manifest = StateStore.load(stateDir)
+    def hwKey(s: String) = s"hw:$s"
+    // per-slot delivered watermark: committed ∨ this batch's per-slot max
+    // (markers included — any delivered frame advances the position) ∨
+    // operator bump. One tiny collect: ≤ one row per slot.
+    val batchHw = batch0.groupBy(col("__slot")).agg(max(col("lsn"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hw = slots.map { s =>
+      s -> Seq(
+        manifest.get(hwKey(s)).map(_.toLong).getOrElse(Long.MinValue),
+        batchHw.getOrElse(s, Long.MinValue),
+        externalWatermarks.getOrElse((normRoot(stateDir), s), Long.MinValue)
+      ).max
+    }.toMap
+    val frontier = hw.values.min
+    val relIds = rels.map(_.relationId)
+    val events = batch0.filter(col("relation_id").isin(relIds: _*))
+    val pending = manifest.get("pending")
+      .map(v => spark.read.parquet(s"$stateDir/$v"))
+    val candidates = pending.map(_.unionByName(events)).getOrElse(events)
+    val ready = candidates.filter(col("lsn") <= frontier)
+    val still = candidates.filter(col("lsn") > frontier)
+    // which relations graduate events this batch (one collect, tiny)
+    val graduating = ready.groupBy(col("relation_id")).agg(count(lit(1)))
+      .collect().map(_.getInt(0)).toSet
+    var entries = manifest
+    rels.filter(r => graduating.contains(r.relationId)).foreach { rel =>
+      val rb = ready.filter(col("relation_id") === rel.relationId).drop("__slot")
+      val existing = entries.get(s"data:${rel.relationId}")
+        .map(v => spark.read.parquet(s"$stateDir/$v"))
+      val merged = mergeCompact(rb, existing, rel, rel.keyColumnNames)
+      val v = StateStore.newVersion(s"data-${rel.relationId}")
+      merged.write.mode("overwrite").parquet(s"$stateDir/$v")
+      entries += (s"data:${rel.relationId}" -> v)
+    }
+    val pv = StateStore.newVersion("pending")
+    still.write.mode("overwrite").parquet(s"$stateDir/$pv")
+    StateStore.commit(stateDir,
+      entries + ("pending" -> pv) ++
+        hw.map { case (s, v) => hwKey(s) -> v.toString })
+  }
+
+  /** The committed cross-slot frontier: the LSN the served state is
+    * consistent AT (min over the declared slots' watermarks). */
+  def frontierLsn(stateDir: String, slots: Seq[String]): Long = {
+    val m = StateStore.load(stateDir)
+    slots.map(s => m.get(s"hw:$s").map(_.toLong).getOrElse(Long.MinValue)).min
+  }
+
+  /** One relation's state as served at the frontier — typed like
+    * [[materializedState]]. Empty (typed) if nothing graduated yet. */
+  def frontierState(spark: SparkSession, rel: Relation,
+      stateDir: String): DataFrame = {
+    val manifest = StateStore.load(stateDir)
+    val v = manifest.getOrElse(s"data:${rel.relationId}",
+      throw new IllegalStateException(
+        s"no served state for relation ${rel.relationId} under $stateDir"))
+    graft.decode.TypedView.ofAfter(
+      spark.read.parquet(s"$stateDir/$v")
+        .withColumnRenamed("__after", "after"), rel)
+  }
+
   /** Current joined view across all buckets. Columns: `__key` (B's pk
     * map), `b_after`, `a_after` — callers project through the relations'
     * typed views. */

@@ -1660,6 +1660,151 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cross-slot consistent frontier live: two real slots with staggered " +
+      "delivery — the served two-table view always corresponds to a single " +
+      "WAL position, and a watermark bump unblocks the idle slot's gate") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE ffa (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE TABLE ffb (id bigint primary key, v text)")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_ffa FOR TABLE ffa")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_ffb FOR TABLE ffb")
+      Seq("graft_slot_ffa" -> "graft_pub_ffa",
+          "graft_slot_ffb" -> "graft_pub_ffb").foreach { case (slot, pub) =>
+        val pin = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+          None, slot, pub, createSlot = true, temporarySlot = false,
+          statusIntervalMs = 500L)
+        pin.start(0L); pin.close()
+      }
+      val cat = new PgCatalog(s => sql.simpleQuery(s))
+      val relA = cat.relation("public", "ffa")
+      val relB = cat.relation("public", "ffb")
+      // alternating autocommit txns, ffa's k strictly before ffb's k: at
+      // EVERY single WAL position count(ffa) − count(ffb) ∈ {0, 1} — the
+      // invariant a frontier-consistent view must preserve and a naive
+      // staggered union violates
+      (1 to 120).foreach { k =>
+        sql.simpleQuery(s"INSERT INTO ffa VALUES ($k, 'a$k')")
+        sql.simpleQuery(s"INSERT INTO ffb VALUES ($k, 'b$k')")
+      }
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      val dir = Files.createTempDirectory("livepg-frontier")
+      val state = dir.resolve("state").toString
+      def src(slot: String, pub: String, perTrigger: Int) =
+        spark.readStream.format("graft.sources.PgCdcProvider")
+          .option("producer", "pgwire")
+          .option("host", "127.0.0.1").option("port", port.toString)
+          .option("database", "postgres").option("user", "postgres")
+          .option("slot", slot).option("publication", pub)
+          .option("maxFramesPerTrigger", perTrigger.toString)
+          .option("statusIntervalMs", "500")
+          .load()
+      // slot B throttled hard: its backlog drains over MANY micro-batches
+      // while A races ahead — a genuine, observable stagger
+      val q = graft.streaming.Streams.frontierGatedUnionSink(
+        Seq("sa" -> src("graft_slot_ffa", "graft_pub_ffa", 100000),
+          "sb" -> src("graft_slot_ffb", "graft_pub_ffb", 40)),
+        Seq(relA, relB), state, dir.resolve("ckpt").toString)
+      // ONE manifest load per sample (per-table loads could straddle a
+      // commit and pair states from two different frontiers — exactly the
+      // inconsistency under test); a commit's sweep can race the version
+      // read → skip that sample
+      def sample(): Option[(Map[Long, String], Map[Long, String])] =
+        try {
+          val m = graft.streaming.StateStore.load(state)
+          def read(rel: graft.decode.Relation): Map[Long, String] =
+            m.get(s"data:${rel.relationId}") match {
+              case None => Map.empty // nothing graduated yet
+              case Some(v) => spark.read.parquet(s"$state/$v")
+                .select(
+                  org.apache.spark.sql.functions.expr("cast(element_at(__after, 'id') as bigint)"),
+                  org.apache.spark.sql.functions.expr("element_at(__after, 'v')"))
+                .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+            }
+          Some((read(relA), read(relB)))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: org.apache.spark.SparkException => None // swept version dir
+        }
+      def served(rel: graft.decode.Relation): Map[Long, String] =
+        sample().map(s => if (rel eq relA) s._1 else s._2).getOrElse(Map.empty)
+      var maxSkew = 0L
+      try {
+        // sample the served view while B's backlog drains: the invariant
+        // must hold at EVERY sample, while the raw watermarks diverge
+        val d1 = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var drained = false
+        while (!drained && System.nanoTime() < d1) {
+          sample().foreach { case (a, b) =>
+            val (ca, cb) = (a.size, b.size)
+            assert(ca - cb == 0 || ca - cb == 1,
+              s"frontier view broke the invariant: ffa=$ca ffb=$cb")
+            // 119, not 120: b_120 is the shared WAL's LAST event, gated
+            // until slot A confirms passing it (the end-game below)
+            drained = cb >= 119
+          }
+          val m = graft.streaming.StateStore.load(state)
+          (m.get("hw:sa"), m.get("hw:sb")) match {
+            case (Some(a), Some(b)) =>
+              maxSkew = math.max(maxSkew, a.toLong - b.toLong)
+            case _ => ()
+          }
+          Thread.sleep(150)
+        }
+        assert(drained, "slot B must eventually drain to the frontier")
+        assert(maxSkew > 0, "delivery must actually have been staggered")
+        // THE END-GAME STALL, observed live: ffa went idle after a_120, so
+        // the frontier is pinned at a_120's position and b_120 — the last
+        // event on the shared WAL — sits correctly PENDING although slot B
+        // is fully caught up (served B = 119, served A = 120).
+        val stalled = sample()
+        assert(stalled.exists { case (a, b) =>
+          a.size == 120 && b.size == 119 && !b.contains(120L) },
+          s"expected the gated tail: ${stalled.map(s => (s._1.size, s._2.size))}")
+        // the operator unblocks it: bump slot A to a position it has
+        // delivered through (the server's WAL end — A is idle and caught
+        // up, no ffa event exists beyond a_120), then the next delivered
+        // event (b_121) triggers the graduating merge. b_121 itself lands
+        // AFTER the bump sample, so it stays gated — the cut is exact.
+        // MINUS ONE: pg_current_wal_lsn() is the INSERT position — the
+        // very next record starts exactly AT it (the dblogMerge (lo,hi]
+        // lesson), and the bump is delivered-through-INCLUSIVE.
+        graft.streaming.Streams.bumpSlotWatermark(state, "sa",
+          PgLsn.parse(
+            sql.simpleQuery("SELECT pg_current_wal_lsn()").head.head) - 1)
+        sql.simpleQuery("INSERT INTO ffb VALUES (121, 'b121')")
+        val want120 = (1L to 120L).map(k => k -> s"b$k").toMap
+        val d2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (served(relB) != want120 && System.nanoTime() < d2)
+          Thread.sleep(150)
+        assert(served(relB) === want120,
+          "bump must graduate the gated b_120; b_121 stays correctly pending")
+        // natural advance: a_121 (later on the WAL than b_121) lifts the
+        // frontier past b_121 — B serves 121 rows while a_121 is now the
+        // held tail. The frontier ALWAYS withholds the shared WAL's tip
+        // until the other slot confirms passing it: that is the guarantee.
+        sql.simpleQuery("INSERT INTO ffa VALUES (121, 'a121')")
+        val wantB = (1L to 121L).map(k => k -> s"b$k").toMap
+        val wantA = (1L to 120L).map(k => k -> s"a$k").toMap
+        val d3 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (served(relB) != wantB && System.nanoTime() < d3)
+          Thread.sleep(150)
+        assert(served(relB) === wantB)
+        assert(served(relA) === wantA, "a_121 must be the new gated tail")
+      } finally q.stop()
+    } finally {
+      Seq("graft_slot_ffa", "graft_slot_ffb").foreach { s =>
+        try sql.simpleQuery(s"SELECT pg_drop_replication_slot('$s')")
+        catch { case _: Throwable => () }
+      }
+      sql.close()
+    }
+  }
+
   test("live ingest end-to-end: pgwire source → bucketed upsert sink tracks " +
       "the live table through two DML rounds") {
     live()

@@ -1756,6 +1756,96 @@ class StreamingSpec extends AnyFunSuite {
     assert(again.getMessage.contains("0 of " + nChunks), again.getMessage)
   }
 
+  test("cross-slot consistent frontier: a lagging slot gates the served " +
+      "state at the cut (never a combination no single WAL position could " +
+      "produce); the frontier advances and the view converges") {
+    import graft.cdc.CdcPipeline
+    val dir = Files.createTempDirectory("frontier")
+    val relO = CdcPipeline.ordersRelation
+    val relL = CdcPipeline.lineitemRelation
+    // two slots sharing ONE WAL axis: orders frames on slot A, lineitem
+    // frames on slot B (each generator's lsns are positions on the same
+    // numeric axis — exactly the same-server sharded-publication shape)
+    val oFrames = CdcPipeline.ordersToFrames(spark, sfDir,
+      CdcPipeline.DmlPattern(updates = true, deletes = true, fullImages = true))
+      .collect().sortBy(_._1)
+    val lFrames = CdcPipeline.lineitemToFrames(spark, sfDir)
+      .collect().sortBy(_._1)
+    val maxA = oFrames.map(_._1).max
+    // slot B STAGGERED: run 1 delivers only its WAL prefix up to ~maxA/2,
+    // so B's watermark genuinely trails A's
+    val prefixB = lFrames.takeWhile(_._1 <= maxA / 2)
+    assert(prefixB.nonEmpty && prefixB.last._1 < maxA, "stagger must bite")
+    val pA = dir.resolve("slotA.bin").toString
+    val pB1 = dir.resolve("slotB-prefix.bin").toString
+    FrameLog.write(pA, oFrames.iterator.map { case (l, b) => FrameLog.Entry(l, b) })
+    FrameLog.write(pB1, prefixB.iterator.map { case (l, b) => FrameLog.Entry(l, b) })
+    val state = dir.resolve("state").toString
+    def run(pB: String, ckpt: String): Unit = {
+      // txnMarkers: B/C marker rows advance the watermark at COMMIT
+      // positions (a bare data stream's watermark trails at the last data
+      // row — the commit frame emits no row), making the frontier cut at
+      // transaction boundaries
+      val q = Streams.frontierGatedUnionSink(
+        Seq("A" -> Streams.envelopeStream(spark, pA, Some(5000), txnMarkers = true),
+          "B" -> Streams.envelopeStream(spark, pB, Some(700), txnMarkers = true)),
+        Seq(relO, relL), state, dir.resolve(ckpt).toString)
+      q.processAllAvailable(); q.stop()
+    }
+    run(pB1, "ckpt1")
+    // the frontier is the lagging slot's watermark…
+    val f1 = Streams.frontierLsn(state, Seq("A", "B"))
+    assert(f1 === prefixB.last._1, s"frontier $f1")
+    // …and BOTH tables serve exactly the ≤F prefix of the shared WAL —
+    // orders events ahead of F are delivered but HELD BACK, so the view
+    // corresponds to the single WAL position F (the naive per-slot read
+    // would pair full orders with half lineitem: no position produces that)
+    def oracleO(f: Long) = graft.cdc.Cdc.materialize(
+        CdcPipeline.decodeFrames(CdcPipeline.ordersToFrames(spark, sfDir,
+          CdcPipeline.DmlPattern(updates = true, deletes = true,
+            fullImages = true))).toDF().filter(col("lsn") <= f), relO)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    def oracleL(f: Long) = graft.cdc.Cdc.materialize(
+        CdcPipeline.decodeFrames(CdcPipeline.lineitemToFrames(spark, sfDir))
+          .toDF().filter(col("lsn") <= f), relL)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    def servedO() = Streams.frontierState(spark, relO, state)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    def servedL() = Streams.frontierState(spark, relL, state)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(servedO() === oracleO(f1), "orders must be cut at the frontier")
+    assert(servedL() === oracleL(f1), "lineitem must be cut at the frontier")
+    // full orders state would DIFFER (the gate is load-bearing)
+    assert(servedO() !== oracleO(Long.MaxValue))
+    // run 2: slot B's full log on a fresh checkpoint — full redelivery,
+    // so this also proves replay idempotence of the gated merge; the
+    // frontier advances past both ends and the view converges
+    val pB2 = dir.resolve("slotB-full.bin").toString
+    FrameLog.write(pB2, lFrames.iterator.map { case (l, b) => FrameLog.Entry(l, b) })
+    run(pB2, "ckpt2")
+    val f2 = Streams.frontierLsn(state, Seq("A", "B"))
+    assert(f2 === math.min(maxA, lFrames.map(_._1).max))
+    // still gated at f2: the LONGER axis's tail (lsn > f2) is pending —
+    // the cut stays exact even at the ends
+    assert(servedO() === oracleO(f2))
+    assert(servedL() === oracleL(f2))
+    // idle-slot unblocking: one axis simply ENDED short of the other — the
+    // classic frontier stall. Bump the short slot to the longer end (a
+    // position it has delivered through) and one more run graduates the
+    // held tail: FULL convergence only now
+    val maxBoth = math.max(maxA, lFrames.map(_._1).max)
+    Streams.bumpSlotWatermark(state, "A", maxBoth)
+    Streams.bumpSlotWatermark(state, "B", maxBoth)
+    run(pB2, "ckpt3")
+    assert(Streams.frontierLsn(state, Seq("A", "B")) === maxBoth)
+    assert(servedO() === oracleO(Long.MaxValue))
+    assert(servedL() === oracleL(Long.MaxValue))
+  }
+
   test("two-sided join view sink across micro-batches equals the batch join") {
     val dir = Files.createTempDirectory("joinview")
     val p = dir.resolve("log.bin").toString
