@@ -152,7 +152,14 @@ object Streams {
     * update streams ship full images — unchanged-TOAST repair has no
     * cross-site meaning). Same StateStore manifest crash safety as
     * [[cdcUpsertSink]]; replay is idempotent — re-resolving an
-    * already-won conflict picks the same winner. */
+    * already-won conflict picks the same winner.
+    *
+    * SLOT-LOSS RECOVERY: [[failoverRetire]] (and therefore
+    * [[recoverFromSlotLoss]]) REFUSES this state — its retirement rule
+    * reads row LSNs as local-WAL positions, but LWW winners may carry a
+    * foreign site's LSN. Recover an LWW site by re-seeding the state from
+    * a snapshot: convergence comes from timestamp resolution against the
+    * re-seeded winners, not from local WAL continuity. */
   def lwwUpsertSink(envelope: DataFrame, rel: Relation, stateDir: String,
       checkpointDir: String, retainSnapshots: Int = 1): StreamingQuery = {
     val keys = rel.keyColumnNames
@@ -1660,6 +1667,18 @@ object Streams {
     val data = manifest.getOrElse("data",
       throw new IllegalStateException(s"no committed state under $stateDir"))
     val st = spark.read.parquet(s"$stateDir/$data")
+    // LWW guard: the retirement rule reads __lsn as a position in THIS
+    // server's WAL — the invariant the re-snapshot refresh establishes.
+    // An LWW state's stored winners carry (ts, origin, lsn) where the lsn
+    // may live in a FOREIGN site's WAL space, numerically unrelated to
+    // newSlotLsn: filtering on it would silently mass-retire foreign
+    // winners. Refuse; recover an LWW site by re-seeding its state from a
+    // snapshot (the sites' streams then re-resolve against fresh winners —
+    // LWW's convergence does not depend on local WAL continuity).
+    require(!st.columns.contains("__ts"),
+      s"failoverRetire cannot run on LWW state ($stateDir carries __ts/" +
+        "__origin conflict metadata): stored winners' LSNs may live in " +
+        "foreign WAL spaces — re-seed the LWW state instead")
     // one pass decides: total row count + how many hold pre-failover LSNs
     val counts = st.agg(count(lit(1)),
       sum(when(col("__lsn") < newSlotLsn, 1L).otherwise(0L))).first()

@@ -47,6 +47,28 @@ class StateStoreSpec extends AnyFunSuite {
     assert(StateStore.load(root) === Map("hw" -> "42"))
   }
 
+  test("failoverRetire refuses LWW state: stored winners may carry foreign-WAL LSNs the retirement rule would mass-retire") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("retire-lww").toString
+    val v = StateStore.newVersion("data")
+    // LWW-shaped state: conflict metadata columns, one winner from a
+    // foreign site whose lsn (from that site's WAL space) is numerically
+    // below any local slot position
+    spark.range(3).select(
+        lit("U").as("__op"), lit(1700000000000000L).as("__ts"),
+        lit("site_b").as("__origin"), lit(7L).as("__lsn"),
+        lit(0L).as("__seq"), col("id").as("__k"))
+      .write.parquet(s"$root/$v")
+    StateStore.commit(root, Map("data" -> v, "applied" -> "0"))
+    val e = intercept[IllegalArgumentException] {
+      Streams.failoverRetire(spark, root, newSlotLsn = 1000L, expectedChunks = 1)
+    }
+    assert(e.getMessage.contains("LWW state"), e.getMessage)
+    // nothing was retired or committed — the LWW state is untouched
+    assert(StateStore.load(root) === Map("data" -> v, "applied" -> "0"))
+    assert(spark.read.parquet(s"$root/$v").count() === 3L)
+  }
+
   test("recoverFromSlotLoss refuses an option map without the replacement slot, before any connection") {
     val root = Files.createTempDirectory("recover-args").toString
     val e = intercept[IllegalArgumentException] {
