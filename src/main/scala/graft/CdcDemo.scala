@@ -93,9 +93,14 @@ object CdcDemo {
       "publication" -> sys.env.getOrElse("GRAFT_PGCDC_PUBLICATION",
         "graft_publication"))
     // relation + pk straight from the live catalogs — no hand-built schema
+    // (same TLS resolution as the source: the DSN's sslmode must not be
+    // dropped on the catalog hop)
+    val sslMode = opts.getOrElse("sslMode", "disable")
     val conn = new graft.sources.PgWireConnection(
       opts("host"), opts("port").toInt, opts("database"), opts("user"),
-      opts.get("password"))
+      opts.get("password"), ssl = sslMode != "disable",
+      sslRootCert = opts.get("sslRootCert"),
+      sslVerifyFull = sslMode == "verify-full")
     val rel = try {
       conn.handshake()
       new graft.sources.PgCatalog(sql => conn.simpleQuery(sql)).relation(ns, tbl)

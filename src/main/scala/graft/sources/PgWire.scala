@@ -833,14 +833,21 @@ object PgWireSnapshot {
     *
     * Output: (chunk_id, lo_lsn, hi_lsn, key, after) — key/after as
     * text maps rendered under the same GUC pinning as the walsender
-    * session (hex bytea, UTC timestamptz). An all-dead pk range yields no
-    * rows, so callers count `distinct chunk_id` for the applied-chunk
-    * total. Scale: ranges are planned from one min/max probe; each task
-    * reads one bounded slice — O(table / nChunks) per task, fully
-    * parallel, the same layout a 1000-executor backfill wants. */
+    * session (hex bytea, UTC timestamptz). `pkCol` is the numeric RANGE
+    * column (chunk planning); `keyCols` is the relation's FULL primary
+    * key — the emitted key map must carry every key column or the
+    * backfill merge's collision anti-join (equality over ALL key columns)
+    * can never match on a composite-pk table and raced chunk rows would
+    * silently resurrect stale values. Empty `keyCols` defaults to just
+    * `pkCol`. An all-dead pk range yields no rows, so callers count
+    * `distinct chunk_id` for the applied-chunk total. Scale: ranges are
+    * planned from one min/max probe; each task reads one bounded slice —
+    * O(table / nChunks) per task, fully parallel, the same layout a
+    * 1000-executor backfill wants. */
   def dblogChunks(spark: org.apache.spark.sql.SparkSession,
       host: String, port: Int, db: String, user: String, password: Option[String],
       table: String, pkCol: String, nChunks: Int,
+      keyCols: Seq[String] = Nil,
       ssl: Boolean = false, sslRootCert: Option[String] = None,
       sslVerifyFull: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -867,6 +874,7 @@ object PgWireSnapshot {
     val step = math.max(1L, (hi - lo) / nChunks + 1)
     val ranges = (0 until nChunks).map(i => (i.toLong, lo + i * step, lo + (i + 1) * step))
       .filter { case (_, a, _) => a <= hi }
+    val keyColumns = if (keyCols.nonEmpty) keyCols else Seq(pkCol)
     spark.createDataset(ranges).repartition(ranges.size)
       .mapPartitions { it =>
         it.flatMap { case (id, a, b) =>
@@ -878,7 +886,7 @@ object PgWireSnapshot {
             val chunkHi = walLsn(c)
             rows.map { r =>
               val m = cols.zip(r).toMap
-              (id, chunkLo, chunkHi, Map(pkCol -> m(pkCol)), m)
+              (id, chunkLo, chunkHi, keyColumns.map(k => k -> m(k)).toMap, m)
             }
           } finally c.close()
         }

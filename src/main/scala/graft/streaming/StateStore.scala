@@ -58,11 +58,14 @@ object StateStore {
   // an intermittent failure — silently voiding the CAS. normalize() is
   // pure path arithmetic; symlinked aliases of one root are out of scope
   // (no caller constructs them — state roots are literal dirs the sinks
-  // themselves create).
+  // themselves create). THE one root-canonicalization policy: commit
+  // locks here and every driver-local registry keyed by root (backfill
+  // progress, watermark bumps) share it, so they can never disagree on
+  // which root a path names.
+  private[streaming] def normalizeRoot(root: String): String =
+    new File(root).toPath.toAbsolutePath.normalize.toString
   private def lockFor(root: String): Object =
-    rootLocks.computeIfAbsent(
-      new File(root).toPath.toAbsolutePath.normalize.toString,
-      _ => new Object)
+    rootLocks.computeIfAbsent(normalizeRoot(root), _ => new Object)
 
   /** Test hook: simulate a crash after state files are written but before
     * the manifest flip (the window the protocol must make safe). */

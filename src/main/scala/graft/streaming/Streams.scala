@@ -1495,8 +1495,7 @@ object Streams {
   final case class RecoveryStatus(appliedChunks: Int, pendingChunks: Int,
       pendingCollisionRows: Long, highWater: Long)
 
-  private def normRoot(root: String): String =
-    new java.io.File(root).toPath.toAbsolutePath.normalize.toString
+  private def normRoot(root: String): String = StateStore.normalizeRoot(root)
 
   // Live per-root progress, refreshed by every committed dblog merge —
   // zero-cost to read while a backfill runs (recoveryStatus is the
@@ -1776,10 +1775,51 @@ object Streams {
     val password = sourceOptions.get("password")
     val slot = sourceOptions.getOrElse("slot", throw new IllegalArgumentException(
       "sourceOptions must name the REPLACEMENT slot under 'slot'"))
+    // TLS rides the same source options (libpq sslmode parity, exactly as
+    // the DSv2 source resolves them) — the orchestrator's own wire
+    // connections and the chunk reads must not silently downgrade to
+    // plaintext on a server the source itself reaches over TLS
+    val sslMode = sourceOptions.getOrElse("sslMode",
+      if (sourceOptions.get("ssl").exists(_.toBoolean)) "require" else "disable")
+    val ssl = sslMode != "disable"
+    val sslRootCert = sourceOptions.get("sslRootCert")
+    val sslVerifyFull = sslMode == "verify-full"
     def sqlConn(): PgWireConnection = {
-      val c = new PgWireConnection(host, port, db, user, password)
+      val c = new PgWireConnection(host, port, db, user, password,
+        ssl = ssl, sslRootCert = sslRootCert, sslVerifyFull = sslVerifyFull)
       c.handshake(); c
     }
+    // STATE-LAYOUT PREFLIGHT, before touching the server. The recovery
+    // path (merge + retirement) is defined over the flat single-WAL
+    // upsert layout:
+    //  - an LWW state would be DESTROYED by the first backfill merge
+    //    (mergeCompact strips __ts/__origin, then retirement reads
+    //    foreign-WAL LSNs as local positions) — refuse here, not just in
+    //    failoverRetire, which would only see the already-stripped state;
+    //  - a bucketed state (b<idx> keys, no 'data') would be silently
+    //    SHADOWED by a fresh flat state — the exact reset this entry
+    //    point promises never happens.
+    val preManifest = StateStore.load(stateDir)
+    preManifest.get("data").foreach { v =>
+      if (spark.read.parquet(s"$stateDir/$v").columns.contains("__ts"))
+        throw new IllegalArgumentException(
+          s"recoverFromSlotLoss cannot run on LWW state ($stateDir): " +
+            "re-seed the LWW state instead (see lwwUpsertSink)")
+    }
+    if (preManifest.keys.exists(_.matches("b\\d+")) &&
+        !preManifest.contains("data"))
+      throw new IllegalArgumentException(
+        s"recoverFromSlotLoss supports the flat upsert layout; $stateDir " +
+          "is bucketed (b<idx> entries) — compact it to the flat layout " +
+          "first or recover per-bucket")
+    // stale RECOVERY BOOKKEEPING from a previous crashed/timed-out
+    // attempt must clear before chunks are planned: colliding chunk ids
+    // would be silently skipped as already-applied and retirement would
+    // then mass-retire the live keys those chunks cover. CAS so a
+    // still-running backfill fails this loudly instead of being clobbered.
+    if (preManifest.contains("applied") || preManifest.contains("coll"))
+      StateStore.commitIf(stateDir,
+        preManifest - "applied" - "coll", preManifest)
     // 0. drop the dead slot (best-effort: it may already be gone, and a
     //    lost slot holds a WAL pin until dropped)
     dropDeadSlot.foreach { dead =>
@@ -1792,15 +1832,19 @@ object Streams {
     // 1. replacement slot FIRST: from its consistent point on, every
     //    change is either in a chunk read below or in the new tail
     val repl = new PgWireConnection(host, port, db, user, password,
-      replication = true)
+      replication = true, ssl = ssl, sslRootCert = sslRootCert,
+      sslVerifyFull = sslVerifyFull)
     val slotLsn =
       try { repl.handshake(); PgWireSnapshot.createSlotWithSnapshot(repl, slot)._1 }
       finally repl.close()
     // 2. chunked re-snapshot, staged ONCE (the sink re-reads chunk bounds
-    //    every micro-batch — that must hit parquet, not the live server)
+    //    every micro-batch — that must hit parquet, not the live server).
+    //    keyCols = the FULL pk so collision suppression matches on
+    //    composite keys; pkCol only plans the ranges.
     val chunksDir = s"$workDir/chunks"
     PgWireSnapshot.dblogChunks(spark, host, port, db, user, password,
-        table, pkCol, nChunks)
+        table, pkCol, nChunks, keyCols = rel.keyColumnNames,
+        ssl = ssl, sslRootCert = sslRootCert, sslVerifyFull = sslVerifyFull)
       .write.mode("overwrite").parquet(chunksDir)
     val chunks = spark.read.parquet(chunksDir)
     val totalChunks = chunks.select(col("chunk_id")).distinct().count()
@@ -1914,7 +1958,13 @@ object Streams {
     * actually delivered: the frontier would claim WAL it hasn't seen. In
     * particular `pg_current_wal_lsn()` is the server's INSERT position —
     * the next record starts exactly AT it — so a caller deriving the bump
-    * from it must pass `lsn - 1`. */
+    * from it must pass `lsn - 1`.
+    *
+    * A bump is CONSUMED by a merge, and merges run on delivered batches:
+    * if EVERY slot is idle no micro-batch fires and pending rows stay
+    * held despite the bump. Pair the bump with any WAL traffic on any
+    * declared slot (production WALs are rarely silent; a quiet system can
+    * nudge — see recoverFromSlotLoss's nudge for the same pattern). */
   def bumpSlotWatermark(stateDir: String, slot: String, lsn: Long): Unit = {
     val k = (normRoot(stateDir), slot)
     externalWatermarks.updateWith(k) {
@@ -1945,27 +1995,34 @@ object Streams {
     val events = batch0.filter(col("relation_id").isin(relIds: _*))
     val pending = manifest.get("pending")
       .map(v => spark.read.parquet(s"$stateDir/$v"))
-    val candidates = pending.map(_.unionByName(events)).getOrElse(events)
-    val ready = candidates.filter(col("lsn") <= frontier)
-    val still = candidates.filter(col("lsn") > frontier)
-    // which relations graduate events this batch (one collect, tiny)
-    val graduating = ready.groupBy(col("relation_id")).agg(count(lit(1)))
-      .collect().map(_.getInt(0)).toSet
-    var entries = manifest
-    rels.filter(r => graduating.contains(r.relationId)).foreach { rel =>
-      val rb = ready.filter(col("relation_id") === rel.relationId).drop("__slot")
-      val existing = entries.get(s"data:${rel.relationId}")
-        .map(v => spark.read.parquet(s"$stateDir/$v"))
-      val merged = mergeCompact(rb, existing, rel, rel.keyColumnNames)
-      val v = StateStore.newVersion(s"data-${rel.relationId}")
-      merged.write.mode("overwrite").parquet(s"$stateDir/$v")
-      entries += (s"data:${rel.relationId}" -> v)
-    }
-    val pv = StateStore.newVersion("pending")
-    still.write.mode("overwrite").parquet(s"$stateDir/$pv")
-    StateStore.commit(stateDir,
-      entries + ("pending" -> pv) ++
-        hw.map { case (s, v) => hwKey(s) -> v.toString })
+    // persisted for the batch: every downstream action (graduating-rel
+    // collect, each relation's merge, the pending rewrite) would otherwise
+    // re-read the pending spill and re-derive the batch — multiplying the
+    // dominant per-batch I/O by the relation count under a large skew
+    // backlog
+    val candidates = pending.map(_.unionByName(events)).getOrElse(events).persist()
+    try {
+      val ready = candidates.filter(col("lsn") <= frontier)
+      val still = candidates.filter(col("lsn") > frontier)
+      // which relations graduate events this batch (one collect, tiny)
+      val graduating = ready.groupBy(col("relation_id")).agg(count(lit(1)))
+        .collect().map(_.getInt(0)).toSet
+      var entries = manifest
+      rels.filter(r => graduating.contains(r.relationId)).foreach { rel =>
+        val rb = ready.filter(col("relation_id") === rel.relationId).drop("__slot")
+        val existing = entries.get(s"data:${rel.relationId}")
+          .map(v => spark.read.parquet(s"$stateDir/$v"))
+        val merged = mergeCompact(rb, existing, rel, rel.keyColumnNames)
+        val v = StateStore.newVersion(s"data-${rel.relationId}")
+        merged.write.mode("overwrite").parquet(s"$stateDir/$v")
+        entries += (s"data:${rel.relationId}" -> v)
+      }
+      val pv = StateStore.newVersion("pending")
+      still.write.mode("overwrite").parquet(s"$stateDir/$pv")
+      StateStore.commit(stateDir,
+        entries + ("pending" -> pv) ++
+          hw.map { case (s, v) => hwKey(s) -> v.toString })
+    } finally candidates.unpersist()
   }
 
   /** The committed cross-slot frontier: the LSN the served state is

@@ -34,8 +34,12 @@ class QueriesSpec extends AnyFunSuite {
       f.getName -> keyRe.findAllMatchIn(src).map(_.group(1)).toSeq
     }
     for ((name, keys) <- perFile) {
-      val dups = keys.groupBy(identity).filter(_._2.size > 2).keys.toSeq.sorted
-      assert(dups.isEmpty, s"$name defines a key more than twice: $dups")
+      // CdcQueries.scala holds THREE maps keyed by query name (queries,
+      // oracleSql, fixtureDeps) — a genuine duplicate inside any one of
+      // them still trips the cap at 4
+      val cap = if (name == "CdcQueries.scala") 3 else 2
+      val dups = keys.groupBy(identity).filter(_._2.size > cap).keys.toSeq.sorted
+      assert(dups.isEmpty, s"$name defines a key more than $cap times: $dups")
     }
     for (Seq((fa, ka), (fb, kb)) <- perFile.combinations(2)) {
       val inter = ka.toSet & kb.toSet

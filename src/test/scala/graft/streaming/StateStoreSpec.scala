@@ -69,6 +69,51 @@ class StateStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/$v").count() === 3L)
   }
 
+  test("recoverFromSlotLoss preflight: refuses LWW and bucketed layouts; clears stale recovery bookkeeping before planning chunks") {
+    import org.apache.spark.sql.functions._
+    val opts = Map("host" -> "127.0.0.1", "port" -> "1", // nothing listens
+      "slot" -> "s_new", "publication" -> "p")
+    val rel = graft.cdc.CdcPipeline.ordersRelation
+    // LWW layout → refuse before any connection
+    val lww = Files.createTempDirectory("pre-lww").toString
+    val v1 = StateStore.newVersion("data")
+    spark.range(1).select(lit(1L).as("__ts"), col("id").as("__lsn"))
+      .write.parquet(s"$lww/$v1")
+    StateStore.commit(lww, Map("data" -> v1))
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.recoverFromSlotLoss(spark, rel, lww, s"$lww-w", opts,
+        "public.orders", "o_orderkey", 2)
+    }
+    assert(e1.getMessage.contains("LWW state"), e1.getMessage)
+    // bucketed layout → refuse before any connection
+    val bucketed = Files.createTempDirectory("pre-bkt").toString
+    val v2 = StateStore.newVersion("b0")
+    spark.range(1).select(col("id").as("__lsn")).write.parquet(s"$bucketed/$v2")
+    StateStore.commit(bucketed, Map("b0" -> v2))
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.recoverFromSlotLoss(spark, rel, bucketed, s"$bucketed-w", opts,
+        "public.orders", "o_orderkey", 2)
+    }
+    assert(e2.getMessage.contains("bucketed"), e2.getMessage)
+    // stale applied/coll from a crashed/timed-out attempt: cleared at
+    // entry (colliding chunk ids of the NEXT attempt must not be skipped
+    // as already-applied — retirement would mass-retire their keys). The
+    // slot-creation connection then fails (port 1), proving the clear
+    // happens before any server interaction.
+    val stale = Files.createTempDirectory("pre-stale").toString
+    val v3 = StateStore.newVersion("data")
+    spark.range(2).select(col("id").as("__lsn")).write.parquet(s"$stale/$v3")
+    StateStore.commit(stale,
+      Map("data" -> v3, "applied" -> "0,1", "coll" -> "v-coll-gone", "hw" -> "9"))
+    intercept[Exception] {
+      Streams.recoverFromSlotLoss(spark, rel, stale, s"$stale-w", opts,
+        "public.orders", "o_orderkey", 2)
+    }
+    val after = StateStore.load(stale)
+    assert(!after.contains("applied") && !after.contains("coll"), after.toString)
+    assert(after.get("data") === Some(v3) && after.get("hw") === Some("9"))
+  }
+
   test("recoverFromSlotLoss refuses an option map without the replacement slot, before any connection") {
     val root = Files.createTempDirectory("recover-args").toString
     val e = intercept[IllegalArgumentException] {
