@@ -2359,6 +2359,96 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("slot-loss recovery RERUN live: stale bookkeeping from a crashed " +
+      "prior attempt is cleared at entry, so the fresh attempt's chunk ids " +
+      "are not skipped as already-applied and the state converges instead " +
+      "of mass-retiring") {
+    live()
+    val sql = sqlConn()
+    try {
+      sql.simpleQuery("CREATE TABLE tfr (id bigint primary key, v text)")
+      sql.simpleQuery("ALTER TABLE tfr REPLICA IDENTITY FULL")
+      sql.simpleQuery("CREATE PUBLICATION graft_pub_fr FOR TABLE tfr")
+      val pinA = new PgWireConduit("127.0.0.1", port, "postgres", "postgres",
+        None, "graft_slot_fr_a", "graft_pub_fr", createSlot = true,
+        temporarySlot = false, statusIntervalMs = 500L)
+      pinA.start(0L); pinA.close()
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkStarted = spark
+      val dir = Files.createTempDirectory("livepg-fr")
+      val state = dir.resolve("state").toString
+      val rel = new PgCatalog(s => sql.simpleQuery(s)).relation("public", "tfr")
+      def stateMap(): Map[Long, String] =
+        try graft.streaming.Streams.materializedState(spark, rel, state)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+        catch {
+          case _: IllegalArgumentException | _: IllegalStateException => Map.empty
+          case _: org.apache.spark.sql.AnalysisException => Map.empty
+          case _: org.apache.spark.SparkException => Map.empty
+        }
+      def tableMap(): Map[Long, String] =
+        sql.simpleQuery("SELECT id, v FROM tfr").map(r => (r(0).toLong, r(1))).toMap
+      // epoch 1 through the normal sink
+      sql.simpleQuery(
+        "INSERT INTO tfr SELECT g, 'a' || g FROM generate_series(1, 150) g")
+      sql.simpleQuery("DELETE FROM tfr WHERE id % 6 = 0")
+      val q1 = graft.streaming.Streams.cdcUpsertSink(
+        spark.readStream.format("graft.sources.PgCdcProvider")
+          .option("producer", "pgwire")
+          .option("host", "127.0.0.1").option("port", port.toString)
+          .option("database", "postgres").option("user", "postgres")
+          .option("slot", "graft_slot_fr_a").option("publication", "graft_pub_fr")
+          .option("statusIntervalMs", "500").load(),
+        rel, state, dir.resolve("ckptA").toString)
+      try {
+        val want = tableMap()
+        val d1 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateMap() != want && System.nanoTime() < d1) Thread.sleep(250)
+        assert(stateMap() === want, "epoch-1 state must track the table")
+      } finally q1.stop()
+      // the gap (slot A's consumer is gone; this WAL never ships)
+      sql.simpleQuery("UPDATE tfr SET v = 'g' || id WHERE id % 10 = 0")
+      sql.simpleQuery("DELETE FROM tfr WHERE id % 17 = 0")
+      // simulate the CRASHED prior recovery: bookkeeping left behind —
+      // chunk ids "applied" from an ABANDONED chunk set (whose ids
+      // collide with any fresh 0-based set) plus a dangling collision
+      // pointer. Without the entry-time clear, the fresh attempt would
+      // skip its own chunks 0-1 and retirement would then delete every
+      // live key those chunks cover.
+      val m0 = graft.streaming.StateStore.load(state)
+      graft.streaming.StateStore.commit(state,
+        m0 + ("applied" -> "0,1") + ("coll" -> "v-coll-abandoned"))
+      val r = graft.streaming.Streams.recoverFromSlotLoss(
+        spark, rel, state, dir.resolve("work").toString,
+        Map("producer" -> "pgwire",
+          "host" -> "127.0.0.1", "port" -> port.toString,
+          "database" -> "postgres", "user" -> "postgres",
+          "slot" -> "graft_slot_fr_b", "publication" -> "graft_pub_fr",
+          "statusIntervalMs" -> "500"),
+        "public.tfr", "id", nChunks = 4,
+        dropDeadSlot = Some("graft_slot_fr_a"), timeoutMs = 120000L)
+      try {
+        assert(r.chunks >= 1 && r.chunks <= 4)
+        // the %17 gap deletes retired; the fresh chunks were NOT skipped,
+        // so nothing else was (mass-)retired: state equals the table
+        assert(r.retired > 0)
+        val d2 = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (stateMap() != tableMap() && System.nanoTime() < d2)
+          Thread.sleep(250)
+        assert(stateMap() === tableMap(),
+          "rerun over stale bookkeeping must converge, not mass-retire")
+      } finally r.resumed.stop()
+    } finally {
+      Seq("graft_slot_fr_a", "graft_slot_fr_b").foreach { s =>
+        try sql.simpleQuery(s"SELECT pg_drop_replication_slot('$s')")
+        catch { case _: Throwable => () }
+      }
+      sql.close()
+    }
+  }
+
   test("pgcdc producer=pgwire: the full Spark micro-batch source over live DML " +
       "(live twin of cdc_insert_roundtrip)") {
     live()

@@ -1821,16 +1821,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedL() === oracleL(f1), "lineitem must be cut at the frontier")
     // full orders state would DIFFER (the gate is load-bearing)
     assert(servedO() !== oracleO(Long.MaxValue))
-    // run 2: slot B's full log on a fresh checkpoint — full redelivery,
-    // so this also proves replay idempotence of the gated merge; the
-    // frontier advances past both ends and the view converges
-    val pB2 = dir.resolve("slotB-full.bin").toString
-    FrameLog.write(pB2, lFrames.iterator.map { case (l, b) => FrameLog.Entry(l, b) })
-    run(pB2, "ckpt2")
+    // run 2 — RESUME on the SAME checkpoint: the prefix log grows to the
+    // full stream (frame-index offsets make the overwrite a pure append),
+    // so only the tail redelivers; pending state, hw keys, and the data
+    // versions carry across the restart through the manifest
+    FrameLog.write(pB1, lFrames.iterator.map { case (l, b) => FrameLog.Entry(l, b) })
+    run(pB1, "ckpt1")
     val f2 = Streams.frontierLsn(state, Seq("A", "B"))
     assert(f2 === math.min(maxA, lFrames.map(_._1).max))
     // still gated at f2: the LONGER axis's tail (lsn > f2) is pending —
     // the cut stays exact even at the ends
+    assert(servedO() === oracleO(f2))
+    assert(servedL() === oracleL(f2))
+    // run 3 — full REDELIVERY on a fresh checkpoint: every event replays
+    // into the existing state; the gated merge must be idempotent
+    val pB2 = dir.resolve("slotB-full.bin").toString
+    FrameLog.write(pB2, lFrames.iterator.map { case (l, b) => FrameLog.Entry(l, b) })
+    run(pB2, "ckpt2")
+    assert(Streams.frontierLsn(state, Seq("A", "B")) === f2)
     assert(servedO() === oracleO(f2))
     assert(servedL() === oracleL(f2))
     // idle-slot unblocking: one axis simply ENDED short of the other — the
