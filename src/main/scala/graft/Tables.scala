@@ -20,6 +20,30 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a single-split scan out to the session's parallelism before heavy
+    * narrow per-row work. The driver-generated parquet is ONE row group per
+    * table, and parquet only splits at row-group boundaries — so every scan
+    * plans as ONE task and whole-stage codegen fuses the expensive per-row
+    * work (pgoutput frame encoding, tokenization, shingle hashing, vector
+    * math) into that single-task stage, idling every other core. This is
+    * the unsplittable-input case of the optimization guide (§2.5), with its
+    * prescribed fix: repartition immediately after the read.
+    *
+    * Correctness: round-robin repartition is deterministic under task
+    * retries (spark.sql.execution.sortBeforeRepartition, on by default) and
+    * every consumer is row-order/partitioning independent by design (rows
+    * carry their own keys/LSNs; cross-row folds are order-pinned or exact).
+    *
+    * Scale-adaptive, not a local[32] constant: the target is the runtime's
+    * defaultParallelism, and the repartition is SKIPPED when the scan
+    * already carries that many splits — on a real deployment (many files /
+    * many row groups) this is a no-op, while any single unsplittable input
+    * still fans out. */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private def ltz(c: Column): Column = c.cast(TimestampType)
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
@@ -57,6 +81,11 @@ object Tables {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => df.withColumn("ts", ltz(col("ts")))
     }
+  // documents/embeddings are NOT fanned out at the loader: measured (r9
+  // opt round) a blanket fan-out makes iterative / many-branch consumers
+  // SLOWER — every re-executed branch pays the extra exchange plus N-task
+  // scheduling on vocab-sized work. Callers with genuinely heavy one-pass
+  // per-row work apply [[fanout]] at the use site instead.
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -154,6 +154,22 @@ object CdcPipeline {
 
   val OrdersRelId = 50001
 
+  /** The six wire columns every orders frame generator consumes, fanned out
+    * to the session's parallelism: the one-row-group source parquet scans
+    * as a SINGLE task, which would otherwise serialize the per-row pgoutput
+    * encoding — and everything whole-stage codegen fuses above it — onto
+    * one core. [[graft.Tables.fanout]] is the guide's unsplittable-input
+    * fix (§2.5); it is a no-op when the scan already carries enough splits.
+    * Frame values are pure per-row functions of the key, and every decoder-
+    * side consumer is partitioning/order independent (events sort by
+    * lsn/seq), so the fan-out is semantics-preserving. */
+  private def ordersWire(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.fanout(graft.Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
+        col("o_orderpriority")))
+
   /** Wire-style schema for the orders relation (what a Relation message
     * would carry; oids are public pg_type constants). */
   val ordersRelation: Relation = Relation(
@@ -206,11 +222,7 @@ object CdcPipeline {
   /** orders parquet → Dataset[(lsn, frameBytes)] of pgoutput frames. */
   def ordersToFrames(spark: SparkSession, sfDir: String, pattern: DmlPattern): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
 
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     val truncOpt = pattern.truncateAtLsn
@@ -303,11 +315,7 @@ object CdcPipeline {
     * [[ordersToFrames]]. */
   def ordersToFramesBinary(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -338,11 +346,7 @@ object CdcPipeline {
 
   def ordersToFramesEvolving(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relV1 = PgOutputEncoder.encode(ordersRelation)
     val relV2 = PgOutputEncoder.encode(ordersRelationV2)
 
@@ -392,10 +396,7 @@ object CdcPipeline {
     * string (what Postgres sends for NUMERIC(12,2)). */
   def ordersToFramesNumeric(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelationNumeric)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -430,11 +431,7 @@ object CdcPipeline {
     * Relation precedes the first new-type image in partition order). */
   def ordersToFramesRetyping(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relV1 = PgOutputEncoder.encode(ordersRelation)
     val relRetyped = PgOutputEncoder.encode(ordersRelationNumeric)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
@@ -482,10 +479,7 @@ object CdcPipeline {
     * upstream does. */
   def ordersToFramesPartitioned(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     def childRel(id: Int, name: String) =
       Relation(id, "public", name, 'd', ordersRelation.columns)
     val rel0 = PgOutputEncoder.encode(childRel(OrdersP0RelId, "orders_p0"))
@@ -531,11 +525,7 @@ object CdcPipeline {
     * same lazy-projection property that makes ADD COLUMN free). */
   def ordersToFramesDropping(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relV1 = PgOutputEncoder.encode(ordersRelation)
     val relV3 = PgOutputEncoder.encode(ordersRelationV3)
 
@@ -585,11 +575,7 @@ object CdcPipeline {
     * — pure function of the key, hence the exact SQL oracle. */
   def ordersToFramesStreamed(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     val (xidA, xidB, xidASub) = (900001, 900002, 900003)
 
@@ -644,10 +630,7 @@ object CdcPipeline {
     * ≤ mid; see `cdc_backfill_union`. */
   def ordersToFramesTail(spark: SparkSession, sfDir: String, mid: Long): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -690,10 +673,7 @@ object CdcPipeline {
     * for a key are rendered together, ordered into their own LSN spaces. */
   def ordersToFramesBiDir(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     val SiteBBase = 1L << 41 // site B's WAL region, disjoint from site A's
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
@@ -742,10 +722,7 @@ object CdcPipeline {
     * keys with k % 6 != 3. */
   def ordersToFramesTwoPhase(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -794,10 +771,7 @@ object CdcPipeline {
     * outside the txn — exactly PG's semantics for transactional=false). */
   def ordersToFramesWithMessages(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -848,9 +822,10 @@ object CdcPipeline {
     * key's own events have distinct offsets. */
   def lineitemToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val li = graft.Tables.lineitem(spark, sfDir)
+    // same one-row-group fan-out as ordersWire (600k rows × per-row encode)
+    val li = graft.Tables.fanout(graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"), col("l_returnflag"), unix_micros(col("l_shipdate")).as("ship_us"))
+        col("l_quantity"), col("l_returnflag"), unix_micros(col("l_shipdate")).as("ship_us")))
     val relFrame = PgOutputEncoder.encode(lineitemRelation)
     li.as[(Long, Int, Long, Long, Double, String, Long)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -891,10 +866,7 @@ object CdcPipeline {
   def ordersToFramesCorrupted(
       spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -931,11 +903,7 @@ object CdcPipeline {
   def ordersSnapshotChunks(
       spark: SparkSession, sfDir: String, nChunks: Int = 8): DataFrame = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
     val c = maxKey / nChunks + 1
     orders.as[(Long, Long, String, Double, Long, String)]
@@ -983,10 +951,7 @@ object CdcPipeline {
   def ordersToFramesEpoch2(spark: SparkSession, sfDir: String,
       maxKey: Long): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val b0 = 8L * (maxKey + 1)
     val relFrame = PgOutputEncoder.encode(ordersRelation)
     orders.as[(Long, Long, String, Double, Long, String)].mapPartitions { rows =>
@@ -1039,11 +1004,7 @@ object CdcPipeline {
       spark: SparkSession, sfDir: String, nChunks: Int,
       maxKey: Long): DataFrame = {
     import spark.implicits._
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority"))
+    val orders = ordersWire(spark, sfDir)
     val b0 = 8L * (maxKey + 1)
     val endLsn = b0 + 8L * (maxKey + 1) + 8L
     val slotLsn = failoverNewSlotLsn(maxKey)
@@ -1121,7 +1082,7 @@ object CdcPipeline {
     * [[ordersToFrames]]. */
   def documentsToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val docs = graft.Tables.documents(spark, sfDir)
+    val docs = graft.Tables.fanout(graft.Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     val relFrame = PgOutputEncoder.encode(documentsRelation)
     docs.as[(Long, String, String, String, Long)].mapPartitions { rows =>
@@ -1149,7 +1110,7 @@ object CdcPipeline {
     * maintenance (cdc_incremental_termdf) consumes. */
   def documentsToFramesDml(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val docs = graft.Tables.documents(spark, sfDir)
+    val docs = graft.Tables.fanout(graft.Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
     val relFrame = PgOutputEncoder.encode(documentsRelation)
     docs.as[(Long, String, String, String, Long)].mapPartitions { rows =>
@@ -1201,8 +1162,8 @@ object CdcPipeline {
     * column — bit-identical distances. */
   def embeddingsToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val e = graft.Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), col("label"))
+    val e = graft.Tables.fanout(graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label")))
     val relFrame = PgOutputEncoder.encode(embeddingsRelation)
     e.as[(Long, Array[Float], Int)].mapPartitions { rows =>
       def t(v: String) = ColumnData('t', Some(v))
@@ -1245,7 +1206,7 @@ object CdcPipeline {
     * LSN = event_id*4 + offset keeps arrival ≡ event order. */
   def eventsToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val ev = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.fanout(graft.Tables.events(spark, sfDir))
       .select(col("event_id"),
         concat_ws("|", col("event_type"), hour(col("ts"))).as("etype_hr"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -1289,7 +1250,7 @@ object CdcPipeline {
     * hourly-grid sink behind the Holt-Winters serving view. */
   def eventsFullToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val ev = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.fanout(graft.Tables.events(spark, sfDir))
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       .withColumn("etype_hr",
@@ -1323,7 +1284,7 @@ object CdcPipeline {
     * behavioral log — nothing retracts a user's action), LSN = event order. */
   def eventsUserToFrames(spark: SparkSession, sfDir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val ev = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.fanout(graft.Tables.events(spark, sfDir))
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
