@@ -75,6 +75,84 @@ object Graph {
     labels.select(col("vertex"), col("label").as("component"))
   }
 
+  /** Fixed-point weighted PageRank (1e12-scaled BIGINT ranks, floor
+    * division — every operation exact, so the iterative result is
+    * hash-exact on any engine): over edges (src, dst [, w]),
+    * with wd(s) = Σ_t w(s,t), n = |distinct src|, base = 1e12 div n,
+    * tele = (15·base) div 100:
+    *   r₀(v) = base;  r_{i+1}(t) = tele + (85 · Σ_{s→t} ((r_i(s)·w) div wd(s))) div 100.
+    * Callers pass the SYMMETRIZED edge list (like [[connectedComponents]]).
+    *
+    * Hybrid execution, same rationale as [[connectedComponents]]: the
+    * graphs ranked here are MODEL-sized, not corpus-sized (near-dup
+    * candidate pairs; vocabulary co-occurrence — Zipf-bounded), so below
+    * `localThreshold` edges the loop folds on the driver over the
+    * collected edge list — identical integer arithmetic, one edge-table
+    * action instead of `iters` join+agg rounds whose per-round scheduling
+    * dwarfs the data (guide §1.2: fix the distributed algorithm first;
+    * r9-opt measured the 10-round loop at 3.2 s on a 25-edge graph).
+    * Above the threshold: the distributed join+agg loop, lineage truncated
+    * every 3rd round (localCheckpoint; a checkpoint dir on a cluster). */
+  def pageRankFP(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: Option[String], iters: Int,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    val w = wCol.map(col).getOrElse(lit(1L)).cast("long")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .persist()
+    if (e.count() <= localThreshold) {
+      val rows = e.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val srcType = e.schema("src").dataType
+      e.unpersist()
+      val wd = new scala.collection.mutable.HashMap[Any, Long]()
+      rows.foreach { case (s, _, ew) => wd(s) = wd.getOrElse(s, 0L) + ew }
+      val n = wd.size.toLong
+      val base = 1000000000000L / math.max(n, 1L)
+      val tele = (15L * base) / 100L
+      var r: scala.collection.Map[Any, Long] = wd.keysIterator.map(_ -> base).toMap
+      for (_ <- 1 to iters) {
+        val sc = new scala.collection.mutable.HashMap[Any, Long]()
+        rows.foreach { case (s, t, ew) =>
+          // a src absent from r contributes nothing — exactly the
+          // distributed loop's inner join; on a symmetrized graph every
+          // vertex stays present, this guard only mirrors the edge case
+          r.get(s).foreach { rs =>
+            // Long `/` on positive operands ≡ Spark `div` (floor division)
+            sc(t) = sc.getOrElse(t, 0L) + (rs * ew) / wd(s)
+          }
+        }
+        r = sc.map { case (t, s0) => t -> (tele + (85L * s0) / 100L) }
+      }
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        r.toSeq.map { case (v, rk) => org.apache.spark.sql.Row(v, rk) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", srcType),
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType))))
+    }
+    // Distributed form: degree-annotated edges materialized ONCE behind an
+    // eager localCheckpoint (persist would re-canonicalize the upstream
+    // subtree against every CacheManager entry per round — the r4 bench
+    // regression), then `iters` join+agg rounds.
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+    val edgesD = e.join(wdeg, "src").localCheckpoint(true)
+    val n = edgesD.select(col("src")).distinct().count()
+    val base = 1000000000000L / math.max(n, 1L)
+    val tele = (15L * base) / 100L
+    e.unpersist()
+    var r = edgesD.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(base).as("r"))
+    for (i <- 1 to iters) {
+      r = edgesD.join(r, edgesD("src") === r("v"))
+        .select(col("dst"), expr("(r * w) div wd").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("v"), (lit(tele) + expr("(85 * sc) div 100")).as("r"))
+      if (i % 3 == 0 || i == iters) r = r.localCheckpoint()
+    }
+    r
+  }
+
   /** Union-find with path compression over collected edges; component label
     * = min vertex id (computed per root after all unions). */
   private def localComponents(

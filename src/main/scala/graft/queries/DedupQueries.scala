@@ -527,35 +527,19 @@ object DedupQueries {
     // at all. Scale shape: per iteration one join on src + one dst-keyed
     // agg (the standard distributed PageRank step); lineage is truncated
     // per iteration (localCheckpoint locally, checkpoint dir on a cluster).
+    // Execution rides Graph.pageRankFP's hybrid: the candidate-pair graph
+    // is model-sized (near-dups only), so under 2²⁰ edges the 10 rounds
+    // fold on the driver in the SAME fixed-point integer arithmetic (one
+    // edge-table action instead of 10 join+agg rounds of pure scheduling
+    // overhead — r9-opt: 3.2 s → the edge-build cost alone); above the
+    // threshold the distributed join+agg loop runs, lineage truncated
+    // every 3rd round.
     "dedup_pagerank" -> ((s, d) => {
       val pairs = minhashCandidatePairs(s, d)
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      // Eager localCheckpoint (not persist): materializes the symmetrized
-      // degree-annotated edge table ONCE and collapses its lineage to an
-      // RDD scan, so each of the 10 iteration plans is tiny. With persist,
-      // every iteration re-canonicalizes the full LSH-pipeline subtree
-      // against EVERY CacheManager entry accumulated by the suite — the
-      // r4 bench regression (18.96 s in-suite vs 4 s isolated) was exactly
-      // that quadratic driver-side cost, not executor work.
-      val edgesD = edges.join(deg, "src").localCheckpoint(true)
-      val n = deg.count()
-      val base = 1000000000000L / math.max(n, 1L)
-      val tele = (15L * base) / 100L
-      var r = edgesD.select(col("src").as("v")).distinct()
-        .select(col("v"), lit(base).as("r"))
-      for (i <- 1 to 10) {
-        r = edgesD.join(r, edgesD("src") === r("v"))
-          .select(col("dst"), expr("r div dg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-          .select(col("dst").as("v"), (lit(tele) + expr("(85 * sc) div 100")).as("r"))
-        // truncate lineage every 3rd round: each checkpoint is a blocking
-        // job, but un-truncated lineage grows the plan exponentially for
-        // the optimizer — 3 iterations/checkpoint measured fastest
-        if (i % 3 == 0 || i == 10) r = r.localCheckpoint()
-      }
-      r.select(col("v").as("doc_id"), col("r").as("rank_fp"))
+      graft.operators.Graph.pageRankFP(edges, "src", "dst", None, 10)
+        .select(col("v").as("doc_id"), col("r").as("rank_fp"))
         .orderBy(col("doc_id"))
     }),
 

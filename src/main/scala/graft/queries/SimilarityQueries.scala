@@ -188,6 +188,12 @@ object SimilarityQueries {
       // ONE action per iteration: collect the 64-row u vector, then pick
       // the pivot and quantize locally (a second Spark action would
       // re-run the whole corpus pass — nothing here is cached).
+      // (r9-opt note: an 8-digit-group × 8-decimal-sum variant — less row
+      // explosion, fewer agg groups — MEASURED ~15% slower than this
+      // posexplode+groupBy form at sf0.1 and was reverted; the per-
+      // iteration cost here is action/codegen overhead, not the 64-group
+      // hash. The flat 64-column agg stays out per the janino trap,
+      // NOTES.md.)
       val u = scored
         .select(posexplode(col("embedding")).as(Seq("j", "x")), col("s"))
         .groupBy(col("j"))

@@ -669,24 +669,19 @@ object TextQueries {
         .withColumn("b", element_at(col("ws"), col("i") + 2))
         .filter(length(col("a")) > 0 && length(col("b")) > 0 && col("a") =!= col("b"))
         .select(col("a"), col("b"))
+      // Execution rides Graph.pageRankFP's hybrid: the co-occurrence graph
+      // is VOCABULARY-sized (Zipf-bounded), so under 2²⁰ edges the 6
+      // weighted rounds fold on the driver in the SAME fixed-point integer
+      // arithmetic — the corpus is tokenized exactly ONCE (the edge-list
+      // collect), where the previous in-query loop re-tokenized it three
+      // times (wdeg.count, the edgesD persist build, r₀'s lineage) and
+      // paid 6 join+agg rounds of scheduling on model-sized data; above
+      // the threshold the distributed loop runs unchanged.
       val edges = adj.select(col("a").as("s"), col("b").as("t"))
         .unionByName(adj.select(col("b").as("s"), col("a").as("t")))
         .groupBy(col("s"), col("t")).agg(count(lit(1)).as("w"))
-      val wdeg = edges.groupBy(col("s")).agg(sum(col("w")).as("wd"))
-      val n = wdeg.count()
-      val base = 1000000000000L / math.max(n, 1L)
-      val tele = (15L * base) / 100L
-      val edgesD = edges.join(wdeg, "s").persist()
-      var r = wdeg.select(col("s").as("v"), lit(base).as("r"))
-      for (i <- 1 to 6) {
-        r = edgesD.join(r, edgesD("s") === r("v"))
-          .select(col("t"), expr("(r * w) div wd").as("c"))
-          .groupBy(col("t")).agg(sum(col("c")).as("sc"))
-          .select(col("t").as("v"), (lit(tele) + expr("(85 * sc) div 100")).as("r"))
-        if (i % 3 == 0) r = r.localCheckpoint()
-      }
-      edgesD.unpersist()
-      r.select(col("v").as("term"), col("r").cast("long").as("rank_fp"))
+      graft.operators.Graph.pageRankFP(edges, "s", "t", Some("w"), 6)
+        .select(col("v").as("term"), col("r").cast("long").as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("term")).limit(20)
     }),
 
@@ -1310,17 +1305,25 @@ object TextQueries {
       val fb = bm25Of(docs, QueryTerms)
         .orderBy(col("bm25").desc, col("doc_id")).limit(10)
         .select(col("doc_id"))
+      // ONE tokenize pass computes BOTH feedback-term counts and corpus df
+      // (previously: one pass for ft, a second + distinct + semi-join for
+      // cdf — guide §1.2 "don't compute things twice"). Equivalence: cnt_fb
+      // = term occurrences within the 10 feedback docs (the broadcast fb
+      // left-join marks them), df = countDistinct(doc_id) ≡ the old
+      // distinct-then-count; terms with cnt_fb = 0 were absent from the
+      // old ft and are dropped, query terms excluded identically.
       val words = withWords(docs)
         .select(col("doc_id"), explode(col("ws")).as("term"))
         .filter(length(col("term")) > 0)
-      val ft = words.join(broadcast(fb), Seq("doc_id"), "left_semi")
+      val ftcdf = words
         .filter(!col("term").isin(QueryTerms: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("cnt_fb"))
-      val cdf = words.select(col("doc_id"), col("term")).distinct()
-        .join(broadcast(ft.select(col("term"))), Seq("term"), "left_semi")
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .join(broadcast(fb.withColumn("fbhit", lit(1))), Seq("doc_id"), "left")
+        .groupBy(col("term"))
+        .agg(sum(when(col("fbhit") === 1, 1L).otherwise(0L)).as("cnt_fb"),
+          countDistinct(col("doc_id")).as("df"))
+        .filter(col("cnt_fb") > 0)
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val expTerms = ft.join(cdf, Seq("term")).crossJoin(broadcast(nDocs))
+      val expTerms = ftcdf.crossJoin(broadcast(nDocs))
         .withColumn("wt", round(col("cnt_fb").cast("double") *
           log(lit(1.0) +
             (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
