@@ -165,6 +165,41 @@ object RelationalQueries {
         (col("sc").cast("double") /
           (col("n").cast("double") * lit(100.0))).as("y")))
 
+  /** One fitted point of the Holt-Winters fold. */
+  private case class HwFit(t: Long, y: Double, yhat: Double)
+  /** Fold state: level, trend, seasonals (length m), fitted points. */
+  private case class HwState(l: Double, b: Double, s: Seq[Double], fit: Seq[HwFit])
+
+  /** The Holt-Winters recursion as a deterministic JVM fold (see the call
+    * site in [[holtWintersFromGrid]] for why this is not an aggregate()
+    * HOF). Every arithmetic step mirrors the previous SQL expression
+    * operand-for-operand: IEEE double ops are deterministic, so the
+    * results are bit-identical. */
+  private val hwFold = udf((tsL: Seq[Long], ys: Seq[Double]) => {
+    val m = 24
+    val l0 = ys.take(m).foldLeft(0.0)(_ + _) / 24.0
+    val m2 = ys.slice(m, 2 * m).foldLeft(0.0)(_ + _) / 24.0
+    val b0 = (m2 - l0) / 24.0
+    var l = l0
+    var b = b0
+    var s = ys.take(m).map(_ - l0).toArray
+    val fit = Seq.newBuilder[HwFit]
+    var i = m // 0-based index into ys; the HOF iterated i = m+1 .. size (1-based)
+    while (i < ys.length) {
+      val y = ys(i)
+      val sHead = s(0)
+      fit += HwFit(tsL(i), y, l + b + sHead) // yhat from PRE-update state
+      val l1 = 0.5d * (y - sHead) + 0.5d * (l + b)
+      val b1 = 0.25d * (l1 - l) + 0.75d * b
+      val sNew = new Array[Double](m)
+      System.arraycopy(s, 1, sNew, 0, m - 1)
+      sNew(m - 1) = 0.25d * (y - l1) + 0.75d * sHead
+      l = l1; b = b1; s = sNew
+      i += 1
+    }
+    HwState(l, b, s.toSeq, fit.result())
+  })
+
   /** The fold half of [[holtWinters]], over an already-maintained hourly
     * grid `(event_type, hr: Long, y: Double)` — the streaming twin reads
     * the incremental-agg sink's state straight into this (StreamingSpec
@@ -180,27 +215,18 @@ object RelationalQueries {
       .select(col("event_type"),
         expr("transform(pts, p -> p.t)").as("ts_l"),
         expr("transform(pts, p -> p.y)").as("ys"))
-    val folded = series
-      .withColumn("l0",
-        expr(s"aggregate(slice(ys, 1, $m), 0.0D, (a, x) -> a + x) / 24.0D"))
-      .withColumn("m2",
-        expr(s"aggregate(slice(ys, ${m + 1}, $m), 0.0D, (a, x) -> a + x) / 24.0D"))
-      .withColumn("b0", expr("(m2 - l0) / 24.0D"))
-      .withColumn("s0", expr(s"transform(slice(ys, 1, $m), x -> x - l0)"))
-      .withColumn("st", expr(s"""
-        aggregate(
-          sequence(${m + 1}, size(ys)),
-          named_struct(
-            'l', l0, 'b', b0, 's', s0,
-            'fit', cast(array() as array<struct<t:bigint,y:double,yhat:double>>)),
-          (st, i) -> named_struct(
-            'l', 0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b),
-            'b', 0.25D * ((0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b)) - st.l) + 0.75D * st.b,
-            's', concat(slice(st.s, 2, ${m - 1}), array(
-              0.25D * (element_at(ys, i) - (0.5D * (element_at(ys, i) - element_at(st.s, 1)) + 0.5D * (st.l + st.b))) + 0.75D * element_at(st.s, 1))),
-            'fit', concat(st.fit, array(named_struct(
-              't', element_at(ts_l, i), 'y', element_at(ys, i),
-              'yhat', st.l + st.b + element_at(st.s, 1))))))"""))
+    // The recursion runs as a JVM fold over the per-type series arrays
+    // (hwFold): the previous aggregate() HOF built the fit list by
+    // `concat(st.fit, array(...))` — Catalyst arrays are immutable, so
+    // every step re-copied the whole accumulated list, O(n²) copies per
+    // series (measured: the fold stage alone was ~1.3 s CPU at sf0.1,
+    // >half of q99). The JVM fold appends to a mutable buffer — O(n·m) —
+    // with the SAME double operations in the SAME order (dyadic constants,
+    // left folds, identical operand order), so every emitted value is
+    // bit-identical to the HOF's and to the DuckDB recursive CTE
+    // (oracle-gated). Per-series work rides the same one (type×hour)
+    // two-phase agg; the fold input/state stays study-window-bounded.
+    val folded = series.withColumn("st", hwFold(col("ts_l"), col("ys")))
     val fits = folded
       .select(col("event_type"), explode(col("st.fit")).as("f"))
       .select(col("event_type"), lit("fit").as("kind"), col("f.t").as("t"),
