@@ -159,7 +159,9 @@ object SimilarityQueries {
     // float→double fold as the DuckDB oracle's list_reduce
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorFunctions.vector_dot(a, b)
-    val e = Tables.embeddings(s, d)
+    // fan the one-row-group scan out: the |cell|² dot-product probe is the
+    // expensive half and would otherwise run inside a single scan task
+    val e = Tables.fanout(Tables.embeddings(s, d))
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     e.as("a").join(e.as("b"),
@@ -689,7 +691,10 @@ object SimilarityQueries {
     // the cell's true top-1 (it can honestly stall at a local optimum —
     // that's the known NSW trade-off the recall column measures).
     "sim_nsw_search" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      // fanout: the one-time walk-graph build (|cell|² pair dots, ~3.1M
+      // pairs at sf0.1) is the measured cost here — parallelize it; the
+      // walk state itself is queries-sized and rides localCheckpoints
+      val e = Tables.fanout(Tables.embeddings(s, d))
         .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -816,27 +821,16 @@ object SimilarityQueries {
           col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
         .filter(col("x.src") < col("x.dst"))
         .select(col("x.src").as("a"), col("x.dst").as("b"))
+      // Execution rides Graph.bfsHops' hybrid: the mutual-kNN graph is
+      // model-sized, so under 2²⁰ edges the 6-level walk runs on the
+      // driver over the collected adjacency (hop level = shortest
+      // distance — traversal-order independent); above the threshold the
+      // per-level frontier loop with localCheckpoint truncation runs
+      // unchanged inside the operator.
       val edges = mutual.select(col("a").as("u"), col("b").as("w"))
         .unionByName(mutual.select(col("b").as("u"), col("a").as("w")))
-        .persist()
-      val source = edges.agg(min(col("u"))).head.getLong(0)
-      // localCheckpoint per hop: eager, truncates lineage — without it the
-      // anti-join chain re-derives every earlier hop (and the mutual join)
-      // once per level, the classic iterative-DataFrame blowup.
-      var visited = s.range(1).select(lit(source).as("v"), lit(0L).as("hops"))
-        .localCheckpoint()
-      var frontier = visited
-      for (h <- 1 to 6) {
-        val next = frontier.join(edges, frontier("v") === edges("u"))
-          .select(col("w").as("v"), lit(h.toLong).as("hops"))
-          .distinct()
-          .join(visited.select(col("v")), Seq("v"), "left_anti")
-          .localCheckpoint()
-        visited = visited.unionByName(next).localCheckpoint()
-        frontier = next
-      }
-      edges.unpersist()
-      visited.select(col("v").as("vec_id"), col("hops"))
+      graft.operators.Graph.bfsHops(edges, "u", "w", 6)
+        .select(col("v").as("vec_id"), col("hops"))
         .orderBy(col("vec_id"))
     }),
 
