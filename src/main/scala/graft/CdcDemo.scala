@@ -175,9 +175,12 @@ object CdcDemo {
     val ckptDir = dir.resolve("ckpt").toString
 
     // 1. "walsender": render orders DML as pgoutput frames into the log.
+    // A WAL is lsn-ordered by definition; the fanned-out generator collects
+    // in partition-concat order, so restore the wire ordering (stable sort
+    // keeps insert-before-commit at equal lsn).
     val frames = CdcPipeline.ordersToFrames(spark, sfDir,
       CdcPipeline.DmlPattern(updates = true, deletes = true))
-      .collect().iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
     val nFrames = FrameLog.write(logPath, frames)
     println(s"[demo] wrote $nFrames pgoutput frames to $logPath")
 
