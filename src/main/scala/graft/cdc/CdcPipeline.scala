@@ -164,11 +164,17 @@ object CdcPipeline {
     * side consumer is partitioning/order independent (events sort by
     * lsn/seq), so the fan-out is semantics-preserving. */
   private def ordersWire(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Tables.fanout(graft.Tables.orders(spark, sfDir)
+    graft.Tables.fanout(ordersWireNarrow(spark, sfDir))
+
+  /** [[ordersWire]] without the fan-out — for consumers whose per-row work
+    * is map-building rather than wire encoding (the snapshot-chunk
+    * readers), where the extra exchange measured as a pure loss. */
+  private def ordersWireNarrow(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.orders(spark, sfDir)
       .select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), unix_micros(col("o_orderdate")).as("date_us"),
-        col("o_orderpriority")))
+        col("o_orderpriority"))
 
   /** Wire-style schema for the orders relation (what a Relation message
     * would carry; oids are public pg_type constants). */
@@ -903,7 +909,7 @@ object CdcPipeline {
   def ordersSnapshotChunks(
       spark: SparkSession, sfDir: String, nChunks: Int = 8): DataFrame = {
     import spark.implicits._
-    val orders = ordersWire(spark, sfDir)
+    val orders = ordersWireNarrow(spark, sfDir) // see ordersSnapshotChunksFailover
     val maxKey = orders.agg(max(col("o_orderkey"))).first().getLong(0)
     val c = maxKey / nChunks + 1
     orders.as[(Long, Long, String, Double, Long, String)]
@@ -1004,7 +1010,11 @@ object CdcPipeline {
       spark: SparkSession, sfDir: String, nChunks: Int,
       maxKey: Long): DataFrame = {
     import spark.implicits._
-    val orders = ordersWire(spark, sfDir)
+    // NOT fanned out: chunk reads build flat Scala maps (no pgoutput
+    // encode/decode), and a 32-partition map-typed chunk side into
+    // dblogMerge's anti join measured 93% task wait / 4x wall at sf0.1
+    // (r9-opt bisect) — the fan-out rationale never applied here.
+    val orders = ordersWireNarrow(spark, sfDir)
     val b0 = 8L * (maxKey + 1)
     val endLsn = b0 + 8L * (maxKey + 1) + 8L
     val slotLsn = failoverNewSlotLsn(maxKey)

@@ -159,9 +159,7 @@ object SimilarityQueries {
     // float→double fold as the DuckDB oracle's list_reduce
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorFunctions.vector_dot(a, b)
-    // fan the one-row-group scan out: the |cell|² dot-product probe is the
-    // expensive half and would otherwise run inside a single scan task
-    val e = Tables.fanout(Tables.embeddings(s, d))
+    val e = Tables.embeddings(s, d)
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     e.as("a").join(e.as("b"),
@@ -691,10 +689,12 @@ object SimilarityQueries {
     // the cell's true top-1 (it can honestly stall at a local optimum —
     // that's the known NSW trade-off the recall column measures).
     "sim_nsw_search" -> ((s, d) => {
-      // fanout: the one-time walk-graph build (|cell|² pair dots, ~3.1M
-      // pairs at sf0.1) is the measured cost here — parallelize it; the
-      // walk state itself is queries-sized and rides localCheckpoints
-      val e = Tables.fanout(Tables.embeddings(s, d))
+      // NOT fanned out (r9-opt measured both ways): a 32-partition corpus
+      // frame makes every per-hop checkpoint/join schedule 32 tasks on
+      // queries-sized state — interleaved A/B put the fanned form at
+      // 5.4-9.0 s vs 4.2-4.5 s unfanned; the pair-join parallelism gain
+      // is smaller than the walk-side scheduling loss.
+      val e = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
