@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the caller's stdout BARE: sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks any
+// line-oriented parser of Bench's one-line JSON metric (nine rounds of
+// "parsed": null in BENCH_r0*.json). StdoutOutput passes the child's stdout
+// through untouched. runMain shares `run / runner`, so this covers it too.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

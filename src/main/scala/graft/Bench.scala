@@ -115,10 +115,16 @@ object Bench {
       if (retimedFirst.isEmpty) ""
       else retimedFirst.map { case (k, v) => entry(k, v, 9) }
         .mkString(",\"first_pass\":{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      line(results, 9, "," + retimed + medianJson + firstPassJson) + "\n")
-    catch { case _: Throwable => () } // read-only checkout: stdout still has it
+    // Two detail files: the historical BENCH_LOCAL.json (latest run) AND a
+    // per-core-count BENCH_LOCAL_c$cpus.json — the driver's 8-core scaling
+    // run used to overwrite the 32-core run's full per-query map in place
+    // (r9 verdict: the 32-core detail was unrecoverable).
+    val fullLine = line(results, 9, "," + retimed + medianJson + firstPassJson) + "\n"
+    Seq("/root/repo/BENCH_LOCAL.json", s"/root/repo/BENCH_LOCAL_c$cpus.json")
+      .foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine)
+        catch { case _: Throwable => () } // read-only checkout: stdout still has it
+      }
     println(line(results, 3, "," + retimed))
     // The final bounded line must survive a ~2KB stdout-tail capture even
     // when the capture window clips mid-stream (BENCH_r03's tail ended
