@@ -165,10 +165,20 @@ object RelationalQueries {
         (col("sc").cast("double") /
           (col("n").cast("double") * lit(100.0))).as("y")))
 
-  /** One fitted point of the Holt-Winters fold. */
-  private case class HwFit(t: Long, y: Double, yhat: Double)
+  /** One fitted point of the Holt-Winters fold.
+    *
+    * `private[graft]`, NOT `private`: Scala object-private nested classes
+    * compile to non-public bytecode, and the janino-generated serializer
+    * for the UDF result (another package) then fails to resolve the
+    * accessors — every fold task logged "Expr codegen error and falling
+    * back to interpreter mode" and ran the HwState→UnsafeRow projection
+    * interpreted. Qualified access compiles to public bytecode, restoring
+    * whole-stage codegen on the forecast family (q99/q101/q102/
+    * cdc_forecast_serving). Values are unchanged — only the serializer's
+    * execution mode. */
+  private[graft] case class HwFit(t: Long, y: Double, yhat: Double)
   /** Fold state: level, trend, seasonals (length m), fitted points. */
-  private case class HwState(l: Double, b: Double, s: Seq[Double], fit: Seq[HwFit])
+  private[graft] case class HwState(l: Double, b: Double, s: Seq[Double], fit: Seq[HwFit])
 
   /** The Holt-Winters recursion as a deterministic JVM fold (see the call
     * site in [[holtWintersFromGrid]] for why this is not an aggregate()

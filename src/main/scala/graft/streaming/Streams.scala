@@ -3086,7 +3086,10 @@ object Streams {
   /** One assembled transaction: every I/U/D event between B and C. */
   final case class TxnEnvelope(txId: Int, nEvents: Long, ops: Seq[String], commitLsn: Long)
 
-  private final case class TxnBuf(events: List[(String, Long)])
+  // private[graft], not private: object-private nested classes compile to
+  // non-public bytecode and the janino-generated state serializer falls
+  // back to interpreted mode (same fix as RelationalQueries.HwFit).
+  private[graft] final case class TxnBuf(events: List[(String, Long)])
 
   /** Txn-atomic delivery (SURVEY.md §7.3): buffer events per tx_id, emit
     * the whole transaction when its Commit marker arrives (requires the
