@@ -16,6 +16,12 @@ import graft.functions.{DecodeFrameFunction, PgBinaryTextFunction, StringMetricF
   * vector kernel needed native code). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Serializer pruning for the filter-on-decode shape Spark's own
+    // ObjectSerializerPruning misses (see SerializerFilterPruning): every
+    // envelope consumer stops paying per-event serialization for fields it
+    // never reads. Joins the operator-optimization fixed point, so it
+    // composes with predicate pushdown / column pruning in any order.
+    e.injectOptimizerRule(_ => SerializerFilterPruning)
     e.injectFunction((
       FunctionIdentifier(VectorFunctions.fnName),
       VectorFunctions.fnInfo,
