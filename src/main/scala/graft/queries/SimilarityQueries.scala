@@ -397,9 +397,18 @@ object SimilarityQueries {
     // shared assignment pass — the measured cost/recall curve that picks
     // the serving operating point (more probed cells = linearly more scan,
     // diminishing recall). Ground truth is the brute-force top-3. Scale
-    // shape: assignment is the usual broadcast-centroid pass; each sweep
-    // point reuses the persisted assignment and differs only in its probe
-    // filter — no re-scan of the corpus per point.
+    // shape: assignment is the usual broadcast-centroid pass; the THREE
+    // sweep points fold into ONE candidate pass (r10-opt, guide §1.2/§2.4):
+    // candidates are built once at the widest nprobe with the probe's cell
+    // rank (`pcrank`) carried along; nprobe=k's candidate set is exactly
+    // `pcrank <= k`, its per-query rank is a conditional running count over
+    // the SAME (cos DESC, vec_id) window (row_number within the filtered
+    // subset ≡ running count of subset rows — vec_id makes the order
+    // total), and all nine counts come out of one aggregate. The r9 form
+    // ran 7 actions (per-np candidate count + per-np semi-join + ground-
+    // truth count) and recomputed the brute-force top-3 up to 4 times; now
+    // the ground truth collects once (15 rows — 5 queries × top-3, bounded
+    // by construction) and everything else is one job.
     "sim_nprobe_sweep" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
@@ -415,27 +424,44 @@ object SimilarityQueries {
         .persist()
       val corpus = assigned.filter(col("crank") === 1)
         .select(col("vec_id"), col("c_id").as("cell"), col("embedding"), col("nrm"))
-      val brute = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
-        .select(col("q_id"), col("neighbor_id"))
-      val nTrue = brute.count()
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      val rows = Seq(1, 2, 4).map { np =>
-        val probes = assigned.filter(col("vec_id") < 5 && col("crank") <= np)
-          .select(col("vec_id").as("q_id"), col("c_id").as("q_cell"),
-            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-        val cand = corpus.join(broadcast(probes),
-          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-        val top3 = cand
-          .withColumn("cos",
-            dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"))
-        (np, cand.count(),
-          top3.join(brute, Seq("q_id", "neighbor_id"), "left_semi").count(), nTrue)
-      }
-      assigned.unpersist()
+      val b3 = queries("sim_topk_brute")(s, d).filter(col("rank") <= 3)
+        .select(col("q_id"), col("neighbor_id")).collect()
+      val nTrue = b3.length.toLong
       val spark = s
       import spark.implicits._
+      val hits = b3.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("h_q", "h_n").withColumn("hit", lit(1))
+      // widest probe set; pcrank tags which sweep points see the candidate
+      val probes = assigned.filter(col("vec_id") < 5 && col("crank") <= 4)
+        .select(col("vec_id").as("q_id"), col("c_id").as("q_cell"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+          col("crank").as("pcrank"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def rankIn(np: Int) =
+        sum(when(col("pcrank") <= np, 1).otherwise(0)).over(wRank)
+      val scored = corpus.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          dotD(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+        .join(broadcast(hits),
+          col("q_id") === col("h_q") && col("vec_id") === col("h_n"), "left")
+        .select(col("q_id"), col("vec_id"), col("cos"), col("pcrank"), col("hit"))
+        .select(col("pcrank"), col("hit"),
+          rankIn(1).as("r1"), rankIn(2).as("r2"), rankIn(4).as("r4"))
+      def nc(np: Int) = sum(when(col("pcrank") <= np, 1L).otherwise(0L))
+      def nh(np: Int, rk: String) = sum(when(
+        col("pcrank") <= np && col(rk) <= 3 && col("hit").isNotNull,
+        1L).otherwise(0L))
+      val a = scored.agg(
+        nc(1).as("c1"), nc(2).as("c2"), nc(4).as("c4"),
+        nh(1, "r1").as("h1"), nh(2, "r2").as("h2"), nh(4, "r4").as("h4")).head()
+      assigned.unpersist()
+      val rows = Seq(
+        (1, a.getLong(0), a.getLong(3), nTrue),
+        (2, a.getLong(1), a.getLong(4), nTrue),
+        (4, a.getLong(2), a.getLong(5), nTrue))
       rows.toDF("nprobe", "n_candidates", "n_hits", "n_true")
         .select(col("nprobe"), col("n_candidates"), col("n_hits"), col("n_true"),
           round(col("n_hits").cast("double") / col("n_true"), 6).as("recall_at_3"))
