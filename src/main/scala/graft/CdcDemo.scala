@@ -176,11 +176,11 @@ object CdcDemo {
 
     // 1. "walsender": render orders DML as pgoutput frames into the log.
     // A WAL is lsn-ordered by definition; the fanned-out generator collects
-    // in partition-concat order, so restore the wire ordering (stable sort
-    // keeps insert-before-commit at equal lsn).
-    val frames = CdcPipeline.ordersToFrames(spark, sfDir,
-      CdcPipeline.DmlPattern(updates = true, deletes = true))
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+    // in partition-concat order, so restore the wire ordering
+    // (FrameLog.lsnOrdered — also breaks the cross-key Commit/Begin tie at
+    // equal lsn the way a real walsender does).
+    val frames = FrameLog.lsnOrdered(CdcPipeline.ordersToFrames(spark, sfDir,
+      CdcPipeline.DmlPattern(updates = true, deletes = true)).collect())
     val nFrames = FrameLog.write(logPath, frames)
     println(s"[demo] wrote $nFrames pgoutput frames to $logPath")
 

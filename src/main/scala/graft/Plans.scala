@@ -10,6 +10,10 @@ import org.apache.spark.sql.execution.ExplainMode
   * the data dir (default sf0.001 — plan SHAPE is SF-independent). */
 object Plans {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: graft.Plans <outDir> <suffix> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(outDir, suffix, list) = args.take(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()

@@ -168,7 +168,22 @@ object Graph {
     val spark = edges.sparkSession
     val e = edges.select(col(uCol).cast("long").as("u"), col(wCol).cast("long").as("w"))
       .persist()
-    if (e.count() <= localThreshold) {
+    val edgeCount = e.count()
+    // No edges ⇒ no source to walk from: return an empty (v, hops) frame
+    // instead of crashing on min-of-empty (local path) / null-min NPE
+    // (distributed path) — e.g. a filter upstream yielding zero mutual-kNN
+    // pairs.
+    if (edgeCount == 0L) {
+      e.unpersist()
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hops",
+            org.apache.spark.sql.types.LongType))))
+    }
+    if (edgeCount <= localThreshold) {
       val rows = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       e.unpersist()
       val adj = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }

@@ -15,6 +15,22 @@ object FrameLog {
 
   final case class Entry(lsn: Long, payload: Array[Byte])
 
+  /** Order collected generator frames the way a real walsender would emit
+    * them. A bare stable sort on lsn is NOT enough: the orders generators
+    * assign abutting per-key LSN blocks, so key k's delete-txn Commit
+    * (lsn = 8·(k+1)) ties with key k+1's insert Begin (lsn = 8·(k+1)), and
+    * after the fan-out the two come from different partitions — the tie can
+    * serialize Begin-before-foreign-Commit, making ChangeEventBuilder stamp
+    * the following Insert with the WRONG (cleared) txn metadata. Secondary
+    * key: a 'B' frame sorts AFTER any other tag at equal lsn (the stable
+    * sort still keeps same-tag and Insert-before-Commit arrival order,
+    * which the lineitem generator's equal-lsn Insert/Commit pairs rely
+    * on). */
+  def lsnOrdered(frames: Array[(Long, Array[Byte])]): Iterator[Entry] =
+    frames.sortBy { case (lsn, payload) =>
+      (lsn, if (payload.nonEmpty && payload(0) == 'B'.toByte) 1 else 0)
+    }.iterator.map { case (lsn, bytes) => Entry(lsn, bytes) }
+
   def write(path: String, frames: Iterator[Entry]): Long = {
     Files.createDirectories(Paths.get(path).getParent)
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))

@@ -633,7 +633,7 @@ class StreamingSpec extends AnyFunSuite {
     // reuse the batch generator's frames: upserts + deletes over orders
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir,
       graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(20000))
     val q = Streams.cdcUpsertSink(env, graft.cdc.CdcPipeline.ordersRelation, stateDir, ckpt)
@@ -659,7 +659,7 @@ class StreamingSpec extends AnyFunSuite {
     // site B's conflicting updates land in LATER micro-batches and must
     // resolve against persisted winners (ts compare, not lsn)
     val frames = graft.cdc.CdcPipeline.ordersToFramesBiDir(spark, sfDir)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(1500))
     val q = Streams.lwwUpsertSink(env, rel, stateDir, dir.resolve("ckpt").toString)
@@ -685,7 +685,7 @@ class StreamingSpec extends AnyFunSuite {
     val rel = graft.cdc.CdcPipeline.ordersRelation
     val frames = graft.cdc.CdcPipeline.jointOrdersFrames(spark, sfDir,
       graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(5000))
     val q = Streams.scd2Sink(env, rel, stateDir, dir.resolve("ckpt").toString)
@@ -713,7 +713,7 @@ class StreamingSpec extends AnyFunSuite {
     val stateDir = dir.resolve("state").toString
     val rel = graft.cdc.CdcPipeline.ordersRelation
     val frames = graft.cdc.CdcPipeline.ordersToFramesBiDir(spark, sfDir)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(1500))
     val q = Streams.lwwUpsertSinkBucketed(env, rel, stateDir,
@@ -768,7 +768,7 @@ class StreamingSpec extends AnyFunSuite {
       rel, stateDir, snapshotLsn = 0L)
     // tail: inserts beyond mid + post-pin updates stream into the SAME sink
     val frames = graft.cdc.CdcPipeline.ordersToFramesTail(spark, sfDir, mid)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(10000))
     val q = Streams.cdcUpsertSink(env, rel, stateDir, dir.resolve("ckpt").toString)
@@ -798,7 +798,7 @@ class StreamingSpec extends AnyFunSuite {
     val stateDir = dir.resolve("state").toString
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir,
       graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true))
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // several micro-batches so the incremental path (state read-back) runs
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(5000))
@@ -1210,7 +1210,7 @@ class StreamingSpec extends AnyFunSuite {
     val pat = graft.cdc.CdcPipeline.DmlPattern(
       updates = true, deletes = true, fullImages = true)
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
     val q = Streams.incrementalAggSink(env, graft.cdc.CdcPipeline.ordersRelation,
@@ -1235,7 +1235,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("incrbase")
     val p = dir.resolve("log.bin").toString
     val frames = graft.cdc.CdcPipeline.eventsToFrames(spark, sfDir)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // cuts land between an insert and its later retraction (id % 13)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(250))
@@ -1264,7 +1264,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("hwgrid")
     val p = dir.resolve("log.bin").toString
     val frames = graft.cdc.CdcPipeline.eventsFullToFrames(spark, sfDir)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // cuts land mid-hour-bucket: partial sums must merge across batches
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(700))
@@ -1290,7 +1290,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("termdf")
     val p = dir.resolve("log.bin").toString
     val frames = graft.cdc.CdcPipeline.documentsToFramesDml(spark, sfDir)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // micro-batch cuts land inside doc txn groups (insert/update/delete of
     // one doc may split across batches — the retraction still nets out)
@@ -1352,7 +1352,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("chunkidx")
     val p = dir.resolve("log.bin").toString
     val frames = graft.cdc.CdcPipeline.documentsToFramesDml(spark, sfDir)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // cuts land inside doc txn groups: an update's retraction (+new chunks,
     // −old chunks) may split across batches and must still net out
@@ -1385,7 +1385,7 @@ class StreamingSpec extends AnyFunSuite {
     val pat = graft.cdc.CdcPipeline.DmlPattern(
       updates = true, deletes = true, fullImages = true)
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
     val q = Streams.incrementalStatsSink(env, graft.cdc.CdcPipeline.ordersRelation,
@@ -1524,7 +1524,7 @@ class StreamingSpec extends AnyFunSuite {
     val pat = graft.cdc.CdcPipeline.DmlPattern(
       updates = true, deletes = true, fullImages = true)
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     val dims = graft.Tables.customer(spark, sfDir)
       .join(graft.Tables.nation(spark, sfDir),
@@ -1554,7 +1554,7 @@ class StreamingSpec extends AnyFunSuite {
     val pat = graft.cdc.CdcPipeline.DmlPattern(
       updates = true, deletes = true, fullImages = true)
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // small batches: deletes/updates retract inserts from EARLIER batches,
     // exercising the negative-delta merge path
@@ -1904,7 +1904,7 @@ class StreamingSpec extends AnyFunSuite {
     val pat = graft.cdc.CdcPipeline.DmlPattern(
       updates = true, deletes = true, fullImages = true)
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // several micro-batches + k=2 so deletes of retained extremes force the
     // targeted-rescan path through the co-located table state
@@ -1935,7 +1935,7 @@ class StreamingSpec extends AnyFunSuite {
     val pat = graft.cdc.CdcPipeline.DmlPattern(
       updates = true, deletes = true, fullImages = true)
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // Δ⋈dim composition: splice the broadcast-joined nation name into BOTH
     // images as an ordinary envelope column, then the UNCHANGED incremental
@@ -2013,7 +2013,7 @@ class StreamingSpec extends AnyFunSuite {
     val p = dir.resolve("log.bin").toString
     val pat = graft.cdc.CdcPipeline.DmlPattern(updates = true, deletes = true)
     val frames = graft.cdc.CdcPipeline.ordersToFrames(spark, sfDir, pat)
-      .collect().sortBy(_._1).iterator.map { case (lsn, bytes) => FrameLog.Entry(lsn, bytes) }
+       .collect() match { case fs => FrameLog.lsnOrdered(fs) }
     FrameLog.write(p, frames)
     // several micro-batches so versions open in one batch close in a later one
     val env = Streams.envelopeStream(spark, p, maxFramesPerTrigger = Some(4000))
