@@ -49,6 +49,23 @@ class SerializerFilterPruningSpec extends AnyFunSuite {
       Seq(("x", "v")))
   }
 
+  test("two branches over one decode subtree prune to the same union") {
+    // the real pattern: a query references the same decoded Dataset from
+    // two branches (compaction + truncate high-water). Per-site pruning
+    // would make the copies differ and break runtime subtree reuse; the
+    // rule must prune both to the union of their needs.
+    val ds = wideDs
+    val b1 = ds.toDF().filter(col("a") > 0).select(col("b"))
+    val b2 = ds.toDF().filter(col("a") > 0)
+      .select(element_at(col("c"), "k").as("b"))
+    val sers = b1.union(b2).queryExecution.optimizedPlan.collect {
+      case s: SerializeFromObject => s.serializer.map(_.name).toSet
+    }
+    assert(sers.size === 2)
+    assert(sers.toSet === Set(Set("a", "b", "c")),
+      "both branches must keep the union {a,b,c} so the subtrees stay identical")
+  }
+
   test("a serializer whose fields are all referenced is left untouched") {
     val df = wideDs.toDF().filter(col("a") > 0)
       .select(col("a"), col("b"), col("c"), col("d"))
