@@ -244,6 +244,13 @@ object CdcQueries {
     // and all survival arithmetic runs on the study-window-bounded hour
     // grid (q95's scale note).
     "cdc_survival_serving" -> ((s, d) => {
+      // localCheckpoint (eager, inside the timed region): the survival
+      // composition references `ev` six times (view anchor, first outcome,
+      // study cutoff, each doubled by kmCurve's two reads), and each
+      // reference re-ran the full wire encode+decode — r10-opt profiled 18
+      // jobs with the decode subtree serialized 6x in the plan. The
+      // checkpointed frame is the 4-column typed projection (narrow,
+      // event-count rows), so the wire path runs once.
       val ev = CdcPipeline.decodeFrames(CdcPipeline.eventsUserToFrames(s, d)).toDF()
         .filter(col("op") === "I")
         .select(
@@ -251,6 +258,7 @@ object CdcQueries {
           element_at(col("after"), "user_id").cast("long").as("user_id"),
           timestamp_micros(element_at(col("after"), "ts_us").cast("long")).as("ts"),
           element_at(col("after"), "event_type").as("event_type"))
+        .localCheckpoint()
       graft.queries.RelationalQueries.kmCurve(
         graft.queries.RelationalQueries.survivalUsers(ev)
           .select(col("status"), col("t")))
@@ -309,12 +317,18 @@ object CdcQueries {
     // hour) agg is the only corpus shuffle; the fold runs on the
     // study-window-bounded series (q99's scale note).
     "cdc_forecast_serving" -> ((s, d) => {
+      // localCheckpoint, same rationale as cdc_survival_serving: the
+      // holtWinters composition references `ev` four times (grid origin +
+      // hourly, fits + forecast off the fold) and each re-ran the wire
+      // encode+decode. The checkpointed frame is the 3-column typed
+      // projection; the wire path runs once.
       val ev = CdcPipeline.decodeFrames(CdcPipeline.eventsFullToFrames(s, d)).toDF()
         .filter(col("op") === "I")
         .select(
           element_at(col("after"), "event_type").as("event_type"),
           expr("cast(element_at(after, 'ts_us') as bigint) div 3600000000").as("hr"),
           element_at(col("after"), "cents").cast("long").as("cents"))
+        .localCheckpoint()
       graft.queries.RelationalQueries.holtWinters(ev)
     }),
 
@@ -433,6 +447,10 @@ object CdcQueries {
     // avgdl, or a tf and hash-fails the ranking.
     "cdc_bm25_serving" -> ((s, d) => {
       val events = CdcPipeline.docsDmlEvents(s, d)
+      // NOT checkpointed (r10-opt measured): bm25Of reads `docs` twice, but
+      // the events come from the parquet spill, so the duplicate compaction
+      // is cheap and the two branches overlap on idle cores — an eager
+      // localCheckpoint barrier measured 1.22 -> 1.49 s (profiled 3x).
       val docs = graft.cdc.Cdc.materialize(events, CdcPipeline.documentsRelation)
         .select(col("doc_id"), col("text"))
       TextQueries.bm25Of(docs, TextQueries.QueryTerms)
@@ -482,6 +500,10 @@ object CdcQueries {
     // shifts a rank and hash-fails the fusion.
     "cdc_hybrid_serving" -> ((s, d) => {
       val dEvents = CdcPipeline.docsDmlEvents(s, d)
+      // NOT checkpointed (r10-opt measured): eager localCheckpoints on the
+      // two materialized sides serialized branches that otherwise overlap
+      // on idle cores — walls 2.11 -> 2.89 s (profiled 3x). Both sides read
+      // their events from parquet spills, so re-compaction is cheap.
       val docs = graft.cdc.Cdc.materialize(dEvents, CdcPipeline.documentsRelation)
         .select(col("doc_id"), col("text"))
       val eEvents = CdcPipeline.embeddingsEvents(s, d)
