@@ -711,6 +711,11 @@ object TextQueries {
     "text_wordpiece" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("f").desc, col("g")) // candidate-gram-vocab-sized
+      // NO use-site fanout (r10-opt measured): the corpus→word-count
+      // reduction is sub-second at sf0.1 and `words` feeds three branches —
+      // a fanout tripled the exchange work (wall 1.2 -> 1.9-2.0 s, CPU
+      // 0.3 -> 6.7 s); the r9 loader-fanout negative repeats at use sites
+      // whose per-row work is light.
       val words = withWords(Tables.documents(s, d))
         .select(explode(col("ws")).as("w")).filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -1072,7 +1077,10 @@ object TextQueries {
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
       // fingerprint hash = first 8 hex chars of md5(shingle): fixed-width
-      // lowercase hex, so lexicographic MIN ≡ numeric MIN on both engines
+      // lowercase hex, so lexicographic MIN ≡ numeric MIN on both engines.
+      // NO use-site fanout (r10-opt measured): split+posexplode before the
+      // doc-keyed exchange is ~0.4 s CPU at sf0.1; a fanout made it
+      // 0.7-0.9 -> 1.1-1.3 s wall / 0.4 -> 6 s CPU.
       val sh = withWords(Tables.documents(s, d))
         .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w0")))
         .withColumn("w1", lead("w0", 1).over(byDoc))
@@ -1481,6 +1489,11 @@ object TextQueries {
       var sym = bpeVocab(s, d)
       bpeTrainedRules(s, d).foreach { case (a, b, _) => sym = bpeMergeLit(sym, a, b) }
       val ntok = sym.select(col("word"), size(col("sy")).as("nt"))
+      // NO use-site fanout (r10-opt measured): the corpus tokenize pass is
+      // 0.2 s CPU steady-state at sf0.1 (the query's median cost is the
+      // one-time session-cached BPE training); a fanout exchange made it
+      // 0.9 -> 1.4-1.6 s wall / 0.2 -> 4-6 s CPU (text bodies through a
+      // round-robin exchange + 32-task scheduling for trivial work).
       withWords(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("ws")).as("word"))
         .join(broadcast(ntok), "word")
