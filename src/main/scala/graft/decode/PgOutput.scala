@@ -251,11 +251,21 @@ object PgOutputDecoder {
     decode(payload).asInstanceOf[T]
   }
 
+  /** C-string read without per-string stream allocation: every decode buf
+    * wraps the payload array, so scan for the NUL directly and decode the
+    * slice in place (this runs once per string field per frame — the
+    * decode path's hottest allocation site before r10). */
   private def readString(buf: ByteBuffer): String = {
-    val bytes = new java.io.ByteArrayOutputStream(16)
-    var b = buf.get()
-    while (b != 0) { bytes.write(b.toInt); b = buf.get() }
-    new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    val arr = buf.array()
+    val start = buf.arrayOffset() + buf.position()
+    var end = start
+    val limit = buf.arrayOffset() + buf.limit()
+    while (end < limit && arr(end) != 0) end += 1
+    if (end == limit)
+      throw new java.nio.BufferUnderflowException() // unterminated string
+    val s = new String(arr, start, end - start, StandardCharsets.UTF_8)
+    buf.position(end - buf.arrayOffset() + 1)
+    s
   }
 
   /** TupleData: int16 n_columns, then per column a category byte:
@@ -278,13 +288,19 @@ object PgOutputDecoder {
           if (len < 0 || len > buf.remaining())
             throw new PgOutputDecodeException(
               s"tuple column length $len exceeds frame remainder ${buf.remaining()}")
-          val bytes = new Array[Byte](len)
-          buf.get(bytes)
-          if (cat == 't')
-            cols += ColumnData('t', Some(new String(bytes, StandardCharsets.UTF_8)))
-          else
+          if (cat == 't') {
+            // decode straight from the frame's backing array — no
+            // intermediate copy (one per text value, the decode hot path)
+            val s = new String(buf.array(), buf.arrayOffset() + buf.position(),
+              len, StandardCharsets.UTF_8)
+            buf.position(buf.position() + len)
+            cols += ColumnData('t', Some(s))
+          } else {
+            val bytes = new Array[Byte](len)
+            buf.get(bytes)
             cols += ColumnData('b', None,
               Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes)))
+          }
         case other =>
           throw new PgOutputDecodeException(s"unknown tuple column category '$other'")
       }
