@@ -15,12 +15,22 @@ case class WideObj(a: Long, b: String, c: Map[String, String], d: Seq[String])
   * fields nothing reads. */
 class SerializerFilterPruningSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder().master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may return another suite's session (one JVM, shared
+    // SparkContext) where the extensions config never applied — inject the
+    // rule on whatever session we got (idempotent beside the extension:
+    // a second pass finds nothing left to prune).
+    if (!s.experimental.extraOptimizations.contains(SerializerFilterPruning))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ SerializerFilterPruning
+    s
+  }
 
   private def wideDs = {
     import spark.implicits._
